@@ -1,0 +1,718 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cmp, GTable, SortKey}
+
+/** The correctness-gate query inventory: one entry per operator from
+  * SURVEY.md §2, each paired with ANSI SQL that DuckDB runs on the same
+  * parquet tables (driver gate — see BASELINE.md).
+  *
+  * Parity conventions (Spark vs DuckDB):
+  *   - every computed column aliased identically on both sides;
+  *   - every query deterministically ordered (total order incl. tiebreaker);
+  *   - double aggregates rounded identically on both sides (sum→2, avg→4);
+  *   - timestamps rendered as strings when they appear in output;
+  *   - ORDER BY on nullable keys carries explicit NULLS FIRST (Spark ASC
+  *     default) since DuckDB defaults to NULLS LAST;
+  *   - no sum() over INTEGER in DuckDB without CAST (avoids HUGEINT).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): GTable =
+    GTable(s.read.parquet(s"$dir/$name.parquet"), name)
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark's reader rejects by default. Read nanos as long (legacy conf,
+    * runtime-settable) and convert to a microsecond TimestampType with
+    * integral division (no double round-trip — ns since epoch exceeds
+    * double's 53-bit mantissa). */
+  private def events(s: SparkSession, dir: String): GTable = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    GTable(raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))), "events")
+  }
+
+  // ==================================================================
+  // §2.5 Aggregations / grouping / pivot / stats
+  // ==================================================================
+
+  /** TPC-H-Q1-style pricing summary — groupbyWithSummaries (reference
+    * groupby_with_summaries, littletable.py:3546-3580). */
+  val q1_agg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupbyWithSummaries(
+        Seq("l_returnflag", "l_linestatus"),
+        "sum_qty" -> round(sum(col("l_quantity")), 2),
+        "sum_base_price" -> round(sum(col("l_extendedprice")), 2),
+        "sum_disc_price" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
+        "sum_charge" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2),
+        "avg_qty" -> round(avg(col("l_quantity")), 4),
+        "avg_price" -> round(avg(col("l_extendedprice")), 4),
+        "avg_disc" -> round(avg(col("l_discount")), 4),
+        "count_order" -> count(lit(1))).df
+
+  /** Per-group named summaries over a join key (groupby_with_summaries). */
+  val q_groupby_summaries: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .groupbyWithSummaries(
+        Seq("c_nationkey"),
+        "n_customers" -> count(lit(1)),
+        "avg_acctbal" -> round(avg(col("c_acctbal")), 4),
+        "max_acctbal" -> round(max(col("c_acctbal")), 2),
+        "first_name" -> min(col("c_name"))).df
+
+  /** Pivot cross-tab with explicit values (reference pivot().dump_counts,
+    * littletable.py:4395-4454): one shuffle, deterministic columns. */
+  val q_pivot_counts: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .pivotCounts("o_orderpriority", "o_orderstatus", Seq("F", "O", "P")).df
+
+  /** Pivot with a value aggregate per cell (pivot().as_table(sum, col)). */
+  val q_pivot_sum: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .pivotAgg("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"),
+        round(sum(col("o_totalprice")), 2))
+      .df.na.fill(0.0)
+
+  /** Reference stats(): mean/median/min/max/variance/stdev/count/missing
+    * (littletable.py:3832-3915) — one single-pass wide aggregate. */
+  val q_stats: Q = (s, dir) =>
+    t(s, dir, "lineitem").stats(Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .select(
+        round(col("l_quantity_mean"), 4).as("q_mean"),
+        round(col("l_quantity_median"), 4).as("q_median"),
+        round(col("l_quantity_min"), 2).as("q_min"),
+        round(col("l_quantity_max"), 2).as("q_max"),
+        round(col("l_quantity_variance"), 4).as("q_var"),
+        round(col("l_quantity_stdev"), 4).as("q_std"),
+        col("l_quantity_count").as("q_count"),
+        col("l_quantity_missing").as("q_missing"),
+        round(col("l_extendedprice_mean"), 4).as("p_mean"),
+        round(col("l_extendedprice_median"), 4).as("p_median"),
+        round(col("l_discount_mean"), 6).as("d_mean"),
+        round(col("l_discount_stdev"), 6).as("d_std")).df
+
+  /** Beyond-reference: ROLLUP with grouping id (free on Spark; SURVEY §2.5
+    * notes the reference lacks grouping sets). */
+  val q_rollup: Q = (s, dir) =>
+    t(s, dir, "orders").df
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+           count(lit(1)).as("n"),
+           grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+               col("o_orderstatus").asc_nulls_first)
+
+  /** Beyond-reference: CUBE over lineitem flags. */
+  val q_cube: Q = (s, dir) =>
+    t(s, dir, "lineitem").df
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n"),
+           grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** Reference groupby() run-semantics (consecutive runs of equal keys in
+    * table order — unit_tests.py:1950-1954): run-id via ordered window,
+    * then per-flag run statistics. */
+  val q_groupby_runs: Q = (s, dir) => {
+    val runs = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .orderby("l_orderkey, l_linenumber, l_returnflag")
+      .groupbyRuns("l_returnflag").df
+    runs.groupBy(col("__run").as("run_id"))
+      .agg(min(col("l_returnflag")).as("flag"), count(lit(1)).as("run_len"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_runs"),
+           sum(col("run_len")).as("total_rows"),
+           max(col("run_len")).as("max_run"))
+      .orderBy(col("flag"))
+  }
+
+  // ==================================================================
+  // §2.2 Projections / filters / predicates
+  // ==================================================================
+
+  /** Comparator DSL conjunction (reference where(**kwargs) with
+    * lt/within/in_range/is_in/startswith — littletable.py:998-1139). */
+  val q_where_comparators: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(
+        "l_quantity" -> Cmp.within(10, 20),
+        "l_discount" -> Cmp.inRange(0.02, 0.08),
+        "l_returnflag" -> Cmp.isIn("A", "R"),
+        "l_shipdate" -> Cmp.ge(lit("1996-01-01").cast("timestamp")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_discount"), col("l_returnflag"))
+      .orderby("l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag")
+      .df
+
+  /** select with computed columns (reference select(name=template) /
+    * compute_field — string template + arithmetic). */
+  val q_select_computed: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .computeField("pri_status", format_string("%s/%s", col("o_orderpriority"), col("o_orderstatus")))
+      .computeField("fee", col("o_totalprice") * 0.1)
+      .select(col("o_orderkey"), col("pri_status"), col("fee"))
+      .orderby(SortKey.asc("o_orderkey"))
+      .df
+
+  /** delete(**kwargs) → anti-filter (littletable.py:2167-2182). */
+  val q_delete: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .delete(col("o_orderstatus") === "F")
+      .groupbyWithSummaries(Seq("o_orderpriority"),
+        "n" -> count(lit(1)),
+        "total" -> round(sum(col("o_totalprice")), 2)).df
+
+  /** splitby (littletable.py:3630-3771) — matching half, aggregated. */
+  val q_splitby: Q = (s, dir) => {
+    val (_, hi) = t(s, dir, "lineitem").splitby(col("l_discount") > 0.05)
+    hi.groupbyWithSummaries(Seq("l_returnflag"),
+      "n" -> count(lit(1)),
+      "sum_qty" -> round(sum(col("l_quantity")), 2)).df
+  }
+
+  /** compute_field with exception→default (littletable.py:3494-3544):
+    * try_cast + coalesce — errors become the default, tasks never fail. */
+  val q_compute_field: Q = (s, dir) =>
+    events(s, dir)
+      .computeField("k_val",
+        expr("try_cast(get_json_object(props, '$.k') AS INT)"),
+        default = Some(lit(-1)))
+      .select(col("event_id"), col("event_type"), col("k_val"))
+      .orderby(SortKey.asc("event_id"))
+      .df
+
+  /** format() row templating (littletable.py:2345-2351). */
+  val q_format: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .formatted("{}: region {}", col("n_name"), col("n_regionkey"))
+      .orderby(SortKey.asc("formatted"))
+      .df
+
+  // ==================================================================
+  // §2.7 Sorts / limits / slices / batching
+  // ==================================================================
+
+  /** orderby string-DSL + head (top-k → TakeOrdered physical op). */
+  val q_orderby_limit: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderby("l_extendedprice desc, l_orderkey, l_linenumber")
+      .head(100)
+      .df
+
+  /** tail(n) in established order (littletable.py:3816-3830): inverted
+    * TakeOrdered, then restore — no global window. */
+  val q_tail: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderby(SortKey.asc("o_orderkey"))
+      .tail(50)
+      .df
+
+  /** Python-style slice rows [100,200) via scale-safe ordinal. */
+  val q_slice: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderby(SortKey.asc("o_orderkey"))
+      .slice(100, 200)
+      .df
+
+  /** batched(n) pagination (littletable.py:3616-3628) — batch stats. */
+  val q_batched: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderby(SortKey.asc("o_orderkey"))
+      .batched(1000)
+      .groupbyWithSummaries(Seq("batch"),
+        "n" -> count(lit(1)),
+        "total" -> round(sum(col("o_totalprice")), 2)).df
+
+  /** rank() ordinal in current order (littletable.py:2248-2257) —
+    * two-pass zipWithIndex ordinal, not a one-partition window. */
+  val q_rank: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderby("c_acctbal desc, c_custkey")
+      .rank("rnk")
+      .head(100)
+      .df
+
+  // ==================================================================
+  // §2.4 Set operations / unique
+  // ==================================================================
+
+  /** Bag union `t1 + t2` (littletable.py:1445-1462). */
+  val q_union_all: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val urgent = o.whereEq("o_orderpriority" -> "1-URGENT")
+    val low = o.whereEq("o_orderpriority" -> "5-LOW")
+    (urgent + low)
+      .groupbyWithSummaries(Seq("o_orderpriority"),
+        "n" -> count(lit(1)),
+        "total" -> round(sum(col("o_totalprice")), 2)).df
+  }
+
+  /** Beyond-reference: INTERSECT (distinct semantics, both engines). */
+  val q_intersect: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.whereEq("o_orderstatus" -> "O").select(col("o_custkey"))
+      .intersect(o.whereEq("o_orderstatus" -> "F").select(col("o_custkey")))
+      .orderby(SortKey.asc("o_custkey")).df
+  }
+
+  /** Beyond-reference: EXCEPT (distinct semantics, both engines). */
+  val q_except: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.whereEq("o_orderstatus" -> "O").select(col("o_custkey"))
+      .except(o.whereEq("o_orderstatus" -> "P").select(col("o_custkey")))
+      .orderby(SortKey.asc("o_custkey")).df
+  }
+
+  /** unique(key) keeping FIRST occurrence in a stated order — the
+    * reference's dedup-preserving-order (littletable.py:3773-3795), made
+    * deterministic distributedly (per-key row_number, one shuffle). */
+  val q_unique_first: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .unique(Seq("o_custkey"), Seq(col("o_orderkey").asc))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderby(SortKey.asc("o_custkey"))
+      .df
+
+  // ==================================================================
+  // §2.3 Joins
+  // ==================================================================
+
+  /** Inner equi-join with small-side broadcast (reference join with
+    * auto-created hash indexes, littletable.py:2353-2507). */
+  val q_join_inner: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .joinBroadcast(t(s, dir, "customer"), "o_custkey" -> "c_custkey")
+      .groupbyWithSummaries(Seq("c_custkey", "c_name"),
+        "n_orders" -> count(lit(1)),
+        "revenue" -> round(sum(col("o_totalprice")), 2)).df
+
+  /** 3-way join, TPC-H-Q3 style: filter → join → join → agg → top-k.
+    * Dim side broadcast; fact-fact join shuffles on the key. */
+  val q_join3_revenue: Q = (s, dir) => {
+    val cust = t(s, dir, "customer").whereEq("c_mktsegment" -> "BUILDING")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    ord.joinBroadcast(cust, "o_custkey" -> "c_custkey")
+      .join(li, "o_orderkey" -> "l_orderkey")
+      .computeField("o_odate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .groupbyWithSummaries(Seq("o_orderkey", "o_odate"),
+        "revenue" -> round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2))
+      .orderby("revenue desc, o_orderkey")
+      .head(10).df
+  }
+
+  /** Multi-attribute equi-join (reference multi-key join,
+    * littletable.py:2466-2478): lineitem ⋈ (partkey,suppkey) summary. */
+  val q_join_multikey: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val ps = li.df.groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+      .agg(round(avg(col("l_quantity")), 4).as("avg_qty"))
+    GTable(ps, "ps")
+      .joinTyped(t(s, dir, "lineitem"), "inner",
+        "partkey" -> "l_partkey", "suppkey" -> "l_suppkey")
+      .where(col("l_quantity") > col("avg_qty") * 1.5)
+      .groupbyWithSummaries(Seq("partkey"),
+        "n_above" -> count(lit(1)))
+      .where(col("n_above") >= 3)
+      .orderby(SortKey.asc("partkey"))
+      .df.select(col("partkey"), col("n_above"))
+  }
+
+  /** LEFT OUTER (SQL semantics; the reference's inverted naming is
+    * documented, not replicated — littletable.py:2631-2646, SURVEY §2.3). */
+  val q_join_left: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .joinTyped(t(s, dir, "customer").where(col("c_acctbal") > 9000), "left",
+        "n_nationkey" -> "c_nationkey")
+      .groupbyWithSummaries(Seq("n_nationkey", "n_name"),
+        "n_rich" -> count(col("c_custkey"))).df
+
+  /** RIGHT OUTER. */
+  val q_join_right: Q = (s, dir) =>
+    t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      .joinTyped(t(s, dir, "customer"), "right", "o_custkey" -> "c_custkey")
+      .groupbyWithSummaries(Seq("c_custkey"),
+        "n_big" -> count(col("o_orderkey"))).df
+
+  /** FULL OUTER with genuinely disjoint key sets (nulls on both sides). */
+  val q_join_full: Q = (s, dir) => {
+    val n = t(s, dir, "nation")
+    val a = n.whereEq("n_regionkey" -> 0).select(col("n_nationkey"), col("n_name").as("name_a"))
+    val b = n.whereEq("n_regionkey" -> 1).select(col("n_nationkey").as("nk_b"), col("n_name").as("name_b"))
+    a.joinTyped(b, "full", "n_nationkey" -> "nk_b")
+      .select(coalesce(col("n_nationkey"), col("nk_b")).as("nk"),
+              col("name_a"), col("name_b"))
+      .orderby(SortKey.asc("nk"))
+      .df
+  }
+
+  /** LEFT SEMI (EXISTS) — reference recipe via outer join + filter
+    * (unit_tests.py:1765-1771); native semi join here. */
+  val q_join_semi: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .joinTyped(t(s, dir, "orders").where(col("o_totalprice") > 450000),
+        "left_semi", "c_custkey" -> "o_custkey")
+      .select(col("c_custkey"), col("c_name"))
+      .orderby(SortKey.asc("c_custkey"))
+      .df
+
+  /** LEFT ANTI (NOT EXISTS). */
+  val q_join_anti: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .joinTyped(t(s, dir, "orders").whereEq("o_orderstatus" -> "P"),
+        "left_anti", "c_custkey" -> "o_custkey")
+      .select(col("c_custkey"), col("c_name"))
+      .orderby(SortKey.asc("c_custkey"))
+      .df
+
+  /** join_on / `+` chain builder (littletable.py:2711-2722, 4602-4683):
+    * region ⋈ nation ⋈ customer via the fluent composition sugar. */
+  val q_join_chain: Q = (s, dir) => {
+    val chained = (t(s, dir, "region").joinOn("r_regionkey") +
+      t(s, dir, "nation").joinOn("n_regionkey")).apply()
+    chained
+      .joinTyped(t(s, dir, "customer"), "inner", "n_nationkey" -> "c_nationkey")
+      .groupbyWithSummaries(Seq("r_name", "n_name"),
+        "n_cust" -> count(lit(1)),
+        "avg_bal" -> round(avg(col("c_acctbal")), 4)).df
+  }
+
+  // ==================================================================
+  // §2.6 Window-function analogues
+  // ==================================================================
+
+  /** Top-k per group (reference recipe orderby+slice per pivot subtable). */
+  val q_topk_per_group: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders").df
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** Running sum per partition (beyond-reference analytic frame). */
+  val q_window_running: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").df
+      .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ==================================================================
+  // Registry
+  // ==================================================================
+
+  val all: Map[String, Q] = Map(
+    "q1_agg" -> q1_agg,
+    "q_groupby_summaries" -> q_groupby_summaries,
+    "q_pivot_counts" -> q_pivot_counts,
+    "q_pivot_sum" -> q_pivot_sum,
+    "q_stats" -> q_stats,
+    "q_rollup" -> q_rollup,
+    "q_cube" -> q_cube,
+    "q_groupby_runs" -> q_groupby_runs,
+    "q_where_comparators" -> q_where_comparators,
+    "q_select_computed" -> q_select_computed,
+    "q_delete" -> q_delete,
+    "q_splitby" -> q_splitby,
+    "q_compute_field" -> q_compute_field,
+    "q_format" -> q_format,
+    "q_orderby_limit" -> q_orderby_limit,
+    "q_tail" -> q_tail,
+    "q_slice" -> q_slice,
+    "q_batched" -> q_batched,
+    "q_rank" -> q_rank,
+    "q_union_all" -> q_union_all,
+    "q_intersect" -> q_intersect,
+    "q_except" -> q_except,
+    "q_unique_first" -> q_unique_first,
+    "q_join_inner" -> q_join_inner,
+    "q_join3_revenue" -> q_join3_revenue,
+    "q_join_multikey" -> q_join_multikey,
+    "q_join_left" -> q_join_left,
+    "q_join_right" -> q_join_right,
+    "q_join_full" -> q_join_full,
+    "q_join_semi" -> q_join_semi,
+    "q_join_anti" -> q_join_anti,
+    "q_join_chain" -> q_join_chain,
+    "q_topk_per_group" -> q_topk_per_group,
+    "q_window_running" -> q_window_running
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_groupby_summaries" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        | round(avg(c_acctbal),4) AS avg_acctbal,
+        | round(max(c_acctbal),2) AS max_acctbal,
+        | min(c_name) AS first_name
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_pivot_counts" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus='F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus='O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus='P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot_sum" ->
+      """SELECT o_orderpriority,
+        | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='F'),2),0.0) AS "F",
+        | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='O'),2),0.0) AS "O",
+        | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='P'),2),0.0) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stats" ->
+      """SELECT
+        | round(avg(l_quantity),4) AS q_mean,
+        | round(median(l_quantity),4) AS q_median,
+        | round(min(l_quantity),2) AS q_min,
+        | round(max(l_quantity),2) AS q_max,
+        | round(var_samp(l_quantity),4) AS q_var,
+        | round(stddev_samp(l_quantity),4) AS q_std,
+        | count(l_quantity) AS q_count,
+        | count(*) - count(l_quantity) AS q_missing,
+        | round(avg(l_extendedprice),4) AS p_mean,
+        | round(median(l_extendedprice),4) AS p_median,
+        | round(avg(l_discount),6) AS d_mean,
+        | round(stddev_samp(l_discount),6) AS d_std
+        |FROM lineitem""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | round(sum(o_totalprice),2) AS total, count(*) AS n,
+        | CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_where_comparators" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity <= 20
+        |  AND l_discount >= 0.02 AND l_discount < 0.08
+        |  AND l_returnflag IN ('A','R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
+
+    "q_select_computed" ->
+      """SELECT o_orderkey,
+        | o_orderpriority || '/' || o_orderstatus AS pri_status,
+        | o_totalprice * 0.1 AS fee
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_delete" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders WHERE NOT (o_orderstatus = 'F')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_splitby" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem WHERE l_discount > 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_compute_field" ->
+      """SELECT event_id, event_type,
+        | coalesce(try_cast(json_extract_string(props, '$.k') AS INTEGER), -1) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_format" ->
+      """SELECT n_name || ': region ' || CAST(n_regionkey AS VARCHAR) AS formatted
+        |FROM nation ORDER BY formatted""".stripMargin,
+
+    "q_orderby_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q_tail" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_orderkey DESC LIMIT 50
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    "q_slice" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 100""".stripMargin,
+
+    "q_batched" ->
+      """SELECT batch, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM (
+        |  SELECT o_totalprice,
+        |    CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT) AS batch
+        |  FROM orders
+        |) GROUP BY batch ORDER BY batch""".stripMargin,
+
+    "q_rank" ->
+      """SELECT c_custkey, c_acctbal,
+        | row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |FROM customer ORDER BY rnk LIMIT 100""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderpriority = '5-LOW'
+        |) GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus='P'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_unique_first" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey, c_name""".stripMargin,
+
+    "q_join3_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_odate,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_odate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_join_multikey" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    round(avg(l_quantity),4) AS avg_qty
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT partkey, count(*) AS n_above
+        |FROM ps JOIN lineitem ON partkey = l_partkey AND suppkey = l_suppkey
+        |WHERE l_quantity > avg_qty * 1.5
+        |GROUP BY partkey HAVING count(*) >= 3
+        |ORDER BY partkey""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT n_nationkey, n_name, count(c_custkey) AS n_rich
+        |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |  ON n_nationkey = c_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey, n_name""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        | RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(a.n_nationkey, b.nk_b) AS nk, a.name_a, b.name_b
+        |FROM (SELECT n_nationkey, n_name AS name_a FROM nation WHERE n_regionkey=0) a
+        |FULL OUTER JOIN (SELECT n_nationkey AS nk_b, n_name AS name_b FROM nation WHERE n_regionkey=1) b
+        |  ON a.n_nationkey = b.nk_b
+        |ORDER BY nk""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_chain" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(avg(c_acctbal),4) AS avg_bal
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) ++ Map(
+    // run-semantics oracle (kept separate for readability)
+    "q_groupby_runs" ->
+      """WITH tagged AS (
+        |  SELECT l_returnflag,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_returnflag) AS rn,
+        |    CASE WHEN lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber, l_returnflag) IS NULL
+        |           OR lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber, l_returnflag) <> l_returnflag
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM lineitem
+        |), runs AS (
+        |  SELECT l_returnflag,
+        |    sum(chg) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM tagged
+        |), per_run AS (
+        |  SELECT run_id, min(l_returnflag) AS flag, count(*) AS run_len
+        |  FROM runs GROUP BY run_id
+        |)
+        |SELECT flag, count(*) AS n_runs, CAST(sum(run_len) AS BIGINT) AS total_rows,
+        |  max(run_len) AS max_run
+        |FROM per_run GROUP BY flag ORDER BY flag""".stripMargin
+  )
+}

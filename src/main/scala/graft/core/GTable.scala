@@ -1,0 +1,355 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GTable — the engine's core table abstraction: an immutable, lazy,
+  * named wrapper over a Spark `DataFrame` providing the reference's full
+  * query surface (ptmcg/littletable `Table`, littletable.py:1095) rebuilt
+  * Spark-first.
+  *
+  * Design stance (SURVEY.md §7): every operator declares a Catalyst plan;
+  * nothing materializes until an action at the edges (`present`, exports,
+  * `count`). The reference's in-place mutations (`insert`, `remove`,
+  * `compute_field`) become pure transformations returning a new GTable —
+  * which matches the reference's own "every query result is a new Table"
+  * chaining style (littletable.py:52).
+  *
+  * Ordering: the reference is an ordered list; here order is carried
+  * explicitly — `orderby` records sort keys so `rank`/`head`/`tail`/
+  * `slice`/`batched` are deterministic AND scale-safe (see [[Ordinals]]:
+  * no global single-partition window at 100 TB).
+  */
+final case class GTable(
+    df: DataFrame,
+    name: String = "",
+    /** Total-order keys established by the last orderby (if any). */
+    sortKeys: Seq[SortKey] = Nil) {
+
+  def spark: SparkSession = df.sparkSession
+  def columns: Seq[String] = df.columns.toSeq
+
+  /** Number of rows — an action (reference `len(tbl)`). */
+  def size: Long = df.count()
+
+  private def sorted: DataFrame =
+    if (sortKeys.isEmpty) df else df.orderBy(sortKeys.map(_.order): _*)
+
+  // ------------------------------------------------------------------
+  // Filters (reference `where`, littletable.py:2100-2165)
+  // ------------------------------------------------------------------
+
+  /** `where` with a raw Column predicate (the reference's lambda form;
+    * prefer this — fully codegen'd + pushed down by Catalyst). */
+  def where(cond: Column): GTable = copy(df = df.filter(cond))
+
+  /** `where` with attribute→comparator pairs (conjunctive), the
+    * reference's kwargs form: `where("qty" -> Cmp.gt(45), "flag" -> Cmp.eq("R"))`.
+    * Catalyst reorders/pushes the conjuncts — the reference's manual
+    * selectivity ordering (littletable.py:2121-2127) is subsumed. */
+  def where(pairs: (String, Cmp.Pred)*): GTable =
+    copy(df = df.filter(pairs.map { case (c, p) => p(col(c)) }.reduce(_ && _)))
+
+  /** Equality-kwargs form: `whereEq("state" -> "CA", "zip" -> 12345)`. */
+  def whereEq(pairs: (String, Any)*): GTable =
+    copy(df = df.filter(pairs.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)))
+
+  /** Reference `delete(**kwargs)` (littletable.py:2167-2182) — immutable
+    * flavor: returns the table without the matching rows. */
+  def delete(cond: Column): GTable = copy(df = df.filter(!cond))
+
+  /** Reference `splitby` (littletable.py:3630-3771): one predicate →
+    * (non-matching, matching). Both halves share the lazy parent plan;
+    * cache the parent if both sides are consumed. */
+  def splitby(pred: Column): (GTable, GTable) =
+    (copy(df = df.filter(!pred || pred.isNull)), copy(df = df.filter(pred)))
+
+  /** `splitby` with an error policy: rows where evaluating `pred` errors
+    * (reference: predicate raises) are routed to a third table. Uses
+    * `try_`-style null-detection rather than task failure: `errExpr`
+    * should be the `try_*` form of the predicate's input. */
+  def splitbyWithErrors(pred: Column, isError: Column): (GTable, GTable, GTable) =
+    (copy(df = df.filter(!isError && !pred)),
+     copy(df = df.filter(!isError && pred)),
+     copy(df = df.filter(isError)))
+
+  // ------------------------------------------------------------------
+  // Projection (reference `select`, littletable.py:2259-2315)
+  // ------------------------------------------------------------------
+
+  /** Field-string select with `*` / `-name` (littletable.py:3917-3950). */
+  def select(spec: String): GTable =
+    copy(df = df.select(FieldSpec.parseFields(df, spec).map(col): _*))
+
+  def select(cols: Column*): GTable = copy(df = df.select(cols: _*))
+
+  /** Computed columns — the reference's `select(name=fn)` /
+    * `compute_field` (littletable.py:3494-3544). Exceptions→default is the
+    * caller's job via `try_*` expressions + `coalesce` (no failing tasks). */
+  def computeField(name: String, expr: Column, default: Option[Column] = None): GTable = {
+    val e = default.map(d => coalesce(expr, d)).getOrElse(expr)
+    copy(df = df.withColumn(name, e))
+  }
+  def addField(name: String, expr: Column): GTable = computeField(name, expr)
+
+  /** Per-row string templating (reference `format`, littletable.py:2345-2351):
+    * `formatted("{}: {}", col("a"), col("b"))` → single string column. */
+  def formatted(template: String, cols: Column*): GTable =
+    copy(df = df.select(format_string(template.replace("{}", "%s"), cols: _*).as("formatted")))
+
+  // ------------------------------------------------------------------
+  // Ordering / limits (littletable.py:2192-2257, 3816-3830)
+  // ------------------------------------------------------------------
+
+  /** `orderby("a, b desc")` — records the total order and sorts. */
+  def orderby(spec: String): GTable = orderby(FieldSpec.parseOrderBy(spec): _*)
+
+  def orderby(keys: SortKey*): GTable =
+    copy(df = df.orderBy(keys.map(_.order): _*), sortKeys = keys)
+
+  /** Random permutation (reference `shuffle`, littletable.py:2184-2190). */
+  def shuffle(seed: Long = 42L): GTable =
+    copy(df = df.orderBy(rand(seed).asc), sortKeys = Nil)
+
+  def head(n: Int): GTable = copy(df = sorted.limit(n))
+
+  /** Last n in the established order — re-sorts descending, limits,
+    * restores order. Scale-safe: TakeOrdered physical op, no global window. */
+  def tail(n: Int): GTable = {
+    require(sortKeys.nonEmpty, "tail requires orderby first (ordered-table semantics)")
+    copy(df = df.orderBy(sortKeys.map(_.inverted): _*).limit(n)
+      .orderBy(sortKeys.map(_.order): _*))
+  }
+
+  /** Append a 1-based ordinal in the current order (reference `rank`,
+    * littletable.py:2248-2257). Scale-safe two-pass ordinal (no global
+    * window) — see [[Ordinals]]. */
+  def rank(name: String = "rank"): GTable = {
+    require(sortKeys.nonEmpty, "rank requires orderby first")
+    copy(df = Ordinals.withOrdinal(df, sortKeys.map(_.order), name))
+  }
+
+  /** Python-style positive slice over the established order. */
+  def slice(start: Long, end: Long): GTable = {
+    require(sortKeys.nonEmpty, "slice requires orderby first")
+    val withOrd = Ordinals.withOrdinal(df, sortKeys.map(_.order), "__ord")
+    copy(df = withOrd.filter(col("__ord") > start && col("__ord") <= end).drop("__ord"))
+  }
+
+  /** Paginate into fixed-size batches (reference `batched`,
+    * littletable.py:3616-3628): adds a `batch` column; callers group or
+    * iterate per batch id. */
+  def batched(batchSize: Int, batchCol: String = "batch"): GTable = {
+    require(sortKeys.nonEmpty, "batched requires orderby first")
+    val withOrd = Ordinals.withOrdinal(df, sortKeys.map(_.order), "__ord")
+    copy(df = withOrd
+      .withColumn(batchCol, ((col("__ord") - 1) / batchSize).cast("long"))
+      .drop("__ord"))
+  }
+
+  // ------------------------------------------------------------------
+  // Set ops (littletable.py:1445-1462, 3773-3795)
+  // ------------------------------------------------------------------
+
+  /** Bag union / concatenation (reference `t1 + t2`). Null-fills columns
+    * missing on either side (reference rows are heterogeneous). */
+  def +(other: GTable): GTable = union(other)
+  def union(other: GTable): GTable = {
+    val allCols = (df.columns ++ other.df.columns.filterNot(df.columns.contains)).toSeq
+    def conform(d: DataFrame): DataFrame =
+      d.select(allCols.map(c => if (d.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    copy(df = conform(df).unionByName(conform(other.df)))
+  }
+
+  def intersect(other: GTable): GTable = copy(df = df.intersect(other.df))
+  def except(other: GTable): GTable = copy(df = df.except(other.df))
+
+  /** Dedup keeping the first occurrence in `order` (reference `unique`,
+    * littletable.py:3773-3795). Deterministic — unlike raw dropDuplicates —
+    * via per-key min-ordinal; one shuffle on the key. */
+  def unique(keyCols: Seq[String], order: Seq[Column]): GTable = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    copy(df = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** Whole-row dedup (reference key = sorted attr tuple). */
+  def unique(): GTable = copy(df = df.dropDuplicates())
+
+  // ------------------------------------------------------------------
+  // Joins (littletable.py:2353-2722)
+  // ------------------------------------------------------------------
+
+  /** Multi-attribute equi-join. `pairs` maps this table's columns to the
+    * other's. The reference builds hash indexes on both sides
+    * (littletable.py:2448-2452) — Catalyst's broadcast/sort-merge hash
+    * strategies subsume that; pass `broadcastOther=true` for small dims. */
+  def join(other: GTable, pairs: (String, String)*): GTable =
+    joinTyped(other, "inner", pairs: _*)
+
+  /** Outer joins with SQL semantics. NOTE the reference's naming is
+    * inverted vs SQL (its RIGHT_OUTER preserves self — littletable.py:
+    * 2631-2646); we use SQL naming and document the deviation
+    * (SURVEY.md §2.3). joinType: inner|left|right|full|left_semi|left_anti. */
+  def joinTyped(other: GTable, joinType: String, pairs: (String, String)*): GTable = {
+    val l = df.alias("l"); val r = other.df.alias("r")
+    val cond = pairs.map { case (a, b) => col(s"l.$a") === col(s"r.$b") }.reduce(_ && _)
+    val joined = l.join(r, cond, joinType)
+    // For semi/anti only the left columns survive; otherwise drop the
+    // duplicate right-side key columns like the reference (2481-2486).
+    val out = joinType match {
+      case "left_semi" | "left_anti" => joined
+      case _ =>
+        val dupRight = pairs.collect { case (a, b) if a == b => b }
+        dupRight.foldLeft(joined)((d, c) => d.drop(col(s"r.$c")))
+    }
+    GTable(out, s"$name+${other.name}")
+  }
+
+  /** Broadcast-hint flavor for small dimension tables. */
+  def joinBroadcast(other: GTable, pairs: (String, String)*): GTable = {
+    val l = df.alias("l"); val r = broadcast(other.df.alias("r"))
+    val cond = pairs.map { case (a, b) => col(s"l.$a") === col(s"r.$b") }.reduce(_ && _)
+    val dupRight = pairs.collect { case (a, b) if a == b => b }
+    GTable(dupRight.foldLeft(l.join(r, cond))((d, c) => d.drop(col(s"r.$c"))),
+      s"$name+${other.name}")
+  }
+
+  /** Reference `join_on` + `+` composition sugar (littletable.py:2711-2722). */
+  def joinOn(attr: String): JoinTerm = JoinTerm(this, attr)
+
+  // ------------------------------------------------------------------
+  // Grouping / aggregation (littletable.py:3546-3614)
+  // ------------------------------------------------------------------
+
+  /** Hash-group with named summary expressions (reference
+    * `groupby_with_summaries`, littletable.py:3546-3580). Spark's partial
+    * (map-side) aggregation applies automatically. */
+  def groupbyWithSummaries(keys: Seq[String], summaries: (String, Column)*): GTable =
+    copy(df = df.groupBy(keys.map(col): _*)
+      .agg(summaries.head._2.as(summaries.head._1),
+           summaries.tail.map { case (n, e) => e.as(n) }: _*)
+      .orderBy(keys.map(col): _*),
+      sortKeys = keys.map(k => SortKey(col(k))))
+
+  /** Reference `groupby` has itertools.groupby CONSECUTIVE-RUN semantics
+    * (one group per run of equal keys in table order —
+    * unit_tests.py:1950-1954). Faithful distributed version: run-id =
+    * cumulative count of key changes in the established order, then group
+    * by (runId, key). Returns the table with a `__run` id column appended;
+    * aggregate over it as needed. Requires orderby first. */
+  def groupbyRuns(keyCol: String): GTable = {
+    require(sortKeys.nonEmpty, "groupbyRuns requires orderby first (run semantics are order-defined)")
+    // Scale note: a single global window is required by the semantics
+    // themselves (runs are a sequential notion); for the sorted-input case
+    // prefer groupbyWithSummaries. We keep the window narrow: key column only.
+    val w = Window.orderBy(sortKeys.map(_.order): _*)
+    val changed = when(lag(col(keyCol), 1).over(w).isNull ||
+      lag(col(keyCol), 1).over(w) =!= col(keyCol), 1).otherwise(0)
+    copy(df = df.withColumn("__chg", changed)
+      .withColumn("__run", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__chg"))
+  }
+
+  /** Pivot / cross-tab (reference `pivot().dump_counts` etc.,
+    * littletable.py:4395-4508). Explicit pivot values keep the plan to one
+    * pass and make output columns deterministic. */
+  def pivotCounts(rowKey: String, colKey: String, colValues: Seq[Any]): GTable =
+    copy(df = df.groupBy(col(rowKey)).pivot(colKey, colValues).count()
+      .na.fill(0).orderBy(col(rowKey)), sortKeys = Seq(SortKey(col(rowKey))))
+
+  def pivotAgg(rowKey: String, colKey: String, colValues: Seq[Any], agg: Column): GTable =
+    copy(df = df.groupBy(col(rowKey)).pivot(colKey, colValues).agg(agg)
+      .orderBy(col(rowKey)), sortKeys = Seq(SortKey(col(rowKey))))
+
+  /** Per-numeric-field statistics (reference `stats`,
+    * littletable.py:3832-3915): mean, median (exact), min, max, variance,
+    * stdev, count, missing. One wide aggregate — single pass. */
+  def stats(fields: Seq[String]): GTable = {
+    val aggs = fields.flatMap { f =>
+      val c = col(f)
+      Seq(
+        avg(c).as(s"${f}_mean"),
+        median(c).as(s"${f}_median"),
+        min(c).as(s"${f}_min"),
+        max(c).as(s"${f}_max"),
+        var_samp(c).as(s"${f}_variance"),
+        stddev_samp(c).as(s"${f}_stdev"),
+        count(c).as(s"${f}_count"),
+        (count(lit(1)) - count(c)).as(s"${f}_missing"))
+    }
+    copy(df = df.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Column-as-values accessor (reference `tbl.all.attr`,
+    * littletable.py:605-634). */
+  def all(attr: String): DataFrame = df.select(col(attr))
+  def allUnique(attr: String): DataFrame = df.select(col(attr)).distinct()
+
+  /** Reference `info()` (littletable.py:3797-3814). */
+  def info: Map[String, Any] = Map(
+    "name" -> name,
+    "fields" -> columns,
+    "len" -> size)
+
+  // ------------------------------------------------------------------
+  // Rendering (reference present/as_markdown/as_html; collect-at-edge only)
+  // ------------------------------------------------------------------
+
+  def present(n: Int = 20): Unit = sorted.show(n, truncate = false)
+
+  /** Markdown table with numeric right-alignment (reference `as_markdown`,
+    * littletable.py:4159-4271). Edge rendering: collects `n` rows only. */
+  def asMarkdown(n: Int = 1000): String = Render.markdown(sorted, n)
+
+  /** HTML table (reference `as_html`, littletable.py:4071-4157). */
+  def asHtml(n: Int = 1000): String = Render.html(sorted, n)
+}
+
+/** Reference `join_on`/`+` chain builder (littletable.py:4602-4683):
+  * `t1.joinOn("a") + t2.joinOn("b") + t3.joinOn("c")` then `.apply()`. */
+final case class JoinTerm(table: GTable, attr: String, prev: Option[JoinTerm] = None) {
+  def +(other: JoinTerm): JoinTerm = other.copy(prev = Some(this))
+  def apply(): GTable = prev match {
+    case None => table
+    case Some(p) =>
+      val left = p.apply()
+      left.join(table, p.attr -> attr)
+  }
+}
+
+private[core] object Render {
+  import org.apache.spark.sql.types._
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  def markdown(df: DataFrame, n: Int): String = {
+    val schema = df.schema
+    val rows = df.limit(n).collect()
+    val header = schema.fields.map(_.name).mkString("| ", " | ", " |")
+    val aligns = schema.fields.map(f =>
+      if (isNumeric(f.dataType)) "---:" else if (f.dataType == BooleanType) ":---:" else "---")
+      .mkString("| ", " | ", " |")
+    val body = rows.map(r => schema.fields.indices.map(i =>
+      Option(r.get(i)).map(_.toString).getOrElse("")).mkString("| ", " | ", " |"))
+    (Seq(header, aligns) ++ body).mkString("\n")
+  }
+
+  def html(df: DataFrame, n: Int): String = {
+    val schema = df.schema
+    val rows = df.limit(n).collect()
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val head = schema.fields.map(f => s"<th>${esc(f.name)}</th>").mkString
+    val body = rows.map { r =>
+      schema.fields.indices.map { i =>
+        val v = Option(r.get(i)).map(x => esc(x.toString)).getOrElse("")
+        val align = if (isNumeric(schema.fields(i).dataType)) " style=\"text-align:right\"" else ""
+        s"<td$align>$v</td>"
+      }.mkString("<tr>", "", "</tr>")
+    }.mkString
+    s"<table><thead><tr>$head</tr></thead><tbody>$body</tbody></table>"
+  }
+}
