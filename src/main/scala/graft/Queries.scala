@@ -419,6 +419,158 @@ object Queries {
   }
 
   // ==================================================================
+  // §2.9 Full-text search (littletable's signature extra)
+  // ==================================================================
+
+  /** Scored search with required / excluded / optional terms
+    * (littletable.py:1781-1917): "++merge +join --slow fast" →
+    * must contain merge, must not contain slow; merge/join score 1000,
+    * fast scores 100. Runs the real pipeline: normalizer → inverted-index
+    * DataFrame → broadcast word-score join → semi/anti joins → rank. */
+  val q_search_scored: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").df
+    val index = graft.operators.Search.buildIndex(docs, "doc_id", "text")
+    graft.operators.Search
+      .search(docs, index, "doc_id", "text", "++merge +join --slow fast",
+        limit = 50, minScore = 0)
+      .select(col("doc_id"), col("text_search_score"))
+      .orderBy(col("text_search_score").desc, col("doc_id"))
+  }
+
+  /** Search with min_score thresholding and negative terms. */
+  val q_search_minscore: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").df
+    val index = graft.operators.Search.buildIndex(docs, "doc_id", "text")
+    graft.operators.Search
+      .search(docs, index, "doc_id", "text", "+merge +join -small fast",
+        minScore = 1000)
+      .select(col("doc_id"), col("text_search_score"))
+      .orderBy(col("text_search_score").desc, col("doc_id"))
+  }
+
+  // ==================================================================
+  // Text analysis (training-data pipeline operators, BASELINE.json)
+  // ==================================================================
+
+  import graft.functions.TextAnalysis
+
+  /** Token counting: whitespace tokens + chars/4 subword estimate. */
+  val q_token_count: Q = (s, dir) =>
+    t(s, dir, "documents").df.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.tokenEstimate(col("text")).as("n_tok_est"),
+      length(col("text")).cast("long").as("len"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length / punctuation / stopword-ratio heuristics. */
+  val q_quality_score: Q = (s, dir) =>
+    t(s, dir, "documents").df.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_c"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID: argmax of per-language marker-word hits. */
+  val q_lang_id: Q = (s, dir) => {
+    val base = t(s, dir, "documents").df
+    val scored = TextAnalysis.langMarkers.foldLeft(base) { case (d, (lang, ms)) =>
+      d.withColumn(s"s_$lang", TextAnalysis.langScore(col("text"), ms).cast("long"))
+    }
+    scored.withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .select(col("doc_id"), col("lang"), col("s_en"), col("s_de"), col("s_es"),
+        col("s_fr"), col("s_zh"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting (md5 over normalized text). */
+  val q_fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents").df.select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ==================================================================
+  // Deduplication (training-data pipeline operators)
+  // ==================================================================
+
+  import graft.operators.{Dedup, Similarity}
+
+  /** Exact dedup by content fingerprint, first doc_id survives. */
+  val q_dedup_exact: Q = (s, dir) =>
+    Dedup.exact(t(s, dir, "documents").df,
+        TextAnalysis.fingerprint(col("text")), Seq(col("doc_id").asc))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join, no
+    * cartesian product) — the verification oracle for MinHash. */
+  val q_dedup_ngram: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents").df, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH near-dup: per-doc near-duplicate partner count
+    * (est. Jaccard ≥ 0.5). Not SQL-expressible (engine-native hashing) —
+    * exactness vs q_dedup_ngram is covered by ScalaTest. */
+  val q_dedup_minhash: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").df
+    val pairs = Dedup.minhashLSH(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+    val partners = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_neardups"))
+    docs.select(col("doc_id")).join(partners, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_neardups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash fingerprint + near-dup partner count (hamming ≤ 3). */
+  val q_dedup_simhash: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").df
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+    val partners = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_neardups"))
+    Dedup.simhash(docs, "doc_id", "text")
+      .join(partners, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_neardups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs above 0.35 (exact all-pairs at test
+    * scale; LSH banding is the 100 TB path). */
+  val q_dedup_embedding: Q = (s, dir) =>
+    Dedup.embeddingCosinePairs(t(s, dir, "embeddings").df,
+        "vec_id", "embedding", threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ==================================================================
+  // Similarity search
+  // ==================================================================
+
+  /** Brute-force cosine top-20 against the vec_id=0 embedding. */
+  val q_sim_topk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 20)
+  }
+
+  /** LSH-bucketed ANN top-20 (same probe): approximate path; recall vs
+    * brute force asserted in ScalaTest. Not SQL-expressible. */
+  val q_sim_lsh: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val bucketed = Similarity.lshBuckets(emb, "vec_id", "embedding", dims = 64, bits = 12)
+    Similarity.lshTopK(bucketed, "vec_id", "embedding", qvec, 20, bits = 12, probeDist = 2)
+  }
+
+  // ==================================================================
   // Registry
   // ==================================================================
 
@@ -456,7 +608,20 @@ object Queries {
     "q_join_anti" -> q_join_anti,
     "q_join_chain" -> q_join_chain,
     "q_topk_per_group" -> q_topk_per_group,
-    "q_window_running" -> q_window_running
+    "q_window_running" -> q_window_running,
+    "q_search_scored" -> q_search_scored,
+    "q_search_minscore" -> q_search_minscore,
+    "q_token_count" -> q_token_count,
+    "q_quality_score" -> q_quality_score,
+    "q_lang_id" -> q_lang_id,
+    "q_fingerprint" -> q_fingerprint,
+    "q_dedup_exact" -> q_dedup_exact,
+    "q_dedup_ngram" -> q_dedup_ngram,
+    "q_dedup_minhash" -> q_dedup_minhash,
+    "q_dedup_simhash" -> q_dedup_simhash,
+    "q_dedup_embedding" -> q_dedup_embedding,
+    "q_sim_topk" -> q_sim_topk,
+    "q_sim_lsh" -> q_sim_lsh
   )
 
   val oracle: Map[String, String] = Map(
@@ -694,6 +859,154 @@ object Queries {
         |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
   ) ++ Map(
+    "q_search_scored" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN list_contains(ws,'merge') THEN 1000 ELSE 0 END
+        |     + CASE WHEN list_contains(ws,'join') THEN 1000 ELSE 0 END
+        |     + CASE WHEN list_contains(ws,'fast') THEN 100 ELSE 0 END AS BIGINT)
+        |    AS text_search_score
+        |FROM w
+        |WHERE list_contains(ws,'merge') AND NOT list_contains(ws,'slow')
+        |ORDER BY text_search_score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_search_minscore" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN list_contains(ws,'merge') THEN 1000 ELSE 0 END
+        |       + CASE WHEN list_contains(ws,'join') THEN 1000 ELSE 0 END
+        |       + CASE WHEN list_contains(ws,'small') THEN -1000 ELSE 0 END
+        |       + CASE WHEN list_contains(ws,'fast') THEN 100 ELSE 0 END AS BIGINT)
+        |      AS text_search_score,
+        |    (list_contains(ws,'merge') OR list_contains(ws,'join')
+        |     OR list_contains(ws,'small') OR list_contains(ws,'fast')) AS matched
+        |  FROM w)
+        |SELECT doc_id, text_search_score FROM scored
+        |WHERE matched AND text_search_score >= 1000
+        |ORDER BY text_search_score DESC, doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(length(regexp_replace(text,'\s+','','g'))/4.0) AS BIGINT) AS n_tok_est,
+        |  length(text) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text),'\s+') AS ws,
+        |    length(text) AS n_chars_c
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_chars_c,
+        |    CAST(n_chars_c - length(regexp_replace(text,'[.!?,;:]','','g')) AS DOUBLE)
+        |      / CAST(greatest(n_chars_c, 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(len(list_filter(ws, x -> x='the')) + len(list_filter(ws, x -> x='a'))
+        |       + len(list_filter(ws, x -> x='of')) + len(list_filter(ws, x -> x='and'))
+        |       + len(list_filter(ws, x -> x='to')) AS DOUBLE)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS stopword_ratio,
+        |    CAST(length(regexp_replace(text,'\s+','','g')) AS DOUBLE)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS mean_word_len
+        |  FROM q)
+        |SELECT doc_id, n_chars_c, punct_ratio, stopword_ratio, mean_word_len,
+        |  ((CASE WHEN n_chars_c BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+        | + (CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.5 THEN 1.0 ELSE 0.0 END)
+        | + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0
+        |   AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text),'\s+') AS ws FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(ws, x->x='the')) + len(list_filter(ws, x->x='and'))
+        |       + len(list_filter(ws, x->x='of')) + len(list_filter(ws, x->x='to'))
+        |       + len(list_filter(ws, x->x='a')) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(ws, x->x='der')) + len(list_filter(ws, x->x='die'))
+        |       + len(list_filter(ws, x->x='und')) + len(list_filter(ws, x->x='das'))
+        |       + len(list_filter(ws, x->x='ist')) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(ws, x->x='el')) + len(list_filter(ws, x->x='la'))
+        |       + len(list_filter(ws, x->x='de')) + len(list_filter(ws, x->x='que'))
+        |       + len(list_filter(ws, x->x='los')) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(ws, x->x='le')) + len(list_filter(ws, x->x='la'))
+        |       + len(list_filter(ws, x->x='les')) + len(list_filter(ws, x->x='des'))
+        |       + len(list_filter(ws, x->x='est')) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(ws, x->x='的')) + len(list_filter(ws, x->x='是'))
+        |       + len(list_filter(ws, x->x='了')) + len(list_filter(ws, x->x='在'))
+        |       + len(list_filter(ws, x->x='我')) AS BIGINT) AS s_zh
+        |  FROM w)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_en > 0 THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_de > 0 THEN 'de'
+        |       WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_es > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_fr > 0 THEN 'fr'
+        |       WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_zh > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp,
+        |    row_number() OVER (
+        |      PARTITION BY md5(lower(regexp_replace(trim(text),'\s+',' ','g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        |FROM inter
+        | JOIN sizes sa ON sa.doc_id = id_a
+        | JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        |  AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |  list_dot_product(embedding::DOUBLE[], qv)
+        |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      * sqrt(list_dot_product(qv, qv))) AS cosine
+        |FROM embeddings, q
+        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
     // run-semantics oracle (kept separate for readability)
     "q_groupby_runs" ->
       """WITH tagged AS (

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextNormalize
+
+/** Full-text search — the reference's signature extra
+  * (littletable.py:1701-1942), re-expressed as distributed dataflow:
+  *
+  *   - the inverted index is a derived DataFrame `(id, word)` —
+  *     `explode(normalize(text))` + distinct (set semantics: a word counts
+  *     once per document, littletable.py:1767-1772);
+  *   - a query compiles to a tiny broadcast word→score table
+  *     (+1000 plus / −1000 minus / +100 optional — littletable.py:1865-1877)
+  *     joined against the index, `groupBy(id).sum(score)`;
+  *   - `++word` required groups (OR across a word's normalized variants,
+  *     AND across groups — littletable.py:1812-1824) become successive
+  *     semi-joins; `--word` exclusion an anti-join;
+  *   - rank by score desc (tie → id) and join back to the data.
+  *
+  * At scale: the index is the only large object and it partitions by id or
+  * word as needed; per-query state is a handful of literal words.
+  */
+object Search {
+
+  /** Build the inverted search index for a text attribute
+    * (reference create_search_index, littletable.py:1701-1779). Persist or
+    * write the result to reuse across queries — immutable DataFrames make
+    * the reference's staleness machinery (SearchIndexInconsistentError)
+    * unnecessary by construction. */
+  def buildIndex(
+      data: DataFrame,
+      idCol: String,
+      attr: String,
+      stopwords: Set[String] = TextNormalize.stopwords): DataFrame = {
+    val sw = stopwords // serialize the set, not `this`
+    val normalize = udf((text: String) => TextNormalize.normalizeSplit(text, sw))
+    data.select(col(idCol), explode(normalize(col(attr))).as("word")).distinct()
+  }
+
+  /** Parsed query, mirroring the reference's prefix grammar
+    * (littletable.py:1812-1877). Insertion order of first occurrence wins,
+    * like the reference's dict-based dedup. */
+  final case class ParsedQuery(
+      requiredGroups: Seq[Seq[String]],
+      excluded: Seq[String],
+      wordScores: Seq[(String, Int)])
+
+  def parseQuery(query: String, stopwords: Set[String] = TextNormalize.stopwords): ParsedQuery = {
+    val plus = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val minus = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val opt = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val excl = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reqdGroups = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+
+    for (rawKw <- query.trim.split("\\s+").filter(_.nonEmpty)) {
+      val kw = rawKw.toLowerCase
+      if (kw.startsWith("++")) {
+        val kwds = TextNormalize.normalizeWordGen(kw.drop(2), stopwords)
+        reqdGroups += kwds
+        kwds.foreach(k => if (!plus.contains(k)) plus(k) = 1000)
+      } else if (kw.startsWith("--")) {
+        TextNormalize.normalizeWordGen(kw.drop(2), stopwords).foreach(excl += _)
+      } else if (kw.startsWith("+")) {
+        TextNormalize.normalizeWordGen(kw.drop(1), stopwords).foreach { k =>
+          minus.remove(k)
+          if (!plus.contains(k)) plus(k) = 1000
+        }
+      } else if (kw.startsWith("-")) {
+        TextNormalize.normalizeWordGen(kw.drop(1), stopwords).foreach { k =>
+          plus.remove(k)
+          if (!minus.contains(k) && !excl.contains(k)) minus(k) = -1000
+        }
+      } else {
+        // bare word: +100 per normalized variant, except a variant that is
+        // itself a significant ending of the raw keyword
+        // (littletable.py:1843-1849)
+        val sigEnding = TextNormalize.significantEndingOf(kw)
+        TextNormalize.normalizeWordGen(kw, stopwords).foreach { k =>
+          if (!sigEnding.contains(k) && !plus.contains(k) && !minus.contains(k))
+            opt(k) = 100
+        }
+      }
+    }
+    ParsedQuery(reqdGroups.toSeq, excl.toSeq,
+      (plus ++ minus ++ opt).toSeq)
+  }
+
+  /** Execute a scored search (reference search.attr(query, limit,
+    * min_score), littletable.py:1781-1917). Returns the matching rows of
+    * `data` with `<attr>_search_score` appended, ranked best-first. */
+  def search(
+      data: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      attr: String,
+      query: String,
+      limit: Int = Int.MaxValue,
+      minScore: Int = Int.MinValue,
+      includeWords: Boolean = false,
+      stopwords: Set[String] = TextNormalize.stopwords): DataFrame = {
+
+    val spark = data.sparkSession
+    import spark.implicits._
+    val parsed = parseQuery(query, stopwords)
+    val scoreCol = s"${attr}_search_score"
+
+    if (parsed.wordScores.isEmpty) {
+      // nothing scorable — empty result with the right schema
+      return data.withColumn(scoreCol, lit(0L)).limit(0)
+    }
+
+    val scoresDf = parsed.wordScores.toDF("word", "__wscore")
+    // tally: docs matching at least one scored word, summed per doc
+    var tally = index.join(broadcast(scoresDf), "word")
+      .groupBy(col(idCol)).agg(sum(col("__wscore")).as(scoreCol))
+
+    // required groups: AND of (OR over the group's variants)
+    for (group <- parsed.requiredGroups) {
+      val groupMatches = index.filter(col("word").isin(group.map(x => x: Any): _*))
+        .select(col(idCol)).distinct()
+      tally = tally.join(groupMatches, Seq(idCol), "left_semi")
+    }
+    // exclusions
+    if (parsed.excluded.nonEmpty) {
+      val exclMatches = index
+        .filter(col("word").isin(parsed.excluded.map(x => x: Any): _*))
+        .select(col(idCol)).distinct()
+      tally = tally.join(exclMatches, Seq(idCol), "left_anti")
+    }
+
+    var ranked = tally.filter(col(scoreCol) >= minScore)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    if (limit != Int.MaxValue) ranked = ranked.limit(limit)
+
+    var out = ranked.join(data, Seq(idCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+
+    if (includeWords) {
+      val sw = stopwords
+      val wordsUdf = udf((text: String) =>
+        (TextNormalize.normalizeSplit(text, sw).toSet -- sw).toSeq.sorted)
+      out = out.withColumn(s"${attr}_search_words", wordsUdf(col(attr)))
+    }
+    out
+  }
+}
