@@ -571,6 +571,152 @@ object Queries {
   }
 
   // ==================================================================
+  // §2.1 Sources / sinks (round-trips against parquet ground truth)
+  // ==================================================================
+
+  import graft.sources.Sources
+  import graft.sources.Sources.{Transform, FixedWidthSpec}
+
+  private def ioDir(dir: String): String =
+    s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** CSV export → import round-trip with per-column transforms (casts)
+    * and scan-time filters (reference csv_import/csv_export,
+    * littletable.py:2872-2940, 3117-3188). */
+  val q_csv_roundtrip: Q = (s, dir) => {
+    val out = s"${ioDir(dir)}/nation_csv"
+    Sources.csvExport(t(s, dir, "nation"), out)
+    Sources.csvImport(s, out,
+        transforms = Map("n_nationkey" -> Transform("int"), "n_regionkey" -> Transform("int")),
+        filters = Seq(col("n_regionkey") < 3))
+      .orderby(SortKey.asc("n_nationkey")).df
+  }
+
+  /** Headerless TSV with explicit fieldnames (littletable.py:2976-3017). */
+  val q_tsv_roundtrip: Q = (s, dir) => {
+    val out = s"${ioDir(dir)}/cust_tsv"
+    t(s, dir, "customer").df
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.mode("overwrite").option("header", false).option("sep", "\t").csv(out)
+    Sources.tsvImport(s, out,
+        fieldnames = Seq("c_custkey", "c_name", "c_acctbal"),
+        transforms = Map("c_custkey" -> Transform("bigint"), "c_acctbal" -> Transform("double")))
+      .orderby(SortKey.asc("c_custkey")).df
+  }
+
+  /** JSONL export → import round-trip (littletable.py:3204-3312 /
+    * 3370-3384). */
+  val q_json_roundtrip: Q = (s, dir) => {
+    val out = s"${ioDir(dir)}/orders_jsonl"
+    val sub = t(s, dir, "orders").df.select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"))
+    Sources.jsonlExport(GTable(sub, "orders_sub"), out)
+    Sources.jsonImport(s, out)
+      .orderby(SortKey.asc("o_orderkey")).df
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_odate"))
+  }
+
+  /** Fixed-width file import by column-slice spec
+    * (reference FixedWidthReader, littletable.py:937-995). */
+  val q_fixedwidth: Q = (s, dir) => {
+    val out = s"${ioDir(dir)}/region_fw"
+    t(s, dir, "region").df
+      .select(concat(rpad(col("r_name"), 15, " "),
+        lpad(col("r_regionkey").cast("string"), 4, " ")).as("value"))
+      .write.mode("overwrite").text(out)
+    Sources.fixedWidthImport(s, out, Seq(
+        FixedWidthSpec("r_name", 0, 15),
+        FixedWidthSpec("r_regionkey", 15, 19, Some(Transform("int")))))
+      .orderby(SortKey.asc("r_regionkey")).df
+      .select(col("r_regionkey"), col("r_name"))
+  }
+
+  /** Data-string import with on-error transform default
+    * (reference multi-line data-string source littletable.py:774-796;
+    * transforms littletable.py:2763-2808): "bad" fails the int cast and
+    * takes the default -1 — no task failure. */
+  val q_csv_string: Q = (s, dir) => {
+    val data = "x,y\n1,foo\n2,bar\nbad,baz"
+    Sources.csvImportString(s, data,
+        transforms = Map("x" -> Transform("int", default = Some(-1))))
+      .orderby(SortKey.asc("x")).df
+  }
+
+  /** Zip-archive import via the driver shim (littletable.py:872-903). */
+  val q_zip_import: Q = (s, dir) => {
+    val out = s"${ioDir(dir)}/nation_zip"
+    Sources.csvExport(t(s, dir, "nation"), out)
+    // zip the part file, then import through the unzip shim
+    val csvFile = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val zipPath = s"${ioDir(dir)}/nation.zip"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("nation.csv"))
+    java.nio.file.Files.copy(csvFile.toPath, zos)
+    zos.closeEntry(); zos.close()
+    Sources.csvImport(s, Sources.unzipToTemp(zipPath, "nation.csv"),
+        transforms = Map("n_nationkey" -> Transform("int"), "n_regionkey" -> Transform("int")))
+      .orderby(SortKey.asc("n_nationkey")).df
+  }
+
+  // ==================================================================
+  // §2.10 Structured Streaming (new capability; events table)
+  // ==================================================================
+
+  import graft.streaming.Streaming
+
+  /** Real streaming query: readStream → watermark → tumbling window →
+    * memory sink run to completion; oracle is the batch equivalent. */
+  val q_stream_tumbling: Q = (s, dir) => {
+    val agg = Streaming.tumblingCounts(Streaming.eventsStream(s, dir), "1 hour")
+    Streaming.runToBatch(agg, "stream_tumbling_out")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Gap-based session windows per user (session_window operator). */
+  val q_session_window: Q = (s, dir) => {
+    Streaming.sessionWindows(events(s, dir).df, "10 minutes")
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  // ==================================================================
+  // Multimodal columns (binary payload + metadata + batched decode stub)
+  // ==================================================================
+
+  import graft.operators.Multimodal
+
+  /** Binary payload + typed metadata struct. */
+  val q_multimodal_meta: Q = (s, dir) =>
+    Multimodal.attachBinary(t(s, dir, "documents").df, "doc_id", "text")
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.checksum").as("checksum"))
+      .orderBy(col("doc_id"))
+
+  /** Batched decode via mapPartitions (the mapInPandas shape) — decoder
+    * stubbed deterministically, plumbing real. */
+  val q_multimodal_features: Q = (s, dir) => {
+    val bin = Multimodal.attachBinary(t(s, dir, "documents").df, "doc_id", "text")
+    Multimodal.extractFeatures(bin, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-sampling stub: one row per (media, frame). */
+  val q_frame_sample: Q = (s, dir) => {
+    val bin = Multimodal.attachBinary(t(s, dir, "documents").df, "doc_id", "text")
+    Multimodal.frameSample(bin, "doc_id", everyNBytes = 256)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("frame_offset")).as("sum_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ==================================================================
   // Registry
   // ==================================================================
 
@@ -621,7 +767,18 @@ object Queries {
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_embedding" -> q_dedup_embedding,
     "q_sim_topk" -> q_sim_topk,
-    "q_sim_lsh" -> q_sim_lsh
+    "q_sim_lsh" -> q_sim_lsh,
+    "q_csv_roundtrip" -> q_csv_roundtrip,
+    "q_tsv_roundtrip" -> q_tsv_roundtrip,
+    "q_json_roundtrip" -> q_json_roundtrip,
+    "q_fixedwidth" -> q_fixedwidth,
+    "q_csv_string" -> q_csv_string,
+    "q_zip_import" -> q_zip_import,
+    "q_stream_tumbling" -> q_stream_tumbling,
+    "q_session_window" -> q_session_window,
+    "q_multimodal_meta" -> q_multimodal_meta,
+    "q_multimodal_features" -> q_multimodal_features,
+    "q_frame_sample" -> q_frame_sample
   )
 
   val oracle: Map[String, String] = Map(
@@ -1006,6 +1163,78 @@ object Queries {
         |      * sqrt(list_dot_product(qv, qv))) AS cosine
         |FROM embeddings, q
         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin,
+
+    "q_tsv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_odate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fixedwidth" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_csv_string" ->
+      """SELECT * FROM (VALUES (1,'foo'),(2,'bar'),(-1,'baz')) AS t(x,y)
+        |ORDER BY x""".stripMargin,
+
+    "q_zip_import" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(64 + (octet_length(encode(text)) % 576) AS INTEGER) AS width,
+        |  CAST(64 + ((octet_length(encode(text)) * 7) % 416) AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(string_split(text,''), x -> unicode(x))) AS DOUBLE)
+        |    / CAST(octet_length(encode(text)) AS DOUBLE) AS mean_intensity
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(floor(octet_length(encode(text))/256.0) AS BIGINT), 1)
+        |      AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames,
+        |  CAST(256 * (n_frames * (n_frames - 1) / 2) AS BIGINT) AS sum_off
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // run-semantics oracle (kept separate for readability)
     "q_groupby_runs" ->

@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.GTable
+
+/** Import/export surface (reference §2.1: csv/tsv/json/fixed-width import
+  * with per-column transforms, scan-time filters and limit; csv/tsv/json
+  * export — littletable.py:2744-3459).
+  *
+  * Design: every import compiles to `spark.read` + casts + filters +
+  * limit, all lazy — Catalyst pushes filters/limits into the scan
+  * (PushDownPredicates / LimitPushDown), which is the distributed
+  * equivalent of the reference's generator pipeline (littletable.py:
+  * 2777-2843). Archive/URL source polymorphism (littletable.py:761-927):
+  * `.gz` is native to Spark; `.zip` and data-strings get small driver
+  * shims.
+  */
+object Sources {
+
+  /** Per-column transform with on-error default (reference `transforms`,
+    * littletable.py:2763-2808): `try_`-style cast, errors→default instead
+    * of failed tasks. */
+  final case class Transform(to: String, default: Option[Any] = None) {
+    def apply(c: Column): Column = {
+      val cast = c.try_cast(to)
+      default.map(d => coalesce(cast, lit(d))).getOrElse(cast)
+    }
+  }
+
+  private def applyCommon(
+      df0: DataFrame,
+      transforms: Map[String, Transform],
+      filters: Seq[Column],
+      limit: Option[Int]): DataFrame = {
+    var df = df0
+    transforms.foreach { case (name, tr) =>
+      if (name == "*") {
+        // wildcard: apply to all not otherwise transformed (littletable.py:2786-2808)
+        df0.columns.filterNot(transforms.keySet.filter(_ != "*")).foreach { c =>
+          df = df.withColumn(c, tr(col(c)))
+        }
+      } else df = df.withColumn(name, tr(col(name)))
+    }
+    filters.foreach(f => df = df.filter(f))
+    limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  /** CSV import (reference csv_import, littletable.py:2872-2940).
+    * `fieldnames` for headerless files; any reader option via `options`. */
+  def csvImport(
+      spark: SparkSession,
+      path: String,
+      sep: String = ",",
+      fieldnames: Seq[String] = Nil,
+      transforms: Map[String, Transform] = Map.empty,
+      filters: Seq[Column] = Nil,
+      limit: Option[Int] = None,
+      options: Map[String, String] = Map.empty): GTable = {
+    var reader = spark.read
+      .option("sep", sep)
+      .option("header", fieldnames.isEmpty)
+      .options(options)
+    val df0 = reader.csv(path)
+    val named =
+      if (fieldnames.isEmpty) df0
+      else df0.toDF(fieldnames: _*)
+    GTable(applyCommon(named, transforms, filters, limit), path)
+  }
+
+  /** TSV import (littletable.py:2976-3017). */
+  def tsvImport(spark: SparkSession, path: String,
+      fieldnames: Seq[String] = Nil,
+      transforms: Map[String, Transform] = Map.empty,
+      filters: Seq[Column] = Nil,
+      limit: Option[Int] = None): GTable =
+    csvImport(spark, path, sep = "\t", fieldnames, transforms, filters, limit)
+
+  /** Import from an in-memory data string (the reference's multi-line
+    * data-string source, littletable.py:774-796) — parse with from_csv
+    * over a tiny parallelized dataset. */
+  def csvImportString(
+      spark: SparkSession,
+      data: String,
+      sep: String = ",",
+      transforms: Map[String, Transform] = Map.empty,
+      filters: Seq[Column] = Nil,
+      limit: Option[Int] = None): GTable = {
+    import spark.implicits._
+    val lines = data.split("\n").map(_.trim).filter(_.nonEmpty)
+    val header = lines.head.split(java.util.regex.Pattern.quote(sep)).toSeq
+    val body = lines.tail.toSeq.toDS()
+    val parsed = spark.read.option("sep", sep).csv(body).toDF(header: _*)
+    GTable(applyCommon(parsed, transforms, filters, limit), "<data-string>")
+  }
+
+  /** JSON / JSONL import with `path="a.b.c"` descent into a nested
+    * container (littletable.py:3204-3312). JSONL is Spark-native; array
+    * files read with multiLine. */
+  def jsonImport(
+      spark: SparkSession,
+      path: String,
+      descent: String = "",
+      multiLine: Boolean = false,
+      transforms: Map[String, Transform] = Map.empty,
+      filters: Seq[Column] = Nil,
+      limit: Option[Int] = None): GTable = {
+    var df = spark.read.option("multiLine", multiLine).json(path)
+    if (descent.nonEmpty) {
+      // descend a.b.c then explode the array of records found there
+      df = df.select(explode(col(descent)).as("rec")).select(col("rec.*"))
+    }
+    GTable(applyCommon(df, transforms, filters, limit), path)
+  }
+
+  /** Fixed-width spec: (label, start, end) 0-based half-open slices —
+    * reference FixedWidthReader (littletable.py:937-995). */
+  final case class FixedWidthSpec(label: String, start: Int, end: Int,
+      transform: Option[Transform] = None)
+
+  def fixedWidthImport(
+      spark: SparkSession,
+      path: String,
+      spec: Seq[FixedWidthSpec],
+      filters: Seq[Column] = Nil,
+      limit: Option[Int] = None): GTable = {
+    val raw = spark.read.text(path)
+    val cols = spec.map { fw =>
+      val sliced = trim(substring(col("value"), fw.start + 1, fw.end - fw.start))
+      fw.transform.map(_(sliced)).getOrElse(sliced).as(fw.label)
+    }
+    GTable(applyCommon(raw.select(cols: _*), Map.empty, filters, limit), path)
+  }
+
+  /** Driver shim: unzip a .zip entry to a temp file so spark.read can scan
+    * it (reference zip support, littletable.py:872-903). For cluster use
+    * the archive should live on shared storage; the shim is for the
+    * reference's single-file convenience path. */
+  def unzipToTemp(zipPath: String, entry: String = ""): String = {
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try {
+      val entries = zf.entries()
+      var target: java.util.zip.ZipEntry = null
+      while (entries.hasMoreElements && target == null) {
+        val e = entries.nextElement()
+        if (entry.isEmpty || e.getName == entry) target = e
+      }
+      require(target != null, s"entry '$entry' not found in $zipPath")
+      val suffix = target.getName.replaceAll(".*/", "")
+      val tmp = java.io.File.createTempFile("graft_unzip_", s"_$suffix")
+      tmp.deleteOnExit()
+      val in = zf.getInputStream(target)
+      java.nio.file.Files.copy(in, tmp.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.close()
+      tmp.getAbsolutePath
+    } finally zf.close()
+  }
+
+  // ------------------------------------------------------------------
+  // Exports (littletable.py:3117-3413)
+  // ------------------------------------------------------------------
+
+  /** CSV export; `fields` selects/projects (littletable.py:3161-3164). */
+  def csvExport(t: GTable, path: String, fields: Seq[String] = Nil,
+      sep: String = ","): Unit = {
+    val df = if (fields.isEmpty) t.df else t.df.select(fields.map(col): _*)
+    df.write.mode("overwrite").option("header", true).option("sep", sep).csv(path)
+  }
+
+  def tsvExport(t: GTable, path: String, fields: Seq[String] = Nil): Unit =
+    csvExport(t, path, fields, sep = "\t")
+
+  /** JSONL export (reference streaming json_export, littletable.py:3370-3384). */
+  def jsonlExport(t: GTable, path: String): Unit =
+    t.df.write.mode("overwrite").json(path)
+
+  /** JSON-array export — collect-at-edge, for the reference's small-file
+    * array form (littletable.py:3314-3369). */
+  def jsonArrayString(t: GTable, n: Int = 100000): String =
+    t.df.limit(n).toJSON.collect().mkString("[", ",\n", "]")
+}

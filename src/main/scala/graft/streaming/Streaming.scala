@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.10:
+  * the reference has no streaming engine; this is new capability layered
+  * on the same operators — readStream → watermark → windowed agg).
+  *
+  * The local harness drives a real streaming query synchronously: memory
+  * sink + `processAllAvailable()` (one parquet "batch"), so correctness is
+  * checkable against a batch oracle. On a cluster the same plan runs
+  * against a file/Kafka source with checkpointing.
+  */
+object Streaming {
+
+  /** Streaming view of events: nanosecond timestamps read as long
+    * (Spark rejects TIMESTAMP(NANOS) parquet), converted to µs timestamps. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregate with a watermark: per (hour, event_type)
+    * counts and value sums. */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Run a streaming aggregate to completion over the available data and
+    * return the final result as a static DataFrame (memory sink, complete
+    * mode, processAllAvailable). */
+  def runToBatch(agg: DataFrame, name: String): DataFrame = {
+    val spark = agg.sparkSession
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Session windows (gap-based) per user — batch flavor of the same
+    * `session_window` operator used under streaming. */
+  def sessionWindows(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+}
