@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextAnalysis
+
+/** Dedup family: exact, MinHash-LSH vs exact Jaccard, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 base docs from a small vocabulary + controlled near-duplicates
+  val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa")
+  def doc(seed: Int, len: Int): String =
+    (0 until len).map(i => vocab(((seed * 31 + i * 7) % 97) % vocab.size)).mkString(" ")
+
+  lazy val docs = {
+    val base = (0 until 20).map(i => (i.toLong, doc(i, 40)))
+    val exactDup = Seq((100L, doc(3, 40)))                    // copy of doc 3
+    val nearDup = Seq((101L, doc(5, 40) + " omega"))          // doc 5 + 1 word
+    (base ++ exactDup ++ nearDup).toDF("doc_id", "text").cache()
+  }
+
+  test("exact dedup keeps lowest id per fingerprint") {
+    val out = Dedup.exact(docs, TextAnalysis.fingerprint(col("text")), Seq(col("doc_id").asc))
+    assert(out.count() == 21) // 22 docs, one exact dup removed
+    assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(100L))
+  }
+
+  test("exact ngram Jaccard finds the planted near-dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)), "exact duplicate pair")
+    assert(pairs.contains((5L, 101L)), "near duplicate pair")
+  }
+
+  test("MinHash-LSH recovers every exact-Jaccard pair (recall=1 here)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLSH(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"missing ${exact -- lsh}")
+    // est_jaccard of the exact dup must be 1.0
+    val estDup = Dedup.minhashLSH(docs, "doc_id", "text")
+      .filter(col("id_a") === 3 && col("id_b") === 100)
+      .select("est_jaccard").collect()
+    assert(estDup.nonEmpty && estDup(0).getDouble(0) == 1.0)
+  }
+
+  test("SimHash: identical docs at hamming 0, near-dups within 3") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((3L, 100L)).contains(0), "exact dup → hamming 0")
+    assert(pairs.contains((5L, 101L)), "near dup within hamming 3")
+  }
+
+  test("embedding cosine pairs: planted duplicate vector found") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("LSH ANN returns the brute-force scores for the ids it reports") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bucketed = Similarity.lshBuckets(emb, "vec_id", "embedding", dims = 64, bits = 12)
+    val lsh = Similarity.lshTopK(bucketed, "vec_id", "embedding", qvec, 20,
+      bits = 12, probeDist = 2).collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(lsh.nonEmpty)
+    assert(lsh.head._1 == 0L, "query vector itself must rank first")
+    lsh.foreach { case (id, cos) => assert(math.abs(brute(id) - cos) < 1e-12) }
+  }
+}

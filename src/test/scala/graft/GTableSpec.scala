@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Cmp, GTable, SortKey}
+
+/** Core operator semantics over the reference's abc-grid workhorse
+  * (FIXTURES.md A.1: product(range(n), repeat=3)). */
+class GTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  val n = 4
+  lazy val abc = GTable(
+    (for { a <- 0 until n; b <- 0 until n; c <- 0 until n } yield (a, b, c))
+      .toDF("a", "b", "c"), "abc").df.cache() // 64 rows
+  lazy val t = GTable(abc, "abc")
+
+  test("where comparators: eq/within/inRange/isIn boundary semantics") {
+    assert(t.whereEq("a" -> 1).size == 16)
+    assert(t.where("a" -> Cmp.within(1, 2)).size == 32)   // closed: 1,2
+    assert(t.where("a" -> Cmp.between(0, 3)).size == 32)  // open: 1,2
+    assert(t.where("a" -> Cmp.inRange(1, 3)).size == 32)  // half-open: 1,2
+    assert(t.where("a" -> Cmp.isIn(0, 3)).size == 32)
+    assert(t.where("a" -> Cmp.eq(1), "b" -> Cmp.eq(2), "c" -> Cmp.gt(1)).size == 2)
+  }
+
+  test("orderby string DSL + head/tail/slice/rank") {
+    val ordered = t.orderby("a desc, b, c")
+    val top = ordered.head(3).df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(top.toSeq == Seq((3, 0, 0), (3, 0, 1), (3, 0, 2)))
+    val bottom = ordered.tail(2).df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(bottom.toSeq == Seq((0, 3, 2), (0, 3, 3)))
+    val ranked = ordered.rank("rnk").df.filter(col("rnk") <= 2)
+      .orderBy("rnk").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(ranked.toSeq == Seq((3, 0, 0), (3, 0, 1)))
+    val sliced = t.orderby("a, b, c").slice(1, 3).df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(sliced.toSeq == Seq((0, 0, 1), (0, 0, 2))) // python tbl[1:3]
+  }
+
+  test("unique keeps first occurrence in stated order (littletable.py:3773)") {
+    val u = t.unique(Seq("a"), Seq(col("b").asc, col("c").asc))
+    val got = u.df.orderBy("a").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == (0 until n).map(a => (a, 0, 0)))
+    assert(t.unique().size == 64) // whole-row dedup, all distinct
+  }
+
+  test("union null-fills heterogeneous columns (reference bag semantics)") {
+    val t1 = GTable(Seq((1, "x")).toDF("a", "s"), "t1")
+    val t2 = GTable(Seq((2, 9.5)).toDF("a", "d"), "t2")
+    val u = t1 + t2
+    assert(u.columns == Seq("a", "s", "d"))
+    assert(u.size == 2)
+    val rows = u.df.orderBy("a").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.5)
+  }
+
+  test("batched assigns fixed-size pages in order (littletable.py:3616)") {
+    val b = t.orderby("a, b, c").batched(10)
+    val sizes = b.df.groupBy("batch").count().orderBy("batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L), (6L, 4L)))
+  }
+
+  test("groupbyRuns: one group per consecutive run (unit_tests.py:1950-1954)") {
+    val seqT = GTable(Seq(
+      (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "a"), (6, "c"), (7, "c"))
+      .toDF("i", "k"), "runs").orderby(SortKey.asc("i"))
+    val runs = seqT.groupbyRuns("k").df.orderBy("i")
+      .select("__run").collect().map(_.getLong(0)).toSeq
+    assert(runs == Seq(1L, 1L, 2L, 2L, 3L, 4L, 4L))
+  }
+
+  test("splitby routes by predicate incl. nulls to the false side") {
+    val withNull = GTable(Seq[(Integer, String)]((1, "x"), (null, "y"), (5, "z"))
+      .toDF("v", "s"), "t")
+    val (no, yes) = withNull.splitby(col("v") > 2)
+    assert(yes.size == 1 && no.size == 2)
+  }
+
+  test("stats: exact per-field statistics (littletable.py:3832)") {
+    val row = t.stats(Seq("a")).df.collect()(0)
+    val idx = t.stats(Seq("a")).df.columns.zipWithIndex.toMap
+    assert(row.getDouble(idx("a_mean")) == 1.5)
+    assert(row.getDouble(idx("a_median")) == 1.5)
+    assert(row.getInt(idx("a_min")) == 0)
+    assert(row.getInt(idx("a_max")) == 3)
+    assert(row.getLong(idx("a_count")) == 64)
+    assert(row.getLong(idx("a_missing")) == 0)
+  }
+
+  test("renderers: markdown alignment + html escaping") {
+    val tiny = GTable(Seq((1, "a<b")).toDF("n", "s"), "tiny")
+    val md = tiny.asMarkdown()
+    assert(md ==
+      """#| n | s |
+        #| ---: | --- |
+        #| 1 | a<b |""".stripMargin('#'))
+    val html = tiny.asHtml()
+    assert(html.contains("a&lt;b") && html.contains("text-align:right"))
+  }
+}

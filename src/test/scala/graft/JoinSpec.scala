@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.GTable
+
+/** Join-semantics goldens (reference unit_tests.py:1626-1795, FIXTURES.md
+  * A.2/A.3). We assert SQL semantics; the reference's inverted
+  * LEFT/RIGHT naming and the FULL-join per-column key-product anomaly
+  * (12 rows, littletable.py:2647-2658) are documented deviations — the
+  * sane SQL FULL answer here is 7. */
+class JoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val catalog = GTable(Seq(
+    ("001", "red", "XL", "cotton"),
+    ("002", "blue", "XL", "cotton/poly"),
+    ("003", "blue", "L", "linen"),
+    ("004", "red", "M", "cotton"))
+    .toDF("sku", "color", "size", "material"), "catalog")
+
+  lazy val prices = GTable(Seq(
+    ("001", 10, Some("L")),
+    ("001", 12, Some("XL")),
+    ("002", 11, None),
+    ("004", 9, None))
+    .toDF("p_sku", "unit_price", "p_size"), "prices")
+
+  test("inner join on sku → 4 rows (unit_tests.py:1706)") {
+    assert(catalog.join(prices, "sku" -> "p_sku").size == 4)
+  }
+
+  test("inner join on sku+size → 1 row (unit_tests.py:1713)") {
+    assert(catalog.join(prices, "sku" -> "p_sku", "size" -> "p_size").size == 1)
+  }
+
+  test("SQL outer joins on sku+size: left=4, right=4, full=7") {
+    assert(catalog.joinTyped(prices, "left", "sku" -> "p_sku", "size" -> "p_size").size == 4)
+    assert(catalog.joinTyped(prices, "right", "sku" -> "p_sku", "size" -> "p_size").size == 4)
+    assert(catalog.joinTyped(prices, "full", "sku" -> "p_sku", "size" -> "p_size").size == 7)
+  }
+
+  lazy val students = GTable(Seq(
+    ("0001", "Alice"), ("0002", "Bob"), ("0003", "Charlie"),
+    ("0004", "Dave"), ("0005", "Enid")).toDF("student_id", "name"), "students")
+  lazy val registrations = GTable(Seq(
+    ("0001", "PSYCH101"), ("0001", "CALC1"), ("0003", "BIO200"),
+    ("0005", "CHEM101"), ("0006", "PHY101")).toDF("r_student_id", "course"), "registrations")
+  lazy val courses = GTable(Seq("BIO200", "CALC1", "CHEM101", "PSYCH101", "PE101")
+    .toDF("c_course"), "courses")
+
+  test("students with no registration → Bob, Dave (unit_tests.py:1760)") {
+    val got = students.joinTyped(registrations, "left_anti", "student_id" -> "r_student_id")
+      .df.select("name").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("Bob", "Dave"))
+  }
+
+  test("courses with no students → PE101 (unit_tests.py:1770)") {
+    val got = courses.joinTyped(registrations, "left_anti", "c_course" -> "course")
+      .df.select("c_course").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("PE101"))
+  }
+
+  test("full-outer unmatched ids → 0002, 0004, 0006 (unit_tests.py:1781)") {
+    val got = students.joinTyped(registrations, "full", "student_id" -> "r_student_id")
+      .where(col("course").isNull || col("name").isNull)
+      .df.select(coalesce(col("student_id"), col("r_student_id")))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("0002", "0004", "0006"))
+  }
+
+  test("join_on + chain sugar (unit_tests.py:1639)") {
+    val t1 = GTable((1 to 3).map(i => (i, i * 10)).toDF("a", "b"), "t1")
+    val t2 = GTable(Seq((1, 100)).toDF("a", "d"), "t2")
+    assert((t1.joinOn("a") + t2.joinOn("a")).apply().size == 1)
+  }
+}

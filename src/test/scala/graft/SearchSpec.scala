@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+import graft.sources.Sources
+import graft.sources.Sources.Transform
+
+/** Full search-scoring goldens from the reference
+  * (unit_tests.py:3330-3420 recipes fixture). Tie order: the reference's
+  * Counter.most_common insertion order happens to equal id-ascending for
+  * every golden; our engine ties deterministically on id. */
+class SearchSpec extends SparkSpec {
+
+  val recipeData: String =
+    """id,title,ingredients
+      |1,Tuna casserole,"tuna, noodles, Cream of Mushroom Soup"
+      |2,Hawaiian pizza,pizza dough pineapple ham tomato sauce
+      |3,Margherita pizza,pizza dough cheese pesto artichoke hearts
+      |4,Pepperoni pizza,pizza dough cheese tomato sauce pepperoni
+      |5,Grilled cheese sandwich,bread cheese butter
+      |6,Tuna melt,tuna mayonnaise tomato bread cheese
+      |7,Chili dog,hot dog chili onion bun
+      |8,French toast,egg milk vanilla bread maple syrup
+      |9,BLT,bread bacon lettuce tomato mayonnaise
+      |10,Reuben sandwich,rye bread sauerkraut corned beef swiss cheese russian dressing thousand island
+      |11,Hamburger,ground beef bun lettuce ketchup mustard pickle
+      |12,Cheeseburger,ground beef bun lettuce ketchup mustard pickle cheese
+      |13,Bacon cheeseburger,ground beef bun lettuce ketchup mustard pickle cheese bacon""".stripMargin
+
+  lazy val recipes = Sources.csvImportString(spark, recipeData,
+    transforms = Map("id" -> Transform("int"))).df.cache()
+  lazy val index = Search.buildIndex(recipes, "id", "ingredients").cache()
+
+  def searchIds(query: String, limit: Int = Int.MaxValue): Seq[Int] =
+    Search.search(recipes, index, "id", "ingredients", query,
+        limit = limit, minScore = -10000)
+      .select(col("id")).collect().map(_.getInt(0)).toSeq
+
+  test("search goldens (unit_tests.py:3367-3385)") {
+    val goldens = Seq(
+      ("", Seq()),
+      ("tuna", Seq(1, 6)),
+      ("tuna +cheese", Seq(6, 3, 4, 5, 10, 12, 13, 1)),
+      ("pineapple +bacon lettuce beef -sauerkraut tomato", Seq(9, 13, 2, 11, 12, 4, 6, 10)),
+      ("pizza dough -pineapple", Seq(3, 4, 2)),
+      ("pizza dough --pineapple", Seq(3, 4)),
+      ("bread bacon", Seq(9, 5, 6, 8, 10, 13)),
+      ("bread ++bacon", Seq(9, 13)),
+      ("bread ++anchovies", Seq()),
+      ("bread ++bacon ++anchovies", Seq()),
+      ("bread bacon --anchovies", Seq(9, 5, 6, 8, 10, 13)))
+    goldens.foreach { case (q, want) =>
+      assert(searchIds(q) == want, s"query '$q'")
+    }
+  }
+
+  test("search with limit (unit_tests.py:3412-3420)") {
+    assert(searchIds("tuna +cheese", limit = 3) == Seq(6, 3, 4))
+    assert(searchIds("pineapple +bacon lettuce beef -sauerkraut tomato", limit = 3) == Seq(9, 13, 2))
+  }
+
+  test("include_words returns normalized non-stopword content words (unit_tests.py:3395-3410)") {
+    val rows = Search.search(recipes, index, "id", "ingredients", "tuna",
+        minScore = -10000, includeWords = true)
+      .select(col("id"), col("ingredients_search_words")).collect()
+    val byId = rows.map(r => r.getInt(0) -> r.getSeq[String](1).toSet).toMap
+    assert(byId(1) == Set("noodles", "noodle", "tuna", "soup", "cream", "mushroom"))
+    assert(byId(6) == Set("tomato", "tuna", "mayonnaise", "bread", "cheese"))
+  }
+
+  test("search scores carry the +1000/+100 weights") {
+    val scores = Search.search(recipes, index, "id", "ingredients", "tuna +cheese",
+        minScore = -10000)
+      .select(col("id"), col("ingredients_search_score")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(scores(6) == 1100) // tuna(100) + cheese(1000)
+    assert(scores(1) == 100)  // tuna only
+    assert(scores(3) == 1000) // cheese only
+  }
+}
