@@ -148,8 +148,10 @@ object Dedup {
         explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .distinct().cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("id").as("id_a"), col("shingle"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), "shingle")
+    // Hash the shingle once so the fat string isn't the shuffle/join key.
+    val shk = sh.select(col("id"), xxhash64(col("shingle")).as("shk"))
+    val inter = shk.select(col("id").as("id_a"), col("shk"))
+      .join(shk.select(col("id").as("id_b"), col("shk")), "shk")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
@@ -170,15 +172,13 @@ object Dedup {
     * the 100 TB path. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_dot, vec_norm}
     val withNorm = df.select(col(idCol), col(vecCol))
-      .withColumn("v", transform(col(vecCol), _.cast("double")))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val a = withNorm.select(col(idCol).as("id_a"), col("v").as("va"), col("norm").as("norm_a"))
-    val b = withNorm.select(col(idCol).as("id_b"), col("v").as("vb"), col("norm").as("norm_b"))
+      .withColumn("norm", vec_norm(col(vecCol)))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("norm").as("norm_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("norm").as("norm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / (col("norm_a") * col("norm_b")))
+      .withColumn("cosine", vec_dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") > threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -17,25 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise float→double view of the vector column. */
-  private def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
+  import graft.functions.VectorExpressions.{vec_dot, vec_norm}
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (see [[graft.functions.VecDot]]). */
+  private def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (vec_norm(a) * vec_norm(b))
 
-  /** Exact cosine top-k against a literal query vector. */
+  /** Exact cosine top-k against a literal query vector: one scan +
+    * TakeOrdered, dot product in whole-stage codegen. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val v = asDouble(col(vecCol))
+    val v = col(vecCol)
     df.select(col(idCol),
-        (dot(v, q) / (sqrt(dot(v, v)) * lit(qNorm))).as("cosine"))
+        (dot(v, q) / (vec_norm(v) * lit(qNorm))).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -53,7 +51,7 @@ object Similarity {
   /** Sign-random-projection bucket id (`bits`-bit code) for each row. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, bits: Int = 12): DataFrame = {
-    val v = asDouble(col(vecCol))
+    val v = col(vecCol)
     val code = (0 until bits).map { p =>
       val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
       when(dot(v, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
