@@ -286,6 +286,42 @@ final case class GTable(
   def all(attr: String): DataFrame = df.select(col(attr))
   def allUnique(attr: String): DataFrame = df.select(col(attr)).distinct()
 
+  // ------------------------------------------------------------------
+  // Keyed access & constraints (reference indexes, littletable.py:424-602)
+  // ------------------------------------------------------------------
+
+  /** Unique-keyed access `tbl.by.attr[key]` → exactly one row;
+    * NoSuchElementException if absent, IllegalStateException if duplicated
+    * (reference unique-index semantics, littletable.py:590-597). The
+    * equality predicate pushes to the scan (min-max/dictionary pruning
+    * play the index role distributedly). */
+  def byUnique(attr: String, key: Any): Row = {
+    val rows = df.filter(col(attr) === lit(key)).limit(2).collect()
+    if (rows.isEmpty) throw new NoSuchElementException(s"$name.$attr = $key: no row")
+    if (rows.length > 1) throw new IllegalStateException(s"$name.$attr = $key: not unique")
+    rows.head
+  }
+
+  /** Non-unique keyed access `tbl.by.attr[key]` → sub-table, possibly
+    * empty (littletable.py:565-572). */
+  def byAll(attr: String, key: Any): GTable =
+    copy(df = df.filter(col(attr) === lit(key)))
+
+  /** Unique-key constraint validation (the semantic core of the
+    * reference's unique indexes, littletable.py:1981-2009): returns the
+    * violating keys with their multiplicities — empty means the constraint
+    * holds. `acceptNone=false` also reports null keys (reference
+    * accept_none). */
+  def checkUnique(attr: String, acceptNone: Boolean = false): DataFrame = {
+    val dups = df.groupBy(col(attr)).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    if (acceptNone) dups.filter(col(attr).isNotNull)
+    else dups
+  }
+
+  /** Typed view (reference `Table[T]`/row_class → `Dataset[T]`,
+    * SURVEY.md §1.2). */
+  def typed[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] = df.as[T]
+
   /** Reference `info()` (littletable.py:3797-3814). */
   def info: Map[String, Any] = Map(
     "name" -> name,

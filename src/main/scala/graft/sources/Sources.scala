@@ -135,6 +135,72 @@ object Sources {
     GTable(applyCommon(raw.select(cols: _*), Map.empty, filters, limit), path)
   }
 
+  /** Driver shim: fetch a URL to a temp file so spark.read can scan it
+    * (reference http(s) source with timeout, littletable.py:797-841).
+    * Supports any java.net URL scheme incl. file:// for tests. */
+  def fetchUrlToTemp(url: String, timeoutMs: Int = 30000): String = {
+    val u = java.net.URI.create(url).toURL
+    val conn = u.openConnection()
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    val suffix = u.getPath.replaceAll(".*/", "")
+    val tmp = java.io.File.createTempFile("graft_url_", s"_$suffix")
+    tmp.deleteOnExit()
+    val in = conn.getInputStream
+    try java.nio.file.Files.copy(in, tmp.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.getAbsolutePath
+  }
+
+  /** Driver shim: extract a .tar.gz entry (reference tar.gz source,
+    * littletable.py:844-860). Minimal ustar reader — 512-byte headers,
+    * name at 0..100, size as octal at 124..136. */
+  def untarGzToTemp(tarGzPath: String, entry: String = ""): String = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(tarGzPath)))
+    try {
+      val header = new Array[Byte](512)
+      def readFully(buf: Array[Byte], n: Int): Int = {
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) return off
+          off += r
+        }
+        off
+      }
+      while (readFully(header, 512) == 512) {
+        val name = new String(header, 0, 100, "US-ASCII").takeWhile(_ != '\u0000')
+        if (name.nonEmpty) {
+          val sizeStr = new String(header, 124, 12, "US-ASCII")
+            .takeWhile(c => c != '\u0000' && c != ' ').trim
+          val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
+          val isTarget = entry.isEmpty || name == entry || name.endsWith(s"/$entry")
+          if (isTarget && size > 0) {
+            val suffix = name.replaceAll(".*/", "")
+            val tmp = java.io.File.createTempFile("graft_tar_", s"_$suffix")
+            tmp.deleteOnExit()
+            val out = new java.io.FileOutputStream(tmp)
+            val buf = new Array[Byte](8192)
+            var remaining = size
+            while (remaining > 0) {
+              val r = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+              require(r >= 0, s"truncated tar entry $name")
+              out.write(buf, 0, r); remaining -= r
+            }
+            out.close()
+            return tmp.getAbsolutePath
+          } else {
+            var skip = (size + 511) / 512 * 512
+            while (skip > 0) skip -= in.skip(skip)
+          }
+        }
+      }
+      throw new IllegalArgumentException(s"entry '$entry' not found in $tarGzPath")
+    } finally in.close()
+  }
+
   /** Driver shim: unzip a .zip entry to a temp file so spark.read can scan
     * it (reference zip support, littletable.py:872-903). For cluster use
     * the archive should live on shared storage; the shim is for the

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.core.{Cmp, GTable, SortKey}
 
+case class KV(k: Int, v: String)
+
 /** Core operator semantics over the reference's abc-grid workhorse
   * (FIXTURES.md A.1: product(range(n), repeat=3)). */
 class GTableSpec extends SparkSpec {
@@ -87,6 +89,21 @@ class GTableSpec extends SparkSpec {
     assert(row.getInt(idx("a_max")) == 3)
     assert(row.getLong(idx("a_count")) == 64)
     assert(row.getLong(idx("a_missing")) == 0)
+  }
+
+  test("keyed access: byUnique / byAll / checkUnique (littletable.py:424-602)") {
+    val kt = GTable(Seq((1, "x"), (2, "y"), (2, "z")).toDF("k", "v"), "kt")
+    assert(kt.byUnique("k", 1).getString(1) == "x")
+    intercept[NoSuchElementException](kt.byUnique("k", 9))
+    intercept[IllegalStateException](kt.byUnique("k", 2))
+    assert(kt.byAll("k", 2).size == 2)
+    val viol = kt.checkUnique("k").collect()
+    assert(viol.length == 1 && viol(0).getInt(0) == 2 && viol(0).getLong(1) == 2L)
+  }
+
+  test("typed Dataset view (Table[T] → Dataset[T])") {
+    val ds = GTable(Seq((1, "x")).toDF("k", "v"), "kt").typed[KV]
+    assert(ds.collect().toSeq == Seq(KV(1, "x")))
   }
 
   test("renderers: markdown alignment + html escaping") {
