@@ -570,6 +570,17 @@ object Queries {
     Similarity.lshTopK(bucketed, "vec_id", "embedding", qvec, 20, bits = 12, probeDist = 2)
   }
 
+  /** IVF (inverted-file) ANN top-20: deterministic k-means index, probe
+    * the 8 nearest clusters. Approximate path — recall vs brute force
+    * asserted in ScalaTest; not SQL-expressible. */
+  val q_sim_ivf: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 32, iters = 1)
+    Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 8)
+  }
+
   // ==================================================================
   // §2.1 Sources / sinks (round-trips against parquet ground truth)
   // ==================================================================
@@ -768,6 +779,7 @@ object Queries {
     "q_dedup_embedding" -> q_dedup_embedding,
     "q_sim_topk" -> q_sim_topk,
     "q_sim_lsh" -> q_sim_lsh,
+    "q_sim_ivf" -> q_sim_ivf,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_tsv_roundtrip" -> q_tsv_roundtrip,
     "q_json_roundtrip" -> q_json_roundtrip,

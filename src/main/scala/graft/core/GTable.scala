@@ -240,15 +240,11 @@ final case class GTable(
     * aggregate over it as needed. Requires orderby first. */
   def groupbyRuns(keyCol: String): GTable = {
     require(sortKeys.nonEmpty, "groupbyRuns requires orderby first (run semantics are order-defined)")
-    // Scale note: a single global window is required by the semantics
-    // themselves (runs are a sequential notion); for the sorted-input case
-    // prefer groupbyWithSummaries. We keep the window narrow: key column only.
-    val w = Window.orderBy(sortKeys.map(_.order): _*)
-    val changed = when(lag(col(keyCol), 1).over(w).isNull ||
-      lag(col(keyCol), 1).over(w) =!= col(keyCol), 1).otherwise(0)
-    copy(df = df.withColumn("__chg", changed)
-      .withColumn("__run", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .drop("__chg"))
+    // Scale shape: runs are a sequential notion, but they stitch across
+    // partitions from per-partition stats alone — see Ordinals.withRunId
+    // (range-partition sort + tiny stats job + emit pass; no window, no
+    // single-partition exchange).
+    copy(df = Ordinals.withRunId(df, sortKeys.map(_.order), keyCol))
   }
 
   /** Pivot / cross-tab (reference `pivot().dump_counts` etc.,

@@ -27,4 +27,57 @@ object Ordinals {
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, sorted.schema.add(StructField(name, LongType, nullable = false)))
   }
+
+  /** Consecutive 1-based run id over the established order: a new id
+    * starts whenever `keyCol` differs from the previous row's value.
+    * Same two-pass shape as [[withOrdinal]]: range-partition sort, one
+    * tiny job collecting per-partition (firstKey, lastKey, runCount),
+    * driver-side offset stitch (merging runs that span a partition
+    * boundary), one emit pass. No single-partition exchange, no window.
+    * Key equality is value equality of the column (null == null). */
+  def withRunId(df: DataFrame, sortKeys: Seq[Column], keyCol: String,
+      name: String = "__run"): DataFrame = {
+    require(sortKeys.nonEmpty, "run ids are order-defined")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    val keyIdx = sorted.schema.fieldIndex(keyCol)
+    val rdd = sorted.rdd
+    // Pass 1: per-partition run stats (tiny — one tuple per partition).
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: Any = null; var last: Any = null
+      var runs = 0L; var nonEmpty = false
+      it.foreach { r =>
+        val k = r.get(keyIdx)
+        if (!nonEmpty) { first = k; runs = 1; nonEmpty = true }
+        else if (k != last) runs += 1
+        last = k
+      }
+      Iterator.single((pid, nonEmpty, first, last, runs))
+    }.collect().sortBy(_._1)
+    // Driver-side stitch: global run-id offset per partition.
+    val offsets = new Array[Long](stats.length)
+    var globalRuns = 0L
+    var prevLast: Any = null; var prevNonEmpty = false
+    stats.foreach { case (pid, nonEmpty, first, last, runs) =>
+      if (nonEmpty) {
+        val merged = prevNonEmpty && first == prevLast
+        offsets(pid) = if (merged) globalRuns - 1 else globalRuns
+        globalRuns = offsets(pid) + runs
+        prevLast = last; prevNonEmpty = true
+      }
+    }
+    // Pass 2: emit with the stitched run id (shuffle files reused).
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var localRun = 0L; var last: Any = null; var started = false
+      it.map { r =>
+        val k = r.get(keyIdx)
+        if (!started) { localRun = 1; started = true }
+        else if (k != last) localRun += 1
+        last = k
+        Row.fromSeq(r.toSeq :+ (bOffsets.value(pid) + localRun))
+      }
+    }
+    spark.createDataFrame(out, sorted.schema.add(StructField(name, LongType, nullable = false)))
+  }
 }

@@ -46,26 +46,28 @@ object Dedup {
   }
 
   /** MinHash signatures: `numHashes` universal-hash permutations
-    * `(aᵢ·h + bᵢ) mod p` over the 32-bit shingle hash, min per doc — one
-    * explode + one groupBy, no per-hash passes. Constants bounded to 2^30
-    * so `a·h + b` stays within a signed long: Spark 4 runs ANSI mode and
-    * traps arithmetic overflow, so the mixing must genuinely not overflow
-    * rather than relying on wraparound. */
+    * `(aᵢ·h + bᵢ) mod p` (p = 2^61−1) over the 32-bit shingle hash, min
+    * per doc. Constants bounded to 2^30 so `a·h + b` stays within a
+    * signed long: Spark 4 runs ANSI mode and traps arithmetic overflow,
+    * so the mixing must genuinely not overflow rather than relying on
+    * wraparound.
+    *
+    * Entirely map-side, one narrow codegen'd projection — no explode, no
+    * dedup shuffle, no groupBy (see TextHashExpressions: shingle hashing
+    * and the permutation-mins run as tight JVM loops; the
+    * interpreted-lambda HOF formulation was ~50 µs/element). Docs with no
+    * shingles are dropped (as before, when they had no exploded rows). */
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
-    val P = (1L << 61) - 1 // Mersenne prime
-    val sh = df
-      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
-      .distinct()
-      .withColumn("h32", xxhash64(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)))
-    val mins: Seq[Column] = (0 until numHashes).map { i =>
-      val a = (splitmix64(2L * i) & 0x3FFFFFFFL) | 1L
-      val b = splitmix64(2L * i + 1) & 0x3FFFFFFFL
-      min(pmod(lit(a) * col("h32") + lit(b), lit(P))).as(s"mh_$i")
-    }
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    val ab = (0 until numHashes).flatMap { i =>
+      Seq((splitmix64(2L * i) & 0x3FFFFFFFL) | 1L, splitmix64(2L * i + 1) & 0x3FFFFFFFL)
+    }.toArray
+    import graft.functions.TextHashExpressions.{minhash_signature, shingle_hash_set}
+    df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
+      .select(col(idCol), shingle_hash_set(col("__ws"), shingleN).as("__shks"))
+      .filter(size(col("__shks")) > 0)
+      .select(col(idCol), minhash_signature(col("__shks"), ab).as("sig"))
   }
 
   /** LSH candidate pairs: split the signature into `bands`, bucket-join on
@@ -101,20 +103,13 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens: per-bit majority of token hashes.
-    * Computed columnar: explode tokens, per-doc sum of each bit's ±1,
-    * reassemble the fingerprint. */
+  /** 64-bit SimHash over word tokens: per-bit majority of token hashes
+    * (duplicates counted; ties → 0). Entirely map-side, one codegen'd
+    * expression per row — no explode/groupBy shuffle (see
+    * [[graft.functions.SimHash64]]). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-        explode(TextAnalysis.words(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when((shiftright(col("h"), i) % 2) =!= 0, 1).otherwise(-1)).as(s"b_$i")
-    }
-    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(i => when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+    import graft.functions.TextHashExpressions.simhash64
+    df.select(col(idCol), simhash64(TextAnalysis.words(col(textCol))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
@@ -140,23 +135,30 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Exact word-n-gram Jaccard over pairs sharing at least one shingle
-    * (inverted-index join — no cartesian product). */
+    * (inverted-index join — no cartesian product).
+    *
+    * Plan shape: per-doc distinct shingle-hash sets are built map-side
+    * ([[graft.functions.ShingleHashSet]], codegen'd — no dedup shuffle,
+    * no shingle strings), and each exploded index row carries its doc's
+    * set size, so the Jaccard denominator needs no separate sizes
+    * aggregation or re-joins. The exploded index is cached because both
+    * join sides consume it. Two shuffles total: the inverted-index
+    * self-join on the shingle hash and the per-pair intersection count. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
-      .distinct().cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    // Hash the shingle once so the fat string isn't the shuffle/join key.
-    val shk = sh.select(col("id"), xxhash64(col("shingle")).as("shk"))
-    val inter = shk.select(col("id").as("id_a"), col("shk"))
-      .join(shk.select(col("id").as("id_b"), col("shk")), "shk")
+    import graft.functions.TextHashExpressions.shingle_hash_set
+    val shSet = df
+      .select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
+      .select(col("id"), shingle_hash_set(col("__ws"), n).as("shks"))
+      .select(col("id"), size(col("shks")).as("n_sh"), explode(col("shks")).as("shk"))
+      .cache()
+    val a = shSet.select(col("id").as("id_a"), col("n_sh").as("na"), col("shk"))
+    val b = shSet.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shk"))
+    a.join(b, "shk")
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

@@ -71,4 +71,84 @@ object Similarity {
       bit_count(col("bucket").bitwiseXOR(lit(qCode))) <= probeDist)
     bruteForceTopK(cands, idCol, vecCol, query, k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) index
+  // ------------------------------------------------------------------
+
+  /** IVF index: the table with a `cluster` column, plus the (tiny) centroid
+    * set kept driver-side for query-time probe selection. The assigned
+    * DataFrame is the scale object (cache it, or write it partitioned by
+    * `cluster` so probes prune parquet partitions); centroids are
+    * nCentroids×dims doubles — KBs. */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  private def sqDistToCentroids(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.toIndexedSeq.map { c =>
+      val cl = array(c.map(lit).toIndexedSeq: _*)
+      val cNorm2 = c.map(x => x * x).sum
+      // |v-c|^2 = |v|^2 - 2 v·c + |c|^2 ; |v|^2 constant per row — drop it
+      // (argmin unchanged), leaving one vec_dot per centroid.
+      lit(cNorm2) - lit(2.0) * dot(v, cl)
+    }
+
+  /** Nearest-centroid id as a codegen'd expression: fold over per-centroid
+    * scores (a broadcast of the centroid table would shuffle; this keeps
+    * assignment map-side and linear in table size — the 100 TB property). */
+  private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = sqDistToCentroids(v, centroids).zipWithIndex.map {
+      case (d, i) => struct(d.as("d"), lit(i).as("i"))
+    }
+    array_min(array(scored: _*)).getField("i")
+  }
+
+  /** Build an IVF index with deterministic k-means (Lloyd) iterations.
+    * Init = hash-ordered sample (reproducible); each iteration is one
+    * map-side assignment + one groupBy(cluster, dim) average — no
+    * all-pairs, no driver-side data beyond the centroid set. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 64, iters: Int = 3): IvfIndex = {
+    val v = col(vecCol)
+    var centroids: Array[Array[Double]] = df
+      .select(col(idCol), v)
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toArray)
+    var it = 0
+    while (it < iters) {
+      val means = df
+        .select(nearestCentroid(v, centroids).as("cluster"), posexplode(v))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+      it += 1
+    }
+    IvfIndex(df.withColumn("cluster", nearestCentroid(v, centroids)), centroids)
+  }
+
+  /** IVF-accelerated approximate top-k: rank centroids by distance to the
+    * query driver-side, scan only the `nProbe` nearest clusters, exact-rank
+    * the candidates. Cost per query ≈ nProbe/nCentroids of a full scan —
+    * with the assigned table written partitioned by `cluster`, the probe
+    * filter prunes at the source. */
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nProbe: Int = 8): DataFrame = {
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d2 = c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d2, i)
+      }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    val cands = index.assigned.filter(col("cluster").isin(probes.toIndexedSeq: _*))
+    bruteForceTopK(cands, idCol, vecCol, query, k)
+  }
 }

@@ -80,4 +80,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.head._1 == 0L, "query vector itself must rank first")
     lsh.foreach { case (id, cos) => assert(math.abs(brute(id) - cos) < 1e-12) }
   }
+
+  test("IVF ANN: deterministic index, query's own cluster probed, scores exact") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16, iters = 2)
+    val idx2 = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16, iters = 2)
+    assert(idx.centroids.map(_.toSeq).toSeq == idx2.centroids.map(_.toSeq).toSeq,
+      "index build must be deterministic")
+    val ivf = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.nonEmpty)
+    assert(ivf.head._1 == 0L, "query vector itself must rank first")
+    ivf.foreach { case (id, cos) => assert(math.abs(brute(id) - cos) < 1e-12) }
+  }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
+
+/** SQL surface: graft's native expressions registered as SQL functions. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot / vec_norm / vec_cosine usable from SQL") {
+    GraftExtensions.install(spark)
+    Seq((1L, Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f)))
+      .toDF("id", "a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT vec_dot(a, b) AS d, vec_norm(a) AS n, vec_cosine(a, b) AS c FROM vecs")
+      .head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("SQL vec_dot agrees bit-exactly with the fluent API on real embeddings") {
+    GraftExtensions.install(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("emb")
+    import graft.functions.VectorExpressions.vec_dot
+    val api = emb.select(col("vec_id"), vec_dot(col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id").limit(50).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val sql = spark.sql(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS d FROM emb ORDER BY vec_id LIMIT 50")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(api.sameElements(sql))
+  }
+}
