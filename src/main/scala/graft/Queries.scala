@@ -688,6 +688,16 @@ object Queries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Sliding windows (2h size / 1h slide) under streaming — each event
+    * contributes to two windows. */
+  val q_stream_sliding: Q = (s, dir) => {
+    val agg = Streaming.slidingCounts(Streaming.eventsStream(s, dir), "2 hours", "1 hour")
+    Streaming.runToBatch(agg, "stream_sliding_out")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Gap-based session windows per user (session_window operator). */
   val q_session_window: Q = (s, dir) => {
     Streaming.sessionWindows(events(s, dir).df, "10 minutes")
@@ -787,6 +797,7 @@ object Queries {
     "q_csv_string" -> q_csv_string,
     "q_zip_import" -> q_zip_import,
     "q_stream_tumbling" -> q_stream_tumbling,
+    "q_stream_sliding" -> q_stream_sliding,
     "q_session_window" -> q_session_window,
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_multimodal_features" -> q_multimodal_features,
@@ -1204,6 +1215,16 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH assigned AS (
+        |  SELECT date_trunc('hour', ts) AS w_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM assigned GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
 
     "q_session_window" ->
       """WITH e AS (

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftinterop.ColumnInterop
@@ -78,6 +78,68 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Index of the nearest centroid (squared-L2) for a float/double vector
+  * column. The centroid matrix rides along as a codegen reference object —
+  * a literal-tree formulation (nCentroids × dims literals) made Janino
+  * recompile multi-thousand-constant classes per plan, which dominated
+  * IVF index builds. Ties break to the lower index. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got $other")
+    }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorUtil.nearestCentroidF(v, centroids)
+    else VectorUtil.nearestCentroidD(v, centroids)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val fn = if (isFloat) "nearestCentroidF" else "nearestCentroidD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.$fn($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorUtil {
+  def nearestCentroidF(v: ArrayData, centroids: Array[Array[Double]]): Int =
+    nearest(centroids, v.toFloatArray().map(_.toDouble))
+
+  def nearestCentroidD(v: ArrayData, centroids: Array[Array[Double]]): Int =
+    nearest(centroids, v.toDoubleArray())
+
+  private def nearest(centroids: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      val n = math.min(ct.length, x.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = x(i) - ct(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 object VectorExpressions {
   /** Dot product of two float/double array columns (codegen'd). */
   def vec_dot(a: Column, b: Column): Column =
@@ -86,4 +148,8 @@ object VectorExpressions {
   /** L2 norm. */
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** Index of the nearest centroid (squared L2) — see [[NearestCentroid]]. */
+  def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnInterop.column(NearestCentroid(ColumnInterop.expression(v), centroids))
 }

@@ -35,8 +35,11 @@ object Search {
       attr: String,
       stopwords: Set[String] = TextNormalize.stopwords): DataFrame = {
     val sw = stopwords // serialize the set, not `this`
-    val normalize = udf((text: String) => TextNormalize.normalizeSplit(text, sw))
-    data.select(col(idCol), explode(normalize(col(attr))).as("word")).distinct()
+    // Per-doc set semantics applied INSIDE the normalizer (first
+    // occurrence kept), so the exploded (id, word) pairs are born
+    // distinct — no table-wide dedup shuffle.
+    val normalize = udf((text: String) => TextNormalize.normalizeSplit(text, sw).distinct)
+    data.select(col(idCol), explode(normalize(col(attr))).as("word"))
   }
 
   /** Parsed query, mirroring the reference's prefix grammar
@@ -111,24 +114,26 @@ object Search {
       return data.withColumn(scoreCol, lit(0L)).limit(0)
     }
 
-    val scoresDf = parsed.wordScores.toDF("word", "__wscore")
-    // tally: docs matching at least one scored word, summed per doc
-    var tally = index.join(broadcast(scoresDf), "word")
-      .groupBy(col(idCol)).agg(sum(col("__wscore")).as(scoreCol))
-
-    // required groups: AND of (OR over the group's variants)
-    for (group <- parsed.requiredGroups) {
-      val groupMatches = index.filter(col("word").isin(group.map(x => x: Any): _*))
-        .select(col(idCol)).distinct()
-      tally = tally.join(groupMatches, Seq(idCol), "left_semi")
-    }
-    // exclusions
-    if (parsed.excluded.nonEmpty) {
-      val exclMatches = index
-        .filter(col("word").isin(parsed.excluded.map(x => x: Any): _*))
-        .select(col(idCol)).distinct()
-      tally = tally.join(exclMatches, Seq(idCol), "left_anti")
-    }
+    // One pass over the index: a word-role row per (word, role) — scored
+    // word (+N), required-group membership (group ordinal), or exclusion —
+    // broadcast-joined, then a single groupBy computes the score sum,
+    // the number of distinct required groups matched, and the exclusion
+    // flag together. (The reference's tally + per-group AND + exclusion,
+    // littletable.py:1851-1884, as one shuffle instead of 2+G passes.)
+    val roleRows: Seq[(String, Option[Long], Option[Int], Boolean)] =
+      parsed.wordScores.map { case (w, s) => (w, Some(s.toLong), None, false) } ++
+        parsed.requiredGroups.zipWithIndex.flatMap { case (group, g) =>
+          group.map(w => (w, None: Option[Long], Some(g), false)) } ++
+        parsed.excluded.map(w => (w, None, None, true))
+    val rolesDf = roleRows.toDF("word", "__wscore", "__grp", "__excl")
+    val tally = index.join(broadcast(rolesDf), "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("__wscore")).as(scoreCol),
+        count_distinct(col("__grp")).as("__gmatched"),
+        max(col("__excl")).as("__exclm"))
+      .filter(col(scoreCol).isNotNull &&
+        col("__gmatched") === parsed.requiredGroups.length && !col("__exclm"))
+      .select(col(idCol), col(scoreCol))
 
     var ranked = tally.filter(col(scoreCol) >= minScore)
       .orderBy(col(scoreCol).desc, col(idCol).asc)

@@ -83,24 +83,12 @@ object Similarity {
     * nCentroids×dims doubles — KBs. */
   final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
 
-  private def sqDistToCentroids(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
-    centroids.toIndexedSeq.map { c =>
-      val cl = array(c.map(lit).toIndexedSeq: _*)
-      val cNorm2 = c.map(x => x * x).sum
-      // |v-c|^2 = |v|^2 - 2 v·c + |c|^2 ; |v|^2 constant per row — drop it
-      // (argmin unchanged), leaving one vec_dot per centroid.
-      lit(cNorm2) - lit(2.0) * dot(v, cl)
-    }
-
-  /** Nearest-centroid id as a codegen'd expression: fold over per-centroid
-    * scores (a broadcast of the centroid table would shuffle; this keeps
-    * assignment map-side and linear in table size — the 100 TB property). */
-  private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = sqDistToCentroids(v, centroids).zipWithIndex.map {
-      case (d, i) => struct(d.as("d"), lit(i).as("i"))
-    }
-    array_min(array(scored: _*)).getField("i")
-  }
+  /** Nearest-centroid id as a codegen'd expression with the centroid
+    * matrix as a reference object (a broadcast of the centroid table
+    * would shuffle; this keeps assignment map-side and linear in table
+    * size — the 100 TB property). See [[graft.functions.NearestCentroid]]. */
+  private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.VectorExpressions.nearest_centroid(v, centroids)
 
   /** Build an IVF index with deterministic k-means (Lloyd) iterations.
     * Init = hash-ordered sample (reproducible); each iteration is one

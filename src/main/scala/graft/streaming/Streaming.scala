@@ -39,15 +39,35 @@ object Streaming {
     * mode, processAllAvailable). */
   def runToBatch(agg: DataFrame, name: String): DataFrame = {
     val spark = agg.sparkSession
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
+    // Stateful-operator parallelism is pinned at query start from
+    // spark.sql.shuffle.partitions; each partition opens its own state
+    // store. Size it to the streaming state (small here), not to the
+    // batch-side default — on a cluster this is the knob that decides
+    // state-store count for the life of the checkpoint.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q = try {
+      spark.conf.set(key, math.min(prev.toInt, 8))
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    } finally spark.conf.set(key, prev)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
   }
+
+  /** Sliding-window aggregate with a watermark: per (window, event_type)
+    * counts and value sums; each event lands in size/slide windows. */
+  def slidingCounts(events: DataFrame, size: String = "2 hours",
+      slide: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), size, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
   /** Session windows (gap-based) per user — batch flavor of the same
     * `session_window` operator used under streaming. */

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.functions.TextHashUtil
+
+/** Property-based invariants (SURVEY.md §5: ScalaCheck alongside the
+  * golden-value suites). Pure-JVM properties run at full case counts;
+  * Spark-backed ones (run-id stitching, comparators) use few cases of
+  * meaningful size. */
+object TextHashProperties extends Properties("TextHash") {
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val wordsGen: Gen[List[String]] = Gen.choose(0, 60)
+    .flatMap(n => Gen.listOfN(n, word))
+
+  private def arr(ws: List[String]) =
+    new GenericArrayData(ws.map(w => UTF8String.fromString(w)).toArray[Any])
+
+  /** Naive reference: distinct string shingles, first-occurrence order. */
+  private def naiveShingles(ws: List[String], n: Int): List[List[String]] =
+    if (ws.length < n) Nil else ws.sliding(n).toList.distinct
+
+  property("shingleHashSet size == distinct string shingles") =
+    Prop.forAll(wordsGen, Gen.choose(1, 4)) { (ws, n) =>
+      TextHashUtil.shingleHashSet(arr(ws), n).numElements() ==
+        naiveShingles(ws, n).length
+    }
+
+  property("shingleHashSet is order-deterministic and input-pure") =
+    Prop.forAll(wordsGen, Gen.choose(1, 4)) { (ws, n) =>
+      val a = TextHashUtil.shingleHashSet(arr(ws), n).toLongArray().toSeq
+      val b = TextHashUtil.shingleHashSet(arr(ws), n).toLongArray().toSeq
+      a == b
+    }
+
+  property("equal word multisets give equal simhash (order-invariant)") =
+    Prop.forAll(wordsGen) { ws =>
+      val shuffled = scala.util.Random.shuffle(ws)
+      TextHashUtil.simhash64(arr(ws)) == TextHashUtil.simhash64(arr(shuffled))
+    }
+
+  property("single-word docs: simhash == that word's bit-majority hash") =
+    Prop.forAll(word) { w =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(w), TextHashUtil.Seed)
+      TextHashUtil.simhash64(arr(List(w))) == h
+    }
+
+  property("minhashSig: superset never raises any permutation min") =
+    Prop.forAll(wordsGen.suchThat(_.nonEmpty), wordsGen) { (base, extra) =>
+      val ab = Array.tabulate(16)(i => (2L * i + 1, 3L * i + 7)).flatMap(t => Array(t._1, t._2))
+      val hs1 = TextHashUtil.shingleHashSet(arr(base), 1)
+      val hs2 = TextHashUtil.shingleHashSet(arr(base ++ extra), 1)
+      val s1 = TextHashUtil.minhashSig(hs1, ab).toLongArray()
+      val s2 = TextHashUtil.minhashSig(hs2, ab).toLongArray()
+      s1.zip(s2).forall { case (a, b) => b <= a }
+    }
+}
+
+/** Spark-backed properties: few cases, real plans. */
+class RunIdPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.core.{GTable, SortKey}
+
+  /** Sequential oracle for run ids over an ordered key sequence. */
+  private def naiveRuns(keys: Seq[String]): Seq[Long] = {
+    var run = 0L; var last: Option[String] = None
+    keys.map { k =>
+      if (!last.contains(k)) { run += 1; last = Some(k) }
+      run
+    }
+  }
+
+  test("withRunId matches a sequential scan for random key sequences " +
+      "across many partitions (boundary stitch property)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 50 + rnd.nextInt(400)
+      val alphabet = 1 + rnd.nextInt(4)
+      val keys = Seq.fill(n)(('a' + rnd.nextInt(alphabet)).toChar.toString)
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("i", "k").repartition(7) // scatter, then let withRunId re-sort
+      val got = GTable(df, s"t$trial").orderby(SortKey.asc("i"))
+        .groupbyRuns("k").df
+        .orderBy("i").select("__run").collect().map(_.getLong(0)).toSeq
+      assert(got == naiveRuns(keys), s"trial $trial (n=$n, alphabet=$alphabet)")
+    }
+  }
+
+  test("comparator DSL matches Scala semantics on random data incl. nulls") {
+    val rnd = new scala.util.Random(7)
+    val vs: Seq[Integer] = Seq.fill(300)(
+      if (rnd.nextInt(10) == 0) null else Integer.valueOf(rnd.nextInt(20) - 10))
+    val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+    import graft.core.Cmp
+    val cases: Seq[(String, Integer => Boolean)] = Seq(
+      "between" -> (v => v != null && v > -3 && v < 4),
+      "within" -> (v => v != null && v >= -3 && v <= 4),
+      "inRange" -> (v => v != null && v >= -3 && v < 4))
+    val preds = Map(
+      "between" -> Cmp.between(-3, 4), "within" -> Cmp.within(-3, 4),
+      "inRange" -> Cmp.inRange(-3, 4))
+    for ((name, oracle) <- cases) {
+      val got = df.filter(preds(name)(col("v"))).select("i")
+        .collect().map(_.getInt(0)).toSet
+      val want = vs.zipWithIndex.collect { case (v, i) if oracle(v) => i }.toSet
+      assert(got == want, name)
+    }
+  }
+}
