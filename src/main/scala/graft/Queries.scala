@@ -698,6 +698,20 @@ object Queries {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Custom keyed streaming state (flatMapGroupsWithState): per-user
+    * running totals; the single-source-batch final answer equals the
+    * batch groupBy, giving a DuckDB oracle for the stateful path. */
+  val q_stream_stateful: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.UserEvent
+    val ev = Streaming.eventsStream(s, dir)
+      .select(col("user_id"), col("value")).as[UserEvent]
+    Streaming.runToBatch(Streaming.runningUserTotals(ev).toDF(), "stream_stateful_out",
+        mode = "append")
+      .select(col("user_id"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Gap-based session windows per user (session_window operator). */
   val q_session_window: Q = (s, dir) => {
     Streaming.sessionWindows(events(s, dir).df, "10 minutes")
@@ -798,6 +812,7 @@ object Queries {
     "q_zip_import" -> q_zip_import,
     "q_stream_tumbling" -> q_stream_tumbling,
     "q_stream_sliding" -> q_stream_sliding,
+    "q_stream_stateful" -> q_stream_stateful,
     "q_session_window" -> q_session_window,
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_multimodal_features" -> q_multimodal_features,
@@ -1225,6 +1240,11 @@ object Queries {
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM assigned GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value),2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_session_window" ->
       """WITH e AS (

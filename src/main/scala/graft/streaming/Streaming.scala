@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event projection for the custom-state operator. */
+case class UserEvent(user_id: Long, value: Double)
+
+/** Running per-user totals emitted by [[Streaming.runningUserTotals]]. */
+case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Structured Streaming surface over the `events` table (SURVEY.md §2.10:
   * the reference has no streaming engine; this is new capability layered
@@ -37,7 +44,7 @@ object Streaming {
   /** Run a streaming aggregate to completion over the available data and
     * return the final result as a static DataFrame (memory sink, complete
     * mode, processAllAvailable). */
-  def runToBatch(agg: DataFrame, name: String): DataFrame = {
+  def runToBatch(agg: DataFrame, name: String, mode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
     // Stateful-operator parallelism is pinned at query start from
     // spark.sql.shuffle.partitions; each partition opens its own state
@@ -49,7 +56,7 @@ object Streaming {
     val q = try {
       spark.conf.set(key, math.min(prev.toInt, 8))
       agg.writeStream
-        .outputMode("complete")
+        .outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -68,6 +75,23 @@ object Streaming {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), size, slide),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Custom keyed state (flatMapGroupsWithState): running per-user event
+    * count and value sum, persisted in `GroupState` across micro-batches
+    * and re-emitted on every update. The state is O(1) per user —
+    * billions of keys spread across the state store at scale. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          it.foreach { e => n += 1; s += e.value }
+          state.update((n, s))
+          Iterator.single(UserTotal(uid, n, s))
+      }
+  }
 
   /** Session windows (gap-based) per user — batch flavor of the same
     * `session_window` operator used under streaming. */

@@ -35,4 +35,26 @@ class StreamingSpec extends SparkSpec {
     }.collect().toMap
     assert(counted == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("runningUserTotals: GroupState persists across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.UserEvent
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = Streaming.runningUserTotals(in.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_spec_out").start()
+    try {
+      in.addData(UserEvent(1, 10.0), UserEvent(1, 5.0), UserEvent(2, 1.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(1, 2.5)) // batch 2: user 1's state must carry over
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("state_spec_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch 1 emissions
+    assert(rows.contains((1L, 2L, 15.0)) && rows.contains((2L, 1L, 1.0)))
+    // batch 2 emission: count/sum continue from persisted state
+    assert(rows.contains((1L, 3L, 17.5)))
+  }
 }
