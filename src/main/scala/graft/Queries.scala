@@ -301,6 +301,17 @@ object Queries {
         "n_orders" -> count(lit(1)),
         "revenue" -> round(sum(col("o_totalprice")), 2)).df
 
+  /** Skew-salted fact-fact join (GTable.joinSalted): hot keys spread over
+    * 8 salted reducers; same answer as the plain equi-join, so the oracle
+    * is ordinary SQL. */
+  val q_join_salted: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .joinSalted(t(s, dir, "orders"), 8, "l_orderkey" -> "o_orderkey").df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
   /** 3-way join, TPC-H-Q3 style: filter → join → join → agg → top-k.
     * Dim side broadcast; fact-fact join shuffles on the key. */
   val q_join3_revenue: Q = (s, dir) => {
@@ -780,6 +791,7 @@ object Queries {
     "q_except" -> q_except,
     "q_unique_first" -> q_unique_first,
     "q_join_inner" -> q_join_inner,
+    "q_join_salted" -> q_join_salted,
     "q_join3_revenue" -> q_join3_revenue,
     "q_join_multikey" -> q_join_multikey,
     "q_join_left" -> q_join_left,
@@ -980,6 +992,12 @@ object Queries {
         | round(sum(o_totalprice),2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey, c_name""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join3_revenue" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_odate,

@@ -215,6 +215,30 @@ final case class GTable(
       s"$name+${other.name}")
   }
 
+  /** Skew-safe equi-join: the big (this) side gets a deterministic per-row
+    * salt, the small side is replicated `salt` ways, and the join key
+    * becomes (keys, salt) — a hot key's rows spread over `salt` reducers
+    * instead of one straggler. Use when a key's row count ≫ the average
+    * and the small side is too big to broadcast outright; AQE skew-join
+    * handles moderate skew, salting handles the pathological tail.
+    * Row-identical duplicates share a salt (hash of the whole row), which
+    * preserves bag semantics and determinism. */
+  def joinSalted(other: GTable, salt: Int, pairs: (String, String)*): GTable = {
+    require(salt > 1, "salt must be > 1")
+    val l = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salt)))
+      .alias("l")
+    val r = other.df.withColumn("__salt",
+        explode(sequence(lit(0L), lit(salt - 1L))))
+      .alias("r")
+    val cond = (pairs.map { case (a, b) => col(s"l.$a") === col(s"r.$b") } :+
+      (col("l.__salt") === col("r.__salt"))).reduce(_ && _)
+    val dupRight = pairs.collect { case (a, b) if a == b => b }
+    val joined = dupRight.foldLeft(l.join(r, cond))((d, c) => d.drop(col(s"r.$c")))
+    GTable(joined.drop(col("l.__salt")).drop(col("r.__salt")),
+      s"$name+${other.name}")
+  }
+
   /** Reference `join_on` + `+` composition sugar (littletable.py:2711-2722). */
   def joinOn(attr: String): JoinTerm = JoinTerm(this, attr)
 

@@ -248,4 +248,25 @@ object Sources {
     * array form (littletable.py:3314-3369). */
   def jsonArrayString(t: GTable, n: Int = 100000): String =
     t.df.limit(n).toJSON.collect().mkString("[", ",\n", "]")
+
+  /** Bucketed + sorted parquet table write: co-locates join/aggregation
+    * keys at write time so repeated equi-joins and groupBys on `keys`
+    * read shuffle-free (bucket pruning + SortMergeJoin with no Exchange).
+    * The 100 TB pattern for fact-to-fact joins the reference's in-memory
+    * hash indexes (littletable.py:1515-1576) can't express. */
+  def writeBucketed(t: GTable, table: String, keys: Seq[String],
+      buckets: Int): Unit = {
+    val spark = t.df.sparkSession
+    // True overwrite: also clear a leftover location from a previous
+    // session (the in-memory catalog forgets the table, the dir stays).
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    t.df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
 }
