@@ -301,6 +301,40 @@ final case class GTable(
     copy(df = df.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** Reference-shaped `stats` (littletable.py:3832-3915): by default one
+    * row per field with stat columns (`by_field=True`); `byField=false`
+    * transposes to one row per stat with a column per field. Same single
+    * distributed aggregate as [[stats]]; the reshape is a constant-size
+    * driver step (8 × |fields| values). */
+  def statsTable(fields: Seq[String], byField: Boolean = true): GTable = {
+    val statNames = Seq("mean", "median", "min", "max", "variance", "stdev", "count", "missing")
+    val row = stats(fields).df.head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values: Map[(String, String), Double] = (for {
+      (f, fi) <- fields.zipWithIndex
+      (s, si) <- statNames.zipWithIndex
+    } yield (f, s) -> Option(row.get(fi * statNames.length + si))
+        .map(_.toString.toDouble).getOrElse(Double.NaN)).toMap
+    if (byField) {
+      val out = fields.map(f => (f, values(f -> "mean"), values(f -> "median"),
+        values(f -> "min"), values(f -> "max"), values(f -> "variance"),
+        values(f -> "stdev"), values(f -> "count").toLong, values(f -> "missing").toLong))
+        .toDF("name" +: statNames: _*)
+      copy(df = out, sortKeys = Nil)
+    } else {
+      val rows = statNames.map(s => org.apache.spark.sql.Row.fromSeq(
+        s +: fields.map(f => values(f -> s))))
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("stat",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+          fields.map(f => org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.DoubleType)))
+      copy(df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema), sortKeys = Nil)
+    }
+  }
+
   /** Column-as-values accessor (reference `tbl.all.attr`,
     * littletable.py:605-634). */
   def all(attr: String): DataFrame = df.select(col(attr))
@@ -356,10 +390,12 @@ final case class GTable(
 
   /** Markdown table with numeric right-alignment (reference `as_markdown`,
     * littletable.py:4159-4271). Edge rendering: collects `n` rows only. */
-  def asMarkdown(n: Int = 1000): String = Render.markdown(sorted, n)
+  def asMarkdown(n: Int = 1000, groupby: Seq[String] = Nil): String =
+    Render.markdown(sorted, n, groupby)
 
   /** HTML table (reference `as_html`, littletable.py:4071-4157). */
-  def asHtml(n: Int = 1000): String = Render.html(sorted, n)
+  def asHtml(n: Int = 1000, groupby: Seq[String] = Nil): String =
+    Render.html(sorted, n, groupby)
 }
 
 /** Reference `join_on`/`+` chain builder (littletable.py:4602-4683):
@@ -382,26 +418,51 @@ private[core] object Render {
     case _ => false
   }
 
-  def markdown(df: DataFrame, n: Int): String = {
+  /** Blank out repeated values in the `groupby` leading columns — the
+    * reference's group-suppressed display columns
+    * (littletable.py:1085-1089, 4024-4034, 4141-4148, 4256-4263): a cell
+    * is suppressed when every groupby cell to its left (inclusive) equals
+    * the previous row's. Display-layer only. */
+  private def suppress(schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row], groupby: Seq[String]): Array[Array[Option[Any]]] = {
+    val gIdx = groupby.map(schema.fieldIndex)
+    var prev: Option[org.apache.spark.sql.Row] = None
+    rows.map { r =>
+      val cells = Array.tabulate[Option[Any]](schema.length)(i => Option(r.get(i)))
+      prev.foreach { p =>
+        var i = 0
+        var stillEqual = true
+        while (i < gIdx.length && stillEqual) {
+          val gi = gIdx(i)
+          if (p.get(gi) == r.get(gi)) cells(gi) = None else stillEqual = false
+          i += 1
+        }
+      }
+      prev = Some(r)
+      cells
+    }
+  }
+
+  def markdown(df: DataFrame, n: Int, groupby: Seq[String] = Nil): String = {
     val schema = df.schema
-    val rows = df.limit(n).collect()
+    val cells = suppress(schema, df.limit(n).collect(), groupby)
     val header = schema.fields.map(_.name).mkString("| ", " | ", " |")
     val aligns = schema.fields.map(f =>
       if (isNumeric(f.dataType)) "---:" else if (f.dataType == BooleanType) ":---:" else "---")
       .mkString("| ", " | ", " |")
-    val body = rows.map(r => schema.fields.indices.map(i =>
-      Option(r.get(i)).map(_.toString).getOrElse("")).mkString("| ", " | ", " |"))
+    val body = cells.map(r => schema.fields.indices.map(i =>
+      r(i).map(_.toString).getOrElse("")).mkString("| ", " | ", " |"))
     (Seq(header, aligns) ++ body).mkString("\n")
   }
 
-  def html(df: DataFrame, n: Int): String = {
+  def html(df: DataFrame, n: Int, groupby: Seq[String] = Nil): String = {
     val schema = df.schema
-    val rows = df.limit(n).collect()
+    val cells = suppress(schema, df.limit(n).collect(), groupby)
     def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val head = schema.fields.map(f => s"<th>${esc(f.name)}</th>").mkString
-    val body = rows.map { r =>
+    val body = cells.map { r =>
       schema.fields.indices.map { i =>
-        val v = Option(r.get(i)).map(x => esc(x.toString)).getOrElse("")
+        val v = r(i).map(x => esc(x.toString)).getOrElse("")
         val align = if (isNumeric(schema.fields(i).dataType)) " style=\"text-align:right\"" else ""
         s"<td$align>$v</td>"
       }.mkString("<tr>", "", "</tr>")

@@ -116,4 +116,28 @@ class GTableSpec extends SparkSpec {
     val html = tiny.asHtml()
     assert(html.contains("a&lt;b") && html.contains("text-align:right"))
   }
+
+  test("renderers: group-suppressed columns (littletable.py:1085-1089)") {
+    val tg = GTable(Seq(("x", 1, 10), ("x", 1, 11), ("x", 2, 12), ("y", 2, 13))
+      .toDF("g1", "g2", "v"), "tg").orderby("g1, g2, v")
+    val md = tg.asMarkdown(groupby = Seq("g1", "g2"))
+    assert(md ==
+      """#| g1 | g2 | v |
+        #| --- | ---: | ---: |
+        #| x | 1 | 10 |
+        #|  |  | 11 |
+        #|  | 2 | 12 |
+        #| y | 2 | 13 |""".stripMargin('#'))
+  }
+
+  test("statsTable: reference shapes (by_field=True and transposed)") {
+    val byField = t.statsTable(Seq("a", "b")).df.collect()
+    assert(byField.length == 2)
+    val aRow = byField.find(_.getString(0) == "a").get
+    assert(aRow.getDouble(1) == 1.5 && aRow.getLong(7) == 64L && aRow.getLong(8) == 0L)
+    val transposed = t.statsTable(Seq("a", "b"), byField = false).df.collect()
+    assert(transposed.length == 8)
+    val meanRow = transposed.find(_.getString(0) == "mean").get
+    assert(meanRow.getDouble(1) == 1.5 && meanRow.getDouble(2) == 1.5)
+  }
 }
