@@ -201,6 +201,21 @@ object Sources {
     } finally in.close()
   }
 
+  /** Driver shim: decompress a .xz/.lzma file (reference xz support,
+    * littletable.py:867-871) via the org.tukaani.xz codec that ships with
+    * Spark. Same temp-file contract as the zip/tar shims. */
+  def unxzToTemp(xzPath: String): String = {
+    val base = new java.io.File(xzPath).getName.replaceAll("\\.(xz|lzma)$", "")
+    val tmp = java.io.File.createTempFile("graft_xz_", s"_$base")
+    tmp.deleteOnExit()
+    val in = new org.tukaani.xz.XZInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(xzPath)))
+    try java.nio.file.Files.copy(in, tmp.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.getAbsolutePath
+  }
+
   /** Driver shim: unzip a .zip entry to a temp file so spark.read can scan
     * it (reference zip support, littletable.py:872-903). For cluster use
     * the archive should live on shared storage; the shim is for the
