@@ -67,6 +67,43 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Batched resize — same per-partition batch shape as
+    * [[extractFeatures]]. The pixel resample is STUBBED (deterministic
+    * byte re-sampling to `targetBytes`); a real implementation swaps the
+    * body of `resampleBytes` for an image scaler and keeps the schema:
+    * payload is REPLACED and `media_meta` is rewritten to match, so
+    * downstream consumers cannot read stale metadata. */
+  def resize(df: DataFrame, idCol: String, targetBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("media_meta", StructType(Seq(
+        StructField("n_bytes", LongType, nullable = false),
+        StructField("checksum", StringType, nullable = false),
+        StructField("mime", StringType, nullable = false))), nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    def resampleBytes(in: Array[Byte], n: Int): Array[Byte] = {
+      if (in.isEmpty) return new Array[Byte](0)
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = in((i.toLong * in.length / n).toInt); i += 1 }
+      out
+    }
+    val rdd = df.rdd.mapPartitions { rows =>
+      val md5 = java.security.MessageDigest.getInstance("MD5") // once per partition
+      rows.map { r =>
+        val resized = resampleBytes(r.getAs[Array[Byte]](payloadIdx), targetBytes)
+        md5.reset()
+        val checksum = md5.digest(resized).map("%02x".format(_)).mkString
+        Row(r.get(idIdx), resized,
+          Row(resized.length.toLong, checksum, "application/octet-stream"))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling stub: explode `nFrames` pseudo-frames per media row
     * (a video decoder would emit real frame payloads; the shape —
     * one row per (media, frame_idx) — is what downstream training
