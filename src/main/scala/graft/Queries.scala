@@ -301,6 +301,21 @@ object Queries {
         "n_orders" -> count(lit(1)),
         "revenue" -> round(sum(col("o_totalprice")), 2)).df
 
+  /** Custom Aggregator[IN,BUF,OUT] summaries (the reference's arbitrary
+    * per-group callables, littletable.py:3546-3580) — typed UDAFs with
+    * map-side partial aggregation; both SQL-expressible, so fully
+    * oracle-checked. */
+  val q_udaf_summaries: Q = (s, dir) => {
+    import graft.functions.Aggregators.{geometric_mean, weighted_mean}
+    t(s, dir, "lineitem").df
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(weighted_mean(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+        round(geometric_mean(col("l_quantity")), 4).as("gmean_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Skew-salted fact-fact join (GTable.joinSalted): hot keys spread over
     * 8 salted reducers; same answer as the plain equi-join, so the oracle
     * is ordinary SQL. */
@@ -792,6 +807,7 @@ object Queries {
     "q_unique_first" -> q_unique_first,
     "q_join_inner" -> q_join_inner,
     "q_join_salted" -> q_join_salted,
+    "q_udaf_summaries" -> q_udaf_summaries,
     "q_join3_revenue" -> q_join3_revenue,
     "q_join_multikey" -> q_join_multikey,
     "q_join_left" -> q_join_left,
@@ -992,6 +1008,13 @@ object Queries {
         | round(sum(o_totalprice),2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey, c_name""".stripMargin,
+
+    "q_udaf_summaries" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice*l_quantity)/sum(l_quantity),4) AS wavg_price,
+        | round(exp(avg(ln(l_quantity))),4) AS gmean_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_salted" ->
       """SELECT o_orderpriority, count(*) AS n_items,

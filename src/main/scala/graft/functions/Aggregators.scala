@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregators — the Spark shape for the reference's
+  * arbitrary per-group summary callables (`groupby_with_summaries`
+  * taking `list[rows] → scalar` fns, littletable.py:3546-3580). Built-in
+  * `functions._` aggregates cover the reference's own examples; these
+  * Aggregators are the extension point for summaries the built-ins can't
+  * express, with map-side partial aggregation preserved (unlike a
+  * collect_list + UDF, which ships every row to one reducer).
+  */
+object Aggregators {
+
+  /** Weighted mean: Σ(v·w)/Σ(w). Null-safe (null v or w skips the row). */
+  class WeightedMean extends Aggregator[(java.lang.Double, java.lang.Double), (Double, Double), java.lang.Double] {
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), a: (java.lang.Double, java.lang.Double)): (Double, Double) =
+      if (a._1 == null || a._2 == null) b else (b._1 + a._1 * a._2, b._2 + a._2)
+    override def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    override def finish(r: (Double, Double)): java.lang.Double =
+      if (r._2 == 0.0) null else r._1 / r._2
+    override def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** Geometric mean over positive values: exp(mean(ln v)). Non-positive /
+    * null values are skipped (the reference's summary fns see raw rows
+    * and apply their own filtering; this mirrors that tolerance). */
+  class GeometricMean extends Aggregator[java.lang.Double, (Double, Long), java.lang.Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), a: java.lang.Double): (Double, Long) =
+      if (a == null || a <= 0.0) b else (b._1 + math.log(a), b._2 + 1)
+    override def merge(b1: (Double, Long), b2: (Double, Long)): (Double, Long) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    override def finish(r: (Double, Long)): java.lang.Double =
+      if (r._2 == 0L) null else math.exp(r._1 / r._2)
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** Column form: weighted_mean(v, w). */
+  def weighted_mean(v: Column, w: Column): Column =
+    udaf(new WeightedMean, Encoders.tuple(Encoders.DOUBLE, Encoders.DOUBLE))
+      .apply(v, w)
+
+  /** Column form: geometric_mean(v). */
+  def geometric_mean(v: Column): Column =
+    udaf(new GeometricMean, Encoders.DOUBLE).apply(v)
+}
