@@ -73,6 +73,12 @@ object Queries {
     t(s, dir, "orders")
       .pivotCounts("o_orderpriority", "o_orderstatus", Seq("F", "O", "P")).df
 
+  /** Cross-tab with row/column totals (pivot().dump_counts margins,
+    * littletable.py:4395-4454) — one cube pass. */
+  val q_pivot_totals: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .pivotCountsWithTotals("o_orderpriority", "o_orderstatus", Seq("F", "O", "P")).df
+
   /** Pivot with a value aggregate per cell (pivot().as_table(sum, col)). */
   val q_pivot_sum: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -785,6 +791,7 @@ object Queries {
     "q1_agg" -> q1_agg,
     "q_groupby_summaries" -> q_groupby_summaries,
     "q_pivot_counts" -> q_pivot_counts,
+    "q_pivot_totals" -> q_pivot_totals,
     "q_pivot_sum" -> q_pivot_sum,
     "q_stats" -> q_stats,
     "q_rollup" -> q_rollup,
@@ -875,6 +882,20 @@ object Queries {
         | count(*) FILTER (WHERE o_orderstatus='O') AS "O",
         | count(*) FILTER (WHERE o_orderstatus='P') AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot_totals" ->
+      """SELECT
+        | CASE WHEN GROUPING(o_orderpriority)=1 THEN 'ALL' ELSE o_orderpriority END
+        |   AS o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus='F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus='O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus='P') AS "P",
+        | count(*) FILTER (WHERE o_orderstatus='F')
+        |   + count(*) FILTER (WHERE o_orderstatus='O')
+        |   + count(*) FILTER (WHERE o_orderstatus='P') AS row_total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), ())
+        |ORDER BY (CASE WHEN GROUPING(o_orderpriority)=1 THEN 1 ELSE 0 END),
+        | o_orderpriority""".stripMargin,
 
     "q_pivot_sum" ->
       """SELECT o_orderpriority,

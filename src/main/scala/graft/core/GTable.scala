@@ -282,6 +282,23 @@ final case class GTable(
     copy(df = df.groupBy(col(rowKey)).pivot(colKey, colValues).agg(agg)
       .orderBy(col(rowKey)), sortKeys = Seq(SortKey(col(rowKey))))
 
+  /** Cross-tab with row and column totals (reference
+    * `pivot().dump_counts` margins, littletable.py:4395-4454): one
+    * `cube(rowKey)` pass — the ALL row arrives from the same shuffle as
+    * the groups, no second aggregation over the data. */
+  def pivotCountsWithTotals(rowKey: String, colKey: String,
+      colValues: Seq[Any], totalLabel: String = "ALL"): GTable = {
+    // cube().pivot() is unsupported; conditional counts are the same
+    // one-pass plan (partial aggregation per (rowKey, grouping) pair).
+    val cells = colValues.map(v =>
+      count(when(col(colKey) === lit(v), 1)).as(v.toString))
+    val cubed = df.cube(col(rowKey)).agg(cells.head, cells.tail: _*)
+      .withColumn(rowKey, coalesce(col(rowKey).cast("string"), lit(totalLabel)))
+      .withColumn("row_total", colValues.map(v => col(s"`${v.toString}`")).reduce(_ + _))
+    copy(df = cubed.orderBy(when(col(rowKey) === totalLabel, 1).otherwise(0), col(rowKey)),
+      sortKeys = Nil)
+  }
+
   /** Per-numeric-field statistics (reference `stats`,
     * littletable.py:3832-3915): mean, median (exact), min, max, variance,
     * stdev, count, missing. One wide aggregate — single pass. */
