@@ -307,6 +307,21 @@ object Queries {
         "n_orders" -> count(lit(1)),
         "revenue" -> round(sum(col("o_totalprice")), 2)).df
 
+  /** Backward as-of join: each purchase event matched to the same user's
+    * most recent view at or before it (union-window plan, one shuffle on
+    * the key). DuckDB's native ASOF LEFT JOIN is the oracle. */
+  val q_join_asof: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val purchases = GTable(ev.df.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value"), "purchases")
+    val views = GTable(ev.df.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value"), "views")
+    purchases.joinAsOf(views, "user_id", "user_id", "ts", "ts").df
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"), col("value").as("p_value"),
+        unix_micros(col("asof_ts")).as("v_us"), col("asof_value").as("v_value"))
+      .orderBy(col("user_id"), col("p_us"), col("p_value"))
+  }
+
   /** Custom Aggregator[IN,BUF,OUT] summaries (the reference's arbitrary
     * per-group callables, littletable.py:3546-3580) — typed UDAFs with
     * map-side partial aggregation; both SQL-expressible, so fully
@@ -815,6 +830,7 @@ object Queries {
     "q_join_inner" -> q_join_inner,
     "q_join_salted" -> q_join_salted,
     "q_udaf_summaries" -> q_udaf_summaries,
+    "q_join_asof" -> q_join_asof,
     "q_join3_revenue" -> q_join3_revenue,
     "q_join_multikey" -> q_join_multikey,
     "q_join_left" -> q_join_left,
@@ -1029,6 +1045,14 @@ object Queries {
         | round(sum(o_totalprice),2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey, c_name""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.user_id, epoch_us(p.ts) AS p_us, p.value AS p_value,
+        | epoch_us(v.ts) AS v_us, v.value AS v_value
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p_us, p_value""".stripMargin,
 
     "q_udaf_summaries" ->
       """SELECT l_returnflag,

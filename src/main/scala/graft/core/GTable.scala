@@ -215,6 +215,42 @@ final case class GTable(
       s"$name+${other.name}")
   }
 
+  /** Backward as-of join (beyond the reference — SURVEY.md §2.3 lists
+    * temporal joins as absent there): for each left row, the single right
+    * row with the greatest `rightTime` <= `leftTime` within the same key;
+    * unmatched left rows keep nulls (LEFT semantics). Right columns are
+    * prefixed with `rightPrefix`.
+    *
+    * Implementation is the union-window pattern: tag and interleave both
+    * sides, sort by (time, tag) within each key partition, and carry the
+    * last non-null right struct forward. One shuffle on the key, no
+    * range-explosion join — at scale this is the plan you want for
+    * "latest quote at or before each trade". Ties on time match the
+    * right row (inclusive), like DuckDB/pandas ASOF. */
+  def joinAsOf(other: GTable, leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String, rightPrefix: String = "asof_"): GTable = {
+    val lSchema = df.schema
+    val rSchema = other.df.schema
+    val l = df.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__tag"),
+      struct(lSchema.fieldNames.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(rSchema).as("__r"))
+    val r = other.df.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__tag"),
+      lit(null).cast(lSchema).as("__l"),
+      struct(rSchema.fieldNames.map(col).toIndexedSeq: _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val out = matched.select(
+      lSchema.fieldNames.map(f => col(s"__l.$f").as(f)).toIndexedSeq ++
+        rSchema.fieldNames.map(f => col(s"__m.$f").as(s"$rightPrefix$f")).toIndexedSeq: _*)
+    GTable(out, s"$name asof ${other.name}")
+  }
+
   /** Skew-safe equi-join: the big (this) side gets a deterministic per-row
     * salt, the small side is replicated `salt` ways, and the join key
     * becomes (keys, salt) — a hot key's rows spread over `salt` reducers

@@ -73,4 +73,23 @@ class JoinSpec extends SparkSpec {
     val t2 = GTable(Seq((1, 100)).toDF("a", "d"), "t2")
     assert((t1.joinOn("a") + t2.joinOn("a")).apply().size == 1)
   }
+
+  test("as-of join: latest right <= left time, inclusive ties, null if none") {
+    val trades = GTable(Seq(
+      (1, 10L, "t10"), (1, 25L, "t25"), (1, 5L, "t5"), (2, 50L, "t50"))
+      .toDF("k", "t", "trade"), "trades")
+    val quotes = GTable(Seq(
+      (1, 10L, 1.0), (1, 20L, 2.0), (1, 30L, 3.0), (2, 60L, 9.9))
+      .toDF("k", "qt", "px"), "quotes")
+    val out = trades.joinAsOf(quotes, "k", "k", "t", "qt").df
+      .select("k", "t", "trade", "asof_qt", "asof_px")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1, 5L, "t5", None, None),                  // before any quote
+      (1, 10L, "t10", Some(10L), Some(1.0)),      // tie matches (inclusive)
+      (1, 25L, "t25", Some(20L), Some(2.0)),      // latest prior quote
+      (2, 50L, "t50", None, None)))               // key-isolated, quote is later
+  }
 }
