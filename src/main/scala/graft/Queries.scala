@@ -322,6 +322,23 @@ object Queries {
       .orderBy(col("user_id"), col("p_us"), col("p_value"))
   }
 
+  /** Banded range join: purchase↔view pairs of the same user within ±5
+    * minutes (equi-join on (key, time-band) + exact filter — no
+    * nested-loop degeneration). */
+  val q_join_range: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val fiveMinUs = 5L * 60 * 1000 * 1000
+    val purchases = GTable(ev.df.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value"), "purchases")
+    val views = GTable(ev.df.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value"), "views")
+    purchases.joinRange(views, "user_id", "user_id", "ts", "ts",
+        fiveMinUs, fiveMinUs, rightPrefix = "v_").df
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        unix_micros(col("v_ts")).as("v_us"), col("v_value"))
+      .orderBy(col("user_id"), col("p_us"), col("v_us"), col("v_value"))
+  }
+
   /** Custom Aggregator[IN,BUF,OUT] summaries (the reference's arbitrary
     * per-group callables, littletable.py:3546-3580) — typed UDAFs with
     * map-side partial aggregation; both SQL-expressible, so fully
@@ -831,6 +848,7 @@ object Queries {
     "q_join_salted" -> q_join_salted,
     "q_udaf_summaries" -> q_udaf_summaries,
     "q_join_asof" -> q_join_asof,
+    "q_join_range" -> q_join_range,
     "q_join3_revenue" -> q_join3_revenue,
     "q_join_multikey" -> q_join_multikey,
     "q_join_left" -> q_join_left,
@@ -1053,6 +1071,15 @@ object Queries {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p_us, p_value""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT p.user_id, epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us,
+        | v.value AS v_value
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type='view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+        |ORDER BY p.user_id, p_us, v_us, v_value""".stripMargin,
 
     "q_udaf_summaries" ->
       """SELECT l_returnflag,

@@ -251,6 +251,43 @@ final case class GTable(
     GTable(out, s"$name asof ${other.name}")
   }
 
+  /** Banded range join (beyond the reference): all (left, right) pairs
+    * with equal keys and `rightTime` within
+    * [`leftTime` − lookback, `leftTime` + lookahead].
+    *
+    * Scale shape: both sides are bucketed into time bands of width
+    * lookback+lookahead; the left side explodes into the (≤2) candidate
+    * bands its window can touch, the join is EQUI on (key, band), and the
+    * exact range predicate filters after. This keeps the pair generation
+    * shuffle-friendly — the naive formulation (non-equi condition only)
+    * degenerates to a broadcast-nested-loop/cartesian at scale. Times are
+    * compared at microsecond precision. */
+  def joinRange(other: GTable, leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lookbackMicros: Long, lookaheadMicros: Long,
+      rightPrefix: String = "r_"): GTable = {
+    require(lookbackMicros >= 0 && lookaheadMicros >= 0 &&
+      lookbackMicros + lookaheadMicros > 0, "window must be non-empty")
+    val band = lookbackMicros + lookaheadMicros
+    val lUs = unix_micros(col(leftTime))
+    val rUs = unix_micros(col(rightTime))
+    val l = df.withColumn("__band", explode(sequence(
+      floor((lUs - lookbackMicros) / band).cast("long"),
+      floor((lUs + lookaheadMicros) / band).cast("long")))).alias("l")
+    val r = other.df
+      .withColumn("__band", floor(rUs / band).cast("long")).alias("r")
+    val joined = l.join(r,
+      col(s"l.$leftKey") === col(s"r.$rightKey") &&
+        col("l.__band") === col("r.__band") &&
+        unix_micros(col(s"r.$rightTime"))
+          .between(unix_micros(col(s"l.$leftTime")) - lookbackMicros,
+            unix_micros(col(s"l.$leftTime")) + lookaheadMicros))
+    val out = joined.select(
+      df.columns.map(f => col(s"l.$f").as(f)).toIndexedSeq ++
+        other.df.columns.map(f => col(s"r.$f").as(s"$rightPrefix$f")).toIndexedSeq: _*)
+    GTable(out, s"$name range ${other.name}")
+  }
+
   /** Skew-safe equi-join: the big (this) side gets a deterministic per-row
     * salt, the small side is replicated `salt` ways, and the join key
     * becomes (keys, salt) — a hot key's rows spread over `salt` reducers

@@ -92,4 +92,23 @@ class JoinSpec extends SparkSpec {
       (1, 25L, "t25", Some(20L), Some(2.0)),      // latest prior quote
       (2, 50L, "t50", None, None)))               // key-isolated, quote is later
   }
+
+  test("range join: inclusive bounds, band boundaries, no duplicate pairs") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms micros
+    val l = GTable(Seq((1, ts(10000000L), "L10")).toDF("k", "t", "tag"), "l")
+    val r = GTable(Seq(
+      (1, ts(7000000L), "r7"),    // == t - lookback (inclusive)
+      (1, ts(13000000L), "r13"),  // == t + lookahead (inclusive)
+      (1, ts(6999000L), "r6.999"), // just outside
+      (1, ts(13001000L), "r13.001"), // just outside
+      (2, ts(10000000L), "rk2"))  // other key
+      .toDF("k", "t", "tag"), "r")
+    val out = l.joinRange(r, "k", "k", "t", "t", 3000000L, 3000000L).df
+      .select("r_tag").collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("r13", "r7"))
+    // no duplicates even when windows span multiple bands
+    val wide = l.joinRange(r, "k", "k", "t", "t", 10000000L, 10000000L).df
+      .select("r_tag").collect().map(_.getString(0)).sorted.toSeq
+    assert(wide == Seq("r13", "r13.001", "r6.999", "r7"))
+  }
 }
