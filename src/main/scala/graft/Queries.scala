@@ -19,6 +19,10 @@ import graft.core.{Cmp, GTable, SortKey}
   *     default) since DuckDB defaults to NULLS LAST;
   *   - no sum() over INTEGER in DuckDB without CAST (avoids HUGEINT).
   */
+/** Typed row for the `Dataset[T]` query path (reference `Table[T]` with a
+  * row_class, littletable.py:1480-1493 → case-class Encoder). */
+case class LineitemSlim(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
 object Queries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -306,6 +310,25 @@ object Queries {
       .groupbyWithSummaries(Seq("c_custkey", "c_name"),
         "n_orders" -> count(lit(1)),
         "revenue" -> round(sum(col("o_totalprice")), 2)).df
+
+  /** Typed Dataset[T] path (reference typed Table[T] with row_class →
+    * `as[T]` with a case-class Encoder): typed filter + typed groupByKey/
+    * mapGroups, result re-joined to SQL semantics for the oracle. */
+  val q_typed_dataset: Q = (s, dir) => {
+    import s.implicits._
+    val ds = t(s, dir, "lineitem").df
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .as[LineitemSlim]
+    ds.filter((r: LineitemSlim) => r.l_quantity > 30.0)
+      .groupByKey(_.l_returnflag)
+      .mapGroups { (flag, rows) =>
+        var n = 0L; var q = 0.0
+        rows.foreach { r => n += 1; q += r.l_quantity }
+        (flag, n, math.round(q * 100) / 100.0)
+      }
+      .toDF("l_returnflag", "n", "sum_qty")
+      .orderBy(col("l_returnflag"))
+  }
 
   /** Backward as-of join: each purchase event matched to the same user's
     * most recent view at or before it (union-window plan, one shuffle on
@@ -849,6 +872,7 @@ object Queries {
     "q_udaf_summaries" -> q_udaf_summaries,
     "q_join_asof" -> q_join_asof,
     "q_join_range" -> q_join_range,
+    "q_typed_dataset" -> q_typed_dataset,
     "q_join3_revenue" -> q_join3_revenue,
     "q_join_multikey" -> q_join_multikey,
     "q_join_left" -> q_join_left,
@@ -1071,6 +1095,12 @@ object Queries {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p_us, p_value""".stripMargin,
+
+    "q_typed_dataset" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(CAST(sum(l_quantity) AS DOUBLE),2) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_range" ->
       """SELECT p.user_id, epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us,
