@@ -382,7 +382,7 @@ object Queries {
     * is ordinary SQL. */
   val q_join_salted: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .joinSalted(t(s, dir, "orders"), 8, "l_orderkey" -> "o_orderkey").df
+      .joinSalted(t(s, dir, "orders"), 4, "l_orderkey" -> "o_orderkey").df
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
