@@ -137,6 +137,35 @@ final case class GTable(
     copy(df = withOrd.filter(col("__ord") > start && col("__ord") <= end).drop("__ord"))
   }
 
+  /** Full Python slice semantics (reference `tbl[start:stop:step]`,
+    * littletable.py:1393-1400): negative indices, arbitrary step,
+    * negative step reverses the order. Selection is an ordinal
+    * predicate + modulus (scale-safe); a table count is taken only when
+    * negative indices / negative step require it. */
+  def slicePy(start: Option[Long] = None, stop: Option[Long] = None,
+      step: Long = 1): GTable = {
+    require(step != 0, "slice step cannot be zero")
+    require(sortKeys.nonEmpty, "slice requires orderby first")
+    val withOrd = Ordinals.withOrdinal(df, sortKeys.map(_.order), "__ord")
+    val needN = step < 0 || start.exists(_ < 0) || stop.exists(_ < 0)
+    val n: Long = if (needN) withOrd.count() else 0L
+    def norm(i: Long): Long = if (i < 0) i + n else i
+    val ord0 = col("__ord") - 1
+    val (pred, outKeys) =
+      if (step > 0) {
+        val s = math.max(0L, start.map(norm).getOrElse(0L))
+        val base = ord0 >= s && ((ord0 - s) % step === 0)
+        val p = stop.map(norm).map(e => base && ord0 < e).getOrElse(base)
+        (p, sortKeys)
+      } else {
+        val s = math.min(start.map(norm).getOrElse(n - 1), n - 1)
+        val e = stop.map(norm).getOrElse(-1L)
+        val p = ord0 <= s && ord0 > e && ((lit(s) - ord0) % (-step) === 0)
+        (p, sortKeys.map(k => k.copy(asc = !k.asc)))
+      }
+    copy(df = withOrd.filter(pred).drop("__ord"), sortKeys = outKeys)
+  }
+
   /** Paginate into fixed-size batches (reference `batched`,
     * littletable.py:3616-3628): adds a `batch` column; callers group or
     * iterate per batch id. */

@@ -117,6 +117,21 @@ class GTableSpec extends SparkSpec {
     assert(html.contains("a&lt;b") && html.contains("text-align:right"))
   }
 
+  test("slicePy: Python slice semantics incl. negatives and step") {
+    val seq10 = GTable((0 until 10).map(i => Tuple1(i)).toDF("i"), "s10")
+      .orderby(SortKey.asc("i"))
+    def got(start: Option[Long], stop: Option[Long], step: Long): Seq[Int] = {
+      val s = seq10.slicePy(start, stop, step)
+      s.df.orderBy(s.sortKeys.map(_.order): _*).collect().map(_.getInt(0)).toSeq
+    }
+    assert(got(Some(2), Some(5), 1) == Seq(2, 3, 4))          // [2:5]
+    assert(got(Some(-3), None, 1) == Seq(7, 8, 9))            // [-3:]
+    assert(got(None, None, 2) == Seq(0, 2, 4, 6, 8))          // [::2]
+    assert(got(None, None, -1) == (9 to 0 by -1))             // [::-1]
+    assert(got(Some(5), Some(1), -2) == Seq(5, 3))            // [5:1:-2]
+    assert(got(Some(20), None, 1) == Seq())                   // clamped empty
+  }
+
   test("renderers: group-suppressed columns (littletable.py:1085-1089)") {
     val tg = GTable(Seq(("x", 1, 10), ("x", 1, 11), ("x", 2, 12), ("y", 2, 13))
       .toDF("g1", "g2", "v"), "tg").orderby("g1, g2, v")
