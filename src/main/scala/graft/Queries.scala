@@ -690,6 +690,19 @@ object Queries {
       .orderby(SortKey.asc("n_nationkey")).df
   }
 
+  /** Excel export → import round-trip (reference excel_import/excel_export,
+    * littletable.py:3019-3115/3415-3459; self-contained OOXML, no deps).
+    * xlsx numbers are doubles, so the oracle casts to match. */
+  val q_excel_roundtrip: Q = (s, dir) => {
+    val out = s"${ioDir(dir)}/nation.xlsx"
+    new java.io.File(ioDir(dir)).mkdirs()
+    graft.sources.Excel.excelExport(
+      GTable(t(s, dir, "nation").df.select(
+        col("n_nationkey").cast("double").as("n_nationkey"), col("n_name")), "nation"), out)
+    graft.sources.Excel.excelImport(s, out)
+      .orderby(SortKey.asc("n_nationkey")).df
+  }
+
   /** Headerless TSV with explicit fieldnames (littletable.py:2976-3017). */
   val q_tsv_roundtrip: Q = (s, dir) => {
     val out = s"${ioDir(dir)}/cust_tsv"
@@ -898,6 +911,7 @@ object Queries {
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_ivf" -> q_sim_ivf,
     "q_csv_roundtrip" -> q_csv_roundtrip,
+    "q_excel_roundtrip" -> q_excel_roundtrip,
     "q_tsv_roundtrip" -> q_tsv_roundtrip,
     "q_json_roundtrip" -> q_json_roundtrip,
     "q_fixedwidth" -> q_fixedwidth,
@@ -1348,6 +1362,10 @@ object Queries {
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin,
+
+    "q_excel_roundtrip" ->
+      """SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey, n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_tsv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

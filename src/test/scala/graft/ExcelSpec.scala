@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.GTable
+import graft.sources.Excel
+
+/** Minimal OOXML round-trip (reference excel_import/excel_export,
+  * littletable.py:3019-3115 / 3415-3459). */
+class ExcelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("export → import round-trip preserves values and types") {
+    val src = GTable(Seq(
+      (1L, "alpha", 1.5, true),
+      (2L, "beta & <gamma>", -2.25, false),
+      (3L, "", 0.0, true)).toDF("id", "name", "score", "flag"), "src")
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx").toString + "/t.xlsx"
+    Excel.excelExport(src, path)
+    val back = Excel.excelImport(spark, path)
+    assert(back.columns == Seq("id", "name", "score", "flag"))
+    val rows = back.df.orderBy("id").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0)) // xlsx numbers are doubles
+    assert(rows.map(_.getString(1)).toSeq == Seq("alpha", "beta & <gamma>", ""))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, -2.25, 0.0))
+    assert(rows.map(_.getBoolean(3)).toSeq == Seq(true, false, true))
+  }
+
+  test("import with explicit fieldnames (headerless sheet)") {
+    val src = GTable(Seq((10.0, "x"), (20.0, "y")).toDF("a", "b"), "src")
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx2").toString + "/t.xlsx"
+    Excel.excelExport(src, path)
+    // treat the header row as data by supplying fieldnames
+    val back = Excel.excelImport(spark, path, fieldnames = Seq("c1", "c2"))
+    assert(back.size == 3) // header row + 2 data rows
+    assert(back.columns == Seq("c1", "c2"))
+  }
+
+  test("reads a real openpyxl-written workbook (reference fixture test/abc.xlsx)") {
+    // Same data as the reference's abc.csv (FIXTURES.md): header a,b,c
+    // then 0/1/2 grid rows. Proves interop with office-tool output
+    // (styles, theme, sharedStrings parts present).
+    val t = Excel.excelImport(spark, "/root/reference/test/abc.xlsx")
+    assert(t.columns == Seq("a", "b", "c"))
+    assert(t.size == 27) // 3^3 grid
+    val sums = t.df.agg(sum("a"), sum("b"), sum("c")).head()
+    assert((0 until 3).map(sums.getDouble) == Seq(27.0, 27.0, 27.0))
+  }
+
+  test("round-trip through real table data matches the source") {
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select(col("n_nationkey").cast("double").as("n_nationkey"), col("n_name"))
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx3").toString + "/n.xlsx"
+    Excel.excelExport(GTable(nation, "nation"), path)
+    val back = Excel.excelImport(spark, path).df
+    assert(back.count() == nation.count())
+    val want = nation.collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    val got = back.collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(got == want)
+  }
+}
