@@ -454,6 +454,21 @@ final case class GTable(
     }
   }
 
+  /** Stratified sample (beyond the reference — training-data pipelines
+    * rebalance classes/languages/sources this way): per-stratum keep
+    * fractions, seeded and deterministic, one scan, no shuffle
+    * (Bernoulli per row). Absent keys are dropped. */
+  def sampleStratified(stratumCol: String, fractions: Map[Any, Double],
+      seed: Long = 42L): GTable =
+    copy(df = df.stat.sampleBy(col(stratumCol), fractions, seed))
+
+  /** Approximate quantiles per numeric field (Greenwald-Khanna sketch —
+    * single pass, mergeable, the profiling companion to [[stats]]). */
+  def approxQuantiles(fields: Seq[String], probs: Seq[Double],
+      relErr: Double = 0.01): Map[String, Seq[Double]] =
+    fields.zip(df.stat.approxQuantile(fields.toArray, probs.toArray, relErr)
+      .map(_.toSeq)).toMap
+
   /** Column-as-values accessor (reference `tbl.all.attr`,
     * littletable.py:605-634). */
   def all(attr: String): DataFrame = df.select(col(attr))

@@ -132,6 +132,26 @@ class GTableSpec extends SparkSpec {
     assert(got(Some(20), None, 1) == Seq())                   // clamped empty
   }
 
+  test("sampleStratified: deterministic, per-stratum fractions honored") {
+    val docs = GTable(spark.read.parquet("/root/testdata/sf0.01/documents.parquet"), "docs")
+    val fr: Map[Any, Double] = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = docs.sampleStratified("lang", fr).df.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = docs.sampleStratified("lang", fr).df.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2, "seeded sampling must be deterministic")
+    assert(s1.keySet == Set("en", "de"), "absent strata dropped")
+    val totals = docs.df.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(s1("en").toDouble / totals("en") - 0.5) < 0.1)
+    assert(math.abs(s1("de").toDouble / totals("de") - 0.1) < 0.05)
+  }
+
+  test("approxQuantiles: single-pass sketch close to exact") {
+    val q = t.approxQuantiles(Seq("a"), Seq(0.5), relErr = 0.001)
+    assert(q("a").head == 1.0 || q("a").head == 2.0) // median of 0,1,2,3 grid
+  }
+
   test("renderers: group-suppressed columns (littletable.py:1085-1089)") {
     val tg = GTable(Seq(("x", 1, 10), ("x", 1, 11), ("x", 2, 12), ("y", 2, 13))
       .toDF("g1", "g2", "v"), "tg").orderby("g1, g2, v")
