@@ -628,6 +628,13 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end near-dup removal (greedy keep-lowest-id over exact
+    * n-gram-Jaccard pairs) — the corpus after dedup, not just the pairs. */
+  val q_dedup_remove: Q = (s, dir) =>
+    Dedup.removeNearDuplicates(t(s, dir, "documents").df, "doc_id", "text", 3, 0.5)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs above 0.35 (exact all-pairs at test
     * scale; LSH banding is the 100 TB path). */
   val q_dedup_embedding: Q = (s, dir) =>
@@ -904,6 +911,7 @@ object Queries {
     "q_fingerprint" -> q_fingerprint,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_ngram" -> q_dedup_ngram,
+    "q_dedup_remove" -> q_dedup_remove,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_embedding" -> q_dedup_embedding,
@@ -1335,6 +1343,30 @@ object Queries {
         | JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_remove" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), dropped AS (
+        |  SELECT DISTINCT id_b FROM inter
+        |   JOIN sizes sa ON sa.doc_id = id_a
+        |   JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+        |)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -165,6 +165,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** End-to-end near-duplicate REMOVAL: greedy keep-lowest-id — a doc is
+    * dropped when it pairs (at >= minJaccard) with any lower-id doc. The
+    * standard training-corpus policy (each retained doc is the least-id
+    * representative of its neighborhood; no transitive-closure clustering,
+    * which would need iterative connected components). One anti-join over
+    * the candidate pairs. */
+  def removeNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val drop = ngramJaccardPairs(df, idCol, textCol, n, minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ------------------------------------------------------------------
