@@ -1364,8 +1364,8 @@ object Queries {
         |   JOIN sizes sb ON sb.doc_id = id_b
         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
         |)
-        |SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+        |SELECT doc_id, lang, n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped WHERE dropped.id_b = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->

@@ -144,15 +144,18 @@ object Dedup {
     * aggregation or re-joins. The exploded index is cached because both
     * join sides consume it. Two shuffles total: the inverted-index
     * self-join on the shingle hash and the per-pair intersection count. */
-  def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+  /** Exploded per-doc distinct shingle-hash index (id, set size, hash) —
+    * shared by the pair and removal operators; cache at the call site
+    * when both join sides will consume it. */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     import graft.functions.TextHashExpressions.shingle_hash_set
-    val shSet = df
-      .select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
+    df.select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
       .select(col("id"), shingle_hash_set(col("__ws"), n).as("shks"))
       .select(col("id"), size(col("shks")).as("n_sh"), explode(col("shks")).as("shk"))
-      .cache()
+  }
+
+  private def jaccardPairsFromIndex(shSet: DataFrame, minJaccard: Double): DataFrame = {
     val a = shSet.select(col("id").as("id_a"), col("n_sh").as("na"), col("shk"))
     val b = shSet.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shk"))
     a.join(b, "shk")
@@ -165,18 +168,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** End-to-end near-duplicate REMOVAL: greedy keep-lowest-id — a doc is
-    * dropped when it pairs (at >= minJaccard) with any lower-id doc. The
-    * standard training-corpus policy (each retained doc is the least-id
-    * representative of its neighborhood; no transitive-closure clustering,
-    * which would need iterative connected components). One anti-join over
-    * the candidate pairs. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame =
+    jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n).cache(), minJaccard)
+
+  /** End-to-end near-duplicate REMOVAL with the **anchor policy**: a doc
+    * is dropped iff it pairs (at >= minJaccard) with ANY lower-id doc —
+    * kept docs are exactly those with no lower-id near-duplicate, so a
+    * duplicate chain 1~2~3 (with 1≁3) keeps only doc 1. This is NOT the
+    * sequential greedy sweep (which would re-keep 3 after dropping 2):
+    * the anchor policy is order-deterministic and one-pass-parallel,
+    * while sequential greedy is inherently iterative. One anti-join over
+    * the candidate pairs; the drop set is materialized eagerly
+    * (localCheckpoint) so the shingle-index cache can be released before
+    * returning. */
   def removeNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val drop = ngramJaccardPairs(df, idCol, textCol, n, minJaccard)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(drop, Seq(idCol), "left_anti")
+    val idx = shingleIndex(df, idCol, textCol, n).cache()
+    try {
+      val drop = jaccardPairsFromIndex(idx, minJaccard)
+        .select(col("id_b").as(idCol)).distinct()
+        .localCheckpoint(true)
+      df.join(drop, Seq(idCol), "left_anti")
+    } finally idx.unpersist(false)
   }
 
   // ------------------------------------------------------------------

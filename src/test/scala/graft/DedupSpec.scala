@@ -34,6 +34,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((5L, 101L)), "near duplicate pair")
   }
 
+  test("removeNearDuplicates: anchor policy collapses duplicate chains") {
+    // 10~11 and 11~12 are near-dups, 10≁12 (chain). Anchor policy keeps
+    // only 10: both 11 and 12 have a lower-id near-duplicate. (A
+    // sequential greedy sweep would re-keep 12 — documented deviation.)
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val b = (3 to 14).map(i => s"w$i").mkString(" ")   // J(a,b)=8/12 ≈ 0.67
+    val c = (5 to 16).map(i => s"w$i").mkString(" ")   // J(b,c)≈0.67, J(a,c)=6/14≈0.43<0.55
+    val chain = Seq((10L, a), (11L, b), (12L, c), (20L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(chain, "doc_id", "text", 3, 0.55)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L), (11L, 12L)), s"chain premise: $pairs")
+    val kept = Dedup.removeNearDuplicates(chain, "doc_id", "text", 3, 0.55)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L))
+  }
+
   test("MinHash-LSH recovers every exact-Jaccard pair (recall=1 here)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
