@@ -148,7 +148,7 @@ final case class GTable(
     require(sortKeys.nonEmpty, "slice requires orderby first")
     val withOrd = Ordinals.withOrdinal(df, sortKeys.map(_.order), "__ord")
     val needN = step < 0 || start.exists(_ < 0) || stop.exists(_ < 0)
-    val n: Long = if (needN) withOrd.count() else 0L
+    val n: Long = if (needN) df.count() else 0L // plain scan-count; no sort needed
     def norm(i: Long): Long = if (i < 0) i + n else i
     val ord0 = col("__ord") - 1
     val (pred, outKeys) =
@@ -264,10 +264,16 @@ final case class GTable(
       lit(1).as("__tag"),
       struct(lSchema.fieldNames.map(col).toIndexedSeq: _*).as("__l"),
       lit(null).cast(rSchema).as("__r"))
-    val r = other.df.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__tag"),
-      lit(null).cast(lSchema).as("__l"),
-      struct(rSchema.fieldNames.map(col).toIndexedSeq: _*).as("__r"))
+    // SQL semantics: a NULL key never matches (NULL = NULL is not a
+    // match) and a NULL right time never satisfies leftTime >= rightTime
+    // — drop such right rows instead of letting the NULLS-FIRST sort
+    // carry them forward as spurious "earliest" matches.
+    val r = other.df
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__tag"),
+        lit(null).cast(lSchema).as("__l"),
+        struct(rSchema.fieldNames.map(col).toIndexedSeq: _*).as("__r"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -392,12 +398,16 @@ final case class GTable(
       colValues: Seq[Any], totalLabel: String = "ALL"): GTable = {
     // cube().pivot() is unsupported; conditional counts are the same
     // one-pass plan (partial aggregation per (rowKey, grouping) pair).
+    // grouping() (not null-coalescing) labels the total row, so a real
+    // NULL-valued group is never conflated with the grand total.
     val cells = colValues.map(v =>
       count(when(col(colKey) === lit(v), 1)).as(v.toString))
-    val cubed = df.cube(col(rowKey)).agg(cells.head, cells.tail: _*)
-      .withColumn(rowKey, coalesce(col(rowKey).cast("string"), lit(totalLabel)))
+    val cubed = df.cube(col(rowKey))
+      .agg(grouping(col(rowKey)).as("__is_total"), cells: _*)
+      .withColumn(rowKey,
+        when(col("__is_total") === 1, lit(totalLabel)).otherwise(col(rowKey).cast("string")))
       .withColumn("row_total", colValues.map(v => col(s"`${v.toString}`")).reduce(_ + _))
-    copy(df = cubed.orderBy(when(col(rowKey) === totalLabel, 1).otherwise(0), col(rowKey)),
+    copy(df = cubed.orderBy(col("__is_total"), col(rowKey)).drop("__is_total"),
       sortKeys = Nil)
   }
 

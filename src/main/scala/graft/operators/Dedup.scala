@@ -134,19 +134,12 @@ object Dedup {
   // Exact n-gram Jaccard (verification-grade)
   // ------------------------------------------------------------------
 
-  /** Exact word-n-gram Jaccard over pairs sharing at least one shingle
-    * (inverted-index join — no cartesian product).
-    *
-    * Plan shape: per-doc distinct shingle-hash sets are built map-side
-    * ([[graft.functions.ShingleHashSet]], codegen'd — no dedup shuffle,
-    * no shingle strings), and each exploded index row carries its doc's
-    * set size, so the Jaccard denominator needs no separate sizes
-    * aggregation or re-joins. The exploded index is cached because both
-    * join sides consume it. Two shuffles total: the inverted-index
-    * self-join on the shingle hash and the per-pair intersection count. */
   /** Exploded per-doc distinct shingle-hash index (id, set size, hash) —
-    * shared by the pair and removal operators; cache at the call site
-    * when both join sides will consume it. */
+    * shared by the pair and removal operators. Built map-side
+    * ([[graft.functions.ShingleHashSet]], codegen'd — no dedup shuffle,
+    * no shingle strings), with each exploded row carrying its doc's set
+    * size so the Jaccard denominator needs no separate sizes aggregation
+    * or re-joins. */
   private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     import graft.functions.TextHashExpressions.shingle_hash_set
@@ -168,10 +161,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact word-n-gram Jaccard over pairs sharing at least one shingle
+    * (inverted-index self-join — no cartesian product). Two shuffles:
+    * the self-join on the shingle hash and the per-pair intersection
+    * count. The index is recomputed for each join side rather than
+    * cached: the build is one narrow codegen'd projection, and pinning
+    * the exploded index (larger than the corpus) in executor storage is
+    * the wrong default at scale. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5): DataFrame =
-    jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n).cache(), minJaccard)
+    jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n), minJaccard)
 
   /** End-to-end near-duplicate REMOVAL with the **anchor policy**: a doc
     * is dropped iff it pairs (at >= minJaccard) with ANY lower-id doc —

@@ -57,7 +57,10 @@ object Excel {
           .getElementsByTagName("c")
         (0 until cells.getLength).foreach { ci =>
           val c = cells.item(ci).asInstanceOf[org.w3c.dom.Element]
-          val idx = colIndex(c.getAttribute("r"))
+          val ref = c.getAttribute("r")
+          // cells may legally omit r= (streaming writers): position is
+          // then sequential after the previous cell
+          val idx = if (ref.isEmpty) out.length else colIndex(ref)
           while (out.length <= idx) out += None
           val t = c.getAttribute("t")
           val vNodes = c.getElementsByTagName("v")
@@ -67,12 +70,13 @@ object Excel {
               Some(isNode.item(0).getTextContent)
             else if (vNodes.getLength > 0) Some(vNodes.item(0).getTextContent)
             else None
-          out(idx) = raw.map { v =>
+          out(idx) = raw.flatMap { v =>
             t match {
-              case "s" => shared(v.toInt)
-              case "b" => v == "1"
-              case "str" | "inlineStr" => v
-              case _ => v.toDouble
+              case "s" => Some(shared(v.toInt))
+              case "b" => Some(v == "1")
+              case "str" | "inlineStr" | "d" => Some(v)
+              case "e" => None // formula error cell → null
+              case _ => v.toDoubleOption.orElse(Some(v)) // tolerate odd cells as text
             }
           }
         }
@@ -87,6 +91,8 @@ object Excel {
   def excelImport(spark: SparkSession, path: String, sheet: Int = 1,
       fieldnames: Seq[String] = Nil): GTable = {
     val rows = readRows(path, sheet)
+    require(rows.nonEmpty || fieldnames.nonEmpty,
+      s"sheet $sheet of $path is empty and no fieldnames were given")
     val (header, data) =
       if (fieldnames.nonEmpty) (fieldnames, rows)
       else (rows.head.map(_.map(_.toString).getOrElse("")).toSeq, rows.tail)
@@ -109,7 +115,10 @@ object Excel {
           case (Some(x: Double), DoubleType) => x
           case (Some(x: Boolean), BooleanType) => x
           case (Some(x), StringType) => x match {
-            case d: Double if d == d.floor && !d.isInfinite => d.toLong.toString
+            // whole doubles render as integers only when exactly
+            // long-representable (2^53 bound) — no silent saturation
+            case d: Double if d == d.floor && math.abs(d) < (1L << 53).toDouble =>
+              d.toLong.toString
             case other => other.toString
           }
           case (Some(x), _) => x
@@ -139,6 +148,12 @@ object Excel {
     val schema = t.df.schema
     val rows = t.df.limit(maxRows).collect()
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try writeParts(zos, schema, rows)
+    finally zos.close()
+  }
+
+  private def writeParts(zos: ZipOutputStream,
+      schema: StructType, rows: Array[Row]): Unit = {
     def put(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
@@ -191,6 +206,5 @@ object Excel {
          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
          |<sheetData>$sheetRows</sheetData>
          |</worksheet>""".stripMargin)
-    zos.close()
   }
 }

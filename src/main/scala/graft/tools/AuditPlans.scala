@@ -27,7 +27,8 @@ object AuditPlans {
         try {
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
           val exchanges = "Exchange".r.findAllIn(plan).length -
-            "BroadcastExchange".r.findAllIn(plan).length
+            "BroadcastExchange".r.findAllIn(plan).length -
+            "ReusedExchange".r.findAllIn(plan).length
           val flags = Seq(
             if (plan.contains("CartesianProduct")) Some("CARTESIAN") else None,
             if (plan.contains("BroadcastNestedLoopJoin")) Some("BNLJ") else None,

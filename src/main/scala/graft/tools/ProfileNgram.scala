@@ -53,6 +53,9 @@ object ProfileNgram {
     time("full ngramJaccardPairs") {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
     }
+    time("full ngramJaccardPairs again") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
     spark.stop()
   }
 }
