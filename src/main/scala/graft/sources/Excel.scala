@@ -22,17 +22,27 @@ import graft.core.GTable
   * as a small-file convenience format, not a scale path (for scale data
   * use parquet/CSV).
   */
-object Excel {
-
-  // ---------------- import ----------------
-
-  private def colIndex(cellRef: String): Int = {
+/** A1-notation column arithmetic (bijective base-26). */
+private[graft] object ExcelRefs {
+  def colIndex(cellRef: String): Int = {
     var i = 0; var acc = 0
     while (i < cellRef.length && cellRef.charAt(i).isLetter) {
       acc = acc * 26 + (cellRef.charAt(i) - 'A' + 1); i += 1
     }
     acc - 1
   }
+
+  def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+}
+
+object Excel {
+  import ExcelRefs.{colIndex, colRef}
+
+  // ---------------- import ----------------
 
   /** Parse sheet cells into rows of Option[Any] (Double | Boolean | String). */
   private def readRows(path: String, sheet: Int): Seq[ArrayBuffer[Option[Any]]] = {
@@ -134,12 +144,6 @@ object Excel {
 
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-  private def colRef(i: Int): String = {
-    var n = i + 1; val sb = new StringBuilder
-    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
-    sb.toString
-  }
 
   /** Export to a minimal single-sheet .xlsx (inline strings, numeric and
     * boolean cells typed). Collect-at-edge like the reference's

@@ -50,6 +50,12 @@ object TextHashProperties extends Properties("TextHash") {
       TextHashUtil.simhash64(arr(List(w))) == h
     }
 
+  property("Excel column refs round-trip (A..ZZZ)") =
+    Prop.forAll(Gen.choose(0, 18277)) { i => // A..ZZZ
+      val ref = graft.sources.ExcelRefs.colRef(i)
+      graft.sources.ExcelRefs.colIndex(ref + "1") == i
+    }
+
   property("minhashSig: superset never raises any permutation min") =
     Prop.forAll(wordsGen.suchThat(_.nonEmpty), wordsGen) { (base, extra) =>
       val ab = Array.tabulate(16)(i => (2L * i + 1, 3L * i + 7)).flatMap(t => Array(t._1, t._2))
