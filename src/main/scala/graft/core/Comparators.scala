@@ -19,8 +19,20 @@ import org.apache.spark.sql.functions._
 object Cmp {
   type Pred = Column => Column
 
+  /** NOTE (Scala pitfall): in a context expecting `Any`/`AnyRef` —
+    * e.g. building a heterogeneous Seq — `Cmp.eq(x)`/`Cmp.ne(x)` can
+    * resolve to `AnyRef.eq`/`AnyRef.ne` (reference identity, returns
+    * Boolean) instead of these Pred factories. Where the expected type
+    * is `Pred` (the normal `where(...)` call shape) resolution is
+    * correct; in generic contexts prefer the collision-free aliases
+    * [[is]] / [[isNot]]. Names kept for reference parity (Table.eq/ne,
+    * littletable.py:1119-1139). */
   def eq(v: Any): Pred = _ === lit(v)
   def ne(v: Any): Pred = _ =!= lit(v)
+  /** Collision-free alias of [[eq]]. */
+  def is(v: Any): Pred = _ === lit(v)
+  /** Collision-free alias of [[ne]]. */
+  def isNot(v: Any): Pred = _ =!= lit(v)
   def lt(v: Any): Pred = _ < lit(v)
   def le(v: Any): Pred = _ <= lit(v)
   def gt(v: Any): Pred = _ > lit(v)

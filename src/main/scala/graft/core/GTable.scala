@@ -51,13 +51,17 @@ final case class GTable(
   def where(pairs: (String, Cmp.Pred)*): GTable =
     copy(df = df.filter(pairs.map { case (c, p) => p(col(c)) }.reduce(_ && _)))
 
-  /** Equality-kwargs form: `whereEq("state" -> "CA", "zip" -> 12345)`. */
+  /** Equality-kwargs form: `whereEq("state" -> "CA", "zip" -> 12345)`.
+    * Null-safe (`<=>`): `whereEq("state" -> null)` matches null values,
+    * like the reference's `where(state=None)` (Python None == None). */
   def whereEq(pairs: (String, Any)*): GTable =
-    copy(df = df.filter(pairs.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)))
+    copy(df = df.filter(pairs.map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _)))
 
   /** Reference `delete(**kwargs)` (littletable.py:2167-2182) — immutable
-    * flavor: returns the table without the matching rows. */
-  def delete(cond: Column): GTable = copy(df = df.filter(!cond))
+    * flavor: returns the table without the matching rows. Rows where the
+    * predicate is NULL did not match, so they are kept (same as
+    * splitby's non-matching half). */
+  def delete(cond: Column): GTable = copy(df = df.filter(!cond || cond.isNull))
 
   /** Reference `splitby` (littletable.py:3630-3771): one predicate →
     * (non-matching, matching). Both halves share the lazy parent plan;
@@ -70,7 +74,7 @@ final case class GTable(
     * `try_`-style null-detection rather than task failure: `errExpr`
     * should be the `try_*` form of the predicate's input. */
   def splitbyWithErrors(pred: Column, isError: Column): (GTable, GTable, GTable) =
-    (copy(df = df.filter(!isError && !pred)),
+    (copy(df = df.filter(!isError && (!pred || pred.isNull))),
      copy(df = df.filter(!isError && pred)),
      copy(df = df.filter(isError)))
 
@@ -96,7 +100,8 @@ final case class GTable(
   /** Per-row string templating (reference `format`, littletable.py:2345-2351):
     * `formatted("{}: {}", col("a"), col("b"))` → single string column. */
   def formatted(template: String, cols: Column*): GTable =
-    copy(df = df.select(format_string(template.replace("{}", "%s"), cols: _*).as("formatted")))
+    copy(df = df.select(format_string(
+      template.replace("%", "%%").replace("{}", "%s"), cols: _*).as("formatted")))
 
   // ------------------------------------------------------------------
   // Ordering / limits (littletable.py:2192-2257, 3816-3830)
@@ -170,10 +175,12 @@ final case class GTable(
     * littletable.py:3616-3628): adds a `batch` column; callers group or
     * iterate per batch id. */
   def batched(batchSize: Int, batchCol: String = "batch"): GTable = {
+    require(batchSize > 0, "batchSize must be positive")
     require(sortKeys.nonEmpty, "batched requires orderby first")
     val withOrd = Ordinals.withOrdinal(df, sortKeys.map(_.order), "__ord")
+    // integer `div`, not double `/`: exact for any long ordinal
     copy(df = withOrd
-      .withColumn(batchCol, ((col("__ord") - 1) / batchSize).cast("long"))
+      .withColumn(batchCol, expr(s"(__ord - 1) div $batchSize"))
       .drop("__ord"))
   }
 
@@ -229,8 +236,16 @@ final case class GTable(
     val out = joinType match {
       case "left_semi" | "left_anti" => joined
       case _ =>
-        val dupRight = pairs.collect { case (a, b) if a == b => b }
-        dupRight.foldLeft(joined)((d, c) => d.drop(col(s"r.$c")))
+        // Same-name join keys collapse to ONE column via coalesce(l, r),
+        // so right/full-outer rows that exist only on the right keep
+        // their key (dropping only r.key would null it out).
+        val dupSet = pairs.collect { case (a, b) if a == b => b }.toSet
+        val lCols = df.columns.toSeq.map { c =>
+          if (dupSet(c)) coalesce(col(s"l.$c"), col(s"r.$c")).as(c)
+          else col(s"l.$c")
+        }
+        val rCols = other.df.columns.toSeq.filterNot(dupSet).map(c => col(s"r.$c"))
+        joined.select(lCols ++ rCols: _*)
     }
     GTable(out, s"$name+${other.name}")
   }
@@ -304,13 +319,16 @@ final case class GTable(
     require(lookbackMicros >= 0 && lookaheadMicros >= 0 &&
       lookbackMicros + lookaheadMicros > 0, "window must be non-empty")
     val band = lookbackMicros + lookaheadMicros
+    // exact long floor-division (pmod keeps negatives on the floor side;
+    // Column `/` is double division — inexact past 2^53)
+    def bandOf(us: Column): Column =
+      ((us - pmod(us, lit(band))) / band).cast("long")
     val lUs = unix_micros(col(leftTime))
     val rUs = unix_micros(col(rightTime))
     val l = df.withColumn("__band", explode(sequence(
-      floor((lUs - lookbackMicros) / band).cast("long"),
-      floor((lUs + lookaheadMicros) / band).cast("long")))).alias("l")
+      bandOf(lUs - lookbackMicros), bandOf(lUs + lookaheadMicros)))).alias("l")
     val r = other.df
-      .withColumn("__band", floor(rUs / band).cast("long")).alias("r")
+      .withColumn("__band", bandOf(rUs)).alias("r")
     val joined = l.join(r,
       col(s"l.$leftKey") === col(s"r.$rightKey") &&
         col("l.__band") === col("r.__band") &&
@@ -384,7 +402,10 @@ final case class GTable(
     * pass and make output columns deterministic. */
   def pivotCounts(rowKey: String, colKey: String, colValues: Seq[Any]): GTable =
     copy(df = df.groupBy(col(rowKey)).pivot(colKey, colValues).count()
-      .na.fill(0).orderBy(col(rowKey)), sortKeys = Seq(SortKey(col(rowKey))))
+      // fill only the pivot cells — a NULL row-key group must not be
+      // rewritten to 0 (it would conflate with a real 0 group)
+      .na.fill(0, colValues.map(_.toString))
+      .orderBy(col(rowKey)), sortKeys = Seq(SortKey(col(rowKey))))
 
   def pivotAgg(rowKey: String, colKey: String, colValues: Seq[Any], agg: Column): GTable =
     copy(df = df.groupBy(col(rowKey)).pivot(colKey, colValues).agg(agg)
@@ -511,9 +532,10 @@ final case class GTable(
     * holds. `acceptNone=false` also reports null keys (reference
     * accept_none). */
   def checkUnique(attr: String, acceptNone: Boolean = false): DataFrame = {
-    val dups = df.groupBy(col(attr)).agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    if (acceptNone) dups.filter(col(attr).isNotNull)
-    else dups
+    val grouped = df.groupBy(col(attr)).agg(count(lit(1)).as("n"))
+    if (acceptNone) grouped.filter(col("n") > 1 && col(attr).isNotNull)
+    // accept_none=False: ANY null key violates, even a single one
+    else grouped.filter(col("n") > 1 || col(attr).isNull)
   }
 
   /** Typed view (reference `Table[T]`/row_class → `Dataset[T]`,
@@ -545,7 +567,13 @@ final case class GTable(
 /** Reference `join_on`/`+` chain builder (littletable.py:4602-4683):
   * `t1.joinOn("a") + t2.joinOn("b") + t3.joinOn("c")` then `.apply()`. */
 final case class JoinTerm(table: GTable, attr: String, prev: Option[JoinTerm] = None) {
-  def +(other: JoinTerm): JoinTerm = other.copy(prev = Some(this))
+  /** Chain composition. Attaches this chain at the ROOT of `other`'s
+    * prev-chain (not at its head), so right-associated groupings like
+    * `t1.joinOn(a) + (t2.joinOn(b) + t3.joinOn(c))` keep every table. */
+  def +(other: JoinTerm): JoinTerm = other.prev match {
+    case None => other.copy(prev = Some(this))
+    case Some(p) => other.copy(prev = Some(this + p))
+  }
   def apply(): GTable = prev match {
     case None => table
     case Some(p) =>

@@ -80,6 +80,21 @@ class GTableSpec extends SparkSpec {
     assert(yes.size == 1 && no.size == 2)
   }
 
+  test("null semantics: delete keeps NULL-predicate rows; whereEq matches null; checkUnique flags null keys") {
+    val withNull = GTable(Seq[(Integer, String)]((1, "x"), (null, "y"), (5, "z"))
+      .toDF("v", "s"), "t")
+    // delete: NULL predicate = not matched = kept
+    assert(withNull.delete(col("v") > 2).size == 2) // keeps 1 and null
+    // whereEq(null) matches null values (reference where(attr=None))
+    assert(withNull.whereEq("v" -> null).size == 1)
+    // splitbyWithErrors: NULL-pred non-error rows land in the false table
+    val (no, yes, err) = withNull.splitbyWithErrors(col("v") > 2, lit(false))
+    assert(no.size == 2 && yes.size == 1 && err.size == 0)
+    // checkUnique(acceptNone=false) reports even a single null key
+    assert(withNull.checkUnique("v").count() == 1)
+    assert(withNull.checkUnique("v", acceptNone = true).count() == 0)
+  }
+
   test("stats: exact per-field statistics (littletable.py:3832)") {
     val row = t.stats(Seq("a")).df.collect()(0)
     val idx = t.stats(Seq("a")).df.columns.zipWithIndex.toMap
@@ -104,6 +119,18 @@ class GTableSpec extends SparkSpec {
   test("typed Dataset view (Table[T] → Dataset[T])") {
     val ds = GTable(Seq((1, "x")).toDF("k", "v"), "kt").typed[KV]
     assert(ds.collect().toSeq == Seq(KV(1, "x")))
+  }
+
+  test("field/orderby string parsers (littletable.py:3917-3950, 2192-2246)") {
+    import graft.core.FieldSpec
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    assert(FieldSpec.parseFields(df, "*") == Seq("a", "b", "c"))
+    assert(FieldSpec.parseFields(df, "*, -b") == Seq("a", "c"))
+    assert(FieldSpec.parseFields(df, "c a") == Seq("c", "a"))      // order kept
+    assert(FieldSpec.parseFields(df, "a, -a, *") == Seq("b", "c")) // suppression wins
+    val keys = FieldSpec.parseOrderBy("a, b desc, c asc")
+    assert(keys.map(k => (k.c.toString, k.asc)) ==
+      Seq(("a", true), ("b", false), ("c", true)))
   }
 
   test("renderers: markdown alignment + html escaping") {

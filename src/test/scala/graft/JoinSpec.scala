@@ -93,6 +93,31 @@ class JoinSpec extends SparkSpec {
       (2, 50L, "t50", None, None)))               // key-isolated, quote is later
   }
 
+  test("same-name key survives right/full outer joins (coalesced, not nulled)") {
+    val l = GTable(Seq((1, "l1"), (2, "l2")).toDF("id", "lv"), "l")
+    val r = GTable(Seq((2, "r2"), (3, "r3")).toDF("id", "rv"), "r")
+    val full = l.joinTyped(r, "full", "id" -> "id").df
+      .select("id", "lv", "rv").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2))).sortBy(_._1).toSeq
+    assert(full == Seq((1, "l1", null), (2, "l2", "r2"), (3, null, "r3")),
+      "right-only row must keep its key via coalesce")
+    val right = l.joinTyped(r, "right", "id" -> "id").df
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(right == Seq(2, 3))
+  }
+
+  test("joinOn chain is associative (right-grouped chain keeps every table)") {
+    val t1 = GTable(Seq((1, 10)).toDF("a", "x"), "t1")
+    val t2 = GTable(Seq((1, 20)).toDF("a", "y"), "t2")
+    val t3 = GTable(Seq((1, 30)).toDF("a", "z"), "t3")
+    val leftAssoc = ((t1.joinOn("a") + t2.joinOn("a")) + t3.joinOn("a")).apply()
+    val rightAssoc = (t1.joinOn("a") + (t2.joinOn("a") + t3.joinOn("a"))).apply()
+    assert(leftAssoc.columns.toSet == Set("a", "x", "y", "z"))
+    assert(rightAssoc.columns.toSet == Set("a", "x", "y", "z"),
+      "right-grouped chain must not drop the middle table")
+    assert(rightAssoc.size == 1 && leftAssoc.size == 1)
+  }
+
   test("range join: inclusive bounds, band boundaries, no duplicate pairs") {
     def ts(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms micros
     val l = GTable(Seq((1, ts(10000000L), "L10")).toDF("k", "t", "tag"), "l")
