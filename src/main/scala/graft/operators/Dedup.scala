@@ -79,7 +79,9 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes).cache()
+    // signature build is map-side codegen — recompute per use rather
+    // than pinning a session-lifetime cache with no release handle
+    val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
     val banded = sig.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -116,7 +118,12 @@ object Dedup {
     * via 4×16-bit chunk banding (any pair within distance 3 shares ≥1
     * exact chunk by pigeonhole). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
+    // 4x16-bit chunk banding guarantees candidate recall only for
+    // distance <= 3 (pigeonhole); larger maxDist would silently miss pairs
+    require(maxDist >= 0 && maxDist <= 3, "chunk banding supports maxDist <= 3")
+    // simhash is one narrow codegen'd projection — recompute per use
+    // rather than pinning a cache with no release handle
+    val sh = simhash(df, idCol, textCol)
     val chunked = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))

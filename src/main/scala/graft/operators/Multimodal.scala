@@ -60,7 +60,9 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       // decoder/session init would happen ONCE per partition here
       rows.map { r =>
-        val (w, h, m) = FakeDecoder.decode(r.getAs[Array[Byte]](payloadIdx))
+        // null payloads (e.g. from a null source text) decode as empty
+        val payload = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
+        val (w, h, m) = FakeDecoder.decode(payload)
         Row(r.getLong(idIdx), w, h, m)
       }
     }
@@ -94,7 +96,8 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       val md5 = java.security.MessageDigest.getInstance("MD5") // once per partition
       rows.map { r =>
-        val resized = resampleBytes(r.getAs[Array[Byte]](payloadIdx), targetBytes)
+        val payload = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
+        val resized = resampleBytes(payload, targetBytes)
         md5.reset()
         val checksum = md5.digest(resized).map("%02x".format(_)).mkString
         Row(r.get(idIdx), resized,

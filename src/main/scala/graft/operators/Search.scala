@@ -86,8 +86,13 @@ object Search {
         }
       }
     }
+    // Role scores ADD like the reference's tally (littletable.py:1865-1877
+    // sums plus/minus/opt contributions independently): a word in several
+    // role maps emits several score rows, and the per-doc aggregation sums
+    // them — e.g. "pizza -pizza" nets 100 + (−1000) = −900, exactly the
+    // reference. (A map merge here would right-bias-override instead.)
     ParsedQuery(reqdGroups.toSeq, excl.toSeq,
-      (plus ++ minus ++ opt).toSeq)
+      plus.toSeq ++ minus.toSeq ++ opt.toSeq)
   }
 
   /** Execute a scored search (reference search.attr(query, limit,

@@ -94,9 +94,12 @@ object Similarity {
     * Init = hash-ordered sample (reproducible); each iteration is one
     * map-side assignment + one groupBy(cluster, dim) average — no
     * all-pairs, no driver-side data beyond the centroid set. */
-  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+  def ivfIndex(df0: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 64, iters: Int = 3): IvfIndex = {
     val v = col(vecCol)
+    // null vectors can be sampled into the init set (driver NPE) and
+    // can never be assigned — exclude them from the index
+    val df = df0.filter(v.isNotNull)
     var centroids: Array[Array[Double]] = df
       .select(col(idCol), v)
       .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
@@ -115,7 +118,9 @@ object Similarity {
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        // ragged vectors can emit positions past the centroid dims
+        if (r.getInt(1) < next(r.getInt(0)).length)
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
       centroids = next
       it += 1

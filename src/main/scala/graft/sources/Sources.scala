@@ -89,11 +89,18 @@ object Sources {
       transforms: Map[String, Transform] = Map.empty,
       filters: Seq[Column] = Nil,
       limit: Option[Int] = None): GTable = {
-    import spark.implicits._
-    val lines = data.split("\n").map(_.trim).filter(_.nonEmpty)
-    val header = lines.head.split(java.util.regex.Pattern.quote(sep)).toSeq
-    val body = lines.tail.toSeq.toDS()
-    val parsed = spark.read.option("sep", sep).csv(body).toDF(header: _*)
+    // Spool to a temp file and go through the real CSV reader (with
+    // multiLine) so quoted fields — including embedded newlines and
+    // significant whitespace — parse correctly, and a header-only string
+    // yields an empty table rather than a column-count error. The
+    // reference treats data strings as a small-sample convenience
+    // (littletable.py:774-915); the driver-side spool matches that scale.
+    val tmp = java.io.File.createTempFile("graft_csv_str_", ".csv")
+    tmp.deleteOnExit()
+    java.nio.file.Files.writeString(tmp.toPath, data.stripLeading())
+    val parsed = spark.read
+      .option("header", true).option("sep", sep).option("multiLine", true)
+      .csv(tmp.getAbsolutePath)
     GTable(applyCommon(parsed, transforms, filters, limit), "<data-string>")
   }
 
@@ -176,7 +183,13 @@ object Sources {
           val sizeStr = new String(header, 124, 12, "US-ASCII")
             .takeWhile(c => c != '\u0000' && c != ' ').trim
           val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
-          val isTarget = entry.isEmpty || name == entry || name.endsWith(s"/$entry")
+          // typeflag (offset 156): only regular files ('0' or NUL) are
+          // data — pax extended headers ('x'/'g'), directories ('5'),
+          // links etc. must be skipped, not returned as content
+          val typeflag = header(156).toChar
+          val isRegular = typeflag == '0' || typeflag == '\u0000'
+          val isTarget = isRegular &&
+            (entry.isEmpty || name == entry || name.endsWith(s"/$entry"))
           if (isTarget && size > 0) {
             val suffix = name.replaceAll(".*/", "")
             val tmp = java.io.File.createTempFile("graft_tar_", s"_$suffix")
@@ -193,7 +206,15 @@ object Sources {
             return tmp.getAbsolutePath
           } else {
             var skip = (size + 511) / 512 * 512
-            while (skip > 0) skip -= in.skip(skip)
+            while (skip > 0) {
+              val r = in.skip(skip)
+              if (r <= 0) {
+                // skip() returns 0 at EOF on inflater streams — probe
+                // with read() to distinguish EOF from a zero-skip
+                require(in.read() >= 0, s"truncated tar archive at entry $name")
+                skip -= 1
+              } else skip -= r
+            }
           }
         }
       }
@@ -227,7 +248,8 @@ object Sources {
       var target: java.util.zip.ZipEntry = null
       while (entries.hasMoreElements && target == null) {
         val e = entries.nextElement()
-        if (entry.isEmpty || e.getName == entry) target = e
+        // directory entries (zip -r lists them first) are never data
+        if (!e.isDirectory && (entry.isEmpty || e.getName == entry)) target = e
       }
       require(target != null, s"entry '$entry' not found in $zipPath")
       val suffix = target.getName.replaceAll(".*/", "")

@@ -68,6 +68,24 @@ class SearchSpec extends SparkSpec {
     assert(byId(6) == Set("tomato", "tuna", "mayonnaise", "bread", "cheese"))
   }
 
+  test("mixed prefixes on one word SUM role scores (littletable.py:1865-1877 tally)") {
+    // "pizza -pizza": bare keeps opt +100, minus adds -1000 → net -900
+    val net = Search.search(recipes, index, "id", "ingredients", "pizza -pizza")
+      .select("id", "ingredients_search_score").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(net.keySet == Set(2, 3, 4) && net.values.forall(_ == -900L))
+    // "cheese +cheese": opt +100 then plus +1000 → 1100 per cheese doc
+    val boosted = Search.search(recipes, index, "id", "ingredients", "cheese +cheese")
+      .select("ingredients_search_score").collect().map(_.getLong(0))
+    assert(boosted.nonEmpty && boosted.forall(_ == 1100L))
+  }
+
+  test("++stopword makes the query unsatisfiable (reference reqd_matches={-1})") {
+    // "the" normalizes to nothing → empty required group → zero rows,
+    // exactly the reference's impossible-match behavior.
+    assert(Search.search(recipes, index, "id", "ingredients", "bread ++the").count() == 0)
+  }
+
   test("search scores carry the +1000/+100 weights") {
     val scores = Search.search(recipes, index, "id", "ingredients", "tuna +cheese",
         minScore = -10000)
