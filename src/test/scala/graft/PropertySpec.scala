@@ -98,6 +98,22 @@ class RunIdPropertySpec extends SparkSpec {
     }
   }
 
+  test("withOrdinal: consecutive 1..n matching the Scala sort, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(300)
+      val data = Seq.fill(n)((rnd.nextInt(50), rnd.nextLong()))
+        .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      val df = data.toDF("id", "k", "v").repartition(1 + rnd.nextInt(9))
+      val got = graft.core.Ordinals
+        .withOrdinal(df, Seq(col("k").asc, col("id").asc), "__ord")
+        .select("id", "__ord").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = data.sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+      assert(got == want, s"trial $trial n=$n")
+    }
+  }
+
   test("comparator DSL matches Scala semantics on random data incl. nulls") {
     val rnd = new scala.util.Random(7)
     val vs: Seq[Integer] = Seq.fill(300)(
