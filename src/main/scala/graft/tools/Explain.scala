@@ -13,7 +13,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_agg", "q_join3_revenue", "q_where_comparators",
-        "q_orderby_limit", "q_dedup_embedding", "q_search_scored")
+        "q_orderby_limit", "q_dedup_embedding", "q_search_scored",
+        "q_join_asof", "q_join_range", "q_join_salted", "q_sim_ivf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
