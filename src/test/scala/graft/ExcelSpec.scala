@@ -46,6 +46,16 @@ class ExcelSpec extends SparkSpec {
     assert((0 until 3).map(sums.getDouble) == Seq(27.0, 27.0, 27.0))
   }
 
+  test("reads the reference's data_types.xlsx (sharedStrings + sparse cells)") {
+    // Mixed-type column with missing cells: must import without error,
+    // with absent cells as null and sharedStrings resolved.
+    val t = Excel.excelImport(spark, "/root/reference/test/data_types.xlsx")
+    assert(t.size >= 5)
+    assert(t.columns.length == 3)
+    val rows = t.df.collect()
+    assert(rows.exists(r => (0 until 3).exists(r.isNullAt)), "sparse cells → nulls")
+  }
+
   test("round-trip through real table data matches the source") {
     val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
       .select(col("n_nationkey").cast("double").as("n_nationkey"), col("n_name"))
