@@ -814,7 +814,13 @@ object Queries {
     val ev = Streaming.eventsStream(s, dir)
       .select(col("user_id"), col("value")).as[UserEvent]
     Streaming.runToBatch(Streaming.runningUserTotals(ev).toDF(), "stream_stateful_out",
-        mode = "append")
+        mode = "update")
+      // The memory sink append-logs update-mode emissions, so a key that
+      // appears in several micro-batches leaves one row per batch; keep the
+      // LAST emission per key (totals are monotone in n_events).
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("sum_value"), col("n_events")).as("sum_value"))
       .select(col("user_id"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("user_id"))
   }

@@ -16,7 +16,11 @@ object FieldSpec {
     * actual columns of `df`. Accepts comma- or whitespace-separated tokens;
     * `*` expands to all (remaining) columns; `-name` removes a column. */
   def parseFields(df: DataFrame, spec: String): Seq[String] = {
-    val tokens = spec.split("[,\\s]+").map(_.trim).filter(_.nonEmpty)
+    val raw = spec.split("[,\\s]+").map(_.trim).filter(_.nonEmpty).toSeq
+    // A suppression-only spec ("-l_comment") means "all columns except" —
+    // the reference defaults to '*' when no positive fields are named
+    // (littletable.py:3925-3940).
+    val tokens = if (raw.forall(_.startsWith("-"))) "*" +: raw else raw
     val all = df.columns.toSeq
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     val suppressed = tokens.collect { case t if t.startsWith("-") => t.drop(1) }.toSet

@@ -456,29 +456,67 @@ final case class GTable(
     * transposes to one row per stat with a column per field. Same single
     * distributed aggregate as [[stats]]; the reshape is a constant-size
     * driver step (8 × |fields| values). */
-  def statsTable(fields: Seq[String], byField: Boolean = true): GTable = {
+  def statsTable(fields: Seq[String], byField: Boolean = true,
+      rounded: Boolean = false): GTable = {
     val statNames = Seq("mean", "median", "min", "max", "variance", "stdev", "count", "missing")
-    val row = stats(fields).df.head()
+    // Tolerate non-numeric fields like the reference's stats(), which only
+    // accumulates values that are numbers (littletable.py:3832-3915):
+    // string/timestamp fields are skipped, not errors.
+    val numFields = {
+      val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      fields.filter(f => types.get(f).exists {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      })
+    }
+    require(numFields.nonEmpty, s"stats: no numeric fields among ${fields.mkString(",")}")
+    val row = stats(numFields).df.head()
     val spark = df.sparkSession
     import spark.implicits._
+    def asDouble(v: Any): Double = v match {
+      case null => Double.NaN
+      case n: java.lang.Number => n.doubleValue()
+      case b: java.math.BigDecimal => b.doubleValue()
+      case other => other.toString.toDouble
+    }
+    // Reference display rounding (littletable.py:3881-3890): mean/median/
+    // variance/stdev with |v| > 1 round to max(4 − digits-left-of-point, 0)
+    // decimals (1234.5678 → 1235.0, 12.34567 → 12.35); |v| ≤ 1 stays
+    // exact. Python round is banker's — HALF_EVEN. Opt-in: exact values
+    // are the default.
+    def magRound(v: Double): Double =
+      if (!rounded || v.isNaN || v.isInfinite || v == 0.0 || math.abs(v) <= 1) v
+      else {
+        val mag = math.log10(math.abs(v)).toInt + 1
+        val decimals = math.max(4 - mag, 0)
+        BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      }
+    val roundedStats = Set("mean", "median", "variance", "stdev")
     val values: Map[(String, String), Double] = (for {
-      (f, fi) <- fields.zipWithIndex
+      (f, fi) <- numFields.zipWithIndex
       (s, si) <- statNames.zipWithIndex
-    } yield (f, s) -> Option(row.get(fi * statNames.length + si))
-        .map(_.toString.toDouble).getOrElse(Double.NaN)).toMap
+    } yield {
+      val v = asDouble(row.get(fi * statNames.length + si))
+      (f, s) -> (if (roundedStats(s)) magRound(v) else v)
+    }).toMap
+    // count/missing are exact longs straight from the row (no double trip)
+    val longs: Map[(String, String), Long] = (for {
+      (f, fi) <- numFields.zipWithIndex
+      (s, si) <- statNames.zipWithIndex if s == "count" || s == "missing"
+    } yield (f, s) -> row.getLong(fi * statNames.length + si)).toMap
     if (byField) {
-      val out = fields.map(f => (f, values(f -> "mean"), values(f -> "median"),
+      val out = numFields.map(f => (f, values(f -> "mean"), values(f -> "median"),
         values(f -> "min"), values(f -> "max"), values(f -> "variance"),
-        values(f -> "stdev"), values(f -> "count").toLong, values(f -> "missing").toLong))
+        values(f -> "stdev"), longs(f -> "count"), longs(f -> "missing")))
         .toDF("name" +: statNames: _*)
       copy(df = out, sortKeys = Nil)
     } else {
       val rows = statNames.map(s => org.apache.spark.sql.Row.fromSeq(
-        s +: fields.map(f => values(f -> s))))
+        s +: numFields.map(f => values(f -> s))))
       val schema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("stat",
           org.apache.spark.sql.types.StringType, nullable = false) +:
-          fields.map(f => org.apache.spark.sql.types.StructField(f,
+          numFields.map(f => org.apache.spark.sql.types.StructField(f,
             org.apache.spark.sql.types.DoubleType)))
       copy(df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema), sortKeys = Nil)

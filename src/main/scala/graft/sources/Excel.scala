@@ -166,6 +166,10 @@ object Excel {
     val sheetRows = new StringBuilder
     def cell(ref: String, v: Any, dt: DataType): String = (v, dt) match {
       case (null, _) => ""
+      // NaN/Infinity are not valid OOXML numbers (Excel flags the workbook
+      // corrupt); openpyxl writes NaN as an empty cell — match that.
+      case (x: Double, _: NumericType) if x.isNaN || x.isInfinite => ""
+      case (x: Float, _: NumericType) if x.isNaN || x.isInfinite => ""
       case (x, _: NumericType) => s"""<c r="$ref"><v>$x</v></c>"""
       case (x: Boolean, BooleanType) => s"""<c r="$ref" t="b"><v>${if (x) 1 else 0}</v></c>"""
       case (x, _) => s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(x.toString)}</t></is></c>"""

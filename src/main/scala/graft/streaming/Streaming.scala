@@ -79,12 +79,18 @@ object Streaming {
   /** Custom keyed state (flatMapGroupsWithState): running per-user event
     * count and value sum, persisted in `GroupState` across micro-batches
     * and re-emitted on every update. The state is O(1) per user —
-    * billions of keys spread across the state store at scale. */
+    * billions of keys spread across the state store at scale.
+    *
+    * Update-mode semantics: a key re-emits its latest total each
+    * micro-batch it appears in, and the sink keeps the LAST emission per
+    * key — Append would accumulate one stale row per batch per key. Run
+    * via `runToBatch(..., mode = "update")` (the memory sink upserts are
+    * append-logged; dedupe to last emission if the source multi-batches). */
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double), UserTotal](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
           var (n, s) = state.getOption.getOrElse((0L, 0.0))
           it.foreach { e => n += 1; s += e.value }

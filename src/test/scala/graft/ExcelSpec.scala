@@ -56,6 +56,25 @@ class ExcelSpec extends SparkSpec {
     assert(rows.exists(r => (0 until 3).exists(r.isNullAt)), "sparse cells → nulls")
   }
 
+  test("non-finite doubles export as empty cells (valid OOXML)") {
+    // NaN is reachable via stats() on an empty group; <v>NaN</v> would
+    // make Excel flag the workbook corrupt — openpyxl writes empty.
+    val src = GTable(Seq(
+      (1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+      (4L, Double.NegativeInfinity)).toDF("id", "v"), "src")
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_nan").toString + "/t.xlsx"
+    Excel.excelExport(src, path)
+    val sheet = {
+      val zf = new java.util.zip.ZipFile(path)
+      try new String(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes, "UTF-8")
+      finally zf.close()
+    }
+    assert(!sheet.contains("NaN") && !sheet.contains("Infinity"))
+    val back = Excel.excelImport(spark, path).df.orderBy("id").collect()
+    assert(back(0).getDouble(1) == 1.5)
+    assert((1 to 3).forall(back(_).isNullAt(1)), "non-finite → empty → null")
+  }
+
   test("round-trip through real table data matches the source") {
     val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
       .select(col("n_nationkey").cast("double").as("n_nationkey"), col("n_name"))

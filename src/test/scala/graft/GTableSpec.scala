@@ -128,6 +128,10 @@ class GTableSpec extends SparkSpec {
     assert(FieldSpec.parseFields(df, "*, -b") == Seq("a", "c"))
     assert(FieldSpec.parseFields(df, "c a") == Seq("c", "a"))      // order kept
     assert(FieldSpec.parseFields(df, "a, -a, *") == Seq("b", "c")) // suppression wins
+    // suppression-only spec defaults to '*' minus the suppressed
+    // (littletable.py:3925-3940)
+    assert(FieldSpec.parseFields(df, "-b") == Seq("a", "c"))
+    assert(FieldSpec.parseFields(df, "-b, -c") == Seq("a"))
     val keys = FieldSpec.parseOrderBy("a, b desc, c asc")
     assert(keys.map(k => (k.c.toString, k.asc)) ==
       Seq(("a", true), ("b", false), ("c", true)))
@@ -201,5 +205,25 @@ class GTableSpec extends SparkSpec {
     assert(transposed.length == 8)
     val meanRow = transposed.find(_.getString(0) == "mean").get
     assert(meanRow.getDouble(1) == 1.5 && meanRow.getDouble(2) == 1.5)
+  }
+
+  test("statsTable: non-numeric fields skipped like the reference") {
+    val mixed = GTable(Seq((1.0, "x"), (3.0, "y")).toDF("num", "str"), "mixed")
+    // string field silently skipped — reference stats() only accumulates numbers
+    val rows = mixed.statsTable(Seq("num", "str")).df.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "num" && rows(0).getDouble(1) == 2.0)
+    intercept[IllegalArgumentException](mixed.statsTable(Seq("str")))
+  }
+
+  test("statsTable: magnitude-aware display rounding (littletable.py:3881-3890)") {
+    val vals = GTable(Seq(1234.5678, 1234.5678, 1234.5678).map(Tuple1(_)).toDF("v"), "r")
+    val exact = vals.statsTable(Seq("v")).df.head()
+    assert(exact.getDouble(1) == 1234.5678)
+    val rounded = vals.statsTable(Seq("v"), rounded = true).df.head()
+    // |v| > 1, mag = 4 → max(4-4, 0) = 0 decimals, HALF_EVEN
+    assert(rounded.getDouble(1) == 1235.0 && rounded.getDouble(2) == 1235.0)
+    // |v| <= 1 stays exact
+    val small = GTable(Seq(0.0012345, 0.0012345).map(Tuple1(_)).toDF("v"), "s")
+    assert(small.statsTable(Seq("v"), rounded = true).df.head().getDouble(1) == 0.0012345)
   }
 }

@@ -71,7 +71,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[UserEvent]
     val q = Streaming.runningUserTotals(in.toDS()).toDF()
-      .writeStream.outputMode("append").format("memory")
+      .writeStream.outputMode("update").format("memory")
       .queryName("state_spec_out").start()
     try {
       in.addData(UserEvent(1, 10.0), UserEvent(1, 5.0), UserEvent(2, 1.0))
