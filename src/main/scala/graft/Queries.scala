@@ -90,6 +90,16 @@ object Queries {
         round(sum(col("o_totalprice")), 2))
       .df.na.fill(0.0)
 
+  /** 3-attribute pivot tree, flat `as_table` shape (reference
+    * littletable.py:2724-2742 + 4457-4505): key-lattice rows — level-1/2
+    * keys global, level-3 keys per level-1 branch — with zero-filled
+    * empty cells. One aggregation pass + broadcast key joins. */
+  val q_pivot_3level: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .computeField("o_year", year(col("o_orderdate")).cast("long"))
+      .pivot("o_orderstatus", "o_orderpriority", "o_year")
+      .summary().df
+
   /** Reference stats(): mean/median/min/max/variance/stdev/count/missing
     * (littletable.py:3832-3915) — one single-pass wide aggregate. */
   val q_stats: Q = (s, dir) =>
@@ -874,6 +884,7 @@ object Queries {
     "q_pivot_counts" -> q_pivot_counts,
     "q_pivot_totals" -> q_pivot_totals,
     "q_pivot_sum" -> q_pivot_sum,
+    "q_pivot_3level" -> q_pivot_3level,
     "q_stats" -> q_stats,
     "q_rollup" -> q_rollup,
     "q_cube" -> q_cube,
@@ -989,6 +1000,24 @@ object Queries {
         | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='O'),2),0.0) AS "O",
         | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='P'),2),0.0) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot_3level" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year
+        |  FROM orders),
+        |flat AS (
+        |  SELECT o_orderstatus, o_orderpriority, o_year, count(*) AS n
+        |  FROM base GROUP BY 1, 2, 3),
+        |k1 AS (SELECT DISTINCT o_orderstatus FROM base),
+        |k2 AS (SELECT DISTINCT o_orderpriority FROM base),
+        |k3 AS (SELECT DISTINCT o_orderstatus, o_year FROM base)
+        |SELECT k1.o_orderstatus, k2.o_orderpriority, k3.o_year,
+        | coalesce(f.n, 0) AS "count"
+        |FROM k1 CROSS JOIN k2
+        |JOIN k3 ON k3.o_orderstatus = k1.o_orderstatus
+        |LEFT JOIN flat f ON f.o_orderstatus = k1.o_orderstatus
+        | AND f.o_orderpriority = k2.o_orderpriority AND f.o_year = k3.o_year
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_stats" ->
       """SELECT

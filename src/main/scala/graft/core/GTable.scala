@@ -397,6 +397,13 @@ final case class GTable(
     copy(df = Ordinals.withRunId(df, sortKeys.map(_.order), keyCol))
   }
 
+  /** Reference `table.pivot(attrs)` → pivot-table tree (littletable.py:
+    * 2724-2742): 1-3 attributes, space-delimited string or varargs. See
+    * [[PivotTable]] for the key-lattice semantics, `summary` (flat
+    * `as_table` shape), `dumpCounts`, `dump`, and `summarize().asHtml`. */
+  def pivot(attrs: String*): PivotTable =
+    new PivotTable(this, attrs.flatMap(_.split("\\s+")).filter(_.nonEmpty))
+
   /** Pivot / cross-tab (reference `pivot().dump_counts` etc.,
     * littletable.py:4395-4508). Explicit pivot values keep the plan to one
     * pass and make output columns deterministic. */
@@ -476,7 +483,6 @@ final case class GTable(
     def asDouble(v: Any): Double = v match {
       case null => Double.NaN
       case n: java.lang.Number => n.doubleValue()
-      case b: java.math.BigDecimal => b.doubleValue()
       case other => other.toString.toDouble
     }
     // Reference display rounding (littletable.py:3881-3890): mean/median/
