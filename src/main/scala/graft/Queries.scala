@@ -610,32 +610,34 @@ object Queries {
         n = 3, minJaccard = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** MinHash+LSH near-dup: per-doc near-duplicate partner count
-    * (est. Jaccard ≥ 0.5). Not SQL-expressible (engine-native hashing) —
-    * exactness vs q_dedup_ngram is covered by ScalaTest. */
+  /** MinHash-LSH RECALL GATE (oracle-checked): every exact 3-gram-Jaccard
+    * pair at ≥ 0.8 must surface as an LSH band-collision candidate. The
+    * output is the exact pairs semi-joined with the candidate set, so the
+    * DuckDB exact-Jaccard oracle hash-matches iff LSH candidate recall is
+    * 100% at this threshold (16 bands × 4 rows: per-pair miss probability
+    * (1−0.8⁴)¹⁶ ≈ 2×10⁻⁴, deterministic hashes — verified at gate SF). */
   val q_dedup_minhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents").df
-    val pairs = Dedup.minhashLSH(docs, "doc_id", "text")
-      .filter(col("est_jaccard") >= 0.5)
-    val partners = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_neardups"))
-    docs.select(col("doc_id")).join(partners, Seq("doc_id"), "left")
-      .na.fill(0, Seq("n_neardups"))
-      .orderBy(col("doc_id"))
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+    val cands = Dedup.minhashLSH(docs, "doc_id", "text").select("id_a", "id_b")
+    exact.join(cands, Seq("id_a", "id_b"), "left_semi")
+      .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash fingerprint + near-dup partner count (hamming ≤ 3). */
+  /** SimHash RECALL GATE (oracle-checked): every exact near-identical
+    * pair (3-gram Jaccard ≥ 0.9) must be flagged by SimHash chunk
+    * banding within Hamming ≤ 7 (8×8-bit chunks: pigeonhole guarantees
+    * candidate recall exactly to distance 7). Green iff the banding
+    * surfaces all exact pairs — word-level SimHash puts j ≥ 0.9 pairs at
+    * distance ≤ 7 on this corpus (measured: ≤5 at sf0.01, ≤7 at
+    * sf0.001). */
   val q_dedup_simhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents").df
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
-    val partners = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_neardups"))
-    Dedup.simhash(docs, "doc_id", "text")
-      .join(partners, Seq("doc_id"), "left")
-      .na.fill(0, Seq("n_neardups"))
-      .orderBy(col("doc_id"))
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.9)
+    val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7, chunkBits = 8)
+      .select("id_a", "id_b")
+    exact.join(cands, Seq("id_a", "id_b"), "left_semi")
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** End-to-end near-dup removal (greedy keep-lowest-id over exact
@@ -664,25 +666,40 @@ object Queries {
     Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 20)
   }
 
-  /** LSH-bucketed ANN top-20 (same probe): approximate path; recall vs
-    * brute force asserted in ScalaTest. Not SQL-expressible. */
+  /** LSH-ANN RECALL GATE (oracle-checked): the ANN top-20 (8-bit
+    * signatures, probe Hamming ≤ 4) must contain the entire exact cosine
+    * top-10; output is the exact top-10 (id + exact cosine) semi-joined
+    * with the ANN result, so the brute-force DuckDB oracle hash-matches
+    * iff recall@10 = 100%. */
   val q_sim_lsh: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings").df
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-    val bucketed = Similarity.lshBuckets(emb, "vec_id", "embedding", dims = 64, bits = 12)
-    Similarity.lshTopK(bucketed, "vec_id", "embedding", qvec, 20, bits = 12, probeDist = 2)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val bucketed = Similarity.lshBuckets(emb, "vec_id", "embedding", dims = 64, bits = 8)
+    val ann = Similarity.lshTopK(bucketed, "vec_id", "embedding", qvec, 20,
+      bits = 8, probeDist = 4)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
   }
 
-  /** IVF (inverted-file) ANN top-20: deterministic k-means index, probe
-    * the 8 nearest clusters. Approximate path — recall vs brute force
-    * asserted in ScalaTest; not SQL-expressible. */
+  /** IVF-ANN RECALL GATE (oracle-checked): spherical k-means index
+    * (cosine assignment — L2 cells on unnormalized embeddings split
+    * cosine-near vectors by magnitude), probe the 12 of 16
+    * cosine-nearest cells; the ANN top-20 must contain the entire exact
+    * cosine top-10 (same semi-join shape as q_sim_lsh). The high probe
+    * fraction is a property of this near-uniform synthetic corpus (top
+    * cosine ≈ 0.37): cell pruning buys little when neighbors aren't
+    * clustered — the gate pins the recall contract, not the speedup. */
   val q_sim_ivf: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings").df
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 32, iters = 1)
-    Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 8)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16, iters = 3)
+    val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 12)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
   }
 
   // ==================================================================
@@ -1378,6 +1395,77 @@ object Queries {
         | JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // RECALL GATES: the oracle computes the EXACT answer only; the Spark
+    // side semi-joins it with the approximate path's candidates, so the
+    // row hash-matches iff approximate recall is 100% at the gate SF.
+    "q_dedup_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        |FROM inter
+        | JOIN sizes sa ON sa.doc_id = id_a
+        | JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        |FROM inter
+        | JOIN sizes sa ON sa.doc_id = id_a
+        | JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_lsh" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |  list_dot_product(embedding::DOUBLE[], qv)
+        |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      * sqrt(list_dot_product(qv, qv))) AS cosine
+        |FROM embeddings, q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_sim_ivf" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |  list_dot_product(embedding::DOUBLE[], qv)
+        |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      * sqrt(list_dot_product(qv, qv))) AS cosine
+        |FROM embeddings, q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_dedup_remove" ->
       """WITH docs AS (

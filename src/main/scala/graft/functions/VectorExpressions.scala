@@ -78,12 +78,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
-/** Index of the nearest centroid (squared-L2) for a float/double vector
-  * column. The centroid matrix rides along as a codegen reference object —
-  * a literal-tree formulation (nCentroids × dims literals) made Janino
+/** Index of the nearest centroid for a float/double vector column —
+  * squared-L2, or max-dot-product when `cosine` is set (centroids are
+  * expected unit-norm then: argmax dot(v, c) over unit c is cosine
+  * assignment without needing to normalize the data vectors). The
+  * centroid matrix rides along as a codegen reference object — a
+  * literal-tree formulation (nCentroids × dims literals) made Janino
   * recompile multi-thousand-constant classes per plan, which dominated
   * IVF index builds. Ties break to the lower index. */
-case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
+    cosine: Boolean = false)
     extends UnaryExpression {
 
   override def prettyName: String = "nearest_centroid"
@@ -102,13 +106,18 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (isFloat) VectorUtil.nearestCentroidF(v, centroids)
-    else VectorUtil.nearestCentroidD(v, centroids)
+    (isFloat, cosine) match {
+      case (true, false) => VectorUtil.nearestCentroidF(v, centroids)
+      case (false, false) => VectorUtil.nearestCentroidD(v, centroids)
+      case (true, true) => VectorUtil.nearestCentroidCosF(v, centroids)
+      case (false, true) => VectorUtil.nearestCentroidCosD(v, centroids)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
-    val fn = if (isFloat) "nearestCentroidF" else "nearestCentroidD"
+    val fn = (if (cosine) "nearestCentroidCos" else "nearestCentroid") +
+      (if (isFloat) "F" else "D")
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.$fn($c, $ref)")
   }
 
@@ -138,6 +147,30 @@ object VectorUtil {
     }
     best
   }
+
+  def nearestCentroidCosF(v: ArrayData, centroids: Array[Array[Double]]): Int =
+    nearestCos(centroids, v.toFloatArray().map(_.toDouble))
+
+  def nearestCentroidCosD(v: ArrayData, centroids: Array[Array[Double]]): Int =
+    nearestCos(centroids, v.toDoubleArray())
+
+  /** argmax dot(x, cᵢ) — cosine assignment given unit-norm centroids
+    * (the row vector's own norm is a constant factor per row). */
+  private def nearestCos(centroids: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      val n = math.min(ct.length, x.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x(i) * ct(i); i += 1 }
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 object VectorExpressions {
@@ -152,4 +185,9 @@ object VectorExpressions {
   /** Index of the nearest centroid (squared L2) — see [[NearestCentroid]]. */
   def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnInterop.column(NearestCentroid(ColumnInterop.expression(v), centroids))
+
+  /** Cosine (max-dot) centroid assignment; centroids must be unit-norm. */
+  def nearest_centroid_cos(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnInterop.column(NearestCentroid(ColumnInterop.expression(v), centroids,
+      cosine = true))
 }

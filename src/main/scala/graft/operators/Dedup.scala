@@ -115,18 +115,28 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
-    * via 4×16-bit chunk banding (any pair within distance 3 shares ≥1
-    * exact chunk by pigeonhole). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    // 4x16-bit chunk banding guarantees candidate recall only for
-    // distance <= 3 (pigeonhole); larger maxDist would silently miss pairs
-    require(maxDist >= 0 && maxDist <= 3, "chunk banding supports maxDist <= 3")
+    * via chunk banding: the 64-bit hash splits into 64/chunkBits chunks,
+    * and any pair within distance nChunks−1 shares ≥1 exact chunk by
+    * pigeonhole. chunkBits trades recall radius against candidate
+    * volume: 16-bit chunks (4 bands) guarantee dist ≤ 3 with tiny
+    * buckets — the 100 TB default; 8-bit chunks (8 bands) reach dist ≤ 7
+    * at ~2^8-sized value space per band, acceptable at moderate scale or
+    * after a coarser pre-filter. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+      chunkBits: Int = 16): DataFrame = {
+    require(Set(8, 16, 32).contains(chunkBits), "chunkBits must be 8, 16 or 32")
+    val nChunks = 64 / chunkBits
+    // banding guarantees candidate recall only for distance <= nChunks-1
+    // (pigeonhole); a larger maxDist would silently miss pairs
+    require(maxDist >= 0 && maxDist <= nChunks - 1,
+      s"$nChunks x $chunkBits-bit chunk banding supports maxDist <= ${nChunks - 1}")
     // simhash is one narrow codegen'd projection — recompute per use
     // rather than pinning a cache with no release handle
     val sh = simhash(df, idCol, textCol)
+    val mask = (1L << chunkBits) - 1
     val chunked = sh.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nChunks).map(i =>
+        shiftrightunsigned(col("simhash"), i * chunkBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))

@@ -83,14 +83,26 @@ object Similarity {
     * nCentroids×dims doubles — KBs. */
   final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
 
-  /** Nearest-centroid id as a codegen'd expression with the centroid
-    * matrix as a reference object (a broadcast of the centroid table
-    * would shuffle; this keeps assignment map-side and linear in table
-    * size — the 100 TB property). See [[graft.functions.NearestCentroid]]. */
-  private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
-    graft.functions.VectorExpressions.nearest_centroid(v, centroids)
+  /** Cosine nearest-centroid id as a codegen'd expression with the
+    * (unit-norm) centroid matrix as a reference object (a broadcast of
+    * the centroid table would shuffle; this keeps assignment map-side and
+    * linear in table size — the 100 TB property). See
+    * [[graft.functions.NearestCentroid]]. */
+  private def nearestCentroidCos(v: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.VectorExpressions.nearest_centroid_cos(v, centroids)
 
-  /** Build an IVF index with deterministic k-means (Lloyd) iterations.
+  private def unit(x: Array[Double]): Array[Double] = {
+    val n = math.sqrt(x.map(d => d * d).sum)
+    if (n == 0.0) x else x.map(_ / n)
+  }
+
+  /** Build an IVF index with deterministic SPHERICAL k-means (Lloyd)
+    * iterations — centroids unit-normalized, assignment by max dot
+    * product, i.e. cosine. L2 assignment on unnormalized embeddings
+    * splits cosine-near vectors of different magnitude across clusters,
+    * which silently destroys top-k recall; the serving metric (cosine)
+    * must also be the clustering metric.
+    *
     * Init = hash-ordered sample (reproducible); each iteration is one
     * map-side assignment + one groupBy(cluster, dim) average — no
     * all-pairs, no driver-side data beyond the centroid set. */
@@ -105,14 +117,14 @@ object Similarity {
       .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
       .limit(nCentroids)
       .collect()
-      .map(_.getSeq[Any](1).map {
+      .map(r => unit(r.getSeq[Any](1).map {
         case f: java.lang.Float => f.toDouble
         case d: java.lang.Double => d.doubleValue
-      }.toArray)
+      }.toArray))
     var it = 0
     while (it < iters) {
       val means = df
-        .select(nearestCentroid(v, centroids).as("cluster"), posexplode(v))
+        .select(nearestCentroidCos(v, centroids).as("cluster"), posexplode(v))
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .collect()
@@ -122,25 +134,27 @@ object Similarity {
         if (r.getInt(1) < next(r.getInt(0)).length)
           next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
-      centroids = next
+      // spherical step: re-normalize the per-cluster means
+      centroids = next.map(unit)
       it += 1
     }
-    IvfIndex(df.withColumn("cluster", nearestCentroid(v, centroids)), centroids)
+    IvfIndex(df.withColumn("cluster", nearestCentroidCos(v, centroids)), centroids)
   }
 
-  /** IVF-accelerated approximate top-k: rank centroids by distance to the
+  /** IVF-accelerated approximate top-k: rank centroids by cosine to the
     * query driver-side, scan only the `nProbe` nearest clusters, exact-rank
     * the candidates. Cost per query ≈ nProbe/nCentroids of a full scan —
     * with the assigned table written partitioned by `cluster`, the probe
     * filter prunes at the source. */
   def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nProbe: Int = 8): DataFrame = {
+    val qn = unit(query.toArray)
     val probes = index.centroids.zipWithIndex
       .map { case (c, i) =>
-        val d2 = c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
-        (d2, i)
+        // centroids are unit-norm: dot(qn, c) IS the cosine
+        (-c.zip(qn).map { case (x, y) => x * y }.sum, i)
       }
-      .sortBy(_._1).take(nProbe).map(_._2)
+      .sortBy(identity).take(nProbe).map(_._2)
     val cands = index.assigned.filter(col("cluster").isin(probes.toIndexedSeq: _*))
     bruteForceTopK(cands, idCol, vecCol, query, k)
   }
