@@ -163,10 +163,61 @@ case class MinHashSignature(child: Expression, ab: Array[Long])
     copy(child = newChild)
 }
 
+/** Search-normalized word array of a text column (codegen'd) — the full
+  * reference pipeline (stopwords, plural singularization, acronyms,
+  * significant endings; littletable.py:1616-1699) as a native expression
+  * instead of a Scala UDF: stays inside whole-stage codegen (no UDF
+  * encoder round-trip per row), with the stopword set riding along as a
+  * codegen reference object.
+  *
+  * `sortedSet=false`: first-occurrence-distinct normalized words (the
+  * inverted-index build shape). `sortedSet=true`: sorted distinct words
+  * minus stopwords (the reference's `include_words` result shape). */
+case class NormalizeWords(child: Expression, stopwords: Set[String],
+    sortedSet: Boolean = false) extends UnaryExpression {
+  override def prettyName: String = "normalize_words"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextNormalizeUtil.normalizeArray(input.asInstanceOf[UTF8String], stopwords, sortedSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val swRef = ctx.addReferenceObj("stopwords", stopwords, "scala.collection.immutable.Set")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextNormalizeUtil.normalizeArray($c, $swRef, $sortedSet)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextNormalizeUtil {
+  /** Static bridge for [[NormalizeWords]] codegen. */
+  def normalizeArray(text: UTF8String, stopwords: scala.collection.immutable.Set[String],
+      sortedSet: Boolean): ArrayData = {
+    val words = TextNormalize.normalizeSplit(text.toString, stopwords)
+    val out =
+      if (sortedSet) (words.toSet -- stopwords).toArray.sorted
+      else words.distinct.toArray
+    new GenericArrayData(out.map(UTF8String.fromString(_: String)))
+  }
+}
+
 object TextHashExpressions {
   /** Distinct hashes of word n-grams (no shingle strings materialized). */
   def shingle_hash_set(words: Column, n: Int): Column =
     ColumnInterop.column(ShingleHashSet(ColumnInterop.expression(words), n))
+
+  /** Search-normalized distinct word array (see [[NormalizeWords]]). */
+  def normalize_words(text: Column, stopwords: Set[String],
+      sortedSet: Boolean = false): Column =
+    ColumnInterop.column(NormalizeWords(ColumnInterop.expression(text), stopwords, sortedSet))
 
   /** 64-bit SimHash fingerprint over word tokens. */
   def simhash64(words: Column): Column =

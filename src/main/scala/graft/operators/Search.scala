@@ -34,12 +34,14 @@ object Search {
       idCol: String,
       attr: String,
       stopwords: Set[String] = TextNormalize.stopwords): DataFrame = {
-    val sw = stopwords // serialize the set, not `this`
     // Per-doc set semantics applied INSIDE the normalizer (first
     // occurrence kept), so the exploded (id, word) pairs are born
-    // distinct — no table-wide dedup shuffle.
-    val normalize = udf((text: String) => TextNormalize.normalizeSplit(text, sw).distinct)
-    data.select(col(idCol), explode(normalize(col(attr))).as("word"))
+    // distinct — no table-wide dedup shuffle. normalize_words is a
+    // codegen'd Catalyst expression (no UDF encoder round-trip) — see
+    // [[graft.functions.NormalizeWords]].
+    import graft.functions.TextHashExpressions.normalize_words
+    data.select(col(idCol),
+      explode(normalize_words(coalesce(col(attr), lit("")), stopwords)).as("word"))
   }
 
   /** Parsed query, mirroring the reference's prefix grammar
@@ -148,10 +150,9 @@ object Search {
       .orderBy(col(scoreCol).desc, col(idCol).asc)
 
     if (includeWords) {
-      val sw = stopwords
-      val wordsUdf = udf((text: String) =>
-        (TextNormalize.normalizeSplit(text, sw).toSet -- sw).toSeq.sorted)
-      out = out.withColumn(s"${attr}_search_words", wordsUdf(col(attr)))
+      import graft.functions.TextHashExpressions.normalize_words
+      out = out.withColumn(s"${attr}_search_words",
+        normalize_words(coalesce(col(attr), lit("")), stopwords, sortedSet = true))
     }
     out
   }
