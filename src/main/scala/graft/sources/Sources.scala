@@ -142,14 +142,75 @@ object Sources {
     GTable(applyCommon(raw.select(cols: _*), Map.empty, filters, limit), path)
   }
 
+  /** URL-source options mirroring the reference's `url_args`
+    * (littletable.py:797-841): Basic-auth credentials, extra request
+    * headers, POST body, read/connect timeout, and an SSL trust source —
+    * either a CA bundle file (PEM, like the reference's `cafile`) or a
+    * prebuilt [[javax.net.ssl.SSLContext]] (like `context`). */
+  final case class UrlArgs(
+      username: Option[String] = None,
+      password: String = "",
+      headers: Map[String, String] = Map.empty,
+      data: Option[Array[Byte]] = None,
+      timeoutMs: Int = 30000,
+      cafile: Option[String] = None,
+      sslContext: Option[javax.net.ssl.SSLContext] = None)
+
+  /** Build an SSLContext trusting exactly the X.509 certs in a PEM file
+    * (reference `cafile`/`load_verify_locations`,
+    * littletable.py:819-832). */
+  def sslContextFromCaFile(path: String): javax.net.ssl.SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = new java.io.FileInputStream(path)
+    val certs = try cf.generateCertificates(in) finally in.close()
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
   /** Driver shim: fetch a URL to a temp file so spark.read can scan it
-    * (reference http(s) source with timeout, littletable.py:797-841).
-    * Supports any java.net URL scheme incl. file:// for tests. */
-  def fetchUrlToTemp(url: String, timeoutMs: Int = 30000): String = {
+    * (reference http(s) source, littletable.py:797-841). Supports any
+    * java.net URL scheme incl. file:// for tests. */
+  def fetchUrlToTemp(url: String, timeoutMs: Int = 30000): String =
+    fetchUrlToTemp(url, UrlArgs(timeoutMs = timeoutMs))
+
+  /** Full url_args flavor: Basic auth (with the reference's warning when
+    * credentials ride plain http), custom headers, POST data, timeout,
+    * and a custom trust context for https. */
+  def fetchUrlToTemp(url: String, args: UrlArgs): String = {
     val u = java.net.URI.create(url).toURL
     val conn = u.openConnection()
-    conn.setConnectTimeout(timeoutMs)
-    conn.setReadTimeout(timeoutMs)
+    conn.setConnectTimeout(args.timeoutMs)
+    conn.setReadTimeout(args.timeoutMs)
+    args.headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    args.username.foreach { user =>
+      if (u.getProtocol == "http")
+        // reference AuthenticationWarning (littletable.py:805-806)
+        System.err.println(
+          "WARNING: Basic-auth credentials sent over unencrypted http")
+      val token = java.util.Base64.getEncoder
+        .encodeToString(s"$user:${args.password}".getBytes("UTF-8"))
+      conn.setRequestProperty("Authorization", s"Basic $token")
+    }
+    val ctx = args.sslContext.orElse(args.cafile.map(sslContextFromCaFile))
+    (conn, ctx) match {
+      case (https: javax.net.ssl.HttpsURLConnection, Some(c)) =>
+        https.setSSLSocketFactory(c.getSocketFactory)
+      case _ =>
+    }
+    args.data.foreach { body =>
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+    }
     val suffix = u.getPath.replaceAll(".*/", "")
     val tmp = java.io.File.createTempFile("graft_url_", s"_$suffix")
     tmp.deleteOnExit()

@@ -96,4 +96,79 @@ class SourcesSpec extends SparkSpec {
     assert(t.df.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq((1, "a"), (2, "b")))
   }
+
+  test("URL import with Basic auth against a local auth server (littletable.py:797-841)") {
+    // like the reference's test/csv_import_http_server.py: 401 without the
+    // right Authorization header, CSV body with it
+    val csv = "a,b\n1,x\n2,y\n"
+    val wantAuth = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("alice:sesame".getBytes("UTF-8"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val got = ex.getRequestHeaders.getFirst("Authorization")
+      if (got == wantAuth) {
+        val body = csv.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      } else ex.sendResponseHeaders(401, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.csv"
+      // no credentials → 401 → IOException
+      intercept[java.io.IOException](Sources.fetchUrlToTemp(url))
+      val path = Sources.fetchUrlToTemp(url,
+        Sources.UrlArgs(username = Some("alice"), password = "sesame"))
+      val t = Sources.csvImport(spark, path,
+        transforms = Map("a" -> Transform("int")))
+      assert(t.df.orderBy("a").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((1, "x"), (2, "y")))
+    } finally server.stop(0)
+  }
+
+  test("URL import over https with a cafile SSL context (littletable.py:819-832)") {
+    // self-signed server cert via keytool; client trusts it ONLY through
+    // the exported PEM passed as cafile (reference load_verify_locations)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls").toString
+    val ksPath = s"$dir/server.p12"; val pemPath = s"$dir/server.pem"
+    import scala.sys.process._
+    val gen = Seq("keytool", "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-dname", "CN=127.0.0.1",
+      "-ext", "san=ip:127.0.0.1,dns:localhost",
+      "-keystore", ksPath, "-storetype", "PKCS12",
+      "-storepass", "changeit", "-keypass", "changeit").!
+    assert(gen == 0, "keytool genkeypair failed")
+    assert(Seq("keytool", "-exportcert", "-alias", "srv", "-keystore", ksPath,
+      "-storepass", "changeit", "-rfc", "-file", pemPath).! == 0)
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val ksIn = new java.io.FileInputStream(ksPath)
+    try ks.load(ksIn, "changeit".toCharArray) finally ksIn.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val server = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(serverCtx))
+    server.createContext("/tls.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = "k,v\n5,z\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"https://127.0.0.1:${server.getAddress.getPort}/tls.csv"
+      // default trust store does NOT know the self-signed cert
+      intercept[javax.net.ssl.SSLHandshakeException](
+        Sources.fetchUrlToTemp(url))
+      val path = Sources.fetchUrlToTemp(url, Sources.UrlArgs(cafile = Some(pemPath)))
+      val t = Sources.csvImport(spark, path,
+        transforms = Map("k" -> Transform("int")))
+      assert(t.df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((5, "z")))
+    } finally server.stop(0)
+  }
 }
