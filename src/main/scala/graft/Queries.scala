@@ -861,6 +861,33 @@ object Queries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** parse_timedelta (littletable.py:1262-1284): duration strings →
+    * DayTimeIntervalType via try_to_timestamp minus a reference time;
+    * the gate outputs the interval's total seconds (extracted FROM the
+    * parsed interval) against DuckDB's direct time-of-day arithmetic. */
+  val q_parse_timedelta: Q = (s, dir) => {
+    val strs = events(s, dir).df
+      .select(date_format(col("ts"), "HH:mm:ss").as("s"))
+    val delta = graft.sources.Sources.parseTimedelta("HH:mm:ss")(col("s"))
+    strs.withColumn("__d", delta)
+      .select(col("s"),
+        (expr("extract(HOUR FROM __d)") * 3600 +
+          expr("extract(MINUTE FROM __d)") * 60 +
+          expr("extract(SECOND FROM __d)").cast("long")).as("delta_secs"))
+      .groupBy(col("s"), col("delta_secs"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("s"))
+  }
+
+  /** shuffle(seed) (littletable.py:2184-2190): seeded deterministic
+    * permutation. The oracle-checkable property is bag preservation —
+    * shuffling then re-sorting equals the source (no row lost, duplicated
+    * or mutated); permutation determinism is pinned in GTableSpec. */
+  val q_shuffle: Q = (s, dir) =>
+    t(s, dir, "nation").shuffle(seed = 7L)
+      .orderby("n_nationkey")
+      .df.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+
   // ==================================================================
   // Multimodal columns (binary payload + metadata + batched decode stub)
   // ==================================================================
@@ -963,6 +990,8 @@ object Queries {
     "q_stream_sliding" -> q_stream_sliding,
     "q_stream_stateful" -> q_stream_stateful,
     "q_session_window" -> q_session_window,
+    "q_parse_timedelta" -> q_parse_timedelta,
+    "q_shuffle" -> q_shuffle,
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_multimodal_features" -> q_multimodal_features,
     "q_frame_sample" -> q_frame_sample
@@ -1017,6 +1046,17 @@ object Queries {
         | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='O'),2),0.0) AS "O",
         | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='P'),2),0.0) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_parse_timedelta" ->
+      """SELECT strftime(ts, '%H:%M:%S') AS s,
+        | CAST(hour(ts)*3600 + minute(ts)*60
+        |   + CAST(floor(second(ts)) AS BIGINT) AS BIGINT) AS delta_secs,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY s""".stripMargin,
+
+    "q_shuffle" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_pivot_3level" ->
       """WITH base AS (

@@ -21,11 +21,36 @@ import org.apache.spark.sql.functions._
   * `slice`/`batched` are deterministic AND scale-safe (see [[Ordinals]]:
   * no global single-partition window at 100 TB).
   */
+/** Import provenance carried by a GTable (reference import metadata,
+  * littletable.py:2851-2868: `import_source_type`, `import_source`,
+  * `import_time`). Set by the importers in [[graft.sources.Sources]];
+  * query transformations preserve it via `copy`. */
+final case class ImportMeta(
+    sourceType: String = "",
+    source: String = "",
+    importTime: Option[java.time.Instant] = None)
+
+object ImportMeta {
+  val none: ImportMeta = ImportMeta()
+  def now(sourceType: String, source: String): ImportMeta =
+    ImportMeta(sourceType, source, Some(java.time.Instant.now()))
+}
+
 final case class GTable(
     df: DataFrame,
     name: String = "",
     /** Total-order keys established by the last orderby (if any). */
-    sortKeys: Seq[SortKey] = Nil) {
+    sortKeys: Seq[SortKey] = Nil,
+    /** Import provenance (reference import_source/type/time). */
+    meta: ImportMeta = ImportMeta.none,
+    /** Construction time (reference create_time; immutable tables have no
+      * separate modify_time). */
+    createdAt: java.time.Instant = java.time.Instant.now()) {
+
+  /** Attach import provenance (used by importers; also lets a caller
+    * re-label a shim-fetched source, e.g. url → temp file). */
+  def withMeta(sourceType: String, source: String): GTable =
+    copy(meta = ImportMeta.now(sourceType, source))
 
   def spark: SparkSession = df.sparkSession
   def columns: Seq[String] = df.columns.toSeq
@@ -586,11 +611,19 @@ final case class GTable(
     * SURVEY.md §1.2). */
   def typed[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] = df.as[T]
 
-  /** Reference `info()` (littletable.py:3797-3814). */
+  /** Reference `info()` (littletable.py:3797-3814): name/fields/len plus
+    * import provenance (source type, source, last_import) and creation
+    * time. `modified` equals `created` — tables are immutable here, every
+    * mutation returns a new table. */
   def info: Map[String, Any] = Map(
     "name" -> name,
     "fields" -> columns,
-    "len" -> size)
+    "len" -> size,
+    "source_type" -> meta.sourceType,
+    "source" -> meta.source,
+    "last_import" -> meta.importTime,
+    "created" -> createdAt,
+    "modified" -> createdAt)
 
   // ------------------------------------------------------------------
   // Rendering (reference present/as_markdown/as_html; collect-at-edge only)

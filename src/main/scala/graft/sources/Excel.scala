@@ -138,6 +138,7 @@ object Excel {
     GTable(spark.createDataFrame(
       spark.sparkContext.parallelize(sparkRows.toSeq, math.max(1, sparkRows.length / 10000)),
       schema), new java.io.File(path).getName)
+      .withMeta("excel", path)
   }
 
   // ---------------- export ----------------

@@ -69,6 +69,7 @@ object Sources {
       if (fieldnames.isEmpty) df0
       else df0.toDF(fieldnames: _*)
     GTable(applyCommon(named, transforms, filters, limit), path)
+      .withMeta("path", path)
   }
 
   /** TSV import (littletable.py:2976-3017). */
@@ -102,6 +103,7 @@ object Sources {
       .option("header", true).option("sep", sep).option("multiLine", true)
       .csv(tmp.getAbsolutePath)
     GTable(applyCommon(parsed, transforms, filters, limit), "<data-string>")
+      .withMeta("data-string", "<data-string>")
   }
 
   /** JSON / JSONL import with `path="a.b.c"` descent into a nested
@@ -121,6 +123,7 @@ object Sources {
       df = df.select(explode(col(descent)).as("rec")).select(col("rec.*"))
     }
     GTable(applyCommon(df, transforms, filters, limit), path)
+      .withMeta("path", path)
   }
 
   /** Fixed-width spec: (label, start, end) 0-based half-open slices —
@@ -140,6 +143,7 @@ object Sources {
       fw.transform.map(_(sliced)).getOrElse(sliced).as(fw.label)
     }
     GTable(applyCommon(raw.select(cols: _*), Map.empty, filters, limit), path)
+      .withMeta("fixed-width", path)
   }
 
   /** URL-source options mirroring the reference's `url_args`
@@ -328,6 +332,28 @@ object Sources {
   // Exports (littletable.py:3117-3413)
   // ------------------------------------------------------------------
 
+  /** Reference `parse_timedelta` (littletable.py:1262-1284) as a column
+    * transform: parse a duration string with a timestamp pattern (Java
+    * DateTimeFormatter syntax, the strptime analog) and subtract a
+    * reference time parsed the same way, yielding a
+    * `DayTimeIntervalType` column. Unparseable input (incl. the
+    * reference's `''` empty case) → `onError` default, or NULL interval.
+    *
+    * Usage: `df.withColumn("dt", Sources.parseTimedelta("HH:mm:ss")(col("s")))`.
+    */
+  def parseTimedelta(
+      format: String,
+      referenceTime: String = "00:00:00",
+      referenceFormat: String = "HH:mm:ss",
+      onError: Option[Column] = None): Column => Column = { c =>
+    // try_to_timestamp: bad input → NULL, not failed task (reference
+    // _converter's try/except → on_error)
+    val ts = try_to_timestamp(c, lit(format))
+    val ref = to_timestamp(lit(referenceTime), referenceFormat)
+    val delta = ts - ref // timestamp − timestamp = DayTimeIntervalType
+    onError.map(d => coalesce(delta, d)).getOrElse(delta)
+  }
+
   /** CSV export; `fields` selects/projects (littletable.py:3161-3164). */
   def csvExport(t: GTable, path: String, fields: Seq[String] = Nil,
       sep: String = ","): Unit = {
@@ -338,14 +364,28 @@ object Sources {
   def tsvExport(t: GTable, path: String, fields: Seq[String] = Nil): Unit =
     csvExport(t, path, fields, sep = "\t")
 
+  /** Custom JSON encoders (reference `json_encoder` chain,
+    * littletable.py:3346-3354): ordered per-column pre-serialization
+    * transforms applied before the JSON writer — the Spark analog of a
+    * JSONEncoder subclass handling a non-serializable type. Multiple
+    * entries chain in order like the reference's multiple-inheritance
+    * composition. */
+  private def applyEncoders(t: GTable,
+      encoders: Seq[(String, Column => Column)]): GTable =
+    encoders.foldLeft(t) { case (acc, (name, enc)) =>
+      acc.copy(df = acc.df.withColumn(name, enc(col(name))))
+    }
+
   /** JSONL export (reference streaming json_export, littletable.py:3370-3384). */
-  def jsonlExport(t: GTable, path: String): Unit =
-    t.df.write.mode("overwrite").json(path)
+  def jsonlExport(t: GTable, path: String,
+      encoders: Seq[(String, Column => Column)] = Nil): Unit =
+    applyEncoders(t, encoders).df.write.mode("overwrite").json(path)
 
   /** JSON-array export — collect-at-edge, for the reference's small-file
     * array form (littletable.py:3314-3369). */
-  def jsonArrayString(t: GTable, n: Int = 100000): String =
-    t.df.limit(n).toJSON.collect().mkString("[", ",\n", "]")
+  def jsonArrayString(t: GTable, n: Int = 100000,
+      encoders: Seq[(String, Column => Column)] = Nil): String =
+    applyEncoders(t, encoders).df.limit(n).toJSON.collect().mkString("[", ",\n", "]")
 
   /** Bucketed + sorted parquet table write: co-locates join/aggregation
     * keys at write time so repeated equi-joins and groupBys on `keys`

@@ -207,6 +207,31 @@ class GTableSpec extends SparkSpec {
     assert(meanRow.getDouble(1) == 1.5 && meanRow.getDouble(2) == 1.5)
   }
 
+  test("shuffle: seeded permutation is deterministic and bag-preserving") {
+    val src = GTable((1 to 100).map(Tuple1(_)).toDF("i"), "s")
+    val p1 = src.shuffle(7L).df.collect().map(_.getInt(0)).toSeq
+    val p2 = src.shuffle(7L).df.collect().map(_.getInt(0)).toSeq
+    val p3 = src.shuffle(8L).df.collect().map(_.getInt(0)).toSeq
+    assert(p1 == p2, "same seed → same permutation")
+    assert(p1 != p3, "different seed → different permutation")
+    assert(p1.sorted == (1 to 100), "permutation preserves the bag")
+  }
+
+  test("info: import provenance + creation time (littletable.py:3797-3814)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_info").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/i.csv"), "a,b\n1,2\n")
+    val imported = graft.sources.Sources.csvImport(spark, s"$dir/i.csv")
+    val inf = imported.info
+    assert(inf("source_type") == "path")
+    assert(inf("source").toString.endsWith("i.csv"))
+    assert(inf("last_import").asInstanceOf[Option[java.time.Instant]].isDefined)
+    assert(inf("created") == inf("modified")) // immutable tables
+    // provenance survives transformations
+    assert(imported.where(col("a") === "1").info("source_type") == "path")
+    // relabeling a shim-fetched source
+    assert(imported.withMeta("url", "http://x/y.csv").info("source") == "http://x/y.csv")
+  }
+
   test("statsTable: non-numeric fields skipped like the reference") {
     val mixed = GTable(Seq((1.0, "x"), (3.0, "y")).toDF("num", "str"), "mixed")
     // string field silently skipped — reference stats() only accumulates numbers

@@ -97,6 +97,46 @@ class SourcesSpec extends SparkSpec {
       Seq((1, "a"), (2, "b")))
   }
 
+  test("parseTimedelta: duration strings → DayTimeIntervalType (littletable.py:1262-1284)") {
+    val df = Sources.csvImportString(spark, "s\n01:30:00\n00:00:45\nbogus\n").df
+    val parsed = df.withColumn("d", Sources.parseTimedelta("HH:mm:ss")(col("s")))
+    assert(parsed.schema("d").dataType
+      .isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
+    val got = parsed.orderBy("s").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("01:30:00").contains(java.time.Duration.ofMinutes(90)))
+    assert(got("00:00:45").contains(java.time.Duration.ofSeconds(45)))
+    assert(got("bogus").isEmpty, "unparseable → NULL interval")
+    // on_error default (reference on_error arg)
+    val withDefault = df.withColumn("d", Sources.parseTimedelta("HH:mm:ss",
+      onError = Some(expr("INTERVAL 0 SECOND")))(col("s")))
+    assert(withDefault.filter(col("s") === "bogus").head().get(1) ==
+      java.time.Duration.ZERO)
+  }
+
+  test("JSON export with custom encoders (littletable.py:3346-3354)") {
+    import graft.core.GTable
+    import spark.implicits._
+    val t = GTable(Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](4)))
+      .toDF("id", "payload"), "bin")
+    // binary is not JSON-portable — encode as base64 string, the way a
+    // reference JSONEncoder subclass would handle a custom type
+    val json = Sources.jsonArrayString(t,
+      encoders = Seq("payload" -> (c => base64(c))))
+    assert(json.contains("\"payload\":\"AQID\"") && json.contains("\"payload\":\"BA==\""))
+    // chained encoders apply in order (reference multiple-inheritance chain)
+    val chained = Sources.jsonArrayString(t, encoders = Seq(
+      "payload" -> (c => base64(c)),
+      "payload" -> (c => concat(lit("b64:"), c))))
+    assert(chained.contains("\"payload\":\"b64:AQID\""))
+    // jsonlExport round-trip with the encoder applied
+    val dir = java.nio.file.Files.createTempDirectory("graft_jenc").toString
+    Sources.jsonlExport(t, s"$dir/out", encoders = Seq("payload" -> (c => base64(c))))
+    val back = spark.read.json(s"$dir/out")
+    assert(back.orderBy("id").collect().map(_.getAs[String]("payload")).toSeq ==
+      Seq("AQID", "BA=="))
+  }
+
   test("URL import with Basic auth against a local auth server (littletable.py:797-841)") {
     // like the reference's test/csv_import_http_server.py: 401 without the
     // right Authorization header, CSV body with it
