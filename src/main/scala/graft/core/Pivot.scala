@@ -46,23 +46,25 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
     * size; the key joins are broadcast-size. */
   def summary(agg: Column = count(lit(1)), label: String = "count"): GTable = {
     val flat = observed(agg, label)
-    // key-set cross products via a constant equi-key (broadcast hash
-    // join over a handful of rows) — a literal crossJoin would plan as
-    // BroadcastNestedLoopJoin and trip the plan audit for no benefit
+    // The key-set product plans as a BroadcastNestedLoopJoin — expected
+    // and safe here: both sides are DISTINCT KEY SETS of the already-
+    // aggregated cells (bounded by the pivot-key cardinality, broadcast-
+    // size by construction), never the data. Documented in AuditPlans'
+    // expected-BNLJ list.
     def keySet(cols: String*): DataFrame =
-      broadcast(flat.select(cols.map(col): _*).distinct().withColumn("__one", lit(1)))
+      broadcast(flat.select(cols.map(col): _*).distinct())
     val out = attrs match {
       case Seq(_) =>
         // 1-D: keys are the observed values — every cell non-empty
         flat.withColumn(label, coalesce(col(label), lit(0)))
       case Seq(a, b) =>
         // full cross product of the two global key sets
-        val grid = keySet(a).join(keySet(b), "__one").drop("__one")
+        val grid = keySet(a).crossJoin(keySet(b))
         grid.join(flat, Seq(a, b), "left")
           .withColumn(label, coalesce(col(label), lit(0)))
       case Seq(a, b, c) =>
         // (global a) × (global b) ⋈ (per-a-branch c keys)
-        val grid = keySet(a).join(keySet(b), "__one").drop("__one")
+        val grid = keySet(a).crossJoin(keySet(b))
           .join(broadcast(flat.select(a, c).distinct()), Seq(a), "inner")
         grid.join(flat, Seq(a, b, c), "left")
           .withColumn(label, coalesce(col(label), lit(0)))

@@ -22,6 +22,12 @@ object AuditPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val skipExec = Set("q_stream_tumbling", "q_stream_sliding", "q_stream_stateful")
+    // BNLJs that are part of the design, with why they are scale-safe:
+    val expectedBnlj = Map(
+      "q_dedup_embedding" ->
+        "verification-grade exact all-pairs; LSH banding is the scale path",
+      "q_pivot_3level" ->
+        "pivot key-lattice grid: product of two broadcast DISTINCT-KEY sets, bounded by pivot-key cardinality")
     graft.Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skipExec.contains(name)) {
         try {
@@ -29,9 +35,15 @@ object AuditPlans {
           val exchanges = "Exchange".r.findAllIn(plan).length -
             "BroadcastExchange".r.findAllIn(plan).length -
             "ReusedExchange".r.findAllIn(plan).length
+          val bnljFlag =
+            if (!plan.contains("BroadcastNestedLoopJoin")) None
+            else expectedBnlj.get(name) match {
+              case Some(why) => Some(s"BNLJ[expected: $why]")
+              case None => Some("BNLJ")
+            }
           val flags = Seq(
             if (plan.contains("CartesianProduct")) Some("CARTESIAN") else None,
-            if (plan.contains("BroadcastNestedLoopJoin")) Some("BNLJ") else None,
+            bnljFlag,
             // codegen stages print as `*(n) Operator` in simpleString
             if (!plan.contains("*(")) Some("NO-CODEGEN") else None
           ).flatten
