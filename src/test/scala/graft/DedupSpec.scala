@@ -51,6 +51,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 20L))
   }
 
+  test("prefix-filtered exact Jaccard == naive exact (PPJoin pruning loses nothing)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.8, 0.9)) {
+      def canon(dfp: org.apache.spark.sql.DataFrame) = dfp.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e12) / 1e12)).toSet
+      val naive = canon(Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, t))
+      val prefix = canon(Dedup.ngramJaccardPairsPrefix(real, "doc_id", "text", 3, t))
+      assert(prefix == naive, s"t=$t: prefix ${prefix.size} vs naive ${naive.size}; " +
+        s"missing=${(naive -- prefix).take(3)} extra=${(prefix -- naive).take(3)}")
+    }
+    // synthetic chain fixture too (different size distribution)
+    val naiveChain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefixChain = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixChain == naiveChain)
+  }
+
   test("MinHash-LSH recovers every exact-Jaccard pair (recall=1 here)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
