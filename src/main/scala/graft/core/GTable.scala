@@ -607,6 +607,40 @@ final case class GTable(
     else grouped.filter(col("n") > 1 || col(attr).isNull)
   }
 
+  // ------------------------------------------------------------------
+  // Lifecycle (reference clone/clear/copy_template/insert,
+  // littletable.py:1445-1520 — immutable flavors)
+  // ------------------------------------------------------------------
+
+  /** Reference `clone()` — with immutable plans this is the same table,
+    * optionally re-named. */
+  def cloneTable(newName: String = name): GTable = copy(name = newName)
+
+  /** Reference `clear()`: empty table, same schema. */
+  def clear: GTable = copy(df = df.limit(0), sortKeys = Nil)
+
+  /** Reference `copy_template()`: empty table with this table's schema. */
+  def copyTemplate(newName: String = name): GTable =
+    copy(df = df.limit(0), name = newName, sortKeys = Nil)
+
+  /** Reference `insert`/`insert_many` — immutable flavor: bag-union the
+    * new rows (heterogeneous columns null-fill, like `union`). */
+  def insert(rows: DataFrame): GTable = union(GTable(rows))
+
+  /** Reference `create_index(attr, unique=True)` constraint semantics:
+    * eagerly validates uniqueness (and non-nullness unless `acceptNone`)
+    * and returns this table, or throws like the reference's KeyError on
+    * a duplicate. The lookup-acceleration role of the reference's
+    * indexes is played by Catalyst pushdown + min-max/dictionary pruning
+    * — see [[byUnique]]/[[byAll]]. */
+  def withUniqueIndex(attr: String, acceptNone: Boolean = false): GTable = {
+    val bad = checkUnique(attr, acceptNone).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"unique index on $name.$attr violated: key=${bad.head.get(0)}")
+    this
+  }
+
   /** Typed view (reference `Table[T]`/row_class → `Dataset[T]`,
     * SURVEY.md §1.2). */
   def typed[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] = df.as[T]

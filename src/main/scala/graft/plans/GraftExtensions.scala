@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.VecDot
+import graft.functions.{NormalizeWords, ShingleHashSet, SimHash64, TextNormalize, VecDot}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works and the
@@ -57,6 +58,37 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.Multiply(
             Sqrt(VecDot(children(0), children(0))),
             Sqrt(VecDot(children(1), children(1)))))
+      }),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(words) - 64-bit SimHash fingerprint of an array<string> column (codegen'd)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(children(0))
+      }),
+    (FunctionIdentifier("shingle_hash_set"),
+      info("shingle_hash_set", "shingle_hash_set(words, n) - distinct hashes of the n-word shingles of an array<string> column (codegen'd)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_hash_set takes exactly 2 arguments")
+        children(1) match {
+          case Literal(n: Int, IntegerType) => ShingleHashSet(children(0), n)
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash_set: n must be an integer literal, got $other")
+        }
+      }),
+    (FunctionIdentifier("normalize_words"),
+      info("normalize_words", "normalize_words(text[, sorted_set]) - search-normalized word array " +
+        "(stopwords, plural singularization, acronyms, significant endings; codegen'd). " +
+        "sorted_set=true returns the sorted distinct content-word set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "normalize_words takes 1 or 2 arguments")
+        val sortedSet = children.lift(1) match {
+          case None => false
+          case Some(Literal(b: Boolean, BooleanType)) => b
+          case Some(other) => throw new IllegalArgumentException(
+            s"normalize_words: sorted_set must be a boolean literal, got $other")
+        }
+        NormalizeWords(children(0), TextNormalize.stopwords, sortedSet)
       }))
 
   /** Register the same functions into an already-running session (for

@@ -19,6 +19,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
   }
 
+  test("text pipeline usable from SQL: simhash64 / shingle_hash_set / normalize_words") {
+    GraftExtensions.install(spark)
+    Seq((1L, "The Quick brown Foxes jumped over i.b.m. systems"))
+      .toDF("id", "text").createOrReplaceTempView("docs_sql")
+    val r = spark.sql("""
+      SELECT simhash64(split(text, '\\s+')) AS sh,
+             size(shingle_hash_set(split(text, '\\s+'), 3)) AS n_sh,
+             normalize_words(text) AS words,
+             normalize_words(text, true) AS sorted_words
+      FROM docs_sql""").head()
+    // agrees with the fluent API
+    import graft.functions.TextHashExpressions.{simhash64 => sh64, normalize_words => nw}
+    val api = spark.table("docs_sql").select(
+      sh64(split(col("text"), "\\s+")).as("sh"),
+      nw(col("text"), graft.functions.TextNormalize.stopwords).as("w")).head()
+    assert(r.getLong(0) == api.getLong(0))
+    assert(r.getInt(1) == 6) // 8 words -> 6 trigram shingles
+    assert(r.getSeq[String](2) == api.getSeq[String](1))
+    assert(r.getSeq[String](2).contains("fox"), "plural singularized")
+    assert(r.getSeq[String](2).contains("ibm"), "acronym collapsed")
+    assert(r.getSeq[String](3) == r.getSeq[String](3).sorted, "sorted-set shape")
+    // literal-argument validation
+    intercept[Exception](spark.sql("SELECT shingle_hash_set(array('a'), id) FROM docs_sql").collect())
+  }
+
   test("SQL vec_dot agrees bit-exactly with the fluent API on real embeddings") {
     GraftExtensions.install(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

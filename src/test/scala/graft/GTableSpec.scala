@@ -207,6 +207,25 @@ class GTableSpec extends SparkSpec {
     assert(meanRow.getDouble(1) == 1.5 && meanRow.getDouble(2) == 1.5)
   }
 
+  test("lifecycle: clone/clear/copy_template/insert/unique-index (immutable flavors)") {
+    val src = GTable(Seq((1, "x"), (2, "y")).toDF("k", "v"), "src")
+    assert(src.cloneTable("c2").name == "c2" && src.cloneTable().size == 2)
+    assert(src.clear.size == 0 && src.clear.columns == Seq("k", "v"))
+    assert(src.copyTemplate("t2").name == "t2" && src.copyTemplate().size == 0)
+    val inserted = src.insert(Seq((3, "z")).toDF("k", "v"))
+    assert(inserted.size == 3)
+    // heterogeneous insert null-fills like the reference's dynamic rows
+    val hetero = src.insert(Seq((4, true)).toDF("k", "extra"))
+    assert(hetero.columns == Seq("k", "v", "extra") && hetero.size == 3)
+    // unique-index constraint semantics
+    assert(src.withUniqueIndex("k").size == 2)
+    val dup = GTable(Seq((1, "x"), (1, "y")).toDF("k", "v"), "dup")
+    intercept[IllegalStateException](dup.withUniqueIndex("k"))
+    val withNull = GTable(Seq((Some(1), "x"), (None, "y")).toDF("k", "v"), "n")
+    intercept[IllegalStateException](withNull.withUniqueIndex("k"))
+    assert(withNull.withUniqueIndex("k", acceptNone = true).size == 2)
+  }
+
   test("shuffle: seeded permutation is deterministic and bag-preserving") {
     val src = GTable((1 to 100).map(Tuple1(_)).toDF("i"), "s")
     val p1 = src.shuffle(7L).df.collect().map(_.getInt(0)).toSeq

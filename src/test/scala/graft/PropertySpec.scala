@@ -114,6 +114,38 @@ class RunIdPropertySpec extends SparkSpec {
     }
   }
 
+  test("pivot summary lattice matches the reference semantics on random data") {
+    // naive oracle of the reference's key-lattice (_PivotTable subtable
+    // construction): level-1/2 keys global, level-3 keys within the
+    // level-1 branch, zero-filled cells
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(150)
+      val ka = 1 + rnd.nextInt(4); val kb = 1 + rnd.nextInt(4); val kc = 1 + rnd.nextInt(4)
+      val rows = Seq.fill(n)((s"a${rnd.nextInt(ka)}", s"b${rnd.nextInt(kb)}", s"c${rnd.nextInt(kc)}"))
+      val observed = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val k1 = rows.map(_._1).distinct.sorted
+      val k2 = rows.map(_._2).distinct.sorted
+      val k3 = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.sorted).toMap
+      val want3 = for (a <- k1; b <- k2; c <- k3(a))
+        yield (a, b, c, observed.getOrElse((a, b, c), 0L))
+      val df = rows.toDF("a", "b", "c")
+      val got3 = GTable(df, "p").pivot("a", "b", "c").summary().df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got3 == want3, s"trial $trial 3-attr (n=$n)")
+      val want2 = for (a <- k1; b <- k2)
+        yield (a, b, rows.count(r => r._1 == a && r._2 == b).toLong)
+      val got2 = GTable(df, "p").pivot("a", "b").summary().df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got2 == want2, s"trial $trial 2-attr")
+      // tree rollup consistency: root count == n, child sums == parent
+      val tree = GTable(df, "p").pivot("a", "b", "c").tree
+      assert(tree.count == n)
+      assert(tree.children.map(_.count).sum == n)
+      tree.children.foreach(ch => assert(ch.children.map(_.count).sum == ch.count))
+    }
+  }
+
   test("comparator DSL matches Scala semantics on random data incl. nulls") {
     val rnd = new scala.util.Random(7)
     val vs: Seq[Integer] = Seq.fill(300)(
