@@ -73,21 +73,33 @@ object TextHashUtil {
     fp
   }
 
-  /** MinHash signature from a 32-bit-masked shingle-hash set: for each of
-    * `numHashes` universal-hash permutations `(aᵢ·h+bᵢ) mod p`, the min
-    * over the set. Constants are supplied interleaved [a₀,b₀,a₁,b₁,…]. */
-  def minhashSig(shingleHashes: ArrayData, ab: Array[Long]): ArrayData = {
-    val numHashes = ab.length / 2
+  /** MinHash signature from a shingle-hash set: for each seed, the min
+    * (signed order) of a splitmix64-style bijective mix of the full
+    * 64-bit shingle hash. Any fixed bijection + fixed total order gives
+    * the MinHash property P(minA == minB) = J(A,B).
+    *
+    * History: this replaced a bounded-coefficient affine family
+    * `(a·h32+b) mod p` with a,b < 2^30 (chosen to avoid ANSI overflow
+    * when this ran as SQL arithmetic). Bounding the coefficients made
+    * the map near-MONOTONIC over 32-bit inputs (at most one modular
+    * wrap), so every "permutation" shared the same minima — signature
+    * agreement collapsed to 0 even at Jaccard 0.99, caught by the sf0.1
+    * recall gate. In this static JVM helper 64-bit wrap-around
+    * multiplication is well-defined, so a real mix is free. */
+  def minhashSig(shingleHashes: ArrayData, seeds: Array[Long]): ArrayData = {
+    val numHashes = seeds.length
     val m = shingleHashes.numElements()
-    val P = (1L << 61) - 1
     val out = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < m) {
-      val h32 = shingleHashes.getLong(i) & 0xFFFFFFFFL
+      val h = shingleHashes.getLong(i)
       var j = 0
       while (j < numHashes) {
-        val v = (ab(2 * j) * h32 + ab(2 * j + 1)) % P
-        if (v < out(j)) out(j) = v
+        var x = h + seeds(j)
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^= (x >>> 31)
+        if (x < out(j)) out(j) = x
         j += 1
       }
       i += 1
@@ -140,7 +152,7 @@ case class SimHash64(child: Expression)
 /** MinHash signature over a shingle-hash-set array (codegen'd). The
   * permutation constants live in a codegen object reference, not in the
   * expression tree — numHashes=64 would otherwise be 128 literals. */
-case class MinHashSignature(child: Expression, ab: Array[Long])
+case class MinHashSignature(child: Expression, seeds: Array[Long])
     extends UnaryExpression {
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -152,11 +164,11 @@ case class MinHashSignature(child: Expression, ab: Array[Long])
   }
 
   override def nullSafeEval(input: Any): Any =
-    TextHashUtil.minhashSig(input.asInstanceOf[ArrayData], ab)
+    TextHashUtil.minhashSig(input.asInstanceOf[ArrayData], seeds)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val abRef = ctx.addReferenceObj("minhashAB", ab, "long[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.minhashSig($c, $abRef)")
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.minhashSig($c, $seedsRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -224,6 +236,6 @@ object TextHashExpressions {
     ColumnInterop.column(SimHash64(ColumnInterop.expression(words)))
 
   /** MinHash signature of a shingle-hash-set column. */
-  def minhash_signature(shingleHashes: Column, ab: Array[Long]): Column =
-    ColumnInterop.column(MinHashSignature(ColumnInterop.expression(shingleHashes), ab))
+  def minhash_signature(shingleHashes: Column, seeds: Array[Long]): Column =
+    ColumnInterop.column(MinHashSignature(ColumnInterop.expression(shingleHashes), seeds))
 }

@@ -45,12 +45,16 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signatures: `numHashes` universal-hash permutations
-    * `(aᵢ·h + bᵢ) mod p` (p = 2^61−1) over the 32-bit shingle hash, min
-    * per doc. Constants bounded to 2^30 so `a·h + b` stays within a
-    * signed long: Spark 4 runs ANSI mode and traps arithmetic overflow,
-    * so the mixing must genuinely not overflow rather than relying on
-    * wraparound.
+  /** MinHash signatures: `numHashes` independent bijective mixes
+    * (splitmix64 finalizer, per-permutation seed) of the full 64-bit
+    * shingle hash, min per doc. NOT a bounded-coefficient affine family:
+    * `(a·h+b) mod p` with small a is near-monotonic over the input
+    * range, which collapses every permutation's min onto the same
+    * globally-small hashes and silently destroys the Jaccard estimate —
+    * the sf0.1 recall gate caught exactly that (0/64 signature agreement
+    * at Jaccard 0.99). The mixing runs in a static JVM helper where
+    * 64-bit wraparound is well-defined (ANSI mode governs SQL
+    * arithmetic, not helper code).
     *
     * Entirely map-side, one narrow codegen'd projection — no explode, no
     * dedup shuffle, no groupBy (see TextHashExpressions: shingle hashing
@@ -60,14 +64,12 @@ object Dedup {
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
-    val ab = (0 until numHashes).flatMap { i =>
-      Seq((splitmix64(2L * i) & 0x3FFFFFFFL) | 1L, splitmix64(2L * i + 1) & 0x3FFFFFFFL)
-    }.toArray
+    val seeds = Array.tabulate(numHashes)(i => splitmix64(i.toLong))
     import graft.functions.TextHashExpressions.{minhash_signature, shingle_hash_set}
     df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
       .select(col(idCol), shingle_hash_set(col("__ws"), shingleN).as("__shks"))
       .filter(size(col("__shks")) > 0)
-      .select(col(idCol), minhash_signature(col("__shks"), ab).as("sig"))
+      .select(col(idCol), minhash_signature(col("__shks"), seeds).as("sig"))
   }
 
   /** LSH band-collision candidate pairs only (no Jaccard estimate): the

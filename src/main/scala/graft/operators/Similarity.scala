@@ -48,28 +48,56 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Sign-random-projection bucket id (`bits`-bit code) for each row. */
-  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      dims: Int, bits: Int = 12): DataFrame = {
-    val v = col(vecCol)
-    val code = (0 until bits).map { p =>
-      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+  private def codeColumn(v: Column, dims: Int, bits: Int, table: Int): Column =
+    (0 until bits).map { p =>
+      val plane = array((0 until dims).map(d =>
+        lit(planeComponent(table * bits + p, d))): _*)
       when(dot(v, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    df.withColumn("bucket", code)
-  }
+
+  private def queryCode(query: Seq[Double], bits: Int, table: Int): Long =
+    (0 until bits).map { p =>
+      val d = query.indices.map(i => query(i) * planeComponent(table * bits + p, i)).sum
+      if (d >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+
+  /** Sign-random-projection bucket id (`bits`-bit code) for each row. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, bits: Int = 12): DataFrame =
+    df.withColumn("bucket", codeColumn(col(vecCol), dims, bits, table = 0))
+
+  /** Multi-table variant: `tables` independent hyperplane sets, one
+    * bucket column per table (`bucket_0..bucket_{L-1}`). The classic
+    * LSH amplification — per-table miss probabilities MULTIPLY, which is
+    * what makes high recall affordable: L small-radius probes beat one
+    * huge-radius probe (probing radius r costs Σ C(bits,i) buckets). */
+  def lshBucketsMulti(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, bits: Int = 8, tables: Int = 2): DataFrame =
+    (0 until tables).foldLeft(df) { (d, t) =>
+      d.withColumn(s"bucket_$t", codeColumn(col(vecCol), dims, bits, t))
+    }
 
   /** LSH-accelerated approximate top-k: probe buckets within `probeDist`
     * Hamming distance of the query's bucket, exact-rank the candidates. */
   def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, bits: Int = 12, probeDist: Int = 1): DataFrame = {
-    val qCode = (0 until bits).map { p =>
-      val d = (0 until query.length).map(i => query(i) * planeComponent(p, i)).sum
-      if (d >= 0) 1L << p else 0L
-    }.reduce(_ | _)
+    val qCode = queryCode(query, bits, table = 0)
     val cands = bucketed.filter(
       bit_count(col("bucket").bitwiseXOR(lit(qCode))) <= probeDist)
     bruteForceTopK(cands, idCol, vecCol, query, k)
+  }
+
+  /** Multi-table approximate top-k over [[lshBucketsMulti]] output: a row
+    * is a candidate if ANY table's bucket falls within `probeDist` of the
+    * query's code for that table — one scan, an OR of per-table bit
+    * tests, no union. */
+  def lshTopKMulti(bucketed: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, bits: Int = 8, probeDist: Int = 2,
+      tables: Int = 2): DataFrame = {
+    val cond = (0 until tables).map { t =>
+      bit_count(col(s"bucket_$t").bitwiseXOR(lit(queryCode(query, bits, t)))) <= probeDist
+    }.reduce(_ || _)
+    bruteForceTopK(bucketed.filter(cond), idCol, vecCol, query, k)
   }
 
   // ------------------------------------------------------------------

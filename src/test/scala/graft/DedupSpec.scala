@@ -70,18 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(prefixChain == naiveChain)
   }
 
-  test("MinHash-LSH recovers every exact-Jaccard pair (recall=1 here)") {
+  test("MinHash-LSH: candidate recall = 1 and unbiased Jaccard estimates") {
+    // candidate recall: every exact pair at j >= 0.5 band-collides
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashLSH(docs, "doc_id", "text")
-      .filter(col("est_jaccard") >= 0.5)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.subsetOf(lsh), s"missing ${exact -- lsh}")
-    // est_jaccard of the exact dup must be 1.0
-    val estDup = Dedup.minhashLSH(docs, "doc_id", "text")
-      .filter(col("id_a") === 3 && col("id_b") === 100)
-      .select("est_jaccard").collect()
-    assert(estDup.nonEmpty && estDup(0).getDouble(0) == 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.keySet.subsetOf(cands), s"missing ${exact.keySet -- cands}")
+    // estimator accuracy: est within ~3σ of the true Jaccard
+    // (σ = sqrt(j(1−j)/64) ≤ 0.0625 — this is what the old bounded-
+    // coefficient hash family silently broke: its estimates collapsed
+    // toward all-agree/none-agree instead of tracking j)
+    val est = Dedup.minhashLSH(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    exact.foreach { case (pair, j) =>
+      assert(est.contains(pair) && math.abs(est(pair) - j) < 0.2,
+        s"pair $pair true=$j est=${est.get(pair)}")
+    }
+    // exact duplicate → identical signatures → est exactly 1.0
+    assert(est((3L, 100L)) == 1.0)
   }
 
   test("SimHash: identical docs at hamming 0, near-dups within 3") {
