@@ -590,6 +590,17 @@ object Queries {
       TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Gopher/RefinedWeb repetition signal: intra-document duplicate
+    * word/2-gram/3-gram fractions (raw doubles — integer-derived
+    * division is bit-exact vs the oracle). */
+  val q_repetition: Q = (s, dir) =>
+    t(s, dir, "documents").df.select(
+      col("doc_id"),
+      TextAnalysis.dupNgramFraction(col("text"), 1).as("dup_word_frac"),
+      TextAnalysis.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
+      TextAnalysis.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+
   // ==================================================================
   // Deduplication (training-data pipeline operators)
   // ==================================================================
@@ -975,6 +986,7 @@ object Queries {
     "q_quality_score" -> q_quality_score,
     "q_lang_id" -> q_lang_id,
     "q_fingerprint" -> q_fingerprint,
+    "q_repetition" -> q_repetition,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_dedup_remove" -> q_dedup_remove,
@@ -1408,6 +1420,28 @@ object Queries {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, ws,
+        |    list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1]) AS g2,
+        |    list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        |  FROM docs)
+        |SELECT doc_id,
+        |  CASE WHEN len(ws) > 0
+        |    THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(g2) > 0
+        |    THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |    ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) > 0
+        |    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |    ELSE 0.0 END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, fp FROM (

@@ -77,6 +77,20 @@ object TextAnalysis {
     (lenOk + swOk + mwlOk) / 3.0
   }
 
+  /** Intra-document duplicate n-gram fraction — the Gopher/RefinedWeb
+    * repetition signal (Rae et al. 2021 §A1.1; Penedo et al. 2023):
+    * (total n-grams − distinct n-grams) / total, 0 for empty docs.
+    * Distinctness via the codegen'd shingle-hash set (64-bit XXH64 —
+    * collision-free in practice at document size). */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    import graft.functions.TextHashExpressions.shingle_hash_set
+    val ws = words(text)
+    val total = greatest(size(ws) - (n - 1), lit(0))
+    when(total > 0,
+      (total - size(shingle_hash_set(ws, n))).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Deterministic document fingerprint: md5 over whitespace-normalized
     * lowercase text (the reference has no engine-side hashing; this is the
     * standard exact-dedup key at pipeline scale). */

@@ -14,7 +14,8 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_agg", "q_join3_revenue", "q_where_comparators",
         "q_orderby_limit", "q_dedup_embedding", "q_search_scored",
-        "q_join_asof", "q_join_range", "q_join_salted", "q_sim_ivf")
+        "q_join_asof", "q_join_range", "q_join_salted", "q_sim_ivf",
+        "q_pivot_3level", "q_dedup_minhash", "q_sim_lsh")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
