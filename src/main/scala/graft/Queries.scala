@@ -868,6 +868,19 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming exact dedup (dropDuplicatesWithinWatermark): first
+    * arrival per (user_id, event_type) survives; output restricted to
+    * the key columns so the kept-row choice within a batch cannot leak
+    * nondeterminism. Oracle: batch DISTINCT. */
+  val q_stream_dedup: Q = (s, dir) => {
+    val deduped = Streaming.dedupStream(Streaming.eventsStream(s, dir),
+      Seq("user_id", "event_type"), "ts", "1 hour")
+      .select(col("user_id"), col("event_type"))
+    Streaming.runToBatch(deduped, "stream_dedup_out", mode = "append")
+      .distinct() // state re-init across runs could re-emit; distinct is the contract
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Gap-based session windows per user (session_window operator). */
   val q_session_window: Q = (s, dir) => {
     Streaming.sessionWindows(events(s, dir).df, "10 minutes")
@@ -1007,6 +1020,7 @@ object Queries {
     "q_stream_sliding" -> q_stream_sliding,
     "q_stream_stateful" -> q_stream_stateful,
     "q_session_window" -> q_session_window,
+    "q_stream_dedup" -> q_stream_dedup,
     "q_parse_timedelta" -> q_parse_timedelta,
     "q_shuffle" -> q_shuffle,
     "q_multimodal_meta" -> q_multimodal_meta,
@@ -1063,6 +1077,10 @@ object Queries {
         | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='O'),2),0.0) AS "O",
         | coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderstatus='P'),2),0.0) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_parse_timedelta" ->
       """SELECT strftime(ts, '%H:%M:%S') AS s,

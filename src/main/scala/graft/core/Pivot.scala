@@ -94,6 +94,9 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
     val sb = new StringBuilder
     sb ++= s"Pivot: ${attrs.mkString(",")}\n"
     attrs match {
+      case _ if table.df.isEmpty =>
+        // empty source: header only (the reference's max() over keys
+        // would throw on an empty table too — we choose graceful)
       case Seq(_) =>
         val cells = summary().df.collect().map(r => (r.get(0).toString, r.getLong(1)))
         val keyW = cells.map(_._1.length).max

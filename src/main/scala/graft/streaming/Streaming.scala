@@ -99,6 +99,17 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the streaming flavor of `Dedup.exact` for
+    * continuous ingestion: keep the FIRST arrival per key, dropping
+    * re-occurrences that arrive within the watermark horizon. State per
+    * key expires with the watermark — that bound is what keeps the state
+    * store finite at pipeline ingest rates (an unwatermarked
+    * dropDuplicates accumulates every key ever seen). */
+  def dedupStream(events: DataFrame, keys: Seq[String], tsCol: String,
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Session windows (gap-based) per user — batch flavor of the same
     * `session_window` operator used under streaming. */
   def sessionWindows(events: DataFrame, gap: String = "10 minutes"): DataFrame =

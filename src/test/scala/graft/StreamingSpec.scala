@@ -65,6 +65,31 @@ class StreamingSpec extends SparkSpec {
     assert(afterRestart(0L) == 30L && afterRestart(1L) == 30L && afterRestart(2L) == 30L)
   }
 
+  test("dedupStream: re-occurrences across micro-batches are dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val deduped = Streaming.dedupStream(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      Seq("user_id", "event_type"), "ts", "30 minutes")
+      .select("user_id", "event_type")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_spec_out").start()
+    try {
+      in.addData((1L, "click", ts(0)), (1L, "click", ts(1)), (2L, "view", ts(2)))
+      q.processAllAvailable()
+      // batch 2: (1, click) is a cross-batch duplicate within the
+      // watermark horizon — state must drop it; (1, view) is new
+      in.addData((1L, "click", ts(5)), (1L, "view", ts(6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_spec_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.sorted == Seq((1L, "click"), (1L, "view"), (2L, "view")),
+      s"got $rows")
+  }
+
   test("runningUserTotals: GroupState persists across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.UserEvent
