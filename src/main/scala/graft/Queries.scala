@@ -590,6 +590,24 @@ object Queries {
       TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Weighted corpus mixing (training-data assembly): two sources at
+    * weights 3:1 toward 4n target rows → exactly 3 and 1 whole epochs
+    * per source (0.75/0.25 are exact binary fractions, so the rate
+    * arithmetic has no Bernoulli remainder and the mix is fully
+    * deterministic — the seeded fractional path is MixSpec's job). */
+  val q_mix_weighted: Q = (s, dir) => {
+    import graft.operators.Mix
+    val docs = t(s, dir, "documents")
+    val n = docs.df.count()
+    Mix.weightedMix(Seq(
+        docs.cloneTable("corpus_a") -> 3.0,
+        docs.cloneTable("corpus_b") -> 1.0),
+      targetRows = 4 * n)
+      .df.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("doc_id"), col("source"))
+  }
+
   /** Gopher/RefinedWeb repetition signal: intra-document duplicate
     * word/2-gram/3-gram fractions (raw doubles — integer-derived
     * division is bit-exact vs the oracle). */
@@ -1000,6 +1018,7 @@ object Queries {
     "q_lang_id" -> q_lang_id,
     "q_fingerprint" -> q_fingerprint,
     "q_repetition" -> q_repetition,
+    "q_mix_weighted" -> q_mix_weighted,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_dedup_remove" -> q_dedup_remove,
@@ -1438,6 +1457,14 @@ object Queries {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mix_weighted" ->
+      """SELECT doc_id, source, n_copies FROM (
+        |  SELECT doc_id, 'corpus_a' AS source, CAST(3 AS BIGINT) AS n_copies
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'corpus_b', CAST(1 AS BIGINT) FROM documents)
+        |ORDER BY doc_id, source""".stripMargin,
 
     "q_repetition" ->
       """WITH docs AS (

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.GTable
+
+/** Corpus mixing for training-data assembly (beyond the reference —
+  * BASELINE.json north-star territory): combine N sources into one
+  * stream realizing requested mixture WEIGHTS at a requested SIZE,
+  * deterministic under a seed, with oversampling (epochs > 1) when a
+  * high-weight source is small.
+  *
+  * Scale shape: one `count()` per source (metadata-cheap on parquet),
+  * then a single map-side pass per source — replication is
+  * `explode(sequence(...))`, the fractional remainder a seeded
+  * `rand(seed) < p` filter; no shuffle at all until the caller
+  * repartitions/shuffles the mixed stream (recommended: a final
+  * `shuffle(seed)` or `repartition` so sources interleave rather than
+  * concatenate).
+  */
+object Mix {
+
+  /** Mix `sources` (table, weight) to ~`targetRows` total rows with the
+    * given mixture proportions. Weights are normalized; a `sourceCol`
+    * column tags provenance. Per-source rate = targetRows·wᵢ/nᵢ; rates
+    * above 1 replicate whole epochs + a Bernoulli remainder — standard
+    * multi-epoch upsampling of small high-value corpora. Deterministic:
+    * rand is seeded per source, replication is exact. */
+  def weightedMix(sources: Seq[(GTable, Double)], targetRows: Long,
+      seed: Long = 42L, sourceCol: String = "source"): GTable = {
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.forall(_._2 > 0), "weights must be positive")
+    require(targetRows > 0, "targetRows must be positive")
+    val wSum = sources.map(_._2).sum
+    val parts: Seq[DataFrame] = sources.zipWithIndex.map { case ((t, w), i) =>
+      val n = t.df.count()
+      require(n > 0, s"source $i (${t.name}) is empty")
+      val rate = targetRows * (w / wSum) / n
+      val epochs = math.floor(rate).toLong
+      val frac = rate - epochs
+      val tagged = t.df.withColumn(sourceCol, lit(t.name match {
+        case "" => s"source_$i"
+        case nm => nm
+      }))
+      // whole epochs: exact replication; remainder: seeded Bernoulli.
+      // Epoch id keeps replicated rows distinct for downstream shuffles.
+      val whole =
+        if (epochs == 0) None
+        else Some(tagged.withColumn("__epoch",
+          explode(sequence(lit(0L), lit(epochs - 1)))))
+      val rem =
+        if (frac == 0.0) None
+        else Some(tagged.filter(rand(seed + i) < frac)
+          .withColumn("__epoch", lit(epochs)))
+      (whole, rem) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => tagged.limit(0).withColumn("__epoch", lit(0L))
+      }
+    }
+    // heterogeneous sources null-fill missing columns (GTable.union
+    // semantics — corpora rarely share exact schemas)
+    val allCols = parts.flatMap(_.columns).distinct
+    def conform(d: DataFrame): DataFrame = d.select(allCols.map(c =>
+      if (d.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    val mixed = parts.map(conform).reduce(_ unionByName _)
+    GTable(mixed.drop("__epoch"), "mixed")
+  }
+}
