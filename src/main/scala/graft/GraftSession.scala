@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended SparkSession configuration for this library — the knobs a
+  * 1000-executor deployment actually needs, with the reasoning attached,
+  * plus graft's SQL functions pre-registered.
+  *
+  * These are DEFAULTS to start from; per-job tuning (shuffle partition
+  * count vs data volume, memory fractions) still applies.
+  */
+object GraftSession {
+
+  /** Apply the recommended configs to a builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    // AQE re-plans at runtime: coalesces small shuffle partitions,
+    // converts SMJ→broadcast when a side turns out small, and splits
+    // skewed partitions — the first line of defense before manual
+    // salting (GTable.joinSalted handles the pathological tail).
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Start shuffle parallelism at ~cores (local) or 2-3× total executor
+    // cores (cluster); AQE coalesces down, so erring high is cheap.
+    .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // 128 MB scan splits: big enough to amortize task overhead, small
+    // enough that a partition's working set fits executor memory.
+    .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    // graft's codegen'd expressions as SQL functions (vec_*, simhash64,
+    // shingle_hash_set, normalize_words).
+    .withExtensions(new graft.plans.GraftExtensions)
+
+  /** Local session for tests/tools/notebooks. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().appName(appName).master(s"local[$cores]"),
+      shufflePartitions = cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

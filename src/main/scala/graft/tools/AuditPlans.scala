@@ -21,7 +21,8 @@ object AuditPlans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val skipExec = Set("q_stream_tumbling", "q_stream_sliding", "q_stream_stateful")
+    val skipExec = Set("q_stream_tumbling", "q_stream_sliding", "q_stream_stateful",
+      "q_stream_dedup")
     // BNLJs that are part of the design, with why they are scale-safe:
     val expectedBnlj = Map(
       "q_dedup_embedding" ->

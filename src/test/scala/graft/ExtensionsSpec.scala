@@ -44,6 +44,29 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT shingle_hash_set(array('a'), id) FROM docs_sql").collect())
   }
 
+  test("GraftSession.configure applies the recommended scale configs") {
+    // getOrCreate on the running test session: runtime confs apply; the
+    // withExtensions injection path only takes effect on a FRESH session
+    // (GraftSession.local) — its registration list is the same one
+    // install() uses, which the other tests here exercise end-to-end.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      val s = graft.GraftSession.configure(
+        org.apache.spark.sql.SparkSession.builder(), shufflePartitions = 8)
+        .getOrCreate()
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(s.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SQL vec_dot agrees bit-exactly with the fluent API on real embeddings") {
     GraftExtensions.install(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
