@@ -590,6 +590,20 @@ object Queries {
       TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Curation funnel: conjunctive filter chain with a one-pass
+    * per-stage survivor report (stage 0 = input). Stages use table
+    * columns + the repetition signal so the oracle can mirror them. */
+  val q_curation_funnel: Q = (s, dir) => {
+    import graft.operators.Curate
+    import graft.operators.Curate.Stage
+    val docs = t(s, dir, "documents")
+    Curate.report(docs, Seq(
+      Stage("lang_en", col("lang") === "en"),
+      Stage("min_len", col("n_chars") >= 200),
+      Stage("low_repetition", TextAnalysis.dupNgramFraction(col("text"), 3) < 0.5)))
+      .orderBy(col("stage"))
+  }
+
   /** Weighted corpus mixing (training-data assembly): two sources at
     * weights 3:1 toward 4n target rows → exactly 3 and 1 whole epochs
     * per source (0.75/0.25 are exact binary fractions, so the rate
@@ -1019,6 +1033,7 @@ object Queries {
     "q_fingerprint" -> q_fingerprint,
     "q_repetition" -> q_repetition,
     "q_mix_weighted" -> q_mix_weighted,
+    "q_curation_funnel" -> q_curation_funnel,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_dedup_remove" -> q_dedup_remove,
@@ -1457,6 +1472,31 @@ object Queries {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_curation_funnel" ->
+      """WITH docs AS (
+        |  SELECT lang, n_chars,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents
+        |), g AS (
+        |  SELECT lang, n_chars,
+        |    list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        |  FROM docs
+        |), p AS (
+        |  SELECT lang = 'en' AS p1, n_chars >= 200 AS p2,
+        |    (CASE WHEN len(g3) > 0
+        |      THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |      ELSE 0.0 END) < 0.5 AS p3
+        |  FROM g)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage, 'input' AS name, count(*) AS survivors FROM p
+        |  UNION ALL
+        |  SELECT 1, 'lang_en', count(*) FILTER (WHERE p1) FROM p
+        |  UNION ALL
+        |  SELECT 2, 'min_len', count(*) FILTER (WHERE p1 AND p2) FROM p
+        |  UNION ALL
+        |  SELECT 3, 'low_repetition', count(*) FILTER (WHERE p1 AND p2 AND p3) FROM p)
+        |ORDER BY stage""".stripMargin,
 
     "q_mix_weighted" ->
       """SELECT doc_id, source, n_copies FROM (
