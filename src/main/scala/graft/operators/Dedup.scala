@@ -89,10 +89,11 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // alias self-join → single Exchange + ReusedExchange
+    banded.alias("a").join(banded.alias("b"), Seq("band", "bucket"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
   }
 
   /** LSH candidate pairs: split the signature into `bands`, bucket-join on
@@ -151,14 +152,13 @@ object Dedup {
       posexplode(array((0 until nChunks).map(i =>
         shiftrightunsigned(col("simhash"), i * chunkBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
-    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
-    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))
-    a.join(b, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      // the per-row distance filter BEFORE the pair dedup: with small
-      // chunks most band collisions are far pairs, and the distinct's
-      // shuffle should only carry survivors
+    // alias self-join → single Exchange + ReusedExchange (see
+    // jaccardPairsFromIndex); the per-row distance filter runs BEFORE
+    // the pair dedup so the distinct's shuffle only carries survivors
+    chunked.alias("a").join(chunked.alias("b"), Seq("chunk", "ck"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
@@ -181,18 +181,18 @@ object Dedup {
       .select(col("id"), size(col("shks")).as("n_sh"), explode(col("shks")).as("shk"))
   }
 
-  private def jaccardPairsFromIndex(shSet: DataFrame, minJaccard: Double): DataFrame = {
-    val a = shSet.select(col("id").as("id_a"), col("n_sh").as("na"), col("shk"))
-    val b = shSet.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shk"))
-    a.join(b, "shk")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+  private def jaccardPairsFromIndex(shSet: DataFrame, minJaccard: Double): DataFrame =
+    // alias-style self-join (rename AFTER the join): both sides are the
+    // IDENTICAL subtree, so Spark plans one Exchange + ReusedExchange —
+    // the index is scanned, hashed and shuffled once, not twice
+    shSet.alias("a").join(shSet.alias("b"), "shk")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id"), col("a.n_sh"), col("b.n_sh"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (col("inter").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
-  }
 
   /** Exact word-n-gram Jaccard over pairs sharing at least one shingle
     * (inverted-index self-join — no cartesian product). Two shuffles:
@@ -237,13 +237,13 @@ object Dedup {
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int")
     val prefix = sets.select(col("id"), col("n_sh"),
       explode(slice(col("sorted"), lit(1), prefixLen)).as("shk"))
-    val pa = prefix.select(col("id").as("id_a"), col("n_sh").as("na"), col("shk"))
-    val pb = prefix.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shk"))
-    val cands = pa.join(pb, "shk")
-      .filter(col("id_a") < col("id_b") &&
+    // alias self-join → single Exchange + ReusedExchange
+    val cands = prefix.alias("a").join(prefix.alias("b"), "shk")
+      .filter(col("a.id") < col("b.id") &&
         // length filter: j >= t forces t·na <= nb (and symmetrically)
-        col("nb") >= ceil(col("na") * t) && col("na") >= ceil(col("nb") * t))
-      .select("id_a", "id_b").distinct()
+        col("b.n_sh") >= ceil(col("a.n_sh") * t) &&
+        col("a.n_sh") >= ceil(col("b.n_sh") * t))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // exact verification: count the candidate pairs' full intersections
     val ia = shingleIndex(df, idCol, textCol, n)
       .select(col("id").as("id_a"), col("n_sh").as("na"), col("shk"))

@@ -49,6 +49,31 @@ class ScaleJoinSpec extends SparkSpec {
       li.join(ord, "l_orderkey" -> "o_orderkey").df.columns.toSeq)
   }
 
+  test("dedup index self-joins plan ONE exchange + ReusedExchange beyond broadcast size") {
+    // at local SF the index broadcasts (no shuffle at all — better);
+    // past the broadcast threshold the alias-style self-join must share
+    // a single shuffle of the index between both sides
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, df) <- Seq(
+          "ngram" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+          "simhash" -> Dedup.simhashPairs(docs, "doc_id", "text", 3),
+          "minhash" -> Dedup.minhashCandidates(docs, "doc_id", "text"))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("ReusedExchange"),
+          s"$name self-join must reuse the index exchange:\n${plan.take(600)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("IVF assigned table written partitionBy(cluster): probes prune partitions") {
     // the Similarity scaladoc's 100 TB claim, asserted: with the index
     // stored cluster-partitioned, an nProbe filter reads ONLY the probed
