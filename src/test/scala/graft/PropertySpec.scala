@@ -114,6 +114,36 @@ class RunIdPropertySpec extends SparkSpec {
     }
   }
 
+  test("slicePy matches Python slice semantics on random slices") {
+    // Scala oracle: Python's slice.indices() algorithm applied to a Range
+    def pySlice(n: Int, start: Option[Long], stop: Option[Long], step: Long): Seq[Int] = {
+      val s = step.toInt
+      def clamp(i: Long, lo: Long, hi: Long) = math.max(lo, math.min(hi, i)).toInt
+      val (defStart, defStop) = if (s > 0) (0L, n.toLong) else (n - 1L, -n - 1L)
+      def norm(i: Long, default: Long) = {
+        val v = if (i < 0) i + n else i
+        if (s > 0) clamp(v, 0, n) else clamp(v, -1, n - 1)
+      }
+      val st = start.map(norm(_, defStart)).getOrElse(defStart.toInt)
+      val en = stop.map(norm(_, defStop)).getOrElse(if (s > 0) n else -1)
+      (st.until(en.toInt, s)).filter(i => i >= 0 && i < n)
+    }
+    val n = 37
+    val base = GTable((0 until n).map(Tuple1(_)).toDF("i"), "s")
+      .orderby(SortKey.asc("i"))
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 25) {
+      val start = if (rnd.nextBoolean()) Some(rnd.nextLong(2L * n + 10) - n - 5) else None
+      val stop = if (rnd.nextBoolean()) Some(rnd.nextLong(2L * n + 10) - n - 5) else None
+      val step = { val v = rnd.nextLong(7) - 3; if (v == 0) 1L else v }
+      val sliced = base.slicePy(start, stop, step)
+      val got = sliced.df.orderBy(sliced.sortKeys.map(_.order): _*)
+        .collect().map(_.getInt(0)).toSeq
+      val want = pySlice(n, start, stop, step)
+      assert(got == want, s"trial $trial [$start:$stop:$step] got=$got want=$want")
+    }
+  }
+
   test("pivot summary lattice matches the reference semantics on random data") {
     // naive oracle of the reference's key-lattice (_PivotTable subtable
     // construction): level-1/2 keys global, level-3 keys within the
