@@ -666,13 +666,20 @@ final case class GTable(
   def present(n: Int = 20): Unit = sorted.show(n, truncate = false)
 
   /** Markdown table with numeric right-alignment (reference `as_markdown`,
-    * littletable.py:4159-4271). Edge rendering: collects `n` rows only. */
-  def asMarkdown(n: Int = 1000, groupby: Seq[String] = Nil): String =
-    Render.markdown(sorted, n, groupby)
+    * littletable.py:4159-4271). Edge rendering: collects `n` rows only.
+    * `formats` maps field names to value formatters (the reference's
+    * per-field format strings/callables). */
+  def asMarkdown(n: Int = 1000, groupby: Seq[String] = Nil,
+      formats: Map[String, Any => String] = Map.empty): String =
+    Render.markdown(sorted, n, groupby, formats)
 
-  /** HTML table (reference `as_html`, littletable.py:4071-4157). */
-  def asHtml(n: Int = 1000, groupby: Seq[String] = Nil): String =
-    Render.html(sorted, n, groupby)
+  /** HTML table (reference `as_html`, littletable.py:4071-4157).
+    * `formats` = per-field value formatters; `tableProperties` = extra
+    * attributes on the `<table>` tag (reference table_properties). */
+  def asHtml(n: Int = 1000, groupby: Seq[String] = Nil,
+      formats: Map[String, Any => String] = Map.empty,
+      tableProperties: Map[String, String] = Map.empty): String =
+    Render.html(sorted, n, groupby, formats, tableProperties)
 }
 
 /** Reference `join_on`/`+` chain builder (littletable.py:4602-4683):
@@ -726,7 +733,11 @@ private[core] object Render {
     }
   }
 
-  def markdown(df: DataFrame, n: Int, groupby: Seq[String] = Nil): String = {
+  private def fmt(formats: Map[String, Any => String], field: String, v: Any): String =
+    formats.get(field).map(_(v)).getOrElse(v.toString)
+
+  def markdown(df: DataFrame, n: Int, groupby: Seq[String] = Nil,
+      formats: Map[String, Any => String] = Map.empty): String = {
     val schema = df.schema
     val cells = suppress(schema, df.limit(n).collect(), groupby)
     val header = schema.fields.map(_.name).mkString("| ", " | ", " |")
@@ -734,22 +745,26 @@ private[core] object Render {
       if (isNumeric(f.dataType)) "---:" else if (f.dataType == BooleanType) ":---:" else "---")
       .mkString("| ", " | ", " |")
     val body = cells.map(r => schema.fields.indices.map(i =>
-      r(i).map(_.toString).getOrElse("")).mkString("| ", " | ", " |"))
+      r(i).map(fmt(formats, schema.fields(i).name, _)).getOrElse(""))
+      .mkString("| ", " | ", " |"))
     (Seq(header, aligns) ++ body).mkString("\n")
   }
 
-  def html(df: DataFrame, n: Int, groupby: Seq[String] = Nil): String = {
+  def html(df: DataFrame, n: Int, groupby: Seq[String] = Nil,
+      formats: Map[String, Any => String] = Map.empty,
+      tableProperties: Map[String, String] = Map.empty): String = {
     val schema = df.schema
     val cells = suppress(schema, df.limit(n).collect(), groupby)
     def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val props = tableProperties.map { case (k, v) => s""" $k="${esc(v)}"""" }.mkString
     val head = schema.fields.map(f => s"<th>${esc(f.name)}</th>").mkString
     val body = cells.map { r =>
       schema.fields.indices.map { i =>
-        val v = r(i).map(x => esc(x.toString)).getOrElse("")
+        val v = r(i).map(x => esc(fmt(formats, schema.fields(i).name, x))).getOrElse("")
         val align = if (isNumeric(schema.fields(i).dataType)) " style=\"text-align:right\"" else ""
         s"<td$align>$v</td>"
       }.mkString("<tr>", "", "</tr>")
     }.mkString
-    s"<table><thead><tr>$head</tr></thead><tbody>$body</tbody></table>"
+    s"<table$props><thead><tr>$head</tr></thead><tbody>$body</tbody></table>"
   }
 }

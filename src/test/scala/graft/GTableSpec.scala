@@ -148,6 +148,19 @@ class GTableSpec extends SparkSpec {
     assert(html.contains("a&lt;b") && html.contains("text-align:right"))
   }
 
+  test("renderers: formats + table_properties (littletable.py:4071-4157, 1221-1254)") {
+    val tiny = GTable(Seq((1, 3.14159), (2, 2.71828)).toDF("n", "x"), "tiny")
+      .orderby("n")
+    val fmts: Map[String, Any => String] = Map(
+      "x" -> (v => f"${v.asInstanceOf[Double]}%.2f"),
+      "n" -> (v => f"${v.asInstanceOf[Int]}%03d"))
+    val html = tiny.asHtml(formats = fmts, tableProperties = Map("border" -> "2"))
+    assert(html.startsWith("<table border=\"2\">"))
+    assert(html.contains(">3.14</td>") && html.contains(">001</td>"))
+    val md = tiny.asMarkdown(formats = fmts)
+    assert(md.contains("| 001 | 3.14 |") && md.contains("| 002 | 2.72 |"))
+  }
+
   test("slicePy: Python slice semantics incl. negatives and step") {
     val seq10 = GTable((0 until 10).map(i => Tuple1(i)).toDF("i"), "s10")
       .orderby(SortKey.asc("i"))

@@ -54,6 +54,21 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("persisted index: parquet round-trip gives identical search results") {
+    // real deployments persist the inverted index instead of rebuilding
+    // per query — results must be identical through the store
+    val dir = java.nio.file.Files.createTempDirectory("graft_search_idx").toString
+    index.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    for (q <- Seq("tuna +cheese", "bread ++bacon", "pizza dough -pineapple")) {
+      val live = Search.search(recipes, index, "id", "ingredients", q, minScore = -10000)
+        .select(col("id")).collect().map(_.getInt(0)).toSeq
+      val persisted = Search.search(recipes, stored, "id", "ingredients", q, minScore = -10000)
+        .select(col("id")).collect().map(_.getInt(0)).toSeq
+      assert(persisted == live, s"query '$q'")
+    }
+  }
+
   test("search with limit (unit_tests.py:3412-3420)") {
     assert(searchIds("tuna +cheese", limit = 3) == Seq(6, 3, 4))
     assert(searchIds("pineapple +bacon lettuce beef -sauerkraut tomato", limit = 3) == Seq(9, 13, 2))
