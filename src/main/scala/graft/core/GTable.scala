@@ -275,6 +275,24 @@ final case class GTable(
     GTable(out, s"$name+${other.name}")
   }
 
+  /** Reference-compat outer-join naming (littletable.py:2631-2646): the
+    * reference's RIGHT_OUTER_JOIN preserves SELF (= SQL LEFT), its
+    * LEFT_OUTER_JOIN preserves OTHER (= SQL RIGHT). This alias accepts
+    * the reference's names and runs the SQL-correct equivalent, so
+    * migrating code keeps its semantics without adopting the inverted
+    * vocabulary. */
+  def outerJoinCompat(refJoinType: String, other: GTable,
+      pairs: (String, String)*): GTable = {
+    val sqlType = refJoinType.toLowerCase.stripSuffix("_join") match {
+      case "right_outer" | "right" => "left"
+      case "left_outer" | "left" => "right"
+      case "full_outer" | "full" | "outer" => "full"
+      case t => throw new IllegalArgumentException(
+        s"unknown reference join type: $t")
+    }
+    joinTyped(other, sqlType, pairs: _*)
+  }
+
   /** Broadcast-hint flavor for small dimension tables. */
   def joinBroadcast(other: GTable, pairs: (String, String)*): GTable = {
     val l = df.alias("l"); val r = broadcast(other.df.alias("r"))

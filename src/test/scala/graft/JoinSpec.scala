@@ -39,6 +39,22 @@ class JoinSpec extends SparkSpec {
     assert(catalog.joinTyped(prices, "full", "sku" -> "p_sku", "size" -> "p_size").size == 7)
   }
 
+  test("outerJoinCompat: reference naming maps to SQL-correct semantics") {
+    // reference RIGHT_OUTER preserves SELF (littletable.py:2631-2646)
+    // → must equal SQL LEFT; its LEFT_OUTER preserves OTHER → SQL RIGHT
+    def rows(t: GTable) = t.df.orderBy(t.columns.map(col): _*).collect().toSeq
+    assert(rows(catalog.outerJoinCompat("right_outer_join", prices,
+        "sku" -> "p_sku", "size" -> "p_size")) ==
+      rows(catalog.joinTyped(prices, "left", "sku" -> "p_sku", "size" -> "p_size")))
+    assert(rows(catalog.outerJoinCompat("left_outer", prices,
+        "sku" -> "p_sku", "size" -> "p_size")) ==
+      rows(catalog.joinTyped(prices, "right", "sku" -> "p_sku", "size" -> "p_size")))
+    assert(catalog.outerJoinCompat("full_outer", prices,
+      "sku" -> "p_sku", "size" -> "p_size").size == 7)
+    intercept[IllegalArgumentException](
+      catalog.outerJoinCompat("sideways", prices, "sku" -> "p_sku"))
+  }
+
   lazy val students = GTable(Seq(
     ("0001", "Alice"), ("0002", "Bob"), ("0003", "Charlie"),
     ("0004", "Dave"), ("0005", "Enid")).toDF("student_id", "name"), "students")
