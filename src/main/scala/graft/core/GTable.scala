@@ -773,7 +773,8 @@ private[core] object Render {
       tableProperties: Map[String, String] = Map.empty): String = {
     val schema = df.schema
     val cells = suppress(schema, df.limit(n).collect(), groupby)
-    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
     val props = tableProperties.map { case (k, v) => s""" $k="${esc(v)}"""" }.mkString
     val head = schema.fields.map(f => s"<th>${esc(f.name)}</th>").mkString
     val body = cells.map { r =>

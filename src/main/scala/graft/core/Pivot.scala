@@ -53,6 +53,15 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
     // expected-BNLJ list.
     def keySet(cols: String*): DataFrame =
       broadcast(flat.select(cols.map(col): _*).distinct())
+    // NULL pivot values are ordinary keys (the reference indexes None
+    // like any value) — lattice joins must be null-safe (<=>), or a
+    // null-key group's count silently vanishes into a zero cell.
+    def nullSafeLeft(grid: DataFrame, on: Seq[String]): DataFrame = {
+      val g = grid.alias("g"); val f = flat.alias("f")
+      val cond = on.map(c => col(s"g.$c") <=> col(s"f.$c")).reduce(_ && _)
+      g.join(f, cond, "left")
+        .select(on.map(c => col(s"g.$c")) :+ col(s"f.$label"): _*)
+    }
     val out = attrs match {
       case Seq(_) =>
         // 1-D: keys are the observed values — every cell non-empty
@@ -60,13 +69,15 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
       case Seq(a, b) =>
         // full cross product of the two global key sets
         val grid = keySet(a).crossJoin(keySet(b))
-        grid.join(flat, Seq(a, b), "left")
+        nullSafeLeft(grid, Seq(a, b))
           .withColumn(label, coalesce(col(label), lit(0)))
       case Seq(a, b, c) =>
         // (global a) × (global b) ⋈ (per-a-branch c keys)
-        val grid = keySet(a).crossJoin(keySet(b))
-          .join(broadcast(flat.select(a, c).distinct()), Seq(a), "inner")
-        grid.join(flat, Seq(a, b, c), "left")
+        val branch = broadcast(flat.select(a, c).distinct()).alias("br")
+        val grid = keySet(a).alias("ks").crossJoin(keySet(b))
+          .join(branch, col(s"ks.$a") <=> col(s"br.$a"), "inner")
+          .select(col(s"ks.$a"), col(b), col(s"br.$c"))
+        nullSafeLeft(grid, Seq(a, b, c))
           .withColumn(label, coalesce(col(label), lit(0)))
     }
     GTable(out.orderBy(attrs.map(col): _*), s"${table.name}_pivot",
@@ -98,19 +109,26 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
         // empty source: header only (the reference's max() over keys
         // would throw on an empty table too — we choose graceful)
       case Seq(_) =>
-        val cells = summary().df.collect().map(r => (r.get(0).toString, r.getLong(1)))
-        val keyW = cells.map(_._1.length).max
+        // key strings via Option: a NULL pivot value is an ordinary key
+        // (renders empty); ordering comes from summary()'s native
+        // orderBy, NOT string sorting (10 would sort before 2)
+        val cells = summary().df.collect()
+          .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""), r.getLong(1)))
+        val keyW = math.max(1, cells.map(_._1.length).max)
         val valW = math.max(colwidth, cells.map(_._2.toString.length).max)
         cells.foreach { case (k, v) =>
           sb ++= k.padTo(keyW, ' ').take(keyW) + " " + s"%${valW}d".format(v) + "\n"
         }
       case Seq(_, _) =>
         val cells = summary().df.collect()
-          .map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
-        val rowKeys = cells.map(_._1).distinct.sorted
-        val colKeys = cells.map(_._2).distinct.sorted
+          .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""),
+            Option(r.get(1)).map(_.toString).getOrElse(""), r.getLong(2)))
+        // appearance order == summary()'s native key order (the lattice
+        // is a full cross product, so every row group lists every col)
+        val rowKeys = cells.map(_._1).distinct
+        val colKeys = cells.map(_._2).distinct
         val byCell = cells.map { case (a, b, n) => (a, b) -> n }.toMap
-        val keyW = math.max(rowKeys.map(_.length).max, 5)
+        val keyW = math.max(rowKeys.map(_.length).max max 1, 5)
         val valW = math.max(colwidth, colKeys.map(_.length).max)
         def num(v: Long) = s"%${valW}d".format(v)
         def pad(s: String, w: Int) = s.padTo(w, ' ').take(w)
@@ -139,14 +157,25 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
   def dump(rowFn: org.apache.spark.sql.Row => String = _.toString,
       limit: Int = -1): String = {
     import org.apache.spark.sql.expressions.Window
+    // order within a cell by the NON-pivot columns — ordering by the
+    // partition keys alone would tie every row and pick survivors
+    // nondeterministically
+    val cellOrder = {
+      val rest = df.columns.filterNot(attrs.contains).map(col).toSeq
+      if (rest.nonEmpty) rest else attrs.map(col)
+    }
     val limited =
       if (limit < 0) df
       else df.withColumn("__rn", row_number().over(
-          Window.partitionBy(attrs.map(col): _*).orderBy(attrs.map(col): _*)))
+          Window.partitionBy(attrs.map(col): _*).orderBy(cellOrder: _*)))
         .filter(col("__rn") <= limit).drop("__rn")
-    val rows = limited.collect()
-    val byPath = rows.groupBy(r => attrs.map(a =>
-      Option(r.get(r.fieldIndex(a))).map(_.toString).getOrElse("")).toList)
+    // native key sort BEFORE collect (string-sorting keys would put
+    // "10" before "2" on numeric attrs), with the non-pivot columns as
+    // tiebreakers so within-cell row order is deterministic too
+    val rows = limited.orderBy(attrs.map(col) ++ cellOrder: _*).collect()
+    def pathOf(r: org.apache.spark.sql.Row): List[String] = attrs.map(a =>
+      Option(r.get(r.fieldIndex(a))).map(_.toString).getOrElse("")).toList
+    val byPath = rows.groupBy(pathOf)
     val sb = new StringBuilder
     sb ++= s"Pivot: ${attrs.mkString(",")}\n"
     def pathStr(path: List[(String, String)]): String =
@@ -156,8 +185,10 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
         byPath.get(prefix.map(_._2)).foreach(_.foreach(r =>
           sb ++= "  " * (depth + 1) + rowFn(r) + "\n"))
       } else {
-        val keys = byPath.keys.filter(_.startsWith(prefix.map(_._2)))
-          .map(_(depth)).toSeq.distinct.sorted
+        // appearance order over the natively-sorted rows
+        val keys = rows.iterator.map(pathOf)
+          .filter(_.startsWith(prefix.map(_._2)))
+          .map(_(depth)).toSeq.distinct
         keys.foreach { k =>
           val p = prefix :+ (attrs(depth) -> k)
           sb ++= "  " * (depth + 1) + pathStr(p) + "\n"
@@ -190,12 +221,18 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
 final class PivotSummary(pt: PivotTable, colLabel: String) {
 
   def asHtml: String = {
+    // escape cell/attribute text (deviation: the reference interpolates
+    // raw — unescaped <, & or " would corrupt the markup)
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
     def td(v: String, right: Boolean) =
-      s"""<td><div align="${if (right) "right" else "left"}">$v</div></td>"""
-    def th(v: String) = s"""<th><div align="center">$v</div></th>"""
+      s"""<td><div align="${if (right) "right" else "left"}">${esc(v)}</div></td>"""
+    def th(v: String) = s"""<th><div align="center">${esc(v)}</div></th>"""
+    def key(r: org.apache.spark.sql.Row, i: Int): String =
+      Option(r.get(i)).map(_.toString).getOrElse("")
     pt.attrs match {
       case Seq(a) =>
-        val cells = pt.summary().df.collect().map(r => (r.get(0).toString, r.getLong(1)))
+        val cells = pt.summary().df.collect().map(r => (key(r, 0), r.getLong(1)))
         val head = s"<tr>${th(a)}${th(colLabel)}</tr>\n"
         val body = cells.map { case (k, v) =>
           s"<tr>${td(k, right = false)}${td(v.toString, right = true)}</tr>\n"
@@ -203,9 +240,10 @@ final class PivotSummary(pt: PivotTable, colLabel: String) {
         s"<table>\n<thead>\n$head</thead>\n<tbody>\n$body</tbody>\n</table>\n"
       case Seq(a, _) =>
         val cells = pt.summary().df.collect()
-          .map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
-        val rowKeys = cells.map(_._1).distinct.sorted
-        val colKeys = cells.map(_._2).distinct.sorted
+          .map(r => (key(r, 0), key(r, 1), r.getLong(2)))
+        // appearance order == summary()'s native key order
+        val rowKeys = cells.map(_._1).distinct
+        val colKeys = cells.map(_._2).distinct
         val byCell = cells.map { case (x, y, n) => (x, y) -> n }.toMap
         val head = s"<tr>${th(a)}${colKeys.map(th).mkString}${th("Total")}</tr>\n"
         val body = rowKeys.map { rk =>
@@ -227,7 +265,8 @@ final class PivotSummary(pt: PivotTable, colLabel: String) {
 }
 
 /** One node of the driver-side pivot tree: `attr:key` path segment, the
-  * subtree's cell-count total, and child nodes in sorted key order. */
+  * subtree's cell-count total, and child nodes in the summary's native
+  * key order (NOT string order — "10" must not sort before "2"). */
 final case class PivotNode(attr: String, key: String, count: Long,
     children: Seq[PivotNode]) {
   def apply(k: String): PivotNode = children.find(_.key == k)
@@ -240,8 +279,11 @@ object PivotNode {
       cells: List[(List[String], Long)]): PivotNode = rest match {
     case Nil => PivotNode(attr, key, cells.map(_._2).sum, Nil)
     case next :: tail =>
-      val kids = cells.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (k, sub) =>
-        build(next, k, tail, sub.map { case (p, n) => (p.tail, n) })
+      // preserve the cells' appearance order (summary() native orderBy)
+      val order = cells.map(_._1.head).distinct
+      val grouped = cells.groupBy(_._1.head)
+      val kids = order.map { k =>
+        build(next, k, tail, grouped(k).map { case (p, n) => (p.tail, n) })
       }
       PivotNode(attr, key, kids.map(_.count).sum, kids)
   }

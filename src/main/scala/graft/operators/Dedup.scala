@@ -244,18 +244,25 @@ object Dedup {
         col("b.n_sh") >= ceil(col("a.n_sh") * t) &&
         col("a.n_sh") >= ceil(col("b.n_sh") * t))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // exact verification: count the candidate pairs' full intersections
-    val ia = shingleIndex(df, idCol, textCol, n)
-      .select(col("id").as("id_a"), col("n_sh").as("na"), col("shk"))
-    val ib = shingleIndex(df, idCol, textCol, n)
-      .select(col("id").as("id_b"), col("n_sh").as("nb"), col("shk"))
-    cands.join(ia, "id_a").join(ib, Seq("id_b", "shk"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+    // Exact verification over CANDIDATE DOCS ONLY: semi-prune the full
+    // index to ids that appear in any candidate pair, alias-self-join on
+    // the shingle (one Exchange + ReusedExchange, like
+    // jaccardPairsFromIndex), then keep candidate pairs. The full-corpus
+    // tokenize/hash thus runs once (the prefix pass); the verification
+    // recomputes it only for the (tiny) candidate subset.
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id"))).distinct()
+    val idxC = sets.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), col("n_sh"), explode(col("sorted")).as("shk"))
+    idxC.alias("a").join(idxC.alias("b"), "shk")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id"), col("a.n_sh"), col("b.n_sh"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (col("inter").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("inter")).cast("double")).as("jaccard"))
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
       .filter(col("jaccard") >= t)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** End-to-end near-duplicate REMOVAL with the **anchor policy**: a doc

@@ -159,6 +159,9 @@ class GTableSpec extends SparkSpec {
     assert(html.contains(">3.14</td>") && html.contains(">001</td>"))
     val md = tiny.asMarkdown(formats = fmts)
     assert(md.contains("| 001 | 3.14 |") && md.contains("| 002 | 2.72 |"))
+    // a quote in a property value must not break out of the attribute
+    val quoted = tiny.asHtml(tableProperties = Map("title" -> "a\"b"))
+    assert(quoted.startsWith("<table title=\"a&quot;b\">"))
   }
 
   test("slicePy: Python slice semantics incl. negatives and step") {
