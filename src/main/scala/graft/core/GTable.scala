@@ -253,6 +253,14 @@ final case class GTable(
     * 2631-2646); we use SQL naming and document the deviation
     * (SURVEY.md §2.3). joinType: inner|left|right|full|left_semi|left_anti. */
   def joinTyped(other: GTable, joinType: String, pairs: (String, String)*): GTable = {
+    // NON-key shared column names would emit duplicate output columns
+    // (ambiguous downstream); the reference's join raises on duplicate
+    // attributes too — fail fast with the fix in the message.
+    val keyDups = pairs.collect { case (a, b) if a == b => b }.toSet
+    val collisions = df.columns.toSet.intersect(other.df.columns.toSet) -- keyDups
+    require(collisions.isEmpty || joinType == "left_semi" || joinType == "left_anti",
+      s"join would duplicate non-key columns ${collisions.mkString(", ")} — " +
+        "rename or project them away first (reference join raises on duplicate attributes)")
     val l = df.alias("l"); val r = other.df.alias("r")
     val cond = pairs.map { case (a, b) => col(s"l.$a") === col(s"r.$b") }.reduce(_ && _)
     val joined = l.join(r, cond, joinType)
@@ -332,8 +340,12 @@ final case class GTable(
         lit(0).as("__tag"),
         lit(null).cast(lSchema).as("__l"),
         struct(rSchema.fieldNames.map(col).toIndexedSeq: _*).as("__r"))
+    // __r as the final sort key: multiple right rows with EQUAL
+    // (key, time) would otherwise tie arbitrarily and the carried match
+    // could differ between runs — the greatest right struct wins ties,
+    // deterministically.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(col("__t").asc, col("__tag").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -602,16 +614,18 @@ final case class GTable(
     * equality predicate pushes to the scan (min-max/dictionary pruning
     * play the index role distributedly). */
   def byUnique(attr: String, key: Any): Row = {
-    val rows = df.filter(col(attr) === lit(key)).limit(2).collect()
+    // null-safe (<=>) like whereEq: a None key is an ordinary key in the
+    // reference's indexes
+    val rows = df.filter(col(attr) <=> lit(key)).limit(2).collect()
     if (rows.isEmpty) throw new NoSuchElementException(s"$name.$attr = $key: no row")
     if (rows.length > 1) throw new IllegalStateException(s"$name.$attr = $key: not unique")
     rows.head
   }
 
   /** Non-unique keyed access `tbl.by.attr[key]` → sub-table, possibly
-    * empty (littletable.py:565-572). */
+    * empty (littletable.py:565-572). Null-safe like [[whereEq]]. */
   def byAll(attr: String, key: Any): GTable =
-    copy(df = df.filter(col(attr) === lit(key)))
+    copy(df = df.filter(col(attr) <=> lit(key)))
 
   /** Unique-key constraint validation (the semantic core of the
     * reference's unique indexes, littletable.py:1981-2009): returns the
@@ -718,6 +732,14 @@ final case class JoinTerm(table: GTable, attr: String, prev: Option[JoinTerm] = 
   }
 }
 
+/** Shared HTML text/attribute escaping — single definition so escaping
+  * fixes apply to every renderer at once (used by [[Render]] and
+  * [[PivotSummary]]; Excel's XML writer has its own XML-context rules). */
+object Html {
+  def escape(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+    .replace(">", "&gt;").replace("\"", "&quot;")
+}
+
 private[core] object Render {
   import org.apache.spark.sql.types._
 
@@ -773,8 +795,7 @@ private[core] object Render {
       tableProperties: Map[String, String] = Map.empty): String = {
     val schema = df.schema
     val cells = suppress(schema, df.limit(n).collect(), groupby)
-    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
-      .replace(">", "&gt;").replace("\"", "&quot;")
+    def esc(s: String) = Html.escape(s)
     val props = tableProperties.map { case (k, v) => s""" $k="${esc(v)}"""" }.mkString
     val head = schema.fields.map(f => s"<th>${esc(f.name)}</th>").mkString
     val body = cells.map { r =>

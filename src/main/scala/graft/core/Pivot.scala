@@ -223,8 +223,7 @@ final class PivotSummary(pt: PivotTable, colLabel: String) {
   def asHtml: String = {
     // escape cell/attribute text (deviation: the reference interpolates
     // raw — unescaped <, & or " would corrupt the markup)
-    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
-      .replace(">", "&gt;").replace("\"", "&quot;")
+    def esc(s: String) = Html.escape(s)
     def td(v: String, right: Boolean) =
       s"""<td><div align="${if (right) "right" else "left"}">${esc(v)}</div></td>"""
     def th(v: String) = s"""<th><div align="center">${esc(v)}</div></th>"""

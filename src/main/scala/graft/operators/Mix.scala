@@ -60,12 +60,9 @@ object Mix {
         case (None, None) => tagged.limit(0).withColumn("__epoch", lit(0L))
       }
     }
-    // heterogeneous sources null-fill missing columns (GTable.union
-    // semantics — corpora rarely share exact schemas)
-    val allCols = parts.flatMap(_.columns).distinct
-    def conform(d: DataFrame): DataFrame = d.select(allCols.map(c =>
-      if (d.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-    val mixed = parts.map(conform).reduce(_ unionByName _)
-    GTable(mixed.drop("__epoch"), "mixed")
+    // heterogeneous sources null-fill missing columns — reuse
+    // GTable.union's bag-union semantics rather than re-implementing them
+    val mixed = parts.map(GTable(_)).reduce(_ union _)
+    GTable(mixed.df.drop("__epoch"), "mixed")
   }
 }

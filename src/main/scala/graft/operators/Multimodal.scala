@@ -51,7 +51,9 @@ object Multimodal {
   def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
+      // copy the id field's actual type (like resize) — hard-coding Long
+      // would ClassCastException on int/string ids at task time
+      df.schema(idCol),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("mean_intensity", DoubleType, nullable = false)))
@@ -63,7 +65,7 @@ object Multimodal {
         // null payloads (e.g. from a null source text) decode as empty
         val payload = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
         val (w, h, m) = FakeDecoder.decode(payload)
-        Row(r.getLong(idIdx), w, h, m)
+        Row(r.get(idIdx), w, h, m)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -55,9 +55,15 @@ object Similarity {
       when(dot(v, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  private def queryCode(query: Seq[Double], bits: Int, table: Int): Long =
+  private def queryCode(query: Seq[Double], bits: Int, table: Int,
+      dims: Int): Long =
     (0 until bits).map { p =>
-      val d = query.indices.map(i => query(i) * planeComponent(table * bits + p, i)).sum
+      // hash over exactly the same component count as the data-side code
+      // (codeColumn uses `dims` planes; VecDot truncates at min length) —
+      // summing the query's full length would be a DIFFERENT hash
+      // function and recall would silently collapse
+      val n = math.min(dims, query.length)
+      val d = (0 until n).map(i => query(i) * planeComponent(table * bits + p, i)).sum
       if (d >= 0) 1L << p else 0L
     }.reduce(_ | _)
 
@@ -78,10 +84,14 @@ object Similarity {
     }
 
   /** LSH-accelerated approximate top-k: probe buckets within `probeDist`
-    * Hamming distance of the query's bucket, exact-rank the candidates. */
+    * Hamming distance of the query's bucket, exact-rank the candidates.
+    * `dims` must match the value given to [[lshBuckets]] (defaults to
+    * the query length). */
   def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, bits: Int = 12, probeDist: Int = 1): DataFrame = {
-    val qCode = queryCode(query, bits, table = 0)
+      query: Seq[Double], k: Int, bits: Int = 12, probeDist: Int = 1,
+      dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else query.length
+    val qCode = queryCode(query, bits, table = 0, dims = d)
     val cands = bucketed.filter(
       bit_count(col("bucket").bitwiseXOR(lit(qCode))) <= probeDist)
     bruteForceTopK(cands, idCol, vecCol, query, k)
@@ -90,12 +100,14 @@ object Similarity {
   /** Multi-table approximate top-k over [[lshBucketsMulti]] output: a row
     * is a candidate if ANY table's bucket falls within `probeDist` of the
     * query's code for that table — one scan, an OR of per-table bit
-    * tests, no union. */
+    * tests, no union. `dims` must match [[lshBucketsMulti]]. */
   def lshTopKMulti(bucketed: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, bits: Int = 8, probeDist: Int = 2,
-      tables: Int = 2): DataFrame = {
+      tables: Int = 2, dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else query.length
     val cond = (0 until tables).map { t =>
-      bit_count(col(s"bucket_$t").bitwiseXOR(lit(queryCode(query, bits, t)))) <= probeDist
+      bit_count(col(s"bucket_$t").bitwiseXOR(
+        lit(queryCode(query, bits, t, dims = d)))) <= probeDist
     }.reduce(_ || _)
     bruteForceTopK(bucketed.filter(cond), idCol, vecCol, query, k)
   }

@@ -103,9 +103,16 @@ object Excel {
     val rows = readRows(path, sheet)
     require(rows.nonEmpty || fieldnames.nonEmpty,
       s"sheet $sheet of $path is empty and no fieldnames were given")
+    // header cells render with the same whole-double rule as string data
+    // cells (a numeric header 2.0 names the column "2", not "2.0")
+    def cellText(v: Any): String = v match {
+      case d: Double if d == d.floor && math.abs(d) < (1L << 53).toDouble =>
+        d.toLong.toString
+      case other => other.toString
+    }
     val (header, data) =
       if (fieldnames.nonEmpty) (fieldnames, rows)
-      else (rows.head.map(_.map(_.toString).getOrElse("")).toSeq, rows.tail)
+      else (rows.head.map(_.map(cellText).getOrElse("")).toSeq, rows.tail)
     val width = header.length
     def colVals(i: Int) = data.map(r => if (i < r.length) r(i) else None)
     val fields = header.zipWithIndex.map { case (name, i) =>

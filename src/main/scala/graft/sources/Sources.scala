@@ -255,7 +255,9 @@ object Sources {
           val isRegular = typeflag == '0' || typeflag == '\u0000'
           val isTarget = isRegular &&
             (entry.isEmpty || name == entry || name.endsWith(s"/$entry"))
-          if (isTarget && size > 0) {
+          // a legitimately EMPTY target entry returns an empty temp file
+          // (size > 0 here would skip it and falsely report 'not found')
+          if (isTarget) {
             val suffix = name.replaceAll(".*/", "")
             val tmp = java.io.File.createTempFile("graft_tar_", s"_$suffix")
             tmp.deleteOnExit()
