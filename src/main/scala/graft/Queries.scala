@@ -100,6 +100,13 @@ object Queries {
       .pivot("o_orderstatus", "o_orderpriority", "o_year")
       .summary().df
 
+  /** Data-profiling report: per-field row/null/distinct counts and
+    * native-ordered min/max, all from ONE wide aggregate. */
+  val q_profile: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .profile(Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+      .df.orderBy(col("field"))
+
   /** Reference stats(): mean/median/min/max/variance/stdev/count/missing
     * (littletable.py:3832-3915) — one single-pass wide aggregate. */
   val q_stats: Q = (s, dir) =>
@@ -990,6 +997,7 @@ object Queries {
     "q_pivot_totals" -> q_pivot_totals,
     "q_pivot_sum" -> q_pivot_sum,
     "q_pivot_3level" -> q_pivot_3level,
+    "q_profile" -> q_profile,
     "q_stats" -> q_stats,
     "q_rollup" -> q_rollup,
     "q_cube" -> q_cube,
@@ -1472,6 +1480,32 @@ object Queries {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_profile" ->
+      """WITH t AS (SELECT count(*) AS total FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'c_acctbal' AS field, total AS n_rows,
+        |    total - count(c_acctbal) AS n_null,
+        |    count(DISTINCT c_acctbal) AS n_distinct,
+        |    CAST(min(c_acctbal) AS VARCHAR) AS min_value,
+        |    CAST(max(c_acctbal) AS VARCHAR) AS max_value
+        |  FROM customer, t GROUP BY total
+        |  UNION ALL
+        |  SELECT 'c_custkey', total, total - count(c_custkey),
+        |    count(DISTINCT c_custkey),
+        |    CAST(min(c_custkey) AS VARCHAR), CAST(max(c_custkey) AS VARCHAR)
+        |  FROM customer, t GROUP BY total
+        |  UNION ALL
+        |  SELECT 'c_name', total, total - count(c_name),
+        |    count(DISTINCT c_name),
+        |    CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+        |  FROM customer, t GROUP BY total
+        |  UNION ALL
+        |  SELECT 'c_nationkey', total, total - count(c_nationkey),
+        |    count(DISTINCT c_nationkey),
+        |    CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+        |  FROM customer, t GROUP BY total)
+        |ORDER BY field""".stripMargin,
 
     "q_curation_funnel" ->
       """WITH docs AS (

@@ -584,6 +584,34 @@ final case class GTable(
     }
   }
 
+  /** Data-profiling report (beyond the reference; the `info()`-adjacent
+    * operational need): one row per field with row/null/distinct counts
+    * and min/max (rendered as strings, aggregated natively first so
+    * numeric ordering is preserved). ONE wide aggregate over the table —
+    * per-field work shares the single pass, and the one-row result
+    * reshapes to rows in-plan (same shape as the curation funnel). Note
+    * `count_distinct` is exact (a shuffle per field under the hood at
+    * scale); use [[approxQuantiles]]/`approx_count_distinct` flavors for
+    * profiling 100 TB interactively. */
+  def profile(fields: Seq[String] = columns): GTable = {
+    require(fields.nonEmpty, "profile needs at least one field")
+    val aggs = count(lit(1)).cast("long").as("__total") +: fields.flatMap { f =>
+      Seq(count(col(f)).cast("long").as(s"${f}__n"),
+        count_distinct(col(f)).cast("long").as(s"${f}__distinct"),
+        min(col(f)).cast("string").as(s"${f}__min"),
+        max(col(f)).cast("string").as(s"${f}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = fields.map(f => struct(lit(f).as("field"),
+      col("__total").as("n_rows"),
+      (col("__total") - col(s"${f}__n")).as("n_null"),
+      col(s"${f}__distinct").as("n_distinct"),
+      col(s"${f}__min").as("min_value"),
+      col(s"${f}__max").as("max_value")))
+    copy(df = one.select(explode(array(structs: _*)).as("p")).select(col("p.*")),
+      name = s"${name}_profile", sortKeys = Nil)
+  }
+
   /** Stratified sample (beyond the reference — training-data pipelines
     * rebalance classes/languages/sources this way): per-stratum keep
     * fractions, seeded and deterministic, one scan, no shuffle

@@ -267,6 +267,20 @@ class GTableSpec extends SparkSpec {
     assert(imported.withMeta("url", "http://x/y.csv").info("source") == "http://x/y.csv")
   }
 
+  test("profile: per-field counts/nulls/distinct/min-max in one pass") {
+    val src = GTable(Seq(
+      (Some(3), "b"), (Some(1), "a"), (None, "a"), (Some(10), "c"))
+      .toDF("num", "s"), "p")
+    val rows = src.profile().df.orderBy("field").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(rows(0) == ("num", 4L, 1L, 3L, "1", "10")) // native min/max, not lexicographic
+    assert(rows(1) == ("s", 4L, 0L, 3L, "a", "c"))
+    // single aggregate pass — no per-field unions rescanning the source
+    val plan = src.profile().df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"per-field rescans:\n$plan")
+  }
+
   test("statsTable: non-numeric fields skipped like the reference") {
     val mixed = GTable(Seq((1.0, "x"), (3.0, "y")).toDF("num", "str"), "mixed")
     // string field silently skipped — reference stats() only accumulates numbers
