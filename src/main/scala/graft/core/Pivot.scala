@@ -91,11 +91,14 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
   /** Driver-side tree of the same lattice (reference `_PivotTable`
     * subtables). Cell values are counts. */
   def tree: PivotNode = {
+    // keys stay Option[String] so a NULL key and a real "" key remain
+    // DISTINCT nodes (the reference indexes None and '' separately);
+    // rendering maps None -> "None" only at the display edge
     val cells = summary().df.collect().map { r =>
-      (attrs.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")).toList,
+      (attrs.indices.map(i => Option(r.get(i)).map(_.toString)).toList,
         r.getLong(attrs.size))
     }
-    PivotNode.build("", "", attrs.toList, cells.toList)
+    PivotNode.build("", None, attrs.toList, cells.toList)
   }
 
   /** Reference `dump_counts` (littletable.py:4395-4454): tabular text
@@ -109,35 +112,39 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
         // empty source: header only (the reference's max() over keys
         // would throw on an empty table too — we choose graceful)
       case Seq(_) =>
-        // key strings via Option: a NULL pivot value is an ordinary key
-        // (renders empty); ordering comes from summary()'s native
-        // orderBy, NOT string sorting (10 would sort before 2)
+        // a NULL pivot value is an ordinary key (renders "None", Python
+        // str() style — distinct from a real empty string); ordering
+        // comes from summary()'s native orderBy, NOT string sorting
         val cells = summary().df.collect()
-          .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""), r.getLong(1)))
+          .map(r => (PivotNode.showKey(Option(r.get(0)).map(_.toString)), r.getLong(1)))
         val keyW = math.max(1, cells.map(_._1.length).max)
         val valW = math.max(colwidth, cells.map(_._2.toString.length).max)
         cells.foreach { case (k, v) =>
           sb ++= k.padTo(keyW, ' ').take(keyW) + " " + s"%${valW}d".format(v) + "\n"
         }
       case Seq(_, _) =>
+        // cells keyed on Option[String]: a NULL key and a real "" (or
+        // real "None") key stay DISTINCT cells; None renders "None" only
+        // at the display edge
         val cells = summary().df.collect()
-          .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""),
-            Option(r.get(1)).map(_.toString).getOrElse(""), r.getLong(2)))
+          .map(r => (Option(r.get(0)).map(_.toString),
+            Option(r.get(1)).map(_.toString), r.getLong(2)))
         // appearance order == summary()'s native key order (the lattice
         // is a full cross product, so every row group lists every col)
         val rowKeys = cells.map(_._1).distinct
         val colKeys = cells.map(_._2).distinct
         val byCell = cells.map { case (a, b, n) => (a, b) -> n }.toMap
-        val keyW = math.max(rowKeys.map(_.length).max max 1, 5)
-        val valW = math.max(colwidth, colKeys.map(_.length).max)
+        import PivotNode.showKey
+        val keyW = math.max(rowKeys.map(showKey(_).length).max max 1, 5)
+        val valW = math.max(colwidth, colKeys.map(showKey(_).length).max)
         def num(v: Long) = s"%${valW}d".format(v)
         def pad(s: String, w: Int) = s.padTo(w, ' ').take(w)
         sb ++= " " * keyW + " " +
-          colKeys.map(k => s"%${valW}s".format(k.takeRight(valW))).mkString(" ") +
+          colKeys.map(k => s"%${valW}s".format(showKey(k).takeRight(valW))).mkString(" ") +
           " " + s"%${valW}s".format("Total") + "\n"
         rowKeys.foreach { rk =>
           val vals = colKeys.map(ck => byCell.getOrElse((rk, ck), 0L))
-          sb ++= pad(rk, keyW) + " " + vals.map(v => num(v) + " ").mkString + num(vals.sum) + "\n"
+          sb ++= pad(showKey(rk), keyW) + " " + vals.map(v => num(v) + " ").mkString + num(vals.sum) + "\n"
         }
         val colTotals = colKeys.map(ck => rowKeys.map(rk => byCell.getOrElse((rk, ck), 0L)).sum)
         sb ++= pad("Total", keyW) + " " + colTotals.map(num).mkString(" ") +
@@ -173,14 +180,17 @@ final class PivotTable(val table: GTable, val attrs: Seq[String]) {
     // "10" before "2" on numeric attrs), with the non-pivot columns as
     // tiebreakers so within-cell row order is deterministic too
     val rows = limited.orderBy(attrs.map(col) ++ cellOrder: _*).collect()
-    def pathOf(r: org.apache.spark.sql.Row): List[String] = attrs.map(a =>
-      Option(r.get(r.fieldIndex(a))).map(_.toString).getOrElse("")).toList
+    // path keys are Option[String]: a NULL key and a real ""/"None" key
+    // are distinct tree nodes (reference indexes None separately); None
+    // renders "None" only in pathStr
+    def pathOf(r: org.apache.spark.sql.Row): List[Option[String]] = attrs.map(a =>
+      Option(r.get(r.fieldIndex(a))).map(_.toString)).toList
     val byPath = rows.groupBy(pathOf)
     val sb = new StringBuilder
     sb ++= s"Pivot: ${attrs.mkString(",")}\n"
-    def pathStr(path: List[(String, String)]): String =
-      path.map { case (a, k) => s"$a:$k" }.mkString("/")
-    def walk(prefix: List[(String, String)], depth: Int): Unit = {
+    def pathStr(path: List[(String, Option[String])]): String =
+      path.map { case (a, k) => s"$a:${PivotNode.showKey(k)}" }.mkString("/")
+    def walk(prefix: List[(String, Option[String])], depth: Int): Unit = {
       if (depth == attrs.size) {
         byPath.get(prefix.map(_._2)).foreach(_.foreach(r =>
           sb ++= "  " * (depth + 1) + rowFn(r) + "\n"))
@@ -227,14 +237,17 @@ final class PivotSummary(pt: PivotTable, colLabel: String) {
     def td(v: String, right: Boolean) =
       s"""<td><div align="${if (right) "right" else "left"}">${esc(v)}</div></td>"""
     def th(v: String) = s"""<th><div align="center">${esc(v)}</div></th>"""
-    def key(r: org.apache.spark.sql.Row, i: Int): String =
-      Option(r.get(i)).map(_.toString).getOrElse("")
+    // structural keys stay Option[String] (NULL ≠ "" ≠ literal "None");
+    // showKey maps None -> "None" only at the markup edge
+    def key(r: org.apache.spark.sql.Row, i: Int): Option[String] =
+      Option(r.get(i)).map(_.toString)
+    import PivotNode.showKey
     pt.attrs match {
       case Seq(a) =>
         val cells = pt.summary().df.collect().map(r => (key(r, 0), r.getLong(1)))
         val head = s"<tr>${th(a)}${th(colLabel)}</tr>\n"
         val body = cells.map { case (k, v) =>
-          s"<tr>${td(k, right = false)}${td(v.toString, right = true)}</tr>\n"
+          s"<tr>${td(showKey(k), right = false)}${td(v.toString, right = true)}</tr>\n"
         }.mkString
         s"<table>\n<thead>\n$head</thead>\n<tbody>\n$body</tbody>\n</table>\n"
       case Seq(a, _) =>
@@ -244,10 +257,10 @@ final class PivotSummary(pt: PivotTable, colLabel: String) {
         val rowKeys = cells.map(_._1).distinct
         val colKeys = cells.map(_._2).distinct
         val byCell = cells.map { case (x, y, n) => (x, y) -> n }.toMap
-        val head = s"<tr>${th(a)}${colKeys.map(th).mkString}${th("Total")}</tr>\n"
+        val head = s"<tr>${th(a)}${colKeys.map(k => th(showKey(k))).mkString}${th("Total")}</tr>\n"
         val body = rowKeys.map { rk =>
           val vals = colKeys.map(ck => byCell.getOrElse((rk, ck), 0L))
-          s"<tr>${td(rk, right = false)}" +
+          s"<tr>${td(showKey(rk), right = false)}" +
             vals.map(v => td(v.toString, right = true)).mkString +
             td(vals.sum.toString, right = true) + "</tr>\n"
         }.mkString
@@ -265,17 +278,33 @@ final class PivotSummary(pt: PivotTable, colLabel: String) {
 
 /** One node of the driver-side pivot tree: `attr:key` path segment, the
   * subtree's cell-count total, and child nodes in the summary's native
-  * key order (NOT string order — "10" must not sort before "2"). */
-final case class PivotNode(attr: String, key: String, count: Long,
+  * key order (NOT string order — "10" must not sort before "2").
+  *
+  * `keyOpt` is the structural key: `None` is a NULL pivot value, kept
+  * distinct from a real empty-string (or literal "None") key exactly as
+  * the reference indexes Python `None` separately from `''`. `key`/`keys`
+  * are display forms (`None` → "None", Python str() style). */
+final case class PivotNode(attr: String, keyOpt: Option[String], count: Long,
     children: Seq[PivotNode]) {
-  def apply(k: String): PivotNode = children.find(_.key == k)
+  def key: String = PivotNode.showKey(keyOpt)
+  /** Child lookup by DISPLAY key; prefers a non-null structural match, so
+    * `apply("None")` only falls back to the null-key child when no real
+    * "None" string key exists. */
+  def apply(k: String): PivotNode = children.find(_.keyOpt.contains(k))
+    .orElse(children.find(_.key == k))
     .getOrElse(throw new NoSuchElementException(s"$attr:$k"))
+  /** Structural child lookup (None = the NULL-key child). */
+  def get(k: Option[String]): Option[PivotNode] = children.find(_.keyOpt == k)
   def keys: Seq[String] = children.map(_.key)
 }
 
 object PivotNode {
-  private[core] def build(attr: String, key: String, rest: List[String],
-      cells: List[(List[String], Long)]): PivotNode = rest match {
+  /** Display form of a structural key: NULL renders "None" (Python
+    * str() style — the reference's visible rendering of a None key). */
+  def showKey(k: Option[String]): String = k.getOrElse("None")
+
+  private[core] def build(attr: String, key: Option[String], rest: List[String],
+      cells: List[(List[Option[String]], Long)]): PivotNode = rest match {
     case Nil => PivotNode(attr, key, cells.map(_._2).sum, Nil)
     case next :: tail =>
       // preserve the cells' appearance order (summary() native orderBy)

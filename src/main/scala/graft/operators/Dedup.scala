@@ -80,10 +80,19 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // signature build is map-side codegen — recompute per use rather
     // than pinning a session-lifetime cache with no release handle
     val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
+    minhashCandidatesFromSig(sig, idCol, numHashes, bands)
+  }
+
+  /** Banding candidate join over an ALREADY-BUILT signature frame
+    * (`id`, `sig: array<long>[numHashes]`) — shared by
+    * [[minhashCandidates]] and [[minhashLSH]] so callers that also need
+    * the signatures build them exactly once. */
+  private def minhashCandidatesFromSig(sig: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val banded = sig.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -103,8 +112,12 @@ object Dedup {
   def minhashLSH(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // ONE signature build feeds both banding and the Jaccard estimate —
+    // and because the candidate frame and both estimate sides are the
+    // same subtree, Spark plans one Exchange + ReusedExchanges
     val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
-    val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    val cands = minhashCandidatesFromSig(sig, idCol, numHashes, bands)
     // estimate Jaccard from full signatures
     val sa = sig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sb = sig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
@@ -234,15 +247,23 @@ object Dedup {
       .select(col("id"), sort_array(shingle_hash_set(col("__ws"), n)).as("sorted"))
       .select(col("id"), size(col("sorted")).as("n_sh"), col("sorted"))
       .filter(col("n_sh") > 0)
-    val prefixLen = (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int")
+    // ceil over DOUBLE arithmetic can round t·|S| up one ulp when the
+    // real product is an exact integer (e.g. t=0.9, |S|=10k), silently
+    // shortening the prefix / tightening the length filter and dropping
+    // a pair whose Jaccard is exactly t. Nudge below the real value
+    // before ceil — sizes are integers, so 1e-9 can never admit an
+    // illegal pair, only restore the exact-boundary ones.
+    val prefixLen =
+      (col("n_sh") - ceil(col("n_sh") * t - lit(1e-9)) + 1).cast("int")
     val prefix = sets.select(col("id"), col("n_sh"),
       explode(slice(col("sorted"), lit(1), prefixLen)).as("shk"))
     // alias self-join → single Exchange + ReusedExchange
     val cands = prefix.alias("a").join(prefix.alias("b"), "shk")
       .filter(col("a.id") < col("b.id") &&
-        // length filter: j >= t forces t·na <= nb (and symmetrically)
-        col("b.n_sh") >= ceil(col("a.n_sh") * t) &&
-        col("a.n_sh") >= ceil(col("b.n_sh") * t))
+        // length filter: j >= t forces t·na <= nb (and symmetrically);
+        // direct epsilon-guarded comparison, no ceil needed for a prune
+        col("b.n_sh") >= col("a.n_sh") * t - lit(1e-9) &&
+        col("a.n_sh") >= col("b.n_sh") * t - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // Exact verification over CANDIDATE DOCS ONLY: semi-prune the full
     // index to ids that appear in any candidate pair, alias-self-join on

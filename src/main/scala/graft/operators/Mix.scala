@@ -13,11 +13,12 @@ import graft.core.GTable
   *
   * Scale shape: one `count()` per source (metadata-cheap on parquet),
   * then a single map-side pass per source — replication is
-  * `explode(sequence(...))`, the fractional remainder a seeded
-  * `rand(seed) < p` filter; no shuffle at all until the caller
-  * repartitions/shuffles the mixed stream (recommended: a final
-  * `shuffle(seed)` or `repartition` so sources interleave rather than
-  * concatenate).
+  * `explode(sequence(...))`, the fractional remainder a CONTENT-HASHED
+  * Bernoulli filter (`xxhash64(seed, row) → [0,1)`), so selection
+  * depends only on row values + seed, never on partition layout; no
+  * shuffle at all until the caller repartitions/shuffles the mixed
+  * stream (recommended: a final `shuffle(seed)` or `repartition` so
+  * sources interleave rather than concatenate).
   */
 object Mix {
 
@@ -25,8 +26,11 @@ object Mix {
     * given mixture proportions. Weights are normalized; a `sourceCol`
     * column tags provenance. Per-source rate = targetRows·wᵢ/nᵢ; rates
     * above 1 replicate whole epochs + a Bernoulli remainder — standard
-    * multi-epoch upsampling of small high-value corpora. Deterministic:
-    * rand is seeded per source, replication is exact. */
+    * multi-epoch upsampling of small high-value corpora. Deterministic
+    * UNCONDITIONALLY under a seed: the remainder coin is a content hash
+    * of the row (per-source-salted xxhash64), so a repartitioned or
+    * differently-split source still selects the same rows (identical
+    * duplicate rows share one coin — fine for a sampling remainder). */
   def weightedMix(sources: Seq[(GTable, Double)], targetRows: Long,
       seed: Long = 42L, sourceCol: String = "source"): GTable = {
     require(sources.nonEmpty, "need at least one source")
@@ -51,8 +55,14 @@ object Mix {
           explode(sequence(lit(0L), lit(epochs - 1)))))
       val rem =
         if (frac == 0.0) None
-        else Some(tagged.filter(rand(seed + i) < frac)
-          .withColumn("__epoch", lit(epochs)))
+        else {
+          // content-derived uniform in [0,1): hash every column of the
+          // row with a per-source seed salt — partition-layout-free
+          // (ADVICE r2), same shape ivfIndex uses for assignment
+          val coin = pmod(xxhash64(lit(seed + i) +: t.df.columns.map(col): _*),
+            lit(1L << 52)).cast("double") / lit((1L << 52).toDouble)
+          Some(tagged.filter(coin < frac).withColumn("__epoch", lit(epochs)))
+        }
       (whole, rem) match {
         case (Some(a), Some(b)) => a.unionByName(b)
         case (Some(a), None) => a

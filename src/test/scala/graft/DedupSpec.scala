@@ -70,6 +70,26 @@ class DedupSpec extends SparkSpec {
     assert(prefixChain == naiveChain)
   }
 
+  test("prefix filter keeps a pair whose Jaccard is EXACTLY t (ceil ulp, ADVICE r2)") {
+    // t = 9/11, |A|=77, B ⊂ A with |B|=63 → J = 63/77 = 9/11 = t
+    // exactly. In doubles 77*(9/11) = 63.00000000000001, so an
+    // unguarded ceil(n_sh*t) gives 64: the length filter demanded
+    // |B| ≥ 64 and silently dropped this legal boundary pair (and the
+    // prefix shrank by one). Verified trigger: math.ceil(77*(9.0/11))
+    // == 64 on JVM doubles.
+    val t911 = 9.0 / 11.0
+    assert(math.ceil(77 * t911) == 64.0, "premise: double product rounds up")
+    val a = (0 until 77).map(i => s"w$i").mkString(" ")
+    val b = (0 until 63).map(i => s"w$i").mkString(" ")
+    val pairDf = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    def got(f: => org.apache.spark.sql.DataFrame) =
+      f.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got(Dedup.ngramJaccardPairs(pairDf, "doc_id", "text", 1, t911)) ==
+      Set((1L, 2L)), "naive baseline")
+    assert(got(Dedup.ngramJaccardPairsPrefix(pairDf, "doc_id", "text", 1, t911)) ==
+      Set((1L, 2L)), "prefix path must keep the exact-boundary pair")
+  }
+
   test("MinHash-LSH: candidate recall = 1 and unbiased Jaccard estimates") {
     // candidate recall: every exact pair at j >= 0.5 band-collides
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)

@@ -45,6 +45,20 @@ class MixSpec extends SparkSpec {
     assert(perDoc.forall(c => c == 25L || c == 26L), s"epochs off: ${perDoc.distinct.mkString(",")}")
   }
 
+  test("remainder selection is partition-layout independent (ADVICE r2)") {
+    // pure-Bernoulli mix (rate 0.5 → no whole epochs): the same source
+    // repartitioned/coalesced must select EXACTLY the same rows — the
+    // coin is a content hash, not a per-partition rand stream
+    val base = corpus("web", 4000)
+    def selected(t: GTable) =
+      Mix.weightedMix(Seq(t -> 1.0), targetRows = 2000)
+        .df.select("text").collect().map(_.getString(0)).sorted.toSeq
+    val plain = selected(base)
+    val repart = selected(GTable(base.df.repartition(7), "web"))
+    val single = selected(GTable(base.df.coalesce(1), "web"))
+    assert(plain.nonEmpty && plain == repart && plain == single)
+  }
+
   test("heterogeneous schemas null-fill; source names tag provenance") {
     val a = GTable(Seq(("x", 1)).toDF("text", "extra_a"), "src_a")
     val b = GTable(Seq(("y", true)).toDF("text", "extra_b"), "src_b")
