@@ -611,6 +611,75 @@ object Queries {
       .orderBy(col("stage"))
   }
 
+  // ==================================================================
+  // Training-data pipeline: split / sample / decontaminate / chunk /
+  // embed (all deterministic, all engine-portable — md5/IEEE parity)
+  // ==================================================================
+
+  /** Deterministic 80/10/10 train/val/test split keyed on doc_id
+    * (md5-threshold assignment — bit-identical in any engine, stable
+    * under repartition/backfill). */
+  val q_split_hash: Q = (s, dir) => {
+    import graft.operators.Split
+    Split.hashSplit(t(s, dir, "documents").df, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sample: exactly 20 docs per language,
+    * ranked by (md5 hash, doc_id) within the stratum. */
+  val q_sample_stratified: Q = (s, dir) => {
+    import graft.operators.Split
+    Split.stratifiedSample(t(s, dir, "documents").df, Seq("lang"),
+        col("doc_id"), nPerStratum = 20, salt = "s")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Benchmark-contamination flags: every 20th doc plays the eval set;
+    * output = corpus docs sharing ≥1 word-3-gram with it, with the
+    * count of distinct shared shingles. */
+  val q_contamination: Q = (s, dir) => {
+    import graft.operators.Contamination
+    val docs = t(s, dir, "documents").df
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    Contamination.sharedNgrams(corpus, "doc_id", "text", bench, "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-window chunking: 64-token windows every 48 tokens (16-token
+    * overlap), tail window kept short. */
+  val q_chunk_windows: Q = (s, dir) => {
+    import graft.operators.Chunk
+    Chunk.tokenWindows(t(s, dir, "documents").df, "doc_id", "text",
+        windowTokens = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** L2-normalized embeddings, exploded to (vec_id, i, x) rows — pins
+    * every element bit-exactly without array-typed gate output. */
+  val q_embed_normalize: Q = (s, dir) => {
+    import graft.functions.VectorExpressions.vec_l2_normalize
+    t(s, dir, "embeddings").df
+      .select(col("vec_id"),
+        posexplode(vec_l2_normalize(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("i"), col("col").as("x"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
+  /** Symmetric int8 quantization (floor, clamp ±128/127) at per-vector
+    * 127/maxAbs scale, exploded to (vec_id, i, q). */
+  val q_embed_quantize: Q = (s, dir) => {
+    import graft.functions.VectorExpressions.vec_quantize_int8
+    t(s, dir, "embeddings").df
+      .select(col("vec_id"),
+        posexplode(vec_quantize_int8(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("i"), col("col").cast("int").as("q"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   /** Weighted corpus mixing (training-data assembly): two sources at
     * weights 3:1 toward 4n target rows → exactly 3 and 1 whole epochs
     * per source (0.75/0.25 are exact binary fractions, so the rate
@@ -1042,6 +1111,12 @@ object Queries {
     "q_repetition" -> q_repetition,
     "q_mix_weighted" -> q_mix_weighted,
     "q_curation_funnel" -> q_curation_funnel,
+    "q_split_hash" -> q_split_hash,
+    "q_sample_stratified" -> q_sample_stratified,
+    "q_contamination" -> q_contamination,
+    "q_chunk_windows" -> q_chunk_windows,
+    "q_embed_normalize" -> q_embed_normalize,
+    "q_embed_quantize" -> q_embed_quantize,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_dedup_remove" -> q_dedup_remove,
@@ -1539,6 +1614,81 @@ object Queries {
         |  UNION ALL
         |  SELECT doc_id, 'corpus_b', CAST(1 AS BIGINT) FROM documents)
         |ORDER BY doc_id, source""".stripMargin,
+
+    "q_split_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH bsh AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents WHERE doc_id % 20 = 0)
+        |), csh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents WHERE doc_id % 20 <> 0)
+        |)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM csh JOIN bsh USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_windows" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), w AS (
+        |  SELECT doc_id, ws, len(ws) AS nw,
+        |    1 + greatest(0, (len(ws) - 64 + 47) // 48) AS n_win
+        |  FROM docs)
+        |SELECT doc_id,
+        |  unnest(generate_series(0, n_win - 1)) AS chunk_id,
+        |  unnest(list_transform(generate_series(0, n_win - 1),
+        |    s -> array_to_string(list_slice(ws, s*48 + 1, least(s*48 + 64, nw)), ' ')))
+        |    AS chunk_text,
+        |  unnest(list_transform(generate_series(0, n_win - 1),
+        |    s -> CAST(least(64, nw - s*48) AS BIGINT))) AS n_tokens
+        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_embed_normalize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT vec_id,
+        |  unnest(generate_series(0, len(v) - 1)) AS i,
+        |  unnest(list_transform(v, x -> x / nrm)) AS x
+        |FROM n ORDER BY vec_id, i""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 0.0
+        |         ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
+        |  FROM e)
+        |SELECT vec_id,
+        |  unnest(generate_series(0, len(v) - 1)) AS i,
+        |  unnest(list_transform(v,
+        |    x -> CAST(greatest(-128.0, least(127.0, floor(x * scale))) AS INTEGER))) AS q
+        |FROM s ORDER BY vec_id, i""".stripMargin,
 
     "q_repetition" ->
       """WITH docs AS (

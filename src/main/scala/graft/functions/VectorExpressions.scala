@@ -125,7 +125,164 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** L2-normalize a float/double vector to unit norm (array<double> out).
+  * A zero vector normalizes to itself (all zeros), not NaNs — the
+  * training-pipeline-friendly convention. Codegen: one static-helper
+  * call inside whole-stage codegen (NearestCentroid pattern — no Janino
+  * giant-literal recompiles, no interpreted HOF lambda per element). */
+case class VecL2Normalize(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "vec_l2_normalize"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got $other")
+    }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorUtil.l2NormalizeF(v) else VectorUtil.l2NormalizeD(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "l2NormalizeF" else "l2NormalizeD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.$fn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** max(|xᵢ|) of a float/double vector — the symmetric-quantization range
+  * statistic. 0.0 for an empty vector. */
+case class VecMaxAbs(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "vec_max_abs"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got $other")
+    }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorUtil.maxAbsF(v) else VectorUtil.maxAbsD(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "maxAbsF" else "maxAbsD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.$fn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization: `clamp(floor(xᵢ·scale), −128, 127)` per
+  * element (array<byte> out). `floor` (not round-half-X) keeps the
+  * mapping bit-identical across engines — IEEE multiply + floor have one
+  * correct answer; round ties don't. Pair with
+  * [[VectorExpressions.vec_quantize_scale]] (= 127/maxAbs) and persist
+  * the scale for dequantization. */
+case class VecQuantizeInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "vec_quantize_int8"
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vOk = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (vOk && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<float|double>, double), got " +
+          s"${left.dataType} / ${right.dataType}")
+  }
+
+  private def isFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val s = r.asInstanceOf[Double]
+    if (isFloat) VectorUtil.quantizeInt8F(v, s) else VectorUtil.quantizeInt8D(v, s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "quantizeInt8F" else "quantizeInt8D"
+    defineCodeGen(ctx, ev, (v, s) => s"graft.functions.VectorUtil.$fn($v, $s)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorUtil {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def l2NormalizeF(v: ArrayData): ArrayData =
+    l2Normalize(v.toFloatArray().map(_.toDouble))
+
+  def l2NormalizeD(v: ArrayData): ArrayData =
+    l2Normalize(v.toDoubleArray())
+
+  private def l2Normalize(x: Array[Double]): ArrayData = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm != 0.0) {
+      i = 0
+      while (i < x.length) { x(i) = x(i) / nrm; i += 1 }
+    }
+    new GenericArrayData(x)
+  }
+
+  def maxAbsF(v: ArrayData): Double = maxAbs(v.toFloatArray().map(_.toDouble))
+  def maxAbsD(v: ArrayData): Double = maxAbs(v.toDoubleArray())
+
+  private def maxAbs(x: Array[Double]): Double = {
+    var m = 0.0
+    var i = 0
+    while (i < x.length) { val a = math.abs(x(i)); if (a > m) m = a; i += 1 }
+    m
+  }
+
+  def quantizeInt8F(v: ArrayData, scale: Double): ArrayData =
+    quantizeInt8(v.toFloatArray().map(_.toDouble), scale)
+
+  def quantizeInt8D(v: ArrayData, scale: Double): ArrayData =
+    quantizeInt8(v.toDoubleArray(), scale)
+
+  private def quantizeInt8(x: Array[Double], scale: Double): ArrayData = {
+    val out = new Array[Byte](x.length)
+    var i = 0
+    while (i < x.length) {
+      val q = math.floor(x(i) * scale)
+      out(i) = math.max(-128.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def nearestCentroidF(v: ArrayData, centroids: Array[Array[Double]]): Int =
     nearest(centroids, v.toFloatArray().map(_.toDouble))
 
@@ -190,4 +347,30 @@ object VectorExpressions {
   def nearest_centroid_cos(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnInterop.column(NearestCentroid(ColumnInterop.expression(v), centroids,
       cosine = true))
+
+  /** Unit-norm (L2) vector, array<double>; zero vectors pass through. */
+  def vec_l2_normalize(v: Column): Column =
+    ColumnInterop.column(VecL2Normalize(ColumnInterop.expression(v)))
+
+  /** max(|xᵢ|) — the symmetric-quantization range statistic. */
+  def vec_max_abs(v: Column): Column =
+    ColumnInterop.column(VecMaxAbs(ColumnInterop.expression(v)))
+
+  /** Scale factor for symmetric int8 quantization (127/maxAbs; 0 for a
+    * zero vector). Persist alongside the quantized vector. */
+  def vec_quantize_scale(v: Column): Column = {
+    val ma = vec_max_abs(v)
+    org.apache.spark.sql.functions.when(ma === 0.0, 0.0)
+      .otherwise(org.apache.spark.sql.functions.lit(127.0) / ma)
+  }
+
+  /** Symmetric int8 quantization with an explicit per-row scale column
+    * (array<byte>); see [[VecQuantizeInt8]]. */
+  def vec_quantize_int8(v: Column, scale: Column): Column =
+    ColumnInterop.column(VecQuantizeInt8(
+      ColumnInterop.expression(v), ColumnInterop.expression(scale)))
+
+  /** Convenience: quantize with the vector's own 127/maxAbs scale. */
+  def vec_quantize_int8(v: Column): Column =
+    vec_quantize_int8(v, vec_quantize_scale(v))
 }

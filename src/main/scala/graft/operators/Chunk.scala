@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Training-sequence preparation: slice documents into fixed-size token
+  * windows with a stride (overlap = windowTokens − stride), the standard
+  * context-window chunking step before tokenized sequence packing.
+  *
+  * Scale shape: pure map-side — tokenize, compute the window count from
+  * the token count, `posexplode` the window starts, slice. No shuffle at
+  * all; a 100 TB corpus chunks in a single scan and the output can go
+  * straight to a partitioned sink.
+  */
+object Chunk {
+
+  /** `(idCol, chunk_id, chunk_text, n_tokens)` — one row per window.
+    * Windows start every `stride` tokens; the final window may be short
+    * (it keeps the tail, never drops it). Empty/whitespace-only docs
+    * produce no rows. */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, stride: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(stride > 0 && stride <= windowTokens,
+      "stride must be in [1, windowTokens]")
+    val base = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
+      .select(col(idCol), col("__ws"), size(col("__ws")).as("__nw"))
+    // extra windows beyond the first: ceil((nw - window) / stride),
+    // clipped at 0. Positive-case truncation == ceil with the +stride-1
+    // trick; the double division is exact at document token counts
+    // (integers ≪ 2^52).
+    val extra = greatest(lit(0L),
+      ((col("__nw") - lit(windowTokens) + lit(stride - 1)).cast("double") /
+        lit(stride.toDouble)).cast("long"))
+    base
+      .select(col(idCol),
+        col("__ws"), col("__nw"),
+        posexplode(sequence(lit(0L), extra)))
+      .select(col(idCol),
+        col("pos").as("chunk_id"),
+        array_join(slice(col("__ws"), (col("pos") * stride + 1).cast("int"),
+          lit(windowTokens)), " ").as("chunk_text"),
+        least(lit(windowTokens.toLong),
+          col("__nw") - col("pos") * stride).as("n_tokens"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunk, Contamination, Split}
+import graft.functions.VectorExpressions._
+
+/** Training-pipeline operators: deterministic splits/samples, benchmark
+  * decontamination, token-window chunking, embedding normalize/quantize. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L)
+    .map(i => (i, (s"word$i " * (i % 7 + 1).toInt).trim))
+    .toDF("id", "text")
+
+  test("hashSplit: partition of the input, deterministic, ~fractions") {
+    val out = Split.hashSplit(docs, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L, "every row assigned exactly once")
+    // 3σ for n=1000: train ±38, val/test ±28
+    assert(math.abs(counts("train") - 800L) < 60, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 100L) < 45, s"val=${counts("val")}")
+    // repartitioned input → identical assignment (content hash, no rand)
+    val again = Split.hashSplit(docs.repartition(7), col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+    // leakage safety: equal keys always co-locate
+    val dup = Split.hashSplit(docs.union(docs), col("id"),
+      Seq("a" -> 0.5, "b" -> 0.5))
+    assert(dup.groupBy("id").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count() == 0)
+  }
+
+  test("hashSample: subset of hashSplit semantics, stable under salt") {
+    val s1 = Split.hashSample(docs, col("id"), 0.3).count()
+    assert(math.abs(s1 - 300L) < 50, s"got $s1")
+    assert(Split.hashSample(docs, col("id"), 0.3, salt = "other").select("id").collect().toSet !=
+      Split.hashSample(docs, col("id"), 0.3).select("id").collect().toSet)
+  }
+
+  test("stratifiedSample: exact n per stratum, deterministic pick") {
+    val strat = docs.withColumn("g", (col("id") % 3).cast("int"))
+    val out = Split.stratifiedSample(strat, Seq("g"), col("id"), 25)
+    val per = out.groupBy("g").count().collect().map(_.getLong(1))
+    assert(per.length == 3 && per.forall(_ == 25L))
+    // small stratum → all of it
+    val tiny = strat.filter(col("id") < 5)
+    assert(Split.stratifiedSample(tiny, Seq("g"), col("id"), 25).count() == 5)
+    // stable under repartition
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Split.stratifiedSample(strat.repartition(11), Seq("g"), col("id"), 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("contamination: flags exactly the docs sharing an n-gram; decontaminate drops them") {
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "a document with quick brown fox inside it"),   // shares "quick brown fox"
+      (2L, "completely unrelated words here today"),
+      (3L, "the lazy dog sleeps all day long")             // shares "the lazy dog"
+    ).toDF("id", "text")
+    val flagged = Contamination.sharedNgrams(corpus, "id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 3L), s"got $flagged")
+    assert(flagged(1L) == 1L && flagged(3L) == 1L)
+    val kept = Contamination.decontaminate(corpus, "id", "text", bench, "text", n = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("tokenWindows: coverage, overlap, short tail, empty-doc exclusion") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "   ")                                      // whitespace-only: no rows
+    ).toDF("id", "text")
+    val out = Chunk.tokenWindows(d, "id", "text", windowTokens = 4, stride = 3)
+      .orderBy("id", "chunk_id").collect()
+    val byId = out.groupBy(_.getLong(0))
+    // 10 tokens, win 4 stride 3 → ceil((10-4)/3)=2 extra → starts 0,3,6:
+    // the minimal covering set (a start at 9 would add only covered tokens)
+    val w1 = byId(1L).map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(w1.length == 3, s"got ${w1.toSeq}")
+    assert(w1(0) == ((0, "t1 t2 t3 t4", 4L)))
+    assert(w1(1) == ((1, "t4 t5 t6 t7", 4L)))
+    assert(w1(2) == ((2, "t7 t8 t9 t10", 4L)))
+    // tokens 1..10 all covered
+    assert(w1.flatMap(_._2.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
+    // short doc → one short window with the true token count
+    assert(byId(2L).map(r => (r.getString(2), r.getLong(3))).toSeq ==
+      Seq(("only three tokens", 3L)))
+    assert(!byId.contains(3L))
+  }
+
+  test("vec_l2_normalize: unit norm, zero vector passes through; quantize round-trips") {
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-1.5f, 2.5f, 0.5f))
+    ).toDF("id", "v")
+    val n = vecs.select(col("id"), vec_l2_normalize(col("v")).as("nv"),
+        sqrt(vec_dot(vec_l2_normalize(col("v")), vec_l2_normalize(col("v")))).as("nrm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toList
+    val m = n.map(t => t._1 -> t).toMap
+    assert(m(1L)._2 == Seq(0.6, 0.8))
+    assert(m(2L)._2 == Seq(0.0, 0.0), "zero vector: zeros, not NaN")
+    assert(math.abs(m(3L)._3 - 1.0) < 1e-12, "unit norm after normalize")
+    // quantize: max-abs element maps to ±127 or 126 (floor), clamp holds
+    val q = vecs.filter(col("id") =!= 2L)
+      .select(col("id"), vec_quantize_int8(col("v")).as("q"),
+        vec_quantize_scale(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1), r.getDouble(2))).toList
+    val qm = q.map(t => t._1 -> t).toMap
+    assert(qm(1L)._2 == Seq[Byte](95, 127), s"got ${qm(1L)._2}") // floor(3*127/4)=95
+    assert(qm(1L)._3 == 127.0 / 4.0)
+    assert(qm(3L)._2.max <= 127 && qm(3L)._2.min >= -128)
+    // dequantized values within one quantization step
+    qm(3L)._2.zip(Seq(-1.5, 2.5, 0.5)).foreach { case (qv, x) =>
+      assert(math.abs(qv / qm(3L)._3 - x) <= 1.0 / qm(3L)._3 + 1e-12)
+    }
+  }
+}
