@@ -658,6 +658,16 @@ object Queries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Concat-and-cut sequence-packing index at context 512: per doc, its
+    * global token offset and first/last packed sequence. The corpus-wide
+    * cumulative sum runs via Ordinals.withRunningTotal (two-pass partial
+    * sums), not a single-partition window. */
+  val q_pack_index: Q = (s, dir) => {
+    import graft.operators.Chunk
+    Chunk.packIndex(t(s, dir, "documents").df, "doc_id", "text", contextLen = 512)
+      .orderBy(col("doc_id"))
+  }
+
   /** L2-normalized embeddings, exploded to (vec_id, i, x) rows — pins
     * every element bit-exactly without array-typed gate output. */
   val q_embed_normalize: Q = (s, dir) => {
@@ -1115,6 +1125,7 @@ object Queries {
     "q_sample_stratified" -> q_sample_stratified,
     "q_contamination" -> q_contamination,
     "q_chunk_windows" -> q_chunk_windows,
+    "q_pack_index" -> q_pack_index,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
     "q_dedup_exact" -> q_dedup_exact,
@@ -1665,6 +1676,21 @@ object Queries {
         |  unnest(list_transform(generate_series(0, n_win - 1),
         |    s -> CAST(least(64, nw - s*48) AS BIGINT))) AS n_tokens
         |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pack_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 512 AS first_seq,
+        |  (tok_offset + n_tokens - 1) // 512 AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_embed_normalize" ->
       """WITH e AS (

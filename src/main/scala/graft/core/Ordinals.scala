@@ -28,6 +28,45 @@ object Ordinals {
     spark.createDataFrame(rdd, sorted.schema.add(StructField(name, LongType, nullable = false)))
   }
 
+  /** EXCLUSIVE running total of `valueCol` over the established order:
+    * each row gets the sum of all PRIOR rows' values (0 for the first).
+    * Same two-pass shape as [[withOrdinal]] — range-partition sort, one
+    * tiny job for per-partition sums, driver prefix, one emit pass — so
+    * a corpus-wide cumulative sum (e.g. the token offset for sequence
+    * packing) needs no single-partition window. Sort keys must totally
+    * order the rows; `valueCol` must be integral (int/long). */
+  def withRunningTotal(df: DataFrame, sortKeys: Seq[Column], valueCol: String,
+      name: String = "__cum"): DataFrame = {
+    require(sortKeys.nonEmpty, "running totals are order-defined")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    def valueOf(r: Row): Long = r.get(idx) match {
+      case null => 0L
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$valueCol must be integral, got ${other.getClass.getSimpleName}")
+    }
+    // Pass 1: one partial sum per partition (tiny).
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += valueOf(r)); Iterator.single((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    // Pass 2: emit exclusive running totals (shuffle files reused).
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bOffsets.value(pid)
+      it.map { r =>
+        val v = valueOf(r)
+        val row = Row.fromSeq(r.toSeq :+ running)
+        running += v
+        row
+      }
+    }
+    spark.createDataFrame(out, sorted.schema.add(StructField(name, LongType, nullable = false)))
+  }
+
   /** Consecutive 1-based run id over the established order: a new id
     * starts whenever `keyCol` differs from the previous row's value.
     * Same two-pass shape as [[withOrdinal]]: range-partition sort, one

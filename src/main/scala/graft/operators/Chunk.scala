@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -15,6 +15,34 @@ import graft.functions.TextAnalysis
   * straight to a partitioned sink.
   */
 object Chunk {
+
+  /** Concat-and-cut SEQUENCE PACKING index (the standard LLM training
+    * prep): conceptually concatenate every document's tokens in `order`
+    * and cut the stream every `contextLen` tokens. Returns one row per
+    * document — `(idCol, n_tokens, tok_offset, first_seq, last_seq)` —
+    * mapping it to its global token offset and the packed sequences it
+    * lands in (a long doc spans several; short docs share one).
+    * Zero-token documents are excluded (they contribute nothing to the
+    * stream).
+    *
+    * Scale shape: the corpus-wide cumulative token offset uses
+    * [[graft.core.Ordinals.withRunningTotal]] — range-partition sort +
+    * per-partition partial sums + driver prefix — NOT a global window,
+    * so no single-partition exchange at any size. Downstream, workers
+    * materialize sequence s by reading docs with
+    * `first_seq <= s <= last_seq` — an equi-joinable, pruning-friendly
+    * index. */
+  def packIndex(df: DataFrame, idCol: String, textCol: String,
+      contextLen: Int): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val withN = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    graft.core.Ordinals.withRunningTotal(withN, Seq(col(idCol)), "n_tokens", "tok_offset")
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $contextLen").as("first_seq"),
+        expr(s"(tok_offset + n_tokens - 1) div $contextLen").as("last_seq"))
+  }
 
   /** `(idCol, chunk_id, chunk_text, n_tokens)` — one row per window.
     * Windows start every `stride` tokens; the final window may be short

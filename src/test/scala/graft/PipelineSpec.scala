@@ -98,6 +98,31 @@ class PipelineSpec extends SparkSpec {
     assert(!byId.contains(3L))
   }
 
+  test("packIndex: contiguous offsets, correct sequence spans, no global window") {
+    val d = Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),   // 5 tokens, offset 0
+      (2L, (1 to 9).map(i => s"b$i").mkString(" ")),   // 9 tokens, offset 5
+      (3L, " "),                                        // excluded
+      (4L, (1 to 3).map(i => s"c$i").mkString(" "))    // 3 tokens, offset 14
+    ).toDF("id", "text")
+    val out = Chunk.packIndex(d, "id", "text", contextLen = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 0L, 0L, 0L),    // tokens [0,5) → seq 0
+      (2L, 9L, 5L, 0L, 1L),    // tokens [5,14) → straddles seqs 0-1
+      (4L, 3L, 14L, 1L, 2L))   // tokens [14,17) → straddles seqs 1-2
+    )
+    // offsets are contiguous: each offset = previous offset + n
+    val offs = out.map(t => (t._3, t._2))
+    assert(offs.scanLeft(0L)(_ + _._2).init.toSeq == offs.map(_._1).toSeq)
+    // partition-layout invariance (two-pass partial sums, not rand/order luck)
+    val again = Chunk.packIndex(d.repartition(5), "id", "text", contextLen = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("vec_l2_normalize: unit norm, zero vector passes through; quantize round-trips") {
     val vecs = Seq(
       (1L, Array(3.0f, 4.0f)),
