@@ -21,9 +21,15 @@ object Ordinals {
 
   def withOrdinal(df: DataFrame, sortKeys: Seq[Column], name: String = "__ord"): DataFrame = {
     val spark = df.sparkSession
+    // orderBy (not explicit repartitionByRange + sortWithinPartitions):
+    // physically identical when a sort is needed, but when the caller's
+    // frame is ALREADY range-partitioned and sorted on these keys (every
+    // GTable path: rank/slice/batched follow orderby) EnsureRequirements
+    // + RemoveRedundantSorts collapse it to a no-op instead of paying a
+    // second exchange + sort.
     val sorted =
       if (sortKeys.isEmpty) df
-      else df.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+      else df.orderBy(sortKeys: _*)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, sorted.schema.add(StructField(name, LongType, nullable = false)))
   }
@@ -39,7 +45,7 @@ object Ordinals {
       name: String = "__cum"): DataFrame = {
     require(sortKeys.nonEmpty, "running totals are order-defined")
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    val sorted = df.orderBy(sortKeys: _*) // collapses if already sorted
     val idx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
     def valueOf(r: Row): Long = r.get(idx) match {
@@ -78,7 +84,7 @@ object Ordinals {
       name: String = "__run"): DataFrame = {
     require(sortKeys.nonEmpty, "run ids are order-defined")
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    val sorted = df.orderBy(sortKeys: _*) // collapses if already sorted
     val keyIdx = sorted.schema.fieldIndex(keyCol)
     val rdd = sorted.rdd
     // Pass 1: per-partition run stats (tiny — one tuple per partition).

@@ -66,7 +66,8 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
     val seeds = Array.tabulate(numHashes)(i => splitmix64(i.toLong))
     import graft.functions.TextHashExpressions.{minhash_signature, shingle_hash_set}
-    df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
+    graft.core.Partitions.ensureParallelism(df)
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
       .select(col(idCol), shingle_hash_set(col("__ws"), shingleN).as("__shks"))
       .filter(size(col("__shks")) > 0)
       .select(col(idCol), minhash_signature(col("__shks"), seeds).as("sig"))
@@ -138,7 +139,8 @@ object Dedup {
     * [[graft.functions.SimHash64]]). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.TextHashExpressions.simhash64
-    df.select(col(idCol), simhash64(TextAnalysis.words(col(textCol))).as("simhash"))
+    graft.core.Partitions.ensureParallelism(df)
+      .select(col(idCol), simhash64(TextAnalysis.words(col(textCol))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
@@ -189,7 +191,8 @@ object Dedup {
   private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     import graft.functions.TextHashExpressions.shingle_hash_set
-    df.select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
+    graft.core.Partitions.ensureParallelism(df)
+      .select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
       .select(col("id"), shingle_hash_set(col("__ws"), n).as("shks"))
       .select(col("id"), size(col("shks")).as("n_sh"), explode(col("shks")).as("shk"))
   }
@@ -243,7 +246,8 @@ object Dedup {
     require(minJaccard > 0.0 && minJaccard <= 1.0, "minJaccard must be in (0, 1]")
     import graft.functions.TextHashExpressions.shingle_hash_set
     val t = minJaccard
-    val sets = df.select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
+    val sets = graft.core.Partitions.ensureParallelism(df)
+      .select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
       .select(col("id"), sort_array(shingle_hash_set(col("__ws"), n)).as("sorted"))
       .select(col("id"), size(col("sorted")).as("n_sh"), col("sorted"))
       .filter(col("n_sh") > 0)
@@ -327,7 +331,8 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorExpressions.{vec_dot, vec_norm}
-    val withNorm = df.select(col(idCol), col(vecCol))
+    val withNorm = graft.core.Partitions.ensureParallelism(df)
+      .select(col(idCol), col(vecCol))
       .withColumn("norm", vec_norm(col(vecCol)))
     val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("norm").as("norm_a"))
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("norm").as("norm_b"))

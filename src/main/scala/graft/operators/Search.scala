@@ -40,7 +40,7 @@ object Search {
     // codegen'd Catalyst expression (no UDF encoder round-trip) — see
     // [[graft.functions.NormalizeWords]].
     import graft.functions.TextHashExpressions.normalize_words
-    data.select(col(idCol),
+    graft.core.Partitions.ensureParallelism(data).select(col(idCol),
       explode(normalize_words(coalesce(col(attr), lit("")), stopwords)).as("word"))
   }
 

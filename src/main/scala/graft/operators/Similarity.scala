@@ -70,7 +70,8 @@ object Similarity {
   /** Sign-random-projection bucket id (`bits`-bit code) for each row. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, bits: Int = 12): DataFrame =
-    df.withColumn("bucket", codeColumn(col(vecCol), dims, bits, table = 0))
+    graft.core.Partitions.ensureParallelism(df)
+      .withColumn("bucket", codeColumn(col(vecCol), dims, bits, table = 0))
 
   /** Multi-table variant: `tables` independent hyperplane sets, one
     * bucket column per table (`bucket_0..bucket_{L-1}`). The classic
@@ -79,8 +80,8 @@ object Similarity {
     * huge-radius probe (probing radius r costs Σ C(bits,i) buckets). */
   def lshBucketsMulti(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, bits: Int = 8, tables: Int = 2): DataFrame =
-    (0 until tables).foldLeft(df) { (d, t) =>
-      d.withColumn(s"bucket_$t", codeColumn(col(vecCol), dims, bits, t))
+    (0 until tables).foldLeft(graft.core.Partitions.ensureParallelism(df)) {
+      (d, t) => d.withColumn(s"bucket_$t", codeColumn(col(vecCol), dims, bits, t))
     }
 
   /** LSH-accelerated approximate top-k: probe buckets within `probeDist`
@@ -150,7 +151,10 @@ object Similarity {
       nCentroids: Int = 64, iters: Int = 3): IvfIndex = {
     val v = col(vecCol)
     // null vectors can be sampled into the init set (driver NPE) and
-    // can never be assigned — exclude them from the index
+    // can never be assigned — exclude them from the index. NO
+    // ensureParallelism here: k-means re-scans the input 5+ times, and a
+    // repartition in the lineage would re-shuffle on every pass —
+    // measured 2× SLOWER than the single-split scans it replaces.
     val df = df0.filter(v.isNotNull)
     var centroids: Array[Array[Double]] = df
       .select(col(idCol), v)
