@@ -777,6 +777,17 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup CLUSTER ids via connected components over the exact
+    * 3-gram-Jaccard pair graph: every doc gets the min doc_id reachable
+    * through near-dup pairs (singletons = own id). Distributed min-label
+    * propagation over the edge list; the DuckDB oracle recomputes it as
+    * a recursive transitive closure. */
+  val q_dedup_cluster: Q = (s, dir) =>
+    Dedup.clusterNearDuplicates(t(s, dir, "documents").df, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs above 0.35 (exact all-pairs at test
     * scale; LSH banding is the 100 TB path). */
   val q_dedup_embedding: Q = (s, dir) =>
@@ -1131,6 +1142,7 @@ object Queries {
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_dedup_remove" -> q_dedup_remove,
+    "q_dedup_cluster" -> q_dedup_cluster,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_embedding" -> q_dedup_embedding,
@@ -1769,6 +1781,39 @@ object Queries {
         | JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+        |)
+        |SELECT d.doc_id,
+        |  least(coalesce(m.mn, d.doc_id), d.doc_id) AS cluster_id
+        |FROM documents d
+        |LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m ON m.u = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // RECALL GATES: the oracle computes the EXACT answer only; the Spark
     // side semi-joins it with the approximate path's candidates, so the

@@ -322,6 +322,71 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Connected-component duplicate clustering
+  // ------------------------------------------------------------------
+
+  /** Connected components over an undirected pair graph (`id_a`, `id_b`):
+    * returns (`id`, `comp`) with `comp` = the smallest id reachable from
+    * `id`. Iterative distributed min-label propagation: each round joins
+    * the symmetrized edge list against current labels, takes the min
+    * neighbor label per vertex, and stops when no label changed — the
+    * standard MapReduce-style CC (cf. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14; plain propagation
+    * converges in graph-diameter rounds, which for near-dup clusters is
+    * small). Each round is two equi-join shuffles over the EDGE list
+    * only — never the corpus — and the label frame is eagerly
+    * checkpointed so lineage stays flat across iterations.
+    *
+    * Ids must be non-null and orderable (numeric or string). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      // one materialization per round: old + proposed label side by side,
+      // so the convergence count is a cheap scan of the checkpoint
+      val step = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("next"))
+        .localCheckpoint(true)
+      converged = step.filter(col("next") < col("comp")).limit(1).count() == 0L
+      labels = step.select(col("id"), col("next").as("comp"))
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "(pathological chain diameter — raise maxIter)")
+    labels
+  }
+
+  /** Near-duplicate CLUSTER assignment: every doc gets `cluster_id` = the
+    * smallest doc id in its connected component of the near-dup pair
+    * graph (singletons cluster with themselves). Unlike the one-pass
+    * anchor policy of [[removeNearDuplicates]] — which keeps any doc
+    * with no lower-id direct pair, so a chain 1~2~3 (1≁3) keeps 1 AND
+    * 3 — the cluster policy groups whole chains (keep-one-per-cluster
+    * keeps only doc 1), matching the dedup stage of large corpus
+    * pipelines where transitive duplicates collapse together. */
+  def clusterNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5,
+      prefixFilter: Option[Boolean] = None): DataFrame = {
+    val usePrefix = prefixFilter.getOrElse(minJaccard >= 0.75)
+    val pairs =
+      if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, n, minJaccard)
+      else jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n), minJaccard)
+    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    df.join(comps, df(idCol) === comps("id"), "left")
+      .select(df.columns.map(df(_)) :+
+        coalesce(col("comp"), df(idCol)).as("cluster_id"): _*)
+  }
+
+  // ------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ------------------------------------------------------------------
 

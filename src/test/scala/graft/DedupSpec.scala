@@ -51,6 +51,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 20L))
   }
 
+  test("connectedComponents: min-label propagation over chains and islands") {
+    // chain 1-2-3-4-5 (diameter 4, exercises iteration), island 10-11,
+    // isolated edge endpoints only — no corpus rows involved
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterNearDuplicates: whole chain collapses to one cluster (vs anchor)") {
+    // same 10~11~12 chain as the anchor test: cluster policy assigns all
+    // three to cluster 10 (anchor keeps 10 AND 12 — transitive closure
+    // is the difference); singleton 20 clusters with itself
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val b = (3 to 14).map(i => s"w$i").mkString(" ")
+    val c = (5 to 16).map(i => s"w$i").mkString(" ")
+    val chain = Seq((10L, a), (11L, b), (12L, c), (20L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterNearDuplicates(chain, "doc_id", "text", 3, 0.55)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
   test("prefix-filtered exact Jaccard == naive exact (PPJoin pruning loses nothing)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (t <- Seq(0.5, 0.8, 0.9)) {
