@@ -668,6 +668,51 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction over the corpus: deterministic PII-shaped strings
+    * (email / phone / SSN / IPv4, derived from doc_id) are appended to
+    * each doc, then scrubbed by the Scrub rule chain — one codegen'd map
+    * pass of regexp_count + regexp_replace, no shuffle. The oracle
+    * re-runs the identical RE2-safe patterns in DuckDB. */
+  val q_pii_redact: Q = (s, dir) => {
+    import graft.operators.Scrub
+    val docs = t(s, dir, "documents").df
+    val withPii = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com call +1 "),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 800 + 101).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" ssn "),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 89 + 10).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string"),
+        lit(" from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string")).as("text"))
+    Scrub.redactTable(withPii, "text")
+      .select(col("doc_id"), col("text").as("redacted"), col("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span-level exact dedup (paragraph-dedup analogue): disjoint 20-word
+    * spans, global keep-first by span text, docs reassembled from their
+    * surviving spans. */
+  val q_span_dedup: Q = (s, dir) => {
+    import graft.operators.Chunk
+    Chunk.dedupSpans(t(s, dir, "documents").df, "doc_id", "text", spanTokens = 20)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-length bucketing at boundaries 30/45/60: per-bucket doc count,
+    * token range, and pad-to-bucket-max waste. */
+  val q_length_buckets: Q = (s, dir) => {
+    import graft.operators.Chunk
+    Chunk.lengthBuckets(t(s, dir, "documents").df, "doc_id", "text",
+        boundaries = Seq(30, 45, 60))
+      .orderBy(col("bucket"))
+  }
+
   /** L2-normalized embeddings, exploded to (vec_id, i, x) rows — pins
     * every element bit-exactly without array-typed gate output. */
   val q_embed_normalize: Q = (s, dir) => {
@@ -1137,6 +1182,9 @@ object Queries {
     "q_contamination" -> q_contamination,
     "q_chunk_windows" -> q_chunk_windows,
     "q_pack_index" -> q_pack_index,
+    "q_pii_redact" -> q_pii_redact,
+    "q_span_dedup" -> q_span_dedup,
+    "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
     "q_dedup_exact" -> q_dedup_exact,
@@ -1781,6 +1829,69 @@ object Queries {
         | JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com call +1 ' ||
+        |    (doc_id % 900 + 100) || '-' || (doc_id % 800 + 101) || '-' || (doc_id % 9000 + 1000) ||
+        |    ' ssn ' || (doc_id % 900 + 100) || '-' || (doc_id % 89 + 10) || '-' || (doc_id % 9000 + 1000) ||
+        |    ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '(\+\d{1,2}[ ])?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+        |     + len(regexp_extract_all(text, '(\+\d{1,2}[ ])?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+        |     + len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_pii
+        |FROM withpii ORDER BY doc_id""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), w AS (
+        |  SELECT doc_id, ws, len(ws) AS nw,
+        |    1 + greatest(0, (len(ws) - 20 + 19) // 20) AS n_win
+        |  FROM docs
+        |), spans AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, n_win - 1)) AS chunk_id,
+        |    unnest(list_transform(generate_series(0, n_win - 1),
+        |      s -> array_to_string(list_slice(ws, s*20 + 1, least(s*20 + 20, nw)), ' '))) AS chunk_text
+        |  FROM w
+        |), rn AS (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+        |  FROM spans
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS text_kept
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens < 30 THEN 0 WHEN n_tokens < 45 THEN 1
+        |         WHEN n_tokens < 60 THEN 2 ELSE 3 END AS bucket
+        |  FROM n
+        |)
+        |SELECT bucket, count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_dedup_cluster" ->
       """WITH RECURSIVE docs AS (

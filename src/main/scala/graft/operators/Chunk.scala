@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -42,6 +42,64 @@ object Chunk {
       .select(col(idCol), col("n_tokens"), col("tok_offset"),
         expr(s"tok_offset div $contextLen").as("first_seq"),
         expr(s"(tok_offset + n_tokens - 1) div $contextLen").as("last_seq"))
+  }
+
+  /** SPAN-LEVEL exact dedup (the paragraph-dedup analogue for unstructured
+    * text): cut each doc into disjoint `spanTokens`-word spans, keep each
+    * distinct span text's FIRST occurrence corpus-wide (ordered by
+    * (doc id, span position)), and reassemble documents from their
+    * surviving spans in order. Returns `(idCol, n_spans, n_spans_kept,
+    * text_kept)`; docs whose every span was seen earlier elsewhere come
+    * back with `text_kept = ''`.
+    *
+    * Scale shape: one map-side explode, one shuffle on the span hash
+    * (keep-first via per-key row_number), one groupBy(doc) to
+    * reassemble — the same three-exchange shape at any corpus size, and
+    * span keys are content hashes so the keep-first shuffle distributes
+    * evenly. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = tokenWindows(df, idCol, textCol, spanTokens, stride = spanTokens)
+    val kept = spans
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("chunk_text"))
+          .orderBy(col(idCol).asc, col("chunk_id").asc)))
+    kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_spans_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__rn") === 1,
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s("chunk_text")), " ").as("text_kept"))
+  }
+
+  /** Token-length bucketing for padding-efficient batch assembly: bucket
+    * docs by token count at explicit `boundaries` (bucket b holds counts
+    * in [boundaries(b-1), boundaries(b)), bucket 0 below the first
+    * boundary, bucket N at-or-above the last), and report per-bucket
+    * size and padding waste if batches pad to the bucket's observed max.
+    * One map pass + one groupBy — the standard pre-batching layout step
+    * that turns O(maxLen) padding into O(bucketMax). */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String,
+      boundaries: Seq[Int]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be ascending")
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.size): Column) {
+      case ((b, i), acc) => when(n < b, i).otherwise(acc)
+    }
+    df.select(col(idCol), n.as("n_tokens"), bucket.cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      // pad-to-bucket-max waste, from the aggregates alone (no window):
+      // every doc pads up to the bucket's observed max
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
   }
 
   /** `(idCol, chunk_id, chunk_text, n_tokens)` — one row per window.

@@ -123,6 +123,52 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("dedupSpans: first occurrence survives, later copies drop, docs reassemble in order") {
+    import graft.operators.Chunk
+    // doc 1: spans A B; doc 2: spans B C (B repeats doc 1's); doc 3: all
+    // spans already seen (A and C) -> empty text_kept
+    val A = (1 to 4).map(i => s"a$i").mkString(" ")
+    val B = (1 to 4).map(i => s"b$i").mkString(" ")
+    val C = (1 to 4).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, s"$A $B"), (2L, s"$B $C"), (3L, s"$A $C"))
+      .toDF("doc_id", "text")
+    val out = Chunk.dedupSpans(docs, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, s"$A $B")))
+    assert(out(2L) == ((2L, 1L, C)), "B was taken by doc 1; C survives")
+    assert(out(3L) == ((2L, 0L, "")), "every span seen earlier elsewhere")
+  }
+
+  test("lengthBuckets: boundary edges and pad-waste arithmetic") {
+    import graft.operators.Chunk
+    // token counts: 2, 3 (edge: < 3 -> bucket 0 excludes 3), 5, 9
+    val docs = Seq((1L, "w w"), (2L, "w w w"), (3L, "w w w w w"),
+      (4L, "w w w w w w w w w")).toDF("doc_id", "text")
+    val out = Chunk.lengthBuckets(docs, "doc_id", "text", Seq(3, 6))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(out(0) == ((1L, 2L, 2L, 0L)))
+    assert(out(1) == ((2L, 3L, 5L, 2L)), "docs of 3 and 5 tokens; pad 5-3=2")
+    assert(out(2) == ((1L, 9L, 9L, 0L)), "at-or-above last boundary")
+  }
+
+  test("Scrub: rule independence (ssn vs phone), counts, idempotent tags") {
+    import graft.operators.Scrub
+    val txt = "mail a.b+c@x-y.io call +1 212-555-0199 or 212.555.0199 " +
+      "ssn 123-45-6789 host 192.168.0.1 clean 12-34"
+    val df = Seq((1L, txt)).toDF("id", "text")
+    val r = Scrub.redactTable(df, "text").collect().head
+    val red = r.getString(1)
+    assert(red.contains("<EMAIL>") && red.contains("<SSN>") && red.contains("<IP>"))
+    assert(red.contains("<PHONE>") && !red.matches(".*\\d{3}[-.]\\d{3}[-.]\\d{4}.*"))
+    assert(red.contains("clean 12-34"), "non-PII digit runs untouched")
+    assert(r.getInt(2) == 5, s"email + 2 phones + ssn + ip = 5, got ${r.getInt(2)}")
+    // a second pass over redacted text finds nothing
+    val again = Scrub.redactTable(df.select(col("id"), lit(red).as("text")), "text")
+      .collect().head
+    assert(again.getInt(2) == 0, "redaction is a fixpoint")
+  }
+
   test("vec_l2_normalize: unit norm, zero vector passes through; quantize round-trips") {
     val vecs = Seq(
       (1L, Array(3.0f, 4.0f)),
