@@ -13,17 +13,14 @@ object Bench {
     // Untimed warmup: JVM/codegen/classloading would otherwise be billed
     // entirely to whichever query happens to run first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // JMH-style per-plan warmup at the smallest sibling SF (fall back to
-    // the bench SF): one untimed pass over every query so Janino codegen,
-    // JIT and streaming-machinery init are paid before timing. Measured:
-    // first-run q_dedup_exact is 3.2 s, steady-state 0.44 s — the timed
-    // numbers should reflect the engine, not one-off compilation.
-    val warmDir = {
-      val small = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (small.isDirectory) small.getPath else sfDir
-    }
+    // JMH-style per-plan warmup AT THE BENCH SF: one untimed pass over
+    // every query so Janino codegen, JIT, streaming-machinery init AND
+    // the AQE runtime re-plans for the real stage sizes are paid before
+    // timing. (Warming at a smaller sibling SF compiles the static plans
+    // but not the AQE-final ones — measured: first sf0.1 run of
+    // q_dedup_exact bills 3.4 s against a 0.6 s steady state.)
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
