@@ -649,6 +649,67 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered EXACT decontamination: same output as the exact
+    * path (the bloom only prunes candidates map-side; survivors confirm
+    * via the shared-n-gram join), gated against the plain exact oracle —
+    * proving the 100 TB prefilter shape loses nothing. */
+  val q_decontam_bloom: Q = (s, dir) => {
+    import graft.operators.Contamination
+    val docs = t(s, dir, "documents").df
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    Contamination.decontaminateBloom(corpus, "doc_id", "text", bench, "text",
+        n = 3, expectedItems = 1L << 17, fpp = 0.03)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source cap (corpus balancing): keep the 40 longest docs per
+    * source, ties by doc_id — one ranking window per group key. */
+  val q_cap_per_source: Q = (s, dir) => {
+    import graft.operators.Curate
+    Curate.capPerGroup(t(s, dir, "documents"), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id")), k = 40).df
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quantile-band outlier trim: keep docs whose length lies within the
+    * exact [p05, p95] band (thresholds broadcast as a one-row join). */
+  val q_quantile_band: Q = (s, dir) => {
+    import graft.operators.Curate
+    Curate.quantileBand(t(s, dir, "documents"), col("n_chars"), 0.05, 0.95).df
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus vocabulary: top-50 whitespace tokens with occurrence and
+    * document frequencies in one exploded aggregate. */
+  val q_vocab_top: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    Lexicon.vocab(t(s, dir, "documents").df, "doc_id", "text", 50)
+  }
+
+  /** Top-5 TF-IDF terms per document (sklearn-smoothed idf); the gate
+    * compares the integer tf/df/rank columns — the double tfidf score
+    * only orders the window in both engines. */
+  val q_tfidf_top: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    Lexicon.topTermsPerDoc(t(s, dir, "documents").df, "doc_id", "text", 5)
+      .select(col("id"), col("token"), col("tf"), col("df"), col("term_rank"))
+      .orderBy(col("id"), col("term_rank"))
+  }
+
+  /** Near-dup clusters keeping the BEST doc per cluster (longest, then
+    * lowest id) instead of the lowest-id anchor. */
+  val q_cluster_best: Q = (s, dir) => {
+    import graft.operators.Dedup
+    Dedup.dedupClustersKeepBest(t(s, dir, "documents").df, "doc_id", "text",
+        best = Seq(col("n_chars").desc, col("doc_id")), n = 3, minJaccard = 0.5)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-window chunking: 64-token windows every 48 tokens (16-token
     * overlap), tail window kept short. */
   val q_chunk_windows: Q = (s, dir) => {
@@ -1180,6 +1241,12 @@ object Queries {
     "q_split_hash" -> q_split_hash,
     "q_sample_stratified" -> q_sample_stratified,
     "q_contamination" -> q_contamination,
+    "q_decontam_bloom" -> q_decontam_bloom,
+    "q_cap_per_source" -> q_cap_per_source,
+    "q_quantile_band" -> q_quantile_band,
+    "q_vocab_top" -> q_vocab_top,
+    "q_tfidf_top" -> q_tfidf_top,
+    "q_cluster_best" -> q_cluster_best,
     "q_chunk_windows" -> q_chunk_windows,
     "q_pack_index" -> q_pack_index,
     "q_pii_redact" -> q_pii_redact,
@@ -1719,6 +1786,114 @@ object Queries {
         |SELECT doc_id, count(*) AS n_shared
         |FROM csh JOIN bsh USING (shingle)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The bloom variant must yield the same corpus as exact
+    // decontamination — the oracle IS the exact computation.
+    "q_decontam_bloom" ->
+      """WITH bsh AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents WHERE doc_id % 20 = 0)
+        |), csh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM documents WHERE doc_id % 20 <> 0)
+        |), contaminated AS (
+        |  SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle)
+        |)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 20 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_cap_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
+    "q_quantile_band" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |         quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM documents, q
+        |WHERE n_chars >= lo AND n_chars <= hi
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM toks WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 50""".stripMargin,
+
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, token, count(*) AS tf FROM toks
+        |  WHERE token <> '' GROUP BY id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token
+        |), nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT id, token, tf, df, term_rank FROM (
+        |  SELECT id, token, tf, df,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY tf * (ln((nn.n + 1)::DOUBLE / (df + 1)::DOUBLE) + 1.0) DESC,
+        |               token) AS term_rank
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN nn)
+        |WHERE term_rank <= 5
+        |ORDER BY id, term_rank""".stripMargin,
+
+    "q_cluster_best" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+        |)
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT d.doc_id, d.n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY least(coalesce(m.mn, d.doc_id), d.doc_id)
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d
+        |  LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
+        |    ON m.u = d.doc_id)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_chunk_windows" ->
       """WITH docs AS (

@@ -54,4 +54,62 @@ object Contamination {
       .select(col(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------------------------
+  // Bloom-prefiltered exact decontamination (the 100 TB shape)
+  // ------------------------------------------------------------------
+
+  /** Serialized bloom filter (`org.apache.spark.util.sketch` wire format)
+    * over the benchmark's DISTINCT n-gram hashes. Even a large benchmark
+    * suite (10⁷ n-grams at fpp 3%) serializes to ~9 MB — small enough to
+    * embed as a literal in every task, unlike the exploded hash set. */
+  def benchNgramBloom(bench: DataFrame, benchTextCol: String, n: Int = 13,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.03): Array[Byte] = {
+    val bf = bench
+      .select(explode(shingleHashes(col(benchTextCol), n)).as("shk"))
+      .distinct()
+      .stat.bloomFilter("shk", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** `might_contain(bloom, hash)` as a codegen'd Catalyst predicate —
+    * Spark's own runtime-row-filter expression, fed a prebuilt sketch. */
+  private def mightContain(bloom: Array[Byte], v: Column): Column = {
+    import org.apache.spark.sql.graftinterop.ColumnInterop
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    ColumnInterop.column(BloomFilterMightContain(
+      ColumnInterop.expression(lit(bloom)), ColumnInterop.expression(v)))
+  }
+
+  /** TRUE iff any of the document's n-gram hashes might be in the bloom —
+    * a map-side, zero-shuffle candidate test (superset of the truly
+    * contaminated docs, never a miss: blooms have no false negatives). */
+  def bloomCandidate(textCol: Column, bloom: Array[Byte], n: Int = 13): Column =
+    exists(shingleHashes(textCol, n), x => mightContain(bloom, x))
+
+  /** Bloom-prefiltered EXACT decontamination — output is identical to
+    * [[decontaminate]] (the bloom only prunes; survivors of the prefilter
+    * are confirmed by the exact shared-n-gram join), but the expensive
+    * explode-and-join runs over the candidate docs ONLY.
+    *
+    * Scale shape: at 100 TB the corpus-side explode of [[decontaminate]]
+    * is the dominant cost (every doc × every n-gram through a shuffle).
+    * Here the corpus is scanned once with a codegen'd bloom probe — no
+    * explode, no shuffle — and only the candidate sliver (contamination
+    * rate + fpp) pays the exact-verification join. The bloom build itself
+    * is one pass over the (small) benchmark side. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13,
+      minShared: Long = 1, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.03): DataFrame = {
+    val bloom = benchNgramBloom(bench, benchTextCol, n, expectedItems, fpp)
+    val candidates = corpus.filter(bloomCandidate(col(textCol), bloom, n))
+    val flagged = sharedNgrams(candidates, idCol, textCol, bench,
+        benchTextCol, n, broadcastBench = true)
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

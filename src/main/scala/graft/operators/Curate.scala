@@ -46,4 +46,53 @@ object Curate {
     one.select(explode(array(stageStructs: _*)).as("s"))
       .select(col("s.stage"), col("s.name"), col("s.survivors"))
   }
+
+  /** Corpus balancing: keep at most `k` rows per group, chosen by
+    * `order` (make it a total order for determinism — tie-break on a
+    * unique id). The standard per-domain / per-source cap that stops a
+    * single crawl domain from dominating a training mix.
+    *
+    * Scale shape: one shuffle on the group key + a bounded per-group
+    * sort; no global sort, no driver state. Skewed groups (one domain =
+    * half the corpus) are the realistic hazard — the window still ranks
+    * that group on one task, so for pathological skew pre-prune with
+    * [[quantileBand]]-style filters or raise shuffle partitions; AQE
+    * splits the rest. */
+  def capPerGroup(t: GTable, keys: Seq[String], order: Seq[Column],
+      k: Int): GTable = {
+    require(keys.nonEmpty && order.nonEmpty && k > 0,
+      "capPerGroup needs keys, an ordering, and k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    t.copy(df = t.df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn"))
+  }
+
+  /** Keep rows whose `metric` lies inside the [lo, hi] quantile band —
+    * the usual outlier trim (drop the shortest/longest p% of documents).
+    *
+    * `exact = true` uses Spark's exact interpolated `percentile` (one
+    * extra pass; per-partition value→count maps, fine for bounded-
+    * cardinality metrics like lengths/scores). `exact = false` uses
+    * `approx_percentile` (bounded-memory KLL-style sketch) — the path
+    * for unbounded-cardinality metrics at 100 TB. The two thresholds
+    * come back as ONE broadcast-joined row, so the corpus filter is a
+    * single distributed pass — no driver collect of data values. */
+  def quantileBand(t: GTable, metric: Column, lo: Double, hi: Double,
+      exact: Boolean = true, accuracy: Int = 10000): GTable = {
+    require(0.0 <= lo && lo <= hi && hi <= 1.0, "need 0 <= lo <= hi <= 1")
+    val qs = array(lit(lo), lit(hi))
+    val bandAgg =
+      if (exact) percentile(metric, qs)
+      else approx_percentile(metric, qs, lit(accuracy))
+    val band = t.df.agg(bandAgg.as("__band"))
+      .select(col("__band").getItem(0).as("__q_lo"),
+        col("__band").getItem(1).as("__q_hi"))
+    t.copy(df = t.df
+      .join(broadcast(band))
+      .filter(metric >= col("__q_lo") && metric <= col("__q_hi"))
+      .drop("__q_lo", "__q_hi"))
+  }
 }

@@ -386,6 +386,34 @@ object Dedup {
         coalesce(col("comp"), df(idCol)).as("cluster_id"): _*)
   }
 
+  /** Near-dup removal keeping the BEST representative per cluster (not
+    * the lowest-id anchor): clusters via [[clusterNearDuplicates]], then
+    * one keep per `cluster_id` chosen by `best` (e.g. highest quality
+    * score, longest doc) — make it a total order by tie-breaking on the
+    * id, or the pick is nondeterministic. This is the production policy
+    * when duplicates differ in quality (boilerplate-stripped vs raw
+    * crawls of the same page).
+    *
+    * Scale shape: adds ONE ranking window partitioned by cluster_id on
+    * top of the clustering — a shuffle on cluster_id with per-group
+    * top-1, no global sort. Cluster sizes are small by construction
+    * (they are near-dup sets), so no skew hazard. */
+  def dedupClustersKeepBest(
+      df: DataFrame, idCol: String, textCol: String,
+      best: Seq[org.apache.spark.sql.Column],
+      n: Int = 3, minJaccard: Double = 0.5,
+      prefixFilter: Option[Boolean] = None): DataFrame = {
+    require(best.nonEmpty, "need a 'best' ordering")
+    import org.apache.spark.sql.expressions.Window
+    val clustered =
+      clusterNearDuplicates(df, idCol, textCol, n, minJaccard, prefixFilter)
+    val w = Window.partitionBy(col("cluster_id")).orderBy(best: _*)
+    clustered
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "cluster_id")
+  }
+
   // ------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ------------------------------------------------------------------

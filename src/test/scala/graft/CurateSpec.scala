@@ -38,4 +38,47 @@ class CurateSpec extends SparkSpec {
     // one aggregation over one scan: no union of N subqueries
     assert(!plan.contains("Union"), s"per-stage unions would rescan:\n$plan")
   }
+
+  test("capPerGroup: keeps at most k per group by the given total order") {
+    val capped = Curate.capPerGroup(t, Seq("lang"),
+        Seq(col("len").desc, col("id")), k = 2)
+      .df.select("id").collect().map(_.getString(0)).toSet
+    // en: a(300), d(250) beat b(100); de: c alone; fr: e alone
+    assert(capped == Set("a", "d", "c", "e"))
+  }
+
+  test("capPerGroup: deterministic under ties (tie-break column decides)") {
+    val tied = GTable(Seq(("x", "en", 5), ("y", "en", 5), ("z", "en", 5))
+      .toDF("id", "lang", "len"), "tied")
+    val kept = Curate.capPerGroup(tied, Seq("lang"),
+        Seq(col("len").desc, col("id")), k = 2)
+      .df.select("id").collect().map(_.getString(0)).toSet
+    assert(kept == Set("x", "y"))
+  }
+
+  test("quantileBand: exact percentile band keeps the middle, drops tails") {
+    val vals = GTable((1 to 100).map(i => ("r" + i, i))
+      .toDF("id", "v"), "vals")
+    val kept = Curate.quantileBand(vals, col("v"), 0.10, 0.90)
+      .df.select("v").collect().map(_.getInt(0)).sorted
+    // p10 of 1..100 (type-7) = 10.9, p90 = 90.1 → keep 11..90
+    assert(kept.head == 11 && kept.last == 90 && kept.length == 80)
+  }
+
+  test("quantileBand: approx path matches exact to within one boundary rank") {
+    // approx_percentile returns a MEMBER of the column (25 for p25 of
+    // 1..100) where exact interpolates (25.75) — so the approx band may
+    // include one extra element at each edge, never more at this accuracy
+    val vals = GTable((1 to 100).map(i => ("r" + i, i))
+      .toDF("id", "v"), "vals")
+    val exact = Curate.quantileBand(vals, col("v"), 0.25, 0.75)
+      .df.select("v").collect().map(_.getInt(0)).toSet
+    val approx = Curate.quantileBand(vals, col("v"), 0.25, 0.75,
+        exact = false, accuracy = 10000)
+      .df.select("v").collect().map(_.getInt(0)).toSet
+    assert(math.abs(approx.min - exact.min) <= 1 &&
+      math.abs(approx.max - exact.max) <= 1 &&
+      approx.size == approx.max - approx.min + 1, // still one contiguous band
+      s"approx=$approx exact=$exact")
+  }
 }

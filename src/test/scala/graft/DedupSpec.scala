@@ -77,6 +77,21 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("dedupClustersKeepBest: the BEST doc per cluster survives, not the anchor") {
+    import org.apache.spark.sql.functions.{col, length}
+    // same 10~11~12 chain; doc 11 is made the longest, so the quality
+    // policy keeps 11 where the anchor policy would keep 10
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val b = (3 to 14).map(i => s"w$i").mkString(" ") + " extraextraextra"
+    val c = (5 to 16).map(i => s"w$i").mkString(" ")
+    val chain = Seq((10L, a), (11L, b), (12L, c), (20L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupClustersKeepBest(chain, "doc_id", "text",
+        best = Seq(length(col("text")).desc, col("doc_id")), n = 3, minJaccard = 0.55)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 20L), s"got $kept")
+  }
+
   test("prefix-filtered exact Jaccard == naive exact (PPJoin pruning loses nothing)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (t <- Seq(0.5, 0.8, 0.9)) {

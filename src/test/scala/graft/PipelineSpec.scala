@@ -74,6 +74,41 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("decontaminateBloom == decontaminate, even with a saturated bloom") {
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "a document with quick brown fox inside it"),
+      (2L, "completely unrelated words here today"),
+      (3L, "the lazy dog sleeps all day long"),
+      (4L, "more innocuous text that shares nothing at all")
+    ).toDF("id", "text")
+    val exact = Contamination.decontaminate(corpus, "id", "text", bench, "text", n = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val bloom = Contamination.decontaminateBloom(corpus, "id", "text", bench, "text", n = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    // a deliberately tiny, saturated bloom (false positives everywhere)
+    // must still be EXACT — the confirm join removes every false positive
+    val saturated = Contamination.decontaminateBloom(corpus, "id", "text",
+        bench, "text", n = 3, expectedItems = 2, fpp = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(saturated == exact, "bloom false positives leaked into the result")
+  }
+
+  test("bloomCandidate never misses a truly contaminated doc (no false negatives)") {
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma suffix"),
+      (2L, "beta gamma delta inside here"),
+      (3L, "nothing shared with that set")
+    ).toDF("id", "text")
+    val bloom = Contamination.benchNgramBloom(bench, "text", n = 3)
+    val cands = corpus
+      .filter(Contamination.bloomCandidate(col("text"), bloom, n = 3))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L).subsetOf(cands), s"bloom missed a true hit: $cands")
+  }
+
   test("tokenWindows: coverage, overlap, short tail, empty-doc exclusion") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
