@@ -339,8 +339,13 @@ object Dedup {
     *
     * Ids must be non-null and orderable (numeric or string). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Materialize the edge list ONCE: `pairs` is typically the whole
+    // candidate-generation pipeline (shingle index self-join), and every
+    // propagation round joins against it — without this checkpoint each
+    // round would re-run that pipeline from the scan up.
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
