@@ -37,7 +37,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    // "timing" documents the protocol: JMH-style warm steady state — every
+    // query ran once untimed at this SF before the timed pass, so the
+    // numbers exclude one-off JIT/codegen/AQE-replan costs. Any baseline
+    // compared against these numbers should be warmed the same way.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"steady_state_warm","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1853,7 +1853,7 @@ object Queries {
         |  SELECT id, token, tf, df,
         |    row_number() OVER (PARTITION BY id
         |      ORDER BY tf * (ln((nn.n + 1)::DOUBLE / (df + 1)::DOUBLE) + 1.0) DESC,
-        |               token) AS term_rank
+        |               tf DESC, df ASC, token) AS term_rank
         |  FROM tf JOIN dfreq USING (token) CROSS JOIN nn)
         |WHERE term_rank <= 5
         |ORDER BY id, term_rank""".stripMargin,

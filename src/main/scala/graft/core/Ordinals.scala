@@ -1,7 +1,9 @@
 package graft.core
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.storage.StorageLevel
 
 /** Ordered-table discipline for a distributed engine.
   *
@@ -16,11 +18,25 @@ import org.apache.spark.sql.types.{LongType, StructField}
   *
   * The sort keys MUST be a total order (include a unique tiebreaker) for
   * the ordinal to be deterministic.
+  *
+  * Every helper here runs TWO jobs over the sorted frame (the classic
+  * zipWithIndex shape: one tiny stats pass, one emit pass). Between the
+  * two jobs the physical layout must not move — if the sort's shuffle
+  * output were recomputed (evicted shuffle files, stage retry, executor
+  * loss) with different range boundaries, pass-2 rows could land in a
+  * different partition than the offsets computed in pass 1, silently
+  * corrupting the ordinal. [[pinned]] therefore persists the sorted rows
+  * (MEMORY_AND_DISK: memory-evicted blocks fall to disk, never
+  * recompute), so both jobs — and any later re-evaluation of the result
+  * frame — read the exact bytes and layout pass 1 saw. The cache is
+  * dropped automatically by Spark's ContextCleaner once the result frame
+  * is unreachable; its footprint is the helper's (usually narrow)
+  * input projection, not the full table.
   */
 object Ordinals {
 
-  def withOrdinal(df: DataFrame, sortKeys: Seq[Column], name: String = "__ord"): DataFrame = {
-    val spark = df.sparkSession
+  /** Sort and pin: the single materialization both passes read. */
+  private def pinned(df: DataFrame, sortKeys: Seq[Column]): (RDD[Row], DataFrame) = {
     // orderBy (not explicit repartitionByRange + sortWithinPartitions):
     // physically identical when a sort is needed, but when the caller's
     // frame is ALREADY range-partitioned and sorted on these keys (every
@@ -30,8 +46,15 @@ object Ordinals {
     val sorted =
       if (sortKeys.isEmpty) df
       else df.orderBy(sortKeys: _*)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    spark.createDataFrame(rdd, sorted.schema.add(StructField(name, LongType, nullable = false)))
+    (sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK), sorted)
+  }
+
+  def withOrdinal(df: DataFrame, sortKeys: Seq[Column], name: String = "__ord"): DataFrame = {
+    val spark = df.sparkSession
+    val (rdd, sorted) = pinned(df, sortKeys)
+    // zipWithIndex is itself two jobs (count + emit) over the pinned rows.
+    val out = rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(out, sorted.schema.add(StructField(name, LongType, nullable = false)))
   }
 
   /** EXCLUSIVE running total of `valueCol` over the established order:
@@ -45,9 +68,8 @@ object Ordinals {
       name: String = "__cum"): DataFrame = {
     require(sortKeys.nonEmpty, "running totals are order-defined")
     val spark = df.sparkSession
-    val sorted = df.orderBy(sortKeys: _*) // collapses if already sorted
+    val (rdd, sorted) = pinned(df, sortKeys)
     val idx = sorted.schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd
     def valueOf(r: Row): Long = r.get(idx) match {
       case null => 0L
       case n: Number => n.longValue()
@@ -60,7 +82,7 @@ object Ordinals {
     }.collect().sortBy(_._1).map(_._2)
     val offsets = sums.scanLeft(0L)(_ + _) // exclusive prefix per partition
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    // Pass 2: emit exclusive running totals (shuffle files reused).
+    // Pass 2: emit exclusive running totals (reads the pinned cache).
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var running = bOffsets.value(pid)
       it.map { r =>
@@ -84,9 +106,8 @@ object Ordinals {
       name: String = "__run"): DataFrame = {
     require(sortKeys.nonEmpty, "run ids are order-defined")
     val spark = df.sparkSession
-    val sorted = df.orderBy(sortKeys: _*) // collapses if already sorted
+    val (rdd, sorted) = pinned(df, sortKeys)
     val keyIdx = sorted.schema.fieldIndex(keyCol)
-    val rdd = sorted.rdd
     // Pass 1: per-partition run stats (tiny — one tuple per partition).
     val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
       var first: Any = null; var last: Any = null
@@ -111,7 +132,7 @@ object Ordinals {
         prevLast = last; prevNonEmpty = true
       }
     }
-    // Pass 2: emit with the stitched run id (shuffle files reused).
+    // Pass 2: emit with the stitched run id (reads the pinned cache).
     val bOffsets = spark.sparkContext.broadcast(offsets)
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var localRun = 0L; var last: Any = null; var started = false

@@ -22,6 +22,13 @@ object Partitions {
     * (dedup signatures, search index builds, vector scans).
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
+    // Streaming frames can't be probed (`.rdd` throws AnalysisException)
+    // and don't need to be: a streaming stateful op repartitions at its
+    // own shuffle, and micro-batch sources size their splits per trigger.
+    if (df.isStreaming) return df
+    // Probing costs one physical-planning pass (no job runs); that price
+    // is paid only on the batch operators that opted in because their
+    // downstream per-row CPU work dwarfs it.
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

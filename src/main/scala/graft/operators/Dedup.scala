@@ -380,12 +380,12 @@ object Dedup {
   def clusterNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5,
-      prefixFilter: Option[Boolean] = None): DataFrame = {
+      prefixFilter: Option[Boolean] = None, maxIter: Int = 25): DataFrame = {
     val usePrefix = prefixFilter.getOrElse(minJaccard >= 0.75)
     val pairs =
       if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, n, minJaccard)
       else jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n), minJaccard)
-    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    val comps = connectedComponents(pairs.select("id_a", "id_b"), maxIter)
     df.join(comps, df(idCol) === comps("id"), "left")
       .select(df.columns.map(df(_)) :+
         coalesce(col("comp"), df(idCol)).as("cluster_id"): _*)
@@ -407,11 +407,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       best: Seq[org.apache.spark.sql.Column],
       n: Int = 3, minJaccard: Double = 0.5,
-      prefixFilter: Option[Boolean] = None): DataFrame = {
+      prefixFilter: Option[Boolean] = None, maxIter: Int = 25): DataFrame = {
     require(best.nonEmpty, "need a 'best' ordering")
     import org.apache.spark.sql.expressions.Window
     val clustered =
-      clusterNearDuplicates(df, idCol, textCol, n, minJaccard, prefixFilter)
+      clusterNearDuplicates(df, idCol, textCol, n, minJaccard, prefixFilter, maxIter)
     val w = Window.partitionBy(col("cluster_id")).orderBy(best: _*)
     clustered
       .withColumn("__rn", row_number().over(w))

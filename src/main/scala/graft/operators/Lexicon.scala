@@ -14,8 +14,10 @@ import graft.functions.TextAnalysis
   * and every aggregate keeps map-side partial combine, so the shuffle
   * volume is bounded by the distinct-token (vocab) or doc×distinct-term
   * (tf) granularity, not by corpus bytes. Top-k is TakeOrdered (no global
-  * sort). The only scalar (corpus doc count) travels as a broadcast
-  * one-row join — no driver collect of data values.
+  * sort). The only scalar (corpus doc count) is a distributed count whose
+  * single long lands on the driver and enters the plan as a literal — a
+  * zero-column scan job, deliberately NOT a one-row broadcast join (that
+  * shape plans as a BroadcastNestedLoopJoin and trips the plan audit).
   */
 object Lexicon {
 
@@ -45,34 +47,52 @@ object Lexicon {
     *
     * Two aggregates over one exploded pair set: tf by (id, token), then
     * df by token from the tf frame (already distinct per doc — no
-    * count-distinct shuffle). N arrives via a broadcast one-row join. */
+    * count-distinct shuffle). The tf frame feeds BOTH join branches, so
+    * it is pinned (MEMORY_AND_DISK; dropped by ContextCleaner when the
+    * result is unreachable) — the corpus is exploded and aggregated
+    * exactly once by construction, instead of hoping exchange reuse
+    * dedupes two planned copies of the subtree. tf is the aggregated
+    * doc×distinct-term frame — far smaller than corpus text, and the
+    * thing actually read twice. df stays a hash AGGREGATE (map-side
+    * partial combine), not a `count over (partition by token)` window —
+    * a window would pull every tf row of a stopword-grade token onto one
+    * task, which is exactly the skew this shape avoids at 100 TB. N is
+    * counted up front (a zero-column scan) and folded in as a literal. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count() // distributed count; one long to the driver
     val pairs = graft.core.Partitions.ensureParallelism(df)
       .select(col(idCol).as("id"),
         explode(TextAnalysis.words(col(textCol))).as("token"))
       .filter(col("token") =!= "")
     val tf = pairs.groupBy(col("id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val n = df.agg(count(lit(1)).as("__n"))
     tf.join(dfreq, "token")
-      .join(broadcast(n))
       .withColumn("tfidf",
-        col("tf") * (log((col("__n") + 1).cast("double") /
+        col("tf") * (log(lit((n + 1).toDouble) /
           (col("df") + 1).cast("double")) + 1.0))
       .select(col("id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
-  /** The `k` highest-TF-IDF terms per document (ties by token) — the
-    * cheap per-doc keyword/topic signature. One ranking window over the
-    * tfIdf frame, partitioned by doc: shuffles (id, token, tf, df)
-    * tuples once, never a global sort. */
+  /** The `k` highest-TF-IDF terms per document — the cheap per-doc
+    * keyword/topic signature. One ranking window over the tfIdf frame,
+    * partitioned by doc: shuffles (id, token, tf, df) tuples once, never
+    * a global sort.
+    *
+    * Ordering: tfidf desc, then tf desc / df asc / token — the integer
+    * tie-breaks make equal-score terms rank identically in any engine.
+    * (Terms with DISTINCT (tf, df) whose scores differ by ~1 ulp could
+    * still cross-rank across libm implementations of log; the driver
+    * gate compares the integer columns only, and this ordering plus the
+    * smoothed-idf formula has been stable across Spark/DuckDB at all
+    * tested SFs.) */
   def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("tfidf").desc, col("token"))
+      .orderBy(col("tfidf").desc, col("tf").desc, col("df").asc, col("token"))
     tfIdf(df, idCol, textCol)
       .withColumn("term_rank", row_number().over(w))
       .filter(col("term_rank") <= k)

@@ -1,0 +1,32 @@
+package graft
+
+import graft.tools.AuditPlans
+
+/** The plan-audit tripwire, wired into `sbt test`: every registered batch
+  * query's static plan must be free of unexplained red flags (cartesian
+  * products, non-whitelisted nested-loop joins, no-codegen plans). If a
+  * new operator introduces a deliberate BNLJ, it must be added to
+  * `AuditPlans.expectedBnlj` with a scale-safety justification — this
+  * test is what keeps that whitelist honest. */
+class PlanAuditSpec extends SparkSpec {
+
+  test("plan sweep has zero unexplained red flags") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val rows =
+      try {
+        // static plans: AQE wrapping hides codegen spans from the check
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        AuditPlans.sweep(spark, "/root/testdata/sf0.001")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(rows.nonEmpty)
+    val bad = rows.filter(_.unexplained)
+    assert(bad.isEmpty, bad.map(r =>
+      s"${r.name}: flags=${r.flags.mkString(",")} err=${r.error.getOrElse("")}")
+      .mkString("\n"))
+    // whitelist hygiene: every whitelisted query still plans a BNLJ —
+    // stale entries would mask a future regression under an old excuse
+    val flagged = rows.filter(_.flags.exists(_.startsWith("BNLJ"))).map(_.name).toSet
+    val stale = AuditPlans.expectedBnlj.keySet -- flagged
+    assert(stale.isEmpty, s"whitelisted BNLJs no longer planned: $stale")
+  }
+}
