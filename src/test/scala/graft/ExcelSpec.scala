@@ -56,6 +56,63 @@ class ExcelSpec extends SparkSpec {
     assert(rows.exists(r => (0 until 3).exists(r.isNullAt)), "sparse cells → nulls")
   }
 
+  test("data_types.xlsx date-styled cells decode to dates (openpyxl parity)") {
+    // Fixture cells B5 (s→numFmtId 16 'd-mmm', serial 44555) and B10
+    // (s→numFmtId 14 'mm-dd-yy', TODAY() cached serial 44552) are
+    // NUMERIC cells whose styles mark them as dates; openpyxl (the
+    // reference's backend, littletable.py:3019-3115) hands them to
+    // excel_import as typed dates, not as 44555.0. The value column is
+    // heterogeneous so it stays a string column — the date cells must
+    // render as dates, not serials.
+    val t = Excel.excelImport(spark, "/root/reference/test/data_types.xlsx")
+    val byName = t.df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName("d") == "2021-12-25", s"serial 44555 must decode, got ${byName("d")}")
+    assert(byName("i") == "2021-12-22" || byName.values.exists(_ == "2021-12-22"),
+      s"TODAY() cached serial 44552 must decode; rows=${byName.toSeq.sortBy(_._1)}")
+  }
+
+  test("homogeneous date / datetime columns type as DateType / TimestampNTZ and round-trip") {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    val src = GTable(Seq(
+      (1L, java.sql.Date.valueOf("2021-12-25"),
+        java.time.LocalDateTime.of(2021, 12, 25, 13, 30, 15)),
+      (2L, java.sql.Date.valueOf("1999-01-02"),
+        java.time.LocalDateTime.of(1999, 1, 2, 0, 0, 0)),
+      (3L, java.sql.Date.valueOf("2038-07-04"),
+        java.time.LocalDateTime.of(2038, 7, 4, 23, 59, 59))
+    ).toDF("id", "d", "ts"), "src")
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_dates").toString + "/t.xlsx"
+    Excel.excelExport(src, path)
+    val back = Excel.excelImport(spark, path)
+    val schema = back.df.schema
+    assert(schema("d").dataType == DateType, s"got ${schema("d").dataType}")
+    assert(schema("ts").dataType == TimestampNTZType, s"got ${schema("ts").dataType}")
+    val rows = back.df.orderBy("id").collect()
+    assert(rows.map(_.getDate(1).toString).toSeq ==
+      Seq("2021-12-25", "1999-01-02", "2038-07-04"))
+    assert(rows.map(_.getAs[java.time.LocalDateTime](2)).toSeq == Seq(
+      java.time.LocalDateTime.of(2021, 12, 25, 13, 30, 15),
+      java.time.LocalDateTime.of(1999, 1, 2, 0, 0, 0),
+      java.time.LocalDateTime.of(2038, 7, 4, 23, 59, 59)))
+  }
+
+  test("excel serial epoch handling matches the 1900-system phantom leap day") {
+    // Serials below 61 predate Excel's nonexistent 1900-02-29: serial 1
+    // is 1900-01-01, serial 59 is 1900-02-28, serial 61 is 1900-03-01.
+    // Export→import must agree with itself across the boundary.
+    val src = GTable(Seq(
+      (1L, java.sql.Date.valueOf("1900-01-01")),
+      (2L, java.sql.Date.valueOf("1900-02-28")),
+      (3L, java.sql.Date.valueOf("1900-03-01")),
+      (4L, java.sql.Date.valueOf("2024-02-29"))
+    ).toDF("id", "d"), "src")
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_epoch").toString + "/t.xlsx"
+    Excel.excelExport(src, path)
+    val back = Excel.excelImport(spark, path).df.orderBy("id").collect()
+    assert(back.map(_.getDate(1).toString).toSeq ==
+      Seq("1900-01-01", "1900-02-28", "1900-03-01", "2024-02-29"))
+  }
+
   test("non-finite doubles export as empty cells (valid OOXML)") {
     // NaN is reachable via stats() on an empty group; <v>NaN</v> would
     // make Excel flag the workbook corrupt — openpyxl writes empty.
