@@ -723,7 +723,18 @@ final case class GTable(
   // Rendering (reference present/as_markdown/as_html; collect-at-edge only)
   // ------------------------------------------------------------------
 
-  def present(n: Int = 20): Unit = sorted.show(n, truncate = false)
+  /** Console presentation (reference `present` → rich table,
+    * littletable.py:3952-4036): boxed ASCII grid titled with the table
+    * name, lowercase field names title-cased for headers, numeric
+    * columns right-justified, all-single-char columns centered, and
+    * `groupby` value suppression. Collect-at-edge: renders `n` rows. */
+  def present(n: Int = 20, groupby: Seq[String] = Nil): Unit =
+    println(presentText(n, groupby))
+
+  /** The string [[present]] prints. */
+  def presentText(n: Int = 1000, groupby: Seq[String] = Nil,
+      formats: Map[String, Any => String] = Map.empty): String =
+    Render.text(sorted, n, name, groupby, formats)
 
   /** Markdown table with numeric right-alignment (reference `as_markdown`,
     * littletable.py:4159-4271). Edge rendering: collects `n` rows only.
@@ -803,6 +814,51 @@ private[core] object Render {
 
   private def fmt(formats: Map[String, Any => String], field: String, v: Any): String =
     formats.get(field).map(_(v)).getOrElse(v.toString)
+
+  /** Boxed ASCII console table — the reference's rich-table presentation
+    * rules (littletable.py:3965-4036): header = title-cased field name
+    * when the name is all-lowercase (verbatim otherwise), numeric columns
+    * right-justified, columns whose every non-null value is a single
+    * character centered, group-suppressed `groupby` columns, table name
+    * centered above the box. */
+  def text(df: DataFrame, n: Int, title: String, groupby: Seq[String] = Nil,
+      formats: Map[String, Any => String] = Map.empty): String = {
+    val schema = df.schema
+    val cells = suppress(schema, df.limit(n).collect(), groupby)
+    val headers: Array[String] = schema.fields.map { f =>
+      val nm = f.name
+      if (nm.exists(_.isLetter) && !nm.exists(_.isUpper))
+        nm.split('_').map(w => if (w.isEmpty) w else w.head.toUpper +: w.tail).mkString(" ")
+      else nm
+    }
+    val body: Array[Array[String]] = cells.map(r => Array.tabulate(schema.length)(i =>
+      r(i).map(fmt(formats, schema.fields(i).name, _)).getOrElse("")))
+    val just: Array[Char] = Array.tabulate(schema.length) { i =>
+      if (isNumeric(schema.fields(i).dataType)) 'r'
+      else {
+        val vs = body.map(_(i)).filter(_.nonEmpty)
+        if (vs.nonEmpty && vs.forall(_.length <= 1)) 'c' else 'l'
+      }
+    }
+    val widths = Array.tabulate(schema.length)(i =>
+      body.foldLeft(headers(i).length)((m, r) => math.max(m, r(i).length)))
+    def pad(s: String, w: Int, j: Char): String = j match {
+      case 'r' => " " * (w - s.length) + s
+      case 'c' =>
+        val left = (w - s.length) / 2
+        " " * left + s + " " * (w - s.length - left)
+      case _ => s + " " * (w - s.length)
+    }
+    val border = widths.map(w => "-" * (w + 2)).mkString("+", "+", "+")
+    def row(vals: Array[String]): String =
+      vals.indices.map(i => " " + pad(vals(i), widths(i), just(i)) + " ")
+        .mkString("|", "|", "|")
+    val titleLines =
+      if (title == null || title.isEmpty) Nil
+      else Seq(" " * math.max(0, (border.length - title.length) / 2) + title)
+    (titleLines ++ Seq(border, row(headers), border) ++
+      body.map(row) ++ Seq(border)).mkString("\n")
+  }
 
   def markdown(df: DataFrame, n: Int, groupby: Seq[String] = Nil,
       formats: Map[String, Any => String] = Map.empty): String = {

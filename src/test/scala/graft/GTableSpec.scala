@@ -148,6 +148,25 @@ class GTableSpec extends SparkSpec {
     assert(html.contains("a&lt;b") && html.contains("text-align:right"))
   }
 
+  test("present: boxed grid with title, title-cased headers, justification (littletable.py:3952-4036)") {
+    val tbl = GTable(Seq(
+      ("north", "a", 10, "widget"),
+      ("north", "b", 5, "gizmo x"),
+      ("south", "c", 125, "doodad")
+    ).toDF("region_name", "code", "qty", "item"), "stock")
+    val txt = tbl.orderby("region_name, code").presentText(groupby = Seq("region_name"))
+    val expected =
+      """#                stock
+        #+-------------+------+-----+---------+
+        #| Region Name | Code | Qty | Item    |
+        #+-------------+------+-----+---------+
+        #| north       |  a   |  10 | widget  |
+        #|             |  b   |   5 | gizmo x |
+        #| south       |  c   | 125 | doodad  |
+        #+-------------+------+-----+---------+""".stripMargin('#')
+    assert(txt == expected, s"got:\n$txt")
+  }
+
   test("renderers: formats + table_properties (littletable.py:4071-4157, 1221-1254)") {
     val tiny = GTable(Seq((1, 3.14159), (2, 2.71828)).toDF("n", "x"), "tiny")
       .orderby("n")
