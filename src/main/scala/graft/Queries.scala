@@ -988,6 +988,24 @@ object Queries {
       .orderby(SortKey.asc("n_nationkey")).df
   }
 
+  /** Excel DATE/DATETIME round-trip (reference excel_import via openpyxl
+    * yields typed datetime cells, littletable.py:3019-3115): order dates
+    * export as date-styled serial cells and re-import as DateType; a
+    * synthetic seconds offset exercises the time-of-day fraction, which
+    * re-imports as wall-clock TimestampNTZ. */
+  val q_excel_dates: Q = (s, dir) => {
+    val out = s"${ioDir(dir)}/orders_dates.xlsx"
+    new java.io.File(ioDir(dir)).mkdirs()
+    val src = t(s, dir, "orders").df
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey").cast("double").as("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        expr("timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT), CAST(o_orderdate AS TIMESTAMP_NTZ))").as("o_ts"))
+    graft.sources.Excel.excelExport(GTable(src, "orders_dates"), out)
+    graft.sources.Excel.excelImport(s, out)
+      .orderby(SortKey.asc("o_orderkey")).df
+  }
+
   /** Headerless TSV with explicit fieldnames (littletable.py:2976-3017). */
   val q_tsv_roundtrip: Q = (s, dir) => {
     val out = s"${ioDir(dir)}/cust_tsv"
@@ -1266,6 +1284,7 @@ object Queries {
     "q_sim_ivf" -> q_sim_ivf,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_excel_roundtrip" -> q_excel_roundtrip,
+    "q_excel_dates" -> q_excel_dates,
     "q_tsv_roundtrip" -> q_tsv_roundtrip,
     "q_json_roundtrip" -> q_json_roundtrip,
     "q_fixedwidth" -> q_fixedwidth,
@@ -2226,6 +2245,13 @@ object Queries {
     "q_excel_roundtrip" ->
       """SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey, n_name
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_excel_dates" ->
+      """SELECT CAST(o_orderkey AS DOUBLE) AS o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  o_orderdate + (o_orderkey % 86400) * INTERVAL 1 SECOND AS o_ts
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_tsv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
