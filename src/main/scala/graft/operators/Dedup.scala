@@ -337,6 +337,16 @@ object Dedup {
     * only — never the corpus — and the label frame is eagerly
     * checkpointed so lineage stays flat across iterations.
     *
+    * High-diameter safety: from the third round on, each round ALSO
+    * pointer-jumps the label one hop (`next := next(next)`, the classic
+    * path-doubling step), so a duplicate CHAIN of diameter D — templated
+    * boilerplate crawl text is the realistic producer — converges in
+    * O(log D) rounds instead of D. Shallow graphs (the common near-dup
+    * case, diameter ≤ 3) converge before jumping starts and pay nothing.
+    * Jumping preserves the invariant that a vertex's label is the id of
+    * a smaller same-component vertex, so the fixed point is unchanged:
+    * every vertex labeled with its component's minimum id.
+    *
     * Ids must be non-null and orderable (numeric or string). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // Materialize the edge list ONCE: `pairs` is typically the whole
@@ -356,10 +366,22 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
       // one materialization per round: old + proposed label side by side,
       // so the convergence count is a cheap scan of the checkpoint
-      val step = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("next"))
         .localCheckpoint(true)
+      val step =
+        if (it < 2) prop
+        else {
+          // path doubling: labels are vertex ids, so chase one hop
+          // through this round's own label table (checkpointed above —
+          // the self-join reads the materialization, not the lineage)
+          val ptr = prop.select(col("id").as("pid"), col("next").as("pnext"))
+          prop.join(ptr, prop("next") === ptr("pid"), "left")
+            .select(prop("id"), prop("comp"),
+              least(prop("next"), coalesce(col("pnext"), prop("next"))).as("next"))
+            .localCheckpoint(true)
+        }
       converged = step.filter(col("next") < col("comp")).limit(1).count() == 0L
       labels = step.select(col("id"), col("next").as("comp"))
       it += 1

@@ -62,6 +62,16 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: high-diameter chain converges within default maxIter (path doubling)") {
+    // A 64-diameter path needs 63 plain-propagation rounds — over the
+    // default maxIter=25. The pointer-jumping rounds collapse it in
+    // O(log D); this test FAILS (non-convergence) if doubling regresses.
+    val chain = (0 until 63).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain) // default maxIter = 25
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == 64 && comps.forall(_._2 == 0L))
+  }
+
   test("clusterNearDuplicates: whole chain collapses to one cluster (vs anchor)") {
     // same 10~11~12 chain as the anchor test: cluster policy assigns all
     // three to cluster 10 (anchor keeps 10 AND 12 — transitive closure
