@@ -700,6 +700,19 @@ object Queries {
       .orderBy(col("id"), col("term_rank"))
   }
 
+  /** BM25 top-k retrieval (beyond the reference's +/-/± tally): Okapi-
+    * ranked top-25 docs for a three-term query. The gate compares
+    * (doc_id, bm25_rank) — the double score only orders, in both
+    * engines, with id tie-breaks. */
+  val q_search_bm25: Q = (s, dir) => {
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
   /** Near-dup clusters keeping the BEST doc per cluster (longest, then
     * lowest id) instead of the lowest-id anchor. */
   val q_cluster_best: Q = (s, dir) => {
@@ -1264,6 +1277,7 @@ object Queries {
     "q_quantile_band" -> q_quantile_band,
     "q_vocab_top" -> q_vocab_top,
     "q_tfidf_top" -> q_tfidf_top,
+    "q_search_bm25" -> q_search_bm25,
     "q_cluster_best" -> q_cluster_best,
     "q_chunk_windows" -> q_chunk_windows,
     "q_pack_index" -> q_pack_index,
@@ -1876,6 +1890,35 @@ object Queries {
         |  FROM tf JOIN dfreq USING (token) CROSS JOIN nn)
         |WHERE term_rank <= 5
         |ORDER BY id, term_rank""".stripMargin,
+
+    "q_search_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |    (SELECT count(*) FROM tok2)::DOUBLE
+        |      / (SELECT count(*) FROM documents) AS avglen),
+        |terms(word) AS (VALUES ('hash'), ('join'), ('filter')),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok2
+        |  WHERE word IN (SELECT word FROM terms) GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+        |  FROM tf JOIN dfreq d USING (word)
+        |    JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN stats s
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, bm25_rank FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+        |  FROM scored)
+        |WHERE bm25_rank <= 25 ORDER BY bm25_rank""".stripMargin,
 
     "q_cluster_best" ->
       """WITH RECURSIVE docs AS (

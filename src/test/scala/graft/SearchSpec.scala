@@ -110,4 +110,45 @@ class SearchSpec extends SparkSpec {
     assert(scores(1) == 100)  // tuna only
     assert(scores(3) == 1000) // cheese only
   }
+
+  test("BM25 ranking matches a from-first-principles driver-side oracle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash join probe build"),
+      (2L, "hash only once in a long long long long long document body"),
+      (3L, "join join join"),
+      (4L, "unrelated words entirely"),
+      (5L, "hash join")).toDF("id", "text")
+    val idx = Search.buildBm25Index(docs, "id", "text")
+    val got = Search.searchBm25(docs, idx, "id", "hash join", k = 5)
+      .select("id", "bm25_rank").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent oracle: plain Scala over the raw strings
+    val corpus = Seq(1L -> "hash join hash join probe build",
+      2L -> "hash only once in a long long long long long document body",
+      3L -> "join join join", 4L -> "unrelated words entirely", 5L -> "hash join")
+    val toks = corpus.map { case (id, s) => id -> s.split("\\s+").toSeq }
+    val n = corpus.size.toDouble
+    val avg = toks.map(_._2.size).sum / n
+    val (k1, b) = (1.2, 0.75)
+    def score(id: Long): Double = {
+      val ws = toks.find(_._1 == id).get._2
+      Seq("hash", "join").map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = toks.count(_._2.contains(t)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * ws.size / avg))
+        }
+      }.sum
+    }
+    val want = corpus.map(_._1).filter(score(_) > 0)
+      .sortBy(id => (-score(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    assert(got == want, s"got=$got want=$want scores=${corpus.map(c => c._1 -> score(c._1))}")
+    // sanity: doc 5 ("hash join" verbatim — maximal length
+    // normalization) ranks first, doc 1 (both terms twice, longer)
+    // second; doc 4 (no term) is absent
+    assert(got(5L) == 1 && got(1L) == 2 && !got.contains(4L))
+  }
 }
