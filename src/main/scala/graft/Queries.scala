@@ -713,6 +713,38 @@ object Queries {
       .orderBy(col("bm25_rank"))
   }
 
+  /** HLL approximate-distinct accuracy gate: per source, the exact
+    * distinct doc-length count next to a within-tolerance flag for the
+    * HLL estimate (both aggregates share one shuffle). The oracle emits
+    * `true` unconditionally — rows only hash-match if every estimate
+    * landed inside 15% relative error. HLL is hash-deterministic and
+    * merge-order-independent, so the flag is partition-layout-free. */
+  val q_approx_distinct: Q = (s, dir) => {
+    import graft.operators.Sketch
+    Sketch.distinctReport(t(s, dir, "documents").df, Seq("source"), "n_chars",
+        rsd = 0.05, tol = 0.15)
+      .orderBy(col("source"))
+  }
+
+  /** Count-min-sketch frequency gate: per event type, the exact count,
+    * emitted only if the CMS estimate respects both CMS guarantees
+    * (never under-counts; over-counts by at most eps·N). A dropped row
+    * breaks the hash match against the unconditional exact oracle. */
+  val q_cms_counts: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val ev = events(s, dir).df.select(col("event_type"))
+    val types = ev.distinct().orderBy(col("event_type"))
+      .collect().map(_.getString(0)).toSeq
+    val total = ev.count()
+    val est = Sketch.cmsEstimates(ev, "event_type", types, eps = 0.0001)
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    est.join(exact, "event_type")
+      .filter(col("est_count") >= col("n") &&
+        col("est_count") <= col("n") + lit(math.ceil(0.0001 * total).toLong))
+      .select(col("event_type"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Near-dup clusters keeping the BEST doc per cluster (longest, then
     * lowest id) instead of the lowest-id anchor. */
   val q_cluster_best: Q = (s, dir) => {
@@ -1278,6 +1310,8 @@ object Queries {
     "q_vocab_top" -> q_vocab_top,
     "q_tfidf_top" -> q_tfidf_top,
     "q_search_bm25" -> q_search_bm25,
+    "q_approx_distinct" -> q_approx_distinct,
+    "q_cms_counts" -> q_cms_counts,
     "q_cluster_best" -> q_cluster_best,
     "q_chunk_windows" -> q_chunk_windows,
     "q_pack_index" -> q_pack_index,
@@ -1890,6 +1924,15 @@ object Queries {
         |  FROM tf JOIN dfreq USING (token) CROSS JOIN nn)
         |WHERE term_rank <= 5
         |ORDER BY id, term_rank""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT source, count(DISTINCT n_chars) AS exact_nd,
+        |  true AS within_tol
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_cms_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_search_bm25" ->
       """WITH toks AS (
