@@ -125,6 +125,46 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Indices of the `m` nearest centroids by cosine (max dot product over
+  * unit-norm centroids), best first. Multi-assignment is what makes
+  * cluster-scoped near-dup search (SemDeDup shape) recall-safe: a pair
+  * straddling a Voronoi boundary still shares a cluster as long as each
+  * point carries its top-m cells. Ties break to the lower index, so the
+  * output is deterministic. Same reference-object codegen pattern as
+  * [[NearestCentroid]]. */
+case class TopCentroids(child: Expression, centroids: Array[Array[Double]],
+    m: Int) extends UnaryExpression {
+
+  override def prettyName: String = "top_centroids_cos"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got $other")
+    }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorUtil.topCentroidsCosF(v, centroids, m)
+    else VectorUtil.topCentroidsCosD(v, centroids, m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val fn = if (isFloat) "topCentroidsCosF" else "topCentroidsCosD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.$fn($c, $ref, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** L2-normalize a float/double vector to unit norm (array<double> out).
   * A zero vector normalizes to itself (all zeros), not NaNs — the
   * training-pipeline-friendly convention. Codegen: one static-helper
@@ -305,6 +345,47 @@ object VectorUtil {
     best
   }
 
+  def topCentroidsCosF(v: ArrayData, centroids: Array[Array[Double]], m: Int): ArrayData =
+    topCos(centroids, v.toFloatArray().map(_.toDouble), m)
+
+  def topCentroidsCosD(v: ArrayData, centroids: Array[Array[Double]], m: Int): ArrayData =
+    topCos(centroids, v.toDoubleArray(), m)
+
+  /** Top-m centroid indices by dot product, best first; ties to the lower
+    * index. m selection passes over k scores — m is 2–4 and k is the
+    * centroid count, so O(m·k) beats building a heap. */
+  private def topCos(centroids: Array[Array[Double]], x: Array[Double], m: Int): ArrayData = {
+    val k = centroids.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ct = centroids(c)
+      val n = math.min(ct.length, x.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x(i) * ct(i); i += 1 }
+      scores(c) = s
+      c += 1
+    }
+    val take = math.min(m, k)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!used(c) && scores(c) > bestS) { bestS = scores(c); best = c }
+        c += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def nearestCentroidCosF(v: ArrayData, centroids: Array[Array[Double]]): Int =
     nearestCos(centroids, v.toFloatArray().map(_.toDouble))
 
@@ -347,6 +428,11 @@ object VectorExpressions {
   def nearest_centroid_cos(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnInterop.column(NearestCentroid(ColumnInterop.expression(v), centroids,
       cosine = true))
+
+  /** Top-m centroid ids by cosine, best first (array<int>); centroids
+    * must be unit-norm. See [[TopCentroids]]. */
+  def top_centroids_cos(v: Column, centroids: Array[Array[Double]], m: Int): Column =
+    ColumnInterop.column(TopCentroids(ColumnInterop.expression(v), centroids, m))
 
   /** Unit-norm (L2) vector, array<double>; zero vectors pass through. */
   def vec_l2_normalize(v: Column): Column =
