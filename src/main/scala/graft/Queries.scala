@@ -578,6 +578,21 @@ object Queries {
       TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style quality rules (Rae et al. 2021 §A1.1) as per-doc
+    * boolean flags + conjunctive keep: word-count band, mean-word-length
+    * band, symbol-char ratio, alphabetic-word fraction, minimum stopword
+    * hits. One codegen'd map pass, no shuffle. */
+  val q_gopher_rules: Q = (s, dir) => {
+    import graft.operators.Curate
+    Curate.gopherRules(t(s, dir, "documents").df, "text",
+        minWords = 30, maxWords = 100000, mwlLo = 3.0, mwlHi = 10.0,
+        maxSymbolRatio = 0.1, minAlphaFrac = 0.8, minStopwords = 2,
+        stopwords = Seq("the", "a", "of", "and", "to"))
+      .select(col("doc_id"), col("n_words"), col("ok_words"), col("ok_mwl"),
+        col("ok_symbols"), col("ok_alpha"), col("ok_stopwords"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language ID: argmax of per-language marker-word hits. */
   val q_lang_id: Q = (s, dir) => {
     val base = t(s, dir, "documents").df
@@ -743,6 +758,34 @@ object Queries {
         col("est_count") <= col("n") + lit(math.ceil(0.0001 * total).toLong))
       .select(col("event_type"), col("n"))
       .orderBy(col("event_type"))
+  }
+
+  /** Misra-Gries HEAVY-HITTER GATE: 28 counters over the ~31-distinct-
+    * token corpus stream — real eviction pressure, not a trivially-exact
+    * run. Emits the exact count of every token whose frequency clears
+    * the MG threshold (n·29 > N), but only when the sketch honored its
+    * contract for that token: present among the candidates with
+    * exact − N/29 ≤ est ≤ exact (integer-exact inequalities, no float
+    * thresholds). A violated bound drops the row and breaks the hash
+    * match against the unconditional exact oracle. est_count itself is
+    * merge-order-dependent inside the guarantee band, so it is gated,
+    * never emitted. */
+  val q_heavy_hitters: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val k = 28
+    val toks = t(s, dir, "documents").df
+      .select(explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val nTotal = toks.count()
+    val hh = Sketch.heavyHitters(toks, "token", k)
+    toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * (k + 1) > lit(nTotal))
+      .join(hh, col("token") === col("item"), "left")
+      .filter(col("item").isNotNull &&
+        col("est_count") <= col("n") &&
+        col("est_count") * (k + 1) >= col("n") * (k + 1) - lit(nTotal))
+      .select(col("token"), col("n"))
+      .orderBy(col("token"))
   }
 
   /** Near-dup clusters keeping the BEST doc per cluster (longest, then
@@ -998,6 +1041,29 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** PQ-ANN RECALL GATE (oracle-checked): product-quantize to 16
+    * subspaces × 32 codes (16 bytes of codes standing in for 256 bytes
+    * of floats during candidate generation), ADC-score the corpus
+    * against the query's lookup table, exact-rerank the best 500
+    * candidates with the full vectors; the reranked top-20 must contain
+    * the entire exact cosine top-10 (same semi-join shape as
+    * q_sim_lsh/q_sim_ivf). The generous candidate pool is a property of
+    * this near-uniform synthetic corpus (top cosine ≈ 0.37 — tiny gaps
+    * between ranks); the gate pins the recall contract of the
+    * compressed-scan path. */
+  val q_sim_pq: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+      m = 16, nCodes = 32, iters = 8, sampleN = 2048)
+    val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 500)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   // ==================================================================
   // §2.1 Sources / sinks (round-trips against parquet ground truth)
   // ==================================================================
@@ -1179,6 +1245,21 @@ object Queries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Stream-static enrichment join: the events stream decorated with
+    * customer dimension attributes via a per-micro-batch broadcast join
+    * (no stream-side shuffle, no state store), then aggregated per
+    * (market segment, event type). Oracle: the batch join + groupBy. */
+  val q_stream_enrich: Q = (s, dir) => {
+    val enriched = Streaming.enrichWithStatic(
+      Streaming.eventsStream(s, dir), t(s, dir, "customer").df,
+      joinKeys = Seq("user_id" -> "c_custkey"),
+      dimCols = Seq("c_mktsegment"))
+    val agg = enriched.groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    Streaming.runToBatch(agg, "stream_enrich_out")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Gap-based session windows per user (session_window operator). */
   val q_session_window: Q = (s, dir) => {
     Streaming.sessionWindows(events(s, dir).df, "10 minutes")
@@ -1312,6 +1393,10 @@ object Queries {
     "q_search_bm25" -> q_search_bm25,
     "q_approx_distinct" -> q_approx_distinct,
     "q_cms_counts" -> q_cms_counts,
+    "q_heavy_hitters" -> q_heavy_hitters,
+    "q_gopher_rules" -> q_gopher_rules,
+    "q_sim_pq" -> q_sim_pq,
+    "q_stream_enrich" -> q_stream_enrich,
     "q_cluster_best" -> q_cluster_best,
     "q_chunk_windows" -> q_chunk_windows,
     "q_pack_index" -> q_pack_index,
@@ -1933,6 +2018,64 @@ object Queries {
     "q_cms_counts" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), t2 AS (SELECT token FROM toks WHERE token <> ''),
+        |tot AS (SELECT count(*) AS n_total FROM t2)
+        |SELECT token, count(*) AS n FROM t2
+        |GROUP BY token
+        |HAVING count(*) * 29 > (SELECT n_total FROM tot)
+        |ORDER BY token""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, n_words,
+        |    length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |      / greatest(n_words, 1) AS mwl,
+        |    (length(text) - length(regexp_replace(text, '#|…|\.\.\.', '', 'g')))::DOUBLE
+        |      / greatest(n_words, 1) AS sym_ratio,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+        |      / greatest(n_words, 1) AS alpha_frac,
+        |    len(list_filter(ws, w -> w = 'the')) + len(list_filter(ws, w -> w = 'a'))
+        |      + len(list_filter(ws, w -> w = 'of')) + len(list_filter(ws, w -> w = 'and'))
+        |      + len(list_filter(ws, w -> w = 'to')) AS stop_hits
+        |  FROM base
+        |)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 30 AND 100000 AS ok_words,
+        |  mwl BETWEEN 3.0 AND 10.0 AS ok_mwl,
+        |  sym_ratio <= 0.1 AS ok_symbols,
+        |  alpha_frac >= 0.8 AS ok_alpha,
+        |  stop_hits >= 2 AS ok_stopwords,
+        |  (n_words BETWEEN 30 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |    AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_sim_pq" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT vec_id,
+        |  list_dot_product(embedding::DOUBLE[], qv)
+        |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      * sqrt(list_dot_product(qv, qv))) AS cosine
+        |FROM embeddings, q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_search_bm25" ->
       """WITH toks AS (

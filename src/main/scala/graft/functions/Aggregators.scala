@@ -44,6 +44,48 @@ object Aggregators {
     override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
+  /** Misra-Gries heavy-hitters summary with `k` counters: a bounded map
+    * `item → estimate` where every item with true count > N/(k+1) is
+    * guaranteed present and every estimate satisfies
+    * `true − N/(k+1) ≤ estimate ≤ true` (N = stream length). The merge
+    * follows Agarwal et al., "Mergeable Summaries" (PODS 2012): pointwise
+    * sum, then subtract the (k+1)-th largest count and drop non-positives
+    * — the error bound is preserved under ANY merge tree, which is what
+    * makes the sketch partition-layout-safe on a cluster: the buffer is
+    * O(k) regardless of distinct-item count, map-side combined, and the
+    * shuffle moves k counters, never the value set (the exact top-k
+    * alternative shuffles every distinct item). */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 0, "MisraGries needs k > 0 counters")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (a == null) b
+      else b.get(a) match {
+        case Some(c) => b.updated(a, c + 1)
+        case None if b.size < k => b.updated(a, 1L)
+        // full and unseen: decrement every counter, drop zeros (the
+        // incoming item's own +1 cancels against the global −1)
+        case None => b.collect { case (t, c) if c > 1 => t -> (c - 1) }
+      }
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val sum = b2.foldLeft(b1) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from everything; at most k
+        // counts can strictly exceed it, so the result fits k counters
+        val cut = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        sum.collect { case (t, c) if c > cut => t -> (c - cut) }
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Column form: weighted_mean(v, w). */
   def weighted_mean(v: Column, w: Column): Column =
     udaf(new WeightedMean, Encoders.tuple(Encoders.DOUBLE, Encoders.DOUBLE))
@@ -52,4 +94,9 @@ object Aggregators {
   /** Column form: geometric_mean(v). */
   def geometric_mean(v: Column): Column =
     udaf(new GeometricMean, Encoders.DOUBLE).apply(v)
+
+  /** Column form: heavy_hitters(v, k) → map<string,bigint> of Misra-Gries
+    * candidates and their (under-)estimates. */
+  def heavy_hitters(v: Column, k: Int): Column =
+    udaf(new MisraGries(k), Encoders.STRING).apply(v)
 }

@@ -275,8 +275,130 @@ case class VecQuantizeInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoder: split the vector into `codebooks.length`
+  * contiguous subspaces and emit each subvector's nearest (squared-L2)
+  * codeword index — `array<int>`, one code per subspace. The codebook
+  * tensor `[subspace][code][subdim]` rides along as a codegen reference
+  * object (same rationale as [[NearestCentroid]]: literal trees at this
+  * size send Janino into multi-thousand-constant recompiles). Encoding is
+  * map-side and linear — the 100 TB property: the corpus compresses
+  * m·log2(codes) bits per vector in one scan, no shuffle. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got $other")
+    }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorUtil.pqEncodeF(v, codebooks)
+    else VectorUtil.pqEncodeD(v, codebooks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val fn = if (isFloat) "pqEncodeF" else "pqEncodeD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.$fn($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) score for a PQ code column: Σₛ lut(s)(codeₛ),
+  * where the lookup table holds the query subvector's dot product with
+  * every codeword — computed ONCE driver-side per query, so scoring a row
+  * is m array lookups and adds instead of a dims-length float loop. This
+  * is the PQ payoff: approximate inner product against compressed codes
+  * at ~m/dims of the flops, full scan stays map-side. */
+case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "pq_adc_score"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<int> codes, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorUtil.pqAdc(input.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lut", lut, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.pqAdc($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorUtil {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def pqEncodeF(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData =
+    pqEncode(v.toFloatArray().map(_.toDouble), cb)
+
+  def pqEncodeD(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData =
+    pqEncode(v.toDoubleArray(), cb)
+
+  private def pqEncode(x: Array[Double], cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val codes = cb(s)
+      val subDim = if (codes.isEmpty) 0 else codes(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < codes.length) {
+        val c = codes(j)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val xi = if (off + i < x.length) x(off + i) else 0.0
+          val t = xi - c(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      off += subDim
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqAdc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+    val m = math.min(codes.numElements(), lut.length)
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      sum += lut(s)(codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
 
   def l2NormalizeF(v: ArrayData): ArrayData =
     l2Normalize(v.toFloatArray().map(_.toDouble))
@@ -459,4 +581,14 @@ object VectorExpressions {
   /** Convenience: quantize with the vector's own 127/maxAbs scale. */
   def vec_quantize_int8(v: Column): Column =
     vec_quantize_int8(v, vec_quantize_scale(v))
+
+  /** Product-quantization codes (`array<int>`, one per subspace) — see
+    * [[PqEncode]]. `codebooks(s)(j)` is subspace s's j-th codeword. */
+  def pq_encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnInterop.column(PqEncode(ColumnInterop.expression(v), codebooks))
+
+  /** ADC inner-product score of a PQ code column against a query lookup
+    * table `lut(s)(j) = dot(query_s, codeword_{s,j})` — see [[PqAdcScore]]. */
+  def pq_adc_score(codes: Column, lut: Array[Array[Double]]): Column =
+    ColumnInterop.column(PqAdcScore(ColumnInterop.expression(codes), lut))
 }

@@ -70,6 +70,50 @@ object Curate {
       .drop("__rn"))
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, §A1.1 table A1) as
+    * per-document boolean flags plus the conjunctive `keep`: word-count
+    * band, mean-word-length band, symbol-to-word ratio, alphabetic-word
+    * fraction, and minimum stopword hits. Pure `functions._` column
+    * compositions — one codegen'd map pass, no shuffle; pair with
+    * [[filtered]]/[[report]] to run them as a funnel stage.
+    *
+    * Rule set (defaults are the published Gopher thresholds, scaled knobs
+    * exposed because real corpora tune them):
+    *   - `ok_words`:     minWords ≤ word count ≤ maxWords
+    *   - `ok_mwl`:       mwlLo ≤ mean word length ≤ mwlHi
+    *   - `ok_symbols`:   symbol chars ('#', '…', "..." sequences) / words ≤ maxSymbolRatio
+    *   - `ok_alpha`:     fraction of words containing ≥1 letter ≥ minAlphaFrac
+    *   - `ok_stopwords`: ≥ minStopwords hits from the stopword list
+    *   - `keep`:         all of the above */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      mwlLo: Double = 3.0, mwlHi: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    import graft.functions.TextAnalysis
+    val text = col(textCol)
+    val nw = TextAnalysis.tokenCount(text).cast("long")
+    val nwSafe = greatest(nw, lit(1L)).cast("double")
+    val mwl = TextAnalysis.meanWordLen(text)
+    val symbols = (length(text) -
+      length(regexp_replace(text, "#|…|\\.\\.\\.", ""))).cast("double")
+    val alphaWords = size(filter(TextAnalysis.words(text),
+      w => w.rlike("[A-Za-z]"))).cast("double")
+    val stopHits = stopwords.map(TextAnalysis.wordOccurrences(text, _))
+      .reduce(_ + _)
+    df.withColumn("n_words", nw)
+      .withColumn("ok_words", nw.between(minWords, maxWords))
+      .withColumn("ok_mwl", mwl.between(mwlLo, mwlHi))
+      .withColumn("ok_symbols", symbols / nwSafe <= maxSymbolRatio)
+      .withColumn("ok_alpha", alphaWords / nwSafe >= minAlphaFrac)
+      .withColumn("ok_stopwords", stopHits >= minStopwords)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mwl") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stopwords"))
+  }
+
   /** Keep rows whose `metric` lies inside the [lo, hi] quantile band —
     * the usual outlier trim (drop the shortest/longest p% of documents).
     *

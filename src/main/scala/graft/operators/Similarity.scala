@@ -185,6 +185,140 @@ object Similarity {
     IvfIndex(df.withColumn("cluster", nearestCentroidCos(v, centroids)), centroids)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ)
+  // ------------------------------------------------------------------
+
+  /** PQ index: the table with a `pq_code` column (`array<int>`, one code
+    * per subspace) next to the ORIGINAL vector column (kept for exact
+    * re-ranking), plus the codebook tensor `[subspace][code][subdim]`
+    * driver-side. The codebooks are m·codes·subdim doubles — KBs; the
+    * encoded table is the scale object. At 100 TB the point is memory:
+    * m codes (m·log₂(codes) bits) stand in for dims floats during
+    * candidate generation — a 64-dim float vector (256 B) scans as
+    * 16 codes (16 B equivalent), so the ADC pass is bandwidth-bound on
+    * 6% of the bytes. */
+  final case class PqIndex(encoded: DataFrame,
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Build a PQ index with deterministic per-subspace Lloyd k-means over
+    * a hash-ordered sample (collected driver-side — sampleN·dims doubles,
+    * ~1 MB; the corpus itself is touched exactly once, by the map-side
+    * encode). Vectors are L2-normalized before chopping into `m`
+    * subspaces, so ADC inner products approximate cosine — the serving
+    * metric, matching [[ivfIndex]]'s discipline. `dims` must be known
+    * (and divisible by m for even subspaces; a ragged tail subspace is
+    * zero-padded).
+    *
+    * Init = first `nCodes` distinct subvectors in hash order
+    * (reproducible anywhere); empty cells keep their previous codeword —
+    * the classic Lloyd degeneracy guard. */
+  def pqIndex(df0: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int = 16, nCodes: Int = 32, iters: Int = 8,
+      sampleN: Int = 2048): PqIndex = {
+    require(m > 0 && nCodes > 1 && dims >= m,
+      "pqIndex needs m >= 1, nCodes >= 2, dims >= m")
+    import graft.functions.VectorExpressions.{vec_l2_normalize, pq_encode}
+    val df = df0.filter(col(vecCol).isNotNull)
+    val subDim = (dims + m - 1) / m
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol), vec_l2_normalize(col(vecCol)).as("__nv"))
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqIndex needs at least one non-null vector")
+    val codebooks = Array.tabulate(m) { s =>
+      val off = s * subDim
+      val subs = sample.map { v =>
+        Array.tabulate(subDim)(i => if (off + i < v.length) v(off + i) else 0.0)
+      }
+      kmeansL2(subs, nCodes, iters)
+    }
+    val encoded = df.withColumn("pq_code",
+      pq_encode(vec_l2_normalize(col(vecCol)), codebooks))
+    PqIndex(encoded, codebooks)
+  }
+
+  /** Driver-side Lloyd k-means (squared L2) on a small sample: init from
+    * the first k DISTINCT points in input order, empty clusters retain
+    * their codeword. Deterministic — no RNG, no data-order dependence
+    * beyond the hash-ordered sample. */
+  private def kmeansL2(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    points.iterator.takeWhile(_ => init.length < k).foreach { p =>
+      if (seen.add(p.toSeq)) init += p.clone()
+    }
+    var centroids = init.toArray
+    if (centroids.isEmpty) return Array(points.head.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](points(0).length))
+      val counts = new Array[Long](centroids.length)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0
+          var i = 0
+          val ct = centroids(c)
+          while (i < p.length) { val t = p(i) - ct(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** PQ-accelerated top-k: ADC-score every row against the query's
+    * per-subspace lookup table (map-side, no shuffle), take the
+    * `candidates` best approximately (TakeOrdered), exact-rerank those
+    * with the full vectors. Candidate generation reads codes only;
+    * only `candidates` rows ever touch their float vectors — at 100 TB
+    * with the encoded table cached/columnar, the scan cost is the code
+    * bytes, and recall is tuned by `candidates`, not by re-scanning. */
+  def pqTopK(index: PqIndex, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, candidates: Int = 100): DataFrame = {
+    import graft.functions.VectorExpressions.pq_adc_score
+    val qn = unit(query.toArray)
+    val lut: Array[Array[Double]] = {
+      val m = index.codebooks.length
+      Array.tabulate(m) { s =>
+        val codes = index.codebooks(s)
+        val subDim = if (codes.isEmpty) 0 else codes(0).length
+        val off = s * subDim
+        codes.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val qi = if (off + i < qn.length) qn(off + i) else 0.0
+            d += qi * c(i)
+            i += 1
+          }
+          d
+        }
+      }
+    }
+    val cands = index.encoded
+      .select(col("*"), pq_adc_score(col("pq_code"), lut).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(math.max(candidates, k))
+      .drop("__adc")
+    bruteForceTopK(cands, idCol, vecCol, query, k)
+  }
+
   /** IVF-accelerated approximate top-k: rank centroids by cosine to the
     * query driver-side, scan only the `nProbe` nearest clusters, exact-rank
     * the candidates. Cost per query ≈ nProbe/nCentroids of a full scan —

@@ -44,6 +44,19 @@ object Sketch {
           lit(tol) * col("exact_nd"))
       .drop("__approx")
 
+  /** Misra-Gries heavy hitters over `valueCol`: one row per candidate
+    * `(item, est_count)`, where every value with true frequency > N/(k+1)
+    * is guaranteed a row and `true − N/(k+1) ≤ est_count ≤ true`. The
+    * whole aggregation moves O(k) state per partition (map-side combined,
+    * merge-safe per Agarwal et al. 2012) — the sketch answers "what
+    * dominates this 100 TB column" without shuffling its distinct values.
+    * Estimates depend on merge order within the guarantee band, so treat
+    * `est_count` as a bound, not a statistic — downstream exact counts
+    * for the candidate set are one semi-join away. */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    df.agg(graft.functions.Aggregators.heavy_hitters(col(valueCol), k).as("__hh"))
+      .select(explode(col("__hh")).as(Seq("item", "est_count")))
+
   /** Count-min-sketch frequency estimates for a candidate set of values:
     * builds ONE CMS over `valueCol` (eps/confidence size the grid), then
     * reports the estimate next to each candidate. The sketch is a single

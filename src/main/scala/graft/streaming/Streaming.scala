@@ -152,6 +152,26 @@ object Streaming {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment join: decorate a stream with dimension
+    * attributes (the classic "events × user table" lookup). The static
+    * side broadcasts per micro-batch — no stream-side shuffle, no state
+    * store (unlike stream-stream joins, a static side needs no watermark
+    * bookkeeping). At pipeline scale the dimension is re-read each batch,
+    * so point `dim` at a broadcast-sized table or a pre-filtered
+    * projection; Spark re-resolves it every micro-batch, which is also
+    * what makes slowly-changing dimensions pick up updates for free. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      joinKeys: Seq[(String, String)], dimCols: Seq[String],
+      joinType: String = "left"): DataFrame = {
+    require(joinKeys.nonEmpty, "enrichWithStatic needs join keys")
+    val dimSide = broadcast(
+      dim.select((joinKeys.map(_._2) ++ dimCols).distinct.map(col): _*))
+    val cond = joinKeys.map { case (l, r) => stream(l) === dimSide(r) }
+      .reduce(_ && _)
+    stream.join(dimSide, cond, joinType)
+      .select(stream.columns.map(stream(_)) ++ dimCols.map(dimSide(_)): _*)
+  }
+
   /** Session windows (gap-based) per user — batch flavor of the same
     * `session_window` operator used under streaming. */
   def sessionWindows(events: DataFrame, gap: String = "10 minutes"): DataFrame =

@@ -81,4 +81,26 @@ class CurateSpec extends SparkSpec {
       approx.size == approx.max - approx.min + 1, // still one contiguous band
       s"approx=$approx exact=$exact")
   }
+
+  test("gopherRules: each rule fires on its crafted violator only") {
+    val long = ("the quick fox " * 20).trim                    // 60 words, stopword-rich
+    val docs = Seq(
+      ("good", long),
+      ("short", "the of brief"),                               // < minWords
+      ("nostop", ("lorem ipsum dolor " * 20).trim),            // 0 stopword hits
+      ("symbols", (("##### " * 60).trim + " the of")),         // symbol chars, few letters
+      ("longwords", (("the of " + "pneumonoultramicroscopic " * 58).trim))) // mwl > 10
+      .toDF("id", "text")
+    val got = Curate.gopherRules(docs, "text", minWords = 50, minStopwords = 2,
+        stopwords = Seq("the", "of"))
+      .select("id", "ok_words", "ok_mwl", "ok_symbols", "ok_alpha", "ok_stopwords", "keep")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got("good") == ((true, true, true, true, true, true)), s"good: ${got("good")}")
+    assert(!got("short")._1 && !got("short")._6)
+    assert(!got("nostop")._5 && !got("nostop")._6)
+    assert(!got("symbols")._3 && !got("symbols")._4 && !got("symbols")._6)
+    assert(!got("longwords")._2 && !got("longwords")._6)
+  }
 }

@@ -212,4 +212,35 @@ class DedupSpec extends SparkSpec {
     assert(ivf.head._1 == 0L, "query vector itself must rank first")
     ivf.foreach { case (id, cos) => assert(math.abs(brute(id) - cos) < 1e-12) }
   }
+
+  test("PQ ANN: deterministic codebooks, codes in range, rerank recall") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+      m = 16, nCodes = 32, iters = 4)
+    val idx2 = Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+      m = 16, nCodes = 32, iters = 4)
+    assert(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx2.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebook training must be deterministic")
+    assert(idx.codebooks.length == 16)
+    assert(idx.codebooks.forall(_.forall(_.length == 4)), "64/16 = 4-dim subspaces")
+    val codes = idx.encoded.select("pq_code").limit(50).collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 16 && c.forall(j => j >= 0 && j < 32)))
+    // rerank recall: exact top-5 must survive ADC candidate generation
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 5)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 100).collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(pq.head._1 == 0L, "query vector itself must rank first")
+    assert(brute.subsetOf(pq.map(_._1).toSet),
+      s"exact top-5 $brute not within PQ top-20 ${pq.map(_._1).toSeq}")
+    // reranked scores are exact cosines, not ADC approximations
+    val bruteAll = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pq.foreach { case (id, cos) => assert(math.abs(bruteAll(id) - cos) < 1e-12) }
+  }
 }

@@ -23,6 +23,42 @@ class SketchSpec extends SparkSpec {
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 
+  test("MisraGries class: classic decrement + mergeable-summaries merge") {
+    val mg = new graft.functions.Aggregators.MisraGries(2)
+    // stream a a b c with k=2: c evicts nothing it can keep — after the
+    // decrement-all step the summary holds a alone
+    val afterC = Seq("a", "a", "b", "c").foldLeft(mg.zero)(mg.reduce)
+    assert(afterC == Map("a" -> 1L), s"got $afterC")
+    // merge overflow: pointwise sum {a:3,b:2} ++ {c:2} with k=2 subtracts
+    // the 3rd-largest (2) and keeps only a
+    val merged = mg.merge(Map("a" -> 3L, "b" -> 2L), Map("c" -> 2L))
+    assert(merged == Map("a" -> 1L), s"got $merged")
+  }
+
+  test("heavyHitters: guarantee holds on a skewed stream at any partitioning") {
+    // 4000 of "hot", 1000 of "warm", 5000 spread across 500 cold items
+    val stream = Seq.fill(4000)("hot") ++ Seq.fill(1000)("warm") ++
+      (1 to 5000).map(i => s"cold${i % 500}")
+    val n = stream.length.toLong
+    val k = 9
+    for (parts <- Seq(1, 7)) {
+      val df = stream.toDF("v").repartition(parts)
+      val got = Sketch.heavyHitters(df, "v", k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= k, s"more than $k counters: $got")
+      val exact = stream.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+      // every item above N/(k+1) must be present, with the MG bounds
+      exact.filter(_._2 * (k + 1) > n).foreach { case (v, c) =>
+        assert(got.contains(v), s"heavy item $v missing at parts=$parts")
+        assert(got(v) <= c, s"$v over-counted: ${got(v)} > $c")
+        assert(got(v) * (k + 1) >= c * (k + 1) - n,
+          s"$v under guarantee band: ${got(v)} vs exact $c")
+      }
+      // no fabricated counts for the cold tail either
+      got.foreach { case (v, est) => assert(est <= exact(v)) }
+    }
+  }
+
   test("cmsEstimates: never under-counts, over-counts within eps·N") {
     val df = (1 to 10000).map(i => s"k${i % 37}").toDF("v").cache()
     val exact = df.groupBy("v").count().collect()

@@ -27,6 +27,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.join(batch, Seq("h", "event_type", "n")).count() == batch.count())
   }
 
+  test("enrichWithStatic: stream-static broadcast join == batch join") {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+    val enriched = Streaming.enrichWithStatic(
+      Streaming.eventsStream(spark, dir), dim,
+      joinKeys = Seq("user_id" -> "c_custkey"), dimCols = Seq("c_mktsegment"))
+    val agg = enriched.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val streamed = Streaming.runToBatch(agg, "stream_enrich_spec_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("flatMapGroupsWithState: running per-user event counter") {
     val events = Seq(E(1, 1), E(1, 1), E(2, 1), E(1, 1)).toDS()
     // batch flavor exercises the same state fn shape used under streaming
