@@ -19,7 +19,7 @@ import org.apache.spark.storage.StorageLevel
   * The sort keys MUST be a total order (include a unique tiebreaker) for
   * the ordinal to be deterministic.
   *
-  * Every helper here runs TWO jobs over the sorted frame (the classic
+  * The ordinal/run-id helpers run TWO jobs over the sorted frame (the classic
   * zipWithIndex shape: one tiny stats pass, one emit pass). Between the
   * two jobs the physical layout must not move — if the sort's shuffle
   * output were recomputed (evicted shuffle files, stage retry, executor
@@ -57,42 +57,95 @@ object Ordinals {
     spark.createDataFrame(out, sorted.schema.add(StructField(name, LongType, nullable = false)))
   }
 
-  /** EXCLUSIVE running total of `valueCol` over the established order:
-    * each row gets the sum of all PRIOR rows' values (0 for the first).
-    * Same two-pass shape as [[withOrdinal]] — range-partition sort, one
-    * tiny job for per-partition sums, driver prefix, one emit pass — so
-    * a corpus-wide cumulative sum (e.g. the token offset for sequence
-    * packing) needs no single-partition window. Sort keys must totally
-    * order the rows; `valueCol` must be integral (int/long). */
-  def withRunningTotal(df: DataFrame, sortKeys: Seq[Column], valueCol: String,
-      name: String = "__cum"): DataFrame = {
-    require(sortKeys.nonEmpty, "running totals are order-defined")
-    val spark = df.sparkSession
-    val (rdd, sorted) = pinned(df, sortKeys)
-    val idx = sorted.schema.fieldIndex(valueCol)
-    def valueOf(r: Row): Long = r.get(idx) match {
-      case null => 0L
-      case n: Number => n.longValue()
-      case other => throw new IllegalArgumentException(
-        s"$valueCol must be integral, got ${other.getClass.getSimpleName}")
+  /** EXCLUSIVE running total of `valueCol` in `idCol` order: each row
+    * gets the sum of all rows with a strictly smaller key (0 for the
+    * smallest). `idCol` must be unique and non-null — the total order
+    * that defines the sum.
+    *
+    * Unlike the ordinal helpers above, this one is a PURE Catalyst plan
+    * — a value-keyed two-level prefix sum with no RDD zip, no persist,
+    * no broadcast variable, no dependence on physical partitioning:
+    *
+    *  1. one tiny aggregate for min/max of the key (defines bucket
+    *     boundaries — boundaries affect only balance, never values);
+    *  2. rows map to order-aligned buckets via `width_bucket` (equal
+    *     keys share a bucket; bucket id is monotone in the key);
+    *  3. one tiny aggregate for per-bucket sums, exclusive-prefixed on
+    *     the driver into a literal map (≤ `buckets`+2 entries);
+    *  4. per-row offset = bucket prefix (map lookup) + intra-bucket
+    *     exclusive window sum, partitioned by bucket.
+    *
+    * No single-partition exchange: the only window is partitioned by
+    * bucket, and each bucket holds ~1/`buckets` of the rows. At cluster
+    * scale pick `buckets` so a bucket fits an executor's window buffer
+    * (the default scales with `spark.sql.shuffle.partitions`). */
+  def keyedRunningTotal(df: DataFrame, idCol: String, valueCol: String,
+      name: String = "__cum", buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val nBuckets =
+      if (buckets > 0) buckets
+      else math.max(64, df.sparkSession.sessionState.conf.numShufflePartitions * 16)
+    val v = coalesce(col(valueCol).cast(LongType), lit(0L))
+
+    // Order-preserving (weakly monotone) double proxy for the key. For
+    // strings: the 7 bytes after the corpus-wide common prefix, read as
+    // an unsigned big-endian integer (7 bytes < 2^56 — no signed-64
+    // overflow in `conv` under ANSI) — strings sharing the min/max's
+    // common prefix compare by their suffixes, so the proxy is monotone;
+    // proxy ties just share a bucket (intra-bucket window orders by the
+    // full key).
+    val keyType = df.schema(idCol).dataType
+    val stats = keyType match {
+      case StringType =>
+        val r = df.agg(min(col(idCol)), max(col(idCol)),
+          count(when(col(idCol).isNull, 1))).head()
+        require(r.getLong(2) == 0, s"$idCol must be non-null")
+        if (r.isNullAt(0)) None
+        else {
+          val (mnB, mxB) =
+            (r.getString(0).getBytes("UTF-8"), r.getString(1).getBytes("UTF-8"))
+          val cp = mnB.zip(mxB).takeWhile { case (a, b) => a == b }.length
+          def proxyOf(b: Array[Byte]): Double =
+            BigInt(1, b.drop(cp).take(7).padTo(7, 0.toByte)).toDouble
+          val proxyExpr = conv(rpad(hex(substring(encode(col(idCol), "UTF-8"),
+            cp + 1, 7)), 14, "0"), 16, 10).cast(DoubleType)
+          Some((proxyExpr, proxyOf(mnB), proxyOf(mxB)))
+        }
+      case dt =>
+        val p = dt match {
+          case DateType => unix_date(col(idCol)).cast(DoubleType)
+          case TimestampType => col(idCol).cast(DoubleType)
+          case _: NumericType => col(idCol).cast(DoubleType)
+          case other => throw new IllegalArgumentException(
+            s"$idCol: unsupported key type $other")
+        }
+        val r = df.agg(min(p), max(p), count(when(col(idCol).isNull, 1))).head()
+        require(r.getLong(2) == 0, s"$idCol must be non-null")
+        if (r.isNullAt(0)) None else Some((p, r.getDouble(0), r.getDouble(1)))
     }
-    // Pass 1: one partial sum per partition (tiny).
-    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L; it.foreach(r => s += valueOf(r)); Iterator.single((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _) // exclusive prefix per partition
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    // Pass 2: emit exclusive running totals (reads the pinned cache).
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var running = bOffsets.value(pid)
-      it.map { r =>
-        val v = valueOf(r)
-        val row = Row.fromSeq(r.toSeq :+ running)
-        running += v
-        row
-      }
+    stats match {
+      case None => // empty input: nothing to sum
+        df.withColumn(name, lit(0L))
+      case Some((proxyExpr, mn, mx)) =>
+        val bucket =
+          if (mx > mn) width_bucket(proxyExpr, lit(mn), lit(mx), lit(nBuckets))
+          else lit(1L) // single distinct proxy → one bucket
+        val data = df.withColumn("__bkt", bucket)
+        // Per-bucket sums → driver-side exclusive prefix → literal map.
+        val perBucket = data.groupBy(col("__bkt")).agg(sum(v).as("__bsum"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val prefixMap: Map[Long, Long] = perBucket.map(_._1)
+          .zip(perBucket.map(_._2).scanLeft(0L)(_ + _)).toMap
+        val wIn = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        data
+          .withColumn(name,
+            element_at(typedlit(prefixMap), col("__bkt")) +
+              coalesce(sum(v).over(wIn), lit(0L)))
+          .drop("__bkt")
     }
-    spark.createDataFrame(out, sorted.schema.add(StructField(name, LongType, nullable = false)))
   }
 
   /** Consecutive 1-based run id over the established order: a new id

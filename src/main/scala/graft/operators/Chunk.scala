@@ -26,10 +26,12 @@ object Chunk {
     * stream).
     *
     * Scale shape: the corpus-wide cumulative token offset uses
-    * [[graft.core.Ordinals.withRunningTotal]] — range-partition sort +
-    * per-partition partial sums + driver prefix — NOT a global window,
-    * so no single-partition exchange at any size. Downstream, workers
-    * materialize sequence s by reading docs with
+    * [[graft.core.Ordinals.keyedRunningTotal]] — a pure-Catalyst
+    * value-keyed two-level prefix sum (order-aligned buckets + a
+    * bucket-partitioned window) — NOT a global window, so no
+    * single-partition exchange at any size, and the result depends only
+    * on values, never on physical layout. `idCol` must be unique.
+    * Downstream, workers materialize sequence s by reading docs with
     * `first_seq <= s <= last_seq` — an equi-joinable, pruning-friendly
     * index. */
   def packIndex(df: DataFrame, idCol: String, textCol: String,
@@ -38,7 +40,7 @@ object Chunk {
     val withN = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    graft.core.Ordinals.withRunningTotal(withN, Seq(col(idCol)), "n_tokens", "tok_offset")
+    graft.core.Ordinals.keyedRunningTotal(withN, idCol, "n_tokens", "tok_offset")
       .select(col(idCol), col("n_tokens"), col("tok_offset"),
         expr(s"tok_offset div $contextLen").as("first_seq"),
         expr(s"(tok_offset + n_tokens - 1) div $contextLen").as("last_seq"))
