@@ -773,9 +773,12 @@ object Queries {
   val q_heavy_hitters: Q = (s, dir) => {
     import graft.operators.Sketch
     val k = 28
+    // three consumers (stream length, exact counts, sketch) — pin the
+    // exploded tokens so the corpus is scanned once, not three times
     val toks = t(s, dir, "documents").df
       .select(explode(TextAnalysis.words(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTotal = toks.count()
     val hh = Sketch.heavyHitters(toks, "token", k)
     toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
@@ -1253,7 +1256,11 @@ object Queries {
     val enriched = Streaming.enrichWithStatic(
       Streaming.eventsStream(s, dir), t(s, dir, "customer").df,
       joinKeys = Seq("user_id" -> "c_custkey"),
-      dimCols = Seq("c_mktsegment"))
+      dimCols = Seq("c_mktsegment"),
+      // inner to match the oracle's INNER JOIN by construction — the
+      // default left would differ if an event user_id ever lacked a
+      // customer row (full key coverage in the test data hides that)
+      joinType = "inner")
     val agg = enriched.groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     Streaming.runToBatch(agg, "stream_enrich_out")

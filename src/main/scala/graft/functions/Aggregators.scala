@@ -55,32 +55,41 @@ object Aggregators {
     * O(k) regardless of distinct-item count, map-side combined, and the
     * shuffle moves k counters, never the value set (the exact top-k
     * alternative shuffles every distinct item). */
-  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  class MisraGries(k: Int)
+      extends Aggregator[String, scala.collection.mutable.Map[String, Long], Map[String, Long]] {
+    import scala.collection.mutable
     require(k > 0, "MisraGries needs k > 0 counters")
-    override def zero: Map[String, Long] = Map.empty
-    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-      if (a == null) b
-      else b.get(a) match {
-        case Some(c) => b.updated(a, c + 1)
-        case None if b.size < k => b.updated(a, 1L)
+    // mutable buffer: ScalaAggregator keeps the live object between
+    // reduce calls (serialization happens only at shuffle/spill), so the
+    // per-row hot path updates in place instead of rebuilding a
+    // persistent map per input row
+    override def zero: mutable.Map[String, Long] = mutable.Map.empty
+    override def reduce(b: mutable.Map[String, Long], a: String): mutable.Map[String, Long] = {
+      if (a != null) b.get(a) match {
+        case Some(c) => b(a) = c + 1
+        case None if b.size < k => b(a) = 1L
         // full and unseen: decrement every counter, drop zeros (the
         // incoming item's own +1 cancels against the global −1)
-        case None => b.collect { case (t, c) if c > 1 => t -> (c - 1) }
+        case None =>
+          b.mapValuesInPlace((_, c) => c - 1)
+          b.filterInPlace((_, c) => c > 0)
       }
-    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
-      val sum = b2.foldLeft(b1) { case (acc, (t, c)) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else {
+      b
+    }
+    override def merge(b1: mutable.Map[String, Long],
+        b2: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+      b2.foreach { case (t, c) => b1(t) = b1.getOrElse(t, 0L) + c }
+      if (b1.size > k) {
         // subtract the (k+1)-th largest count from everything; at most k
         // counts can strictly exceed it, so the result fits k counters
-        val cut = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
-        sum.collect { case (t, c) if c > cut => t -> (c - cut) }
+        val cut = b1.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        b1.mapValuesInPlace((_, c) => c - cut)
+        b1.filterInPlace((_, c) => c > 0)
       }
+      b1
     }
-    override def finish(r: Map[String, Long]): Map[String, Long] = r
-    override def bufferEncoder: Encoder[Map[String, Long]] =
+    override def finish(r: mutable.Map[String, Long]): Map[String, Long] = r.toMap
+    override def bufferEncoder: Encoder[scala.collection.mutable.Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -394,7 +394,15 @@ object VectorUtil {
     var sum = 0.0
     var s = 0
     while (s < m) {
-      sum += lut(s)(codes.getInt(s))
+      val c = codes.getInt(s)
+      // codes and LUT must come from the same PqIndex; a code beyond the
+      // LUT's codebook size means mismatched artifacts — fail with the
+      // contract, not an ArrayIndexOutOfBoundsException from the scan
+      if (c < 0 || c >= lut(s).length)
+        throw new IllegalArgumentException(
+          s"pq code $c out of range for LUT subspace $s (size ${lut(s).length}); " +
+            "codes and LUT must be built from the same PqIndex")
+      sum += lut(s)(c)
       s += 1
     }
     sum

@@ -31,8 +31,10 @@ class SketchSpec extends SparkSpec {
     assert(afterC == Map("a" -> 1L), s"got $afterC")
     // merge overflow: pointwise sum {a:3,b:2} ++ {c:2} with k=2 subtracts
     // the 3rd-largest (2) and keeps only a
-    val merged = mg.merge(Map("a" -> 3L, "b" -> 2L), Map("c" -> 2L))
-    assert(merged == Map("a" -> 1L), s"got $merged")
+    val merged = mg.merge(
+      scala.collection.mutable.Map("a" -> 3L, "b" -> 2L),
+      scala.collection.mutable.Map("c" -> 2L))
+    assert(merged == scala.collection.mutable.Map("a" -> 1L), s"got $merged")
   }
 
   test("heavyHitters: guarantee holds on a skewed stream at any partitioning") {
