@@ -347,18 +347,31 @@ object Dedup {
     * a smaller same-component vertex, so the fixed point is unchanged:
     * every vertex labeled with its component's minimum id.
     *
-    * Ids must be non-null and orderable (numeric or string). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * Ids must be non-null and orderable (numeric or string).
+    *
+    * Fault tolerance: by default each round pins its frame with
+    * `localCheckpoint` — blocks live on executors, which is the fast
+    * local-mode choice but means a lost executor mid-iteration kills the
+    * job with no recovery (and the operator chains O(log D) rounds,
+    * maximizing exposure). On a real cluster pass `checkpointDir` (an
+    * HDFS/object-store path): rounds then use reliable `checkpoint()`,
+    * so any executor can be lost and the iteration replays from durable
+    * storage instead of dying. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // Materialize the edge list ONCE: `pairs` is typically the whole
     // candidate-generation pipeline (shingle index self-join), and every
     // propagation round joins against it — without this checkpoint each
     // round would re-run that pipeline from the scan up.
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    val sym = pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = pin(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -366,10 +379,9 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
       // one materialization per round: old + proposed label side by side,
       // so the convergence count is a cheap scan of the checkpoint
-      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val prop = pin(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("next"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("next")))
       val step =
         if (it < 2) prop
         else {
@@ -377,10 +389,9 @@ object Dedup {
           // through this round's own label table (checkpointed above —
           // the self-join reads the materialization, not the lineage)
           val ptr = prop.select(col("id").as("pid"), col("next").as("pnext"))
-          prop.join(ptr, prop("next") === ptr("pid"), "left")
+          pin(prop.join(ptr, prop("next") === ptr("pid"), "left")
             .select(prop("id"), prop("comp"),
-              least(prop("next"), coalesce(col("pnext"), prop("next"))).as("next"))
-            .localCheckpoint(true)
+              least(prop("next"), coalesce(col("pnext"), prop("next"))).as("next")))
         }
       converged = step.filter(col("next") < col("comp")).limit(1).count() == 0L
       labels = step.select(col("id"), col("next").as("comp"))
@@ -402,12 +413,13 @@ object Dedup {
   def clusterNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5,
-      prefixFilter: Option[Boolean] = None, maxIter: Int = 25): DataFrame = {
+      prefixFilter: Option[Boolean] = None, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
     val usePrefix = prefixFilter.getOrElse(minJaccard >= 0.75)
     val pairs =
       if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, n, minJaccard)
       else jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n), minJaccard)
-    val comps = connectedComponents(pairs.select("id_a", "id_b"), maxIter)
+    val comps = connectedComponents(pairs.select("id_a", "id_b"), maxIter, checkpointDir)
     df.join(comps, df(idCol) === comps("id"), "left")
       .select(df.columns.map(df(_)) :+
         coalesce(col("comp"), df(idCol)).as("cluster_id"): _*)
@@ -429,11 +441,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       best: Seq[org.apache.spark.sql.Column],
       n: Int = 3, minJaccard: Double = 0.5,
-      prefixFilter: Option[Boolean] = None, maxIter: Int = 25): DataFrame = {
+      prefixFilter: Option[Boolean] = None, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(best.nonEmpty, "need a 'best' ordering")
     import org.apache.spark.sql.expressions.Window
-    val clustered =
-      clusterNearDuplicates(df, idCol, textCol, n, minJaccard, prefixFilter, maxIter)
+    val clustered = clusterNearDuplicates(
+      df, idCol, textCol, n, minJaccard, prefixFilter, maxIter, checkpointDir)
     val w = Window.partitionBy(col("cluster_id")).orderBy(best: _*)
     clustered
       .withColumn("__rn", row_number().over(w))

@@ -72,6 +72,25 @@ class DedupSpec extends SparkSpec {
     assert(comps.length == 64 && comps.forall(_._2 == 0L))
   }
 
+  test("connectedComponents: reliable-checkpoint path yields identical clusters") {
+    // same graph through df.checkpoint() against a checkpoint dir (the
+    // cluster-mode option — survives executor loss, unlike localCheckpoint)
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+        .toDF("id_a", "id_b")
+      val reliable = Dedup.connectedComponents(edges, checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val local = Dedup.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(reliable == local)
+      assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("clusterNearDuplicates: whole chain collapses to one cluster (vs anchor)") {
     // same 10~11~12 chain as the anchor test: cluster policy assigns all
     // three to cluster 10 (anchor keeps 10 AND 12 — transitive closure
