@@ -192,6 +192,46 @@ object Search {
     Bm25Index(postings, nDocs, avgLen)
   }
 
+  /** Persist a built BM25 index as a serving artifact: postings become a
+    * word-bucketed, word-sorted parquet table — per-term df lookups
+    * bucket-prune to |query| buckets and the per-term aggregate is
+    * shuffle-free — plus a 1-row sibling `<table>_stats` table for the
+    * corpus constants. This separates index BUILD from QUERY the way the
+    * reference's `create_search_index` does (littletable.py:1701-1779):
+    * build once, serve many. */
+  def saveBm25Index(index: Bm25Index, table: String, buckets: Int = 32): Unit = {
+    val spark = index.postings.sparkSession
+    graft.sources.Sources.writeBucketed(
+      graft.core.GTable(index.postings), table, Seq("word"), buckets)
+    // same true-overwrite discipline as writeBucketed: the in-memory
+    // catalog forgets the table across sessions, the directory does not
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/${table}_stats")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    import spark.implicits._
+    Seq((index.nDocs, index.avgLen)).toDF("n_docs", "avg_len")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession, table: String): Bm25Index = {
+    val st = spark.table(s"${table}_stats").head()
+    Bm25Index(spark.table(table), st.getLong(0), st.getDouble(1))
+  }
+
+  /** Load the persisted index, building and persisting it first if this
+    * session doesn't know it — callers express "query the index" and pay
+    * the build only when the artifact is missing. */
+  def bm25IndexFor(data: DataFrame, idCol: String, attr: String,
+      table: String, buckets: Int = 32): Bm25Index = {
+    val spark = data.sparkSession
+    if (!spark.catalog.tableExists(table) ||
+        !spark.catalog.tableExists(s"${table}_stats"))
+      saveBm25Index(buildBm25Index(data, idCol, attr), table, buckets)
+    loadBm25Index(spark, table)
+  }
+
   /** Okapi BM25 top-k: score(d, q) = Σ_t idf(t) · tf·(k1+1) /
     * (tf + k1·(1 − b + b·doclen/avgLen)), with the standard
     * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
