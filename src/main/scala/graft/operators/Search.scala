@@ -261,7 +261,12 @@ object Search {
       t -> math.log(1.0 + (index.nDocs - df + 0.5) / (df + 0.5))
     }
     val termDf = idf.toDF("word", "__idf")
-    val scored = index.postings.join(broadcast(termDf), "word")
+    // explicit term filter ahead of the broadcast join: semantically
+    // redundant with the inner join, but it reaches the scan — parquet
+    // row-group/dictionary pushdown, and bucket pruning to |terms|
+    // buckets when the postings are the word-bucketed serving table
+    val scored = index.postings.filter(col("word").isin(terms: _*))
+      .join(broadcast(termDf), "word")
       .withColumn("__contrib",
         col("__idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / lit(index.avgLen))))

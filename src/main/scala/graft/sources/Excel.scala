@@ -282,10 +282,23 @@ object Excel {
 
   /** Export to a minimal single-sheet .xlsx (inline strings, numeric and
     * boolean cells typed). Collect-at-edge like the reference's
-    * excel_export — a small-file interchange format. */
+    * excel_export — a small-file interchange format.
+    *
+    * `maxRows` defaults to the xlsx sheet cap (1,048,575 data rows under
+    * the header). A table that exceeds it REFUSES to export — silent
+    * truncation would hand the user a file that looks complete; at
+    * pipeline scale the right sink is parquet/csv, not a spreadsheet. */
   def excelExport(t: GTable, path: String, maxRows: Int = 1048575): Unit = {
     val schema = t.df.schema
-    val rows = t.df.limit(maxRows).collect()
+    // collect one row past the cap: enough to detect overflow without
+    // counting the full table
+    val probe = t.df.limit(maxRows + 1).collect()
+    if (probe.length > maxRows)
+      throw new IllegalArgumentException(
+        s"excelExport: table has more than $maxRows rows (the xlsx sheet cap " +
+          "is 1,048,575 data rows); refusing to truncate silently — export " +
+          "to parquet/csv, or pass a pre-limited table if a sample is intended")
+    val rows = probe
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try writeParts(zos, schema, rows)
     finally zos.close()

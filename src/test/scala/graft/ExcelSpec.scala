@@ -25,6 +25,19 @@ class ExcelSpec extends SparkSpec {
     assert(rows.map(_.getBoolean(3)).toSeq == Seq(true, false, true))
   }
 
+  test("export refuses tables over the sheet cap instead of truncating") {
+    val src = GTable((1 to 5).map(i => (i, s"r$i")).toDF("id", "v"), "src")
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_cap").toString + "/t.xlsx"
+    val e = intercept[IllegalArgumentException] {
+      Excel.excelExport(src, path, maxRows = 3)
+    }
+    assert(e.getMessage.contains("refusing to truncate"))
+    assert(!new java.io.File(path).exists(), "no partial file on refusal")
+    // at exactly the cap the export succeeds
+    Excel.excelExport(src, path, maxRows = 5)
+    assert(Excel.excelImport(spark, path).df.count() == 5)
+  }
+
   test("import with explicit fieldnames (headerless sheet)") {
     val src = GTable(Seq((10.0, "x"), (20.0, "y")).toDF("a", "b"), "src")
     val path = java.nio.file.Files.createTempDirectory("graft_xlsx2").toString + "/t.xlsx"

@@ -114,6 +114,46 @@ class RunIdPropertySpec extends SparkSpec {
     }
   }
 
+  test("keyedRunningTotal matches the sequential prefix sum: numeric and " +
+      "shared-prefix string keys, any partitioning, any bucket count") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(300)
+      // long-keyed rows with values incl. nulls (null counts as 0)
+      val data = rnd.shuffle((0 until n).toList).map { i =>
+        (i.toLong, if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(1000).toLong))
+      }
+      val df = data.toDF("id", "v").repartition(1 + rnd.nextInt(8))
+      for (buckets <- Seq(1, 3, 64)) {
+        val got = graft.core.Ordinals
+          .keyedRunningTotal(df, "id", "v", "cum", buckets)
+          .select("id", "cum").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val sorted = data.sortBy(_._1)
+        var acc = 0L
+        val want = sorted.map { case (id, v) =>
+          val r = id -> acc; acc += (if (v == null) 0L else v.longValue); r
+        }.toMap
+        assert(got == want, s"trial $trial buckets=$buckets n=$n")
+      }
+      // string keys sharing a LONG common prefix (defeats a naive
+      // first-bytes proxy; exercises the prefix-stripping path)
+      val sdata = rnd.shuffle((0 until n).toList)
+        .map(i => (f"corpus/shard/document_$i%06d", (i % 17).toLong))
+      val sdf = sdata.toDF("key", "v").repartition(1 + rnd.nextInt(8))
+      val got = graft.core.Ordinals
+        .keyedRunningTotal(sdf, "key", "v", "cum", 16)
+        .select("key", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      var acc = 0L
+      val want = sdata.sortBy(_._1).map { case (k, v) =>
+        val r = k -> acc; acc += v; r
+      }.toMap
+      assert(got == want, s"string trial $trial n=$n")
+    }
+  }
+
   test("slicePy matches Python slice semantics on random slices") {
     // Scala oracle: Python's slice.indices() algorithm applied to a Range
     def pySlice(n: Int, start: Option[Long], stop: Option[Long], step: Long): Seq[Int] = {

@@ -6,6 +6,9 @@ import graft.core.{Cmp, GTable, SortKey}
 case class Abc(a: Int, b: Int, c: Int)
 case class CatRow(sku: String, color: String, size: String, material: String)
 case class PriceRow(p_sku: String, unit_price: Int, p_size: Option[String])
+case class SaleRow(region: String, status: String, prio: String, qty: Int)
+case class Recipe(id: Int, title: String, ingredients: String)
+case class VRow(v: Option[Int], s: String)
 
 /** The reference cross-multiplies every test class over ~13 row types
   * (unit_tests.py:220-246 make_test_classes). The Spark analog is two
@@ -96,6 +99,62 @@ class TypedPathSpec extends SparkSpec {
       case _ => false
     }
     assert(oracleRuns == n * n)
+  }
+
+  test("pivot over a Dataset[T] source matches the PivotSpec lattice golden") {
+    // same fixture as PivotSpec, but born as a typed Dataset and passed
+    // through a typed map (encoder round-trip) before pivoting — pins
+    // that the pivot key lattice is unchanged by the Dataset[T] path
+    val sales = Seq(
+      SaleRow("east", "A", "hi", 1), SaleRow("east", "A", "lo", 2),
+      SaleRow("east", "B", "hi", 3), SaleRow("west", "A", "hi", 4),
+      SaleRow("west", "B", "lo", 5), SaleRow("west", "B", "hi", 6),
+      SaleRow("west", "A", "hi", 7)).toDS()
+      .map(r => r.copy(qty = r.qty)) // typed identity: forces the encoder path
+    val got = GTable(sales.toDF(), "t").pivot("region status prio").summary().df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("east", "A", "hi", 1L), ("east", "A", "lo", 1L),
+      ("east", "B", "hi", 1L), ("east", "B", "lo", 0L),
+      ("west", "A", "hi", 2L), ("west", "A", "lo", 0L),
+      ("west", "B", "hi", 1L), ("west", "B", "lo", 1L)))
+  }
+
+  test("scored search over a Dataset[T] corpus matches the SearchSpec goldens") {
+    import graft.operators.Search
+    // the reference recipes fixture as typed rows (unit_tests.py:3330-3420)
+    val recipes = Seq(
+      Recipe(1, "Tuna casserole", "tuna, noodles, Cream of Mushroom Soup"),
+      Recipe(2, "Hawaiian pizza", "pizza dough pineapple ham tomato sauce"),
+      Recipe(3, "Margherita pizza", "pizza dough cheese pesto artichoke hearts"),
+      Recipe(4, "Pepperoni pizza", "pizza dough cheese tomato sauce pepperoni"),
+      Recipe(5, "Grilled cheese sandwich", "bread cheese butter"),
+      Recipe(6, "Tuna melt", "tuna mayonnaise tomato bread cheese"),
+      Recipe(7, "Chili dog", "hot dog chili onion bun"),
+      Recipe(8, "French toast", "egg milk vanilla bread maple syrup"),
+      Recipe(9, "BLT", "bread bacon lettuce tomato mayonnaise"),
+      Recipe(10, "Reuben sandwich", "rye bread sauerkraut corned beef swiss cheese russian dressing thousand island"),
+      Recipe(11, "Hamburger", "ground beef bun lettuce ketchup mustard pickle"),
+      Recipe(12, "Cheeseburger", "ground beef bun lettuce ketchup mustard pickle cheese"),
+      Recipe(13, "Bacon cheeseburger", "ground beef bun lettuce ketchup mustard pickle cheese bacon")
+    ).toDS().filter((r: Recipe) => r.id > 0) // typed predicate: forces the encoder path
+    val df = recipes.toDF()
+    val index = Search.buildIndex(df, "id", "ingredients")
+    def ids(q: String): Seq[Int] =
+      Search.search(df, index, "id", "ingredients", q, minScore = -10000)
+        .select(col("id")).collect().map(_.getInt(0)).toSeq
+    assert(ids("tuna +cheese") == Seq(6, 3, 4, 5, 10, 12, 13, 1))
+    assert(ids("bread ++bacon") == Seq(9, 13))
+    assert(ids("pizza dough --pineapple") == Seq(3, 4))
+  }
+
+  test("splitby on a Dataset[T] source: null routing matches, sides round-trip typed") {
+    val rows = Seq(VRow(Some(1), "x"), VRow(None, "y"), VRow(Some(5), "z")).toDS()
+    val (no, yes) = GTable(rows.toDF(), "t").splitby(col("v") > 2)
+    assert(yes.size == 1 && no.size == 2, "NULL predicate routes to the false side")
+    // both sides re-enter the typed world losslessly (Option ↔ nullable)
+    assert(yes.typed[VRow].collect().toSeq == Seq(VRow(Some(5), "z")))
+    assert(no.typed[VRow].collect().map(_.s).sorted.toSeq == Seq("x", "y"))
   }
 
   test("typed ordering + rank matches the DataFrame path") {
