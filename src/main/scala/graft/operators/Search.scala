@@ -213,11 +213,20 @@ object Search {
     import spark.implicits._
     Seq((index.nDocs, index.avgLen)).toDF("n_docs", "avg_len")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+    statsCache.remove((spark, table))
   }
 
+  // corpus constants are constants: cache per (session, table) so the
+  // serving path doesn't pay a stats-read job per query
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (Long, Double)]
+
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, table: String): Bm25Index = {
-    val st = spark.table(s"${table}_stats").head()
-    Bm25Index(spark.table(table), st.getLong(0), st.getDouble(1))
+    val (n, avg) = statsCache.getOrElseUpdate((spark, table), {
+      val st = spark.table(s"${table}_stats").head()
+      (st.getLong(0), st.getDouble(1))
+    })
+    Bm25Index(spark.table(table), n, avg)
   }
 
   /** Load the persisted index, building and persisting it first if this
@@ -248,25 +257,22 @@ object Search {
   def searchBm25(data: DataFrame, index: Bm25Index, idCol: String,
       query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
-    val spark = data.sparkSession
-    import spark.implicits._
     val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     if (terms.isEmpty) return data.withColumn("bm25_rank", lit(0)).limit(0)
-    val dfs: Map[String, Long] = index.postings
-      .filter(col("word").isin(terms: _*))
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = terms.map { t =>
-      val df = dfs.getOrElse(t, 0L).toDouble
-      t -> math.log(1.0 + (index.nDocs - df + 0.5) / (df + 0.5))
-    }
-    val termDf = idf.toDF("word", "__idf")
-    // explicit term filter ahead of the broadcast join: semantically
-    // redundant with the inner join, but it reaches the scan — parquet
+    // Term filter ahead of everything: it reaches the scan — parquet
     // row-group/dictionary pushdown, and bucket pruning to |terms|
-    // buckets when the postings are the word-bucketed serving table
-    val scored = index.postings.filter(col("word").isin(terms: _*))
-      .join(broadcast(termDf), "word")
+    // buckets when the postings are the word-bucketed serving table.
+    // Per-term document frequencies and idf are computed IN-PLAN from
+    // the same pruned scan and broadcast back in (a term absent from the
+    // corpus has no postings rows, so its idf value is irrelevant) — the
+    // whole serving query is one Spark job, no driver-side df collect.
+    val filtered = index.postings.filter(col("word").isin(terms: _*))
+    val termIdf = filtered.groupBy(col("word"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+      .withColumn("__idf",
+        log(lit(1.0) + (lit(index.nDocs.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .select(col("word"), col("__idf"))
+    val scored = filtered.join(broadcast(termIdf), "word")
       .withColumn("__contrib",
         col("__idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / lit(index.avgLen))))
