@@ -1283,6 +1283,28 @@ object Queries {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * click pairs with the same user's purchases within 10 minutes after
+    * it; both sides are watermarked streams, matches emit in append
+    * mode, and the per-user attribution rollup runs as a batch aggregate
+    * over the joined output. Oracle: the equivalent batch interval
+    * self-join. */
+  val q_stream_join: Q = (s, dir) => {
+    val ev = Streaming.eventsStream(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val pairs = Streaming.intervalJoin(clicks, buys,
+      keys = "c_user" -> "p_user", tsCols = "c_ts" -> "p_ts",
+      lower = "0 seconds", upper = "10 minutes")
+    Streaming.runToBatch(pairs, "stream_join_out", mode = "append")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), round(sum(col("p_value")), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Gap-based session windows per user (session_window operator). */
   val q_session_window: Q = (s, dir) => {
     Streaming.sessionWindows(events(s, dir).df, "10 minutes")
@@ -1448,6 +1470,7 @@ object Queries {
     "q_csv_string" -> q_csv_string,
     "q_zip_import" -> q_zip_import,
     "q_stream_tumbling" -> q_stream_tumbling,
+    "q_stream_join" -> q_stream_join,
     "q_stream_sliding" -> q_stream_sliding,
     "q_stream_stateful" -> q_stream_stateful,
     "q_session_window" -> q_session_window,
@@ -2552,6 +2575,19 @@ object Queries {
       """SELECT user_id, count(*) AS n_events,
         |  round(sum(value),2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  round(sum(p.value), 2) AS sum_value
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "q_session_window" ->
       """WITH e AS (

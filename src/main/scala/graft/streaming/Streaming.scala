@@ -172,6 +172,32 @@ object Streaming {
       .select(stream.columns.map(stream(_)) ++ dimCols.map(dimSide(_)): _*)
   }
 
+  /** Stream-stream INTERVAL join — the streaming analog of the batch
+    * range/as-of join: left row `l` pairs with right rows `r` that share
+    * the key and satisfy `l.ts + lower <= r.ts <= l.ts + upper`
+    * (inclusive bounds; e.g. purchases within 10 minutes after a click).
+    *
+    * BOTH sides carry watermarks and the time bound is part of the join
+    * condition — together they let Spark derive exactly how long each
+    * side's buffered rows can still match and EVICT state past that
+    * horizon. That eviction is what keeps the two state stores finite at
+    * pipeline ingest rates; a stream-stream join without a time bound
+    * must buffer a side forever. Inner matches emit as they are found
+    * (append mode).
+    *
+    * Column names of the two inputs must be disjoint (project/rename
+    * before joining — the output carries both sides' columns). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keys: (String, String), tsCols: (String, String),
+      lower: String, upper: String, delay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCols._1, delay)
+    val r = right.withWatermark(tsCols._2, delay)
+    val cond = l(keys._1) === r(keys._2) &&
+      r(tsCols._2) >= l(tsCols._1) + expr(s"INTERVAL $lower") &&
+      r(tsCols._2) <= l(tsCols._1) + expr(s"INTERVAL $upper")
+    l.join(r, cond, "inner")
+  }
+
   /** Session windows (gap-based) per user — batch flavor of the same
     * `session_window` operator used under streaming. */
   def sessionWindows(events: DataFrame, gap: String = "10 minutes"): DataFrame =

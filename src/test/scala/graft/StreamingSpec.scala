@@ -44,6 +44,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("intervalJoin: stream-stream matches == batch interval join") {
+    def sides(ev: org.apache.spark.sql.DataFrame) = (
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value")))
+    val (sc, sp) = sides(Streaming.eventsStream(spark, dir))
+    val streamed = Streaming.runToBatch(
+      Streaming.intervalJoin(sc, sp, "c_user" -> "p_user", "c_ts" -> "p_ts",
+        "0 seconds", "30 minutes"), "stream_ij_spec_out", mode = "append")
+      .groupBy(col("c_user")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (bc, bp) = sides(spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val batch = bc.join(bp, bc("c_user") === bp("p_user") &&
+        bp("p_ts") >= bc("c_ts") &&
+        bp("p_ts") <= bc("c_ts") + expr("INTERVAL 30 minutes"))
+      .groupBy(col("c_user")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} keys, batch=${batch.size} keys")
+  }
+
   test("flatMapGroupsWithState: running per-user event counter") {
     val events = Seq(E(1, 1), E(1, 1), E(2, 1), E(1, 1)).toDS()
     // batch flavor exercises the same state fn shape used under streaming
