@@ -28,6 +28,50 @@ object AuditPlans {
   val skipExec: Set[String] = Set("q_stream_tumbling", "q_stream_sliding",
     "q_stream_stateful", "q_stream_dedup")
 
+  /** Pinned shuffle-exchange counts per query (static plan, sf0.001,
+    * AQE off): the shuffle BUDGET each operator is designed to spend. A
+    * mismatch fails PlanAuditSpec — an extra Exchange is how a scale
+    * regression sneaks in while row counts stay green (and a missing one
+    * usually means a broadcast silently replaced a co-located join, which
+    * deserves a deliberate pin update, not an unnoticed drift). Update a
+    * value ONLY with a plan diff in hand. */
+  val expectedShuffles: Map[String, Int] = Map(
+    "q1_agg" -> 2, "q_approx_distinct" -> 3, "q_batched" -> 2,
+    "q_cap_per_source" -> 2, "q_chunk_windows" -> 1, "q_cluster_best" -> 3,
+    "q_cms_counts" -> 2, "q_compute_field" -> 1, "q_contamination" -> 3,
+    "q_csv_roundtrip" -> 1, "q_csv_string" -> 1, "q_cube" -> 2,
+    "q_curation_funnel" -> 1, "q_decontam_bloom" -> 3, "q_dedup_cluster" -> 2,
+    "q_dedup_embedding" -> 2, "q_dedup_exact" -> 2, "q_dedup_minhash" -> 9,
+    "q_dedup_ngram" -> 3, "q_dedup_remove" -> 2, "q_dedup_simhash" -> 10,
+    "q_delete" -> 2, "q_embed_normalize" -> 1, "q_embed_quantize" -> 1,
+    "q_excel_dates" -> 1, "q_excel_roundtrip" -> 1, "q_except" -> 2,
+    "q_fingerprint" -> 1, "q_fixedwidth" -> 1, "q_format" -> 1,
+    "q_frame_sample" -> 2, "q_gopher_rules" -> 1, "q_groupby_runs" -> 3,
+    "q_groupby_summaries" -> 2, "q_heavy_hitters" -> 3, "q_intersect" -> 2,
+    "q_join3_revenue" -> 1, "q_join_anti" -> 1, "q_join_asof" -> 2,
+    "q_join_chain" -> 2, "q_join_full" -> 3, "q_join_inner" -> 2,
+    "q_join_left" -> 2, "q_join_multikey" -> 3, "q_join_range" -> 1,
+    "q_join_right" -> 2, "q_join_salted" -> 2, "q_join_semi" -> 1,
+    "q_json_roundtrip" -> 1, "q_lang_id" -> 1, "q_length_buckets" -> 2,
+    "q_mix_weighted" -> 2, "q_multimodal_features" -> 1,
+    "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2,
+    "q_parse_timedelta" -> 2, "q_pii_redact" -> 1, "q_pivot_3level" -> 5,
+    "q_pivot_counts" -> 3, "q_pivot_sum" -> 3, "q_pivot_totals" -> 2,
+    "q_profile" -> 2, "q_quality_score" -> 1, "q_quantile_band" -> 2,
+    "q_rank" -> 0, "q_repetition" -> 1, "q_rollup" -> 2,
+    "q_sample_stratified" -> 2, "q_search_bm25" -> 6,
+    "q_search_bm25_serve" -> 2, "q_search_minscore" -> 4,
+    "q_search_scored" -> 4, "q_select_computed" -> 1,
+    "q_session_window" -> 2, "q_shuffle" -> 1, "q_sim_ivf" -> 0,
+    "q_sim_lsh" -> 1, "q_sim_pq" -> 0, "q_sim_topk" -> 0, "q_slice" -> 0,
+    "q_span_dedup" -> 3, "q_split_hash" -> 1, "q_splitby" -> 2,
+    "q_stats" -> 1, "q_stream_enrich" -> 1, "q_stream_join" -> 2,
+    "q_tail" -> 0, "q_tfidf_top" -> 5, "q_token_count" -> 1,
+    "q_topk_per_group" -> 2, "q_tsv_roundtrip" -> 1, "q_typed_dataset" -> 2,
+    "q_udaf_summaries" -> 2, "q_union_all" -> 2, "q_unique_first" -> 2,
+    "q_vocab_top" -> 3, "q_where_comparators" -> 1, "q_window_running" -> 2,
+    "q_zip_import" -> 1)
+
   /** BNLJs that are part of the design, with why they are scale-safe. */
   val expectedBnlj: Map[String, String] = Map(
     "q_dedup_embedding" ->

@@ -28,5 +28,18 @@ class PlanAuditSpec extends SparkSpec {
     val flagged = rows.filter(_.flags.exists(_.startsWith("BNLJ"))).map(_.name).toSet
     val stale = AuditPlans.expectedBnlj.keySet -- flagged
     assert(stale.isEmpty, s"whitelisted BNLJs no longer planned: $stale")
+    // shuffle budget: each query's exchange count is pinned — an extra
+    // Exchange is a scale regression that row counts won't catch; a
+    // missing one is a plan change that deserves a deliberate pin update
+    val drift = rows.flatMap { r =>
+      AuditPlans.expectedShuffles.get(r.name) match {
+        case Some(want) if want != r.shuffles =>
+          Some(s"${r.name}: shuffles=${r.shuffles}, pinned $want")
+        case Some(_) => None
+        case None => Some(s"${r.name}: no shuffle budget pinned " +
+          "(add it to AuditPlans.expectedShuffles with the plan in hand)")
+      }
+    }
+    assert(drift.isEmpty, drift.mkString("\n"))
   }
 }
