@@ -1060,6 +1060,25 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** IVF SERVING gate: identical recall contract to q_sim_ivf but
+    * against the PERSISTED index — assignments written partitioned by
+    * cluster (probe filters prune partition directories at the source),
+    * centroids loaded from the sibling table and cached. Built at most
+    * once per session per SF; deterministic k-means makes the loaded
+    * and freshly-built indexes identical. Same oracle as q_sim_ivf. */
+  val q_sim_ivf_serve: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = "ivf_idx" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val idx = Similarity.ivfIndexFor(emb, "vec_id", "embedding", table,
+      nCentroids = 16, iters = 3)
+    val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 12)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** PQ-ANN RECALL GATE (oracle-checked): product-quantize to 16
     * subspaces × 32 codes (16 bytes of codes standing in for 256 bytes
     * of floats during candidate generation), ADC-score the corpus
@@ -1461,6 +1480,7 @@ object Queries {
     "q_sim_topk" -> q_sim_topk,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_ivf" -> q_sim_ivf,
+    "q_sim_ivf_serve" -> q_sim_ivf_serve,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_excel_roundtrip" -> q_excel_roundtrip,
     "q_excel_dates" -> q_excel_dates,
@@ -1513,6 +1533,20 @@ object Queries {
       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
       |  FROM scored)
       |WHERE bm25_rank <= 25 ORDER BY bm25_rank""".stripMargin
+
+  /** Shared by q_sim_ivf (build+probe in one plan) and q_sim_ivf_serve
+    * (probe over the persisted cluster-partitioned index) — both gates
+    * must contain exactly this exact top-10 inside their ANN top-20. */
+  private val ivfOracleSql: String =
+    """WITH q AS (
+      |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+      |)
+      |SELECT vec_id,
+      |  list_dot_product(embedding::DOUBLE[], qv)
+      |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |      * sqrt(list_dot_product(qv, qv))) AS cosine
+      |FROM embeddings, q
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -2463,16 +2497,10 @@ object Queries {
         |FROM embeddings, q
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q_sim_ivf" ->
-      """WITH q AS (
-        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-        |)
-        |SELECT vec_id,
-        |  list_dot_product(embedding::DOUBLE[], qv)
-        |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |      * sqrt(list_dot_product(qv, qv))) AS cosine
-        |FROM embeddings, q
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_sim_ivf" -> ivfOracleSql,
+    // the serving gate answers the same recall contract from the
+    // persisted cluster-partitioned index
+    "q_sim_ivf_serve" -> ivfOracleSql,
 
     "q_dedup_remove" ->
       """WITH docs AS (

@@ -203,13 +203,7 @@ object Search {
     val spark = index.postings.sparkSession
     graft.sources.Sources.writeBucketed(
       graft.core.GTable(index.postings), table, Seq("word"), buckets)
-    // same true-overwrite discipline as writeBucketed: the in-memory
-    // catalog forgets the table across sessions, the directory does not
-    spark.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/${table}_stats")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sources.Sources.replaceTable(spark, s"${table}_stats")
     import spark.implicits._
     Seq((index.nDocs, index.avgLen)).toDF("n_docs", "avg_len")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")

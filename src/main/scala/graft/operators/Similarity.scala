@@ -185,6 +185,48 @@ object Similarity {
     IvfIndex(df.withColumn("cluster", nearestCentroidCos(v, centroids)), centroids)
   }
 
+  /** Persist an IVF index as a serving artifact: the assigned table
+    * written PARTITIONED BY cluster — a probe's `cluster IN (...)`
+    * filter then prunes whole partition directories at the source, so a
+    * query reads ~nProbe/nCentroids of the corpus bytes — plus a
+    * sibling `<table>_centroids` table (nCentroids×dims doubles, KBs).
+    * The vector-DB build/serve split: cluster once, serve many. */
+  def saveIvfIndex(index: IvfIndex, table: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    graft.sources.Sources.replaceTable(spark, table)
+    index.assigned.write.mode("overwrite").format("parquet")
+      .partitionBy("cluster").saveAsTable(table)
+    graft.sources.Sources.replaceTable(spark, s"${table}_centroids")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+    centroidCache.remove((spark, table))
+  }
+
+  // centroids are build-time constants: cache per (session, table) so
+  // the serving path doesn't pay a collect job per query
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Array[Array[Double]]]
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
+    val centroids = centroidCache.getOrElseUpdate((spark, table),
+      spark.table(s"${table}_centroids").orderBy(col("cluster")).collect()
+        .map(_.getSeq[Double](1).toArray))
+    IvfIndex(spark.table(table), centroids)
+  }
+
+  /** Load the persisted IVF index, building and persisting it first if
+    * this session doesn't know it. */
+  def ivfIndexFor(df: DataFrame, idCol: String, vecCol: String, table: String,
+      nCentroids: Int = 64, iters: Int = 3): IvfIndex = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table) ||
+        !spark.catalog.tableExists(s"${table}_centroids"))
+      saveIvfIndex(ivfIndex(df, idCol, vecCol, nCentroids, iters), table)
+    loadIvfIndex(spark, table)
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ)
   // ------------------------------------------------------------------

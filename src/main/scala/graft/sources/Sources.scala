@@ -396,17 +396,22 @@ object Sources {
     * hash indexes (littletable.py:1515-1576) can't express. */
   def writeBucketed(t: GTable, table: String, keys: Seq[String],
       buckets: Int): Unit = {
-    val spark = t.df.sparkSession
-    // True overwrite: also clear a leftover location from a previous
-    // session (the in-memory catalog forgets the table, the dir stays).
+    replaceTable(t.df.sparkSession, table)
+    t.df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** True overwrite prep for a warehouse table: drop the catalog entry
+    * AND clear a leftover location from a previous session (the
+    * in-memory catalog forgets the table across sessions, the directory
+    * stays). Call immediately before `saveAsTable`. */
+  private[graft] def replaceTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    t.df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
   }
 }

@@ -232,6 +232,28 @@ class DedupSpec extends SparkSpec {
     ivf.foreach { case (id, cos) => assert(math.abs(brute(id) - cos) < 1e-12) }
   }
 
+  test("IVF ANN: persisted index serves the same top-k as the in-memory one") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 16, iters = 2)
+    val table = "ivf_spec_roundtrip"
+    Similarity.saveIvfIndex(idx, table)
+    val loaded = Similarity.loadIvfIndex(spark, table)
+    assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq,
+      "centroids survive the table round-trip exactly")
+    def top(i: Similarity.IvfIndex) =
+      Similarity.ivfTopK(i, "vec_id", "embedding", qvec, 20, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(loaded) == top(idx), "served top-k == in-memory top-k")
+    // the probe filter must prune partitions at the source
+    val probePlan = loaded.assigned.filter(col("cluster").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("PartitionFilters: []"),
+      s"expected partition filters on the cluster-partitioned scan:\n$probePlan")
+  }
+
   test("PQ ANN: deterministic codebooks, codes in range, rerank recall") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
