@@ -776,6 +776,26 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** PQ SERVING gate: identical recall contract to q_sim_pq but the ADC
+    * scan reads the PERSISTED encoded table — codes computed once at
+    * build time, codebooks loaded from the sibling table and cached.
+    * Deterministic per-subspace k-means makes loaded and freshly-built
+    * indexes identical. Same oracle as q_sim_pq. */
+  val q_sim_pq_serve: Q = (s, dir) => {
+    import graft.operators.Similarity
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = "pq_idx" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val idx = Similarity.pqIndexFor(emb, "vec_id", "embedding", dims = 64,
+      table, m = 16, nCodes = 32, iters = 8, sampleN = 2048)
+    val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 500)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** Misra-Gries HEAVY-HITTER GATE: 28 counters over the ~31-distinct-
     * token corpus stream — real eviction pressure, not a trivially-exact
     * run. Emits the exact count of every token whose frequency clears
@@ -1461,6 +1481,7 @@ object Queries {
     "q_heavy_hitters" -> q_heavy_hitters,
     "q_gopher_rules" -> q_gopher_rules,
     "q_sim_pq" -> q_sim_pq,
+    "q_sim_pq_serve" -> q_sim_pq_serve,
     "q_stream_enrich" -> q_stream_enrich,
     "q_cluster_best" -> q_cluster_best,
     "q_chunk_windows" -> q_chunk_windows,
@@ -1534,10 +1555,10 @@ object Queries {
       |  FROM scored)
       |WHERE bm25_rank <= 25 ORDER BY bm25_rank""".stripMargin
 
-  /** Shared by q_sim_ivf (build+probe in one plan) and q_sim_ivf_serve
-    * (probe over the persisted cluster-partitioned index) — both gates
-    * must contain exactly this exact top-10 inside their ANN top-20. */
-  private val ivfOracleSql: String =
+  /** Shared by the four ANN recall gates (q_sim_ivf / q_sim_pq and
+    * their `_serve` variants over persisted indexes) — each gate must
+    * contain exactly this exact cosine top-10 inside its ANN top-20. */
+  private val annExactTop10Sql: String =
     """WITH q AS (
       |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
       |)
@@ -2173,16 +2194,8 @@ object Queries {
         |    AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    "q_sim_pq" ->
-      """WITH q AS (
-        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-        |)
-        |SELECT vec_id,
-        |  list_dot_product(embedding::DOUBLE[], qv)
-        |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |      * sqrt(list_dot_product(qv, qv))) AS cosine
-        |FROM embeddings, q
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_sim_pq" -> annExactTop10Sql,
+    "q_sim_pq_serve" -> annExactTop10Sql,
 
     "q_stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
@@ -2497,10 +2510,10 @@ object Queries {
         |FROM embeddings, q
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q_sim_ivf" -> ivfOracleSql,
-    // the serving gate answers the same recall contract from the
-    // persisted cluster-partitioned index
-    "q_sim_ivf_serve" -> ivfOracleSql,
+    "q_sim_ivf" -> annExactTop10Sql,
+    // the serving gates answer the same recall contract from the
+    // persisted indexes
+    "q_sim_ivf_serve" -> annExactTop10Sql,
 
     "q_dedup_remove" ->
       """WITH docs AS (

@@ -282,6 +282,51 @@ object Similarity {
     PqIndex(encoded, codebooks)
   }
 
+  /** Persist a PQ index: the encoded table (codes next to the original
+    * vectors for exact rerank) as a parquet table, codebooks flattened
+    * to `(subspace, code, centroid)` rows in a sibling table (m·codes
+    * small arrays, KBs). The ADC candidate scan then reads STORED codes
+    * — the corpus is encoded exactly once, at build time, which is the
+    * entire point of PQ at 100 TB. */
+  def savePqIndex(index: PqIndex, table: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    graft.sources.Sources.replaceTable(spark, table)
+    index.encoded.write.mode("overwrite").format("parquet").saveAsTable(table)
+    graft.sources.Sources.replaceTable(spark, s"${table}_codebooks")
+    index.codebooks.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_codebooks")
+    codebookCache.remove((spark, table))
+  }
+
+  private val codebookCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Array[Array[Array[Double]]]]
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): PqIndex = {
+    val codebooks = codebookCache.getOrElseUpdate((spark, table), {
+      val rows = spark.table(s"${table}_codebooks")
+        .orderBy(col("subspace"), col("code")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3)).toArray
+    })
+    PqIndex(spark.table(table), codebooks)
+  }
+
+  /** Load the persisted PQ index, building and persisting it first if
+    * this session doesn't know it. */
+  def pqIndexFor(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      table: String, m: Int = 16, nCodes: Int = 32, iters: Int = 8,
+      sampleN: Int = 2048): PqIndex = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table) ||
+        !spark.catalog.tableExists(s"${table}_codebooks"))
+      savePqIndex(pqIndex(df, idCol, vecCol, dims, m, nCodes, iters, sampleN), table)
+    loadPqIndex(spark, table)
+  }
+
   /** Driver-side Lloyd k-means (squared L2) on a small sample: init from
     * the first k DISTINCT points in input order, empty clusters retain
     * their codeword. Deterministic — no RNG, no data-order dependence

@@ -284,4 +284,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     pq.foreach { case (id, cos) => assert(math.abs(bruteAll(id) - cos) < 1e-12) }
   }
+
+  test("PQ ANN: persisted index serves the same top-k as the in-memory one") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+      m = 16, nCodes = 32, iters = 4)
+    val table = "pq_spec_roundtrip"
+    Similarity.savePqIndex(idx, table)
+    val loaded = Similarity.loadPqIndex(spark, table)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks survive the table round-trip exactly")
+    def top(i: Similarity.PqIndex) =
+      Similarity.pqTopK(i, "vec_id", "embedding", qvec, 20, candidates = 100)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(loaded) == top(idx), "served top-k == in-memory top-k")
+  }
 }
