@@ -1061,6 +1061,27 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** LSH SERVING gate: identical recall contract to q_sim_lsh but the
+    * probes run against the PERSISTED layout — one bucket-partitioned
+    * projection per hash table; each probe set is enumerated and pushed
+    * as an IN partition filter, so the scan reads only the probed
+    * bucket directories. Hash planes are deterministic (splitmix64), so
+    * the served and in-memory indexes are identical by construction.
+    * Same oracle as q_sim_lsh. */
+  val q_sim_lsh_serve: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = "lsh_idx" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    Similarity.lshIndexFor(emb, "vec_id", "embedding", dims = 64, table,
+      bits = 8, tables = 3)
+    val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding", qvec, 20,
+      probeDist = 4)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** IVF-ANN RECALL GATE (oracle-checked): spherical k-means index
     * (cosine assignment — L2 cells on unnormalized embeddings split
     * cosine-near vectors by magnitude), probe the 12 of 16
@@ -1500,6 +1521,7 @@ object Queries {
     "q_dedup_embedding" -> q_dedup_embedding,
     "q_sim_topk" -> q_sim_topk,
     "q_sim_lsh" -> q_sim_lsh,
+    "q_sim_lsh_serve" -> q_sim_lsh_serve,
     "q_sim_ivf" -> q_sim_ivf,
     "q_sim_ivf_serve" -> q_sim_ivf_serve,
     "q_csv_roundtrip" -> q_csv_roundtrip,
@@ -1555,9 +1577,10 @@ object Queries {
       |  FROM scored)
       |WHERE bm25_rank <= 25 ORDER BY bm25_rank""".stripMargin
 
-  /** Shared by the four ANN recall gates (q_sim_ivf / q_sim_pq and
-    * their `_serve` variants over persisted indexes) — each gate must
-    * contain exactly this exact cosine top-10 inside its ANN top-20. */
+  /** Shared by the six ANN recall gates (q_sim_lsh / q_sim_ivf /
+    * q_sim_pq and their `_serve` variants over persisted indexes) —
+    * each gate must contain exactly this exact cosine top-10 inside its
+    * ANN top-20. */
   private val annExactTop10Sql: String =
     """WITH q AS (
       |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
@@ -2499,17 +2522,8 @@ object Queries {
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_sim_lsh" ->
-      """WITH q AS (
-        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-        |)
-        |SELECT vec_id,
-        |  list_dot_product(embedding::DOUBLE[], qv)
-        |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |      * sqrt(list_dot_product(qv, qv))) AS cosine
-        |FROM embeddings, q
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
-
+    "q_sim_lsh" -> annExactTop10Sql,
+    "q_sim_lsh_serve" -> annExactTop10Sql,
     "q_sim_ivf" -> annExactTop10Sql,
     // the serving gates answer the same recall contract from the
     // persisted indexes

@@ -113,6 +113,74 @@ object Similarity {
     bruteForceTopK(bucketed.filter(cond), idCol, vecCol, query, k)
   }
 
+  /** Persist a multi-table LSH index in the CLASSIC serving layout: one
+    * projection per hash table, each written PARTITIONED BY its bucket
+    * id, so a query's probe set (every code within Hamming `probeDist`
+    * of the query's code) becomes an `IN` partition filter that prunes
+    * directories at the source. Storage is `tables`× the corpus — the
+    * standard LSH trade: L independent small-radius probes buy the
+    * multiplied miss probability. A `<table>_meta` sibling pins
+    * (bits, tables, dims) so serving can never silently hash with
+    * different parameters than the build. */
+  def saveLshIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      table: String, bits: Int = 8, tables: Int = 2): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    for (t <- 0 until tables) {
+      graft.sources.Sources.replaceTable(spark, s"${table}_t$t")
+      df.withColumn("bucket", codeColumn(col(vecCol), dims, bits, t))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("bucket").saveAsTable(s"${table}_t$t")
+    }
+    graft.sources.Sources.replaceTable(spark, s"${table}_meta")
+    Seq((bits, tables, dims)).toDF("bits", "tables", "dims")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    lshMetaCache.remove((spark, table))
+  }
+
+  private val lshMetaCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (Int, Int, Int)]
+
+  /** Build-if-missing for the persisted LSH layout. */
+  def lshIndexFor(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      table: String, bits: Int = 8, tables: Int = 2): Unit = {
+    val spark = df.sparkSession
+    val present = spark.catalog.tableExists(s"${table}_meta") &&
+      (0 until tables).forall(t => spark.catalog.tableExists(s"${table}_t$t"))
+    if (!present) saveLshIndex(df, idCol, vecCol, dims, table, bits, tables)
+  }
+
+  /** All `bits`-bit codes within Hamming distance `d` of `code` —
+    * Σ C(bits, 0..d) values, the enumerable probe set. */
+  private def codesWithin(code: Long, bits: Int, d: Int): Seq[Long] =
+    (0 to d).flatMap {
+      case 0 => Seq(code)
+      case i => (0 until bits).combinations(i)
+        .map(_.foldLeft(code)((c, p) => c ^ (1L << p))).toSeq
+    }
+
+  /** Serve a top-k query from the persisted LSH layout: per table, the
+    * probe set is enumerated and pushed as an `IN` partition filter
+    * (directory pruning — the scan reads only the probed buckets);
+    * candidates from all tables union, dedup by id, exact-rerank. Same
+    * semantics as [[lshTopKMulti]]'s Hamming filter, but the pruning
+    * happens at the source instead of inside the scan. */
+  def lshTopKServed(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String, vecCol: String, query: Seq[Double], k: Int,
+      probeDist: Int = 2): DataFrame = {
+    val (bits, tables, dims) = lshMetaCache.getOrElseUpdate((spark, table), {
+      val m = spark.table(s"${table}_meta").head()
+      (m.getInt(0), m.getInt(1), m.getInt(2))
+    })
+    val cands = (0 until tables).map { t =>
+      val probes = codesWithin(queryCode(query, bits, t, dims), bits, probeDist)
+      spark.table(s"${table}_t$t")
+        .filter(col("bucket").isin(probes: _*))
+        .select(col(idCol), col(vecCol))
+    }.reduce(_ unionByName _).dropDuplicates(idCol)
+    bruteForceTopK(cands, idCol, vecCol, query, k)
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) index
   // ------------------------------------------------------------------

@@ -63,7 +63,8 @@ object AuditPlans {
     "q_search_bm25_serve" -> 2, "q_search_minscore" -> 4,
     "q_search_scored" -> 4, "q_select_computed" -> 1,
     "q_session_window" -> 2, "q_shuffle" -> 1, "q_sim_ivf" -> 0, "q_sim_ivf_serve" -> 0,
-    "q_sim_lsh" -> 1, "q_sim_pq" -> 0, "q_sim_pq_serve" -> 0,
+    "q_sim_lsh" -> 1, "q_sim_lsh_serve" -> 1,
+    "q_sim_pq" -> 0, "q_sim_pq_serve" -> 0,
     "q_sim_topk" -> 0, "q_slice" -> 0,
     "q_span_dedup" -> 3, "q_split_hash" -> 1, "q_splitby" -> 2,
     "q_stats" -> 1, "q_stream_enrich" -> 1, "q_stream_join" -> 2,

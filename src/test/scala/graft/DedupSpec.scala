@@ -285,6 +285,30 @@ class DedupSpec extends SparkSpec {
     pq.foreach { case (id, cos) => assert(math.abs(bruteAll(id) - cos) < 1e-12) }
   }
 
+  test("LSH ANN: persisted layout serves the same top-k as the in-memory filter") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val table = "lsh_spec_roundtrip"
+    Similarity.saveLshIndex(emb, "vec_id", "embedding", dims = 64, table,
+      bits = 8, tables = 3)
+    val served = Similarity.lshTopKServed(spark, table, "vec_id", "embedding",
+      qvec, 20, probeDist = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bucketed = Similarity.lshBucketsMulti(emb, "vec_id", "embedding",
+      dims = 64, bits = 8, tables = 3)
+    val inMem = Similarity.lshTopKMulti(bucketed, "vec_id", "embedding", qvec, 20,
+      bits = 8, probeDist = 4, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == inMem, "enumerated IN probes == Hamming filter semantics")
+    // the probe set must prune partitions at the source
+    val plan = spark.table(s"${table}_t0").filter(col("bucket").isin(0L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("PartitionFilters: []"),
+      s"expected partition filters on the bucket-partitioned scan:\n$plan")
+  }
+
   test("PQ ANN: persisted index serves the same top-k as the in-memory one") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
