@@ -152,6 +152,19 @@ class RunIdPropertySpec extends SparkSpec {
       }.toMap
       assert(got == want, s"string trial $trial n=$n")
     }
+    // date keys (proxy = unix_date): one deterministic trial suffices —
+    // the bucketing math is shared with the numeric path
+    val days = new scala.util.Random(3).shuffle((0 until 200).toList)
+    val ddata = days.map(i => (java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(i).toString), (i % 13).toLong))
+    val ddf = ddata.toDF("d", "v").repartition(5)
+    val got = graft.core.Ordinals.keyedRunningTotal(ddf, "d", "v", "cum", 16)
+      .select("d", "cum").collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    var acc2 = 0L
+    val want = ddata.sortBy(_._1.toString).map { case (d, v) =>
+      val r = d.toString -> acc2; acc2 += v; r
+    }.toMap
+    assert(got == want, "date-keyed running total")
   }
 
   test("slicePy matches Python slice semantics on random slices") {
