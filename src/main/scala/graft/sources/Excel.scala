@@ -290,6 +290,8 @@ object Excel {
     * pipeline scale the right sink is parquet/csv, not a spreadsheet. */
   def excelExport(t: GTable, path: String, maxRows: Int = 1048575): Unit = {
     val schema = t.df.schema
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"maxRows must be in [1, ${Int.MaxValue - 1}]")
     // collect one row past the cap: enough to detect overflow without
     // counting the full table
     val probe = t.df.limit(maxRows + 1).collect()
