@@ -664,6 +664,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** FUZZY decontamination: corpus docs whose word-3-gram Jaccard with
+    * any benchmark doc reaches 0.5 are dropped — the near-duplicate
+    * leakage guard (catches paraphrased benchmark items a raw
+    * shared-n-gram count over-/under-flags). Benchmark side broadcast;
+    * single shuffle on the (corpus, bench) pair intersection. Oracle:
+    * the same exact Jaccard in DuckDB string 3-grams. */
+  val q_decontam_fuzzy: Q = (s, dir) => {
+    import graft.operators.Contamination
+    val docs = t(s, dir, "documents").df
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    Contamination.decontaminateFuzzy(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom-prefiltered EXACT decontamination: same output as the exact
     * path (the bloom only prunes candidates map-side; survivors confirm
     * via the shared-n-gram join), gated against the plain exact oracle —
@@ -1491,6 +1508,7 @@ object Queries {
     "q_sample_stratified" -> q_sample_stratified,
     "q_contamination" -> q_contamination,
     "q_decontam_bloom" -> q_decontam_bloom,
+    "q_decontam_fuzzy" -> q_decontam_fuzzy,
     "q_cap_per_source" -> q_cap_per_source,
     "q_quantile_band" -> q_quantile_band,
     "q_vocab_top" -> q_vocab_top,
@@ -2117,6 +2135,31 @@ object Queries {
         |SELECT doc_id, n_chars FROM documents
         |WHERE doc_id % 20 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decontam_fuzzy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.doc_id AS cid, b.doc_id AS bid, count(*) AS i
+        |  FROM sh c JOIN sh b ON c.shingle = b.shingle
+        |  WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+        |  GROUP BY 1, 2
+        |), flagged AS (
+        |  SELECT DISTINCT cid FROM inter
+        |  JOIN sizes sc ON sc.doc_id = cid
+        |  JOIN sizes sb ON sb.doc_id = bid
+        |  WHERE CAST(i AS DOUBLE) / CAST(sc.n_sh + sb.n_sh - i AS DOUBLE) >= 0.5
+        |)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT cid FROM flagged)
         |ORDER BY doc_id""".stripMargin,
 
     "q_cap_per_source" ->

@@ -56,6 +56,59 @@ object Contamination {
   }
 
   // ------------------------------------------------------------------
+  // Fuzzy (near-duplicate) decontamination
+  // ------------------------------------------------------------------
+
+  /** Per-(corpus doc, benchmark doc) EXACT n-gram Jaccard for pairs
+    * sharing at least one shingle — the cross-table analog of the dedup
+    * inverted-index join. Returns `(idCol, bench_id, jaccard)` rows with
+    * `jaccard >= minJaccard`. A raw shared-n-gram count (above) treats a
+    * doc quoting one benchmark sentence the same as a paraphrased copy;
+    * Jaccard normalizes by both docs' shingle sets, which is what
+    * catches REWRITTEN benchmark items.
+    *
+    * Scale shape: benchmark shingles (id, size, hash) broadcast; the
+    * corpus explodes once map-side and the per-pair intersection count
+    * is the single shuffle. Both sizes ride the rows, so no extra join.
+    * For a benchmark too large to broadcast, set `broadcastBench=false`
+    * (shuffle join) — or band with MinHash first via the Dedup
+    * machinery. */
+  def fuzzyContaminationPairs(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 3, minJaccard: Double = 0.8,
+      broadcastBench: Boolean = true): DataFrame = {
+    val cSh = corpus
+      .select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("__na"),
+        explode(col("__sh")).as("shk"))
+    val bSh0 = bench
+      .select(col(benchIdCol).as("__bid"), shingleHashes(col(benchTextCol), n).as("__sh"))
+      .select(col("__bid"), size(col("__sh")).as("__nb"),
+        explode(col("__sh")).as("shk"))
+    val bSh = if (broadcastBench) broadcast(bSh0) else bSh0
+    cSh.join(bSh, "shk")
+      .groupBy(col(idCol), col("__bid"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__i"))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col(idCol), col("__bid").as("bench_id"), col("jaccard"))
+  }
+
+  /** Corpus minus every document whose n-gram Jaccard with ANY benchmark
+    * document reaches `minJaccard` — the near-duplicate leakage guard
+    * layered on top of [[decontaminate]]'s exact-overlap guard. */
+  def decontaminateFuzzy(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, minJaccard: Double = 0.8,
+      broadcastBench: Boolean = true): DataFrame = {
+    val flagged = fuzzyContaminationPairs(corpus, idCol, textCol,
+        bench, benchIdCol, benchTextCol, n, minJaccard, broadcastBench)
+      .select(col(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------------
   // Bloom-prefiltered exact decontamination (the 100 TB shape)
   // ------------------------------------------------------------------
 

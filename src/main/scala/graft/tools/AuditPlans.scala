@@ -40,7 +40,8 @@ object AuditPlans {
     "q_cap_per_source" -> 2, "q_chunk_windows" -> 1, "q_cluster_best" -> 3,
     "q_cms_counts" -> 2, "q_compute_field" -> 1, "q_contamination" -> 3,
     "q_csv_roundtrip" -> 1, "q_csv_string" -> 1, "q_cube" -> 2,
-    "q_curation_funnel" -> 1, "q_decontam_bloom" -> 3, "q_dedup_cluster" -> 2,
+    "q_curation_funnel" -> 1, "q_decontam_bloom" -> 3,
+    "q_decontam_fuzzy" -> 4, "q_dedup_cluster" -> 2,
     "q_dedup_embedding" -> 2, "q_dedup_exact" -> 2, "q_dedup_minhash" -> 9,
     "q_dedup_ngram" -> 3, "q_dedup_remove" -> 2, "q_dedup_simhash" -> 10,
     "q_delete" -> 2, "q_embed_normalize" -> 1, "q_embed_quantize" -> 1,

@@ -74,6 +74,32 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("fuzzy decontamination drops paraphrased copies a 1-gram-overlap guard over-flags") {
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      // near-copy of the benchmark item (one word changed): Jaccard high
+      (1L, "the quick brown fox leaps over the lazy dog"),
+      // quotes one benchmark 3-gram inside unrelated text: Jaccard low
+      (2L, "my essay mentions the lazy dog once among many other original words"),
+      (3L, "completely unrelated words here today")
+    ).toDF("id", "text")
+    val pairs = Contamination.fuzzyContaminationPairs(corpus, "id", "text",
+        bench, "id", "text", n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(_._1).toSet == Set(1L), s"got ${pairs.toSeq}")
+    // one word changed mid-sentence: 4 shared of 10 union shingles = 0.4
+    assert(pairs.head._2 == 900L && pairs.head._3 == 0.4)
+    val kept = Contamination.decontaminateFuzzy(corpus, "id", "text",
+        bench, "id", "text", n = 3, minJaccard = 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), "only the paraphrased near-copy drops")
+    // the exact-overlap guard at minShared=1 would also drop doc 2 — the
+    // quote — which fuzzy correctly keeps
+    val exactKept = Contamination.decontaminate(corpus, "id", "text",
+        bench, "text", n = 3).select("id").collect().map(_.getLong(0)).toSet
+    assert(exactKept == Set(3L))
+  }
+
   test("decontaminateBloom == decontaminate, even with a saturated bloom") {
     val bench = Seq((900L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val corpus = Seq(
