@@ -826,15 +826,18 @@ object Queries {
   val q_heavy_hitters: Q = (s, dir) => {
     import graft.operators.Sketch
     val k = 28
-    // three consumers (stream length, exact counts, sketch) — pin the
-    // exploded tokens so the corpus is scanned once, not three times
+    // pin the TINY exact-count frame (vocab-sized, KBs) and derive the
+    // stream length from it — the corpus tokenizes twice (counts +
+    // sketch) instead of three times, and nothing corpus-sized stays in
+    // the cache manager for the rest of the session
     val toks = t(s, dir, "documents").df
       .select(explode(TextAnalysis.words(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTotal = toks.count()
+    val nTotal = counts.agg(sum(col("n"))).head().getLong(0)
     val hh = Sketch.heavyHitters(toks, "token", k)
-    toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    counts
       .filter(col("n") * (k + 1) > lit(nTotal))
       .join(hh, col("token") === col("item"), "left")
       .filter(col("item").isNotNull &&
@@ -865,8 +868,8 @@ object Queries {
 
   /** Concat-and-cut sequence-packing index at context 512: per doc, its
     * global token offset and first/last packed sequence. The corpus-wide
-    * cumulative sum runs via Ordinals.withRunningTotal (two-pass partial
-    * sums), not a single-partition window. */
+    * cumulative sum runs via Ordinals.keyedRunningTotal (pure-Catalyst
+    * value-keyed two-level prefix sum), not a single-partition window. */
   val q_pack_index: Q = (s, dir) => {
     import graft.operators.Chunk
     Chunk.packIndex(t(s, dir, "documents").df, "doc_id", "text", contextLen = 512)

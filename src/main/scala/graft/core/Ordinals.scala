@@ -87,6 +87,12 @@ object Ordinals {
     val nBuckets =
       if (buckets > 0) buckets
       else math.max(64, df.sparkSession.sessionState.conf.numShufflePartitions * 16)
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$valueCol must be integral (byte/short/int/long), got $other — " +
+          "a fractional type would silently truncate per-row before summing")
+    }
     val v = coalesce(col(valueCol).cast(LongType), lit(0L))
 
     // Order-preserving (weakly monotone) double proxy for the key. For

@@ -356,13 +356,34 @@ object Dedup {
     * maximizing exposure). On a real cluster pass `checkpointDir` (an
     * HDFS/object-store path): rounds then use reliable `checkpoint()`,
     * so any executor can be lost and the iteration replays from durable
-    * storage instead of dying. */
+    * storage instead of dying.
+    *
+    * Reliable-checkpoint lifecycle: files go under a UNIQUE
+    * `<checkpointDir>/cc-<uuid>/round-N` per run, and each round's
+    * directory is deleted as soon as the next round has materialized —
+    * storage held is ~2 rounds, not maxIter. The FINAL round's directory
+    * backs the returned frame and stays until the caller is done with
+    * the result (delete the `cc-<uuid>` root afterwards, or run with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`). Note
+    * `SparkContext.setCheckpointDir` is context-global: this operator
+    * restores any previously-set dir on exit, but if none was set it
+    * remains pointed at the run's last round directory. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
+    val prevCkptDir = sc.getCheckpointDir
+    val runRoot = checkpointDir.map(d => s"$d/cc-${java.util.UUID.randomUUID()}")
+    var roundId = 0
+    def setRoundDir(): Unit =
+      runRoot.foreach(r => sc.setCheckpointDir(s"$r/round-$roundId"))
+    def dropRound(id: Int): Unit = runRoot.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(s"$r/round-$id")
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    setRoundDir()
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      if (runRoot.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
     // Materialize the edge list ONCE: `pairs` is typically the whole
     // candidate-generation pipeline (shingle index self-join), and every
@@ -375,6 +396,8 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      roundId += 1
+      setRoundDir()
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
       // one materialization per round: old + proposed label side by side,
@@ -395,10 +418,18 @@ object Dedup {
         }
       converged = step.filter(col("next") < col("comp")).limit(1).count() == 0L
       labels = step.select(col("id"), col("next").as("comp"))
+      // the PREVIOUS iteration's checkpoint is fully consumed once this
+      // round materialized — reclaim it (round 0 holds `sym`, which every
+      // round joins against; it is reclaimed after the loop)
+      if (roundId >= 2) dropRound(roundId - 1)
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "(pathological chain diameter — raise maxIter)")
+    // the result frame reads only the final round's materialization —
+    // the edge list and init labels (round 0) are no longer referenced
+    if (roundId >= 1) dropRound(0)
+    prevCkptDir.foreach(sc.setCheckpointDir)
     labels
   }
 

@@ -205,7 +205,7 @@ object Search {
       graft.core.GTable(index.postings), table, Seq("word"), buckets)
     graft.sources.Sources.replaceTable(spark, s"${table}_stats")
     import spark.implicits._
-    Seq((index.nDocs, index.avgLen)).toDF("n_docs", "avg_len")
+    Seq((index.nDocs, index.avgLen, buckets)).toDF("n_docs", "avg_len", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
     statsCache.remove((spark, table))
   }
@@ -225,12 +225,20 @@ object Search {
 
   /** Load the persisted index, building and persisting it first if this
     * session doesn't know it — callers express "query the index" and pay
-    * the build only when the artifact is missing. */
+    * the build only when the artifact is missing. A stored artifact is
+    * reused only when its pinned bucket count matches the request.
+    * Source-data changes are NOT detected: the table name identifies a
+    * build; use a new name (or drop the tables) when the corpus
+    * changes. */
   def bm25IndexFor(data: DataFrame, idCol: String, attr: String,
       table: String, buckets: Int = 32): Bm25Index = {
     val spark = data.sparkSession
-    if (!spark.catalog.tableExists(table) ||
-        !spark.catalog.tableExists(s"${table}_stats"))
+    val matches = spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(s"${table}_stats") && {
+        val st = spark.table(s"${table}_stats")
+        st.columns.contains("buckets") && st.head().getInt(2) == buckets
+      }
+    if (!matches)
       saveBm25Index(buildBm25Index(data, idCol, attr), table, buckets)
     loadBm25Index(spark, table)
   }

@@ -141,13 +141,21 @@ object Similarity {
   private val lshMetaCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), (Int, Int, Int)]
 
-  /** Build-if-missing for the persisted LSH layout. */
+  /** Build-if-missing for the persisted LSH layout. An existing artifact
+    * is reused only when its pinned (bits, tables, dims) match the
+    * request — a parameter change rebuilds instead of silently serving
+    * the old hash configuration. Source-data changes are NOT detected:
+    * the table name identifies a build; use a new name (or drop the
+    * tables) when the corpus changes. */
   def lshIndexFor(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       table: String, bits: Int = 8, tables: Int = 2): Unit = {
     val spark = df.sparkSession
-    val present = spark.catalog.tableExists(s"${table}_meta") &&
-      (0 until tables).forall(t => spark.catalog.tableExists(s"${table}_t$t"))
-    if (!present) saveLshIndex(df, idCol, vecCol, dims, table, bits, tables)
+    val matches = spark.catalog.tableExists(s"${table}_meta") &&
+      (0 until tables).forall(t => spark.catalog.tableExists(s"${table}_t$t")) && {
+        val m = spark.table(s"${table}_meta").head()
+        (m.getInt(0), m.getInt(1), m.getInt(2)) == ((bits, tables, dims))
+      }
+    if (!matches) saveLshIndex(df, idCol, vecCol, dims, table, bits, tables)
   }
 
   /** All `bits`-bit codes within Hamming distance `d` of `code` —
@@ -285,12 +293,18 @@ object Similarity {
   }
 
   /** Load the persisted IVF index, building and persisting it first if
-    * this session doesn't know it. */
+    * this session doesn't know it. An existing artifact is reused only
+    * when its centroid count matches `nCentroids` (a changed `iters`
+    * is not recoverable from the artifact and does not trigger a
+    * rebuild). Source-data changes are NOT detected: the table name
+    * identifies a build; use a new name when the corpus changes. */
   def ivfIndexFor(df: DataFrame, idCol: String, vecCol: String, table: String,
       nCentroids: Int = 64, iters: Int = 3): IvfIndex = {
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table) ||
-        !spark.catalog.tableExists(s"${table}_centroids"))
+    val matches = spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(s"${table}_centroids") &&
+      spark.table(s"${table}_centroids").count() == nCentroids
+    if (!matches)
       saveIvfIndex(ivfIndex(df, idCol, vecCol, nCentroids, iters), table)
     loadIvfIndex(spark, table)
   }
@@ -384,13 +398,22 @@ object Similarity {
   }
 
   /** Load the persisted PQ index, building and persisting it first if
-    * this session doesn't know it. */
+    * this session doesn't know it. An existing artifact is reused only
+    * when its codebook shape matches (m, nCodes) — changed iters/sampleN
+    * are not recoverable and do not trigger a rebuild. Source-data
+    * changes are NOT detected: the table name identifies a build; use a
+    * new name when the corpus changes. */
   def pqIndexFor(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       table: String, m: Int = 16, nCodes: Int = 32, iters: Int = 8,
       sampleN: Int = 2048): PqIndex = {
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table) ||
-        !spark.catalog.tableExists(s"${table}_codebooks"))
+    val matches = spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(s"${table}_codebooks") && {
+        val r = spark.table(s"${table}_codebooks")
+          .agg(count_distinct(col("subspace")), count_distinct(col("code"))).head()
+        r.getLong(0) == m && r.getLong(1) == nCodes
+      }
+    if (!matches)
       savePqIndex(pqIndex(df, idCol, vecCol, dims, m, nCodes, iters, sampleN), table)
     loadPqIndex(spark, table)
   }

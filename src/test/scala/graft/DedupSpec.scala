@@ -86,6 +86,12 @@ class DedupSpec extends SparkSpec {
       assert(reliable == local)
       assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
         10L -> 10L, 11L -> 10L))
+      // storage lifecycle: only the FINAL round's checkpoint survives the
+      // run — stale rounds (and the round-0 edge list) are reclaimed
+      val roundDirs = new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.startsWith("cc-"))
+        .flatMap(_.listFiles().toSeq.filter(_.getName.startsWith("round-")))
+      assert(roundDirs.size == 1, s"expected 1 surviving round dir, got $roundDirs")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
