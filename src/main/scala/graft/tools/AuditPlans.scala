@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExecBase
 
 /** Plan red-flag sweep across every registered query: counts exchanges
   * and flags cartesian products / nested-loop joins / non-codegen spans
@@ -18,9 +19,9 @@ object AuditPlans {
   final case class AuditRow(name: String, shuffles: Int, flags: Seq[String],
       error: Option[String]) {
     /** A flag the whitelist does not explain (CARTESIAN, bare BNLJ,
-      * NO-CODEGEN) or a planning failure. */
+      * bare GLOBAL-WINDOW, NO-CODEGEN) or a planning failure. */
     def unexplained: Boolean =
-      error.nonEmpty || flags.exists(f => !f.startsWith("BNLJ[expected"))
+      error.nonEmpty || flags.exists(f => !f.contains("[expected"))
   }
 
   /** Streaming queries need a streaming sink to plan; audited via their
@@ -84,6 +85,14 @@ object AuditPlans {
     "q_quantile_band" ->
       "quantile thresholds: build side is exactly ONE broadcast row (the [lo,hi] aggregate), so the 'nested loop' is a map over the stream side")
 
+  /** Unpartitioned windows that are part of the design, with why their
+    * single partition is bounded (never the corpus). */
+  val expectedGlobalWindow: Map[String, String] = Map(
+    "q_search_bm25" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_search_bm25_serve" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows")
+
   /** Count DISTINCT shuffle-exchange instances (by object identity),
     * descending into InMemoryRelation cached plans: a pinned subtree
     * prints twice in toString but its exchanges run once; a
@@ -98,6 +107,21 @@ object AuditPlans {
     }
     walk(root)
     seen.size
+  }
+
+  /** Count window operators whose partitionSpec is EMPTY — Spark funnels
+    * the whole input through ONE task for these ("No Partition Defined"
+    * warning), the canonical 100 TB scale-killer. Descends into cached
+    * plans like [[countShuffles]]. */
+  def countGlobalWindows(root: SparkPlan): Int = {
+    var n = 0
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case w: WindowExecBase if w.partitionSpec.isEmpty => n += 1
+      case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+      case _ => ()
+    }
+    walk(root)
+    n
   }
 
   /** Audit every registered batch query's static physical plan. Run with
@@ -115,9 +139,17 @@ object AuditPlans {
               case Some(why) => Some(s"BNLJ[expected: $why]")
               case None => Some("BNLJ")
             }
+          val gw = countGlobalWindows(exec)
+          val gwFlag =
+            if (gw == 0) None
+            else expectedGlobalWindow.get(name) match {
+              case Some(why) => Some(s"GLOBAL-WINDOW[expected: $why]")
+              case None => Some(s"GLOBAL-WINDOW[$gw]")
+            }
           val flags = Seq(
             if (plan.contains("CartesianProduct")) Some("CARTESIAN") else None,
             bnljFlag,
+            gwFlag,
             // codegen stages print as `*(n) Operator` in simpleString
             if (!plan.contains("*(")) Some("NO-CODEGEN") else None
           ).flatten

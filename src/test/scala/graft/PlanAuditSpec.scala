@@ -23,11 +23,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty, bad.map(r =>
       s"${r.name}: flags=${r.flags.mkString(",")} err=${r.error.getOrElse("")}")
       .mkString("\n"))
-    // whitelist hygiene: every whitelisted query still plans a BNLJ —
-    // stale entries would mask a future regression under an old excuse
+    // whitelist hygiene: every whitelisted query still plans the flagged
+    // shape — stale entries would mask a future regression under an old
+    // excuse
     val flagged = rows.filter(_.flags.exists(_.startsWith("BNLJ"))).map(_.name).toSet
     val stale = AuditPlans.expectedBnlj.keySet -- flagged
     assert(stale.isEmpty, s"whitelisted BNLJs no longer planned: $stale")
+    val gwFlagged =
+      rows.filter(_.flags.exists(_.startsWith("GLOBAL-WINDOW"))).map(_.name).toSet
+    val gwStale = AuditPlans.expectedGlobalWindow.keySet -- gwFlagged
+    assert(gwStale.isEmpty,
+      s"whitelisted global windows no longer planned: $gwStale")
     // shuffle budget: each query's exchange count is pinned — an extra
     // Exchange is a scale regression that row counts won't catch; a
     // missing one is a plan change that deserves a deliberate pin update
