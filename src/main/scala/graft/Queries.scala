@@ -1048,6 +1048,30 @@ object Queries {
         "vec_id", "embedding", threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** SemDeDup RECALL-FLOOR GATE (oracle-checked, sketch-gate idiom):
+    * cluster-scoped candidate generation ([[Dedup.semanticPairs]], k=8
+    * spherical cells, top-3 multi-assignment) must recover ≥ 90% of the
+    * exact cosine pairs at 0.35, or the in-plan gate empties the output
+    * and the row count breaks against the unconditional exact oracle.
+    * The floor is a floor, not 100%: this synthetic corpus is
+    * near-uniform (no semantic cluster structure — ProbeSemantic
+    * measures 0.95/0.97/0.96 recall at sf0.001/0.01/0.1), so
+    * cluster-scoped pruning genuinely loses the tail, exactly the
+    * recall-for-volume trade SemDeDup makes; on a corpus with real
+    * duplicate structure the same parameters sit at 1.0. Everything is
+    * one Spark plan — no driver-side counting. */
+  val q_dedup_semantic: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", threshold = 0.35)
+    val cands = Dedup.semanticPairs(emb, "vec_id", "embedding", threshold = 0.35,
+      nCentroids = 8, probes = 3).select(col("id_a"), col("id_b"), lit(1).as("__c"))
+    val gate = exact.join(cands, Seq("id_a", "id_b"), "left")
+      .agg((sum(coalesce(col("__c"), lit(0))) >= count(lit(1)) * 0.9).as("__ok"))
+    exact.crossJoin(broadcast(gate)).filter(col("__ok"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ==================================================================
   // Similarity search
   // ==================================================================
@@ -1161,6 +1185,47 @@ object Queries {
       candidates = 500)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
       .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  // ==================================================================
+  // Data layout (write-time clustering for scan-time skipping)
+  // ==================================================================
+
+  /** Z-ORDER LAYOUT GATE: rewrite lineitem's key columns as a z-ordered
+    * parquet layout ([[graft.operators.Layout.writeZOrdered]], 16-bit
+    * Morton interleave of l_orderkey × l_partkey, 32 files), then prove
+    * BOTH properties in one output:
+    *  - layout: a ~5% band filter on EACH interleaved dimension must
+    *    touch ≤ 60% of the files (per-file min/max ranges — what a
+    *    parquet scan's file pruning sees; a one-dimensional sort would
+    *    put the SECOND dimension at 100%). If either bound fails, the
+    *    in-plan gate empties the output and the row count breaks.
+    *  - content: the rows inside the l_partkey band, read BACK from the
+    *    rewritten layout, must hash-match the DuckDB oracle over the
+    *    ORIGINAL table — the rewrite is a layout change, not a data
+    *    change. Band bounds use integer min/max + floor arithmetic so
+    *    both engines compute identical cutoffs. */
+  val q_zorder_layout: Q = (s, dir) => {
+    import graft.operators.Layout
+    val li = t(s, dir, "lineitem").df
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val out = s"${ioDir(dir)}/lineitem_zorder"
+    Layout.writeZOrdered(li, out, Seq("l_orderkey", "l_partkey"), nFiles = 32)
+    val back = s.read.parquet(out)
+    // band cutoffs from one tiny agg over the rewritten data (content ==
+    // original, so the oracle derives the same cutoffs from lineitem)
+    val r = back.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    def band(mn: Long, mx: Long): (Long, Long) =
+      (mn + math.floor((mx - mn) * 0.45).toLong, mn + math.floor((mx - mn) * 0.50).toLong)
+    val (okLo, okHi) = band(r.getLong(0), r.getLong(1))
+    val (pkLo, pkHi) = band(r.getLong(2), r.getLong(3))
+    val stats = Layout.fileRangeStats(s, out, Seq("l_orderkey", "l_partkey"))
+      .localCheckpoint(true) // 32 rows; scanned twice below
+    val ok = Layout.overlapFraction(stats, "l_orderkey", okLo.toDouble, okHi.toDouble) <= 0.6 &&
+      Layout.overlapFraction(stats, "l_partkey", pkLo.toDouble, pkHi.toDouble) <= 0.6
+    back.filter(col("l_partkey").between(pkLo, pkHi) && lit(ok))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
   }
 
   // ==================================================================
@@ -1540,6 +1605,8 @@ object Queries {
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_embedding" -> q_dedup_embedding,
+    "q_dedup_semantic" -> q_dedup_semantic,
+    "q_zorder_layout" -> q_zorder_layout,
     "q_sim_topk" -> q_sim_topk,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
@@ -2610,6 +2677,35 @@ object Queries {
         |   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
         |      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same exact-pair oracle as q_dedup_embedding: the semantic gate must
+    // reproduce the UNCONDITIONAL exact answer, and only does so when the
+    // cluster-scoped candidate recall clears its in-plan 0.9 floor
+    "q_dedup_semantic" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        |  AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the oracle reads the ORIGINAL lineitem; the query reads the rows
+    // back from the z-ordered rewrite — hash-match proves the layout
+    // rewrite preserved content, and the in-plan skip-bound gate proves
+    // it actually clusters both dimensions
+    "q_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT min(l_partkey) + CAST(FLOOR((max(l_partkey) - min(l_partkey)) * 0.45) AS BIGINT) AS lo,
+        |         min(l_partkey) + CAST(FLOOR((max(l_partkey) - min(l_partkey)) * 0.50) AS BIGINT) AS hi
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN b.lo AND b.hi
+        |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin,
 
     "q_sim_topk" ->
       """WITH q AS (

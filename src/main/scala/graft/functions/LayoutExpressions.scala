@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftinterop.ColumnInterop
+import org.apache.spark.sql.types._
+
+/** Static interleave kernel shared by interpreted eval and codegen (same
+  * reference-free pattern as [[VectorUtil]]). */
+object BitUtil {
+
+  /** Morton/Z-value: interleave the low `bits` bits of each element of
+    * `vals` (dimension c of value bit b lands at output bit `b*d + c`,
+    * so dimension 0 owns the least-significant lane). `d * bits` must
+    * fit in a signed long (≤ 63); elements are assumed non-null and
+    * already clamped to [0, 2^bits). */
+  def interleave(vals: ArrayData, bits: Int): Long = {
+    val d = vals.numElements()
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      var c = 0
+      while (c < d) {
+        z |= ((vals.getInt(c) >>> b) & 1L) << (b * d + c)
+        c += 1
+      }
+      b += 1
+    }
+    z
+  }
+}
+
+/** Z-order (Morton) key over an array of bucketized int coordinates —
+  * the multi-dimensional clustering key behind z-ordered data layout
+  * (cf. the classic Morton curve and its use for parquet data skipping
+  * in open lakehouse formats). Taking ONE array child keeps this a
+  * [[UnaryExpression]] so `nullSafeCodeGen` applies: `array(x, y, ...)`
+  * is itself codegen'd, and the kernel is a tight static-call loop
+  * inside whole-stage codegen — the [[VecDot]] house pattern. */
+case class InterleaveBits(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+
+  override def prettyName: String = "interleave_bits"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<int> input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() * bits <= 63,
+      s"$prettyName: ${v.numElements()} dims x $bits bits overflows a long")
+    BitUtil.interleave(v, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BitUtil.interleave($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LayoutExpressions {
+
+  /** Z-order key of pre-bucketized int coordinate columns (dimension 0 =
+    * least-significant bit lane). Callers clamp coordinates to
+    * [0, 2^bits) — see [[graft.operators.Layout.zValue]]. */
+  def interleave_bits(coords: Seq[Column], bits: Int): Column = {
+    require(coords.nonEmpty, "interleave_bits needs at least one coordinate")
+    require(coords.size * bits <= 63,
+      s"${coords.size} dims x $bits bits overflows a long")
+    ColumnInterop.column(InterleaveBits(
+      ColumnInterop.expression(org.apache.spark.sql.functions.array(coords: _*)),
+      bits))
+  }
+}

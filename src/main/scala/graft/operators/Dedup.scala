@@ -505,4 +505,58 @@ object Dedup {
       .filter(col("cosine") > threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SEMANTIC near-dup candidate pairs, SemDeDup-shaped (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): spherical k-means over the embeddings,
+    * then exact cosine only WITHIN a cell — candidate volume is
+    * sum-of-squared-cell-sizes, never corpus all-pairs, which is what
+    * makes embedding dedup feasible at 100 TB. Each vector carries its
+    * top-`probes` cells ([[graft.functions.TopCentroids]], codegen'd
+    * map-side assignment), so a pair straddling a Voronoi boundary still
+    * shares a cell — single-assignment is where naive SemDeDup quietly
+    * loses recall. A pair sharing several cells computes bit-identical
+    * cosines in each, so the final `distinct` collapses it to one row.
+    *
+    * Clustering is deterministic ([[Similarity.ivfIndex]]: hash-ordered
+    * init, fixed iterations), so the candidate set is reproducible run
+    * to run — required for the oracle gate. Cosine uses the same
+    * [[graft.functions.VectorExpressions.vec_dot]] arithmetic as
+    * [[embeddingCosinePairs]], so candidate and exact scores agree
+    * bit-for-bit at the threshold boundary. */
+  def semanticPairs(df0: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, probes: Int = 2,
+      iters: Int = 3): DataFrame = {
+    import graft.functions.VectorExpressions.{top_centroids_cos, vec_dot, vec_norm}
+    require(probes >= 1 && probes <= nCentroids, "need 1 <= probes <= nCentroids")
+    val df = df0.filter(col(vecCol).isNotNull)
+    val centroids = Similarity.ivfIndex(df, idCol, vecCol, nCentroids, iters).centroids
+    val cells = df
+      .select(col(idCol), col(vecCol), vec_norm(col(vecCol)).as("__n"),
+        explode(top_centroids_cos(col(vecCol), centroids, probes)).as("__cell"))
+    val a = cells.select(col("__cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = cells.select(col("__cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") > threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+
+  /** Semantic near-dup REMOVAL: drop every vector with a semantic pair
+    * to a lower id (the same one-pass anchor policy as
+    * [[removeNearDuplicates]] — order-deterministic, one anti-join).
+    * The drop set is tiny (ids only) and eagerly materialized so the
+    * clustering pipeline doesn't survive into the caller's lineage. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, probes: Int = 2,
+      iters: Int = 3): DataFrame = {
+    val drop = semanticPairs(df, idCol, vecCol, threshold, nCentroids, probes, iters)
+      .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

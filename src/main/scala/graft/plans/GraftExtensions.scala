@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{NormalizeWords, ShingleHashSet, SimHash64, TextNormalize, VecDot}
+import graft.functions.{InterleaveBits, NormalizeWords, ShingleHashSet, SimHash64, TextNormalize, VecDot}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works and the
@@ -89,6 +89,18 @@ object GraftExtensions {
             s"normalize_words: sorted_set must be a boolean literal, got $other")
         }
         NormalizeWords(children(0), TextNormalize.stopwords, sortedSet)
+      }),
+    (FunctionIdentifier("interleave_bits"),
+      info("interleave_bits", "interleave_bits(coords, bits) - Morton/z-order key of an " +
+        "array<int> coordinate column, `bits` low bits per dimension (codegen'd); " +
+        "the write-time clustering key behind Layout.writeZOrdered"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "interleave_bits takes exactly 2 arguments")
+        children(1) match {
+          case Literal(b: Int, IntegerType) => InterleaveBits(children(0), b)
+          case other => throw new IllegalArgumentException(
+            s"interleave_bits: bits must be an integer literal, got $other")
+        }
       }))
 
   /** Register the same functions into an already-running session (for

@@ -44,6 +44,7 @@ object AuditPlans {
     "q_curation_funnel" -> 1, "q_decontam_bloom" -> 3,
     "q_decontam_fuzzy" -> 4, "q_dedup_cluster" -> 2,
     "q_dedup_embedding" -> 2, "q_dedup_exact" -> 2, "q_dedup_minhash" -> 9,
+    "q_dedup_semantic" -> 6, "q_zorder_layout" -> 1,
     "q_dedup_ngram" -> 3, "q_dedup_remove" -> 2, "q_dedup_simhash" -> 10,
     "q_delete" -> 2, "q_embed_normalize" -> 1, "q_embed_quantize" -> 1,
     "q_excel_dates" -> 1, "q_excel_roundtrip" -> 1, "q_except" -> 2,
@@ -80,6 +81,8 @@ object AuditPlans {
   val expectedBnlj: Map[String, String] = Map(
     "q_dedup_embedding" ->
       "verification-grade exact all-pairs; LSH banding is the scale path",
+    "q_dedup_semantic" ->
+      "the EXACT side of the recall-floor gate is verification-grade all-pairs; the semantic path under test is cluster-scoped joins",
     "q_pivot_3level" ->
       "pivot key-lattice grid: product of two broadcast DISTINCT-KEY sets, bounded by pivot-key cardinality",
     "q_quantile_band" ->

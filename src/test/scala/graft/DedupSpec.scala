@@ -333,4 +333,57 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(top(loaded) == top(idx), "served top-k == in-memory top-k")
   }
+
+  // Planted cluster structure: 4 well-separated directions in 8 dims,
+  // 10 vectors each with small deterministic jitter — within-cluster
+  // cosine ~0.99, across ~0. The regime SemDeDup assumes.
+  lazy val plantedEmb = {
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.05f * (((c * 10 + i) * 7 % 5) - 2))
+      v(c * 2) = 10f
+      ((c * 10 + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  test("semanticPairs: sound subset of exact pairs, full recall on clustered data") {
+    val exact = Dedup.embeddingCosinePairs(plantedEmb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").cache()
+    val cands = Dedup.semanticPairs(plantedEmb, "vec_id", "embedding", 0.9,
+      nCentroids = 4, probes = 2).select("id_a", "id_b").cache()
+    // soundness: cluster-scoped pairs are real pairs (same arithmetic)
+    assert(cands.join(exact, Seq("id_a", "id_b"), "left_anti").count() == 0)
+    // on data WITH cluster structure the trade costs nothing: recall = 1
+    val nExact = exact.count()
+    assert(nExact > 100, s"planted clusters should be pair-dense, got $nExact")
+    assert(exact.join(cands, Seq("id_a", "id_b"), "left_semi").count() == nExact)
+  }
+
+  test("semanticPairs clears the 0.9 gate floor on the near-uniform corpus") {
+    // the q_dedup_semantic parameters at the gate SF — this is the test
+    // that keeps the gate's recall floor honest (measured 0.95 here)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").cache()
+    val cands = Dedup.semanticPairs(emb, "vec_id", "embedding", 0.35,
+      nCentroids = 8, probes = 3).select("id_a", "id_b")
+    val nExact = exact.count()
+    val hit = exact.join(cands, Seq("id_a", "id_b"), "left_semi").count()
+    assert(hit >= math.ceil(nExact * 0.9).toLong,
+      s"semantic recall $hit/$nExact under the 0.9 gate floor")
+  }
+
+  test("semanticDedup drops exactly the higher-id side of semantic pairs") {
+    val out = Dedup.semanticDedup(plantedEmb, "vec_id", "embedding", 0.9,
+      nCentroids = 4, probes = 2)
+    val dropped = Dedup.semanticPairs(plantedEmb, "vec_id", "embedding", 0.9,
+      nCentroids = 4, probes = 2)
+      .select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(dropped).isEmpty)
+    assert(kept.size + dropped.size == 40)
+  }
 }

@@ -79,4 +79,12 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(api.sameElements(sql))
   }
+
+  test("interleave_bits usable from SQL and matches the Scala surface") {
+    GraftExtensions.install(spark)
+    val sql = spark.sql(
+      "SELECT interleave_bits(array(x, y), 16) AS z FROM VALUES (1, 0), (0, 1), (3, 3) AS t(x, y)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sql == Seq(1L, 2L, 15L))
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.functions.BitUtil
+import graft.functions.LayoutExpressions.interleave_bits
+import graft.operators.Layout
+
+/** Z-order layout: Morton kernel values, content-preserving rewrite, and
+  * the actual skip-stat win over a one-dimensional sort. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BitUtil.interleave: classic Morton values (interpreted kernel)") {
+    def z(vals: Int*): Long =
+      BitUtil.interleave(new GenericArrayData(vals.toArray), 16)
+    assert(z(1, 0) == 1L)   // dim 0 owns bit lane 0
+    assert(z(0, 1) == 2L)   // dim 1 owns bit lane 1
+    assert(z(3, 3) == 15L)  // (11, 11) -> 1111
+    assert(z(0, 0) == 0L)
+    assert(z(65535, 65535) == (1L << 32) - 1) // full 16-bit frame
+    // 3 dims: (1,1,1) -> bits 0,1,2
+    assert(BitUtil.interleave(new GenericArrayData(Array(1, 1, 1)), 8) == 7L)
+  }
+
+  test("interleave_bits matches the kernel through codegen") {
+    val got = Seq((1, 0), (0, 1), (3, 3), (7, 2))
+      .toDF("x", "y")
+      .select(interleave_bits(Seq(col("x"), col("y")), 16).as("z"))
+      .orderBy("z").collect().map(_.getLong(0)).toSeq
+    def ref(x: Int, y: Int): Long =
+      BitUtil.interleave(new GenericArrayData(Array(x, y)), 16)
+    assert(got == Seq((1, 0), (0, 1), (3, 3), (7, 2)).map((ref _).tupled).sorted)
+  }
+
+  test("writeZOrdered preserves content exactly and bounds file count") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val out = "/tmp/graft-test/zorder_roundtrip"
+    Layout.writeZOrdered(li, out, Seq("l_orderkey", "l_partkey"), nFiles = 8)
+    val back = spark.read.parquet(out)
+    assert(back.inputFiles.length <= 8)
+    // bag equality: layout rewrite must not add/drop/alter any row
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
+  test("z-order layout skips on BOTH dims where a linear sort skips on one") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zDir = "/tmp/graft-test/zorder_skip"
+    val linDir = "/tmp/graft-test/linear_skip"
+    Layout.writeZOrdered(li, zDir, Seq("l_orderkey", "l_partkey"), nFiles = 32)
+    li.repartitionByRange(32, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(linDir)
+    val r = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head()
+    def band(mn: Long, mx: Long): (Double, Double) =
+      (mn + math.floor((mx - mn) * 0.45), mn + math.floor((mx - mn) * 0.50))
+    val (okLo, okHi) = band(r.getLong(0), r.getLong(1))
+    val (pkLo, pkHi) = band(r.getLong(2), r.getLong(3))
+    val zStats = Layout.fileRangeStats(spark, zDir, Seq("l_orderkey", "l_partkey"))
+      .localCheckpoint(true)
+    val linStats = Layout.fileRangeStats(spark, linDir, Seq("l_orderkey", "l_partkey"))
+      .localCheckpoint(true)
+    // z-order: a 5% band on EITHER dim reads under half the files
+    // (measured 0.38 / 0.25 at this SF; gate bound 0.6 leaves margin)
+    assert(Layout.overlapFraction(zStats, "l_orderkey", okLo, okHi) <= 0.5)
+    assert(Layout.overlapFraction(zStats, "l_partkey", pkLo, pkHi) <= 0.5)
+    // one-dimensional sort: perfect on its key, useless on the other —
+    // the asymmetry z-order exists to remove
+    assert(Layout.overlapFraction(linStats, "l_orderkey", okLo, okHi) <= 0.2)
+    assert(Layout.overlapFraction(linStats, "l_partkey", pkLo, pkHi) >= 0.9)
+  }
+
+  test("zValue edge cases: constant column and nulls bucket low") {
+    val df = Seq((Some(1L), 5L), (None, 5L), (Some(3L), 5L))
+      .toDF("a", "b")
+    // constant b collapses to one bucket; null a maps to the min bucket
+    val z = df.select(Layout.zValue(df, Seq("a", "b"), bits = 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z.length == 3)
+    assert(z(1) == z.min) // the null row sorts with the minimum
+  }
+}
