@@ -1058,11 +1058,17 @@ object Queries {
     * measures 0.95/0.97/0.96 recall at sf0.001/0.01/0.1), so
     * cluster-scoped pruning genuinely loses the tail, exactly the
     * recall-for-volume trade SemDeDup makes; on a corpus with real
-    * duplicate structure the same parameters sit at 1.0. Everything is
-    * one Spark plan — no driver-side counting. */
+    * duplicate structure the same parameters sit at 1.0. The gate
+    * decision is IN-PLAN (a one-row broadcast join, no driver-side
+    * counting); the exact side is materialized once up front so the
+    * verification-grade all-pairs join doesn't run twice. */
   val q_dedup_semantic: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings").df
+    // the exact side feeds BOTH the gate aggregate and the output —
+    // materialize the (tiny: pairs above threshold) frame once so the
+    // verification-grade all-pairs join runs once, not twice
     val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", threshold = 0.35)
+      .localCheckpoint(true)
     val cands = Dedup.semanticPairs(emb, "vec_id", "embedding", threshold = 0.35,
       nCentroids = 8, probes = 3).select(col("id_a"), col("id_b"), lit(1).as("__c"))
     val gate = exact.join(cands, Seq("id_a", "id_b"), "left")
@@ -1220,11 +1226,20 @@ object Queries {
       (mn + math.floor((mx - mn) * 0.45).toLong, mn + math.floor((mx - mn) * 0.50).toLong)
     val (okLo, okHi) = band(r.getLong(0), r.getLong(1))
     val (pkLo, pkHi) = band(r.getLong(2), r.getLong(3))
-    val stats = Layout.fileRangeStats(s, out, Seq("l_orderkey", "l_partkey"))
-      .localCheckpoint(true) // 32 rows; scanned twice below
-    val ok = Layout.overlapFraction(stats, "l_orderkey", okLo.toDouble, okHi.toDouble) <= 0.6 &&
-      Layout.overlapFraction(stats, "l_partkey", pkLo.toDouble, pkHi.toDouble) <= 0.6
-    back.filter(col("l_partkey").between(pkLo, pkHi) && lit(ok))
+    // the skip-bound gate stays IN-PLAN (one broadcast gate row, the
+    // q_dedup_semantic idiom): re-executing the returned frame
+    // re-validates the layout, and the audited plan shows the gate
+    def overlaps(c: String, lo: Long, hi: Long) =
+      col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+    val gate = Layout.fileRangeStats(s, out, Seq("l_orderkey", "l_partkey"))
+      .agg(
+        ((sum(when(overlaps("l_orderkey", okLo, okHi), 1L).otherwise(0L))
+          <= count(lit(1)) * 0.6) &&
+          (sum(when(overlaps("l_partkey", pkLo, pkHi), 1L).otherwise(0L))
+            <= count(lit(1)) * 0.6)).as("__ok"))
+    back.filter(col("l_partkey").between(pkLo, pkHi))
+      .crossJoin(broadcast(gate)).filter(col("__ok"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
   }
 

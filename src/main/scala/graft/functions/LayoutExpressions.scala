@@ -13,15 +13,34 @@ object BitUtil {
 
   /** Morton/Z-value: interleave the low `bits` bits of each element of
     * `vals` (dimension c of value bit b lands at output bit `b*d + c`,
-    * so dimension 0 owns the least-significant lane). `d * bits` must
-    * fit in a signed long (≤ 63); elements are assumed non-null and
-    * already clamped to [0, 2^bits). */
+    * so dimension 0 owns the least-significant lane). The kernel itself
+    * enforces the contract — `d * bits ≤ 63`, non-null coordinates in
+    * [0, 2^bits) — because the SQL surface (`interleave_bits`) reaches
+    * it directly: silent wrap-around or null-as-zero would produce a
+    * plausible but WRONG sort key, the worst failure mode for a
+    * clustering primitive. [[graft.operators.Layout.zValue]] clamps
+    * before calling, so the library path never pays an exception. */
   def interleave(vals: ArrayData, bits: Int): Long = {
     val d = vals.numElements()
+    if (d * bits > 63)
+      throw new IllegalArgumentException(
+        s"interleave_bits: $d dims x $bits bits overflows a long")
+    val hi = (1 << bits) - 1
     var z = 0L
     var b = 0
+    var c = 0
+    while (c < d) {
+      if (vals.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"interleave_bits: null coordinate at dim $c")
+      val v = vals.getInt(c)
+      if (v < 0 || v > hi)
+        throw new IllegalArgumentException(
+          s"interleave_bits: coordinate $v at dim $c outside [0, ${hi + 1})")
+      c += 1
+    }
     while (b < bits) {
-      var c = 0
+      c = 0
       while (c < d) {
         z |= ((vals.getInt(c) >>> b) & 1L) << (b * d + c)
         c += 1
@@ -55,12 +74,10 @@ case class InterleaveBits(child: Expression, bits: Int) extends UnaryExpression 
           s"$prettyName needs array<int> input, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    require(v.numElements() * bits <= 63,
-      s"$prettyName: ${v.numElements()} dims x $bits bits overflows a long")
-    BitUtil.interleave(v, bits)
-  }
+  // overflow/null/range violations throw from the kernel itself, so the
+  // interpreted and codegen paths behave identically
+  override def nullSafeEval(input: Any): Any =
+    BitUtil.interleave(input.asInstanceOf[ArrayData], bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.BitUtil.interleave($c, $bits)")

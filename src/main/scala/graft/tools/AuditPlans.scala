@@ -44,7 +44,7 @@ object AuditPlans {
     "q_curation_funnel" -> 1, "q_decontam_bloom" -> 3,
     "q_decontam_fuzzy" -> 4, "q_dedup_cluster" -> 2,
     "q_dedup_embedding" -> 2, "q_dedup_exact" -> 2, "q_dedup_minhash" -> 9,
-    "q_dedup_semantic" -> 6, "q_zorder_layout" -> 1,
+    "q_dedup_semantic" -> 5, "q_zorder_layout" -> 3,
     "q_dedup_ngram" -> 3, "q_dedup_remove" -> 2, "q_dedup_simhash" -> 10,
     "q_delete" -> 2, "q_embed_normalize" -> 1, "q_embed_quantize" -> 1,
     "q_excel_dates" -> 1, "q_excel_roundtrip" -> 1, "q_except" -> 2,
@@ -82,7 +82,9 @@ object AuditPlans {
     "q_dedup_embedding" ->
       "verification-grade exact all-pairs; LSH banding is the scale path",
     "q_dedup_semantic" ->
-      "the EXACT side of the recall-floor gate is verification-grade all-pairs; the semantic path under test is cluster-scoped joins",
+      "recall-floor gate join: build side is exactly ONE broadcast row (the verification-grade all-pairs exact side is materialized once, outside this plan)",
+    "q_zorder_layout" ->
+      "skip-bound gate join: build side is exactly ONE broadcast row (the per-file stats aggregate)",
     "q_pivot_3level" ->
       "pivot key-lattice grid: product of two broadcast DISTINCT-KEY sets, bounded by pivot-key cardinality",
     "q_quantile_band" ->
@@ -112,19 +114,21 @@ object AuditPlans {
     seen.size
   }
 
-  /** Count window operators whose partitionSpec is EMPTY — Spark funnels
-    * the whole input through ONE task for these ("No Partition Defined"
-    * warning), the canonical 100 TB scale-killer. Descends into cached
-    * plans like [[countShuffles]]. */
+  /** Count DISTINCT window operators whose partitionSpec is EMPTY —
+    * Spark funnels the whole input through ONE task for these ("No
+    * Partition Defined" warning), the canonical 100 TB scale-killer.
+    * Same identity-dedup + cached-plan descent as [[countShuffles]]: a
+    * cached subtree referenced twice prints twice but runs once. */
   def countGlobalWindows(root: SparkPlan): Int = {
-    var n = 0
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Unit = p.foreach {
-      case w: WindowExecBase if w.partitionSpec.isEmpty => n += 1
+      case w: WindowExecBase if w.partitionSpec.isEmpty => seen.add(w)
       case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
       case _ => ()
     }
     walk(root)
-    n
+    seen.size
   }
 
   /** Audit every registered batch query's static physical plan. Run with
