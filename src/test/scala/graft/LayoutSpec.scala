@@ -74,6 +74,55 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.overlapFraction(linStats, "l_partkey", pkLo, pkHi) >= 0.9)
   }
 
+  test("z-order over a STRING x numeric pair: both dims skip (documents source x n_chars)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source", "n_chars", "doc_id")
+    val dir = "/tmp/graft-test/zorder_string"
+    Layout.writeZOrdered(docs, dir, Seq("source", "n_chars"), nFiles = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    val stats = Layout.fileRangeStats(spark, dir, Seq("n_chars"))
+      .localCheckpoint(true)
+    // a single-source point query: files whose [min,max] SOURCE range
+    // contains it (string stats need their own comparison)
+    val one = spark.read.parquet(dir).groupBy(input_file_name().as("file"))
+      .agg(min(col("source")).as("smin"), max(col("source")).as("smax"))
+      .filter(col("smin") <= lit("src12") && col("smax") >= lit("src12"))
+      .count()
+    val total = back.inputFiles.length
+    assert(one.toDouble / total <= 0.5,
+      s"string-dim point query touched $one/$total files")
+    // and the numeric dim still skips on a band
+    val r = docs.agg(min("n_chars"), max("n_chars")).head()
+    val lo = r.getLong(0) + math.floor((r.getLong(1) - r.getLong(0)) * 0.45)
+    val hi = r.getLong(0) + math.floor((r.getLong(1) - r.getLong(0)) * 0.50)
+    assert(Layout.overlapFraction(stats, "n_chars", lo, hi) <= 0.6)
+  }
+
+  test("compact: content-preserving file-count rewrite that can keep a sort") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val scattered = "/tmp/graft-test/compact_in"
+    val compacted = "/tmp/graft-test/compact_out"
+    li.repartition(64).write.mode("overwrite").parquet(scattered) // small-files state
+    val n = li.count()
+    Layout.compact(spark, scattered, compacted, targetRowsPerFile = n / 4,
+      sortCols = Seq("l_orderkey"))
+    val back = spark.read.parquet(compacted)
+    assert(back.inputFiles.length <= 5, s"got ${back.inputFiles.length} files")
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // the kept sort gives the key a tight per-file layout
+    val stats = Layout.fileRangeStats(spark, compacted, Seq("l_orderkey"))
+      .localCheckpoint(true)
+    val r = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val lo = r.getLong(0) + math.floor((r.getLong(1) - r.getLong(0)) * 0.45)
+    val hi = r.getLong(0) + math.floor((r.getLong(1) - r.getLong(0)) * 0.50)
+    assert(Layout.overlapFraction(stats, "l_orderkey", lo, hi) <= 0.5)
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, scattered, scattered, targetRowsPerFile = 10)
+    }
+  }
+
   test("zValue edge cases: constant column and nulls bucket low") {
     val df = Seq((Some(1L), 5L), (None, 5L), (Some(3L), 5L))
       .toDF("a", "b")
