@@ -86,6 +86,46 @@ case class InterleaveBits(child: Expression, bits: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Dictionary-rank coordinate for low-cardinality string z-dims: an O(1)
+  * hash lookup per row against a reference-object HashMap — a `typedlit`
+  * map would be a LINEAR ArrayBasedMapData scan (up to dictMax string
+  * comparisons per row) inside the one full-table map pass the layout
+  * write performs. Same reference-object codegen pattern as
+  * [[NearestCentroid]]. Returns null for strings absent from the
+  * dictionary (callers coalesce to bucket 0). */
+case class StringDictCoord(child: Expression,
+    dict: java.util.HashMap[String, Integer]) extends UnaryExpression {
+
+  override def prettyName: String = "string_dict_coord"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = dict.get(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dict", dict, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("rank")
+      s"""
+         |java.lang.Integer $r = (java.lang.Integer) $ref.get($c.toString());
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object LayoutExpressions {
 
   /** Z-order key of pre-bucketized int coordinate columns (dimension 0 =
@@ -99,4 +139,9 @@ object LayoutExpressions {
       ColumnInterop.expression(org.apache.spark.sql.functions.array(coords: _*)),
       bits))
   }
+
+  /** Dictionary-rank coordinate (see [[StringDictCoord]]); null for
+    * strings absent from the dictionary. */
+  def string_dict_coord(c: Column, dict: java.util.HashMap[String, Integer]): Column =
+    ColumnInterop.column(StringDictCoord(ColumnInterop.expression(c), dict))
 }

@@ -53,19 +53,23 @@ object Layout {
     require(zCols.size * bits <= 63,
       s"${zCols.size} dims x $bits bits overflows a long")
     import org.apache.spark.sql.types._
-    // pass 0 (driver-side, KBs): raw min/max per column — strings need
-    // their bounds BEFORE the proxy expression exists (common prefix)
+    // one monotone double proxy per non-string column, built ONCE and
+    // used for both the stats aggregate and the coordinate — two copies
+    // of the type dispatch would let the frame and the scaling drift
+    def numProxy(c: String): Option[Column] = df.schema(c).dataType match {
+      case StringType => None
+      case DateType => Some(unix_date(col(c)).cast(DoubleType))
+      case TimestampType => Some(col(c).cast(DoubleType))
+      case _: NumericType => Some(col(c).cast(DoubleType))
+      case other => throw new IllegalArgumentException(
+        s"zValue($c): unsupported type $other")
+    }
+    // pass 0 (driver-side, KBs): min/max per column — strings aggregate
+    // their raw bounds (the proxy needs the common prefix first)
     val rawAggs = zCols.flatMap { c =>
-      df.schema(c).dataType match {
-        case StringType => Seq(min(col(c)), max(col(c)))
-        case DateType => Seq(min(unix_date(col(c)).cast(DoubleType)),
-          max(unix_date(col(c)).cast(DoubleType)))
-        case TimestampType => Seq(min(col(c).cast(DoubleType)),
-          max(col(c).cast(DoubleType)))
-        case _: NumericType => Seq(min(col(c).cast(DoubleType)),
-          max(col(c).cast(DoubleType)))
-        case other => throw new IllegalArgumentException(
-          s"zValue($c): unsupported type $other")
+      numProxy(c) match {
+        case Some(p) => Seq(min(p), max(p))
+        case None => Seq(min(col(c)), max(col(c)))
       }
     }
     val stats = df.agg(rawAggs.head, rawAggs.tail: _*).head()
@@ -77,17 +81,31 @@ object Layout {
     }
     val coords = zCols.zipWithIndex.map { case (c, i) =>
       if (stats.isNullAt(2 * i)) lit(0) // all-null/empty column: one bucket
-      else df.schema(c).dataType match {
-        case StringType =>
+      else numProxy(c) match {
+        case Some(p) =>
+          affine(p, stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+        case None =>
           val top = df.select(col(c)).na.drop().distinct()
             .orderBy(col(c)).limit(dictMax + 1)
             .collect().map(_.getString(0))
           if (top.length <= dictMax) {
+            // O(1) hash lookup per row (codegen'd StringDictCoord) —
+            // a typedlit map would linear-scan up to dictMax keys per
+            // row of the full-table pass. Strings outside the dict
+            // (data newer than the stats) take bucket 0.
             val step = hi.toDouble / math.max(1, top.length - 1)
-            val dict: Map[String, Int] = top.zipWithIndex
-              .map { case (v, r) => v -> math.round(r * step).toInt }.toMap
-            coalesce(element_at(typedlit(dict), col(c)), lit(0))
+            val dict = new java.util.HashMap[String, Integer]()
+            top.zipWithIndex.foreach { case (v, r) =>
+              dict.put(v, Int.box(math.round(r * step).toInt))
+            }
+            coalesce(graft.functions.LayoutExpressions.string_dict_coord(col(c), dict),
+              lit(0))
           } else {
+            // order-preserving byte proxy; intentionally the same
+            // construction as Ordinals.keyedRunningTotal
+            // (core/Ordinals.scala:98-121) — NOT extracted to a shared
+            // helper yet: Ordinals backs q_pack_index, frozen until the
+            // driver confirms its round-5 rewrite green. Unify after.
             val (mnB, mxB) = (stats.getString(2 * i).getBytes("UTF-8"),
               stats.getString(2 * i + 1).getBytes("UTF-8"))
             val cp = mnB.zip(mxB).takeWhile { case (a, b) => a == b }.length
@@ -97,12 +115,6 @@ object Layout {
               cp + 1, 7)), 14, "0"), 16, 10).cast(DoubleType)
             affine(proxy, proxyOf(mnB), proxyOf(mxB))
           }
-        case DateType =>
-          affine(unix_date(col(c)).cast(DoubleType),
-            stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-        case _ =>
-          affine(col(c).cast(DoubleType),
-            stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
       }
     }
     interleave_bits(coords, bits)
@@ -114,9 +126,9 @@ object Layout {
     * per-file min/max ranges, so point/band filters on any of them prune
     * files at the scan. */
   def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String],
-      nFiles: Int = 32, bits: Int = 16): Unit = {
+      nFiles: Int = 32, bits: Int = 16, dictMax: Int = 4096): Unit = {
     require(nFiles >= 1, "nFiles must be positive")
-    df.withColumn("__z", zValue(df, zCols, bits))
+    df.withColumn("__z", zValue(df, zCols, bits, dictMax))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
@@ -137,8 +149,18 @@ object Layout {
 
   /** Fraction of files whose [min, max] range on `c` overlaps [lo, hi] —
     * i.e. the fraction of the table a band filter must actually read.
-    * 1.0 means the layout skips nothing for this predicate. */
+    * 1.0 means the layout skips nothing for this predicate. Rejects
+    * string stat columns loudly: casting them to double yields null,
+    * which would SILENTLY report perfect pruning — compare string
+    * bounds against the stats columns directly instead. */
   def overlapFraction(stats: DataFrame, c: String, lo: Double, hi: Double): Double = {
+    import org.apache.spark.sql.types.NumericType
+    stats.schema(s"${c}_min").dataType match {
+      case _: NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"overlapFraction($c): stats are $other, not numeric — a double " +
+          "cast would read as 0.0 overlap; filter the stats frame directly")
+    }
     val r = stats.agg(
       sum(when(col(s"${c}_min").cast("double") <= hi &&
         col(s"${c}_max").cast("double") >= lo, 1L).otherwise(0L)),
@@ -149,23 +171,54 @@ object Layout {
   /** Compact a parquet directory to ~`targetRowsPerFile` rows per file —
     * the small-files remedy (a 100 TB table accreted by thousands of
     * micro-batch/task writes reads at metadata speed, not data speed).
-    * One count (metadata-cheap on parquet), one round-robin or
-    * range-repartition, one write: pass `sortCols` to KEEP a clustered
-    * layout through the rewrite (compaction that destroys z-order/sort
-    * locality trades one read problem for another). */
+    * One count (metadata-cheap on parquet), one repartition, one write.
+    * Layout through the rewrite: `sortCols` keeps a ONE-dimensional
+    * sorted layout; `zOrderCols` RECOMPUTES the z-key and keeps a
+    * multi-dimensional one (a lexicographic range-sort on the original
+    * z columns would silently degrade the second dimension back to
+    * ~100% overlap — compaction that destroys clustering trades one
+    * read problem for another). The two are mutually exclusive. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-      targetRowsPerFile: Long, sortCols: Seq[String] = Nil): Unit = {
+      targetRowsPerFile: Long, sortCols: Seq[String] = Nil,
+      zOrderCols: Seq[String] = Nil, bits: Int = 16): Unit = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
-    require(new org.apache.hadoop.fs.Path(inDir).toUri !=
-      new org.apache.hadoop.fs.Path(outDir).toUri,
-      "compact cannot overwrite its own input while reading it")
+    require(sortCols.isEmpty || zOrderCols.isEmpty,
+      "pass sortCols OR zOrderCols, not both")
+    // qualified-path guard: scheme/relative aliases and nested outputs
+    // both end in doubled rows on the next recursive read
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(d: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val (inQ, outQ) = (qualified(inDir), qualified(outDir))
+    def contains(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
+      var cur: org.apache.hadoop.fs.Path = b
+      while (cur != null) {
+        if (cur == a) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    require(!contains(inQ, outQ) && !contains(outQ, inQ),
+      s"compact: input $inQ and output $outQ must be disjoint " +
+        "(same or nested paths double rows on the next recursive read)")
     val df = spark.read.parquet(inDir)
-    val nFiles = math.max(1L, math.ceil(
-      df.count().toDouble / targetRowsPerFile).toLong).toInt
+    val nFilesLong = math.max(1L, math.ceil(
+      df.count().toDouble / targetRowsPerFile).toLong)
+    require(nFilesLong <= Int.MaxValue,
+      s"compact: $nFilesLong target files overflow repartition's Int range")
+    val nFiles = nFilesLong.toInt
     val laid =
-      if (sortCols.isEmpty) df.repartition(nFiles)
-      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
+      if (zOrderCols.nonEmpty)
+        df.withColumn("__z", zValue(df, zOrderCols, bits))
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      else if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
     laid.write.mode("overwrite").parquet(outDir)
   }
 }

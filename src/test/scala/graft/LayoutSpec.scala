@@ -121,6 +121,33 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.compact(spark, scattered, scattered, targetRowsPerFile = 10)
     }
+    // nested output would double rows on the next recursive read
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, scattered, s"$scattered/nested", targetRowsPerFile = 10)
+    }
+  }
+
+  test("compact with zOrderCols keeps BOTH dims tight through the rewrite") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zDir = "/tmp/graft-test/zcompact_in"
+    val outDir = "/tmp/graft-test/zcompact_out"
+    Layout.writeZOrdered(li, zDir, Seq("l_orderkey", "l_partkey"), nFiles = 64)
+    Layout.compact(spark, zDir, outDir, targetRowsPerFile = li.count() / 16,
+      zOrderCols = Seq("l_orderkey", "l_partkey"))
+    val back = spark.read.parquet(outDir)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    val r = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head()
+    def band(mn: Long, mx: Long): (Double, Double) =
+      (mn + math.floor((mx - mn) * 0.45), mn + math.floor((mx - mn) * 0.50))
+    val (okLo, okHi) = band(r.getLong(0), r.getLong(1))
+    val (pkLo, pkHi) = band(r.getLong(2), r.getLong(3))
+    val stats = Layout.fileRangeStats(spark, outDir, Seq("l_orderkey", "l_partkey"))
+      .localCheckpoint(true)
+    // a sortCols=zCols compaction would leave l_partkey near 1.0 here
+    assert(Layout.overlapFraction(stats, "l_orderkey", okLo, okHi) <= 0.6)
+    assert(Layout.overlapFraction(stats, "l_partkey", pkLo, pkHi) <= 0.6)
   }
 
   test("zValue edge cases: constant column and nulls bucket low") {
