@@ -204,4 +204,32 @@ object Streaming {
     events
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Z-ordered streaming sink: every micro-batch lands as its OWN
+    * z-ordered parquet segment (`<dir>/batch=<id>/`) via
+    * [[graft.operators.Layout.writeZOrdered]] inside `foreachBatch` —
+    * ingestion produces a skip-friendly layout immediately instead of
+    * deferring all clustering to an offline rewrite. Segment dirs are
+    * keyed by batch id and written with overwrite, so a replayed batch
+    * (post-failure recovery) lands idempotently on its own directory —
+    * the foreachBatch exactly-once recipe. Per-batch stats are batch-
+    * local by construction; periodic [[graft.operators.Layout.compact]]
+    * (zOrderCols mode) merges accreted segments into table-wide
+    * clustering — the standard ingest-then-compact lakehouse cadence.
+    * Pass a durable `checkpoint` for anything longer-lived than a
+    * test. */
+  def zOrderedSink(stream: DataFrame, dir: String, zCols: Seq[String],
+      filesPerBatch: Int = 4,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "zOrderedSink needs a streaming frame")
+    val w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // empty micro-batches (watermark ticks) write no segment
+        if (!batch.isEmpty)
+          graft.operators.Layout.writeZOrdered(
+            batch, s"$dir/batch=$id", zCols, filesPerBatch)
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

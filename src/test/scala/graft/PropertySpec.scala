@@ -67,6 +67,51 @@ object TextHashProperties extends Properties("TextHash") {
     }
 }
 
+/** Morton/z-order kernel invariants — the properties parquet skipping
+  * rests on: per-axis monotonicity (a range predicate on ONE dimension
+  * maps to bounded z-ranges) and the bit-frame bound. */
+object MortonProperties extends Properties("Morton") {
+
+  private def z(vals: Seq[Int], bits: Int): Long =
+    graft.functions.BitUtil.interleave(
+      new GenericArrayData(vals.toArray), bits)
+
+  private val frame: Gen[(Int, Int)] = for {
+    d <- Gen.choose(1, 4)
+    bits <- Gen.choose(2, math.min(15, 63 / d))
+  } yield (d, bits)
+
+  private def coords(d: Int, bits: Int): Gen[List[Int]] =
+    Gen.listOfN(d, Gen.choose(0, (1 << bits) - 1))
+
+  property("strictly monotone in each axis with the others fixed") =
+    Prop.forAll(frame) { case (d, bits) =>
+      Prop.forAll(coords(d, bits), Gen.choose(0, d - 1)) { (cs, axis) =>
+        val hi = (1 << bits) - 1
+        // saturated axis: nothing to bump (vacuously true)
+        cs(axis) == hi || {
+          val bumped = cs.updated(axis, cs(axis) + 1)
+          z(bumped, bits) > z(cs, bits)
+        }
+      }
+    }
+
+  property("bounded by the d*bits bit frame") =
+    Prop.forAll(frame) { case (d, bits) =>
+      Prop.forAll(coords(d, bits)) { cs =>
+        val v = z(cs, bits)
+        v >= 0L && v < (1L << (d * bits))
+      }
+    }
+
+  property("zero is the origin and the all-ones frame is the maximum") =
+    Prop.forAll(frame) { case (d, bits) =>
+      val hi = (1 << bits) - 1
+      z(List.fill(d)(0), bits) == 0L &&
+        z(List.fill(d)(hi), bits) == (1L << (d * bits)) - 1
+    }
+}
+
 /** Spark-backed properties: few cases, real plans. */
 class RunIdPropertySpec extends SparkSpec {
   import spark.implicits._

@@ -132,6 +132,35 @@ class StreamingSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("zOrderedSink: micro-batches land as idempotent z-ordered segments") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val dir = "/tmp/graft-test/zsink"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val q = Streaming.zOrderedSink(
+      in.toDF().toDF("k1", "k2", "v"), dir, Seq("k1", "k2"), filesPerBatch = 2)
+    val batch1 = (1 to 40).map(i => (i.toLong, (41 - i).toLong, i / 2.0))
+    val batch2 = (41 to 60).map(i => (i.toLong, (101 - i).toLong, i / 2.0))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val segs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(segs.toSeq == Seq("batch=0", "batch=1"), s"got ${segs.toSeq}")
+    // content: union of the batches, nothing lost or duplicated
+    val back = spark.read.parquet(s"$dir/batch=*")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(back.sorted == (batch1 ++ batch2).sorted)
+    // each segment is clustered: its files' k1 ranges don't all overlap
+    val stats = graft.operators.Layout.fileRangeStats(
+      spark, s"$dir/batch=0", Seq("k1")).localCheckpoint(true)
+    assert(graft.operators.Layout.overlapFraction(stats, "k1", 1.0, 5.0) <= 0.5)
+  }
+
   test("runningUserTotals: GroupState persists across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.UserEvent
