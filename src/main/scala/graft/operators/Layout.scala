@@ -154,16 +154,20 @@ object Layout {
     * which would SILENTLY report perfect pruning — compare string
     * bounds against the stats columns directly instead. */
   def overlapFraction(stats: DataFrame, c: String, lo: Double, hi: Double): Double = {
-    import org.apache.spark.sql.types.NumericType
-    stats.schema(s"${c}_min").dataType match {
-      case _: NumericType => ()
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    // the bounds live in the SAME double frame zValue scales each type
+    // into: epoch days for dates, epoch seconds for timestamps
+    def proxy(side: String): Column = stats.schema(s"${c}_$side").dataType match {
+      case DateType => unix_date(col(s"${c}_$side")).cast("double")
+      case TimestampType => col(s"${c}_$side").cast("double")
+      case _: NumericType => col(s"${c}_$side").cast("double")
       case other => throw new IllegalArgumentException(
-        s"overlapFraction($c): stats are $other, not numeric — a double " +
-          "cast would read as 0.0 overlap; filter the stats frame directly")
+        s"overlapFraction($c): stats are $other — its double cast is " +
+          "null (string stats would read as 0.0 overlap); compare " +
+          "against the stats frame directly")
     }
     val r = stats.agg(
-      sum(when(col(s"${c}_min").cast("double") <= hi &&
-        col(s"${c}_max").cast("double") >= lo, 1L).otherwise(0L)),
+      sum(when(proxy("min") <= hi && proxy("max") >= lo, 1L).otherwise(0L)),
       count(lit(1))).head()
     if (r.getLong(1) == 0L) 1.0 else r.getLong(0).toDouble / r.getLong(1)
   }
@@ -180,7 +184,8 @@ object Layout {
     * read problem for another). The two are mutually exclusive. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetRowsPerFile: Long, sortCols: Seq[String] = Nil,
-      zOrderCols: Seq[String] = Nil, bits: Int = 16): Unit = {
+      zOrderCols: Seq[String] = Nil, bits: Int = 16,
+      dictMax: Int = 4096): Unit = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     require(sortCols.isEmpty || zOrderCols.isEmpty,
       "pass sortCols OR zOrderCols, not both")
@@ -209,16 +214,17 @@ object Layout {
     require(nFilesLong <= Int.MaxValue,
       s"compact: $nFilesLong target files overflow repartition's Int range")
     val nFiles = nFilesLong.toInt
-    val laid =
-      if (zOrderCols.nonEmpty)
-        df.withColumn("__z", zValue(df, zOrderCols, bits))
-          .repartitionByRange(nFiles, col("__z"))
-          .sortWithinPartitions(col("__z"))
-          .drop("__z")
-      else if (sortCols.nonEmpty)
-        df.repartitionByRange(nFiles, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-      else df.repartition(nFiles)
-    laid.write.mode("overwrite").parquet(outDir)
+    if (zOrderCols.nonEmpty)
+      // one write path: a second copy of the z pipeline would let the
+      // two drift (and WOULD have defaulted dictMax on compaction)
+      writeZOrdered(df, outDir, zOrderCols, nFiles, bits, dictMax)
+    else {
+      val laid =
+        if (sortCols.nonEmpty)
+          df.repartitionByRange(nFiles, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else df.repartition(nFiles)
+      laid.write.mode("overwrite").parquet(outDir)
+    }
   }
 }

@@ -216,8 +216,18 @@ object Streaming {
     * local by construction; periodic [[graft.operators.Layout.compact]]
     * (zOrderCols mode) merges accreted segments into table-wide
     * clustering — the standard ingest-then-compact lakehouse cadence.
-    * Pass a durable `checkpoint` for anything longer-lived than a
-    * test. */
+    *
+    * Reading the sink ROOT partition-discovers the `batch=<id>` dirs as
+    * an extra int `batch` column (deliberate hive-style naming: the
+    * root reads as one table and the column is segment provenance) —
+    * anything that must preserve the stream's own schema, compaction
+    * included, should drop it or read `<dir>/batch=*` directly.
+    *
+    * The micro-batch is persisted across the sink's passes (emptiness
+    * probe, zValue stats aggregate, optional string-dict collect, the
+    * write) — foreachBatch re-executes the batch plan from the source
+    * for every action otherwise. Pass a durable `checkpoint` for
+    * anything longer-lived than a test. */
   def zOrderedSink(stream: DataFrame, dir: String, zCols: Seq[String],
       filesPerBatch: Int = 4,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -225,10 +235,13 @@ object Streaming {
     val w = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // empty micro-batches (watermark ticks) write no segment
-        if (!batch.isEmpty)
-          graft.operators.Layout.writeZOrdered(
-            batch, s"$dir/batch=$id", zCols, filesPerBatch)
+        val pinned = batch.persist()
+        try {
+          // empty micro-batches (watermark ticks) write no segment
+          if (!pinned.isEmpty)
+            graft.operators.Layout.writeZOrdered(
+              pinned, s"$dir/batch=$id", zCols, filesPerBatch)
+        } finally pinned.unpersist()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

@@ -159,6 +159,12 @@ class StreamingSpec extends SparkSpec {
     val stats = graft.operators.Layout.fileRangeStats(
       spark, s"$dir/batch=0", Seq("k1")).localCheckpoint(true)
     assert(graft.operators.Layout.overlapFraction(stats, "k1", 1.0, 5.0) <= 0.5)
+    // the documented root-read contract: hive-style segment dirs read as
+    // one table with a `batch` provenance column
+    val root = spark.read.parquet(dir)
+    assert(root.columns.sorted.toSeq == Seq("batch", "k1", "k2", "v"))
+    assert(root.select("batch").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(0, 1))
   }
 
   test("runningUserTotals: GroupState persists across micro-batches") {
