@@ -17,7 +17,12 @@ import graft.core.{Cmp, GTable, SortKey}
   *   - timestamps rendered as strings when they appear in output;
   *   - ORDER BY on nullable keys carries explicit NULLS FIRST (Spark ASC
   *     default) since DuckDB defaults to NULLS LAST;
-  *   - no sum() over INTEGER in DuckDB without CAST (avoids HUGEINT).
+  *   - no sum() over INTEGER in DuckDB without an OUTER CAST on the sum
+  *     itself — including window sums (DuckDB sum(BIGINT) → HUGEINT →
+  *     Arrow decimal128(38,0), which the driver's type-sensitive hash
+  *     rejects against Spark's int64 even when values are equal; this was
+  *     q_pack_index's three-round hash-red). Enforced by OracleHygieneSpec
+  *     and tools/check.py's TYPE-MISMATCH gate.
   */
 /** Typed row for the `Dataset[T]` query path (reference `Table[T]` with a
   * row_class, littletable.py:1480-1493 → case-class Encoder). */
@@ -2419,8 +2424,8 @@ object Queries {
         |  FROM documents WHERE length(trim(text)) > 0
         |), c AS (
         |  SELECT doc_id, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
         |  FROM d)
         |SELECT doc_id, n_tokens, tok_offset,
         |  tok_offset // 512 AS first_seq,

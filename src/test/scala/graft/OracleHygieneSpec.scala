@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-SQL hygiene tripwires for the parity rules documented at the top
+  * of Queries.scala. The general typed-divergence gate is tools/check.py's
+  * TYPE-MISMATCH comparison (Arrow types, integer widths normalized,
+  * decimals distinct — mirrors the driver's type-sensitive hash); these
+  * tests pin the specific DuckDB-HUGEINT trap that caused the three-round
+  * q_pack_index hash-red so it cannot regress silently.
+  */
+class OracleHygieneSpec extends AnyFunSuite {
+
+  test("q_pack_index oracle casts its window sum to BIGINT (HUGEINT trap)") {
+    val sql = SparkEntry.oracleSql("q_pack_index")
+    assert(sql.contains("CAST(coalesce(sum(n_tokens) OVER"),
+      "the window sum must be wrapped in CAST(... AS BIGINT): DuckDB " +
+        "sum(BIGINT) returns HUGEINT → Arrow decimal128(38,0), which the " +
+        "driver's type-sensitive hash rejects against Spark's int64")
+  }
+
+  test("no oracle emits an uncast integer window sum as an output column") {
+    // A window sum over an integer expression that is aliased and then
+    // surfaces in the outermost SELECT is the HUGEINT trap. Heuristic:
+    // find `sum(<arg>) OVER ... AS <alias>` not wrapped in CAST; flag it
+    // when <alias> appears after the final top-level SELECT and <arg>
+    // doesn't reference an obviously-double column. Intermediate aliases
+    // consumed by a later GROUP BY (q_session_window's sid,
+    // q_groupby_runs' run_id) are fine — HUGEINT never reaches Arrow.
+    val winSum = """(?s)(CAST\(\s*)?(?:coalesce\(\s*)?sum\(([^()]*)\)\s+OVER\s*\([^)]*\)(?:\s*,\s*\w+\))?\s*(?:AS\s+BIGINT\s*\))?\s+AS\s+(\w+)""".r
+    val doubleish = Set("o_totalprice", "l_extendedprice", "value", "x")
+    val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      val lastSelect = sql.lastIndexOf("SELECT")
+      val fromAfter = sql.indexOf("FROM", lastSelect)
+      // only the projection list counts as "surfacing": an alias referenced
+      // by a trailing GROUP BY is consumed, not emitted
+      val outCols =
+        if (fromAfter > lastSelect) sql.substring(lastSelect, fromAfter)
+        else sql.substring(lastSelect)
+      winSum.findAllMatchIn(sql).flatMap { m =>
+        val casted = m.group(1) != null
+        val arg = m.group(2)
+        val alias = m.group(3)
+        val isDouble = doubleish.exists(arg.contains) || arg.contains("round(")
+        val surfaces = outCols.matches(s"(?s).*\\b$alias\\b.*") &&
+          !outCols.contains(s"CAST($alias") && lastSelect > m.start
+        if (!casted && !isDouble && surfaces) Some(s"$name: sum($arg) AS $alias")
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"uncast integer window sums surfacing in output (HUGEINT trap): " +
+        offenders.mkString("; "))
+  }
+}

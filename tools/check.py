@@ -27,6 +27,28 @@ def norm(v):
         return v.isoformat()
     return v
 
+def type_key(t):
+    """Normalize an Arrow type for driver-style type comparison.
+    string/large_string are interchangeable (reader-dependent); everything
+    else compares on the raw Arrow type string — so int64 vs decimal128(38,0)
+    (DuckDB HUGEINT from an uncast integer sum) is flagged, which is the
+    divergence the driver's type-sensitive hash catches."""
+    s = str(t)
+    if s == "large_string":
+        return "string"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    # Driver-observed behavior (CORRECTNESS_r05): int32-vs-int64 columns
+    # hash equal, decimal128-vs-int64 does not — integer widths normalize,
+    # decimals stay distinct.
+    if s in ("int8", "int16", "int32", "int64",
+             "uint8", "uint16", "uint32", "uint64"):
+        return "int"
+    if s == "float":
+        return "double"
+    return s
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -46,13 +68,23 @@ def main(sf_dir, out_dir):
             got_cols = sorted(got_tbl.column_names)
             got = [tuple(norm(row[c]) for c in got_cols)
                    for row in got_tbl.to_pylist()]
-            want_rel = con.sql(sql)
-            want_names = want_rel.columns
+            want_tbl = con.sql(sql).fetch_arrow_table()
+            want_names = want_tbl.column_names
             order = sorted(range(len(want_names)), key=lambda i: want_names[i])
             want_cols = sorted(want_names)
-            want = [tuple(norm(r[i]) for i in order) for r in want_rel.fetchall()]
+            want = [tuple(norm(row[c]) for c in want_cols)
+                    for row in want_tbl.to_pylist()]
+            got_types = {c: type_key(got_tbl.schema.field(c).type)
+                         for c in got_tbl.column_names}
+            want_types = {c: type_key(want_tbl.schema.field(c).type)
+                          for c in want_tbl.column_names}
+            type_diffs = {c: (got_types.get(c), want_types.get(c))
+                          for c in want_types
+                          if c in got_types and got_types[c] != want_types[c]}
             if got_cols != want_cols:
                 results[name] = f"SCHEMA-MISMATCH spark={got_cols} duck={want_cols}"
+            elif type_diffs:
+                results[name] = f"TYPE-MISMATCH {type_diffs}"
             elif len(got) != len(want):
                 results[name] = f"ROWCOUNT-MISMATCH spark={len(got)} duck={len(want)}"
             elif got != want:
