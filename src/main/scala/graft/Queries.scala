@@ -786,11 +786,16 @@ object Queries {
   val q_cms_counts: Q = (s, dir) => {
     import graft.operators.Sketch
     val ev = events(s, dir).df.select(col("event_type"))
-    val types = ev.distinct().orderBy(col("event_type"))
-      .collect().map(_.getString(0)).toSeq
-    val total = ev.count()
-    val est = Sketch.cmsEstimates(ev, "event_type", types, eps = 0.0001)
+    // one exact aggregate (type-count-sized, bytes) yields the type list,
+    // the stream length, AND the gate's exact side — the corpus scans
+    // twice (exact + sketch) instead of four times, and only the tiny
+    // aggregate is pinned in the cache manager
     val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactRows = exact.orderBy(col("event_type")).collect()
+    val types = exactRows.map(_.getString(0)).toSeq
+    val total = exactRows.map(_.getLong(1)).sum
+    val est = Sketch.cmsEstimates(ev, "event_type", types, eps = 0.0001)
     est.join(exact, "event_type")
       .filter(col("est_count") >= col("n") &&
         col("est_count") <= col("n") + lit(math.ceil(0.0001 * total).toLong))

@@ -44,6 +44,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("enrichWithStatic: missing dim key — left keeps the row with a " +
+      "null dim col, inner drops it") {
+    // pins the semantics q_stream_enrich relies on (joinType = "inner"
+    // matches its INNER-join oracle by construction): with a dim table
+    // missing some stream keys, left and inner genuinely diverge —
+    // full key coverage in the stock test data would hide a default flip
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 2 === 0) // drop odd keys from the dim
+    def run(joinType: String, sink: String) = Streaming.runToBatch(
+      Streaming.enrichWithStatic(
+        Streaming.eventsStream(spark, dir), dim,
+        joinKeys = Seq("user_id" -> "c_custkey"),
+        dimCols = Seq("c_mktsegment"), joinType = joinType),
+      sink, mode = "append")
+    val left = run("left", "stream_enrich_left_out")
+    val inner = run("inner", "stream_enrich_inner_out")
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(left.count() == nEvents, "left keeps every stream row")
+    val leftOrphans = left.filter(col("c_mktsegment").isNull).count()
+    assert(leftOrphans > 0, "fixture must actually have missing dim keys")
+    assert(inner.count() == nEvents - leftOrphans,
+      "inner drops exactly the dim-less rows")
+    assert(inner.filter(col("c_mktsegment").isNull).count() == 0)
+  }
+
   test("intervalJoin: stream-stream matches == batch interval join") {
     def sides(ev: org.apache.spark.sql.DataFrame) = (
       ev.filter(col("event_type") === "click")
