@@ -157,13 +157,13 @@ final case class GTable(
     * window) — see [[Ordinals]]. */
   def rank(name: String = "rank"): GTable = {
     require(sortKeys.nonEmpty, "rank requires orderby first")
-    copy(df = Ordinals.withOrdinal(df, sortKeys.map(_.order), name))
+    copy(df = Ordinals.withOrdinal(df, sortKeys, name))
   }
 
   /** Python-style positive slice over the established order. */
   def slice(start: Long, end: Long): GTable = {
     require(sortKeys.nonEmpty, "slice requires orderby first")
-    val withOrd = Ordinals.withOrdinal(df, sortKeys.map(_.order), "__ord")
+    val withOrd = Ordinals.withOrdinal(df, sortKeys, "__ord")
     copy(df = withOrd.filter(col("__ord") > start && col("__ord") <= end).drop("__ord"))
   }
 
@@ -176,7 +176,7 @@ final case class GTable(
       step: Long = 1): GTable = {
     require(step != 0, "slice step cannot be zero")
     require(sortKeys.nonEmpty, "slice requires orderby first")
-    val withOrd = Ordinals.withOrdinal(df, sortKeys.map(_.order), "__ord")
+    val withOrd = Ordinals.withOrdinal(df, sortKeys, "__ord")
     val needN = step < 0 || start.exists(_ < 0) || stop.exists(_ < 0)
     val n: Long = if (needN) df.count() else 0L // plain scan-count; no sort needed
     def norm(i: Long): Long = if (i < 0) i + n else i
@@ -202,7 +202,7 @@ final case class GTable(
   def batched(batchSize: Int, batchCol: String = "batch"): GTable = {
     require(batchSize > 0, "batchSize must be positive")
     require(sortKeys.nonEmpty, "batched requires orderby first")
-    val withOrd = Ordinals.withOrdinal(df, sortKeys.map(_.order), "__ord")
+    val withOrd = Ordinals.withOrdinal(df, sortKeys, "__ord")
     // integer `div`, not double `/`: exact for any long ordinal
     copy(df = withOrd
       .withColumn(batchCol, expr(s"(__ord - 1) div $batchSize"))
@@ -449,7 +449,7 @@ final case class GTable(
     // partitions from per-partition stats alone — see Ordinals.withRunId
     // (range-partition sort + tiny stats job + emit pass; no window, no
     // single-partition exchange).
-    copy(df = Ordinals.withRunId(df, sortKeys.map(_.order), keyCol))
+    copy(df = Ordinals.withRunId(df, sortKeys, keyCol))
   }
 
   /** Reference `table.pivot(attrs)` → pivot-table tree (littletable.py:

@@ -53,17 +53,11 @@ object Layout {
     require(zCols.size * bits <= 63,
       s"${zCols.size} dims x $bits bits overflows a long")
     import org.apache.spark.sql.types._
-    // one monotone double proxy per non-string column, built ONCE and
-    // used for both the stats aggregate and the coordinate — two copies
-    // of the type dispatch would let the frame and the scaling drift
-    def numProxy(c: String): Option[Column] = df.schema(c).dataType match {
-      case StringType => None
-      case DateType => Some(unix_date(col(c)).cast(DoubleType))
-      case TimestampType => Some(col(c).cast(DoubleType))
-      case _: NumericType => Some(col(c).cast(DoubleType))
-      case other => throw new IllegalArgumentException(
-        s"zValue($c): unsupported type $other")
-    }
+    // one monotone double proxy per non-string column (shared KeyProxy
+    // dispatch), built ONCE and used for both the stats aggregate and
+    // the coordinate — two copies would let the frame and scaling drift
+    def numProxy(c: String): Option[Column] =
+      graft.core.KeyProxy.numeric(col(c), df.schema(c).dataType, s"zValue($c)")
     // pass 0 (driver-side, KBs): min/max per column — strings aggregate
     // their raw bounds (the proxy needs the common prefix first)
     val rawAggs = zCols.flatMap { c =>
@@ -101,19 +95,12 @@ object Layout {
             coalesce(graft.functions.LayoutExpressions.string_dict_coord(col(c), dict),
               lit(0))
           } else {
-            // order-preserving byte proxy; intentionally the same
-            // construction as Ordinals.keyedRunningTotal
-            // (core/Ordinals.scala:98-121) — NOT extracted to a shared
-            // helper yet: Ordinals backs q_pack_index, frozen until the
-            // driver confirms its round-5 rewrite green. Unify after.
-            val (mnB, mxB) = (stats.getString(2 * i).getBytes("UTF-8"),
-              stats.getString(2 * i + 1).getBytes("UTF-8"))
-            val cp = mnB.zip(mxB).takeWhile { case (a, b) => a == b }.length
-            def proxyOf(b: Array[Byte]): Double =
-              BigInt(1, b.drop(cp).take(7).padTo(7, 0.toByte)).toDouble
-            val proxy = conv(rpad(hex(substring(encode(col(c), "UTF-8"),
-              cp + 1, 7)), 14, "0"), 16, 10).cast(DoubleType)
-            affine(proxy, proxyOf(mnB), proxyOf(mxB))
+            // above-dict cardinality: the shared order-preserving
+            // 7-bytes-after-common-prefix proxy (core/KeyProxy.scala,
+            // same construction Ordinals buckets on)
+            val sp = graft.core.KeyProxy.string(col(c),
+              stats.getString(2 * i), stats.getString(2 * i + 1))
+            affine(sp.expr, sp.mn, sp.mx)
           }
       }
     }

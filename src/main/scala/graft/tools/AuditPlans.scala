@@ -35,9 +35,16 @@ object AuditPlans {
     * regression sneaks in while row counts stay green (and a missing one
     * usually means a broadcast silently replaced a co-located join, which
     * deserves a deliberate pin update, not an unnoticed drift). Update a
-    * value ONLY with a plan diff in hand. */
+    * value ONLY with a plan diff in hand.
+    *
+    * Ordinal-backed queries (q_rank/q_slice/q_batched/q_groupby_runs)
+    * grew +1/+2 visible exchanges when Ordinals moved from RDD
+    * zipWithIndex to the pure-Catalyst bucketed-window idiom: the RDD
+    * path's createDataFrame severed lineage, so its sort shuffle ran in
+    * a separate invisible job — the plan didn't have fewer shuffles, the
+    * audit just couldn't see them. Now the whole lineage is one plan. */
   val expectedShuffles: Map[String, Int] = Map(
-    "q1_agg" -> 2, "q_approx_distinct" -> 3, "q_batched" -> 2,
+    "q1_agg" -> 2, "q_approx_distinct" -> 3, "q_batched" -> 3,
     "q_cap_per_source" -> 2, "q_chunk_windows" -> 1, "q_cluster_best" -> 3,
     "q_cms_counts" -> 2, "q_compute_field" -> 1, "q_contamination" -> 3,
     "q_csv_roundtrip" -> 1, "q_csv_string" -> 1, "q_cube" -> 2,
@@ -49,7 +56,7 @@ object AuditPlans {
     "q_delete" -> 2, "q_embed_normalize" -> 1, "q_embed_quantize" -> 1,
     "q_excel_dates" -> 1, "q_excel_roundtrip" -> 1, "q_except" -> 2,
     "q_fingerprint" -> 1, "q_fixedwidth" -> 1, "q_format" -> 1,
-    "q_frame_sample" -> 2, "q_gopher_rules" -> 1, "q_groupby_runs" -> 3,
+    "q_frame_sample" -> 2, "q_gopher_rules" -> 1, "q_groupby_runs" -> 5,
     "q_groupby_summaries" -> 2, "q_heavy_hitters" -> 3, "q_intersect" -> 2,
     "q_join3_revenue" -> 1, "q_join_anti" -> 1, "q_join_asof" -> 2,
     "q_join_chain" -> 2, "q_join_full" -> 3, "q_join_inner" -> 2,
@@ -61,14 +68,14 @@ object AuditPlans {
     "q_parse_timedelta" -> 2, "q_pii_redact" -> 1, "q_pivot_3level" -> 5,
     "q_pivot_counts" -> 3, "q_pivot_sum" -> 3, "q_pivot_totals" -> 2,
     "q_profile" -> 2, "q_quality_score" -> 1, "q_quantile_band" -> 2,
-    "q_rank" -> 0, "q_repetition" -> 1, "q_rollup" -> 2,
+    "q_rank" -> 1, "q_repetition" -> 1, "q_rollup" -> 2,
     "q_sample_stratified" -> 2, "q_search_bm25" -> 6,
     "q_search_bm25_serve" -> 2, "q_search_minscore" -> 4,
     "q_search_scored" -> 4, "q_select_computed" -> 1,
     "q_session_window" -> 2, "q_shuffle" -> 1, "q_sim_ivf" -> 0, "q_sim_ivf_serve" -> 0,
     "q_sim_lsh" -> 1, "q_sim_lsh_serve" -> 1,
     "q_sim_pq" -> 0, "q_sim_pq_serve" -> 0,
-    "q_sim_topk" -> 0, "q_slice" -> 0,
+    "q_sim_topk" -> 0, "q_slice" -> 1,
     "q_span_dedup" -> 3, "q_split_hash" -> 1, "q_splitby" -> 2,
     "q_stats" -> 1, "q_stream_enrich" -> 1, "q_stream_join" -> 2,
     "q_tail" -> 0, "q_tfidf_top" -> 5, "q_token_count" -> 1,

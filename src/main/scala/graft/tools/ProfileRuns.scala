@@ -19,9 +19,11 @@ object ProfileRuns {
       val t0 = System.nanoTime(); val r = f
       println(f"$label%-30s ${(System.nanoTime()-t0)/1e9}%8.2f s  -> $r")
     }
-    val keys = Seq(col("l_orderkey").asc, col("l_linenumber").asc, col("l_returnflag").asc)
+    val keys = Seq(SortKey(col("l_orderkey")), SortKey(col("l_linenumber")),
+      SortKey(col("l_returnflag")))
     time("sort only") {
-      li.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*).count()
+      li.repartitionByRange(keys.map(_.order): _*)
+        .sortWithinPartitions(keys.map(_.order): _*).count()
     }
     time("withOrdinal") { Ordinals.withOrdinal(li, keys).count() }
     time("withRunId") { Ordinals.withRunId(li, keys, "l_returnflag").count() }

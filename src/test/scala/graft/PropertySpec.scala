@@ -151,7 +151,7 @@ class RunIdPropertySpec extends SparkSpec {
         .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
       val df = data.toDF("id", "k", "v").repartition(1 + rnd.nextInt(9))
       val got = graft.core.Ordinals
-        .withOrdinal(df, Seq(col("k").asc, col("id").asc), "__ord")
+        .withOrdinal(df, Seq(SortKey(col("k")), SortKey(col("id"))), "__ord")
         .select("id", "__ord").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       val want = data.sortBy(t => (t._2, t._1)).zipWithIndex
         .map { case (t, i) => t._1 -> (i + 1L) }.toMap
