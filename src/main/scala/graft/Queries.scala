@@ -1134,7 +1134,7 @@ object Queries {
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
     val table = "lsh_idx" + dir.replaceAll("[^A-Za-z0-9]+", "_")
-    Similarity.lshIndexFor(emb, "vec_id", "embedding", dims = 64, table,
+    Similarity.lshIndexFor(emb, "embedding", dims = 64, table,
       bits = 8, tables = 3)
     val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding", qvec, 20,
       probeDist = 4)

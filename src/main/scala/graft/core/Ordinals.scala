@@ -155,8 +155,15 @@ object Ordinals {
     val boundary = when(rn === 1L, lit(1L)).otherwise(
       when(not(col(keyCol) <=> lag(col(keyCol), 1).over(w)), lit(1L))
         .otherwise(lit(0L)))
+    // PERFORMANCE cache only (unlike the old RDD design, correctness
+    // never depends on it): the bucket sort + window runs once and both
+    // the stats pass and the emit read it; without the cache the emit
+    // would re-sort. Dropped by ContextCleaner with the result frame; a
+    // caller that cannot afford the cache at its scale may strip it —
+    // results are identical either way, just computed twice.
     val tagged = df.withColumn("__bkt", bucketOpt.getOrElse(lit(0L)))
       .withColumn("__rn", rn).withColumn("__chg", boundary)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-bucket: run count + first/last key in sort order (min/max of
     // (rn, key) structs — rn is unique per bucket, so the key field never
     // drives the comparison and may be null)

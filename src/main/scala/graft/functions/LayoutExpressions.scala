@@ -22,7 +22,11 @@ object BitUtil {
     * before calling, so the library path never pays an exception. */
   def interleave(vals: ArrayData, bits: Int): Long = {
     val d = vals.numElements()
-    if (d * bits > 63)
+    // product as Long: an enormous array from the SQL surface could
+    // overflow d*bits negative in Int and slip past the guard, producing
+    // a silently wrong z-value via mod-64 shifts — the exact failure
+    // mode the guard exists to prevent
+    if (d.toLong * bits > 63)
       throw new IllegalArgumentException(
         s"interleave_bits: $d dims x $bits bits overflows a long")
     val hi = (1 << bits) - 1

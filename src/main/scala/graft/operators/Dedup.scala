@@ -366,8 +366,15 @@ object Dedup {
     * the result (delete the `cc-<uuid>` root afterwards, or run with
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`). Note
     * `SparkContext.setCheckpointDir` is context-global: this operator
-    * restores any previously-set dir on exit, but if none was set it
-    * remains pointed at the run's last round directory. */
+    * restores any previously-set dir on exit — including exception
+    * exits (non-convergence, mid-loop job failure) — but if none was
+    * set it remains pointed at the run's last round directory on
+    * success. Because the dir is context-global, do NOT run this
+    * operator concurrently with other reliable-checkpoint users on the
+    * same SparkContext: their files would land in round directories
+    * this run later deletes. On an exception exit the run's entire
+    * `cc-<uuid>` root is best-effort deleted (nothing from a failed run
+    * is referenced). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -385,52 +392,68 @@ object Dedup {
     def pin(df: DataFrame): DataFrame =
       if (runRoot.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    // Materialize the edge list ONCE: `pairs` is typically the whole
-    // candidate-generation pipeline (shingle index self-join), and every
-    // propagation round joins against it — without this checkpoint each
-    // round would re-run that pipeline from the scan up.
-    val sym = pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = pin(sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      roundId += 1
-      setRoundDir()
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
-      // one materialization per round: old + proposed label side by side,
-      // so the convergence count is a cheap scan of the checkpoint
-      val prop = pin(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("next")))
-      val step =
-        if (it < 2) prop
-        else {
-          // path doubling: labels are vertex ids, so chase one hop
-          // through this round's own label table (checkpointed above —
-          // the self-join reads the materialization, not the lineage)
-          val ptr = prop.select(col("id").as("pid"), col("next").as("pnext"))
-          pin(prop.join(ptr, prop("next") === ptr("pid"), "left")
-            .select(prop("id"), prop("comp"),
-              least(prop("next"), coalesce(col("pnext"), prop("next"))).as("next")))
+    try {
+      // Materialize the edge list ONCE: `pairs` is typically the whole
+      // candidate-generation pipeline (shingle index self-join), and every
+      // propagation round joins against it — without this checkpoint each
+      // round would re-run that pipeline from the scan up.
+      val sym = pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      var labels = pin(sym.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        roundId += 1
+        setRoundDir()
+        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+        // one materialization per round: old + proposed label side by side,
+        // so the convergence count is a cheap scan of the checkpoint
+        val prop = pin(labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"), col("comp"),
+            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("next")))
+        val step =
+          if (it < 2) prop
+          else {
+            // path doubling: labels are vertex ids, so chase one hop
+            // through this round's own label table (checkpointed above —
+            // the self-join reads the materialization, not the lineage)
+            val ptr = prop.select(col("id").as("pid"), col("next").as("pnext"))
+            pin(prop.join(ptr, prop("next") === ptr("pid"), "left")
+              .select(prop("id"), prop("comp"),
+                least(prop("next"), coalesce(col("pnext"), prop("next"))).as("next")))
+          }
+        converged = step.filter(col("next") < col("comp")).limit(1).count() == 0L
+        labels = step.select(col("id"), col("next").as("comp"))
+        // the PREVIOUS iteration's checkpoint is fully consumed once this
+        // round materialized — reclaim it (round 0 holds `sym`, which every
+        // round joins against; it is reclaimed after the loop)
+        if (roundId >= 2) dropRound(roundId - 1)
+        it += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+        "(pathological chain diameter — raise maxIter)")
+      // the result frame reads only the final round's materialization —
+      // the edge list and init labels (round 0) are no longer referenced
+      if (roundId >= 1) dropRound(0)
+      labels
+    } catch {
+      case t: Throwable =>
+        // nothing from a failed run is referenced — best-effort reclaim
+        // of the whole run root so round dirs don't leak
+        runRoot.foreach { r =>
+          try {
+              val p = new org.apache.hadoop.fs.Path(r)
+              val fs = p.getFileSystem(sc.hadoopConfiguration)
+              if (fs.exists(p)) fs.delete(p, true)
+          } catch { case _: Throwable => () }
         }
-      converged = step.filter(col("next") < col("comp")).limit(1).count() == 0L
-      labels = step.select(col("id"), col("next").as("comp"))
-      // the PREVIOUS iteration's checkpoint is fully consumed once this
-      // round materialized — reclaim it (round 0 holds `sym`, which every
-      // round joins against; it is reclaimed after the loop)
-      if (roundId >= 2) dropRound(roundId - 1)
-      it += 1
+        throw t
+    } finally {
+      // context-global state must not outlive the call on ANY exit path
+      prevCkptDir.foreach(sc.setCheckpointDir)
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
-      "(pathological chain diameter — raise maxIter)")
-    // the result frame reads only the final round's materialization —
-    // the edge list and init labels (round 0) are no longer referenced
-    if (roundId >= 1) dropRound(0)
-    prevCkptDir.foreach(sc.setCheckpointDir)
-    labels
   }
 
   /** Near-duplicate CLUSTER assignment: every doc gets `cluster_id` = the

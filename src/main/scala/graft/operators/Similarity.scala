@@ -122,7 +122,7 @@ object Similarity {
     * multiplied miss probability. A `<table>_meta` sibling pins
     * (bits, tables, dims) so serving can never silently hash with
     * different parameters than the build. */
-  def saveLshIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+  def saveLshIndex(df: DataFrame, vecCol: String, dims: Int,
       table: String, bits: Int = 8, tables: Int = 2): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -135,11 +135,28 @@ object Similarity {
     graft.sources.Sources.replaceTable(spark, s"${table}_meta")
     Seq((bits, tables, dims)).toDF("bits", "tables", "dims")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
-    lshMetaCache.remove((spark, table))
+    cachesFor(spark).lshMeta.remove(table)
   }
 
-  private val lshMetaCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), (Int, Int, Int)]
+  /** Per-session driver-side caches of build-time constants (LSH meta,
+    * IVF centroids, PQ codebooks — KBs each). Keyed WEAKLY by session:
+    * a closed/unreferenced SparkSession and its cached artifacts become
+    * collectable instead of living for the JVM lifetime. Access is
+    * synchronized on the map (WeakHashMap is not thread-safe); the
+    * per-session TrieMaps handle concurrent per-table access. */
+  private final class SessionCaches {
+    val lshMeta = scala.collection.concurrent.TrieMap.empty[String, (Int, Int, Int)]
+    val centroids = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    val codebooks = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  }
+  private val sessionCaches =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, SessionCaches]()
+  private def cachesFor(spark: org.apache.spark.sql.SparkSession): SessionCaches =
+    sessionCaches.synchronized {
+      var c = sessionCaches.get(spark)
+      if (c == null) { c = new SessionCaches; sessionCaches.put(spark, c) }
+      c
+    }
 
   /** Build-if-missing for the persisted LSH layout. An existing artifact
     * is reused only when its pinned (bits, tables, dims) match the
@@ -147,7 +164,7 @@ object Similarity {
     * the old hash configuration. Source-data changes are NOT detected:
     * the table name identifies a build; use a new name (or drop the
     * tables) when the corpus changes. */
-  def lshIndexFor(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+  def lshIndexFor(df: DataFrame, vecCol: String, dims: Int,
       table: String, bits: Int = 8, tables: Int = 2): Unit = {
     val spark = df.sparkSession
     val matches = spark.catalog.tableExists(s"${table}_meta") &&
@@ -155,7 +172,7 @@ object Similarity {
         val m = spark.table(s"${table}_meta").head()
         (m.getInt(0), m.getInt(1), m.getInt(2)) == ((bits, tables, dims))
       }
-    if (!matches) saveLshIndex(df, idCol, vecCol, dims, table, bits, tables)
+    if (!matches) saveLshIndex(df, vecCol, dims, table, bits, tables)
   }
 
   /** All `bits`-bit codes within Hamming distance `d` of `code` —
@@ -176,7 +193,7 @@ object Similarity {
   def lshTopKServed(spark: org.apache.spark.sql.SparkSession, table: String,
       idCol: String, vecCol: String, query: Seq[Double], k: Int,
       probeDist: Int = 2): DataFrame = {
-    val (bits, tables, dims) = lshMetaCache.getOrElseUpdate((spark, table), {
+    val (bits, tables, dims) = cachesFor(spark).lshMeta.getOrElseUpdate(table, {
       val m = spark.table(s"${table}_meta").head()
       (m.getInt(0), m.getInt(1), m.getInt(2))
     })
@@ -277,16 +294,13 @@ object Similarity {
     index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
-    centroidCache.remove((spark, table))
+    cachesFor(spark).centroids.remove(table)
   }
 
-  // centroids are build-time constants: cache per (session, table) so
-  // the serving path doesn't pay a collect job per query
-  private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), Array[Array[Double]]]
-
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
-    val centroids = centroidCache.getOrElseUpdate((spark, table),
+    // centroids are build-time constants: cached per (session, table) so
+    // the serving path doesn't pay a collect job per query
+    val centroids = cachesFor(spark).centroids.getOrElseUpdate(table,
       spark.table(s"${table}_centroids").orderBy(col("cluster")).collect()
         .map(_.getSeq[Double](1).toArray))
     IvfIndex(spark.table(table), centroids)
@@ -380,14 +394,11 @@ object Similarity {
       codes.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_codebooks")
-    codebookCache.remove((spark, table))
+    cachesFor(spark).codebooks.remove(table)
   }
 
-  private val codebookCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), Array[Array[Array[Double]]]]
-
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): PqIndex = {
-    val codebooks = codebookCache.getOrElseUpdate((spark, table), {
+    val codebooks = cachesFor(spark).codebooks.getOrElseUpdate(table, {
       val rows = spark.table(s"${table}_codebooks")
         .orderBy(col("subspace"), col("code")).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))

@@ -297,7 +297,7 @@ class DedupSpec extends SparkSpec {
     val qvec = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble)
     val table = "lsh_spec_roundtrip"
-    Similarity.saveLshIndex(emb, "vec_id", "embedding", dims = 64, table,
+    Similarity.saveLshIndex(emb, "embedding", dims = 64, table,
       bits = 8, tables = 3)
     val served = Similarity.lshTopKServed(spark, table, "vec_id", "embedding",
       qvec, 20, probeDist = 4)
