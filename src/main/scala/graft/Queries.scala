@@ -886,6 +886,17 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence-side packing view at context 512: per packed sequence, its
+    * document count, token fill, and contributing doc-id range — the
+    * attention-boundary map for a packed-pretraining loader. One explode
+    * + one groupBy(seq) on top of the pack index. */
+  val q_pack_sequences: Q = (s, dir) => {
+    import graft.operators.Chunk
+    Chunk.packSequences(t(s, dir, "documents").df, "doc_id", "text",
+        contextLen = 512)
+      .orderBy(col("seq_id"))
+  }
+
   /** PII redaction over the corpus: deterministic PII-shaped strings
     * (email / phone / SSN / IPv4, derived from doc_id) are appended to
     * each doc, then scrubbed by the Scrub rule chain — one codegen'd map
@@ -969,6 +980,41 @@ object Queries {
       .df.groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_copies"))
       .orderBy(col("doc_id"), col("source"))
+  }
+
+  /** TEMPERATURE mixing gate (alpha = 0.5 over a full corpus and a
+    * 5x-smaller slice): the deterministic mixture footprint — per source,
+    * the distinct docs mixed in and their total chars (epochs >= 1 for
+    * both sources by construction, so every doc appears) — is emitted;
+    * the Bernoulli remainder realization is checked IN-PLAN against the
+    * plan's expected rate·n within 5 sd (the house idiom for
+    * approximate-realization operators: statistics gated, never
+    * emitted). */
+  val q_mix_temperature: Q = (s, dir) => {
+    import graft.operators.Mix
+    val docs = t(s, dir, "documents")
+    val big = docs.cloneTable("corpus_big")
+    val small = GTable(docs.df.filter(col("doc_id") % 5 === 0), "corpus_small")
+    val n = docs.df.count()
+    val (mixed, plan) =
+      Mix.temperatureMix(Seq(big, small), alpha = 0.5, targetRows = 2 * n)
+    val bounds = plan.map { case (name, ni, _, rate) =>
+      (name, rate * ni, 2.5 * math.sqrt(ni.toDouble) + 1.0)
+    }
+    val boundDf = s.createDataFrame(bounds).toDF("source", "__exp", "__tol")
+    val gate = mixed.df.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("__realized"))
+      .join(broadcast(boundDf), "source")
+      .agg(((sum(when(abs(col("__realized") - col("__exp")) <= col("__tol"), 1)
+          .otherwise(0)) === count(lit(1))) &&
+        (count(lit(1)) === lit(bounds.size))).as("__ok"))
+    mixed.df.groupBy(col("source"), col("doc_id"))
+      .agg(min(col("n_chars")).as("__nc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nc")).as("total_chars"))
+      .crossJoin(broadcast(gate)).filter(col("__ok"))
+      .select(col("source"), col("n_docs"), col("total_chars"))
+      .orderBy(col("source"))
   }
 
   /** Gopher/RefinedWeb repetition signal: intra-document duplicate
@@ -1596,6 +1642,7 @@ object Queries {
     "q_fingerprint" -> q_fingerprint,
     "q_repetition" -> q_repetition,
     "q_mix_weighted" -> q_mix_weighted,
+    "q_mix_temperature" -> q_mix_temperature,
     "q_curation_funnel" -> q_curation_funnel,
     "q_split_hash" -> q_split_hash,
     "q_sample_stratified" -> q_sample_stratified,
@@ -1618,6 +1665,7 @@ object Queries {
     "q_cluster_best" -> q_cluster_best,
     "q_chunk_windows" -> q_chunk_windows,
     "q_pack_index" -> q_pack_index,
+    "q_pack_sequences" -> q_pack_sequences,
     "q_pii_redact" -> q_pii_redact,
     "q_span_dedup" -> q_span_dedup,
     "q_length_buckets" -> q_length_buckets,
@@ -2436,6 +2484,43 @@ object Queries {
         |  tok_offset // 512 AS first_seq,
         |  (tok_offset + n_tokens - 1) // 512 AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM d
+        |), p AS (
+        |  SELECT doc_id, n_tokens, tok_offset,
+        |    tok_offset // 512 AS first_seq,
+        |    (tok_offset + n_tokens - 1) // 512 AS last_seq
+        |  FROM c
+        |), x AS (
+        |  SELECT doc_id, n_tokens, tok_offset,
+        |    unnest(generate_series(first_seq, last_seq)) AS seq_id
+        |  FROM p)
+        |SELECT seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(tok_offset + n_tokens, (seq_id + 1) * 512)
+        |    - greatest(tok_offset, seq_id * 512)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """SELECT source, n_docs, total_chars FROM (
+        |  SELECT 'corpus_big' AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'corpus_small', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY source""".stripMargin,
 
     "q_embed_normalize" ->
       """WITH e AS (

@@ -46,6 +46,34 @@ object Chunk {
         expr(s"(tok_offset + n_tokens - 1) div $contextLen").as("last_seq"))
   }
 
+  /** SEQUENCE-side view of [[packIndex]]: one row per packed sequence —
+    * `(seq_id, n_docs, n_tokens, first_doc, last_doc)` — the
+    * attention-boundary map a packed-pretraining loader needs (how many
+    * documents share sequence `s`, where its token budget went, and the
+    * doc-id range to fetch). Every sequence is exactly `contextLen`
+    * tokens except the last (the stream remainder).
+    *
+    * Scale shape: one map-side explode of each doc's `[first_seq,
+    * last_seq]` range — totalTokens/contextLen + nDocs rows, linear in
+    * the corpus — then ONE groupBy(seq_id) shuffle on top of
+    * [[packIndex]]'s plan. The per-(doc, seq) token overlap is interval
+    * arithmetic on the offsets, no re-tokenization. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      contextLen: Int): DataFrame = {
+    val L = lit(contextLen.toLong)
+    packIndex(df, idCol, textCol, contextLen)
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .withColumn("__tok_in_seq",
+        least(col("tok_offset") + col("n_tokens"), (col("seq_id") + 1) * L) -
+          greatest(col("tok_offset"), col("seq_id") * L))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok_in_seq")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
   /** SPAN-LEVEL exact dedup (the paragraph-dedup analogue for unstructured
     * text): cut each doc into disjoint `spanTokens`-word spans, keep each
     * distinct span text's FIRST occurrence corpus-wide (ordered by

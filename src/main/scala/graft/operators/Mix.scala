@@ -37,8 +37,45 @@ object Mix {
     require(sources.forall(_._2 > 0), "weights must be positive")
     require(targetRows > 0, "targetRows must be positive")
     val wSum = sources.map(_._2).sum
+    mixImpl(sources, wSum, targetRows, seed, sourceCol)
+  }
+
+  /** TEMPERATURE mixing (T5/PaLM-style multinomial reweighting): source
+    * i's mixture weight is `nᵢ^alpha` — `alpha = 1` reproduces
+    * proportional-to-size sampling, `alpha → 0` the uniform mixture, and
+    * the usual `alpha ∈ (0, 1)` upweights small high-value corpora
+    * relative to their size without hand-tuning per-source weights.
+    * Selection semantics (epochs + content-hashed Bernoulli remainder,
+    * determinism under a seed) are [[weightedMix]]'s.
+    *
+    * Returns the mixed table plus the driver-side per-source plan
+    * `(name, rows, weight, rate)` so callers can log/verify the realized
+    * mixture against intent. */
+  def temperatureMix(sources: Seq[GTable], alpha: Double, targetRows: Long,
+      seed: Long = 42L, sourceCol: String = "source")
+      : (GTable, Seq[(String, Long, Double, Double)]) = {
+    require(sources.nonEmpty, "need at least one source")
+    require(alpha > 0, "alpha must be positive (1 = proportional sampling)")
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = sources.map(_.df.count())
+    val weighted = sources.zip(counts.map(n => math.pow(n.toDouble, alpha)))
+    val wSum = weighted.map(_._2).sum
+    val plan = sources.zip(counts).zip(weighted.map(_._2)).zipWithIndex.map {
+      case (((t, n), w), i) =>
+        val name = if (t.name.isEmpty) s"source_$i" else t.name
+        (name, n, w, targetRows * (w / wSum) / n)
+    }
+    (mixImpl(weighted, wSum, targetRows, seed, sourceCol, Some(counts)), plan)
+  }
+
+  /** Shared mixing core; `knownCounts` avoids re-counting sources whose
+    * sizes the caller already materialized (temperatureMix needs them to
+    * form the weights). */
+  private def mixImpl(sources: Seq[(GTable, Double)], wSum: Double,
+      targetRows: Long, seed: Long, sourceCol: String,
+      knownCounts: Option[Seq[Long]] = None): GTable = {
     val parts: Seq[DataFrame] = sources.zipWithIndex.map { case ((t, w), i) =>
-      val n = t.df.count()
+      val n = knownCounts.map(_(i)).getOrElse(t.df.count())
       require(n > 0, s"source $i (${t.name}) is empty")
       val rate = targetRows * (w / wSum) / n
       val epochs = math.floor(rate).toLong

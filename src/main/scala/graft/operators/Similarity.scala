@@ -192,18 +192,28 @@ object Similarity {
     * happens at the source instead of inside the scan. */
   def lshTopKServed(spark: org.apache.spark.sql.SparkSession, table: String,
       idCol: String, vecCol: String, query: Seq[Double], k: Int,
-      probeDist: Int = 2): DataFrame = {
+      probeDist: Int = 2): DataFrame =
+    bruteForceTopK(
+      lshServedCandidates(spark, table, idCol, vecCol, query, probeDist),
+      idCol, vecCol, query, k)
+
+  /** The candidate rows the probe set admits from the persisted layout
+    * (pre-rerank, deduped by id) — the scan cost of a served query.
+    * Exposed separately so serving-cost accounting (rows read per probe
+    * radius) is testable without the rerank on top. */
+  def lshServedCandidates(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, vecCol: String, query: Seq[Double],
+      probeDist: Int): DataFrame = {
     val (bits, tables, dims) = cachesFor(spark).lshMeta.getOrElseUpdate(table, {
       val m = spark.table(s"${table}_meta").head()
       (m.getInt(0), m.getInt(1), m.getInt(2))
     })
-    val cands = (0 until tables).map { t =>
+    (0 until tables).map { t =>
       val probes = codesWithin(queryCode(query, bits, t, dims), bits, probeDist)
       spark.table(s"${table}_t$t")
         .filter(col("bucket").isin(probes: _*))
         .select(col(idCol), col(vecCol))
     }.reduce(_ unionByName _).dropDuplicates(idCol)
-    bruteForceTopK(cands, idCol, vecCol, query, k)
   }
 
   // ------------------------------------------------------------------

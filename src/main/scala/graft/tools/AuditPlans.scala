@@ -63,8 +63,8 @@ object AuditPlans {
     "q_join_left" -> 2, "q_join_multikey" -> 3, "q_join_range" -> 1,
     "q_join_right" -> 2, "q_join_salted" -> 2, "q_join_semi" -> 1,
     "q_json_roundtrip" -> 1, "q_lang_id" -> 1, "q_length_buckets" -> 2,
-    "q_mix_weighted" -> 2, "q_multimodal_features" -> 1,
-    "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2,
+    "q_mix_weighted" -> 2, "q_mix_temperature" -> 5, "q_multimodal_features" -> 1,
+    "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2, "q_pack_sequences" -> 3,
     "q_parse_timedelta" -> 2, "q_pii_redact" -> 1, "q_pivot_3level" -> 5,
     "q_pivot_counts" -> 3, "q_pivot_sum" -> 3, "q_pivot_totals" -> 2,
     "q_profile" -> 2, "q_quality_score" -> 1, "q_quantile_band" -> 2,
@@ -92,6 +92,8 @@ object AuditPlans {
       "recall-floor gate join: build side is exactly ONE broadcast row (the verification-grade all-pairs exact side is materialized once, outside this plan)",
     "q_zorder_layout" ->
       "skip-bound gate join: build side is exactly ONE broadcast row (the per-file stats aggregate)",
+    "q_mix_temperature" ->
+      "realization gate join: build side is exactly ONE broadcast row (the per-source tolerance check)",
     "q_pivot_3level" ->
       "pivot key-lattice grid: product of two broadcast DISTINCT-KEY sets, bounded by pivot-key cardinality",
     "q_quantile_band" ->

@@ -315,6 +315,36 @@ class DedupSpec extends SparkSpec {
       s"expected partition filters on the bucket-partitioned scan:\n$plan")
   }
 
+  test("LSH serving economics: selective probes read a small corpus " +
+      "fraction; widening the radius trades scan for recall") {
+    // The regime the persisted layout exists for (OPERATORS.md documents
+    // that at bench SF the near-uniform corpus makes wide probes cover
+    // most buckets): SELECTIVE probes must scan far less than the corpus.
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val table = "lsh_spec_economics"
+    Similarity.saveLshIndex(emb, "embedding", dims = 64, table,
+      bits = 8, tables = 3)
+    // candidate rows actually read per probe radius = the scan the
+    // partition filter lets through, before rerank
+    def scanned(probeDist: Int): Long =
+      Similarity.lshServedCandidates(spark, table, "vec_id", "embedding",
+        qvec, probeDist).count()
+    val exactBucket = scanned(0)   // 3 probes of 256 buckets per table
+    val radius1 = scanned(1)       // 27 probes
+    assert(exactBucket < n / 10,
+      s"probeDist=0 scanned $exactBucket of $n — not selective")
+    assert(radius1 <= n && exactBucket <= radius1,
+      "scan grows monotonically with probe radius")
+    // radius-0 candidates still contain the query itself (its own bucket)
+    val top = Similarity.lshTopKServed(spark, table, "vec_id", "embedding",
+      qvec, 1, probeDist = 0).collect()
+    assert(top.head.getLong(0) == 0L, "query's own bucket must serve it back")
+  }
+
   test("PQ ANN: persisted index serves the same top-k as the in-memory one") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

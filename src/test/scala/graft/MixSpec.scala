@@ -45,6 +45,32 @@ class MixSpec extends SparkSpec {
     assert(perDoc.forall(c => c == 25L || c == 26L), s"epochs off: ${perDoc.distinct.mkString(",")}")
   }
 
+  test("temperatureMix: alpha=1 is proportional; alpha<1 upweights the " +
+      "small corpus; plan rates match realized counts") {
+    val big = corpus("web", 8000)
+    val small = corpus("books", 1000)
+    // alpha = 1: weights n_i → every source sampled at the SAME rate
+    val (_, planProp) = Mix.temperatureMix(Seq(big, small), alpha = 1.0,
+      targetRows = 4500)
+    val rates1 = planProp.map { case (name, _, _, rate) => name -> rate }.toMap
+    assert(math.abs(rates1("web") - rates1("books")) < 1e-12,
+      s"alpha=1 must be proportional: $rates1")
+    // alpha = 0.5: the small corpus's rate rises relative to the big one
+    // by sqrt(n_big/n_small)
+    val (mixed, plan) = Mix.temperatureMix(Seq(big, small), alpha = 0.5,
+      targetRows = 4500)
+    val rates = plan.map { case (name, _, _, rate) => name -> rate }.toMap
+    assert(math.abs(rates("books") / rates("web")
+      - math.sqrt(8000.0 / 1000.0)) < 1e-9, s"rates=$rates")
+    // realized counts track the plan's expectation within sampling noise
+    val counts = mixed.df.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (name, n, _, rate) =>
+      assert(math.abs(counts(name) - rate * n) < 3 * math.sqrt(n.toDouble) + 1,
+        s"$name realized=${counts(name)} expected=${rate * n}")
+    }
+  }
+
   test("remainder selection is partition-layout independent (ADVICE r2)") {
     // pure-Bernoulli mix (rate 0.5 → no whole epochs): the same source
     // repartitioned/coalesced must select EXACTLY the same rows — the

@@ -184,6 +184,34 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("packSequences: full sequences except the tail, token conservation, " +
+      "doc ranges consistent with the index") {
+    val d = Seq(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),   // 5 tokens, offset 0
+      (2L, (1 to 9).map(i => s"b$i").mkString(" ")),   // 9 tokens, offset 5
+      (3L, " "),                                        // excluded
+      (4L, (1 to 3).map(i => s"c$i").mkString(" "))    // 3 tokens, offset 14
+    ).toDF("id", "text")
+    val out = Chunk.packSequences(d, "id", "text", contextLen = 8)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 17 tokens at context 8 → seqs 0..2; seq 0: docs 1+2 fill it,
+    // seq 1: docs 2+4, seq 2: the 1-token tail of doc 4
+    assert(out.toSeq == Seq(
+      (0L, 2L, 8L, 1L, 2L),
+      (1L, 2L, 8L, 2L, 4L),
+      (2L, 1L, 1L, 4L, 4L)))
+    // invariants that hold for ANY corpus: every sequence except the last
+    // is exactly full, and sequence tokens sum to the corpus token count
+    assert(out.init.forall(_._3 == 8L))
+    assert(out.map(_._3).sum == 17L)
+    // layout invariance
+    val again = Chunk.packSequences(d.repartition(5), "id", "text", contextLen = 8)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("dedupSpans: first occurrence survives, later copies drop, docs reassemble in order") {
     import graft.operators.Chunk
     // doc 1: spans A B; doc 2: spans B C (B repeats doc 1's); doc 3: all
