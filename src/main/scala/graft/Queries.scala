@@ -933,6 +933,48 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Line-level duplicate removal at strict maxFreq=1 (drop every copy of
+    * any line repeated anywhere in the corpus — the CCNet/RefinedWeb
+    * boilerplate guard). The synthetic documents carry no newlines, so a
+    * lined view is synthesized map-side first (3-word lines — the house
+    * idiom for structure the synthetic tables lack, as q_pii_redact does
+    * for PII). */
+  val q_line_dedup: Q = (s, dir) => {
+    import graft.operators.Chunk
+    val lined = t(s, dir, "documents").df
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("__ws", graft.functions.TextAnalysis.words(col("text")))
+      .withColumn("text_lined", array_join(transform(
+        sequence(lit(0), expr("(size(__ws) + 2) div 3") - 1),
+        i => array_join(slice(col("__ws"), (i * 3 + 1).cast("int"), lit(3)),
+          " ")), "\n"))
+      .select(col("doc_id"), col("text_lined"))
+    Chunk.removeFrequentLines(lined, "doc_id", "text_lined", maxFreq = 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** First-iteration BPE merge statistics: top-25 adjacent character
+    * pairs, counted over the vocab weighted by word frequency. */
+  val q_bpe_pairs: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    Lexicon.bpePairStats(t(s, dir, "documents").df, "text", k = 25)
+      .orderBy(col("n_occurrences").desc, col("lhs"), col("rhs"))
+  }
+
+  /** Balanced training-shard assignment (longest-first round-robin over
+    * the value-keyed global rank) at 16 shards: per-shard doc count,
+    * char sum, and smallest doc id — all three pin the assignment. */
+  val q_shard_assign: Q = (s, dir) => {
+    import graft.operators.Split
+    Split.shardBySize(
+        t(s, dir, "documents").df.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("shard"))
+  }
+
   /** Token-length bucketing at boundaries 30/45/60: per-bucket doc count,
     * token range, and pad-to-bucket-max waste. */
   val q_length_buckets: Q = (s, dir) => {
@@ -1668,6 +1710,9 @@ object Queries {
     "q_pack_sequences" -> q_pack_sequences,
     "q_pii_redact" -> q_pii_redact,
     "q_span_dedup" -> q_span_dedup,
+    "q_line_dedup" -> q_line_dedup,
+    "q_bpe_pairs" -> q_bpe_pairs,
+    "q_shard_assign" -> q_shard_assign,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
@@ -2645,6 +2690,55 @@ object Queries {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS text_kept
         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), lines AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, (len(ws) + 2) // 3 - 1)) AS line_no,
+        |    unnest(list_transform(generate_series(0, (len(ws) + 2) // 3 - 1),
+        |      i -> array_to_string(
+        |        list_slice(ws, i*3 + 1, least(i*3 + 3, len(ws))), ' '))) AS line
+        |  FROM docs
+        |), f AS (
+        |  SELECT doc_id, line_no, line,
+        |    count(*) OVER (PARTITION BY line) AS freq
+        |  FROM lines
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN freq <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+        |  coalesce(string_agg(CASE WHEN freq <= 1 THEN line END, chr(10) ORDER BY line_no), '') AS text_kept
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents
+        |), v AS (
+        |  SELECT w, count(*) AS freq FROM t WHERE w <> '' GROUP BY w
+        |), i AS (
+        |  SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+        |  FROM v WHERE length(w) >= 2
+        |)
+        |SELECT substr(w, i, 1) AS lhs, substr(w, i + 1, 1) AS rhs,
+        |  CAST(sum(freq) AS BIGINT) AS n_occurrences
+        |FROM i GROUP BY 1, 2
+        |ORDER BY n_occurrences DESC, lhs, rhs LIMIT 25""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT CAST((rn - 1) % 16 AS INT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_length_buckets" ->
       """WITH n AS (

@@ -105,6 +105,49 @@ object Chunk {
           s => s("chunk_text")), " ").as("text_kept"))
   }
 
+  /** LINE-LEVEL duplicate removal (the CCNet/RefinedWeb boilerplate
+    * guard): drop EVERY copy of any line whose corpus-wide frequency
+    * exceeds `maxFreq` (navigation bars, cookie banners, license
+    * headers — text repeated verbatim across documents), and reassemble
+    * each document from its surviving lines in order. `maxFreq = 1` is
+    * strict duplicated-line removal: a line that appears anywhere else
+    * in the corpus is dropped from ALL documents, including the first.
+    * Returns `(idCol, n_lines, n_lines_kept, text_kept)`; documents
+    * whose every line is boilerplate come back with `text_kept = ''`.
+    *
+    * `lineSep` is a LITERAL separator (regex-quoted for the split, used
+    * verbatim for the rejoin).
+    *
+    * Scale shape: one map-side explode, corpus-wide line frequency via a
+    * single content-keyed window (one shuffle on the line text — even
+    * distribution is the hash of the content, no skew unless one literal
+    * line dominates the corpus), one groupBy(doc) to reassemble. Three
+    * exchanges at any corpus size; nothing driver-side. */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      maxFreq: Long = 1L, lineSep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxFreq >= 1, "maxFreq must be >= 1")
+    require(lineSep.nonEmpty, "lineSep must be non-empty")
+    val lines = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(lineSep))))
+      .select(col(idCol), col("pos").as("line_no"), col("col").as("line"))
+      .filter(length(trim(col("line"))) > 0)
+    val freq = lines.withColumn("__freq",
+      count(lit(1)).over(Window.partitionBy(col("line"))))
+    freq.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__freq") <= maxFreq, 1L).otherwise(0L))
+          .as("n_lines_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__freq") <= maxFreq,
+            struct(col("line_no"), col("line"))))),
+          s => s("line")), lineSep).as("text_kept"))
+  }
+
   /** Token-length bucketing for padding-efficient batch assembly: bucket
     * docs by token count at explicit `boundaries` (bucket b holds counts
     * in [boundaries(b-1), boundaries(b)), bucket 0 below the first

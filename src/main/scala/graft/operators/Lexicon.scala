@@ -40,6 +40,36 @@ object Lexicon {
       .limit(k)
   }
 
+  /** First-iteration BPE merge statistics: corpus-wide counts of adjacent
+    * CHARACTER pairs inside words — the quantity byte-pair-encoding
+    * tokenizer training maximizes at every merge step (Sennrich et al.
+    * 2016; GPT-2/SentencePiece-BPE inherit it). The `k` highest-count
+    * pairs, ties broken by (lhs, rhs), are the first merge candidates.
+    *
+    * Scale shape: the classic vocab-level weighting trick — the corpus
+    * collapses to `(distinct word, frequency)` in ONE hash aggregate
+    * (map-side combine; shuffle volume = vocab size, not corpus bytes),
+    * and the character explode runs over the VOCAB weighted by frequency.
+    * A 100 TB corpus with a 10M-word vocab explodes ~10M short rows, not
+    * 10^13 tokens. Top-k is TakeOrdered. */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val words = graft.core.Partitions.ensureParallelism(df)
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("__freq"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("__freq"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("lhs"),
+          col("w").substr(i + 1, lit(1)).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("__freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("lhs"), col("rhs"))
+      .limit(k)
+  }
+
   /** Per-(doc, term) frequencies with corpus document frequency and
     * smoothed TF-IDF (the sklearn convention:
     * `tf · (ln((N+1)/(df+1)) + 1)` — never zero, never negative).

@@ -80,4 +80,27 @@ object Split {
       .filter(col("__rn") <= nPerStratum)
       .drop("__rn")
   }
+
+  /** Balanced training-shard assignment: rows rank corpus-wide by
+    * (`sizeCol` desc, `idCol` asc) and shard `(rank − 1) mod nShards` —
+    * longest-first round-robin, the streaming cousin of LPT scheduling
+    * (each of the `nShards` bins receives one row per size-sorted round,
+    * so per-shard size sums differ by at most one round's spread). The
+    * assignment is a pure function of row VALUES — stable across reruns,
+    * engines, and physical layout — which is what makes shards
+    * resumable/addressable in a training job.
+    *
+    * The global rank is [[graft.core.Ordinals.withOrdinal]]'s value-keyed
+    * two-level prefix — NO single-partition window at any corpus size.
+    * `(sizeCol, idCol)` must be a total order (idCol unique, both
+    * non-null). */
+  def shardBySize(df: DataFrame, idCol: String, sizeCol: String,
+      nShards: Int, outCol: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    graft.core.Ordinals.withOrdinal(df,
+        Seq(graft.core.SortKey(col(sizeCol), asc = false),
+          graft.core.SortKey(col(idCol))), "__ord")
+      .withColumn(outCol, ((col("__ord") - 1) % nShards).cast("int"))
+      .drop("__ord")
+  }
 }

@@ -63,6 +63,7 @@ object AuditPlans {
     "q_join_left" -> 2, "q_join_multikey" -> 3, "q_join_range" -> 1,
     "q_join_right" -> 2, "q_join_salted" -> 2, "q_join_semi" -> 1,
     "q_json_roundtrip" -> 1, "q_lang_id" -> 1, "q_length_buckets" -> 2,
+    "q_line_dedup" -> 3, "q_bpe_pairs" -> 3, "q_shard_assign" -> 3,
     "q_mix_weighted" -> 2, "q_mix_temperature" -> 5, "q_multimodal_features" -> 1,
     "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2, "q_pack_sequences" -> 3,
     "q_parse_timedelta" -> 2, "q_pii_redact" -> 1, "q_pivot_3level" -> 5,

@@ -26,6 +26,25 @@ class LexiconSpec extends SparkSpec {
     assert(v == Seq("apple", "cherry"))
   }
 
+  test("bpePairStats: char-pair counts weighted by word frequency, " +
+      "tie-broken ordering, single-char words contribute nothing") {
+    // apple×3 → ap pp pl le; banana×2 → ba an×2 na×2; cherry×3 → ch he
+    // er rr ry; date×1 → da at te
+    val top = Lexicon.bpePairStats(docs, "text", 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(top == Seq(("a", "n", 4L), ("n", "a", 4L),
+      ("a", "p", 3L), ("c", "h", 3L), ("e", "r", 3L)))
+    // full pair inventory: 15 distinct pairs, total mass = sum over
+    // words of freq·(len−1) = 3·4 + 2·5 + 3·5 + 1·3 = 40
+    val all = Lexicon.bpePairStats(docs, "text", 100).collect()
+    assert(all.length == 15)
+    assert(all.map(_.getLong(2)).sum == 40L)
+    // a single-character word adds no pairs
+    val one = Lexicon.bpePairStats(
+      Seq((1L, "a a a b")).toDF("doc_id", "text"), "text", 10).collect()
+    assert(one.isEmpty)
+  }
+
   test("tfIdf: tf and df exact; idf follows the smoothed sklearn formula") {
     val rows = Lexicon.tfIdf(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)) ->

@@ -212,6 +212,54 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("removeFrequentLines: every copy of an over-frequency line drops, " +
+      "survivors reassemble in order, custom separator honored") {
+    val d = Seq(
+      (1L, "dup line\nunique one"),
+      (2L, "dup line\nunique two"),
+      (3L, "dup line"),          // entirely boilerplate → empty survivor
+      (4L, "   ")                 // blank doc → no output row
+    ).toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // maxFreq = 1: "dup line" (freq 3) drops from ALL docs, firsts included
+    val strict = rows(Chunk.removeFrequentLines(d, "id", "text", maxFreq = 1))
+    assert(strict.toSeq == Seq(
+      (1L, 2L, 1L, "unique one"),
+      (2L, 2L, 1L, "unique two"),
+      (3L, 1L, 0L, "")))
+    // maxFreq = 3: within budget, everything survives verbatim
+    val lax = rows(Chunk.removeFrequentLines(d, "id", "text", maxFreq = 3))
+    assert(lax.toSeq == Seq(
+      (1L, 2L, 2L, "dup line\nunique one"),
+      (2L, 2L, 2L, "dup line\nunique two"),
+      (3L, 1L, 1L, "dup line")))
+    // layout invariance + a non-default (regex-meta) literal separator
+    assert(rows(Chunk.removeFrequentLines(d.repartition(5), "id", "text",
+      maxFreq = 1)).toSeq == strict.toSeq)
+    val pipe = Seq((1L, "x|y"), (2L, "x|z")).toDF("id", "text")
+    assert(rows(Chunk.removeFrequentLines(pipe, "id", "text", maxFreq = 1,
+      lineSep = "|")).toSeq == Seq((1L, 2L, 1L, "y"), (2L, 2L, 1L, "z")))
+  }
+
+  test("shardBySize: longest-first round-robin matches the value-sorted " +
+      "rank exactly and is layout-invariant") {
+    val d = (0L until 200L).map(i => (i, i % 13)).toDF("id", "sz")
+    val out = Split.shardBySize(d, "id", "sz", nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // reference assignment: rank over (sz desc, id asc), shard = (rank-1)%4
+    val expect = (0L until 200L).map(i => (i, i % 13))
+      .sortBy { case (id, sz) => (-sz, id) }.zipWithIndex
+      .map { case ((id, _), rk) => id -> (rk % 4) }.toMap
+    assert(out == expect)
+    // balanced by construction: per-shard counts exactly equal here
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.toSet == Set(50))
+    val again = Split.shardBySize(d.repartition(7), "id", "sz", nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again == out)
+  }
+
   test("dedupSpans: first occurrence survives, later copies drop, docs reassemble in order") {
     import graft.operators.Chunk
     // doc 1: spans A B; doc 2: spans B C (B repeats doc 1's); doc 3: all
