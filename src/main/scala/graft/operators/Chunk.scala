@@ -82,25 +82,28 @@ object Chunk {
     * text_kept)`; docs whose every span was seen earlier elsewhere come
     * back with `text_kept = ''`.
     *
-    * Scale shape: one map-side explode, one shuffle on the span hash
-    * (keep-first via per-key row_number), one groupBy(doc) to
-    * reassemble — the same three-exchange shape at any corpus size, and
-    * span keys are content hashes so the keep-first shuffle distributes
-    * evenly. */
+    * Scale shape: one map-side explode; the first occurrence per span is
+    * a `min(struct(id, chunk_id))` hash AGGREGATE + equi-join back — not
+    * a per-key row_number window, because duplicated spans are exactly
+    * the keys that go mega-frequency on a web corpus: partial
+    * aggregation collapses copies map-side and AQE can skew-split the
+    * confirm join, while a window would buffer every copy of the
+    * hottest span on one task. One explode, the span-keyed exchange
+    * (reused by both join inputs), one groupBy(doc) to reassemble. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = tokenWindows(df, idCol, textCol, spanTokens, stride = spanTokens)
-    val kept = spans
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("chunk_text"))
-          .orderBy(col(idCol).asc, col("chunk_id").asc)))
-    kept.groupBy(col(idCol))
+    val first = spans.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
+    spans.join(first, "chunk_text")
+      .withColumn("__keep",
+        struct(col(idCol), col("chunk_id")) === col("__first"))
+      .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_spans_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_spans_kept"),
         array_join(transform(
-          sort_array(collect_list(when(col("__rn") === 1,
+          sort_array(collect_list(when(col("__keep"),
             struct(col("chunk_id"), col("chunk_text"))))),
           s => s("chunk_text")), " ").as("text_kept"))
   }
@@ -118,14 +121,18 @@ object Chunk {
     * `lineSep` is a LITERAL separator (regex-quoted for the split, used
     * verbatim for the rejoin).
     *
-    * Scale shape: one map-side explode, corpus-wide line frequency via a
-    * single content-keyed window (one shuffle on the line text — even
-    * distribution is the hash of the content, no skew unless one literal
-    * line dominates the corpus), one groupBy(doc) to reassemble. Three
-    * exchanges at any corpus size; nothing driver-side. */
+    * Scale shape: one map-side explode; corpus-wide line frequency is a
+    * hash AGGREGATE by line + an equi-join back — deliberately NOT a
+    * `count over (partition by line)` window, because this operator's
+    * hot keys are BY DEFINITION mega-frequency lines (the cookie banner
+    * on 10% of a 100 TB corpus): partial aggregation collapses every
+    * copy map-side before the shuffle, and the confirm join is an
+    * exchange AQE can skew-split, while a window would buffer every
+    * copy of the hottest line on one task. One explode, the
+    * line-keyed exchange (reused by both join inputs), one groupBy(doc)
+    * to reassemble; nothing driver-side. */
   def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
       maxFreq: Long = 1L, lineSep: String = "\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxFreq >= 1, "maxFreq must be >= 1")
     require(lineSep.nonEmpty, "lineSep must be non-empty")
     val lines = df
@@ -135,9 +142,9 @@ object Chunk {
           java.util.regex.Pattern.quote(lineSep))))
       .select(col(idCol), col("pos").as("line_no"), col("col").as("line"))
       .filter(length(trim(col("line"))) > 0)
-    val freq = lines.withColumn("__freq",
-      count(lit(1)).over(Window.partitionBy(col("line"))))
-    freq.groupBy(col(idCol))
+    val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("__freq"))
+    lines.join(freq, "line")
+      .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("__freq") <= maxFreq, 1L).otherwise(0L))
