@@ -975,6 +975,19 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** DSIR importance scores against the English slice as target: every
+    * doc's exact integer micro-nat log-likelihood-ratio score (md5-prefix
+    * buckets, add-1 smoothing, floor-quantized weights — the whole
+    * reduction is integer arithmetic, so the oracle matches bit-for-bit
+    * despite the ln in the weight formula). */
+  val q_dsir_scores: Q = (s, dir) => {
+    import graft.operators.Curate
+    val docs = t(s, dir, "documents").df
+    Curate.dsirScores(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-length bucketing at boundaries 30/45/60: per-bucket doc count,
     * token range, and pad-to-bucket-max waste. */
   val q_length_buckets: Q = (s, dir) => {
@@ -1713,6 +1726,7 @@ object Queries {
     "q_line_dedup" -> q_line_dedup,
     "q_bpe_pairs" -> q_bpe_pairs,
     "q_shard_assign" -> q_shard_assign,
+    "q_dsir_scores" -> q_dsir_scores,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
@@ -2739,6 +2753,33 @@ object Queries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dsir_scores" ->
+      """WITH rw AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT doc_id, substr(md5(w), 1, 2) AS b FROM rw WHERE w <> ''
+        |), tw AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE lang = 'en'
+        |), tpairs AS (
+        |  SELECT substr(md5(w), 1, 2) AS b FROM tw WHERE w <> ''
+        |), ht AS (SELECT b, count(*) AS ct FROM tpairs GROUP BY b),
+        |hr AS (SELECT b, count(*) AS cr FROM pairs GROUP BY b),
+        |w AS (
+        |  SELECT coalesce(ht.b, hr.b) AS b,
+        |    CAST(floor(1000000.0 *
+        |      (ln((coalesce(ct, 0) + 1) / ((SELECT count(*) FROM tpairs) + 256.0))
+        |     - ln((coalesce(cr, 0) + 1) / ((SELECT count(*) FROM pairs) + 256.0))))
+        |      AS BIGINT) AS w_micro
+        |  FROM ht FULL JOIN hr ON ht.b = hr.b
+        |)
+        |SELECT p.doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(w.w_micro) AS BIGINT) AS score_micro
+        |FROM pairs p JOIN w ON p.b = w.b
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     "q_length_buckets" ->
       """WITH n AS (

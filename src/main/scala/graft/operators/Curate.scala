@@ -139,4 +139,64 @@ object Curate {
       .filter(metric >= col("__q_lo") && metric <= col("__q_hi"))
       .drop("__q_lo", "__q_hi"))
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed bag-of-words is under
+    * the TARGET distribution than under the RAW distribution — the
+    * standard cheap proxy for "select pretraining data that looks like
+    * the high-quality target". Words hash to `16^hexDigits` buckets via
+    * an md5-hex prefix (engine-portable, layout-free); per-bucket
+    * log-likelihood-ratio weights use add-1 smoothing.
+    *
+    * Determinism contract: weights are quantized to integer MICRO-NATS
+    * with `floor` (`floor(1e6·(ln pₜ − ln p_r))`), so the per-document
+    * reduction is EXACT integer arithmetic — no double summation order
+    * anywhere, the same floor-not-round choice as int8 quantization
+    * (round-half ties are engine-specific; floor of the binary value is
+    * not). Output: `(idCol, n_tokens, score_micro)`; resample by
+    * thresholding or rank-sampling `score_micro` (integer compares,
+    * engine-exact).
+    *
+    * Scale shape: the two bucket histograms are hash aggregates over
+    * exploded words (map-side combine; ≤ 16^hexDigits rows each,
+    * persisted — KB-scale), their totals fold in as literals, and the
+    * weight table broadcast-joins to the exploded raw corpus followed by
+    * one groupBy(doc). The corpus is scanned twice (histogram + score),
+    * the target once; nothing corpus-sized is cached or collected. */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, hexDigits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 4, "hexDigits must be in [1,4]")
+    import graft.functions.TextAnalysis
+    val nBuckets = math.pow(16.0, hexDigits)
+    def pairs(df: DataFrame, keep: Seq[Column]): DataFrame =
+      graft.core.Partitions.ensureParallelism(df)
+        .select(keep :+ explode(TextAnalysis.words(col(textCol))).as("__w"): _*)
+        .filter(col("__w") =!= "")
+        .withColumn("__bkt",
+          substring(md5(col("__w").cast("binary")), 1, hexDigits))
+    val rp = pairs(raw, Seq(col(idCol)))
+    val histR = rp.groupBy(col("__bkt")).agg(count(lit(1)).as("__cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histT = pairs(target, Seq.empty)
+      .groupBy(col("__bkt")).agg(count(lit(1)).as("__ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tR = histR.agg(sum(col("__cr"))).head()
+    val tT = histT.agg(sum(col("__ct"))).head()
+    require(!tR.isNullAt(0) && !tT.isNullAt(0),
+      "dsirScores needs non-empty raw AND target corpora")
+    // identical expression structure on both engines: ln of the smoothed
+    // in-bucket fraction, differenced, scaled, floored — see the oracle
+    val weights = histT.join(histR, Seq("__bkt"), "full")
+      .select(col("__bkt"),
+        floor(lit(1e6) *
+          (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            lit(tT.getLong(0) + nBuckets)) -
+           log((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
+            lit(tR.getLong(0) + nBuckets)))).as("__w_micro"))
+    rp.join(broadcast(weights), "__bkt")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__w_micro")).as("score_micro"))
+  }
 }

@@ -82,6 +82,44 @@ class CurateSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("dsirScores: integer micro-nat scores match the formula exactly; " +
+      "target-looking docs outrank off-target docs; layout-invariant") {
+    val raw = Seq(
+      (1L, "apple pie apple tart"),      // target-flavored vocabulary
+      (2L, "gcc linker segfault core"),  // off-target vocabulary
+      (3L, "apple core")                 // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "apple pie recipe"),
+      (11L, "apple tart recipe")).toDF("doc_id", "text")
+    val out = Curate.dsirScores(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side mirror of the exact quantized formula
+    def bkt(w: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(0, 2)
+    }
+    val rawWords = Seq("apple", "pie", "apple", "tart", "gcc", "linker",
+      "segfault", "core", "apple", "core")
+    val tgtWords = Seq("apple", "pie", "recipe", "apple", "tart", "recipe")
+    val cr = rawWords.groupBy(bkt).view.mapValues(_.size.toLong).toMap
+    val ct = tgtWords.groupBy(bkt).view.mapValues(_.size.toLong).toMap
+    def w(b: String): Long = math.floor(1e6 *
+      (math.log((ct.getOrElse(b, 0L) + 1) / (tgtWords.size + 256.0)) -
+       math.log((cr.getOrElse(b, 0L) + 1) / (rawWords.size + 256.0)))).toLong
+    def score(ws: Seq[String]): Long = ws.map(x => w(bkt(x))).sum
+    assert(out(1L) == ((4L, score(Seq("apple", "pie", "apple", "tart")))))
+    assert(out(2L) == ((4L, score(Seq("gcc", "linker", "segfault", "core")))))
+    assert(out(3L) == ((2L, score(Seq("apple", "core")))))
+    // the semantic point of DSIR: target-flavored > mixed > off-target
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2, s"$out")
+    val again = Curate.dsirScores(raw.repartition(5), target.repartition(3),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   test("gopherRules: each rule fires on its crafted violator only") {
     val long = ("the quick fox " * 20).trim                    // 60 words, stopword-rich
     val docs = Seq(
