@@ -657,6 +657,17 @@ object Queries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** A-Res weighted sampling without replacement: 200 docs drawn with
+    * probability ∝ n_chars — deterministic md5 uniforms, so the sampled
+    * set and its ranks are engine-exact (the double `ln(u)/w` only
+    * orders; doc_id breaks ties). */
+  val q_weighted_sample: Q = (s, dir) => {
+    import graft.operators.Split
+    Split.weightedSample(t(s, dir, "documents").df, col("doc_id"),
+        col("n_chars"), k = 200, salt = "ws")
+      .select(col("doc_id"), col("n_chars"), col("sample_rank"))
+  }
+
   /** Benchmark-contamination flags: every 20th doc plays the eval set;
     * output = corpus docs sharing ≥1 word-3-gram with it, with the
     * count of distinct shared shingles. */
@@ -1701,6 +1712,7 @@ object Queries {
     "q_curation_funnel" -> q_curation_funnel,
     "q_split_hash" -> q_split_hash,
     "q_sample_stratified" -> q_sample_stratified,
+    "q_weighted_sample" -> q_weighted_sample,
     "q_contamination" -> q_contamination,
     "q_decontam_bloom" -> q_decontam_bloom,
     "q_decontam_fuzzy" -> q_decontam_fuzzy,
@@ -2297,6 +2309,20 @@ object Queries {
         |    ORDER BY substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS wkey
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |)
+        |SELECT doc_id, n_chars, sample_rank FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY wkey DESC, doc_id) AS sample_rank
+        |  FROM s)
+        |WHERE sample_rank <= 200 ORDER BY sample_rank""".stripMargin,
 
     "q_contamination" ->
       """WITH bsh AS (

@@ -81,6 +81,41 @@ object Split {
       .drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement, k of n (Efraimidis &
+    * Spirakis 2006, "A-Res"): each row draws a deterministic uniform
+    * `u ∈ (0,1)` from md5(salt‖key), scores `ln(u)/w`, and the k LARGEST
+    * scores win — provably the same distribution as drawing k rows one
+    * at a time with probability ∝ weight, but embarrassingly parallel.
+    * This is the standard resampling step downstream of an importance
+    * score ([[graft.operators.Curate.dsirScores]] micro-nats, quality
+    * classifier logits → `exp`-ed weights): heavy-weight rows are
+    * sampled preferentially yet every positive-weight row retains
+    * nonzero probability, unlike a top-k cutoff.
+    *
+    * Determinism contract: `u = (toInt(md5₈) + 0.5)/2³²` — never 0 or 1,
+    * identical on any engine; the double `ln(u)/w` is used only to ORDER
+    * (house rule: floats order, integers are compared), with `key` as
+    * the total tie-break. Rows with `weight ≤ 0` or null are excluded
+    * (zero-weight rows can never win a ∝-weight draw).
+    *
+    * Scale shape: the score is pure map-side arithmetic on top of the
+    * scan; top-k is TakeOrderedAndProject (per-partition heaps + one
+    * k-row driver merge — NO global sort, NO full shuffle); the rank
+    * window runs AFTER `.limit(k)`, so its single partition holds
+    * exactly k rows, never the corpus. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "graft", rankCol: String = "sample_rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(hashHex(key, salt), 16, 10).cast("long").cast("double") +
+      0.5) / lit(4294967296.0)
+    val top = df.filter(weight.isNotNull && weight.cast("double") > 0)
+      .withColumn("__wkey", log(u) / weight.cast("double"))
+      .orderBy(col("__wkey").desc, key.asc)
+      .limit(k)
+    val w = Window.orderBy(col("__wkey").desc, key.asc)
+    top.withColumn(rankCol, row_number().over(w)).drop("__wkey")
+  }
+
   /** Balanced training-shard assignment: rows rank corpus-wide by
     * (`sizeCol` desc, `idCol` asc) and shard `(rank − 1) mod nShards` —
     * longest-first round-robin, the streaming cousin of LPT scheduling

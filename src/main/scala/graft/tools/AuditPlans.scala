@@ -64,6 +64,7 @@ object AuditPlans {
     "q_join_right" -> 2, "q_join_salted" -> 2, "q_join_semi" -> 1,
     "q_json_roundtrip" -> 1, "q_lang_id" -> 1, "q_length_buckets" -> 2,
     "q_line_dedup" -> 3, "q_bpe_pairs" -> 3, "q_shard_assign" -> 3,
+    "q_dsir_scores" -> 7, "q_weighted_sample" -> 0,
     "q_mix_weighted" -> 2, "q_mix_temperature" -> 5, "q_multimodal_features" -> 1,
     "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2, "q_pack_sequences" -> 3,
     "q_parse_timedelta" -> 2, "q_pii_redact" -> 1, "q_pivot_3level" -> 5,
@@ -106,7 +107,9 @@ object AuditPlans {
     "q_search_bm25" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_search_bm25_serve" ->
-      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows")
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_weighted_sample" ->
+      "sample_rank runs AFTER .limit(k): the window's one partition holds exactly k rows")
 
   /** Count DISTINCT shuffle-exchange instances (by object identity),
     * descending into InMemoryRelation cached plans: a pinned subtree

@@ -43,6 +43,40 @@ class PipelineSpec extends SparkSpec {
       Split.hashSample(docs, col("id"), 0.3).select("id").collect().toSet)
   }
 
+  test("weightedSample: exact A-Res order vs a driver-side mirror; " +
+      "∝-weight preference; nonpositive weights excluded; layout-invariant") {
+    val d = Seq((1L, 10L), (2L, 1000L), (3L, 50L), (4L, 0L), (5L, -3L),
+      (6L, 500L), (7L, 7L)).toDF("id", "w")
+    val out = Split.weightedSample(d, col("id"), col("w"), k = 3, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    // driver-side mirror of the exact scoring formula
+    def score(id: Long, w: Long): Double = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(("t" + id).getBytes("UTF-8"))
+      val hex = dig.map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      math.log(u) / w
+    }
+    val expect = Seq((1L, 10L), (2L, 1000L), (3L, 50L), (6L, 500L), (7L, 7L))
+      .sortBy { case (id, w) => (-score(id, w), id) }.take(3)
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+    assert(out.toSeq == expect, s"got ${out.toSeq}, want $expect")
+    // nonpositive/null weights can never be sampled
+    assert(!out.map(_._1).contains(4L) && !out.map(_._1).contains(5L))
+    // ∝-weight preference: w=9999 vs w=1, k=1 — the heavy row wins
+    // P=0.9999 per independent salt; ≥28/30 is a 1-in-10¹² bound
+    val pair = Seq((100L, 9999L), (200L, 1L)).toDF("id", "w")
+    val heavyWins = (0 until 30).count { i =>
+      Split.weightedSample(pair, col("id"), col("w"), k = 1, salt = s"s$i")
+        .head().getLong(0) == 100L
+    }
+    assert(heavyWins >= 28, s"heavy row won only $heavyWins/30")
+    // layout invariance
+    val again = Split.weightedSample(d.repartition(5), col("id"), col("w"),
+      k = 3, salt = "t").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("stratifiedSample: exact n per stratum, deterministic pick") {
     val strat = docs.withColumn("g", (col("id") % 3).cast("int"))
     val out = Split.stratifiedSample(strat, Seq("g"), col("id"), 25)
