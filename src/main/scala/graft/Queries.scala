@@ -999,6 +999,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Classifier quality filtering (inference side): every vector's exact
+    * integer micro-logit under a fixed linear probe `w·x + b` plus its
+    * keep decision at p ≥ 0.5 (logit ≥ 0). The dot product promotes
+    * floats to double and sums sequentially on both engines, and the
+    * floor-quantized micro-logit makes the gate integer-exact. */
+  val q_classifier_score: Q = (s, dir) => {
+    import graft.operators.Curate
+    val w = Array.tabulate(64)(i => ((7 * i + 3) % 11 - 5) / 10.0)
+    Curate.classifierScore(t(s, dir, "embeddings").df, "embedding",
+        w, bias = 0.1, outCol = "__logit")
+      .select(col("vec_id"),
+        floor(lit(1e6) * col("__logit")).cast("long").as("logit_micro"),
+        (col("__logit") >= 0).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Token-length bucketing at boundaries 30/45/60: per-bucket doc count,
     * token range, and pad-to-bucket-max waste. */
   val q_length_buckets: Q = (s, dir) => {
@@ -1739,6 +1755,7 @@ object Queries {
     "q_bpe_pairs" -> q_bpe_pairs,
     "q_shard_assign" -> q_shard_assign,
     "q_dsir_scores" -> q_dsir_scores,
+    "q_classifier_score" -> q_classifier_score,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
@@ -2806,6 +2823,18 @@ object Queries {
         |  CAST(sum(w.w_micro) AS BIGINT) AS score_micro
         |FROM pairs p JOIN w ON p.b = w.b
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    "q_classifier_score" ->
+      """WITH w AS (
+        |  SELECT list(((7*i+3)%11 - 5)/10.0 ORDER BY i) AS wv
+        |  FROM generate_series(0,63) t(i))
+        |SELECT vec_id,
+        |  CAST(floor(1000000.0 *
+        |    (list_dot_product(embedding::DOUBLE[], w.wv) + 0.1)) AS BIGINT)
+        |    AS logit_micro,
+        |  (list_dot_product(embedding::DOUBLE[], w.wv) + 0.1) >= 0 AS kept
+        |FROM embeddings CROSS JOIN w
+        |ORDER BY vec_id""".stripMargin,
 
     "q_length_buckets" ->
       """WITH n AS (

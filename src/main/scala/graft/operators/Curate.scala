@@ -140,6 +140,38 @@ object Curate {
       .drop("__q_lo", "__q_hi"))
   }
 
+  /** Model-based quality scoring (fastText / linear-probe classifier
+    * INFERENCE): `logit = w·x + b` over an embedding column. The weight
+    * vector comes from a model trained offline (the production pattern —
+    * training happens once on labeled data; what runs at corpus scale is
+    * inference), so this is the 100 TB half of classifier filtering:
+    * pure map-side codegen'd arithmetic ([[graft.functions
+    * .VectorExpressions.vec_dot]] promotes floats to double and sums
+    * sequentially — bit-identical to any engine's cast-then-fold), no
+    * shuffle, no state, straight onto the scan. */
+  def classifierScore(df: DataFrame, vecCol: String,
+      weights: Array[Double], bias: Double,
+      outCol: String = "quality_logit"): DataFrame = {
+    require(weights.nonEmpty, "need a non-empty weight vector")
+    import graft.functions.VectorExpressions
+    df.withColumn(outCol,
+      VectorExpressions.vec_dot(col(vecCol), typedlit(weights.toSeq)) +
+        lit(bias))
+  }
+
+  /** Keep rows the classifier accepts at `minProb`: sigmoid(logit) ≥ p
+    * ⇔ logit ≥ ln(p/(1−p)), so the probability threshold folds into ONE
+    * comparison against a driver-side constant — the filter stays a
+    * pushable map-side predicate with no transcendental per row. */
+  def classifierFilter(df: DataFrame, vecCol: String,
+      weights: Array[Double], bias: Double, minProb: Double): DataFrame = {
+    require(minProb > 0 && minProb < 1, "minProb must be in (0,1)")
+    import graft.functions.VectorExpressions
+    val cut = math.log(minProb / (1.0 - minProb))
+    df.filter(VectorExpressions.vec_dot(col(vecCol),
+      typedlit(weights.toSeq)) + lit(bias) >= lit(cut))
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed bag-of-words is under

@@ -64,6 +64,7 @@ object AuditPlans {
     "q_join_right" -> 2, "q_join_salted" -> 2, "q_join_semi" -> 1,
     "q_json_roundtrip" -> 1, "q_lang_id" -> 1, "q_length_buckets" -> 2,
     "q_line_dedup" -> 3, "q_bpe_pairs" -> 3, "q_shard_assign" -> 3,
+    "q_classifier_score" -> 1,  // inference is map-side; the 1 is the output ORDER BY
     "q_dsir_scores" -> 7, "q_weighted_sample" -> 0,
     "q_mix_weighted" -> 2, "q_mix_temperature" -> 5, "q_multimodal_features" -> 1,
     "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2, "q_pack_sequences" -> 3,

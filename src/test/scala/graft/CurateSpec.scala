@@ -120,6 +120,28 @@ class CurateSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("classifierScore/Filter: exact w·x+b; probability threshold folds " +
+      "to the logit constant; float promotion matches driver math") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, -0.5f)),
+      (2L, Array(0.1f, -0.2f, 0.3f)),
+      (3L, Array(-3.0f, 0.0f, 1.5f))).toDF("id", "v")
+    val w = Array(0.5, -1.0, 2.0)
+    val out = Curate.classifierScore(vecs, "v", w, bias = 0.25, "logit")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def mirror(x: Array[Float]): Double =
+      x.zip(w).foldLeft(0.0) { case (s, (a, b)) => s + a.toDouble * b } + 0.25
+    assert(out(1L) == mirror(Array(1.0f, 2.0f, -0.5f)))
+    assert(out(2L) == mirror(Array(0.1f, -0.2f, 0.3f)))
+    assert(out(3L) == mirror(Array(-3.0f, 0.0f, 1.5f)))
+    // sigmoid(logit) >= p  <=>  logit >= ln(p/(1-p)) — same kept set
+    val kept = Curate.classifierFilter(vecs, "v", w, 0.25, minProb = 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val cut = math.log(0.8 / 0.2)
+    assert(kept == out.filter(_._2 >= cut).keys.toSet)
+    assert(kept == Set(3L), s"got $kept")  // -1.5+0+3+0.25 = 1.75 >= 1.386
+  }
+
   test("gopherRules: each rule fires on its crafted violator only") {
     val long = ("the quick fox " * 20).trim                    // 60 words, stopword-rich
     val docs = Seq(
