@@ -999,6 +999,17 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Perplexity-proxy fluency scores: hashed-bigram LM trained on the
+    * corpus itself, every doc's exact integer micro-nat log-probability
+    * (add-1 smoothing over 256 buckets; floor-quantized weights make the
+    * per-doc reduction integer-exact despite the ln). */
+  val q_lm_score: Q = (s, dir) => {
+    import graft.operators.Curate
+    val docs = t(s, dir, "documents").df
+    Curate.lmScores(docs, docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Classifier quality filtering (inference side): every vector's exact
     * integer micro-logit under a fixed linear probe `w·x + b` plus its
     * keep decision at p ≥ 0.5 (logit ≥ 0). The dot product promotes
@@ -1756,6 +1767,7 @@ object Queries {
     "q_shard_assign" -> q_shard_assign,
     "q_dsir_scores" -> q_dsir_scores,
     "q_classifier_score" -> q_classifier_score,
+    "q_lm_score" -> q_lm_score,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
@@ -2823,6 +2835,29 @@ object Queries {
         |  CAST(sum(w.w_micro) AS BIGINT) AS score_micro
         |FROM pairs p JOIN w ON p.b = w.b
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, substr(md5(unnest(ws)), 1, 2) AS b,
+        |    generate_subscripts(ws, 1) AS i
+        |  FROM tl
+        |), bg AS (
+        |  SELECT a.doc_id, a.b AS x, c.b AS y
+        |  FROM toks a JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        |), c2 AS (SELECT x, y, count(*) AS c2 FROM bg GROUP BY x, y),
+        |c1 AS (SELECT x, sum(c2) AS c1 FROM c2 GROUP BY x),
+        |w AS (
+        |  SELECT x, y,
+        |    CAST(floor(1000000.0 * ln((c2 + 1) / (c1 + 256.0))) AS BIGINT) AS wm
+        |  FROM c2 JOIN c1 USING (x))
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(w.wm) AS BIGINT) AS logprob_micro
+        |FROM bg JOIN w ON bg.x = w.x AND bg.y = w.y
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
 
     "q_classifier_score" ->
       """WITH w AS (

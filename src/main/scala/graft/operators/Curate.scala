@@ -172,6 +172,62 @@ object Curate {
       typedlit(weights.toSeq)) + lit(bias) >= lit(cut))
   }
 
+  /** Perplexity-proxy fluency scoring (the CCNet/RefinedWeb "LM filter"
+    * stage, with the LM trained IN-ENGINE): a hashed-BIGRAM language
+    * model over md5-prefix buckets — `P(y|x) = (C₂(x,y)+1)/(C₁(x)+V)`
+    * with add-1 smoothing over the `V = 16^hexDigits` bucket vocabulary,
+    * trained on `train` and scored over `score` (pass the same frame to
+    * self-score). Gibberish/boilerplate-shredded text pairs rare bucket
+    * transitions and scores low; fluent text rides the corpus's common
+    * transitions; thresholding the per-bigram average is the classic
+    * perplexity filter (perplexity = exp(−avg logprob)).
+    *
+    * Determinism contract: per-bigram weights are floor-quantized to
+    * integer MICRO-NATS before the per-doc sum, so the reduction is
+    * exact integer arithmetic (the [[dsirScores]] idiom). Output:
+    * `(idCol, n_bigrams, logprob_micro)`; docs with fewer than two
+    * non-empty tokens have no bigrams and are omitted.
+    *
+    * Scale shape: bigram formation is pure MAP-SIDE array arithmetic
+    * (slice + zip_with on the token array — no positional window, no
+    * per-doc shuffle); the model is two hash aggregates capped at V²/V
+    * rows (≤65k at the default, persisted — KB-scale), C₁ derived FROM
+    * C₂ so training scans the corpus once; scoring left-broadcast-joins
+    * both count tables (unseen bigrams fall back to the smoothed floor)
+    * and ends in ONE groupBy(doc). */
+  def lmScores(score: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, hexDigits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 4, "hexDigits must be in [1,4]")
+    import graft.functions.TextAnalysis
+    val v = math.pow(16.0, hexDigits)
+    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val ws = filter(TextAnalysis.words(col(textCol)), w => w =!= "")
+      val bs = transform(ws,
+        w => substring(md5(w.cast("binary")), 1, hexDigits))
+      graft.core.Partitions.ensureParallelism(df)
+        .select(keep :+ bs.as("__bs"): _*)
+        .filter(size(col("__bs")) >= 2)
+        .select(keep :+ explode(zip_with(
+          slice(col("__bs"), lit(1), size(col("__bs")) - 1),
+          slice(col("__bs"), lit(2), size(col("__bs")) - 1),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("__bg"): _*)
+        .select(keep :+ col("__bg.x").as("__x") :+ col("__bg.y").as("__y"): _*)
+    }
+    val c2 = bigrams(train, Seq.empty)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("__x")).agg(sum(col("__c2")).as("__c1"))
+    bigrams(score, Seq(col(idCol)))
+      .join(broadcast(c2), Seq("__x", "__y"), "left")
+      .join(broadcast(c1), Seq("__x"), "left")
+      .withColumn("__w", floor(lit(1e6) * log(
+        (coalesce(col("__c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__c1"), lit(0L)).cast("double") + lit(v)))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__w")).as("logprob_micro"))
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed bag-of-words is under

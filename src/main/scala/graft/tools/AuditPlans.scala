@@ -66,6 +66,9 @@ object AuditPlans {
     "q_line_dedup" -> 3, "q_bpe_pairs" -> 3, "q_shard_assign" -> 3,
     "q_classifier_score" -> 1,  // inference is map-side; the 1 is the output ORDER BY
     "q_dsir_scores" -> 7, "q_weighted_sample" -> 0,
+    // 2× ensureParallelism (train+score legs) + C₂ agg + C₁ agg +
+    // per-doc groupBy + output ORDER BY; both model joins broadcast
+    "q_lm_score" -> 6,
     "q_mix_weighted" -> 2, "q_mix_temperature" -> 5, "q_multimodal_features" -> 1,
     "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2, "q_pack_sequences" -> 3,
     "q_parse_timedelta" -> 2, "q_pii_redact" -> 1, "q_pivot_3level" -> 5,

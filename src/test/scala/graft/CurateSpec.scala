@@ -120,6 +120,49 @@ class CurateSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("lmScores: integer micro-nat bigram log-probs match a driver " +
+      "mirror; seen transitions outscore unseen; short docs omitted; " +
+      "layout-invariant") {
+    val train = Seq((10L, "the cat sat"), (11L, "the cat ran"),
+      (12L, "the cat sat")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat"),   // all common transitions
+      (2L, "sat the cat"),   // includes an unseen transition (sat->the)
+      (3L, "word"),          // 1 token: no bigrams, omitted
+      (4L, "")               // empty: omitted
+    ).toDF("doc_id", "text")
+    val out = Curate.lmScores(score, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // driver-side mirror of the exact quantized model
+    def bkt(w: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(0, 2)
+    }
+    def bigrams(s: String): Seq[(String, String)] = {
+      val b = s.trim.split("\\s+").filter(_.nonEmpty).map(bkt).toSeq
+      b.zip(b.drop(1))
+    }
+    val c2 = Seq("the cat sat", "the cat ran", "the cat sat")
+      .flatMap(bigrams).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def wm(x: String, y: String): Long = math.floor(1e6 * math.log(
+      (c2.getOrElse((x, y), 0L) + 1) / (c1.getOrElse(x, 0L) + 256.0))).toLong
+    def expect(s: String): (Long, Long) = {
+      val bs = bigrams(s)
+      (bs.size.toLong, bs.map { case (x, y) => wm(x, y) }.sum)
+    }
+    assert(out(1L) == expect("the cat sat"), s"got ${out(1L)}")
+    assert(out(2L) == expect("sat the cat"), s"got ${out(2L)}")
+    // fluency ordering: the all-seen doc beats the unseen-transition doc
+    assert(out(1L)._2 > out(2L)._2)
+    val again = Curate.lmScores(score.repartition(5), train.repartition(3),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   test("classifierScore/Filter: exact w·x+b; probability threshold folds " +
       "to the logit constant; float promotion matches driver math") {
     val vecs = Seq(
