@@ -944,6 +944,16 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window exact substring dedup (Lee et al. ExactSubstr,
+    * 8-token windows): every non-first occurrence of a duplicated
+    * 8-gram loses its token span; full reassembled text byte-matched
+    * for ALL docs, untouched ones included. */
+  val q_substr_dedup: Q = (s, dir) => {
+    import graft.operators.Chunk
+    Chunk.dedupSubstrings(t(s, dir, "documents").df, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Line-level duplicate removal at strict maxFreq=1 (drop every copy of
     * any line repeated anywhere in the corpus — the CCNet/RefinedWeb
     * boilerplate guard). The synthetic documents carry no newlines, so a
@@ -1007,6 +1017,24 @@ object Queries {
     import graft.operators.Curate
     val docs = t(s, dir, "documents").df
     Curate.lmScores(docs, docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget selection: documents ranked longest-first (n_tokens
+    * desc, doc_id tie-break), admitted while their exclusive token
+    * offset starts inside a 15k-token budget — the fixed-compute
+    * "best N tokens" cut, exact at every SF (the cut point moves, the
+    * semantics don't). */
+  val q_token_budget: Q = (s, dir) => {
+    import graft.core.SortKey
+    import graft.operators.Curate
+    val d = t(s, dir, "documents").df
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Curate.selectByBudget(d,
+        Seq(SortKey(col("n_tokens"), asc = false), SortKey(col("doc_id"))),
+        "n_tokens", budget = 15000L, offsetName = "tok_before")
       .orderBy(col("doc_id"))
   }
 
@@ -1762,12 +1790,14 @@ object Queries {
     "q_pack_sequences" -> q_pack_sequences,
     "q_pii_redact" -> q_pii_redact,
     "q_span_dedup" -> q_span_dedup,
+    "q_substr_dedup" -> q_substr_dedup,
     "q_line_dedup" -> q_line_dedup,
     "q_bpe_pairs" -> q_bpe_pairs,
     "q_shard_assign" -> q_shard_assign,
     "q_dsir_scores" -> q_dsir_scores,
     "q_classifier_score" -> q_classifier_score,
     "q_lm_score" -> q_lm_score,
+    "q_token_budget" -> q_token_budget,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
@@ -2760,6 +2790,34 @@ object Queries {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS text_kept
         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_substr_dedup" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    coalesce(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> ''), CAST([] AS VARCHAR[])) AS ws
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, j, md5(array_to_string(ws[j:j+7], ' ')) AS key
+        |  FROM tl, LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(j)
+        |), rk AS (
+        |  SELECT doc_id, j,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id, j) AS rn
+        |  FROM w
+        |), pos AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM rk, LATERAL unnest(generate_series(j, j + 7)) AS t(p)
+        |  WHERE rn >= 2
+        |), rem AS (
+        |  SELECT doc_id, list(p) AS rem, count(*) AS nr FROM pos GROUP BY doc_id
+        |)
+        |SELECT tl.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(rem.nr, 0) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(list_filter(ws, (x, i) ->
+        |    NOT list_contains(coalesce(rem.rem, CAST([] AS BIGINT[])), i)),
+        |    ' '), '') AS text_kept
+        |FROM tl LEFT JOIN rem ON tl.doc_id = rem.doc_id
+        |ORDER BY tl.doc_id""".stripMargin,
+
     "q_line_dedup" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -2858,6 +2916,19 @@ object Queries {
         |  CAST(sum(w.wm) AS BIGINT) AS logprob_micro
         |FROM bg JOIN w ON bg.x = w.x AND bg.y = w.y
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tok_before
+        |FROM c WHERE tok_before < 15000 ORDER BY doc_id""".stripMargin,
 
     "q_classifier_score" ->
       """WITH w AS (

@@ -109,7 +109,27 @@ object Ordinals {
     * smallest). `idCol` must be unique and non-null — the total order
     * that defines the sum. */
   def keyedRunningTotal(df: DataFrame, idCol: String, valueCol: String,
-      name: String = "__cum", buckets: Int = 0): DataFrame = {
+      name: String = "__cum", buckets: Int = 0): DataFrame =
+    runningTotalImpl(df, Seq(SortKey(col(idCol))), valueCol, name, buckets,
+      requireNonNullFirst = Some(idCol))
+
+  /** EXCLUSIVE running total of `valueCol` in the TOTAL order defined by
+    * `keys` (tie-break with a unique trailing key — equal-key rows would
+    * otherwise get a window-order-dependent split of their shared
+    * prefix). Same two-level shape as [[keyedRunningTotal]]: buckets are
+    * aligned to the LEADING key (asc or desc), the per-bucket sums are
+    * exclusive-prefixed on the driver in visit order, and the intra-bucket
+    * window orders by the full key list — no single-partition exchange
+    * at any size, values independent of physical layout. */
+  def runningTotal(df: DataFrame, keys: Seq[SortKey], valueCol: String,
+      name: String = "__cum", buckets: Int = 0): DataFrame =
+    runningTotalImpl(df, keys, valueCol, name, buckets,
+      requireNonNullFirst = None)
+
+  private def runningTotalImpl(df: DataFrame, keys: Seq[SortKey],
+      valueCol: String, name: String, buckets: Int,
+      requireNonNullFirst: Option[String]): DataFrame = {
+    require(keys.nonEmpty, "running totals are order-defined")
     val nBuckets = if (buckets > 0) buckets else defaultBuckets(df)
     df.schema(valueCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
@@ -118,8 +138,9 @@ object Ordinals {
           "a fractional type would silently truncate per-row before summing")
     }
     val v = coalesce(col(valueCol).cast(LongType), lit(0L))
-    val (bucketOpt, nNull) = orderedBucket(df, col(idCol), nBuckets)
-    require(nNull == 0, s"$idCol must be non-null")
+    val first = keys.head
+    val (bucketOpt, nNull) = orderedBucket(df, first.c, nBuckets)
+    requireNonNullFirst.foreach(k => require(nNull == 0, s"$k must be non-null"))
     bucketOpt match {
       case None => // empty input: nothing to sum
         df.withColumn(name, lit(0L))
@@ -127,9 +148,9 @@ object Ordinals {
         val data = df.withColumn("__bkt", bucket)
         val perBucket = data.groupBy(col("__bkt")).agg(sum(v).as("__bsum"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        val wIn = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
+        val wIn = Window.partitionBy(col("__bkt")).orderBy(keys.map(_.order): _*)
           .rowsBetween(Window.unboundedPreceding, -1)
-        data.join(broadcast(prefixFrame(df, perBucket, ascending = true)), "__bkt")
+        data.join(broadcast(prefixFrame(df, perBucket, first.asc)), "__bkt")
           .withColumn(name, col("__pfx") + coalesce(sum(v).over(wIn), lit(0L)))
           .select(df.columns.map(col) :+ col(name): _*)
     }

@@ -108,6 +108,65 @@ object Chunk {
           s => s("chunk_text")), " ").as("text_kept"))
   }
 
+  /** SLIDING-WINDOW exact substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr step, k-gram-anchored): hash every k-token sliding
+    * window of every document; a window whose content occurs more than
+    * once corpus-wide is duplicated, and every NON-FIRST occurrence
+    * (first = lexicographic min of (doc id, position)) has its k token
+    * positions removed; documents are reassembled from the surviving
+    * tokens in order. Any duplicated run of ≥ k tokens is caught — it
+    * contains a duplicated k-window — and removal granularity is the
+    * union of flagged windows, so a shared passage disappears from every
+    * copy but its first. Returns `(idCol, n_tokens, n_removed,
+    * text_kept)` for ALL input docs (untouched docs included,
+    * whitespace-normalized); fully-duplicated docs come back with
+    * `text_kept = ''`.
+    *
+    * Scale shape: window formation is pure map-side (one explode of the
+    * start positions; the key is a fixed-width md5 of the joined window,
+    * so shuffle width is independent of `k`). The duplicate test is a
+    * `count + min(struct)` hash AGGREGATE by window key + an equi-join
+    * back — never a per-key window, because duplicated windows are
+    * exactly the keys that go mega-frequency on a web corpus (partial
+    * aggregation collapses copies map-side; AQE skew-splits the confirm
+    * join). Flagged windows explode to at most k positions each,
+    * deduped in the per-doc `collect_set` (doc-bounded, never
+    * corpus-bounded); reassembly is ONE groupBy-free left join + a
+    * map-side indexed filter over the token array. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "k must be >= 2 (a 1-token window is exact token dedup)")
+    val toks = graft.core.Partitions.ensureParallelism(df)
+      .select(col(idCol),
+        coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
+          array().cast("array<string>")).as("__ws"))
+    val wins = toks
+      .filter(size(col("__ws")) >= k)
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(1), size(col("__ws")) - (k - 1))).as("__j"))
+      .select(col(idCol), col("__j"),
+        md5(array_join(slice(col("__ws"), col("__j"), lit(k)), " ")
+          .cast("binary")).as("__key"))
+    val firstAgg = wins.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("__j"))).as("__first"))
+    val removed = wins.join(firstAgg, "__key")
+      .filter(col("__cnt") > 1 &&
+        !(struct(col(idCol), col("__j")) === col("__first")))
+      .select(col(idCol), explode(sequence(col("__j"), col("__j") + (k - 1)))
+        .as("__p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__p")).as("__rem"))
+    val rem = coalesce(col("__rem"), array().cast("array<int>"))
+    toks.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(rem).cast("long").as("n_removed"),
+        array_join(filter(col("__ws"),
+          (w, i) => !array_contains(rem, i + lit(1))), " ").as("text_kept"))
+  }
+
   /** LINE-LEVEL duplicate removal (the CCNet/RefinedWeb boilerplate
     * guard): drop EVERY copy of any line whose corpus-wide frequency
     * exceeds `maxFreq` (navigation bars, cookie banners, license

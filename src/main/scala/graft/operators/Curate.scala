@@ -228,6 +228,31 @@ object Curate {
         sum(col("__w")).as("logprob_micro"))
   }
 
+  /** Quality-ranked TOKEN-BUDGET selection (the "take the best N tokens"
+    * cut that ends a scored curation funnel — FineWeb-Edu's classifier
+    * cut, DSIR's resampled subset, any fixed-compute pretraining mix):
+    * rank the corpus by `keys` (best first; tie-break with a unique
+    * trailing key so the order is total), then admit every document
+    * whose EXCLUSIVE running token offset in that order is `< budget` —
+    * the concat-and-cut semantics of sequence packing, so exactly the
+    * documents that START inside the budget are kept and only the
+    * boundary document may straddle it. Appends `offsetName` (the
+    * offset) so the caller can trim or account the straddler.
+    *
+    * Scale shape: the corpus-wide ordered cumsum is
+    * [[graft.core.Ordinals.runningTotal]] — the value-keyed two-level
+    * prefix sum (leading-key-aligned buckets + a bucket-partitioned
+    * window), never a single-partition window; the budget filter is a
+    * plain predicate on the result. Selection depends only on values,
+    * never on physical layout. */
+  def selectByBudget(df: DataFrame, keys: Seq[graft.core.SortKey],
+      tokenCol: String, budget: Long,
+      offsetName: String = "tok_before"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    graft.core.Ordinals.runningTotal(df, keys, tokenCol, offsetName)
+      .filter(col(offsetName) < budget)
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed bag-of-words is under

@@ -69,6 +69,12 @@ object AuditPlans {
     // 2× ensureParallelism (train+score legs) + C₂ agg + C₁ agg +
     // per-doc groupBy + output ORDER BY; both model joins broadcast
     "q_lm_score" -> 6,
+    // ensureParallelism + window-key agg + the reused window-keyed
+    // confirm-join exchange + per-doc removed-set agg + output ORDER BY
+    "q_substr_dedup" -> 6,
+    // bucketed-window exchange (the two-level prefix sum) + output
+    // ORDER BY; the per-bucket prefix frame joins broadcast
+    "q_token_budget" -> 2,
     "q_mix_weighted" -> 2, "q_mix_temperature" -> 5, "q_multimodal_features" -> 1,
     "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2, "q_pack_sequences" -> 3,
     "q_parse_timedelta" -> 2, "q_pii_redact" -> 1, "q_pivot_3level" -> 5,

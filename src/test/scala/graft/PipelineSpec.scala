@@ -310,6 +310,36 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, "")), "every span seen earlier elsewhere")
   }
 
+  test("dedupSubstrings: non-first copies of a duplicated k-run lose the " +
+      "window union, first and short docs untouched, layout-invariant") {
+    import graft.operators.Chunk
+    // P = a 5-token passage shared by docs 1 and 2 (k=4: its two
+    // overlapping windows both flag in doc 2, removal = their union =
+    // all 5 tokens); doc 3 shorter than k; doc 4 = P alone -> fully
+    // removed (doc 2 outranks it? no — (2,_) < (4,_), so doc 4 is
+    // non-first everywhere); doc 5 repeats a window WITHIN itself.
+    val P = (1 to 5).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$P u1 u2"),            // first owner of P's windows
+      (2L, s"v1 $P"),               // later copy: all 5 P-tokens drop
+      (3L, "s1 s2 s3"),             // < k tokens: no windows, untouched
+      (4L, P),                      // nothing but P: text_kept = ''
+      (5L, "x1 x2 x3 x4 y x1 x2 x3 x4") // in-doc repeat: 2nd run drops
+    ).toDF("doc_id", "text")
+    val out = Chunk.dedupSubstrings(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((7L, 0L, s"$P u1 u2")), "first occurrence survives")
+    assert(out(2L) == ((6L, 5L, "v1")), "window union removes whole passage")
+    assert(out(3L) == ((3L, 0L, "s1 s2 s3")), "below k: untouched")
+    assert(out(4L) == ((5L, 5L, "")), "fully duplicated doc empties")
+    assert(out(5L) == ((9L, 4L, "x1 x2 x3 x4 y")), "in-doc repeat drops")
+    val again = Chunk.dedupSubstrings(docs.repartition(7), "doc_id", "text",
+      k = 4).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(again == out)
+  }
+
   test("lengthBuckets: boundary edges and pad-waste arithmetic") {
     import graft.operators.Chunk
     // token counts: 2, 3 (edge: < 3 -> bucket 0 excludes 3), 5, 9

@@ -212,6 +212,41 @@ class RunIdPropertySpec extends SparkSpec {
     assert(got == want, "date-keyed running total")
   }
 
+  test("runningTotal with a DESC leading key + tie-break matches the " +
+      "sequential prefix sum; selectByBudget admits exactly the ordered " +
+      "prefix that starts inside the budget") {
+    import graft.core.SortKey
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(200)
+      // non-unique scores force the doc_id tie-break; desc leading key
+      // exercises the reversed bucket visit order
+      val data = rnd.shuffle((0 until n).toList)
+        .map(i => (i.toLong, (rnd.nextInt(12) + 1).toLong))
+      val df = data.toDF("id", "tok").repartition(1 + rnd.nextInt(6))
+      val keys = Seq(SortKey(col("tok"), asc = false), SortKey(col("id")))
+      for (buckets <- Seq(1, 4, 32)) {
+        val got = graft.core.Ordinals.runningTotal(df, keys, "tok", "cum", buckets)
+          .select("id", "cum").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        var acc = 0L
+        val want = data.sortBy { case (id, tok) => (-tok, id) }.map { case (id, tok) =>
+          val r = id -> acc; acc += tok; r
+        }.toMap
+        assert(got == want, s"trial $trial buckets=$buckets n=$n")
+      }
+      val budget = 1L + rnd.nextInt(data.map(_._2).sum.toInt)
+      val kept = graft.operators.Curate
+        .selectByBudget(df, keys, "tok", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+      var acc = 0L
+      val wantKept = data.sortBy { case (id, tok) => (-tok, id) }
+        .filter { case (_, tok) => val in = acc < budget; acc += tok; in }
+        .map(_._1).toSet
+      assert(kept == wantKept, s"trial $trial budget=$budget")
+    }
+  }
+
   test("slicePy matches Python slice semantics on random slices") {
     // Scala oracle: Python's slice.indices() algorithm applied to a Range
     def pySlice(n: Int, start: Option[Long], stop: Option[Long], step: Long): Seq[Int] = {
