@@ -944,6 +944,48 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared artifact snippets for q_encoding_scan: defined ONCE and used
+    * by both the Spark construction and the interpolated oracle SQL, so
+    * the scanned byte sequences are identical by construction. */
+  private val mojiSnippet = " cafÃ© â€™"
+  private val specialSnippet = " <|endoftext|> [SEP]"
+
+  /** Encoding/tokenization hygiene scan: deterministic artifacts
+    * (mojibake, a C0 control char, leaked tokenizer special tokens) are
+    * appended to id-selected docs — the q_pii_redact idiom for structure
+    * the synthetic corpus lacks — then counted per doc by the Scrub
+    * patterns; one codegen'd map pass, no shuffle. */
+  val q_encoding_scan: Q = (s, dir) => {
+    import graft.operators.Scrub
+    val withArt = t(s, dir, "documents").df.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(mojiSnippet)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(specialSnippet)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\u0007")).otherwise(lit("")))
+        .as("text"))
+    Scrub.encodingArtifacts(withArt, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental ingest dedup: a synthesized "today's crawl" — exact
+    * re-crawls of every doc_id%3==0 doc (shifted ids) plus genuinely
+    * fresh docs — anti-joined against the existing corpus by normalized
+    * content digest. Every re-crawl must drop, every fresh doc must
+    * survive. */
+  val q_dedup_incremental: Q = (s, dir) => {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents").df
+    val recrawl = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh "), col("doc_id").cast("string"))
+          .as("text"))
+    Dedup.dedupAgainst(recrawl.unionByName(fresh), docs, "text")
+      .select(col("doc_id"), length(col("text")).as("n_chars_in"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window exact substring dedup (Lee et al. ExactSubstr,
     * 8-token windows): every non-first occurrence of a duplicated
     * 8-gram loses its token span; full reassembled text byte-matched
@@ -1791,6 +1833,8 @@ object Queries {
     "q_pii_redact" -> q_pii_redact,
     "q_span_dedup" -> q_span_dedup,
     "q_substr_dedup" -> q_substr_dedup,
+    "q_encoding_scan" -> q_encoding_scan,
+    "q_dedup_incremental" -> q_dedup_incremental,
     "q_line_dedup" -> q_line_dedup,
     "q_bpe_pairs" -> q_bpe_pairs,
     "q_shard_assign" -> q_shard_assign,
@@ -2789,6 +2833,42 @@ object Queries {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS text_kept
         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_encoding_scan" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '$mojiSnippet' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '$specialSnippet' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '${graft.operators.Scrub.mojibake}')) AS INTEGER) AS n_mojibake,
+        |    CAST(len(regexp_extract_all(text, '${graft.operators.Scrub.controlChars}')) AS INTEGER) AS n_ctrl,
+        |    CAST(len(regexp_extract_all(text, '${graft.operators.Scrub.specialTokens}')) AS INTEGER) AS n_special
+        |  FROM w)
+        |SELECT doc_id, n_mojibake, n_ctrl, n_special,
+        |  (n_mojibake + n_ctrl + n_special = 0) AS is_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' fresh ' || doc_id AS text
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), n AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM inc
+        |), ex AS (
+        |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |)
+        |SELECT n.doc_id, CAST(length(n.text) AS INTEGER) AS n_chars_in
+        |FROM n WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.t = n.t)
+        |ORDER BY n.doc_id""".stripMargin,
 
     "q_substr_dedup" ->
       """WITH tl AS (

@@ -32,6 +32,31 @@ object Dedup {
       .withColumn("__rn", row_number().over(Window.partitionBy(col(keyName)).orderBy(order: _*)))
       .filter(col("__rn") === 1).drop("__rn")
 
+  /** INCREMENTAL ingest dedup: drop every `incoming` row whose
+    * normalized content already exists in the `existing` corpus — the
+    * daily-crawl gate that keeps re-crawls and mirrors out of a corpus
+    * that was already deduplicated (exact tier; chain the MinHash/LSH
+    * machinery below for the near-dup tier). Normalization is
+    * lower+trim+whitespace-collapse so trivial re-serializations still
+    * match; set `normalize = false` for byte-exact keys.
+    *
+    * Scale shape: the existing corpus collapses to DISTINCT fixed-width
+    * md5 keys map-side (partial aggregation — the 100 TB corpus never
+    * moves, only its key set), then one LEFT ANTI equi-join keyed on the
+    * digest; AQE broadcasts the smaller side (a day's crawl vs the
+    * corpus, or the key set when it fits) and skew-splits otherwise.
+    * Incoming row identity, order, and columns pass through untouched. */
+  def dedupAgainst(incoming: DataFrame, existing: DataFrame,
+      textCol: String, normalize: Boolean = true): DataFrame = {
+    def key(c: Column): Column =
+      md5((if (normalize) regexp_replace(lower(trim(c)), "\\s+", " ")
+        else c).cast("binary"))
+    val seen = existing.select(key(col(textCol)).as("__fp")).distinct()
+    incoming.withColumn("__fp", key(col(textCol)))
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -51,4 +51,44 @@ object Scrub {
       rules: Seq[Rule] = defaultRules): DataFrame =
     df.withColumn("n_pii", piiCount(col(textCol), rules))
       .withColumn(textCol, redact(col(textCol), rules))
+
+  // ------------------------------------------------------------------
+  // Encoding / tokenization hygiene (the ftfy-and-special-token guard)
+
+  /** Common UTF-8-read-as-Latin-1 mojibake sequences (`Ã©` for `é`,
+    * `â€™` for `'`, `ï¿½` for a misread replacement char) plus the
+    * replacement character itself — the signature of a double-decoded
+    * or corrupted crawl. The oracle SQL interpolates THIS constant, so
+    * the scanned byte sequence is identical in both engines by
+    * construction. */
+  val mojibake: String = "Ã[©¨¤¶¼]|â€[™œ¦]|ï¿½|�"
+
+  /** C0 control characters except tab/newline/CR — never legitimate in
+    * crawled text; their presence means binary contamination or a
+    * charset bug upstream. */
+  val controlChars: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** Reserved tokenizer special tokens leaked INTO the raw text
+    * (`<|endoftext|>`, `[SEP]`, `<s>`…): a document carrying one would
+    * inject control structure into training sequences. */
+  val specialTokens: String =
+    "<\\|[A-Za-z_]+\\|>|\\[(CLS|SEP|PAD|MASK|UNK)\\]|</?s>|<(pad|unk|mask)>"
+
+  /** Encoding/tokenization hygiene scan: per-document counts of mojibake
+    * sequences, stray control characters, and leaked tokenizer special
+    * tokens, plus an `is_clean` verdict — the drop/repair signal of the
+    * encoding-fix stage (ftfy et al.) without the repair dependency.
+    *
+    * Pure `regexp_count` composition — one codegen'd map pass, no
+    * shuffle, no UDF; `is_clean` folds to a pushable predicate (filter
+    * on it and Catalyst prunes at the scan). Patterns are Java/RE2
+    * portable like the PII rules above. */
+  def encodingArtifacts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(mojibake)).as("n_mojibake"),
+      regexp_count(col(textCol), lit(controlChars)).as("n_ctrl"),
+      regexp_count(col(textCol), lit(specialTokens)).as("n_special"))
+      .withColumn("is_clean",
+        col("n_mojibake") + col("n_ctrl") + col("n_special") === 0)
 }

@@ -75,6 +75,11 @@ object AuditPlans {
     // bucketed-window exchange (the two-level prefix sum) + output
     // ORDER BY; the per-bucket prefix frame joins broadcast
     "q_token_budget" -> 2,
+    // scan is map-side; the 1 is the output ORDER BY
+    "q_encoding_scan" -> 1,
+    // existing-key DISTINCT agg + output ORDER BY; the anti-join
+    // broadcasts at this SF (shuffles on the digest at scale)
+    "q_dedup_incremental" -> 2,
     "q_mix_weighted" -> 2, "q_mix_temperature" -> 5, "q_multimodal_features" -> 1,
     "q_multimodal_meta" -> 1, "q_orderby_limit" -> 0, "q_pack_index" -> 2, "q_pack_sequences" -> 3,
     "q_parse_timedelta" -> 2, "q_pii_redact" -> 1, "q_pivot_3level" -> 5,

@@ -370,6 +370,44 @@ class PipelineSpec extends SparkSpec {
     assert(again.getInt(2) == 0, "redaction is a fixpoint")
   }
 
+  test("encodingArtifacts: mojibake, control chars and special tokens " +
+      "count independently; clean text is clean; filter is map-side") {
+    import graft.operators.Scrub
+    val docs = Seq(
+      (1L, "perfectly ordinary text"),
+      (2L, "double-decoded cafÃ© and â€™quotesâ€¦ here"),
+      (3L, "binary\u0001junk\u0007here"),
+      (4L, "leaked <|endoftext|> and [SEP] and </s> markers"),
+      (5L, "tab\tand\nnewline are fine")
+    ).toDF("doc_id", "text")
+    val out = Scrub.encodingArtifacts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((0, 0, 0, true)))
+    assert(out(2L) == ((3, 0, 0, false)), "Ã©, â€™, â€¦")
+    assert(out(3L) == ((0, 2, 0, false)), "\\x01 and \\x07")
+    assert(out(4L) == ((0, 0, 3, false)), "<|endoftext|>, [SEP], </s>")
+    assert(out(5L) == ((0, 0, 0, true)), "tab/newline are not artifacts")
+  }
+
+  test("dedupAgainst: exact re-crawls drop (normalized), fresh docs " +
+      "survive, byte-exact mode distinguishes whitespace variants") {
+    import graft.operators.Dedup
+    val existing = Seq((1L, "The Quick  Brown Fox"), (2L, "other doc"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox"),   // normalized match -> drops
+      (11L, "THE QUICK\tBROWN FOX"),  // ws+case variant -> drops
+      (12L, "a genuinely new doc")    // survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(incoming, existing, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+    val keptExact = Dedup.dedupAgainst(incoming, existing, "text",
+      normalize = false).collect().map(_.getLong(0)).toSet
+    assert(keptExact == Set(10L, 11L, 12L), "no byte-exact copies")
+  }
+
   test("vec_l2_normalize: unit norm, zero vector passes through; quantize round-trips") {
     val vecs = Seq(
       (1L, Array(3.0f, 4.0f)),
