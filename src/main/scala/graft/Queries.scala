@@ -908,6 +908,16 @@ object Queries {
       .orderBy(col("seq_id"))
   }
 
+  /** Content-defined chunking (LBFS/rsync boundaries at token
+    * granularity): 4-token boundary windows, expected chunk ≈ 16
+    * tokens; every chunk's position, length and text byte-matched. */
+  val q_cdc_chunks: Q = (s, dir) => {
+    import graft.operators.Chunk
+    Chunk.contentDefinedChunks(t(s, dir, "documents").df, "doc_id", "text",
+        windowTokens = 4, modulus = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** PII redaction over the corpus: deterministic PII-shaped strings
     * (email / phone / SSN / IPv4, derived from doc_id) are appended to
     * each doc, then scrubbed by the Scrub rule chain — one codegen'd map
@@ -1059,6 +1069,19 @@ object Queries {
     import graft.operators.Curate
     val docs = t(s, dir, "documents").df
     Curate.lmScores(docs, docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-domain top-fraction quality cut: best 20% of each source by
+    * n_chars (doc_id tie-break) — row-for-row equal to the per-group
+    * rank law, computed via the histogram idiom (no per-group
+    * row-count window). */
+  val q_top_fraction: Q = (s, dir) => {
+    import graft.operators.Curate
+    Curate.topFractionPerGroup(
+        t(s, dir, "documents").df.select(col("doc_id"), col("source"),
+          col("n_chars")),
+        Seq("source"), "n_chars", "doc_id", fraction = 0.2)
       .orderBy(col("doc_id"))
   }
 
@@ -1835,6 +1858,7 @@ object Queries {
     "q_substr_dedup" -> q_substr_dedup,
     "q_encoding_scan" -> q_encoding_scan,
     "q_dedup_incremental" -> q_dedup_incremental,
+    "q_cdc_chunks" -> q_cdc_chunks,
     "q_line_dedup" -> q_line_dedup,
     "q_bpe_pairs" -> q_bpe_pairs,
     "q_shard_assign" -> q_shard_assign,
@@ -1842,6 +1866,7 @@ object Queries {
     "q_classifier_score" -> q_classifier_score,
     "q_lm_score" -> q_lm_score,
     "q_token_budget" -> q_token_budget,
+    "q_top_fraction" -> q_top_fraction,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
@@ -2834,6 +2859,31 @@ object Queries {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS text_kept
         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_cdc_chunks" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    coalesce(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> ''), CAST([] AS VARCHAR[])) AS ws
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    list_filter(generate_series(4, len(ws) - 1), j ->
+        |      (('0x' || substr(md5(array_to_string(ws[j-3:j], ' ')), 1, 8))::BIGINT
+        |        % 16 = 0)) AS bpos
+        |  FROM tl WHERE len(ws) > 0
+        |), c AS (
+        |  SELECT doc_id, ws,
+        |    list_prepend(1, list_transform(bpos, j -> j + 1)) AS starts,
+        |    list_append(bpos, n) AS ends
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_id,
+        |  CAST(starts[i] AS INTEGER) AS start_tok,
+        |  CAST(ends[i] - starts[i] + 1 AS INTEGER) AS n_tokens,
+        |  array_to_string(ws[starts[i]:ends[i]], ' ') AS chunk_text
+        |FROM c, LATERAL unnest(generate_series(1, len(starts))) AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q_encoding_scan" ->
       s"""WITH w AS (
         |  SELECT doc_id, text ||
@@ -2996,6 +3046,17 @@ object Queries {
         |  CAST(sum(w.wm) AS BIGINT) AS logprob_micro
         |FROM bg JOIN w ON bg.x = w.x AND bg.y = w.y
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+
+    "q_top_fraction" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM r
+        |WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_token_budget" ->
       """WITH d AS (

@@ -214,6 +214,54 @@ object Chunk {
           s => s("line")), lineSep).as("text_kept"))
   }
 
+  /** CONTENT-DEFINED chunking (the LBFS/rsync boundary trick, token
+    * granularity): a chunk boundary falls after token `j` exactly when
+    * the hash of the `windowTokens`-token window ENDING at `j` is
+    * `≡ 0 (mod modulus)` — so boundaries depend only on LOCAL content,
+    * never on position. Insert or delete a passage and only the chunks
+    * touching the edit change identity; every downstream chunk-hash
+    * dedup ([[dedupSpans]]'s aggregate+join tier pointed at these chunks
+    * instead of fixed spans) then survives document edits that would
+    * shift every fixed-span boundary. Expected chunk length ≈ `modulus`
+    * tokens (geometric); `windowTokens` is the context the boundary
+    * decision sees. Returns `(idCol, chunk_id, start_tok, n_tokens,
+    * chunk_text)`; zero-token docs are excluded.
+    *
+    * Scale shape: pure MAP-SIDE — the boundary set is array arithmetic
+    * over the token array (filter over window positions, fixed-width
+    * hex-parsed md5 like the Split sampling keys), chunks explode from
+    * the boundary-delimited spans; no shuffle at all, straight to a
+    * partitioned sink. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 4, modulus: Int = 16): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(modulus >= 2, "modulus must be >= 2 (1 would cut every token)")
+    val k = windowTokens
+    val ws = coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
+      array().cast("array<string>"))
+    val n = size(col("__ws"))
+    // boundary positions j in [k, n-1]: hash of ws[j-k+1 .. j] ≡ 0 (mod D)
+    val bpos = filter(
+      when(n >= k + 1, sequence(lit(k), n - 1))
+        .otherwise(array().cast("array<int>")),
+      j => conv(substring(md5(
+          array_join(slice(col("__ws"), j - (k - 1), lit(k)), " ")
+            .cast("binary")), 1, 8), 16, 10).cast("long") % modulus === 0)
+    df.select(col(idCol), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(bpos, j => j + 1)))
+      .withColumn("__ends", concat(bpos, array(size(col("__ws")))))
+      .select(col(idCol), col("__ws"),
+        posexplode(arrays_zip(col("__starts"), col("__ends"))))
+      .select(col(idCol),
+        col("pos").as("chunk_id"),
+        col("col.__starts").as("start_tok"),
+        (col("col.__ends") - col("col.__starts") + 1).as("n_tokens"),
+        array_join(slice(col("__ws"), col("col.__starts"),
+          col("col.__ends") - col("col.__starts") + 1), " ").as("chunk_text"))
+  }
+
   /** Token-length bucketing for padding-efficient batch assembly: bucket
     * docs by token count at explicit `boundaries` (bucket b holds counts
     * in [boundaries(b-1), boundaries(b)), bucket 0 below the first

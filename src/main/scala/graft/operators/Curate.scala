@@ -228,6 +228,58 @@ object Curate {
         sum(col("__w")).as("logprob_micro"))
   }
 
+  /** Per-group TOP-FRACTION quality filter (the FineWeb-style relative
+    * cut: "keep the best 20% of each domain", normalizing quality
+    * across groups a single global threshold would mis-serve): keeps
+    * exactly `ceil(fraction × n_g)` rows per group, best `scoreCol`
+    * first, ties broken by ascending `idCol` — row-for-row identical to
+    * `row_number() OVER (PARTITION BY group ORDER BY score DESC, id) <=
+    * ceil(f·n)`, but NEVER computed that way.
+    *
+    * Scale shape: a per-group row_number window shuffles every row of a
+    * group to one task — with a handful of domains that is THE skewed
+    * window this module avoids everywhere. Instead: (1) ONE combiner-
+    * friendly hash aggregate to a (group, score) histogram; (2) the
+    * rank arithmetic — rows strictly above each score value, the
+    * group's admit quota — as a window over the HISTOGRAM (aggregate-
+    * sized: score cardinality, not row count); (3) an equi-join back
+    * admits every row of fully-admitted score values outright, and
+    * (4) only rows AT the one straddling threshold value per group pay
+    * a tie-break window, partitioned by (group, score) — the tie set,
+    * not the group. Degenerate only if a whole group shares one score
+    * (use a higher-resolution score). */
+  def topFractionPerGroup(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, idCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    require(groupCols.nonEmpty, "group columns required")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val hist = df.groupBy(g :+ col(scoreCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wAbove = Window.partitionBy(g: _*).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(g: _*)
+    val marked = hist
+      .withColumn("__above", coalesce(sum(col("__c")).over(wAbove), lit(0L)))
+      .withColumn("__k",
+        ceil(lit(fraction) * sum(col("__c")).over(wAll)).cast("long"))
+      .select(g ++ Seq(col(scoreCol), col("__above"), col("__c"),
+        col("__k")): _*)
+    val joined = df.join(marked, groupCols :+ scoreCol)
+    val out = df.columns.map(col)
+    val full = joined.filter(col("__above") + col("__c") <= col("__k"))
+      .select(out: _*)
+    val wTie = Window.partitionBy(g :+ col(scoreCol): _*)
+      .orderBy(col(idCol))
+    val partial = joined
+      .filter(col("__above") < col("__k") &&
+        col("__k") < col("__above") + col("__c"))
+      .withColumn("__r", row_number().over(wTie))
+      .filter(col("__r") <= col("__k") - col("__above"))
+      .select(out: _*)
+    full.unionByName(partial)
+  }
+
   /** Quality-ranked TOKEN-BUDGET selection (the "take the best N tokens"
     * cut that ends a scored curation funnel — FineWeb-Edu's classifier
     * cut, DSIR's resampled subset, any fixed-compute pretraining mix):

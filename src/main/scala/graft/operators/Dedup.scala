@@ -48,14 +48,20 @@ object Dedup {
     * Incoming row identity, order, and columns pass through untouched. */
   def dedupAgainst(incoming: DataFrame, existing: DataFrame,
       textCol: String, normalize: Boolean = true): DataFrame = {
-    def key(c: Column): Column =
-      md5((if (normalize) regexp_replace(lower(trim(c)), "\\s+", " ")
-        else c).cast("binary"))
-    val seen = existing.select(key(col(textCol)).as("__fp")).distinct()
-    incoming.withColumn("__fp", key(col(textCol)))
+    val seen = existing.select(contentKey(col(textCol), normalize).as("__fp"))
+      .distinct()
+    incoming.withColumn("__fp", contentKey(col(textCol), normalize))
       .join(seen, Seq("__fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** The fixed-width content digest the ingest gates key on: md5 of the
+    * lower/trim/whitespace-collapsed text (or the raw bytes with
+    * `normalize = false`). Shared by [[dedupAgainst]] and the streaming
+    * flavor so batch backfill and live ingest agree on identity. */
+  def contentKey(c: Column, normalize: Boolean = true): Column =
+    md5((if (normalize) regexp_replace(lower(trim(c)), "\\s+", " ")
+      else c).cast("binary"))
 
   // ------------------------------------------------------------------
   // MinHash + LSH

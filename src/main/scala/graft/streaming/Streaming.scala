@@ -152,6 +152,32 @@ object Streaming {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming INGEST dedup against an existing corpus — the live-crawl
+    * flavor of [[graft.operators.Dedup.dedupAgainst]], sharing its
+    * `contentKey` digest so batch backfill and live ingest agree on
+    * content identity. Two tiers in one plan: (1) a watermarked
+    * `dropDuplicatesWithinWatermark` on the digest drops re-occurrences
+    * WITHIN the stream (state = fixed-width digests, expired with the
+    * watermark — finite at ingest rates); (2) a stream-static LEFT ANTI
+    * join drops anything already in the corpus (the static side is
+    * re-resolved every micro-batch, so a corpus grown by a nightly
+    * compaction is picked up for free — point it at the digest
+    * projection, which collapses map-side to distinct fixed-width
+    * keys). */
+  def dedupStreamAgainst(stream: DataFrame, corpus: DataFrame,
+      textCol: String, tsCol: String, delay: String = "1 hour",
+      normalize: Boolean = true): DataFrame = {
+    import graft.operators.Dedup
+    val seen = corpus
+      .select(Dedup.contentKey(col(textCol), normalize).as("__fp"))
+      .distinct()
+    stream.withColumn("__fp", Dedup.contentKey(col(textCol), normalize))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Stream-static enrichment join: decorate a stream with dimension
     * attributes (the classic "events × user table" lookup). The static
     * side broadcasts per micro-batch — no stream-side shuffle, no state

@@ -77,6 +77,11 @@ object AuditPlans {
     "q_token_budget" -> 2,
     // scan is map-side; the 1 is the output ORDER BY
     "q_encoding_scan" -> 1,
+    // boundary math + chunk explode are map-side; the 1 is the ORDER BY
+    "q_cdc_chunks" -> 1,
+    // histogram agg + histogram-window exchange + output ORDER BY; the
+    // join back and the tie window reuse the histogram exchange
+    "q_top_fraction" -> 3,
     // existing-key DISTINCT agg + output ORDER BY; the anti-join
     // broadcasts at this SF (shuffles on the digest at scale)
     "q_dedup_incremental" -> 2,

@@ -163,6 +163,30 @@ class CurateSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("topFractionPerGroup: exactly ceil(f*n) best rows per group, " +
+      "tie-break by id, equals the rank law, layout-invariant") {
+    import graft.operators.Curate
+    val rnd = new scala.util.Random(5)
+    // scores drawn from a SMALL value set so threshold ties are common
+    val data = (1L to 300L).map(i =>
+      (i, s"g${i % 3}", (rnd.nextInt(8) + 1).toLong))
+    val df = data.toDF("id", "grp", "score")
+    for (f <- Seq(0.1, 0.25, 0.5, 1.0)) {
+      val got = Curate.topFractionPerGroup(df, Seq("grp"), "score", "id", f)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = data.groupBy(_._2).values.flatMap { rows =>
+        val k = math.ceil(f * rows.size).toLong
+        rows.sortBy { case (id, _, s) => (-s, id) }.take(k.toInt)
+      }.toSet
+      assert(got == want, s"f=$f")
+      val again = Curate.topFractionPerGroup(df.repartition(7), Seq("grp"),
+        "score", "id", f).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(again == got, s"layout f=$f")
+    }
+  }
+
   test("classifierScore/Filter: exact w·x+b; probability threshold folds " +
       "to the logit constant; float promotion matches driver math") {
     val vecs = Seq(

@@ -340,6 +340,36 @@ class PipelineSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("contentDefinedChunks: chunks tile the doc exactly; boundaries " +
+      "are content-local (an inserted prefix realigns downstream chunks)") {
+    import graft.operators.Chunk
+    val toks = (1 to 200).map(i => s"tok$i")
+    val a = toks.mkString(" ")
+    val b = "ins1 ins2 ins3 " + a
+    val docs = Seq((1L, a), (2L, b), (3L, "one two")).toDF("doc_id", "text")
+    val out = Chunk.contentDefinedChunks(docs, "doc_id", "text",
+        windowTokens = 4, modulus = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4)))
+    // tiling: starts contiguous, lengths sum to the doc, concat == doc
+    for ((id, doc) <- Seq(1L -> a, 2L -> b, 3L -> "one two")) {
+      val cs = out.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1 && cs.map(_._2).toSeq == cs.indices.toSeq)
+      assert(cs.sliding(2).forall { case Array(p, q) => q._3 == p._3 + p._4
+        case _ => true })
+      assert(cs.map(_._5).mkString(" ") == doc)
+    }
+    // below-expected-size doc: a single chunk
+    assert(out.count(_._1 == 3L) == 1)
+    // CDC locality: every chunk of A except possibly the first reappears
+    // verbatim in B (fixed-span chunking would shift every boundary)
+    val ca = out.filter(_._1 == 1L).sortBy(_._2).map(_._5)
+    val cb = out.filter(_._1 == 2L).map(_._5).toSet
+    assert(ca.length > 5, s"expected several chunks, got ${ca.length}")
+    assert(ca.drop(1).forall(cb.contains),
+      "tail chunks must survive the prefix edit")
+  }
+
   test("lengthBuckets: boundary edges and pad-waste arithmetic") {
     import graft.operators.Chunk
     // token counts: 2, 3 (edge: < 3 -> bucket 0 excludes 3), 5, 9

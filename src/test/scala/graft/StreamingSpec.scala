@@ -157,6 +157,35 @@ class StreamingSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("dedupStreamAgainst: corpus copies drop (normalized), in-stream " +
+      "re-occurrences drop, fresh docs pass — across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((100L, "An Existing  Document"), (101L, "another one"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = Streaming.dedupStreamAgainst(
+      in.toDF().toDF("doc_id", "text", "ts"), corpus, "text", "ts",
+      "30 minutes").select("doc_id")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ingest_dedup_out").start()
+    try {
+      in.addData(
+        (1L, "an existing document", ts(0)),  // corpus copy (normalized)
+        (2L, "a brand new doc", ts(1)),       // fresh -> passes
+        (3L, "a brand  NEW doc", ts(2)))      // in-stream dup of 2 -> drops
+      q.processAllAvailable()
+      in.addData(
+        (4L, "a brand new doc", ts(5)),       // cross-batch dup -> drops
+        (5L, "genuinely novel text", ts(6)))  // fresh -> passes
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ingest_dedup_out").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 5L), s"got $ids")
+  }
+
   test("zOrderedSink: micro-batches land as idempotent z-ordered segments") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
