@@ -1072,6 +1072,36 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END curation pipeline in ONE declarative plan — the
+    * integration gate: quality filter → exact content dedup (keep
+    * first) → per-source cap (100 longest) → token-budget cut (best
+    * 10k tokens, longest-first) → sequence-packing index at context
+    * 512. Every stage is an existing oracle-gated operator; the point
+    * is that the WHOLE funnel composes into one Catalyst plan (the
+    * quality filter reaches the scan, dedup/cap windows key on distinct
+    * columns, the budget + pack cumsums share the bucketed-window
+    * idiom) and the end result still bit-matches a five-CTE oracle. */
+  val q_pipeline_e2e: Q = (s, dir) => {
+    import graft.core.SortKey
+    import graft.operators.{Chunk, Curate, Dedup}
+    val docs = t(s, dir, "documents").df
+      .filter(col("n_chars").between(20, 2000) &&
+        length(trim(col("text"))) > 0)
+    val deduped = Dedup.exact(docs, Dedup.contentKey(col("text")),
+        Seq(col("doc_id")), keyName = "__fp").drop("__fp")
+    val capped = Curate.capPerGroup(GTable(deduped, "d"), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id")), k = 100).df
+    val sized = capped.select(col("doc_id"), col("source"), col("text"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    val budgeted = Curate.selectByBudget(sized,
+        Seq(SortKey(col("n_tokens"), asc = false), SortKey(col("doc_id"))),
+        "n_tokens", budget = 10000L)
+      .drop("n_tokens", "tok_before")
+    Chunk.packIndex(budgeted, "doc_id", "text", contextLen = 512)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-domain top-fraction quality cut: best 20% of each source by
     * n_chars (doc_id tie-break) — row-for-row equal to the per-group
     * rank law, computed via the histogram idiom (no per-group
@@ -1867,6 +1897,7 @@ object Queries {
     "q_lm_score" -> q_lm_score,
     "q_token_budget" -> q_token_budget,
     "q_top_fraction" -> q_top_fraction,
+    "q_pipeline_e2e" -> q_pipeline_e2e,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
     "q_embed_quantize" -> q_embed_quantize,
@@ -3046,6 +3077,42 @@ object Queries {
         |  CAST(sum(w.wm) AS BIGINT) AS logprob_micro
         |FROM bg JOIN w ON bg.x = w.x AND bg.y = w.y
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars, text FROM documents
+        |  WHERE n_chars BETWEEN 20 AND 2000 AND length(trim(text)) > 0
+        |), dd AS (
+        |  SELECT doc_id, source, n_chars, text FROM (
+        |    SELECT f.*, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn FROM f)
+        |  WHERE rn = 1
+        |), cap AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn FROM dd)
+        |  WHERE rn <= 100
+        |), sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM cap
+        |), bud AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+        |  FROM sized
+        |), sel AS (
+        |  SELECT doc_id, n_tokens FROM bud WHERE tb < 10000
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM sel)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 512 AS first_seq,
+        |  (tok_offset + n_tokens - 1) // 512 AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_top_fraction" ->
       """WITH r AS (

@@ -82,6 +82,10 @@ object AuditPlans {
     // histogram agg + histogram-window exchange + output ORDER BY; the
     // join back and the tie window reuse the histogram exchange
     "q_top_fraction" -> 3,
+    // five-stage funnel in one plan: dedup window (content key) + cap
+    // window (source) + budget bucket-window + pack bucket-window +
+    // output ORDER BY — one exchange each, filters fused into the scan
+    "q_pipeline_e2e" -> 5,
     // existing-key DISTINCT agg + output ORDER BY; the anti-join
     // broadcasts at this SF (shuffles on the digest at scale)
     "q_dedup_incremental" -> 2,
