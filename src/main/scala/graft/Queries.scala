@@ -1115,6 +1115,22 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token-budget cut: every source gets 3000 tokens, filled
+    * best-n_chars-first (doc_id tie-break), concat-and-cut admission —
+    * the domain-mixing primitive, via the histogram idiom (no per-group
+    * cumsum window over rows). */
+  val q_budget_per_group: Q = (s, dir) => {
+    import graft.operators.Curate
+    val d = t(s, dir, "documents").df
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Curate.budgetPerGroup(d, Seq("source"), "n_chars", "doc_id",
+        "n_tokens", budget = 3000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget selection: documents ranked longest-first (n_tokens
     * desc, doc_id tie-break), admitted while their exclusive token
     * offset starts inside a 15k-token budget — the fixed-compute
@@ -1897,6 +1913,7 @@ object Queries {
     "q_lm_score" -> q_lm_score,
     "q_token_budget" -> q_token_budget,
     "q_top_fraction" -> q_top_fraction,
+    "q_budget_per_group" -> q_budget_per_group,
     "q_pipeline_e2e" -> q_pipeline_e2e,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
@@ -3124,6 +3141,20 @@ object Queries {
         |SELECT doc_id, source, n_chars FROM r
         |WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_budget_per_group" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE tb < 3000 ORDER BY doc_id""".stripMargin,
 
     "q_token_budget" ->
       """WITH d AS (

@@ -280,6 +280,54 @@ object Curate {
     full.unionByName(partial)
   }
 
+  /** Per-group TOKEN-BUDGET selection — the mixing-side completion of
+    * [[topFractionPerGroup]] (count cut) and [[selectByBudget]] (global
+    * token cut): give EACH group (domain, language, source) the same
+    * token budget and admit its documents best-score-first while the
+    * group's EXCLUSIVE running token total starts inside the budget
+    * (the concat-and-cut semantics — only the boundary doc straddles).
+    * Row-for-row equal to the per-group ordered window cumsum law, but
+    * NEVER computed as that skewed per-group window.
+    *
+    * Scale shape (the [[topFractionPerGroup]] histogram idiom, with
+    * token sums instead of row counts): ONE hash aggregate to a
+    * (group, score) histogram carrying per-cell token sums; the
+    * exclusive cell prefix as a window over the HISTOGRAM; the join
+    * back admits whole cells that fit the budget outright; and only
+    * docs in the ONE straddling cell per group pay an intra-cell
+    * cumsum window, partitioned by (group, score) — the cell, not the
+    * group. Degenerate only if a whole group shares one score. */
+  def budgetPerGroup(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, idCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupCols.nonEmpty, "group columns required")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val tok = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val hist = df.groupBy(g :+ col(scoreCol): _*)
+      .agg(sum(tok).as("__ctok"))
+    val wCell = Window.partitionBy(g: _*).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = hist
+      .withColumn("__before", coalesce(sum(col("__ctok")).over(wCell), lit(0L)))
+      .select(g ++ Seq(col(scoreCol), col("__before"), col("__ctok")): _*)
+    val joined = df.join(marked, groupCols :+ scoreCol)
+    val out = df.columns.map(col)
+    val full = joined
+      .filter(col("__before") + col("__ctok") <= budget)
+      .select(out: _*)
+    val wIn = Window.partitionBy(g :+ col(scoreCol): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val straddle = joined
+      .filter(col("__before") < budget &&
+        lit(budget) < col("__before") + col("__ctok"))
+      .withColumn("__wb", coalesce(sum(tok).over(wIn), lit(0L)))
+      .filter(col("__before") + col("__wb") < budget)
+      .select(out: _*)
+    full.unionByName(straddle)
+  }
+
   /** Quality-ranked TOKEN-BUDGET selection (the "take the best N tokens"
     * cut that ends a scored curation funnel — FineWeb-Edu's classifier
     * cut, DSIR's resampled subset, any fixed-compute pretraining mix):

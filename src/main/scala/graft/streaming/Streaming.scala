@@ -178,6 +178,31 @@ object Streaming {
       .drop("__fp")
   }
 
+  /** Streaming HEAVY HITTERS per event-time window — the Misra-Gries
+    * sketch ([[graft.operators.Sketch.heavyHitters]]'s merge-safe
+    * `Aggregator`) run as a watermarked tumbling-window aggregation:
+    * "what dominated this column in each window" with O(k) state per
+    * (window, partial) instead of per-distinct-value counts. The same
+    * guarantee transfers per window: every value with in-window
+    * frequency > N_w/(k+1) surfaces; `est_count` is an underestimate
+    * within N_w/(k+1). Output: one row per (window_start, window_end,
+    * item, est_count), emitted when the watermark closes the window.
+    *
+    * Scale shape: the UDAF partial-aggregates map-side like any Spark
+    * aggregation — the shuffle and the state store carry k-entry maps
+    * keyed by window, never distinct-value sets; an unbounded-cardinality
+    * column streams through a fixed memory budget. */
+  def heavyHittersStream(events: DataFrame, itemCol: String, tsCol: String,
+      k: Int, windowSize: String = "1 hour",
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowSize))
+      .agg(graft.functions.Aggregators.heavy_hitters(col(itemCol), k)
+        .as("__hh"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        explode(col("__hh")).as(Seq("item", "est_count")))
+
   /** Stream-static enrichment join: decorate a stream with dimension
     * attributes (the classic "events × user table" lookup). The static
     * side broadcasts per micro-batch — no stream-side shuffle, no state

@@ -82,6 +82,10 @@ object AuditPlans {
     // histogram agg + histogram-window exchange + output ORDER BY; the
     // join back and the tie window reuse the histogram exchange
     "q_top_fraction" -> 3,
+    // ensureParallelism-free variant of the q_top_fraction shape with an
+    // intra-cell cumsum leg: histogram agg + histogram-window exchange +
+    // straddle-cell window exchange + output ORDER BY
+    "q_budget_per_group" -> 4,
     // five-stage funnel in one plan: dedup window (content key) + cap
     // window (source) + budget bucket-window + pack bucket-window +
     // output ORDER BY — one exchange each, filters fused into the scan

@@ -187,6 +187,31 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("budgetPerGroup: per-group concat-and-cut admission equals the " +
+      "windowed cumsum law, straddler included, layout-invariant") {
+    import graft.operators.Curate
+    val rnd = new scala.util.Random(13)
+    // small score set -> straddling cells with several docs are common
+    val data = (1L to 240L).map(i =>
+      (i, s"g${i % 4}", (rnd.nextInt(6) + 1).toLong, (rnd.nextInt(9) + 1).toLong))
+    val df = data.toDF("id", "grp", "score", "tok")
+    for (budget <- Seq(25L, 80L, 100000L)) {
+      val got = Curate.budgetPerGroup(df, Seq("grp"), "score", "id", "tok",
+          budget).select("id").collect().map(_.getLong(0)).toSet
+      val want = data.groupBy(_._2).values.flatMap { rows =>
+        var acc = 0L
+        rows.sortBy { case (id, _, s, _) => (-s, id) }
+          .filter { case (_, _, _, t) => val in = acc < budget; acc += t; in }
+          .map(_._1)
+      }.toSet
+      assert(got == want, s"budget=$budget")
+      val again = Curate.budgetPerGroup(df.repartition(9), Seq("grp"),
+        "score", "id", "tok", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(again == got, s"layout budget=$budget")
+    }
+  }
+
   test("classifierScore/Filter: exact w·x+b; probability threshold folds " +
       "to the logit constant; float promotion matches driver math") {
     val vecs = Seq(

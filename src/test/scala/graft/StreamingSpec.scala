@@ -186,6 +186,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(2L, 5L), s"got $ids")
   }
 
+  test("heavyHittersStream: per-window Misra-Gries — dominant items " +
+      "surface with underestimates in bound, windows stay separate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val out = Streaming.heavyHittersStream(
+      in.toDF().toDF("item", "ts"), "item", "ts", k = 3, "1 hour", "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("hh_stream_out").start()
+    try {
+      // window 10:00: 'a' x6 of N=9 -> guaranteed (6 > 9/4); window
+      // 11:00: 'z' x4 of N=5
+      val w1 = Seq.fill(6)("a") ++ Seq("b", "c", "d")
+      val w2 = Seq.fill(4)("z") ++ Seq("y")
+      in.addData(w1.zipWithIndex.map { case (s, i) => (s, ts(10, i + 1)) }: _*)
+      in.addData(w2.zipWithIndex.map { case (s, i) => (s, ts(11, i + 1)) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past both windows so append emits them
+      in.addData(("late", ts(14, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hh_stream_out").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 13),
+        r.getString(2), r.getLong(3)))
+    val w1a = rows.filter(r => r._1 == "10" && r._2 == "a")
+    assert(w1a.nonEmpty, s"'a' must surface in window 10, got ${rows.toSeq}")
+    assert(w1a.head._3 <= 6 && w1a.head._3 >= 6 - 9 / 4,
+      s"estimate ${w1a.head._3} outside MG band")
+    val w2z = rows.filter(r => r._1 == "11" && r._2 == "z")
+    assert(w2z.nonEmpty && w2z.head._3 <= 4 && w2z.head._3 >= 4 - 5 / 4,
+      s"'z' estimate out of band: ${rows.toSeq}")
+    assert(!rows.exists(r => r._1 == "10" && r._2 == "z"),
+      "windows must not mix")
+  }
+
   test("zOrderedSink: micro-batches land as idempotent z-ordered segments") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
