@@ -1227,9 +1227,12 @@ object Queries {
     val docs = t(s, dir, "documents")
     val big = docs.cloneTable("corpus_big")
     val small = GTable(docs.df.filter(col("doc_id") % 5 === 0), "corpus_small")
+    // count each source ONCE and hand the sizes to the mixer — the gate
+    // otherwise pays a redundant full-corpus count job
     val n = docs.df.count()
-    val (mixed, plan) =
-      Mix.temperatureMix(Seq(big, small), alpha = 0.5, targetRows = 2 * n)
+    val nSmall = small.df.count()
+    val (mixed, plan) = Mix.temperatureMix(Seq(big, small), alpha = 0.5,
+      targetRows = 2 * n, knownCounts = Some(Seq(n, nSmall)))
     val bounds = plan.map { case (name, ni, _, rate) =>
       (name, rate * ni, 2.5 * math.sqrt(ni.toDouble) + 1.0)
     }

@@ -90,9 +90,23 @@ object Ordinals {
     df.sparkSession.createDataFrame(pairs).toDF("__bkt", "__pfx")
   }
 
+  /** Scratch names these helpers inject mid-plan. User frames are
+    * arbitrary schemas (this is a generic engine), and `withColumn`
+    * silently REPLACES an existing column — so a collision would
+    * corrupt user data or throw an ambiguous-column error deep in the
+    * plan. Fail fast with the actual contract instead. */
+  private val scratchNames = Set("__bkt", "__pfx", "__rn", "__chg", "__off")
+  private def requireNoScratchClash(df: DataFrame): Unit = {
+    val clash = df.columns.toSet.intersect(scratchNames)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Ordinals " +
+        "scratch names — rename them before ordinal/run-id/cumsum ops")
+  }
+
   /** Append a consecutive 1-based ordinal in the order of `keys`. */
   def withOrdinal(df: DataFrame, keys: Seq[SortKey], name: String = "__ord"): DataFrame = {
     require(keys.nonEmpty, "ordinals are order-defined — orderby first")
+    requireNoScratchClash(df)
     val first = keys.head
     val (bucketOpt, _) = orderedBucket(df, first.c, defaultBuckets(df))
     val data = df.withColumn("__bkt", bucketOpt.getOrElse(lit(0L)))
@@ -130,6 +144,7 @@ object Ordinals {
       valueCol: String, name: String, buckets: Int,
       requireNonNullFirst: Option[String]): DataFrame = {
     require(keys.nonEmpty, "running totals are order-defined")
+    requireNoScratchClash(df)
     val nBuckets = if (buckets > 0) buckets else defaultBuckets(df)
     df.schema(valueCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
@@ -141,19 +156,19 @@ object Ordinals {
     val first = keys.head
     val (bucketOpt, nNull) = orderedBucket(df, first.c, nBuckets)
     requireNonNullFirst.foreach(k => require(nNull == 0, s"$k must be non-null"))
-    bucketOpt match {
-      case None => // empty input: nothing to sum
-        df.withColumn(name, lit(0L))
-      case Some(bucket) =>
-        val data = df.withColumn("__bkt", bucket)
-        val perBucket = data.groupBy(col("__bkt")).agg(sum(v).as("__bsum"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-        val wIn = Window.partitionBy(col("__bkt")).orderBy(keys.map(_.order): _*)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        data.join(broadcast(prefixFrame(df, perBucket, first.asc)), "__bkt")
-          .withColumn(name, col("__pfx") + coalesce(sum(v).over(wIn), lit(0L)))
-          .select(df.columns.map(col) :+ col(name): _*)
-    }
+    // bucketOpt is None for an empty frame AND for an all-null leading
+    // key; both fall back to the single constant bucket (the same
+    // fallback withOrdinal uses) so an all-null-scored frame still gets
+    // a correct tie-break-ordered prefix sum instead of silent zeros —
+    // degenerate single-partition, but correct
+    val data = df.withColumn("__bkt", bucketOpt.getOrElse(lit(0L)))
+    val perBucket = data.groupBy(col("__bkt")).agg(sum(v).as("__bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(keys.map(_.order): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    data.join(broadcast(prefixFrame(df, perBucket, first.asc)), "__bkt")
+      .withColumn(name, col("__pfx") + coalesce(sum(v).over(wIn), lit(0L)))
+      .select(df.columns.map(col) :+ col(name): _*)
   }
 
   /** Consecutive 1-based run id over the established order: a new id
@@ -166,6 +181,7 @@ object Ordinals {
   def withRunId(df: DataFrame, keys: Seq[SortKey], keyCol: String,
       name: String = "__run"): DataFrame = {
     require(keys.nonEmpty, "run ids are order-defined")
+    requireNoScratchClash(df)
     val spark = df.sparkSession
     val first = keys.head
     val (bucketOpt, _) = orderedBucket(df, first.c, defaultBuckets(df))
@@ -199,7 +215,10 @@ object Ordinals {
     var prevLast: Any = null
     var prevSeen = false
     val offsets = visit.map { case (b, runs, firstK, lastK) =>
-      val merged = prevSeen && firstK == prevLast
+      // deepEquals, not ==: binary keys surface as Array[Byte], where
+      // JVM == is reference equality and a run spanning a bucket edge
+      // would never merge (making run ids bucket-layout-dependent)
+      val merged = prevSeen && java.util.Objects.deepEquals(firstK, prevLast)
       val off = if (merged) global - 1 else global
       global = off + runs
       prevLast = lastK; prevSeen = true

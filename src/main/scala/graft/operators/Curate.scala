@@ -217,9 +217,14 @@ object Curate {
       .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(col("__x")).agg(sum(col("__c2")).as("__c1"))
+    // the broadcast hint is only safe while the model tables are
+    // KB-scale: C₂ is bounded by V² = 16^(2·hexDigits) rows (65k at the
+    // default 2). At hexDigits 3–4 that bound reaches 16M–4B, so the
+    // hint comes off and Spark's threshold/AQE decides the join side
+    def hinted(m: DataFrame): DataFrame = if (hexDigits <= 2) broadcast(m) else m
     bigrams(score, Seq(col(idCol)))
-      .join(broadcast(c2), Seq("__x", "__y"), "left")
-      .join(broadcast(c1), Seq("__x"), "left")
+      .join(hinted(c2), Seq("__x", "__y"), "left")
+      .join(hinted(c1), Seq("__x"), "left")
       .withColumn("__w", floor(lit(1e6) * log(
         (coalesce(col("__c2"), lit(0L)) + 1).cast("double") /
           (coalesce(col("__c1"), lit(0L)).cast("double") + lit(v)))))
@@ -247,12 +252,17 @@ object Curate {
     * (4) only rows AT the one straddling threshold value per group pay
     * a tie-break window, partitioned by (group, score) — the tie set,
     * not the group. Degenerate only if a whole group shares one score
-    * (use a higher-resolution score). */
-  def topFractionPerGroup(df: DataFrame, groupCols: Seq[String],
+    * (use a higher-resolution score).
+    *
+    * Rows with a NULL score are EXCLUDED — from the output and from the
+    * `n_g` the quota is computed over (an unscored row has no rank; a
+    * null-tolerant caller should impute first). */
+  def topFractionPerGroup(df0: DataFrame, groupCols: Seq[String],
       scoreCol: String, idCol: String, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
     require(groupCols.nonEmpty, "group columns required")
     import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(scoreCol).isNotNull)
     val g = groupCols.map(col)
     val hist = df.groupBy(g :+ col(scoreCol): _*)
       .agg(count(lit(1)).as("__c"))
@@ -296,13 +306,17 @@ object Curate {
     * back admits whole cells that fit the budget outright; and only
     * docs in the ONE straddling cell per group pay an intra-cell
     * cumsum window, partitioned by (group, score) — the cell, not the
-    * group. Degenerate only if a whole group shares one score. */
-  def budgetPerGroup(df: DataFrame, groupCols: Seq[String],
+    * group. Degenerate only if a whole group shares one score.
+    *
+    * Rows with a NULL score are EXCLUDED (an unscored row has no rank —
+    * same contract as [[topFractionPerGroup]]). */
+  def budgetPerGroup(df0: DataFrame, groupCols: Seq[String],
       scoreCol: String, idCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(groupCols.nonEmpty, "group columns required")
     import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(scoreCol).isNotNull)
     val g = groupCols.map(col)
     val tok = coalesce(col(tokenCol).cast("long"), lit(0L))
     val hist = df.groupBy(g :+ col(scoreCol): _*)
@@ -314,14 +328,18 @@ object Curate {
       .select(g ++ Seq(col(scoreCol), col("__before"), col("__ctok")): _*)
     val joined = df.join(marked, groupCols :+ scoreCol)
     val out = df.columns.map(col)
+    // strictly-inside cells short-circuit; a cell ENDING exactly at the
+    // budget goes through the windowed path too — a trailing zero-token
+    // doc there sits AT offset == budget and must be excluded by the
+    // strict `< budget` law the windowed filter applies
     val full = joined
-      .filter(col("__before") + col("__ctok") <= budget)
+      .filter(col("__before") + col("__ctok") < budget)
       .select(out: _*)
     val wIn = Window.partitionBy(g :+ col(scoreCol): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val straddle = joined
       .filter(col("__before") < budget &&
-        lit(budget) < col("__before") + col("__ctok"))
+        lit(budget) <= col("__before") + col("__ctok"))
       .withColumn("__wb", coalesce(sum(tok).over(wIn), lit(0L)))
       .filter(col("__before") + col("__wb") < budget)
       .select(out: _*)

@@ -52,12 +52,15 @@ object Mix {
     * `(name, rows, weight, rate)` so callers can log/verify the realized
     * mixture against intent. */
   def temperatureMix(sources: Seq[GTable], alpha: Double, targetRows: Long,
-      seed: Long = 42L, sourceCol: String = "source")
+      seed: Long = 42L, sourceCol: String = "source",
+      knownCounts: Option[Seq[Long]] = None)
       : (GTable, Seq[(String, Long, Double, Double)]) = {
     require(sources.nonEmpty, "need at least one source")
     require(alpha > 0, "alpha must be positive (1 = proportional sampling)")
     require(targetRows > 0, "targetRows must be positive")
-    val counts = sources.map(_.df.count())
+    require(knownCounts.forall(_.size == sources.size),
+      "knownCounts must align 1:1 with sources")
+    val counts = knownCounts.getOrElse(sources.map(_.df.count()))
     val weighted = sources.zip(counts.map(n => math.pow(n.toDouble, alpha)))
     val wSum = weighted.map(_._2).sum
     val plan = sources.zip(counts).zip(weighted.map(_._2)).zipWithIndex.map {

@@ -212,6 +212,31 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("selection edge contracts: null scores are excluded from rank AND " +
+      "quota; a zero-token doc sitting exactly at the budget is cut") {
+    import graft.operators.Curate
+    // 10 rows, 2 null scores: fraction=1.0 must return the 8 scored rows
+    // (quota over scored rows only), never silently fewer or more
+    val withNulls = ((1L to 8L).map(i => (i, "g", java.lang.Long.valueOf(i))) ++
+      Seq((9L, "g", null.asInstanceOf[java.lang.Long]),
+        (10L, "g", null.asInstanceOf[java.lang.Long])))
+      .toDF("id", "grp", "score")
+    val frac = Curate.topFractionPerGroup(withNulls, Seq("grp"), "score",
+      "id", 1.0).select("id").collect().map(_.getLong(0)).toSet
+    assert(frac == (1L to 8L).toSet, s"got $frac")
+    // budget law is strictly exclusive: doc 2 (tok=0, id AFTER the
+    // 3-token doc in the same score cell) sits at offset == budget=3
+    val boundary = Seq((1L, "g", 5L, 3L), (2L, "g", 5L, 0L))
+      .toDF("id", "grp", "score", "tok")
+    val cut = Curate.budgetPerGroup(boundary, Seq("grp"), "score", "id",
+      "tok", budget = 3L).select("id").collect().map(_.getLong(0)).toSet
+    assert(cut == Set(1L), s"zero-token doc at offset==budget must drop: $cut")
+    // but a zero-token doc strictly inside the budget is kept
+    val inside = Curate.budgetPerGroup(boundary, Seq("grp"), "score", "id",
+      "tok", budget = 4L).select("id").collect().map(_.getLong(0)).toSet
+    assert(inside == Set(1L, 2L))
+  }
+
   test("classifierScore/Filter: exact w·x+b; probability threshold folds " +
       "to the logit constant; float promotion matches driver math") {
     val vecs = Seq(

@@ -19,17 +19,18 @@ class OracleHygieneSpec extends AnyFunSuite {
         "driver's type-sensitive hash rejects against Spark's int64")
   }
 
-  test("no oracle emits an uncast integer window sum as an output column") {
-    // A window sum over an integer expression that is aliased and then
-    // surfaces in the outermost SELECT is the HUGEINT trap. Heuristic:
-    // find `sum(<arg>) OVER ... AS <alias>` not wrapped in CAST; flag it
-    // when <alias> appears after the final top-level SELECT and <arg>
-    // doesn't reference an obviously-double column. Intermediate aliases
-    // consumed by a later GROUP BY (q_session_window's sid,
-    // q_groupby_runs' run_id) are fine — HUGEINT never reaches Arrow.
+  // A window sum over an integer expression that is aliased and then
+  // surfaces in the outermost SELECT is the HUGEINT trap. Heuristic:
+  // find `sum(<arg>) OVER ... AS <alias>` not wrapped in CAST; flag it
+  // when <alias> appears after the final top-level SELECT — or when the
+  // sum is written INLINE in that final projection, the most direct
+  // offender. Intermediate aliases consumed by a later GROUP BY
+  // (q_session_window's sid, q_groupby_runs' run_id) are fine —
+  // HUGEINT never reaches Arrow.
+  private def hugeintOffenders(oracles: Seq[(String, String)]): Seq[String] = {
     val winSum = """(?s)(CAST\(\s*)?(?:coalesce\(\s*)?sum\(([^()]*)\)\s+OVER\s*\([^)]*\)(?:\s*,\s*\w+\))?\s*(?:AS\s+BIGINT\s*\))?\s+AS\s+(\w+)""".r
     val doubleish = Set("o_totalprice", "l_extendedprice", "value", "x")
-    val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+    oracles.flatMap { case (name, sql) =>
       val lastSelect = sql.lastIndexOf("SELECT")
       val fromAfter = sql.indexOf("FROM", lastSelect)
       // only the projection list counts as "surfacing": an alias referenced
@@ -42,14 +43,38 @@ class OracleHygieneSpec extends AnyFunSuite {
         val arg = m.group(2)
         val alias = m.group(3)
         val isDouble = doubleish.exists(arg.contains) || arg.contains("round(")
-        val surfaces = outCols.matches(s"(?s).*\\b$alias\\b.*") &&
+        // written directly inside the outermost projection list
+        val inline = m.start >= lastSelect &&
+          (fromAfter < lastSelect || m.start < fromAfter)
+        val aliased = outCols.matches(s"(?s).*\\b$alias\\b.*") &&
           !outCols.contains(s"CAST($alias") && lastSelect > m.start
-        if (!casted && !isDouble && surfaces) Some(s"$name: sum($arg) AS $alias")
+        if (!casted && !isDouble && (inline || aliased))
+          Some(s"$name: sum($arg) AS $alias")
         else None
       }
     }
+  }
+
+  test("no oracle emits an uncast integer window sum as an output column") {
+    val offenders = hugeintOffenders(SparkEntry.oracleSql.toSeq)
     assert(offenders.isEmpty,
       s"uncast integer window sums surfacing in output (HUGEINT trap): " +
         offenders.mkString("; "))
+  }
+
+  test("the tripwire catches the inline-in-final-SELECT form too") {
+    val trap =
+      """SELECT doc_id,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id), 0) AS cum
+        |FROM d ORDER BY doc_id""".stripMargin
+    assert(hugeintOffenders(Seq("synthetic" -> trap)).nonEmpty,
+      "an uncast window sum written inline in the outermost SELECT " +
+        "must be flagged")
+    val fixed =
+      """SELECT doc_id,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id), 0) AS BIGINT) AS cum
+        |FROM d ORDER BY doc_id""".stripMargin
+    assert(hugeintOffenders(Seq("synthetic" -> fixed)).isEmpty,
+      "the CAST-wrapped form must pass")
   }
 }

@@ -247,6 +247,27 @@ class RunIdPropertySpec extends SparkSpec {
     }
   }
 
+  test("runningTotal: an all-null leading key falls back to the " +
+      "tie-break order instead of silent zeros; scratch-name collision " +
+      "fails fast") {
+    import graft.core.SortKey
+    val d = Seq((3L, null.asInstanceOf[java.lang.Long], 10L),
+      (1L, null.asInstanceOf[java.lang.Long], 20L),
+      (2L, null.asInstanceOf[java.lang.Long], 30L))
+      .toDF("id", "score", "tok").repartition(3)
+    val got = graft.core.Ordinals.runningTotal(d,
+        Seq(SortKey(col("score"), asc = false), SortKey(col("id"))),
+        "tok", "cum")
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // order under an all-null score is the id tie-break: 1, 2, 3
+    assert(got == Map(1L -> 0L, 2L -> 20L, 3L -> 50L), s"got $got")
+    val clash = Seq((1L, 2L)).toDF("id", "__bkt")
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Ordinals.runningTotal(clash, Seq(SortKey(col("id"))), "id")
+    }
+    assert(e.getMessage.contains("__bkt"))
+  }
+
   test("slicePy matches Python slice semantics on random slices") {
     // Scala oracle: Python's slice.indices() algorithm applied to a Range
     def pySlice(n: Int, start: Option[Long], stop: Option[Long], step: Long): Seq[Int] = {
