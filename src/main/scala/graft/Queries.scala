@@ -1102,6 +1102,25 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Link-graph authority scoring: a deterministic synthetic citation
+    * graph over the corpus (two modular out-links per doc, the house
+    * idiom for structure the synthetic tables lack), ranked by 3
+    * iterations of integer-exact damped PageRank — every rank a BIGINT
+    * micro-mass, bit-identical across engines. */
+  val q_pagerank: Q = (s, dir) => {
+    import graft.operators.LinkGraph
+    val ids = t(s, dir, "documents").df.select(col("doc_id"))
+    val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val e0 = ids.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % m).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        ((col("doc_id") * 13 + 5) % m).as("dst")))
+      .filter(col("src") =!= col("dst"))
+    val edges = e0.join(ids.select(col("doc_id").as("dst")), "dst")
+    LinkGraph.pageRankMicro(edges, "src", "dst", iters = 3)
+      .orderBy(col("node"))
+  }
+
   /** Per-domain top-fraction quality cut: best 20% of each source by
     * n_chars (doc_id tie-break) — row-for-row equal to the per-group
     * rank law, computed via the histogram idiom (no per-group
@@ -1917,6 +1936,7 @@ object Queries {
     "q_token_budget" -> q_token_budget,
     "q_top_fraction" -> q_top_fraction,
     "q_budget_per_group" -> q_budget_per_group,
+    "q_pagerank" -> q_pagerank,
     "q_pipeline_e2e" -> q_pipeline_e2e,
     "q_length_buckets" -> q_length_buckets,
     "q_embed_normalize" -> q_embed_normalize,
@@ -3144,6 +3164,48 @@ object Queries {
         |SELECT doc_id, source, n_chars FROM r
         |WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |mx AS (SELECT max(doc_id) + 1 AS m FROM ids),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id*7 + 3) % (SELECT m FROM mx) AS dst FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*13 + 5) % (SELECT m FROM mx) FROM ids),
+        |edges AS (
+        |  SELECT src, dst FROM e0 JOIN ids ON e0.dst = ids.doc_id
+        |  WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |i1 AS (
+        |  SELECT nodes.node,
+        |    (15 * 1000000) // (100 * (SELECT n FROM nn)) +
+        |    (85 * coalesce(s.mass, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // od.outdeg) AS BIGINT) AS mass
+        |    FROM edges e JOIN r0 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) s USING (node)),
+        |i2 AS (
+        |  SELECT nodes.node,
+        |    (15 * 1000000) // (100 * (SELECT n FROM nn)) +
+        |    (85 * coalesce(s.mass, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // od.outdeg) AS BIGINT) AS mass
+        |    FROM edges e JOIN i1 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) s USING (node)),
+        |i3 AS (
+        |  SELECT nodes.node,
+        |    (15 * 1000000) // (100 * (SELECT n FROM nn)) +
+        |    (85 * coalesce(s.mass, 0)) // 100 AS r
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // od.outdeg) AS BIGINT) AS mass
+        |    FROM edges e JOIN i2 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) s USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_micro
+        |FROM i3 ORDER BY node""".stripMargin,
 
     "q_budget_per_group" ->
       """WITH d AS (

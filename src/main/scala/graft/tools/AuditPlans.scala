@@ -86,6 +86,10 @@ object AuditPlans {
     // intra-cell cumsum leg: histogram agg + histogram-window exchange +
     // straddle-cell window exchange + output ORDER BY
     "q_budget_per_group" -> 4,
+    // node-set distinct + outdeg agg + edge-degree join exchange +
+    // 3 × per-round groupBy(dst) + output ORDER BY; the per-round rank
+    // joins broadcast at this SF, the node/edge frames are persisted
+    "q_pagerank" -> 7,
     // five-stage funnel in one plan: dedup window (content key) + cap
     // window (source) + budget bucket-window + pack bucket-window +
     // output ORDER BY — one exchange each, filters fused into the scan

@@ -370,6 +370,31 @@ class PipelineSpec extends SparkSpec {
       "tail chunks must survive the prefix edit")
   }
 
+  test("pageRankMicro: integer recurrence matches a driver mirror; the " +
+      "hub outranks leaves; layout-invariant") {
+    import graft.operators.LinkGraph
+    val es = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (0L, 1L), (2L, 1L))
+    val edges = es.toDF("src", "dst")
+    val out = LinkGraph.pageRankMicro(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 15L * 1000000L / (100L * n)
+    var r = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val mass = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = nodes.map(v => v -> (base + 85L * mass.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(out == r, s"got $out, want $r")
+    assert(out(0L) > out(3L), "the hub must outrank a leaf")
+    val again = LinkGraph.pageRankMicro(edges.repartition(7), "src", "dst",
+      iters = 3).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("lengthBuckets: boundary edges and pad-waste arithmetic") {
     import graft.operators.Chunk
     // token counts: 2, 3 (edge: < 3 -> bucket 0 excludes 3), 5, 9
