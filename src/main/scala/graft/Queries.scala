@@ -1110,7 +1110,10 @@ object Queries {
   val q_pagerank: Q = (s, dir) => {
     import graft.operators.LinkGraph
     val ids = t(s, dir, "documents").df.select(col("doc_id"))
-    val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val mRow = ids.agg(max(col("doc_id"))).head()
+    require(!mRow.isNullAt(0), "documents table is empty (or doc_id " +
+      "all-null) — no citation graph to rank")
+    val m = mRow.getLong(0) + 1
     val e0 = ids.select(col("doc_id").as("src"),
         ((col("doc_id") * 7 + 3) % m).as("dst"))
       .unionByName(ids.select(col("doc_id").as("src"),

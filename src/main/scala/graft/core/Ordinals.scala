@@ -96,17 +96,18 @@ object Ordinals {
     * corrupt user data or throw an ambiguous-column error deep in the
     * plan. Fail fast with the actual contract instead. */
   private val scratchNames = Set("__bkt", "__pfx", "__rn", "__chg", "__off")
-  private def requireNoScratchClash(df: DataFrame): Unit = {
-    val clash = df.columns.toSet.intersect(scratchNames)
+  private def requireNoScratchClash(df: DataFrame, outName: String): Unit = {
+    val clash = df.columns.toSet.intersect(scratchNames + outName)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with Ordinals " +
-        "scratch names — rename them before ordinal/run-id/cumsum ops")
+        "scratch/output names — rename them (or pick another output " +
+        "name) before ordinal/run-id/cumsum ops")
   }
 
   /** Append a consecutive 1-based ordinal in the order of `keys`. */
   def withOrdinal(df: DataFrame, keys: Seq[SortKey], name: String = "__ord"): DataFrame = {
     require(keys.nonEmpty, "ordinals are order-defined — orderby first")
-    requireNoScratchClash(df)
+    requireNoScratchClash(df, name)
     val first = keys.head
     val (bucketOpt, _) = orderedBucket(df, first.c, defaultBuckets(df))
     val data = df.withColumn("__bkt", bucketOpt.getOrElse(lit(0L)))
@@ -144,7 +145,7 @@ object Ordinals {
       valueCol: String, name: String, buckets: Int,
       requireNonNullFirst: Option[String]): DataFrame = {
     require(keys.nonEmpty, "running totals are order-defined")
-    requireNoScratchClash(df)
+    requireNoScratchClash(df, name)
     val nBuckets = if (buckets > 0) buckets else defaultBuckets(df)
     df.schema(valueCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
@@ -181,7 +182,7 @@ object Ordinals {
   def withRunId(df: DataFrame, keys: Seq[SortKey], keyCol: String,
       name: String = "__run"): DataFrame = {
     require(keys.nonEmpty, "run ids are order-defined")
-    requireNoScratchClash(df)
+    requireNoScratchClash(df, name)
     val spark = df.sparkSession
     val first = keys.head
     val (bucketOpt, _) = orderedBucket(df, first.c, defaultBuckets(df))

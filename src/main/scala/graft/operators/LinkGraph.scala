@@ -20,11 +20,17 @@ object LinkGraph {
     *   rₖ(v)     = (15·scale) div (100·N)
     *             + (85 · Σ_{(u,v)∈E} (rₖ₋₁(u) div outdeg(u))) div 100
     *
-    * Quantization floors mass at each step (ranks are lower bounds
-    * within iters·maxOutdeg micro-units of the real-valued damped
-    * mass); dangling-node mass is dropped (the standard simplification
-    * — it uniformly rescales, never reorders). Returns `(node,
-    * rank_micro)` for every node that appears as a source or target.
+    * Quantization floors mass at each step: each in-edge contribution
+    * loses up to one micro-unit, so a node's deviation from the
+    * real-valued damped mass is bounded by `iters · (indeg + 2)`
+    * micro-units — in-degree, which is why `scale` must grow with the
+    * graph (enforced: `scale ≥ 100·N`, i.e. ≥100 micro-units of initial
+    * mass per node; below that, flooring collapses every rank to 0
+    * within a few rounds and the operator would silently return a
+    * uniform-zero prior). Dangling-node mass is dropped (the standard
+    * simplification — it uniformly rescales, never reorders). Returns
+    * `(node, rank_micro)` for every node that appears as a source or
+    * target.
     *
     * Scale shape: the loop is driver-side over a BOUNDED `iters`; each
     * round is one equi-join of the edge list with the current ranks on
@@ -44,6 +50,10 @@ object LinkGraph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "empty edge list")
+    require(scale >= 100L * n,
+      s"scale=$scale gives under 100 micro-units of initial mass per " +
+        s"node ($n nodes) — integer flooring would collapse ranks to 0; " +
+        s"pass scale >= ${100L * n}")
     val outdeg = edges.groupBy(col(srcCol).as("src"))
       .agg(count(lit(1)).as("outdeg"))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
