@@ -1034,6 +1034,49 @@ object Queries {
       .orderBy(col("n_occurrences").desc, col("lhs"), col("rhs"))
   }
 
+  /** Full BPE tokenizer training, 4 merge rounds: the learned merge
+    * table (step, lhs, rhs, count-before-merge) bit-matched against a
+    * generated DuckDB mirror that unrolls each round as
+    * pair-count → top-1 → delimiter-replace CTEs. */
+  val q_bpe_train: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    Lexicon.bpeTrain(t(s, dir, "documents").df, "text", merges = 4)
+      .orderBy(col("step"))
+  }
+
+  /** Generates the [[q_bpe_train]] oracle: the same delimiter-prefixed
+    * greedy-replace construction as `Lexicon.bpeTrain`, one CTE triple
+    * (pair counts → deterministic top-1 → vocab after merge) per round.
+    * Generated rather than hand-unrolled so the round template is
+    * written once. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+        |), v0 AS (
+        |  SELECT regexp_replace(w, '(.)', chr(1) || '\1', 'g') AS t, count(*) AS freq
+        |  FROM words WHERE w <> '' GROUP BY 1
+        |)""".stripMargin
+    val body = (1 to rounds).map { k =>
+      s""", p$k AS (
+         |  SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, (string_split(t, chr(1)))[2:] AS a FROM v${k - 1}) AS s$k,
+         |  LATERAL unnest(generate_series(1, len(a) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), t$k AS (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |v$k AS (
+         |  SELECT replace(t,
+         |    chr(1) || (SELECT lhs FROM t$k) || chr(1) || (SELECT rhs FROM t$k),
+         |    chr(1) || (SELECT lhs FROM t$k) || (SELECT rhs FROM t$k)) AS t, freq
+         |  FROM v${k - 1}
+         |)""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to rounds)
+      .map(k => s"SELECT $k AS step, lhs, rhs, n AS n_occurrences FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"$head\n$body\n$sel\nORDER BY step"
+  }
+
   /** Balanced training-shard assignment (longest-first round-robin over
     * the value-keyed global rank) at 16 shards: per-shard doc count,
     * char sum, and smallest doc id — all three pin the assignment. */
@@ -1932,6 +1975,7 @@ object Queries {
     "q_cdc_chunks" -> q_cdc_chunks,
     "q_line_dedup" -> q_line_dedup,
     "q_bpe_pairs" -> q_bpe_pairs,
+    "q_bpe_train" -> q_bpe_train,
     "q_shard_assign" -> q_shard_assign,
     "q_dsir_scores" -> q_dsir_scores,
     "q_classifier_score" -> q_classifier_score,
@@ -3043,6 +3087,8 @@ object Queries {
         |  CAST(sum(CASE WHEN freq <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
         |  coalesce(string_agg(CASE WHEN freq <= 1 THEN line END, chr(10) ORDER BY line_no), '') AS text_kept
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_train" -> bpeOracleSql(4),
 
     "q_bpe_pairs" ->
       """WITH t AS (

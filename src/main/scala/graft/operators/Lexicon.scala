@@ -70,6 +70,82 @@ object Lexicon {
       .limit(k)
   }
 
+  /** FULL iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    * completion of [[bpePairStats]]'s single round: `merges` rounds of
+    * (count adjacent pairs over the frequency-weighted vocab → take the
+    * most frequent pair, ties by (lhs, rhs) → merge every occurrence,
+    * greedy left-to-right). Returns the learned merge table
+    * `(step, lhs, rhs, n_occurrences)` — the artifact a BPE tokenizer
+    * ships; counts are taken BEFORE applying that round's merge, the
+    * reference convention.
+    *
+    * The merge application trick: words are kept DELIMITER-PREFIXED
+    * (`\u0001·a·\u0001·b…` — U+0001 before each token for "abc"), which turns "merge token pair
+    * (x, y) everywhere, greedy left-to-right" into a plain non-regex
+    * `replace(t, d·x·d·y → d·x·y)` — identical semantics in any engine
+    * (non-overlapping left-to-right is exactly BPE's greedy scan), no
+    * per-position loops. A corpus containing the delimiter character is
+    * rejected (it would corrupt token boundaries).
+    *
+    * Scale shape: the corpus collapses to the (word, freq) vocab ONCE
+    * (shuffle = vocab size, not corpus bytes); every round then runs
+    * entirely over the persisted VOCAB — one map-side pair explode, one
+    * hash aggregate, a driver-side top-1 (one row), one map-side
+    * replace. Round cost is vocab-linear; the driver holds only the
+    * winning pair. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+      delim: String = "\u0001"): DataFrame = {
+    require(merges >= 1 && merges <= 64, "merges must be in [1, 64]")
+    require(delim.length == 1, "delim must be a single character")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words = graft.core.Partitions.ensureParallelism(df)
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    var vocab = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)",
+        java.util.regex.Matcher.quoteReplacement(delim) + "$1").as("t"),
+        col("freq"))
+      .persist(mem)
+    require(vocab.filter(col("t").contains(delim + delim)).isEmpty,
+      s"corpus contains the delimiter character (codepoint " +
+        s"${delim.codePointAt(0)}) — pass a delim absent from the data")
+    val dq = java.util.regex.Pattern.quote(delim)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val toks = split(col("t"), dq)
+      val pairs = vocab
+        .select(col("freq"), slice(toks, lit(2), size(toks) - 1).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1),
+          (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (pairs(0).getString(0), pairs(0).getString(1),
+          pairs(0).getLong(2))
+        learned += ((step, l, r, n))
+        val next = vocab.withColumn("t",
+          replace(col("t"), lit(delim + l + delim + r), lit(delim + l + r)))
+          .persist(mem)
+        next.count() // materialize before dropping the parent cache
+        vocab.unpersist()
+        vocab = next
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    learned.toSeq.toDF("step", "lhs", "rhs", "n_occurrences")
+  }
+
   /** Per-(doc, term) frequencies with corpus document frequency and
     * smoothed TF-IDF (the sklearn convention:
     * `tf · (ln((N+1)/(df+1)) + 1)` — never zero, never negative).

@@ -86,6 +86,10 @@ object AuditPlans {
     // intra-cell cumsum leg: histogram agg + histogram-window exchange +
     // straddle-cell window exchange + output ORDER BY
     "q_budget_per_group" -> 4,
+    // the audited static plan is the tiny learned-merge-table localToDF
+    // + output ORDER BY (1 visible exchange); the per-round vocab aggs
+    // run inside bpeTrain's driver loop as separate bounded jobs
+    "q_bpe_train" -> 1,
     // node-set distinct + outdeg agg + edge-degree join exchange +
     // 3 × per-round groupBy(dst) + output ORDER BY; the per-round rank
     // joins broadcast at this SF, the node/edge frames are persisted

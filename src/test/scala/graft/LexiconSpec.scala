@@ -45,6 +45,51 @@ class LexiconSpec extends SparkSpec {
     assert(one.isEmpty)
   }
 
+  test("bpeTrain: learned merges match a driver-side greedy mirror; " +
+      "step 1 equals bpePairStats' top pair; merged tokens grow; " +
+      "aaaa merges greedily left-to-right; delimiter collision rejected") {
+    // banana×3, bandana×2: step1 merges the dominant (a,n)
+    val corpus = Seq((1L, "banana banana banana bandana bandana"))
+      .toDF("doc_id", "text")
+    val out = Lexicon.bpeTrain(corpus, "text", merges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // driver mirror of the same greedy recurrence
+    def mirror(vocab0: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+      val d = "\u0001"
+      var vocab = vocab0.map { case (w, f) => (d + w.toSeq.mkString(d), f) }
+      (1 to k).map { step =>
+        val pairs = vocab.toSeq.flatMap { case (t, f) =>
+          val a = t.split(d).drop(1).toSeq
+          a.zip(a.drop(1)).map(p => (p, f))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        val ((l, r), n) = pairs.minBy { case ((l, r), n) => (-n, l, r) }
+        vocab = vocab.map { case (t, f) =>
+          (t.replace(d + l + d + r, d + l + r), f) }
+        (step, l, r, n)
+      }
+    }
+    val want = mirror(Map("banana" -> 3L, "bandana" -> 2L), 3)
+    assert(out.toSeq == want, s"got ${out.toSeq}, want $want")
+    assert((out(0)._2, out(0)._3) == ("a", "n"), "step 1 = dominant pair")
+    // step 1 agrees with the single-round operator
+    val top1 = Lexicon.bpePairStats(corpus, "text", 1).head()
+    assert((out(0)._2, out(0)._3, out(0)._4) ==
+      ((top1.getString(0), top1.getString(1), top1.getLong(2))))
+    // greedy left-to-right: aaaa + merge (a,a) -> [aa, aa], so step 2
+    // merges (aa, aa) — never the overlapping middle pair
+    val runs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val rOut = Lexicon.bpeTrain(runs, "text", merges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rOut(0) == (("a", "a", 9L)), "3 words x 3 adjacent pairs")
+    assert(rOut(1) == (("aa", "aa", 3L)), "post-merge pairs are [aa aa]")
+    // delimiter present in the data is rejected, not silently corrupted
+    val boom = intercept[IllegalArgumentException] {
+      Lexicon.bpeTrain(Seq((1L, "bad\u0001word")).toDF("doc_id", "text"),
+        "text", merges = 1).collect()
+    }
+    assert(boom.getMessage.contains("delimiter"))
+  }
+
   test("tfIdf: tf and df exact; idf follows the smoothed sklearn formula") {
     val rows = Lexicon.tfIdf(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
