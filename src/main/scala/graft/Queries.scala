@@ -1044,12 +1044,24 @@ object Queries {
       .orderBy(col("step"))
   }
 
-  /** Generates the [[q_bpe_train]] oracle: the same delimiter-prefixed
+  /** BPE encode with the merges just learned (train 4 rounds, then
+    * apply): per-doc raw and post-merge token counts — the compression
+    * the tokenizer buys, and the counts a token-budget planner uses. */
+  val q_bpe_apply: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    val docs = t(s, dir, "documents").df
+    val merges = Lexicon.bpeTrain(docs, "text", merges = 4).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    Lexicon.bpeApply(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared CTE chain for the BPE oracles: the same delimiter-prefixed
     * greedy-replace construction as `Lexicon.bpeTrain`, one CTE triple
     * (pair counts → deterministic top-1 → vocab after merge) per round.
     * Generated rather than hand-unrolled so the round template is
     * written once. */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val head =
       """WITH words AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
@@ -1071,10 +1083,40 @@ object Queries {
          |  FROM v${k - 1}
          |)""".stripMargin
     }.mkString("\n")
+    s"$head\n$body"
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val sel = (1 to rounds)
       .map(k => s"SELECT $k AS step, lhs, rhs, n AS n_occurrences FROM t$k")
       .mkString("\nUNION ALL ")
-    s"$head\n$body\n$sel\nORDER BY step"
+    s"${bpeCtes(rounds)}\n$sel\nORDER BY step"
+  }
+
+  /** [[q_bpe_apply]] oracle: recompute the learned merges via the same
+    * CTE chain, expose them as one cross-joined scalar row, and encode
+    * every doc's words with the nested-replace chain inside a list
+    * lambda — token count = delimiter count of the encoded word. */
+  private def bpeApplyOracleSql(rounds: Int): String = {
+    val mCols = (1 to rounds).map(k =>
+      s"(SELECT lhs FROM t$k) AS l$k, (SELECT rhs FROM t$k) AS r$k")
+      .mkString(", ")
+    val enc = (1 to rounds).foldLeft(
+      """regexp_replace(w, '(.)', chr(1) || '\1', 'g')""") { (acc, k) =>
+      s"replace($acc, chr(1) || l$k || chr(1) || r$k, chr(1) || l$k || r$k)"
+    }
+    s"""${bpeCtes(rounds)}
+       |, m AS (SELECT $mCols)
+       |, tl AS (
+       |  SELECT doc_id, coalesce(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> x <> ''), CAST([] AS VARCHAR[])) AS ws
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens_raw,
+       |  CAST(coalesce(list_sum(list_transform(ws, w ->
+       |    length($enc) - length(replace($enc, chr(1), '')))), 0) AS BIGINT)
+       |    AS n_tokens_bpe
+       |FROM tl, m
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Balanced training-shard assignment (longest-first round-robin over
@@ -1976,6 +2018,7 @@ object Queries {
     "q_line_dedup" -> q_line_dedup,
     "q_bpe_pairs" -> q_bpe_pairs,
     "q_bpe_train" -> q_bpe_train,
+    "q_bpe_apply" -> q_bpe_apply,
     "q_shard_assign" -> q_shard_assign,
     "q_dsir_scores" -> q_dsir_scores,
     "q_classifier_score" -> q_classifier_score,
@@ -3089,6 +3132,7 @@ object Queries {
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bpe_train" -> bpeOracleSql(4),
+    "q_bpe_apply" -> bpeApplyOracleSql(4),
 
     "q_bpe_pairs" ->
       """WITH t AS (

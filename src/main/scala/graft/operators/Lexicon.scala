@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -144,6 +144,40 @@ object Lexicon {
     }
     vocab.unpersist()
     learned.toSeq.toDF("step", "lhs", "rhs", "n_occurrences")
+  }
+
+  /** Apply a LEARNED BPE merge list — the inference half of
+    * [[bpeTrain]]: encode every document with the merges (in training
+    * order, each greedy left-to-right via the same delimiter-replace
+    * construction) and report its token count before and after.
+    * `n_tokens_bpe / n_tokens_raw` is the compression the tokenizer
+    * buys; the per-doc counts are what a token-budget planner consumes.
+    *
+    * Scale shape: ONE codegen'd map pass — the merge chain folds into a
+    * single nested-replace expression over each word (merge list is
+    * driver-side and KB-sized, exactly what [[bpeTrain]] returns), the
+    * per-word token count is a length difference, and the per-doc sum
+    * is an `aggregate` over the word array. No shuffle, no explode, no
+    * UDF. */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], delim: String = "\u0001"): DataFrame = {
+    require(delim.length == 1, "delim must be a single character")
+    val qr = java.util.regex.Matcher.quoteReplacement(delim) + "$1"
+    def encode(w: Column): Column =
+      merges.foldLeft(regexp_replace(w, "(.)", qr)) { case (acc, (l, r)) =>
+        replace(acc, lit(delim + l + delim + r), lit(delim + l + r))
+      }
+    def wordTokens(w: Column): Column = {
+      val enc = encode(w)
+      length(enc) - length(replace(enc, lit(delim), lit("")))
+    }
+    val ws = coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
+      array().cast("array<string>"))
+    df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens_raw"),
+        aggregate(col("__ws"), lit(0),
+          (acc, w) => acc + wordTokens(w)).cast("long").as("n_tokens_bpe"))
   }
 
   /** Per-(doc, term) frequencies with corpus document frequency and

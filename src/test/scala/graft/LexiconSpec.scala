@@ -90,6 +90,25 @@ class LexiconSpec extends SparkSpec {
     assert(boom.getMessage.contains("delimiter"))
   }
 
+  test("bpeApply: counts match per-word greedy encoding; compression " +
+      "monotone in merges; empty docs zero") {
+    import graft.operators.Lexicon
+    val corpus = Seq((1L, "banana banana bandana"), (2L, "  "), (3L, "an"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "n"), ("b", "an"))
+    val out = Lexicon.bpeApply(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // banana -> b an an a (merge1) -> ban an a (merge2) = 3 tokens;
+    // bandana -> b an d an a -> ban d an a = 4 tokens
+    assert(out(1L) == ((3L, 3 + 3 + 4L)), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L)), "whitespace-only doc")
+    assert(out(3L) == ((1L, 1L)), "an -> [an], one token")
+    // more merges never increase the token count
+    val fewer = Lexicon.bpeApply(corpus, "doc_id", "text", merges.take(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.forall { case (id, (_, bpe)) => bpe <= fewer(id) })
+  }
+
   test("tfIdf: tf and df exact; idf follows the smoothed sklearn formula") {
     val rows = Lexicon.tfIdf(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
