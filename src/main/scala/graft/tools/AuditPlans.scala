@@ -90,6 +90,10 @@ object AuditPlans {
     // + output ORDER BY (1 visible exchange); the per-round vocab aggs
     // run inside bpeTrain's driver loop as separate bounded jobs
     "q_bpe_train" -> 1,
+    // encode is ONE map-side nested-replace pass over documents; the 1
+    // is the output ORDER BY (training jobs run in bpeTrain's driver
+    // loop, as for q_bpe_train)
+    "q_bpe_apply" -> 1,
     // node-set distinct + outdeg agg + edge-degree join exchange +
     // 3 × per-round groupBy(dst) + output ORDER BY; the per-round rank
     // joins broadcast at this SF, the node/edge frames are persisted
