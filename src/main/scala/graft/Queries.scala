@@ -35,15 +35,14 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): GTable =
     GTable(s.read.parquet(s"$dir/$name.parquet"), name)
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's reader rejects by default. Read nanos as long (legacy conf,
-    * runtime-settable) and convert to a microsecond TimestampType with
-    * integral division (no double round-trip — ns since epoch exceeds
-    * double's 53-bit mantissa). */
+  /** The events table's `ts` encoding varies by writer — TIMESTAMP(NANOS)
+    * (readable only as long under the legacy conf), timestamp[us]
+    * (TIMESTAMP_NTZ), or TIMESTAMP. Normalize whatever arrives to a
+    * canonical µs TimestampType; see [[graft.sources.EventTime]]. */
   private def events(s: SparkSession, dir: String): GTable = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    GTable(raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))), "events")
+    GTable(graft.sources.EventTime.normalizeTs(raw), "events")
   }
 
   // ==================================================================
@@ -1066,20 +1065,22 @@ object Queries {
       """WITH words AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
         |), v0 AS (
-        |  SELECT regexp_replace(w, '(.)', chr(1) || '\1', 'g') AS t, count(*) AS freq
+        |  SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS t, count(*) AS freq
         |  FROM words WHERE w <> '' GROUP BY 1
         |)""".stripMargin
     val body = (1 to rounds).map { k =>
       s""", p$k AS (
          |  SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS n
-         |  FROM (SELECT freq, (string_split(t, chr(1)))[2:] AS a FROM v${k - 1}) AS s$k,
+         |  FROM (SELECT freq, list_filter(string_split(t, chr(1)), x -> x <> '') AS a
+         |    FROM v${k - 1}) AS s$k,
          |  LATERAL unnest(generate_series(1, len(a) - 1)) AS u(i)
          |  GROUP BY 1, 2
          |), t$k AS (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
          |v$k AS (
          |  SELECT replace(t,
-         |    chr(1) || (SELECT lhs FROM t$k) || chr(1) || (SELECT rhs FROM t$k),
-         |    chr(1) || (SELECT lhs FROM t$k) || (SELECT rhs FROM t$k)) AS t, freq
+         |    chr(1) || (SELECT lhs FROM t$k) || chr(1) || chr(1) ||
+         |      (SELECT rhs FROM t$k) || chr(1),
+         |    chr(1) || (SELECT lhs FROM t$k) || (SELECT rhs FROM t$k) || chr(1)) AS t, freq
          |  FROM v${k - 1}
          |)""".stripMargin
     }.mkString("\n")
@@ -1102,8 +1103,9 @@ object Queries {
       s"(SELECT lhs FROM t$k) AS l$k, (SELECT rhs FROM t$k) AS r$k")
       .mkString(", ")
     val enc = (1 to rounds).foldLeft(
-      """regexp_replace(w, '(.)', chr(1) || '\1', 'g')""") { (acc, k) =>
-      s"replace($acc, chr(1) || l$k || chr(1) || r$k, chr(1) || l$k || r$k)"
+      """regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g')""") { (acc, k) =>
+      s"replace($acc, chr(1) || l$k || chr(1) || chr(1) || r$k || chr(1), " +
+      s"chr(1) || l$k || r$k || chr(1))"
     }
     s"""${bpeCtes(rounds)}
        |, m AS (SELECT $mCols)
@@ -1113,7 +1115,7 @@ object Queries {
        |  FROM documents)
        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens_raw,
        |  CAST(coalesce(list_sum(list_transform(ws, w ->
-       |    length($enc) - length(replace($enc, chr(1), '')))), 0) AS BIGINT)
+       |    (length($enc) - length(replace($enc, chr(1), ''))) // 2)), 0) AS BIGINT)
        |    AS n_tokens_bpe
        |FROM tl, m
        |ORDER BY doc_id""".stripMargin
@@ -1205,7 +1207,11 @@ object Queries {
         ((col("doc_id") * 13 + 5) % m).as("dst")))
       .filter(col("src") =!= col("dst"))
     val edges = e0.join(ids.select(col("doc_id").as("dst")), "dst")
-    LinkGraph.pageRankMicro(edges, "src", "dst", iters = 3)
+    // scale grows with the corpus: the operator requires >= 100 micro-units
+    // of initial mass per node, and m (max doc_id + 1) bounds the node
+    // count — a fixed 1e6 would hard-fail the first SF over 10k docs
+    LinkGraph.pageRankMicro(edges, "src", "dst", iters = 3,
+        scale = math.max(1000000L, 100L * m))
       .orderBy(col("node"))
   }
 
@@ -3261,6 +3267,7 @@ object Queries {
     "q_pagerank" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |mx AS (SELECT max(doc_id) + 1 AS m FROM ids),
+        |sc AS (SELECT greatest(1000000, 100 * m) AS s FROM mx),
         |e0 AS (
         |  SELECT doc_id AS src, (doc_id*7 + 3) % (SELECT m FROM mx) AS dst FROM ids
         |  UNION ALL
@@ -3272,10 +3279,10 @@ object Queries {
         |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
         |nn AS (SELECT count(*) AS n FROM nodes),
         |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-        |r0 AS (SELECT node, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |r0 AS (SELECT node, (SELECT s FROM sc) // (SELECT n FROM nn) AS r FROM nodes),
         |i1 AS (
         |  SELECT nodes.node,
-        |    (15 * 1000000) // (100 * (SELECT n FROM nn)) +
+        |    (15 * (SELECT s FROM sc)) // (100 * (SELECT n FROM nn)) +
         |    (85 * coalesce(s.mass, 0)) // 100 AS r
         |  FROM nodes LEFT JOIN (
         |    SELECT e.dst AS node, CAST(sum(p.r // od.outdeg) AS BIGINT) AS mass
@@ -3283,7 +3290,7 @@ object Queries {
         |    GROUP BY e.dst) s USING (node)),
         |i2 AS (
         |  SELECT nodes.node,
-        |    (15 * 1000000) // (100 * (SELECT n FROM nn)) +
+        |    (15 * (SELECT s FROM sc)) // (100 * (SELECT n FROM nn)) +
         |    (85 * coalesce(s.mass, 0)) // 100 AS r
         |  FROM nodes LEFT JOIN (
         |    SELECT e.dst AS node, CAST(sum(p.r // od.outdeg) AS BIGINT) AS mass
@@ -3291,7 +3298,7 @@ object Queries {
         |    GROUP BY e.dst) s USING (node)),
         |i3 AS (
         |  SELECT nodes.node,
-        |    (15 * 1000000) // (100 * (SELECT n FROM nn)) +
+        |    (15 * (SELECT s FROM sc)) // (100 * (SELECT n FROM nn)) +
         |    (85 * coalesce(s.mass, 0)) // 100 AS r
         |  FROM nodes LEFT JOIN (
         |    SELECT e.dst AS node, CAST(sum(p.r // od.outdeg) AS BIGINT) AS mass

@@ -79,71 +79,135 @@ object Lexicon {
     * ships; counts are taken BEFORE applying that round's merge, the
     * reference convention.
     *
-    * The merge application trick: words are kept DELIMITER-PREFIXED
-    * (`\u0001·a·\u0001·b…` — U+0001 before each token for "abc"), which turns "merge token pair
-    * (x, y) everywhere, greedy left-to-right" into a plain non-regex
-    * `replace(t, d·x·d·y → d·x·y)` — identical semantics in any engine
-    * (non-overlapping left-to-right is exactly BPE's greedy scan), no
-    * per-position loops. A corpus containing the delimiter character is
-    * rejected (it would corrupt token boundaries).
+    * Scale shape — the real-tokenizer contract (30k–100k merges): the
+    * corpus collapses to the `(distinct word, frequency)` vocab in ONE
+    * distributed hash aggregate (map-side combine; shuffle volume =
+    * vocab size, not corpus bytes), and the `vocabCap` most frequent
+    * words land on the driver — the same bounded-artifact contract as
+    * the IVF centroid table or the PQ codebook: the distinct-word vocab
+    * of even a 100 TB corpus is driver-holdable at the cap, and BPE
+    * over the frequency-weighted word dict IS the classic algorithm
+    * (Sennrich trains on exactly this dict). The merge loop then runs
+    * DRIVER-LOCAL with incremental pair-count maintenance and a
+    * lazy-deletion max-heap — ZERO Spark jobs per round, so round cost
+    * no longer scales with merge count (the previous shape paid 2
+    * distributed jobs per merge and capped at 64). Words cut by
+    * `vocabCap` are excluded from training statistics — the standard
+    * vocab-truncation trade of production tokenizers; the cut is
+    * deterministic (freq desc, word asc).
     *
-    * Scale shape: the corpus collapses to the (word, freq) vocab ONCE
-    * (shuffle = vocab size, not corpus bytes); every round then runs
-    * entirely over the persisted VOCAB — one map-side pair explode, one
-    * hash aggregate, a driver-side top-1 (one row), one map-side
-    * replace. Round cost is vocab-linear; the driver holds only the
-    * winning pair. */
+    * A corpus containing `delim` is rejected (checked distributed, over
+    * the FULL corpus, not just the capped vocab): the delimiter is the
+    * token-boundary marker of [[bpeApply]]'s replace-chain encoding,
+    * and data containing it would corrupt inference. */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
-      delim: String = "\u0001"): DataFrame = {
-    require(merges >= 1 && merges <= 64, "merges must be in [1, 64]")
+      delim: String = "\u0001", vocabCap: Int = 1000000): DataFrame = {
+    require(merges >= 1 && merges <= 100000, "merges must be in [1, 100000]")
     require(delim.length == 1, "delim must be a single character")
+    require(vocabCap >= 1, "vocabCap must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val words = graft.core.Partitions.ensureParallelism(df)
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
-    var vocab = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)",
-        java.util.regex.Matcher.quoteReplacement(delim) + "$1").as("t"),
-        col("freq"))
-      .persist(mem)
-    require(vocab.filter(col("t").contains(delim + delim)).isEmpty,
+    require(words.filter(col("w").contains(delim)).isEmpty,
       s"corpus contains the delimiter character (codepoint " +
         s"${delim.codePointAt(0)}) — pass a delim absent from the data")
-    val dq = java.util.regex.Pattern.quote(delim)
-    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // ONE corpus-wide aggregate; only the bounded top-cap vocab reaches
+    // the driver
+    val vocabRows = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(vocabCap)
+      .collect()
+    bpeMergeLoop(vocabRows.map(r => (r.getString(0), r.getLong(1))), merges)
+      .toDF("step", "lhs", "rhs", "n_occurrences")
+  }
+
+  /** Driver-local BPE merge loop over a frequency-weighted vocab:
+    * incremental pair-count maintenance (each round touches only the
+    * words that contain the merged pair) + a lazy-deletion max-heap
+    * keyed (count, lhs, rhs) — stale snapshots are discarded on pop —
+    * so a round costs O(touched words + pops), independent of the merge
+    * index. Greedy left-to-right non-overlapping merge inside each
+    * word: `aaaa` + (a,a) → `[aa, aa]`, never the overlapping middle
+    * pair — one pass eliminates every (lhs, rhs) adjacency in a word,
+    * so the merged pair's count always drains to zero. */
+  private def bpeMergeLoop(vocab: Array[(String, Long)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = vocab.map { case (w, _) => w.map(_.toString).toArray }
+    val freqs = vocab.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2) // smaller lhs wins among equal counts
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long): Unit = {
+      val n = pairCount.getOrElse(p, 0L) + delta
+      if (n <= 0L) pairCount.remove(p)
+      else {
+        pairCount(p) = n
+        heap.enqueue((n, p._1, p._2))
+      }
+    }
+    def pairsIn(a: Array[String]): Iterator[(String, String)] =
+      if (a.length < 2) Iterator.empty
+      else (0 until a.length - 1).iterator.map(j => (a(j), a(j + 1)))
+    for (i <- syms.indices) {
+      pairsIn(syms(i)).foreach { p =>
+        bump(p, freqs(i))
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+    }
+    val learned = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      val toks = split(col("t"), dq)
-      val pairs = vocab
-        .select(col("freq"), slice(toks, lit(2), size(toks) - 1).as("a"))
-        .filter(size(col("a")) >= 2)
-        .select(col("freq"), explode(zip_with(
-          slice(col("a"), lit(1), size(col("a")) - 1),
-          slice(col("a"), lit(2), size(col("a")) - 1),
-          (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (pairs.isEmpty) exhausted = true
-      else {
-        val (l, r, n) = (pairs(0).getString(0), pairs(0).getString(1),
-          pairs(0).getLong(2))
-        learned += ((step, l, r, n))
-        val next = vocab.withColumn("t",
-          replace(col("t"), lit(delim + l + delim + r), lit(delim + l + r)))
-          .persist(mem)
-        next.count() // materialize before dropping the parent cache
-        vocab.unpersist()
-        vocab = next
-        step += 1
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        // live iff the snapshot count is still the current count
+        if (pairCount.get((e._2, e._3)).contains(e._1)) best = Some(e)
+      }
+      best match {
+        case None => exhausted = true
+        case Some((n, l, r)) =>
+          learned += ((step, l, r, n)) // count BEFORE applying the merge
+          val p = (l, r)
+          val touched = pairWords.getOrElse(p, mutable.HashSet.empty).toArray
+          for (i <- touched) {
+            val old = syms(i)
+            val buf = mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < old.length) {
+              if (j < old.length - 1 && old(j) == l && old(j + 1) == r) {
+                buf += (l + r); j += 2
+              } else { buf += old(j); j += 1 }
+            }
+            val nw = buf.toArray
+            // multiset delta of adjacent pairs, weighted by word freq
+            pairsIn(old).foreach(bump(_, -freqs(i)))
+            pairsIn(nw).foreach(bump(_, freqs(i)))
+            val oldSet = pairsIn(old).toSet
+            val newSet = pairsIn(nw).toSet
+            (oldSet -- newSet).foreach(q => pairWords.get(q).foreach(_ -= i))
+            (newSet -- oldSet).foreach(q =>
+              pairWords.getOrElseUpdate(q, mutable.HashSet.empty) += i)
+            syms(i) = nw
+          }
+          pairWords.remove(p)
+          step += 1
       }
     }
-    vocab.unpersist()
-    learned.toSeq.toDF("step", "lhs", "rhs", "n_occurrences")
+    learned.toSeq
   }
 
   /** Apply a LEARNED BPE merge list — the inference half of
@@ -158,25 +222,38 @@ object Lexicon {
     * driver-side and KB-sized, exactly what [[bpeTrain]] returns), the
     * per-word token count is a length difference, and the per-doc sum
     * is an `aggregate` over the word array. No shuffle, no explode, no
-    * UDF. */
+    * UDF.
+    *
+    * Encoding construction: each token is WRAPPED in the delimiter
+    * (`d+tok+d`, so a token boundary is the 2-char `dd` and a string
+    * end is a single `d`), and merging (l, r) is
+    * `replace(d+l+dd+r+d, d+l+r+d)` — the wrapper makes the match
+    * token-EXACT and greedy left-to-right. The naive single-delimiter
+    * form (`replace(d+l+d+r, ...)`) is subtly WRONG: it also fires when
+    * `r` is a strict PREFIX of the following token — merging (an, a) in
+    * `[b, an, an, a]` would corrupt the middle `an` into `anan` — which
+    * diverges from token-level BPE. Token count = delimiter count / 2. */
   def bpeApply(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], delim: String = "\u0001"): DataFrame = {
     require(delim.length == 1, "delim must be a single character")
-    val qr = java.util.regex.Matcher.quoteReplacement(delim) + "$1"
+    val dq = java.util.regex.Matcher.quoteReplacement(delim)
+    val qr = dq + "$1" + dq
     def encode(w: Column): Column =
       merges.foldLeft(regexp_replace(w, "(.)", qr)) { case (acc, (l, r)) =>
-        replace(acc, lit(delim + l + delim + r), lit(delim + l + r))
+        replace(acc, lit(delim + l + delim + delim + r + delim),
+          lit(delim + l + r + delim))
       }
     def wordTokens(w: Column): Column = {
       val enc = encode(w)
-      length(enc) - length(replace(enc, lit(delim), lit("")))
+      ((length(enc) - length(replace(enc, lit(delim), lit("")))) / 2)
+        .cast("long")
     }
     val ws = coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
       array().cast("array<string>"))
     df.select(col(idCol), ws.as("__ws"))
       .select(col(idCol),
         size(col("__ws")).cast("long").as("n_tokens_raw"),
-        aggregate(col("__ws"), lit(0),
+        aggregate(col("__ws"), lit(0L),
           (acc, w) => acc + wordTokens(w)).cast("long").as("n_tokens_bpe"))
   }
 

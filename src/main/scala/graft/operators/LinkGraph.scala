@@ -38,10 +38,27 @@ object LinkGraph {
     * aggregate + a left join back to the node set (in-edge-less nodes
     * stay at base mass). No window, no node-sized collect; the node set
     * and out-degree-tagged edges are computed once and persisted across
-    * rounds (corpus-linear, the two frames every round reads). */
+    * rounds (corpus-linear, the two frames every round reads).
+    *
+    * Round lineage is PINNED: every `pinEvery` rounds (default: every
+    * round) the rank frame is materialized via `localCheckpoint(eager)`
+    * — the same idiom as the connected-components loop in
+    * `Dedup.clusterDuplicates` — so the plan the next round joins
+    * against is a scan of the materialization, not an `iters`-deep
+    * lineage that Catalyst re-analyzes (and at failure, re-executes)
+    * from the source up. `pinEvery = 0` disables pinning (identical
+    * ranks either way — pinning changes execution, never values).
+    *
+    * `stopOnConverge` adds an early exit: ranks are integers, so
+    * `rₖ == rₖ₋₁` is an exact fixed point — every later round repeats
+    * it, and stopping returns bit-identical ranks to running all
+    * `iters` rounds. Costs one cheap anti-equality count per round
+    * (over the just-materialized checkpoint), so it is opt-in. */
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+      iters: Int = 3, scale: Long = 1000000L, pinEvery: Int = 1,
+      stopOnConverge: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    require(pinEvery >= 0, "pinEvery must be >= 0 (0 = never pin)")
     require(scale >= 1000L, "scale below 1000 floors all mass away")
     val spark = edges.sparkSession
     val nodes = edges.select(col(srcCol).as("node"))
@@ -61,14 +78,31 @@ object LinkGraph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = (15L * scale) / (100L * n) // driver-side integer div
     var r = nodes.withColumn("rank_micro", lit(scale / n))
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (!converged && it < iters) {
+      it += 1
       val contrib = e.join(r, e("src") === r("node"))
         .select(col("dst"), expr("rank_micro div outdeg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__mass"))
-      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      val next0 = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("85 * coalesce(__mass, 0L) div 100"))
             .as("rank_micro"))
+      // convergence test needs a materialized `next` (it reads it twice
+      // and self-joins against the previous round), so force a pin then
+      val next =
+        if (stopOnConverge || (pinEvery > 0 && it % pinEvery == 0))
+          next0.localCheckpoint(eager = true)
+        else next0
+      if (stopOnConverge) {
+        val changed = next.as("a")
+          .join(r.as("b"), col("a.node") === col("b.node"))
+          .filter(col("a.rank_micro") =!= col("b.rank_micro"))
+          .limit(1).count()
+        converged = changed == 0L
+      }
+      r = next
     }
     r
   }

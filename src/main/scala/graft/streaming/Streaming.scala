@@ -21,24 +21,31 @@ case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
   */
 object Streaming {
 
-  /** Streaming view of events: nanosecond timestamps read as long
-    * (Spark rejects TIMESTAMP(NANOS) parquet), converted to µs timestamps.
-    * The (static) file schema is cached per path — streaming sources
-    * need an explicit schema, and re-reading the footer on every query
-    * build is measurable in a tight harness loop. */
+  /** Streaming view of events. The `ts` encoding is whatever the writer
+    * chose (long-nanos / TIMESTAMP_NTZ / TIMESTAMP) — normalized to µs
+    * TimestampType by [[graft.sources.EventTime.normalizeTs]], branching
+    * on the observed schema so an upstream encoding change never breaks
+    * the stream. The (static) file schema is cached per (path, mtime) —
+    * streaming sources need an explicit schema, and re-reading the footer
+    * on every query build is measurable in a tight harness loop; keying by
+    * mtime means a regenerated file invalidates the entry instead of
+    * pinning the stream to a stale schema for the life of the JVM. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = schemaCache.getOrElseUpdate(s"$dir/events.parquet",
-      spark.read.parquet(s"$dir/events.parquet").schema)
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    // 0L for non-local paths → always same key, i.e. plain per-path caching
+    val mtime = try new java.io.File(path).lastModified catch { case _: Exception => 0L }
+    val schema = schemaCache.getOrElseUpdate((path, mtime),
+      spark.read.parquet(path).schema)
+    graft.sources.EventTime.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
 
   /** Tumbling-window aggregate with a watermark: per (hour, event_type)
     * counts and value sums. */

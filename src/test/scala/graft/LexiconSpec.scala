@@ -53,18 +53,23 @@ class LexiconSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = Lexicon.bpeTrain(corpus, "text", merges = 3).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    // driver mirror of the same greedy recurrence
+    // driver mirror of the same greedy recurrence, TOKEN-exact: merges
+    // match whole adjacent tokens, never a prefix of the next token
+    // (merging (an, a) in [b, an, an, a] must leave the middle `an`
+    // alone — a raw delimiter-replace would corrupt it into `anan`)
     def mirror(vocab0: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
-      val d = "\u0001"
-      var vocab = vocab0.map { case (w, f) => (d + w.toSeq.mkString(d), f) }
+      var vocab = vocab0.map { case (w, f) => (w.map(_.toString).toList, f) }
       (1 to k).map { step =>
         val pairs = vocab.toSeq.flatMap { case (t, f) =>
-          val a = t.split(d).drop(1).toSeq
-          a.zip(a.drop(1)).map(p => (p, f))
+          t.zip(t.drop(1)).map(p => (p, f))
         }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
         val ((l, r), n) = pairs.minBy { case ((l, r), n) => (-n, l, r) }
-        vocab = vocab.map { case (t, f) =>
-          (t.replace(d + l + d + r, d + l + r), f) }
+        def merge(t: List[String]): List[String] = t match {
+          case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
+          case a :: rest => a :: merge(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.map { case (t, f) => (merge(t), f) }
         (step, l, r, n)
       }
     }

@@ -395,6 +395,51 @@ class PipelineSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("pageRankMicro: lineage pinning and convergence stop change " +
+      "execution, never values; iters=50 stays bounded") {
+    import graft.operators.LinkGraph
+    // star + back-edge: leaves fix at base mass after round 1, the hub one
+    // round later — an exact integer fixed point well before 50 rounds
+    val edges = ((1L to 6L).map(_ -> 0L) :+ (0L -> 1L)).toDF("src", "dst")
+    def ranks(pinEvery: Int, iters: Int, converge: Boolean = false) =
+      LinkGraph.pageRankMicro(edges, "src", "dst", iters = iters,
+          pinEvery = pinEvery, stopOnConverge = converge)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pinned = ranks(pinEvery = 1, iters = 5)
+    assert(ranks(pinEvery = 0, iters = 5) == pinned,
+      "pinning must not change ranks")
+    assert(ranks(pinEvery = 2, iters = 5) == pinned)
+    // 50 pinned rounds complete promptly (unpinned lineage would deepen
+    // the plan 50×); early convergence stop returns the identical fixed
+    // point the full run lands on
+    val full50 = ranks(pinEvery = 1, iters = 50)
+    assert(ranks(pinEvery = 1, iters = 50, converge = true) == full50)
+    assert(full50(0L) > full50(2L))
+  }
+
+  test("pageRankMicro: adaptive scale admits corpora past 10k nodes " +
+      "where the fixed default would hard-fail (q_pagerank guard)") {
+    import graft.operators.LinkGraph
+    // the q_pagerank edge construction at n = 12k docs
+    val m = 12000L
+    val ids = spark.range(m).select(col("id").as("doc_id"))
+    val edges = ids.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % m).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"),
+        ((col("doc_id") * 13 + 5) % m).as("dst")))
+      .filter(col("src") =!= col("dst"))
+    // old fixed default: require(scale >= 100*n) trips
+    val e = intercept[IllegalArgumentException](
+      LinkGraph.pageRankMicro(edges, "src", "dst", iters = 1))
+    assert(e.getMessage.contains("pass scale >="))
+    // the call-site formula: scale grows with the corpus and passes
+    val out = LinkGraph.pageRankMicro(edges, "src", "dst", iters = 1,
+      scale = math.max(1000000L, 100L * m))
+    assert(out.count() == m)
+    assert(out.filter(col("rank_micro") <= 0).count() == 0,
+      "every node keeps positive integer mass at 100 micro-units/node")
+  }
+
   test("lengthBuckets: boundary edges and pad-waste arithmetic") {
     import graft.operators.Chunk
     // token counts: 2, 3 (edge: < 3 -> bucket 0 excludes 3), 5, 9

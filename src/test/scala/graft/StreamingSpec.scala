@@ -19,8 +19,8 @@ class StreamingSpec extends SparkSpec {
       "stream_spec_out")
       .select(col("window.start").as("h"), col("event_type"), col("n"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.sources.EventTime.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     assert(streamed.count() == batch.count())
@@ -83,8 +83,8 @@ class StreamingSpec extends SparkSpec {
       .groupBy(col("c_user")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val (bc, bp) = sides(spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val (bc, bp) = sides(graft.sources.EventTime.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet")))
     val batch = bc.join(bp, bc("c_user") === bp("p_user") &&
         bp("p_ts") >= bc("c_ts") &&
         bp("p_ts") <= bc("c_ts") + expr("INTERVAL 30 minutes"))
