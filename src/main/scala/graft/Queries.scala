@@ -1043,16 +1043,33 @@ object Queries {
       .orderBy(col("step"))
   }
 
-  /** BPE encode with the merges just learned (train 4 rounds, then
-    * apply): per-doc raw and post-merge token counts — the compression
-    * the tokenizer buys, and the counts a token-budget planner uses. */
+  /** BPE encode via the PERSISTED merge artifact (the train/serve split:
+    * merges are learned and saved at most once per session per SF, the
+    * serving path loads the KB-sized merge list and runs one codegen'd
+    * map pass): per-doc raw and post-merge token counts — the
+    * compression the tokenizer buys, and the counts a token-budget
+    * planner uses. */
   val q_bpe_apply: Q = (s, dir) => {
     import graft.operators.Lexicon
     val docs = t(s, dir, "documents").df
-    val merges = Lexicon.bpeTrain(docs, "text", merges = 4).collect()
-      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val table = "bpe_merges" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
     Lexicon.bpeApply(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
+  }
+
+  /** DEEP BPE training gate — drain-to-exhaustion: request 256 merges
+    * over the documents corpus (the synthetic vocab drains far earlier —
+    * every adjacent pair merged away), proving the trainer's round cost
+    * is independent of merge depth (driver-local loop; the former
+    * distributed shape paid 2 Spark jobs per merge and capped at 64).
+    * Oracle: the same MATERIALIZED CTE chain, padded past the drain
+    * point — rounds after exhaustion contribute zero rows on both
+    * sides. */
+  val q_bpe_train_deep: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    Lexicon.bpeTrain(t(s, dir, "documents").df, "text", merges = 256)
+      .orderBy(col("step"))
   }
 
   /** Shared CTE chain for the BPE oracles: the same delimiter-prefixed
@@ -1064,19 +1081,19 @@ object Queries {
     val head =
       """WITH words AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
-        |), v0 AS (
+        |), v0 AS MATERIALIZED (
         |  SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS t, count(*) AS freq
         |  FROM words WHERE w <> '' GROUP BY 1
         |)""".stripMargin
     val body = (1 to rounds).map { k =>
-      s""", p$k AS (
+      s""", p$k AS MATERIALIZED (
          |  SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS n
          |  FROM (SELECT freq, list_filter(string_split(t, chr(1)), x -> x <> '') AS a
          |    FROM v${k - 1}) AS s$k,
          |  LATERAL unnest(generate_series(1, len(a) - 1)) AS u(i)
          |  GROUP BY 1, 2
          |), t$k AS (SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
-         |v$k AS (
+         |v$k AS MATERIALIZED (
          |  SELECT replace(t,
          |    chr(1) || (SELECT lhs FROM t$k) || chr(1) || chr(1) ||
          |      (SELECT rhs FROM t$k) || chr(1),
@@ -2024,6 +2041,7 @@ object Queries {
     "q_line_dedup" -> q_line_dedup,
     "q_bpe_pairs" -> q_bpe_pairs,
     "q_bpe_train" -> q_bpe_train,
+    "q_bpe_train_deep" -> q_bpe_train_deep,
     "q_bpe_apply" -> q_bpe_apply,
     "q_shard_assign" -> q_shard_assign,
     "q_dsir_scores" -> q_dsir_scores,
@@ -3138,6 +3156,9 @@ object Queries {
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bpe_train" -> bpeOracleSql(4),
+    // padded past the corpus's observed ~89-merge drain point: post-drain
+    // rounds are empty on both engines, so over-requesting is harmless
+    "q_bpe_train_deep" -> bpeOracleSql(120),
     "q_bpe_apply" -> bpeApplyOracleSql(4),
 
     "q_bpe_pairs" ->

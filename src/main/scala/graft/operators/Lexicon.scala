@@ -210,6 +210,38 @@ object Lexicon {
     learned.toSeq
   }
 
+  /** PERSISTED BPE merge artifact — the train/serve split every other
+    * index in this engine already has (BM25 postings, LSH buckets, IVF
+    * centroids): train at most once per (table, merges, vocabCap) per
+    * warehouse, save the learned merge table, and hand the apply path
+    * the KB-sized merge list. A matching saved artifact short-circuits
+    * training entirely — the serving cost of [[bpeApply]] is then one
+    * codegen'd map pass with zero training jobs. Mismatched parameters
+    * (or a missing meta table) retrain and overwrite. */
+  def bpeMergesFor(df: DataFrame, textCol: String, table: String,
+      merges: Int, delim: String = "\u0001",
+      vocabCap: Int = 1000000): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val metaT = s"${table}_meta"
+    val matches = spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(metaT) && {
+        val m = spark.table(metaT)
+        m.columns.sameElements(Array("requested_merges", "vocab_cap")) && {
+          val h = m.head()
+          h.getInt(0) == merges && h.getInt(1) == vocabCap
+        }
+      }
+    if (!matches) {
+      bpeTrain(df, textCol, merges, delim, vocabCap)
+        .write.mode("overwrite").saveAsTable(table)
+      Seq((merges, vocabCap)).toDF("requested_merges", "vocab_cap")
+        .write.mode("overwrite").saveAsTable(metaT)
+    }
+    spark.table(table).orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** Apply a LEARNED BPE merge list — the inference half of
     * [[bpeTrain]]: encode every document with the merges (in training
     * order, each greedy left-to-right via the same delimiter-replace

@@ -95,6 +95,81 @@ class LexiconSpec extends SparkSpec {
     assert(boom.getMessage.contains("delimiter"))
   }
 
+  test("bpeTrain deep: 300+ merges match the token-exact mirror; " +
+      "exhaustion returns the drained prefix; vocabCap cut is the " +
+      "deterministic (freq desc, word) order") {
+    // rich vocab: 120 distinct 6-char words over a 10-letter alphabet —
+    // hundreds of learnable merges before the pair space drains
+    val rnd = new scala.util.Random(7)
+    val wordsList = (0 until 120).map { _ =>
+      (0 until 6).map(_ => ('a' + rnd.nextInt(10)).toChar).mkString }
+    val corpus = wordsList.zipWithIndex
+      .map { case (w, i) => (i.toLong, (w + " ") * (1 + i % 5)) }
+      .toDF("doc_id", "text")
+    def mirror(vocab0: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = vocab0.map { case (w, f) => (w.map(_.toString).toList, f) }
+      (1 to k).flatMap { step =>
+        val pairs = vocab.toSeq.flatMap { case (t, f) =>
+          t.zip(t.drop(1)).map(p => (p, f))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        if (pairs.isEmpty) None
+        else {
+          val ((l, r), n) = pairs.minBy { case ((l, r), n) => (-n, l, r) }
+          def merge(t: List[String]): List[String] = t match {
+            case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
+            case a :: rest => a :: merge(rest)
+            case Nil => Nil
+          }
+          vocab = vocab.map { case (t, f) => (merge(t), f) }
+          Some((step, l, r, n))
+        }
+      }
+    }
+    val freqs = wordsList.zipWithIndex.groupBy(_._1).view
+      .mapValues(_.map { case (_, i) => 1L + i % 5 }.sum).toMap
+    val want = mirror(freqs, 400)
+    assert(want.size > 300, s"fixture must support 300+ merges, got ${want.size}")
+    val got = Lexicon.bpeTrain(corpus, "text", merges = 400).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want, s"sizes ${got.size} vs ${want.size}; first diff: " +
+      got.zip(want).find { case (a, b) => a != b })
+    // full drain: every word collapses to one token, so total merges =
+    // (distinct words' symbol count - distinct words) is finite and the
+    // trainer stops by itself — no 400th row unless the mirror has one
+    assert(got.size < 400)
+    // vocabCap truncation: cap to the top-30 words; statistics must
+    // exactly match training on the explicit (freq desc, word) subset
+    val cappedWant = mirror(
+      freqs.toSeq.sortBy { case (w, f) => (-f, w) }.take(30).toMap, 50)
+    val capped = Lexicon.bpeTrain(corpus, "text", merges = 50, vocabCap = 30)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(capped == cappedWant)
+  }
+
+  test("bpeMergesFor: artifact round-trips; second call serves the " +
+      "saved merges without retraining; parameter change retrains") {
+    val corpus = Seq((1L, "banana banana banana bandana bandana"))
+      .toDF("doc_id", "text")
+    val table = "bpe_spec_artifact"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    val m1 = Lexicon.bpeMergesFor(corpus, "text", table, merges = 3)
+    val direct = Lexicon.bpeTrain(corpus, "text", merges = 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m1 == direct, "served merges == freshly trained merges")
+    // serve path: corrupt-proof check that the SECOND call reads the
+    // artifact, not the corpus — hand it a corpus that would train
+    // differently; identical result proves no retrain happened
+    val other = Seq((1L, "zzz zzz yyy")).toDF("doc_id", "text")
+    assert(Lexicon.bpeMergesFor(other, "text", table, merges = 3) == m1)
+    // parameter mismatch → retrain on the new corpus
+    val m2 = Lexicon.bpeMergesFor(other, "text", table, merges = 2)
+    assert(m2 != m1 && m2.size == 2)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+  }
+
   test("bpeApply: counts match per-word greedy encoding; compression " +
       "monotone in merges; empty docs zero") {
     import graft.operators.Lexicon
