@@ -1176,6 +1176,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** CROSS-CORPUS perplexity gate — train on the English slice, score
+    * EVERY document: non-English docs carry hashed-bigram transitions
+    * (and at least one leading bucket) absent from the model, so BOTH
+    * smoothed-floor fallbacks (`coalesce(__c2, 0)`, `coalesce(__c1, 0)`)
+    * are exercised under the DuckDB oracle — the same-corpus q_lm_score
+    * can never reach them (verified: 9 unseen pairs, 1 unseen x at
+    * sf0.01). */
+  val q_lm_score_cross: Q = (s, dir) => {
+    import graft.operators.Curate
+    val docs = t(s, dir, "documents").df
+    Curate.lmScores(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** END-TO-END curation pipeline in ONE declarative plan — the
     * integration gate: quality filter → exact content dedup (keep
     * first) → per-source cap (100 longest) → token-budget cut (best
@@ -2047,6 +2062,7 @@ object Queries {
     "q_dsir_scores" -> q_dsir_scores,
     "q_classifier_score" -> q_classifier_score,
     "q_lm_score" -> q_lm_score,
+    "q_lm_score_cross" -> q_lm_score_cross,
     "q_token_budget" -> q_token_budget,
     "q_top_fraction" -> q_top_fraction,
     "q_budget_per_group" -> q_budget_per_group,
@@ -3236,6 +3252,30 @@ object Queries {
         |SELECT bg.doc_id, count(*) AS n_bigrams,
         |  CAST(sum(w.wm) AS BIGINT) AS logprob_micro
         |FROM bg JOIN w ON bg.x = w.x AND bg.y = w.y
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+
+    "q_lm_score_cross" ->
+      """WITH tl AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, lang, substr(md5(unnest(ws)), 1, 2) AS b,
+        |    generate_subscripts(ws, 1) AS i
+        |  FROM tl
+        |), bg AS (
+        |  SELECT a.doc_id, a.lang, a.b AS x, c.b AS y
+        |  FROM toks a JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        |), c2 AS (
+        |  SELECT x, y, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY x, y
+        |), c1 AS (SELECT x, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY x)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(floor(1000000.0 * ln((coalesce(c2.c2, 0) + 1) /
+        |    (coalesce(c1.c1, 0) + 256.0))) AS BIGINT)) AS BIGINT)
+        |    AS logprob_micro
+        |FROM bg
+        |LEFT JOIN c2 ON bg.x = c2.x AND bg.y = c2.y
+        |LEFT JOIN c1 ON bg.x = c1.x
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
 
     "q_pipeline_e2e" ->

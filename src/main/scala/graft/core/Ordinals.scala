@@ -34,6 +34,19 @@ import org.apache.spark.sql.types._
   * property the previous RDD zipWithIndex implementation had to buy
   * with a pinned MEMORY_AND_DISK cache.
   *
+  * EXECUTION CONTRACT — the input plan is evaluated MORE THAN ONCE
+  * (a min/max/null-count pass over the key, a per-bucket count pass,
+  * and the emit pass; 2–3 jobs total by design: the aggregates are
+  * narrow single-column scans, far cheaper than pinning the full frame).
+  * The input must therefore be VALUE-DETERMINISTIC: a plan containing
+  * `rand()`, an unseeded shuffle, `monotonically_increasing_id`, or a
+  * non-idempotent source can disagree with itself between passes —
+  * bucket counts taken in pass 2 would not describe the rows emitted in
+  * pass 3, corrupting ordinals silently. Callers with such a source
+  * must materialize first (`df.localCheckpoint(true)` or
+  * `persist()+count()`) and hand this module the pinned frame;
+  * everything in this repo feeds deterministic parquet-derived plans.
+  *
   * The sort keys MUST be a total order (include a unique tiebreaker) for
   * results to be deterministic. Bucket granularity is bounded by the
   * LEADING key's cardinality — equal keys share a bucket, so order by a

@@ -133,7 +133,12 @@ object Chunk {
     * join). Flagged windows explode to at most k positions each,
     * deduped in the per-doc `collect_set` (doc-bounded, never
     * corpus-bounded); reassembly is ONE groupBy-free left join + a
-    * map-side indexed filter over the token array. */
+    * map-side segment splice: the removed positions are sorted once and
+    * the kept text is the concatenation of the inter-removal slices —
+    * O(tokens + removed) per document. (The previous shape filtered
+    * each token with `array_contains` against the removed array,
+    * O(tokens × removed): a long, heavily-duplicated document paid
+    * quadratic work in a single task.) */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, "k must be >= 2 (a 1-token window is exact token dedup)")
@@ -159,12 +164,19 @@ object Chunk {
       .groupBy(col(idCol))
       .agg(collect_set(col("__p")).as("__rem"))
     val rem = coalesce(col("__rem"), array().cast("array<int>"))
+    // splice bounds: 0, sorted removed positions, n+1 — kept text is the
+    // concatenation of the strictly-between slices (each length >= 0
+    // because positions are a de-duplicated set)
+    val bounds = concat(array(lit(0)), sort_array(rem),
+      array(size(col("__ws")) + 1))
+    val kept = flatten(transform(sequence(lit(1), size(bounds) - 1),
+      i => slice(col("__ws"), element_at(bounds, i) + 1,
+        element_at(bounds, i + 1) - element_at(bounds, i) - 1)))
     toks.join(removed, Seq(idCol), "left")
       .select(col(idCol),
         size(col("__ws")).cast("long").as("n_tokens"),
         size(rem).cast("long").as("n_removed"),
-        array_join(filter(col("__ws"),
-          (w, i) => !array_contains(rem, i + lit(1))), " ").as("text_kept"))
+        array_join(kept, " ").as("text_kept"))
   }
 
   /** LINE-LEVEL duplicate removal (the CCNet/RefinedWeb boilerplate

@@ -129,11 +129,12 @@ class CurateSpec extends SparkSpec {
       (1L, "the cat sat"),   // all common transitions
       (2L, "sat the cat"),   // includes an unseen transition (sat->the)
       (3L, "word"),          // 1 token: no bigrams, omitted
-      (4L, "")               // empty: omitted
+      (4L, ""),              // empty: omitted
+      (5L, "zq9 vw7 kx3")    // words absent from training: unseen-x path
     ).toDF("doc_id", "text")
     val out = Curate.lmScores(score, train, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(out.keySet == Set(1L, 2L))
+    assert(out.keySet == Set(1L, 2L, 5L))
     // driver-side mirror of the exact quantized model
     def bkt(w: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
@@ -155,6 +156,15 @@ class CurateSpec extends SparkSpec {
     }
     assert(out(1L) == expect("the cat sat"), s"got ${out(1L)}")
     assert(out(2L) == expect("sat the cat"), s"got ${out(2L)}")
+    // the fully-unseen doc exercises the c1-miss fallback: both of its
+    // bigrams' x buckets must be absent from the train model (guard the
+    // fixture against md5-bucket collisions), and the score must equal
+    // the mirror's smoothed floor ln(1/256) per bigram
+    val unseenBs = bigrams("zq9 vw7 kx3")
+    assert(unseenBs.forall { case (x, _) => !c1.contains(x) },
+      "fixture words must hash outside the train buckets")
+    assert(out(5L) == expect("zq9 vw7 kx3"), s"got ${out(5L)}")
+    assert(out(5L)._2 == 2L * math.floor(1e6 * math.log(1 / 256.0)).toLong)
     // fluency ordering: the all-seen doc beats the unseen-transition doc
     assert(out(1L)._2 > out(2L)._2)
     val again = Curate.lmScores(score.repartition(5), train.repartition(3),

@@ -27,12 +27,36 @@ class OracleHygieneSpec extends AnyFunSuite {
   // offender. Intermediate aliases consumed by a later GROUP BY
   // (q_session_window's sid, q_groupby_runs' run_id) are fine —
   // HUGEINT never reaches Arrow.
+  /** Span of the OUTERMOST query's projection list: the first SELECT at
+    * paren depth 0 (every WITH-clause body is parenthesized) to the
+    * first depth-0 FROM after it. A textual `lastIndexOf("SELECT")`
+    * would mis-anchor on a scalar subquery inside the final projection
+    * and could scope the check to the subquery's tiny span, skipping a
+    * genuine uncast window sum in the real output list. */
+  private def topLevelSelectSpan(sql: String): (Int, Int) = {
+    var depth = 0
+    var i = 0
+    var sel = -1
+    var from = -1
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (i == 0 || !sql.charAt(i - 1).isLetterOrDigit)) {
+        if (sel < 0 && sql.regionMatches(i, "SELECT", 0, 6)) sel = i
+        else if (sel >= 0 && from < 0 && sql.regionMatches(i, "FROM", 0, 4))
+          from = i
+      }
+      i += 1
+    }
+    (sel, from)
+  }
+
   private def hugeintOffenders(oracles: Seq[(String, String)]): Seq[String] = {
     val winSum = """(?s)(CAST\(\s*)?(?:coalesce\(\s*)?sum\(([^()]*)\)\s+OVER\s*\([^)]*\)(?:\s*,\s*\w+\))?\s*(?:AS\s+BIGINT\s*\))?\s+AS\s+(\w+)""".r
     val doubleish = Set("o_totalprice", "l_extendedprice", "value", "x")
     oracles.flatMap { case (name, sql) =>
-      val lastSelect = sql.lastIndexOf("SELECT")
-      val fromAfter = sql.indexOf("FROM", lastSelect)
+      val (lastSelect, fromAfter) = topLevelSelectSpan(sql)
       // only the projection list counts as "surfacing": an alias referenced
       // by a trailing GROUP BY is consumed, not emitted
       val outCols =
@@ -76,5 +100,21 @@ class OracleHygieneSpec extends AnyFunSuite {
         |FROM d ORDER BY doc_id""".stripMargin
     assert(hugeintOffenders(Seq("synthetic" -> fixed)).isEmpty,
       "the CAST-wrapped form must pass")
+  }
+
+  test("a scalar subquery in the final projection cannot hide an uncast " +
+      "window sum (top-level SELECT anchoring)") {
+    // with lastIndexOf-anchoring, the (SELECT ...) subquery would become
+    // the "final select" and the real projection's `cum` alias would
+    // escape the check
+    val trap =
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(sum(n_tokens) OVER (ORDER BY doc_id), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, cum, (SELECT max(doc_id) FROM d) AS mx
+        |FROM d ORDER BY doc_id""".stripMargin
+    assert(hugeintOffenders(Seq("synthetic" -> trap)).nonEmpty,
+      "an uncast window-sum alias emitted next to a scalar subquery in " +
+        "the outermost projection must be flagged")
   }
 }
