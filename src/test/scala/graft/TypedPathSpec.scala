@@ -164,4 +164,49 @@ class TypedPathSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
     assert(typedTop == dfTop && typedTop == Seq((3, 0, 0), (3, 0, 1)))
   }
+
+  test("row-shape matrix: case class / tuple / nested+Option encoders " +
+      "agree operator-for-operator (the reference's 13-class grid, " +
+      "unit_tests.py:220-371, collapsed to Spark's encoder shapes)") {
+    // the reference cross-multiplies tests over slots/dataclass/
+    // namedtuple/pydantic row classes; Spark's analog axis is the
+    // Encoder: flat product, tuple product, and nested product with
+    // Option fields. Same 64-row grid through all three, same answers.
+    val grid = for { a <- 0 until n; b <- 0 until n; c <- 0 until n }
+      yield (a, b, c)
+    val tupleDs = grid.toDS() // tuple encoder: columns _1/_2/_3
+    val nestedDs = grid.map { case (a, b, c) =>
+      NestedAbc(Inner(a, Some(b)), if (c % 2 == 0) Some(c) else None, c)
+    }.toDS() // nested struct + Option encoder
+    // (1) filter parity on a ∈ [1,2]
+    val viaCase = asTable.where("a" -> Cmp.within(1, 2)).size
+    val viaTuple = GTable(tupleDs.toDF("a", "b", "c"), "tup")
+      .where("a" -> Cmp.within(1, 2)).size
+    val viaNested = GTable(nestedDs.toDF(), "nest")
+      .where(col("inner.a").between(1, 2)).size
+    assert(viaCase == 32 && viaTuple == 32L && viaNested == 32L)
+    // (2) aggregate parity: group by a, count + sum(b) — nested path
+    //     reads b through the struct + Option (None never occurs for b)
+    def agg(t: GTable, aCol: String, bCol: String) = t
+      .groupbyWithSummaries(Seq(aCol),
+        "n" -> count(lit(1)), "sum_b" -> sum(col(bCol)))
+      .df.select(col(aCol).cast("int"), col("n"), col("sum_b"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaT = agg(GTable(tupleDs.toDF("a", "b", "c"), "tup"), "a", "b")
+    val viaN = nestedDs.toDF()
+      .select(col("inner.a").as("a"), col("inner.b").as("b"))
+      .groupBy(col("a")).agg(count(lit(1)).as("n"), sum(col("b")).as("sum_b"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaT == viaN && viaT(0) == ((16L, 24L)))
+    // (3) Option round-trip: half the grid's copt is None; the encoder
+    //     must surface exactly those as nulls and restore them typed
+    val nulls = nestedDs.toDF().filter(col("copt").isNull).count()
+    assert(nulls == 32, "odd c values must encode as NULL")
+    val back = nestedDs.toDF().as[NestedAbc].collect()
+    assert(back.count(_.copt.isEmpty) == 32 &&
+      back.forall(r => r.copt.forall(_ == r.craw)))
+  }
 }
+
+case class Inner(a: Int, b: Option[Int])
+case class NestedAbc(inner: Inner, copt: Option[Int], craw: Int)
