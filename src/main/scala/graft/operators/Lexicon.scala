@@ -233,6 +233,11 @@ object Lexicon {
         }
       }
     if (!matches) {
+      // a fresh session doesn't know tables whose warehouse location
+      // survived a previous JVM — clear both catalog entry AND location,
+      // or saveAsTable throws LOCATION_ALREADY_EXISTS
+      graft.sources.Sources.replaceTable(spark, table)
+      graft.sources.Sources.replaceTable(spark, metaT)
       bpeTrain(df, textCol, merges, delim, vocabCap)
         .write.mode("overwrite").saveAsTable(table)
       Seq((merges, vocabCap)).toDF("requested_merges", "vocab_cap")

@@ -94,6 +94,14 @@ object AuditPlans {
     // is the output ORDER BY (training jobs run in bpeTrain's driver
     // loop, as for q_bpe_train)
     "q_bpe_apply" -> 1,
+    // same audited shape as q_bpe_train: the merge table (89-ish rows
+    // after the corpus drains) localToDF + output ORDER BY — merge
+    // depth never changes the audited plan, which is the point
+    "q_bpe_train_deep" -> 1,
+    // q_lm_score minus one leg: train filters the SAME ensureParallelism
+    // scan (en slice), so 2× leg + C₂ + C₁ + per-doc groupBy + output
+    // ORDER BY = 6, unchanged from q_lm_score; model joins broadcast
+    "q_lm_score_cross" -> 6,
     // node-set distinct + outdeg agg + edge-degree join exchange +
     // 3 × per-round groupBy(dst) + output ORDER BY; the per-round rank
     // joins broadcast at this SF, the node/edge frames are persisted

@@ -168,6 +168,20 @@ class LexiconSpec extends SparkSpec {
     assert(m2 != m1 && m2.size == 2)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    // stale-location resilience: a warehouse dir surviving from a prior
+    // JVM has NO catalog entry — saveAsTable alone would throw
+    // LOCATION_ALREADY_EXISTS; the artifact path must clear and retrain
+    // (observed as a q_bpe_apply bench failure on the 2nd run of r8)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val staleDir = new java.io.File(s"$warehouse/$table")
+    staleDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(staleDir, "junk.parquet").toPath, "not parquet")
+    val m3 = Lexicon.bpeMergesFor(corpus, "text", table, merges = 3)
+    assert(m3 == direct, "stale location must be cleared and retrained")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
   }
 
   test("bpeApply: counts match per-word greedy encoding; compression " +
