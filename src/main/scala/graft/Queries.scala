@@ -1052,7 +1052,13 @@ object Queries {
   val q_bpe_apply: Q = (s, dir) => {
     import graft.operators.Lexicon
     val docs = t(s, dir, "documents").df
-    val table = "bpe_merges" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    // fold the source mtime into the artifact name: a driver-regenerated
+    // documents.parquet (the r7 events precedent) must invalidate the
+    // saved merges — the oracle retrains on the CURRENT corpus, so
+    // serving stale merges would be a persistent hash mismatch
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified
+    val table = ("bpe_merges" + dir + "_m" + mtime)
+      .replaceAll("[^A-Za-z0-9]+", "_")
     val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
     Lexicon.bpeApply(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
@@ -1063,9 +1069,8 @@ object Queries {
     * every adjacent pair merged away), proving the trainer's round cost
     * is independent of merge depth (driver-local loop; the former
     * distributed shape paid 2 Spark jobs per merge and capped at 64).
-    * Oracle: the same MATERIALIZED CTE chain, padded past the drain
-    * point — rounds after exhaustion contribute zero rows on both
-    * sides. */
+    * Oracle: the same MATERIALIZED CTE chain at the full 256 rounds —
+    * rounds after exhaustion contribute zero rows on both sides. */
   val q_bpe_train_deep: Q = (s, dir) => {
     import graft.operators.Lexicon
     Lexicon.bpeTrain(t(s, dir, "documents").df, "text", merges = 256)
@@ -3172,9 +3177,12 @@ object Queries {
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bpe_train" -> bpeOracleSql(4),
-    // padded past the corpus's observed ~89-merge drain point: post-drain
-    // rounds are empty on both engines, so over-requesting is harmless
-    "q_bpe_train_deep" -> bpeOracleSql(120),
+    // oracle rounds == the Spark side's requested 256 — NOT a pad tuned
+    // to the currently-observed ~89-merge drain, so a richer future
+    // corpus can never out-run the oracle; post-drain rounds are
+    // near-free on both engines (measured: 256 MATERIALIZED rounds
+    // 18.1 s vs 120 rounds 17.1 s in DuckDB at sf0.01)
+    "q_bpe_train_deep" -> bpeOracleSql(256),
     "q_bpe_apply" -> bpeApplyOracleSql(4),
 
     "q_bpe_pairs" ->

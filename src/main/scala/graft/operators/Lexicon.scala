@@ -135,7 +135,20 @@ object Lexicon {
   private def bpeMergeLoop(vocab: Array[(String, Long)],
       merges: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
-    val syms = vocab.map { case (w, _) => w.map(_.toString).toArray }
+    // split by CODEPOINT, not UTF-16 unit: w.map(_.toString) would break
+    // a supplementary char (e.g. an emoji) into lone surrogates and
+    // learn merges bpeApply's codepoint-regex encoding can never fire
+    def codepoints(w: String): Array[String] = {
+      val buf = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        buf += w.substring(i, i + n)
+        i += n
+      }
+      buf.toArray
+    }
+    val syms = vocab.map { case (w, _) => codepoints(w) }
     val freqs = vocab.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
@@ -217,7 +230,14 @@ object Lexicon {
     * the KB-sized merge list. A matching saved artifact short-circuits
     * training entirely — the serving cost of [[bpeApply]] is then one
     * codegen'd map pass with zero training jobs. Mismatched parameters
-    * (or a missing meta table) retrain and overwrite. */
+    * (or a missing/empty meta table) retrain and overwrite.
+    *
+    * Source-data changes are NOT detected (same contract as
+    * `bm25IndexFor` / `lshIndexFor`): the table name identifies a
+    * build, and the serve path also skips the delimiter-collision scan
+    * the trainer ran on the ORIGINAL corpus. When the corpus can change
+    * under a stable path, fold a source fingerprint (e.g. file mtime)
+    * into `table` — q_bpe_apply does exactly this. */
   def bpeMergesFor(df: DataFrame, textCol: String, table: String,
       merges: Int, delim: String = "\u0001",
       vocabCap: Int = 1000000): Seq[(String, String)] = {
@@ -228,8 +248,11 @@ object Lexicon {
       spark.catalog.tableExists(metaT) && {
         val m = spark.table(metaT)
         m.columns.sameElements(Array("requested_merges", "vocab_cap")) && {
-          val h = m.head()
-          h.getInt(0) == merges && h.getInt(1) == vocabCap
+          // limit(1).collect, not head(): an EMPTY meta table (a crash
+          // between replaceTable and the meta write) must retrain, not
+          // throw NoSuchElementException on every subsequent serve
+          val h = m.limit(1).collect().headOption
+          h.exists(r => r.getInt(0) == merges && r.getInt(1) == vocabCap)
         }
       }
     if (!matches) {
@@ -273,6 +296,14 @@ object Lexicon {
   def bpeApply(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], delim: String = "\u0001"): DataFrame = {
     require(delim.length == 1, "delim must be a single character")
+    // each merge adds one nested replace to a single Catalyst expression
+    // tree; thousands deep risks analyzer stack overflow / codegen
+    // blowup. The expression-chain encode is for KB-scale merge lists —
+    // full-vocab (30k-100k merge) encoding belongs in a tokenizer
+    // runtime, not a per-row expression
+    require(merges.size <= 2048,
+      s"bpeApply folds ${merges.size} merges into one nested-replace " +
+        "expression; beyond 2048 use a dedicated tokenizer runtime")
     val dq = java.util.regex.Matcher.quoteReplacement(delim)
     val qr = dq + "$1" + dq
     def encode(w: Column): Column =

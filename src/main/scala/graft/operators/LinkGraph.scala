@@ -83,6 +83,11 @@ object LinkGraph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = (15L * scale) / (100L * n) // driver-side integer div
     var r = nodes.withColumn("rank_micro", lit(scale / n))
+    // the checkpoint a pinned round supersedes: once `next` is eagerly
+    // materialized it no longer reads the previous pin, whose blocks
+    // would otherwise accumulate one node-sized copy per round for the
+    // life of the JVM (50 copies at iters=50)
+    var prevPinned: Option[DataFrame] = None
     var it = 0
     var converged = false
     while (!converged && it < iters) {
@@ -96,10 +101,8 @@ object LinkGraph {
             .as("rank_micro"))
       // convergence test needs a materialized `next` (it reads it twice
       // and self-joins against the previous round), so force a pin then
-      val next =
-        if (stopOnConverge || (pinEvery > 0 && it % pinEvery == 0))
-          next0.localCheckpoint(eager = true)
-        else next0
+      val pinned = stopOnConverge || (pinEvery > 0 && it % pinEvery == 0)
+      val next = if (pinned) next0.localCheckpoint(eager = true) else next0
       if (stopOnConverge) {
         val changed = next.as("a")
           .join(r.as("b"), col("a.node") === col("b.node"))
@@ -107,8 +110,15 @@ object LinkGraph {
           .limit(1).count()
         converged = changed == 0L
       }
+      if (pinned) {
+        prevPinned.foreach(_.unpersist())
+        prevPinned = Some(next)
+      }
       r = next
     }
+    // the returned frame only reads its own checkpoint once the final
+    // round was pinned — the round inputs can release their storage
+    if (prevPinned.contains(r)) { nodes.unpersist(); e.unpersist() }
     r
   }
 }

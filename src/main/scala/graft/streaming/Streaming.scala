@@ -33,10 +33,18 @@ object Streaming {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    // 0L for non-local paths → always same key, i.e. plain per-path caching
+    // 0L for non-local paths → plain per-path caching
     val mtime = try new java.io.File(path).lastModified catch { case _: Exception => 0L }
-    val schema = schemaCache.getOrElseUpdate((path, mtime),
-      spark.read.parquet(path).schema)
+    // ONE entry per path (stale mtimes are replaced, not accumulated —
+    // a harness JVM that outlives many data regenerations must not grow
+    // a schema per generation)
+    val schema = schemaCache.get(path) match {
+      case Some((m, s)) if m == mtime => s
+      case _ =>
+        val s = spark.read.parquet(path).schema
+        schemaCache.put(path, (mtime, s))
+        s
+    }
     graft.sources.EventTime.normalizeTs(
       spark.readStream
         .schema(schema)
@@ -45,7 +53,7 @@ object Streaming {
   }
 
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, org.apache.spark.sql.types.StructType)]
 
   /** Tumbling-window aggregate with a watermark: per (hour, event_type)
     * counts and value sums. */

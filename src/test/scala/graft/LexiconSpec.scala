@@ -147,6 +147,25 @@ class LexiconSpec extends SparkSpec {
     assert(capped == cappedWant)
   }
 
+  test("bpeTrain/bpeApply: supplementary characters are single symbols " +
+      "(codepoint split, not UTF-16 units)") {
+    // U+1F600 is a surrogate pair in UTF-16; a unit-level split would
+    // learn merges over lone surrogates that the codepoint-regex apply
+    // path (and the DuckDB oracle) could never fire
+    val emoji = new String(Character.toChars(0x1F600))
+    val corpus = Seq((1L, s"${emoji}a ${emoji}a ${emoji}b"))
+      .toDF("doc_id", "text")
+    val out = Lexicon.bpeTrain(corpus, "text", merges = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, emoji, "a", 2L)),
+      s"step 1 must merge (emoji, a) as whole codepoints, got ${out.toSeq}")
+    val applied = Lexicon.bpeApply(corpus, "doc_id", "text",
+        Seq((emoji, "a"))).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(applied == ((3L, 4L)),
+      s"emoji+a words collapse to 1 token, emoji+b stays 2: got $applied")
+  }
+
   test("bpeMergesFor: artifact round-trips; second call serves the " +
       "saved merges without retraining; parameter change retrains") {
     val corpus = Seq((1L, "banana banana banana bandana bandana"))

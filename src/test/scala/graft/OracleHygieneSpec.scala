@@ -38,14 +38,18 @@ class OracleHygieneSpec extends AnyFunSuite {
     var i = 0
     var sel = -1
     var from = -1
+    var inQuote = false // SQL string literal: parens inside don't nest
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '(') depth += 1
-      else if (c == ')') depth -= 1
-      else if (depth == 0 && (i == 0 || !sql.charAt(i - 1).isLetterOrDigit)) {
-        if (sel < 0 && sql.regionMatches(i, "SELECT", 0, 6)) sel = i
-        else if (sel >= 0 && from < 0 && sql.regionMatches(i, "FROM", 0, 4))
-          from = i
+      if (c == '\'') inQuote = !inQuote // '' escapes toggle twice: net 0
+      else if (!inQuote) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (i == 0 || !sql.charAt(i - 1).isLetterOrDigit)) {
+          if (sel < 0 && sql.regionMatches(i, "SELECT", 0, 6)) sel = i
+          else if (sel >= 0 && from < 0 && sql.regionMatches(i, "FROM", 0, 4))
+            from = i
+        }
       }
       i += 1
     }
@@ -116,5 +120,21 @@ class OracleHygieneSpec extends AnyFunSuite {
     assert(hugeintOffenders(Seq("synthetic" -> trap)).nonEmpty,
       "an uncast window-sum alias emitted next to a scalar subquery in " +
         "the outermost projection must be flagged")
+  }
+
+  test("unbalanced parens inside string literals don't corrupt the " +
+      "top-level anchor") {
+    // a regex literal with a lone paren would push depth negative (or
+    // stick it positive) if quotes weren't tracked, mis-anchoring the
+    // outer SELECT and silently skipping the real projection
+    val trap =
+      """WITH d AS (
+        |  SELECT doc_id, regexp_count(text, '\(') AS parens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, parens, cum FROM d ORDER BY doc_id""".stripMargin
+    assert(hugeintOffenders(Seq("synthetic" -> trap)).nonEmpty,
+      "the uncast window sum must still be flagged when a string " +
+        "literal carries an unbalanced paren")
   }
 }
