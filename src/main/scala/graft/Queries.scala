@@ -1077,6 +1077,35 @@ object Queries {
       .orderBy(col("step"))
   }
 
+  /** Tokenizer INVERTIBILITY gate — encode every document into the
+    * actual subword token stream (not just counts) with the PERSISTED
+    * merge artifact, then DECODE it back (per-word token concatenation,
+    * single-space word joins). The oracle recomputes the token stream
+    * via the merge-CTE chain AND asserts `decoded` against the raw
+    * whitespace-split words computed independently of any BPE machinery
+    * — a lossy encoder is a hash mismatch, never a silent token-count
+    * coincidence. BPE is concatenative, so the law is exact. */
+  val q_bpe_roundtrip: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    val docs = t(s, dir, "documents").df
+    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified
+    val table = ("bpe_merges" + dir + "_m" + mtime)
+      .replaceAll("[^A-Za-z0-9]+", "_")
+    val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
+    Lexicon.bpeTokenize(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The tokenizer's FINAL VOCABULARY artifact (the second file a BPE
+    * tokenizer ships, next to the merge list): every surviving subword
+    * symbol after 4 merges over the frequency-weighted corpus vocab,
+    * with weighted occurrence counts and rank-stable 0-based token ids. */
+  val q_bpe_vocab: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    Lexicon.bpeVocab(t(s, dir, "documents").df, "text", merges = 4)
+      .orderBy(col("token_id"))
+  }
+
   /** Shared CTE chain for the BPE oracles: the same delimiter-prefixed
     * greedy-replace construction as `Lexicon.bpeTrain`, one CTE triple
     * (pair counts → deterministic top-1 → vocab after merge) per round.
@@ -1142,6 +1171,54 @@ object Queries {
        |FROM tl, m
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** [[q_bpe_roundtrip]] oracle: the same merge-CTE chain, the token
+    * stream per word via the nested-replace encode + split, flattened
+    * and chr(1)-joined — and `decoded` computed INDEPENDENTLY of the
+    * encoder as the raw word list re-joined by spaces, which is what
+    * pins losslessness. */
+  private def bpeRoundtripOracleSql(rounds: Int): String = {
+    val mCols = (1 to rounds).map(k =>
+      s"(SELECT lhs FROM t$k) AS l$k, (SELECT rhs FROM t$k) AS r$k")
+      .mkString(", ")
+    val enc = (1 to rounds).foldLeft(
+      """regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g')""") { (acc, k) =>
+      s"replace($acc, chr(1) || l$k || chr(1) || chr(1) || r$k || chr(1), " +
+      s"chr(1) || l$k || r$k || chr(1))"
+    }
+    val toks = s"list_filter(string_split($enc, chr(1)), x -> x <> '')"
+    s"""${bpeCtes(rounds)}
+       |, m AS (SELECT $mCols)
+       |, tl AS (
+       |  SELECT doc_id, coalesce(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> x <> ''), CAST([] AS VARCHAR[])) AS ws
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(ws, w -> len($toks))), 0)
+       |    AS BIGINT) AS n_tokens_bpe,
+       |  array_to_string(flatten(list_transform(ws, w -> $toks)), chr(1))
+       |    AS tokens_joined,
+       |  array_to_string(ws, ' ') AS decoded
+       |FROM tl, m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[q_bpe_vocab]] oracle: the final vocab CTE (v`rounds`) re-split
+    * into symbols, tallied weighted by word frequency, ranked
+    * (count desc, token asc) into 0-based token ids. */
+  private def bpeVocabOracleSql(rounds: Int): String =
+    s"""${bpeCtes(rounds)}
+       |, sym AS (
+       |  SELECT x AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |  FROM (SELECT freq, list_filter(string_split(t, chr(1)), x -> x <> '') AS a
+       |    FROM v$rounds) AS s,
+       |  LATERAL unnest(a) AS u(x)
+       |  GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
+       |    AS BIGINT) AS token_id,
+       |  token, n_occurrences
+       |FROM sym
+       |ORDER BY token_id""".stripMargin
 
   /** Balanced training-shard assignment (longest-first round-robin over
     * the value-keyed global rank) at 16 shards: per-shard doc count,
@@ -2063,6 +2140,8 @@ object Queries {
     "q_bpe_train" -> q_bpe_train,
     "q_bpe_train_deep" -> q_bpe_train_deep,
     "q_bpe_apply" -> q_bpe_apply,
+    "q_bpe_roundtrip" -> q_bpe_roundtrip,
+    "q_bpe_vocab" -> q_bpe_vocab,
     "q_shard_assign" -> q_shard_assign,
     "q_dsir_scores" -> q_dsir_scores,
     "q_classifier_score" -> q_classifier_score,
@@ -3184,6 +3263,8 @@ object Queries {
     // 18.1 s vs 120 rounds 17.1 s in DuckDB at sf0.01)
     "q_bpe_train_deep" -> bpeOracleSql(256),
     "q_bpe_apply" -> bpeApplyOracleSql(4),
+    "q_bpe_roundtrip" -> bpeRoundtripOracleSql(4),
+    "q_bpe_vocab" -> bpeVocabOracleSql(4),
 
     "q_bpe_pairs" ->
       """WITH t AS (

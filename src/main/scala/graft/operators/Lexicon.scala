@@ -270,6 +270,22 @@ object Lexicon {
       .map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
+  /** The delimiter-wrapped replace-chain word encoder shared by
+    * [[bpeApply]] and [[bpeTokenize]]: every codepoint becomes
+    * `d+cp+d`, then each merge (l, r) rewrites the exact token
+    * adjacency `d+l+dd+r+d` → `d+l+r+d` greedily left-to-right. See
+    * [[bpeApply]] for why the token-WRAPPED form (not a single
+    * separator) is required for token-exact matching. */
+  private def encodeWord(w: Column, merges: Seq[(String, String)],
+      delim: String): Column = {
+    val dq = java.util.regex.Matcher.quoteReplacement(delim)
+    val qr = dq + "$1" + dq
+    merges.foldLeft(regexp_replace(w, "(.)", qr)) { case (acc, (l, r)) =>
+      replace(acc, lit(delim + l + delim + delim + r + delim),
+        lit(delim + l + r + delim))
+    }
+  }
+
   /** Apply a LEARNED BPE merge list — the inference half of
     * [[bpeTrain]]: encode every document with the merges (in training
     * order, each greedy left-to-right via the same delimiter-replace
@@ -304,15 +320,8 @@ object Lexicon {
     require(merges.size <= 2048,
       s"bpeApply folds ${merges.size} merges into one nested-replace " +
         "expression; beyond 2048 use a dedicated tokenizer runtime")
-    val dq = java.util.regex.Matcher.quoteReplacement(delim)
-    val qr = dq + "$1" + dq
-    def encode(w: Column): Column =
-      merges.foldLeft(regexp_replace(w, "(.)", qr)) { case (acc, (l, r)) =>
-        replace(acc, lit(delim + l + delim + delim + r + delim),
-          lit(delim + l + r + delim))
-      }
     def wordTokens(w: Column): Column = {
-      val enc = encode(w)
+      val enc = encodeWord(w, merges, delim)
       ((length(enc) - length(replace(enc, lit(delim), lit("")))) / 2)
         .cast("long")
     }
@@ -323,6 +332,105 @@ object Lexicon {
         size(col("__ws")).cast("long").as("n_tokens_raw"),
         aggregate(col("__ws"), lit(0L),
           (acc, w) => acc + wordTokens(w)).cast("long").as("n_tokens_bpe"))
+  }
+
+  /** BPE ENCODE with the actual token stream — [[bpeApply]] reports only
+    * counts; this emits, per document, the full in-order subword token
+    * sequence (joined by `delim` — equivalent information to the array,
+    * but hash-stable across engines) AND the DECODE of that stream
+    * (per-word token concatenation, words re-joined by single spaces).
+    * BPE is concatenative, so `decode(encode(w)) == w` exactly — the
+    * invertibility law every tokenizer roundtrip test pins; the
+    * q_bpe_roundtrip oracle asserts `decoded` against the raw
+    * whitespace-split words computed independently, so a lossy encoder
+    * (dropped codepoint, corrupted merge) is a hash mismatch, not a
+    * silent token-count coincidence.
+    *
+    * Scale shape: identical to [[bpeApply]] — one codegen'd map pass,
+    * no shuffle, no explode, no UDF; the merge chain folds into a
+    * nested-replace expression, tokens fall out of one `split` per
+    * word, and decode is `array_join` twice. */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], delim: String = "\u0001"): DataFrame = {
+    require(delim.length == 1, "delim must be a single character")
+    require(merges.size <= 2048,
+      s"bpeTokenize folds ${merges.size} merges into one nested-replace " +
+        "expression; beyond 2048 use a dedicated tokenizer runtime")
+    val ws = coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
+      array().cast("array<string>"))
+    // per word: encode → split on delim → drop the empty boundary cells
+    def wordToks(w: Column): Column =
+      filter(split(encodeWord(w, merges, delim),
+        java.util.regex.Pattern.quote(delim)), t => t =!= "")
+    df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol),
+        transform(col("__ws"), w => wordToks(w)).as("__tt"))
+      .select(col(idCol),
+        size(flatten(col("__tt"))).cast("long").as("n_tokens_bpe"),
+        array_join(flatten(col("__tt")), delim).as("tokens_joined"),
+        array_join(transform(col("__tt"), a => array_join(a, "")), " ")
+          .as("decoded"))
+  }
+
+  /** The FINAL VOCABULARY after BPE training — the second artifact a
+    * tokenizer ships (alongside [[bpeTrain]]'s merge list): every
+    * distinct subword symbol left when all requested merges have been
+    * applied to the training vocab, with its corpus occurrence count
+    * (word-frequency-weighted). Rank order (count desc, token asc) is
+    * what vocab files are sorted by; `token_id` is that rank, 0-based —
+    * stable, deterministic token ids.
+    *
+    * Scale shape: same ONE corpus-wide word-frequency aggregate as
+    * [[bpeTrain]] (shuffle volume = vocab size, not corpus bytes), then
+    * the driver-local merge loop re-runs over the bounded top-cap vocab
+    * and the final symbol multiset — KB-scale — is parallelized back
+    * out. */
+  def bpeVocab(df: DataFrame, textCol: String, merges: Int,
+      delim: String = "\u0001", vocabCap: Int = 1000000): DataFrame = {
+    require(merges >= 1 && merges <= 100000, "merges must be in [1, 100000]")
+    require(delim.length == 1, "delim must be a single character")
+    require(vocabCap >= 1, "vocabCap must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = graft.core.Partitions.ensureParallelism(df)
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    require(words.filter(col("w").contains(delim)).isEmpty,
+      s"corpus contains the delimiter character (codepoint " +
+        s"${delim.codePointAt(0)}) — pass a delim absent from the data")
+    val vocabRows = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val learned = bpeMergeLoop(vocabRows, merges).map(m => (m._2, m._3))
+    // re-encode each vocab word with the learned merges (greedy
+    // left-to-right, training order) and tally symbols weighted by freq
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[String, Long]
+    for ((w, f) <- vocabRows) {
+      var toks = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        toks += w.substring(i, i + n)
+        i += n
+      }
+      for ((l, r) <- learned) {
+        val out = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == l && toks(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out
+      }
+      toks.foreach(t => counts(t) = counts.getOrElse(t, 0L) + f)
+    }
+    val ranked = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+    ranked.zipWithIndex.map { case ((t, n), i) => (i.toLong, t, n) }
+      .toDF("token_id", "token", "n_occurrences")
   }
 
   /** Per-(doc, term) frequencies with corpus document frequency and

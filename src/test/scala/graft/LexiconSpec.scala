@@ -222,6 +222,75 @@ class LexiconSpec extends SparkSpec {
     assert(out.forall { case (id, (_, bpe)) => bpe <= fewer(id) })
   }
 
+  test("bpeTokenize: token stream matches greedy encoding; decode is the " +
+      "exact inverse (multi-space, unicode, empty docs)") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val corpus = Seq(
+      (1L, "banana  banana\tbandana"), // mixed whitespace collapses on decode
+      (2L, "   "),                     // whitespace-only -> empty everything
+      (3L, s"${emoji}an an"))          // supplementary char + exact token
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "n"), ("b", "an"))
+    val out = Lexicon.bpeTokenize(corpus, "doc_id", "text", merges)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    val d = "\u0001"
+    // banana -> [ban, an, a]; bandana -> [ban, d, an, a]
+    assert(out(1L) == ((10L,
+      Seq("ban", "an", "a", "ban", "an", "a", "ban", "d", "an", "a")
+        .mkString(d),
+      "banana banana bandana")), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, "", "")), "whitespace-only doc")
+    assert(out(3L) == ((3L, Seq(emoji, "an", "an").mkString(d),
+      s"${emoji}an an")), s"got ${out(3L)}")
+    // invertibility law against the independently computed word joins
+    val law = Lexicon.bpeTokenize(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val want = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.split("\\s+").filter(_.nonEmpty).mkString(" ")).toMap
+    assert(law == want, "decode(encode(text)) == whitespace-normalized text")
+  }
+
+  test("bpeVocab: final symbols + weighted counts + rank-stable ids " +
+      "match a hand mirror; merged mass conserved") {
+    // banana×3, bandana×2 with 3 merges: (a,n)→an, (an,a)→ana, (b,ana)?
+    // mirror by hand below instead of guessing
+    val corpus = Seq((1L, "banana banana banana bandana bandana"))
+      .toDF("doc_id", "text")
+    val learned = Lexicon.bpeTrain(corpus, "text", merges = 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // apply the learned merges to each vocab word greedily, tally
+    def apply1(toks: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < toks.length) {
+        if (j < toks.length - 1 && toks(j) == l && toks(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += toks(j); j += 1 }
+      }
+      out.toSeq
+    }
+    val freqs = Map("banana" -> 3L, "bandana" -> 2L)
+    val tallied = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- freqs) {
+      var toks: Seq[String] = w.map(_.toString)
+      for ((l, r) <- learned) toks = apply1(toks, l, r)
+      toks.foreach(t => tallied(t) = tallied.getOrElse(t, 0L) + f)
+    }
+    val want = tallied.toSeq.sortBy { case (t, n) => (-n, t) }.zipWithIndex
+      .map { case ((t, n), i) => (i.toLong, t, n) }
+    val got = Lexicon.bpeVocab(corpus, "text", merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == want, s"got $got want $want")
+    // symbol mass conservation: total symbol occurrences == total
+    // codepoints, minus one per merge occurrence actually applied
+    val totalSymbols = got.map(_._3).sum
+    assert(totalSymbols > 0 && totalSymbols <=
+      freqs.map { case (w, f) => w.length * f }.sum)
+  }
+
   test("tfIdf: tf and df exact; idf follows the smoothed sklearn formula") {
     val rows = Lexicon.tfIdf(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
