@@ -94,6 +94,13 @@ object AuditPlans {
     // is the output ORDER BY (training jobs run in bpeTrain's driver
     // loop, as for q_bpe_train)
     "q_bpe_apply" -> 1,
+    // same map-side encode pass as q_bpe_apply, emitting the token
+    // stream + decode instead of counts; the 1 is the output ORDER BY
+    "q_bpe_roundtrip" -> 1,
+    // same audited shape as q_bpe_train: the KB-scale symbol table
+    // localToDF + output ORDER BY; vocab aggregate runs in the driver
+    // loop's bounded job
+    "q_bpe_vocab" -> 1,
     // same audited shape as q_bpe_train: the merge table (89-ish rows
     // after the corpus drains) localToDF + output ORDER BY — merge
     // depth never changes the audited plan, which is the point
