@@ -35,6 +35,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): GTable =
     GTable(s.read.parquet(s"$dir/$name.parquet"), name)
 
+  /** Warehouse table name for a persisted serving artifact built from
+    * `$dir/$source.parquet`: the source file's mtime is folded in, so a
+    * driver-regenerated corpus (the r7 events precedent — same path, new
+    * bytes) can never serve a stale index against an oracle computed on
+    * the CURRENT data. The warehouse survives JVMs AND testdata
+    * regenerations; path-only keying is a delayed-action hash mismatch. */
+  private def artifactTable(prefix: String, dir: String,
+      source: String): String = {
+    val mtime = new java.io.File(s"$dir/$source.parquet").lastModified
+    (prefix + dir + "_m" + mtime).replaceAll("[^A-Za-z0-9]+", "_")
+  }
+
   /** The events table's `ts` encoding varies by writer — TIMESTAMP(NANOS)
     * (readable only as long under the legacy conf), timestamp[us]
     * (TIMESTAMP_NTZ), or TIMESTAMP. Normalize whatever arrives to a
@@ -769,7 +781,7 @@ object Queries {
   val q_search_bm25_serve: Q = (s, dir) => {
     import graft.operators.Search
     val docs = t(s, dir, "documents").df
-    val table = "bm25_idx" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val table = artifactTable("bm25_idx", dir, "documents")
     val idx = Search.bm25IndexFor(docs, "doc_id", "text", table)
     Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
       .select(col("doc_id"), col("bm25_rank"))
@@ -824,7 +836,7 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = "pq_idx" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val table = artifactTable("pq_idx", dir, "embeddings")
     val idx = Similarity.pqIndexFor(emb, "vec_id", "embedding", dims = 64,
       table, m = 16, nCodes = 32, iters = 8, sampleN = 2048)
     val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
@@ -1052,13 +1064,7 @@ object Queries {
   val q_bpe_apply: Q = (s, dir) => {
     import graft.operators.Lexicon
     val docs = t(s, dir, "documents").df
-    // fold the source mtime into the artifact name: a driver-regenerated
-    // documents.parquet (the r7 events precedent) must invalidate the
-    // saved merges — the oracle retrains on the CURRENT corpus, so
-    // serving stale merges would be a persistent hash mismatch
-    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified
-    val table = ("bpe_merges" + dir + "_m" + mtime)
-      .replaceAll("[^A-Za-z0-9]+", "_")
+    val table = artifactTable("bpe_merges", dir, "documents")
     val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
     Lexicon.bpeApply(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
@@ -1088,9 +1094,7 @@ object Queries {
   val q_bpe_roundtrip: Q = (s, dir) => {
     import graft.operators.Lexicon
     val docs = t(s, dir, "documents").df
-    val mtime = new java.io.File(s"$dir/documents.parquet").lastModified
-    val table = ("bpe_merges" + dir + "_m" + mtime)
-      .replaceAll("[^A-Za-z0-9]+", "_")
+    val table = artifactTable("bpe_merges", dir, "documents")
     val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
     Lexicon.bpeTokenize(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
@@ -1641,7 +1645,7 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = "lsh_idx" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val table = artifactTable("lsh_idx", dir, "embeddings")
     Similarity.lshIndexFor(emb, "embedding", dims = 64, table,
       bits = 8, tables = 3)
     val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding", qvec, 20,
@@ -1680,7 +1684,7 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = "ivf_idx" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val table = artifactTable("ivf_idx", dir, "embeddings")
     val idx = Similarity.ivfIndexFor(emb, "vec_id", "embedding", table,
       nCentroids = 16, iters = 3)
     val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 12)
