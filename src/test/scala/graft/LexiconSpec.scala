@@ -252,6 +252,45 @@ class LexiconSpec extends SparkSpec {
     assert(law == want, "decode(encode(text)) == whitespace-normalized text")
   }
 
+  test("bpeTokenize: invertibility holds for RANDOM corpora under " +
+      "ARBITRARY merge lists (even merges that can never fire)") {
+    // the law decode∘encode == whitespace-normalized text is a property
+    // of the replace-chain construction itself, independent of whether
+    // the merges were learned, are well-ordered, or ever match
+    val rnd = new scala.util.Random(13)
+    val seps = Seq(" ", "  ", "\t", " \n ")
+    for (trial <- 1 to 4) {
+      def word = (0 to rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString
+      val corpus = (0 until 20 + rnd.nextInt(30)).map { i =>
+        val n = rnd.nextInt(12)
+        (i.toLong, (0 until n).map(_ => word)
+          .mkString(seps(rnd.nextInt(seps.size))))
+      }
+      val docs = corpus.toDF("doc_id", "text")
+      val syms = Seq("a", "b", "c", "d", "ab", "ba", "cd", "abc", "dd")
+      val merges = (0 to rnd.nextInt(6)).map(_ =>
+        (syms(rnd.nextInt(syms.size)), syms(rnd.nextInt(syms.size))))
+      val out = Lexicon.bpeTokenize(docs, "doc_id", "text", merges)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+        .toMap
+      for ((id, text) <- corpus) {
+        val wordsW = text.trim.split("\\s+").filter(_.nonEmpty)
+        val (nTok, joined, decoded) = out(id)
+        assert(decoded == wordsW.mkString(" "),
+          s"trial $trial doc $id merges=$merges: decode broke")
+        // token concatenation re-spells the character stream exactly
+        val toks = if (joined.isEmpty) Array.empty[String]
+          else joined.split("\u0001")
+        assert(toks.mkString("") == wordsW.mkString(""),
+          s"trial $trial doc $id: token stream lost characters")
+        assert(nTok == toks.length,
+          s"trial $trial doc $id: count != stream length")
+      }
+    }
+  }
+
   test("bpeVocab: final symbols + weighted counts + rank-stable ids " +
       "match a hand mirror; merged mass conserved") {
     // banana×3, bandana×2 with 3 merges: (a,n)→an, (an,a)→ana, (b,ana)?
