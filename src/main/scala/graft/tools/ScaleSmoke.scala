@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence probe for the scale-critical operator tiers: run each
+  * at 1×/2×/4× the sf0.1 corpus and report the wall-time growth factors.
+  * Near-2× per doubling is the near-linear behavior the 100 TB design
+  * story claims; anything super-linear names the operator to fix.
+  *
+  * Corpus scaling is done by UNION of word-suffixed copies — every word
+  * in copy k gets `_k` appended, so copies share NO shingles, tokens, or
+  * lines: the corpus grows k× with the per-copy duplicate structure
+  * preserved, and candidate generation cannot cheat by colliding copies
+  * (replicating text verbatim would grow LSH candidate pairs
+  * quadratically by construction — a data property, not an operator
+  * property, and not what this probe measures).
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [sfDir] [k1,k2,...]
+  * Default multipliers 1,4,16: at sf0.1's ~5k docs the 1×/2× points are
+  * fixed-overhead-dominated (scheduling, stage setup) and read ≈1×
+  * growth regardless of operator cost; the wider spacing lets per-row
+  * cost dominate by the last point.
+  */
+object ScaleSmoke {
+
+  private def scaled(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") * k + i).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
+        col("source"))
+    }.reduce(_ unionByName _)
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  /** Evaluate EVERY output column, not just cardinality: a bare
+    * `count()` lets Catalyst prune expensive map-side projections (the
+    * reassembled text of line/substr dedup, the BM25 tf columns), which
+    * would understate the per-row cost this probe exists to measure. */
+  private def forceAll(df: DataFrame): Long = {
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)")) // xor: no ANSI overflow
+      .head().getLong(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+
+    import graft.operators.{Chunk, Dedup, LinkGraph, Search}
+
+    // line-ified view (the q_line_dedup construction: 3-token lines)
+    def lined(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), graft.functions.TextAnalysis.words(col("text"))
+        .as("__ws"))
+      .select(col("doc_id"), array_join(transform(
+        sequence(lit(0), expr("(size(__ws) + 2) div 3") - 1),
+        i => array_join(slice(col("__ws"), (i * 3 + 1).cast("int"), lit(3)),
+          " ")), "\n").as("text_lined"))
+
+    def graph(df: DataFrame): DataFrame = {
+      val ids = df.select(col("doc_id"))
+      val m = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % m).as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % m).as("dst")))
+        .filter(col("src") =!= col("dst"))
+    }
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "exact_dedup" -> (df =>
+        forceAll(Dedup.exact(df, Dedup.contentKey(col("text")),
+          Seq(col("doc_id")), keyName = "__fp"))),
+      "minhash_lsh" -> (df =>
+        forceAll(Dedup.minhashLSH(df, "doc_id", "text"))),
+      "line_dedup" -> (df =>
+        forceAll(Chunk.removeFrequentLines(lined(df), "doc_id",
+          "text_lined", maxFreq = 1))),
+      "substr_dedup" -> (df =>
+        forceAll(Chunk.dedupSubstrings(df, "doc_id", "text"))),
+      "bm25_build" -> (df =>
+        forceAll(Search.buildBm25Index(df, "doc_id", "text").postings)),
+      "pagerank_3it" -> (df =>
+        forceAll(LinkGraph.pageRankMicro(graph(df), "src", "dst",
+          iters = 3, scale = 1000000000L))))
+
+    val ks = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 4, 16))
+    require(ks == ks.sorted && ks.distinct == ks, "multipliers must ascend")
+    val frames = ks.map(k => k -> scaled(docs, k).persist()).toMap
+    frames.values.foreach(_.count()) // materialize inputs outside timing
+
+    val results = ops.map { case (name, op) =>
+      op(frames(ks.head)) // untimed warmup (codegen/JIT)
+      val runs = ks.map { k => val (t, n) = time(op(frames(k))); (k, t, n) }
+      val byK = runs.map { case (k, t, _) => k -> t }.toMap
+      val line = runs.map { case (k, t, n) => f"${k}x=$t%.2fs(n=$n)" }
+        .mkString(" ")
+      // growth per step vs the DATA growth of that step: g < dataRatio
+      // is sub-linear
+      val growth = ks.sliding(2).map { case Seq(a, b) =>
+        (a, b, byK(b) / byK(a), b.toDouble / a)
+      }.toSeq
+      val gStr = growth.map { case (a, b, g, d) =>
+        f"$a→$b: $g%.2f× (data $d%.0f×)"
+      }.mkString("  ")
+      println(f"$name%-14s $line  growth $gStr")
+      (name, runs, growth)
+    }
+    println("{\"probe\":\"scale_smoke\",\"sf\":\"" + sfDir + "\",\"ops\":{" +
+      results.map { case (n, runs, growth) =>
+        val ts = runs.map { case (k, t, _) => f"""\"t$k\":$t%.3f""" }
+          .mkString(",")
+        val gs = growth.map { case (a, b, g, _) =>
+          f"""\"g${a}_$b\":$g%.2f""" }.mkString(",")
+        s""""$n":{$ts,$gs}"""
+      }.mkString(",") + "}}")
+    spark.stop()
+  }
+}
