@@ -96,7 +96,11 @@ object ScaleSmoke {
         forceAll(Search.buildBm25Index(df, "doc_id", "text").postings)),
       "pagerank_3it" -> (df =>
         forceAll(LinkGraph.pageRankMicro(graph(df), "src", "dst",
-          iters = 3, scale = 1000000000L))))
+          iters = 3, scale = 1000000000L))),
+      // the iterative checkpointed tier: exact shingle-index pair gen +
+      // O(log diameter) connected-components rounds + cluster assignment
+      "cc_cluster" -> (df =>
+        forceAll(Dedup.clusterNearDuplicates(df, "doc_id", "text"))))
 
     val ks = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 4, 16))
