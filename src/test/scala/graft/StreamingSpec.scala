@@ -223,6 +223,45 @@ class StreamingSpec extends SparkSpec {
       "windows must not mix")
   }
 
+  test("watermark lateness: an event older than the horizon arriving in " +
+      "a later micro-batch is DROPPED from its closed window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Double, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val out = Streaming.tumblingCounts(
+      in.toDF().toDF("event_type", "value", "ts"), "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("late_drop_out").start()
+    try {
+      // batch A: 10:05 on time; 12:10 advances the watermark (1 h delay)
+      // to 11:10 at batch end — the [10:00, 11:00) window closes and its
+      // state is evicted
+      in.addData(("view", 1.0, ts(10, 5)), ("view", 1.0, ts(12, 10)))
+      q.processAllAvailable()
+      // batch B: 10:30 is OLDER than the watermark — its window already
+      // closed; 12:20 is on time for the open [12:00, 13:00) window
+      in.addData(("view", 1.0, ts(10, 30)), ("view", 1.0, ts(12, 20)))
+      q.processAllAvailable()
+      // batch C: advance the watermark past 13:00 so append emits the
+      // 12:00 window
+      in.addData(("view", 1.0, ts(15, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_drop_out")
+      .select(col("window.start"), col("n")).collect()
+      .map(r => r.getTimestamp(0).toString.substring(11, 13) -> r.getLong(1))
+    val w10 = rows.filter(_._1 == "10")
+    assert(w10.toSeq == Seq("10" -> 1L),
+      s"the closed 10:00 window must hold ONLY the on-time 10:05 event, " +
+        s"emitted exactly once — the late 10:30 arrival must be dropped, " +
+        s"never re-emitted: got ${rows.toSeq}")
+    val w12 = rows.filter(_._1 == "12")
+    assert(w12.toSeq == Seq("12" -> 2L),
+      s"both on-time 12:xx events count: got ${rows.toSeq}")
+  }
+
   test("zOrderedSink: micro-batches land as idempotent z-ordered segments") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
