@@ -1083,6 +1083,22 @@ object Queries {
       .orderBy(col("step"))
   }
 
+  /** UNCAPPED BPE inference gate — the codegen rank-loop encoder
+    * ([[graft.operators.Lexicon.bpeApplyDeep]], merge-depth-independent
+    * per-word cost) answers the SAME DuckDB oracle as q_bpe_apply's
+    * replace-chain path: two independent Spark implementations and one
+    * SQL mirror must all agree bit-for-bit. Depth itself (5k-merge
+    * lists the replace-chain refuses) is pinned in LexiconSpec, where a
+    * sequential-semantics driver mirror is cheap. */
+  val q_bpe_apply_deep: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable("bpe_merges", dir, "documents")
+    val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
+    Lexicon.bpeApplyDeep(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokenizer INVERTIBILITY gate — encode every document into the
     * actual subword token stream (not just counts) with the PERSISTED
     * merge artifact, then DECODE it back (per-word token concatenation,
@@ -2146,6 +2162,7 @@ object Queries {
     "q_bpe_apply" -> q_bpe_apply,
     "q_bpe_roundtrip" -> q_bpe_roundtrip,
     "q_bpe_vocab" -> q_bpe_vocab,
+    "q_bpe_apply_deep" -> q_bpe_apply_deep,
     "q_shard_assign" -> q_shard_assign,
     "q_dsir_scores" -> q_dsir_scores,
     "q_classifier_score" -> q_classifier_score,
@@ -3269,6 +3286,7 @@ object Queries {
     "q_bpe_apply" -> bpeApplyOracleSql(4),
     "q_bpe_roundtrip" -> bpeRoundtripOracleSql(4),
     "q_bpe_vocab" -> bpeVocabOracleSql(4),
+    "q_bpe_apply_deep" -> bpeApplyOracleSql(4),
 
     "q_bpe_pairs" ->
       """WITH t AS (

@@ -313,13 +313,15 @@ object Lexicon {
       merges: Seq[(String, String)], delim: String = "\u0001"): DataFrame = {
     require(delim.length == 1, "delim must be a single character")
     // each merge adds one nested replace to a single Catalyst expression
-    // tree; thousands deep risks analyzer stack overflow / codegen
-    // blowup. The expression-chain encode is for KB-scale merge lists —
-    // full-vocab (30k-100k merge) encoding belongs in a tokenizer
-    // runtime, not a per-row expression
-    require(merges.size <= 2048,
+    // tree, and Column-node conversion/analysis recurse over it — a
+    // 400-deep chain overflows a default-stack JVM (measured in
+    // LexiconSpec's forked JVM). 128 keeps 3× margin; deeper lists
+    // belong on the rank-loop codegen path, whose per-word cost is
+    // independent of merge count
+    require(merges.size <= 128,
       s"bpeApply folds ${merges.size} merges into one nested-replace " +
-        "expression; beyond 2048 use a dedicated tokenizer runtime")
+        "expression (stack-bounded at 128); use bpeApplyDeep for " +
+        "vocabulary-scale merge lists")
     def wordTokens(w: Column): Column = {
       val enc = encodeWord(w, merges, delim)
       ((length(enc) - length(replace(enc, lit(delim), lit("")))) / 2)
@@ -332,6 +334,32 @@ object Lexicon {
         size(col("__ws")).cast("long").as("n_tokens_raw"),
         aggregate(col("__ws"), lit(0L),
           (acc, w) => acc + wordTokens(w)).cast("long").as("n_tokens_bpe"))
+  }
+
+  /** BPE inference at REAL-TOKENIZER merge depth — the uncapped
+    * counterpart of [[bpeApply]] (same output schema: per-doc raw and
+    * post-merge token counts): encoding runs in the codegen'd
+    * [[graft.functions.BpeEncodeWords]] expression, whose rank-based
+    * greedy loop (the GPT-2/HuggingFace inference algorithm) costs
+    * O(word-symbols²) per word INDEPENDENT of merge-list size — a
+    * 30k–100k-merge tokenizer is one reference object riding into
+    * codegen, not 100k expression nodes. The replace-chain path stays
+    * the oracle-friendly choice for KB-scale lists; this is the serving
+    * path when the list is vocabulary-sized.
+    *
+    * Same contract as the expression: merge lists must be
+    * TRAINING-PRODUCED (rank order = training order); see
+    * [[graft.functions.BpeUtil.encodeWord]]. */
+  def bpeApplyDeep(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import graft.functions.BpeExpressions.bpe_encode_words
+    val ws = coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
+      array().cast("array<string>"))
+    df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens_raw"),
+        size(flatten(bpe_encode_words(col("__ws"), merges))).cast("long")
+          .as("n_tokens_bpe"))
   }
 
   /** BPE ENCODE with the actual token stream — [[bpeApply]] reports only
@@ -353,9 +381,10 @@ object Lexicon {
   def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], delim: String = "\u0001"): DataFrame = {
     require(delim.length == 1, "delim must be a single character")
-    require(merges.size <= 2048,
+    require(merges.size <= 128,
       s"bpeTokenize folds ${merges.size} merges into one nested-replace " +
-        "expression; beyond 2048 use a dedicated tokenizer runtime")
+        "expression (stack-bounded at 128, as bpeApply); deep token " +
+        "streams come from graft.functions.BpeEncodeWords directly")
     val ws = coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
       array().cast("array<string>"))
     // per word: encode → split on delim → drop the empty boundary cells

@@ -97,6 +97,9 @@ object AuditPlans {
     // same map-side encode pass as q_bpe_apply, emitting the token
     // stream + decode instead of counts; the 1 is the output ORDER BY
     "q_bpe_roundtrip" -> 1,
+    // one map-side pass through the codegen rank-loop encoder; the 1 is
+    // the output ORDER BY
+    "q_bpe_apply_deep" -> 1,
     // same audited shape as q_bpe_train: the KB-scale symbol table
     // localToDF + output ORDER BY; vocab aggregate runs in the driver
     // loop's bounded job

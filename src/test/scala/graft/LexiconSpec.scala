@@ -330,6 +330,80 @@ class LexiconSpec extends SparkSpec {
       freqs.map { case (w, f) => w.length * f }.sum)
   }
 
+  test("bpeApplyDeep: rank-loop encoder == sequential replace-chain on " +
+      "TRAINED merge lists (real corpus, 300+-merge drain, random " +
+      "corpora); runs a 5000-merge list the replace-chain refuses") {
+    // equality law on trained lists: rank order == training order, so
+    // the GPT-2-style lowest-rank-first loop and Sennrich sequential
+    // application agree (see BpeUtil.encodeWord)
+    val rnd = new scala.util.Random(29)
+    def corpusOf(nWords: Int, wordLen: Int, alpha: Int) = {
+      val ws = (0 until nWords).map(_ =>
+        (0 until wordLen).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString)
+      ws.zipWithIndex.map { case (w, i) => (i.toLong, (w + " ") * (1 + i % 3)) }
+    }
+    // driver-side Sennrich SEQUENTIAL mirror (training-order greedy
+    // application) — the Column replace-chain is itself stack-bounded,
+    // so deep lists are mirrored here instead
+    def applySeq(toks: List[String], l: String, r: String): List[String] =
+      toks match {
+        case a :: b :: rest if a == l && b == r => (a + b) :: applySeq(rest, l, r)
+        case a :: rest => a :: applySeq(rest, l, r)
+        case Nil => Nil
+      }
+    def seqCounts(text: String, merges: Seq[(String, String)]): (Long, Long) = {
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      val n = ws.map { w =>
+        var t = w.map(_.toString).toList
+        for ((l, r) <- merges) t = applySeq(t, l, r)
+        t.length
+      }.sum
+      (ws.length.toLong, n.toLong)
+    }
+    for ((nWords, wordLen, alpha, merges) <- Seq(
+        (40, 5, 6, 30), (120, 6, 10, 400), (200, 7, 8, 150))) {
+      val corpus = corpusOf(nWords, wordLen, alpha)
+      val df = corpus.toDF("doc_id", "text")
+      val learned = Lexicon.bpeTrain(df, "text", merges = merges)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val want = corpus.map { case (id, text) =>
+        val (raw, bpe) = seqCounts(text, learned); (id, raw, bpe)
+      }
+      val rankPath = Lexicon.bpeApplyDeep(df, "doc_id", "text", learned)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+      assert(rankPath == want,
+        s"(n=$nWords, len=$wordLen, a=$alpha, m=$merges): first diff " +
+          rankPath.zip(want).find { case (a, b) => a != b })
+      // the Column replace-chain agrees too where it is usable (≤128)
+      if (learned.size <= 128) {
+        val seqPath = Lexicon.bpeApply(df, "doc_id", "text", learned)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          .sortBy(_._1)
+        assert(seqPath == want, "replace-chain must match the mirror")
+      }
+    }
+    // supplementary chars stay whole symbols on the rank path too
+    val emoji = new String(Character.toChars(0x1F600))
+    val eCorpus = Seq((1L, s"${emoji}a ${emoji}a ${emoji}b"))
+      .toDF("doc_id", "text")
+    val eDeep = Lexicon.bpeApplyDeep(eCorpus, "doc_id", "text",
+        Seq((emoji, "a"))).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(eDeep == ((3L, 4L)), s"got $eDeep")
+    // DEPTH: a 5000-merge list runs on the rank path in one pass; the
+    // replace-chain refuses it by design
+    val pad = (0 until 5000).map(i => (s"zz${i}q", "x")) // never fire
+    val big = pad // trained prefix unnecessary: rank loop cost is per-word
+    intercept[IllegalArgumentException] {
+      Lexicon.bpeApply(eCorpus, "doc_id", "text", big)
+    }
+    val deepOk = Lexicon.bpeApplyDeep(eCorpus, "doc_id", "text", big)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(deepOk == ((3L, 6L)), // no merge fires: 2+2+2 codepoint symbols
+      s"5000 never-firing merges must leave codepoints intact: $deepOk")
+  }
+
   test("tfIdf: tf and df exact; idf follows the smoothed sklearn formula") {
     val rows = Lexicon.tfIdf(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
