@@ -40,11 +40,30 @@ object Queries {
     * driver-regenerated corpus (the r7 events precedent — same path, new
     * bytes) can never serve a stale index against an oracle computed on
     * the CURRENT data. The warehouse survives JVMs AND testdata
-    * regenerations; path-only keying is a delayed-action hash mismatch. */
-  private def artifactTable(prefix: String, dir: String,
+    * regenerations; path-only keying is a delayed-action hash mismatch.
+    *
+    * SUPERSEDED generations are pruned on naming: any warehouse entry
+    * sharing this artifact's `<prefix><dir>_m` base but carrying a
+    * different mtime (including its `_meta`/`_stats`/`_t<k>`/… side
+    * tables, which embed the same base) is dropped from the catalog and
+    * deleted — without this, every regeneration would orphan a full
+    * index generation on disk forever. */
+  private def artifactTable(s: SparkSession, prefix: String, dir: String,
       source: String): String = {
     val mtime = new java.io.File(s"$dir/$source.parquet").lastModified
-    (prefix + dir + "_m" + mtime).replaceAll("[^A-Za-z0-9]+", "_")
+    val base = (prefix + dir).replaceAll("[^A-Za-z0-9]+", "_")
+    val name = base + "_m" + mtime
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val entries = Option(new java.io.File(warehouse).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    // prune on the UN-mtimed base so pre-mtime-keying generations go
+    // too; distinct SF dirs sanitize to non-prefix names (sf0_1 /
+    // sf0_01 / sf0_001 diverge before their ends), so no cross-SF hits
+    entries.map(_.getName)
+      .filter(n => n.startsWith(base) && !n.startsWith(name))
+      .foreach(n => graft.sources.Sources.replaceTable(s, n))
+    name
   }
 
   /** The events table's `ts` encoding varies by writer — TIMESTAMP(NANOS)
@@ -781,7 +800,7 @@ object Queries {
   val q_search_bm25_serve: Q = (s, dir) => {
     import graft.operators.Search
     val docs = t(s, dir, "documents").df
-    val table = artifactTable("bm25_idx", dir, "documents")
+    val table = artifactTable(s, "bm25_idx", dir, "documents")
     val idx = Search.bm25IndexFor(docs, "doc_id", "text", table)
     Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
       .select(col("doc_id"), col("bm25_rank"))
@@ -836,7 +855,7 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = artifactTable("pq_idx", dir, "embeddings")
+    val table = artifactTable(s, "pq_idx", dir, "embeddings")
     val idx = Similarity.pqIndexFor(emb, "vec_id", "embedding", dims = 64,
       table, m = 16, nCodes = 32, iters = 8, sampleN = 2048)
     val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
@@ -1064,7 +1083,7 @@ object Queries {
   val q_bpe_apply: Q = (s, dir) => {
     import graft.operators.Lexicon
     val docs = t(s, dir, "documents").df
-    val table = artifactTable("bpe_merges", dir, "documents")
+    val table = artifactTable(s, "bpe_merges", dir, "documents")
     val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
     Lexicon.bpeApply(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
@@ -1093,7 +1112,7 @@ object Queries {
   val q_bpe_apply_deep: Q = (s, dir) => {
     import graft.operators.Lexicon
     val docs = t(s, dir, "documents").df
-    val table = artifactTable("bpe_merges", dir, "documents")
+    val table = artifactTable(s, "bpe_merges", dir, "documents")
     val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
     Lexicon.bpeApplyDeep(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
@@ -1110,7 +1129,7 @@ object Queries {
   val q_bpe_roundtrip: Q = (s, dir) => {
     import graft.operators.Lexicon
     val docs = t(s, dir, "documents").df
-    val table = artifactTable("bpe_merges", dir, "documents")
+    val table = artifactTable(s, "bpe_merges", dir, "documents")
     val merges = Lexicon.bpeMergesFor(docs, "text", table, merges = 4)
     Lexicon.bpeTokenize(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
@@ -1661,7 +1680,7 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = artifactTable("lsh_idx", dir, "embeddings")
+    val table = artifactTable(s, "lsh_idx", dir, "embeddings")
     Similarity.lshIndexFor(emb, "embedding", dims = 64, table,
       bits = 8, tables = 3)
     val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding", qvec, 20,
@@ -1700,7 +1719,7 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = artifactTable("ivf_idx", dir, "embeddings")
+    val table = artifactTable(s, "ivf_idx", dir, "embeddings")
     val idx = Similarity.ivfIndexFor(emb, "vec_id", "embedding", table,
       nCentroids = 16, iters = 3)
     val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 12)

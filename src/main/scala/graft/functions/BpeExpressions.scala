@@ -12,18 +12,19 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Prebuilt merge-rank lookup for [[BpeEncodeWords]] — rides into
   * generated code as ONE codegen reference object (a 100k-merge list
   * would otherwise be 200k string literals in the expression tree). Keys
-  * are `lhs + '\u0000' + rhs`; BPE symbols are built from corpus words,
-  * which the trainer's delimiter scan keeps free of the chosen control
-  * char, and a NUL inside a symbol could at worst alias a key, never
-  * crash. */
+  * are LENGTH-PREFIXED (`lhs.length + ':' + lhs + rhs`), which is
+  * unambiguous for ANY symbol content — a separator-char key
+  * (`l + SEP + r`) would alias pairs whose symbols contain the
+  * separator and silently return the wrong rank. */
 final class BpeRanks(merges: Seq[(String, String)]) extends Serializable {
   private val map = new java.util.HashMap[String, Integer](merges.size * 2)
+  private def key(l: String, r: String): String = l.length + ":" + l + r
   merges.iterator.zipWithIndex.foreach { case ((l, r), i) =>
     // first occurrence wins: a duplicate later pair can never out-rank
-    map.putIfAbsent(l + "\u0000" + r, Integer.valueOf(i))
+    map.putIfAbsent(key(l, r), Integer.valueOf(i))
   }
   def rank(l: String, r: String): Int = {
-    val v = map.get(l + "\u0000" + r)
+    val v = map.get(key(l, r))
     if (v == null) Int.MaxValue else v.intValue()
   }
   def size: Int = map.size
@@ -95,15 +96,21 @@ object BpeUtil {
 
   /** Static bridge for [[BpeEncodeWords]] codegen: per-word token arrays
     * (array<array<string>>), word order and within-word token order
-    * preserved. */
+    * preserved. A NULL array element (legal under
+    * `ArrayType(StringType, containsNull = true)` inputs) contributes an
+    * EMPTY token array — the same "nothing to encode" treatment the
+    * replace-chain paths give filtered-out empties — instead of an
+    * opaque executor NPE. */
   def encodeWords(words: ArrayData, ranks: BpeRanks): ArrayData = {
     val n = words.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val w = words.getUTF8String(i).toString
-      out(i) = new GenericArrayData(
-        encodeWord(w, ranks).map(UTF8String.fromString): Array[Any])
+      val u = words.getUTF8String(i)
+      out(i) =
+        if (u == null) new GenericArrayData(Array.empty[Any])
+        else new GenericArrayData(
+          encodeWord(u.toString, ranks).map(UTF8String.fromString): Array[Any])
       i += 1
     }
     new GenericArrayData(out)

@@ -414,15 +414,29 @@ object Dedup {
     var roundId = 0
     def setRoundDir(): Unit =
       runRoot.foreach(r => sc.setCheckpointDir(s"$r/round-$roundId"))
-    def dropRound(id: Int): Unit = runRoot.foreach { r =>
-      val p = new org.apache.hadoop.fs.Path(s"$r/round-$id")
-      val fs = p.getFileSystem(sc.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+    // the localCheckpoint fallback needs the same per-round reclamation
+    // the reliable-checkpoint path gets from dropRound's dir deletion:
+    // Dataset.unpersist() is a no-op for checkpoint storage, so release
+    // goes through CheckpointInterop on the recorded pins of that round
+    val roundPins = scala.collection.mutable.Map.empty[Int, List[DataFrame]]
+    def dropRound(id: Int): Unit = {
+      runRoot.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(s"$r/round-$id")
+        val fs = p.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      roundPins.remove(id).foreach(_.foreach(
+        org.apache.spark.sql.graftinterop.CheckpointInterop
+          .unpersistLocalCheckpoint(_)))
     }
     setRoundDir()
     def pin(df: DataFrame): DataFrame =
       if (runRoot.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      else {
+        val out = df.localCheckpoint(true)
+        roundPins(roundId) = out :: roundPins.getOrElse(roundId, Nil)
+        out
+      }
     try {
       // Materialize the edge list ONCE: `pairs` is typically the whole
       // candidate-generation pipeline (shingle index self-join), and every

@@ -103,24 +103,58 @@ object Lexicon {
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
       delim: String = "\u0001", vocabCap: Int = 1000000): DataFrame = {
     require(merges >= 1 && merges <= 100000, "merges must be in [1, 100000]")
-    require(delim.length == 1, "delim must be a single character")
-    require(vocabCap >= 1, "vocabCap must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = graft.core.Partitions.ensureParallelism(df)
+    bpeMergeLoop(collectVocab(df, textCol, delim, vocabCap), merges)._1
+      .toDF("step", "lhs", "rhs", "n_occurrences")
+  }
+
+  /** Codepoint-order string comparison — identical to binary UTF-8
+    * comparison (UTF-8 is order-preserving over codepoints), which is
+    * what BOTH Spark's string ordering (UTF8String) and DuckDB's ORDER
+    * BY use. Java's `String.compareTo` is UTF-16 code-UNIT order, which
+    * DISAGREES when one side starts a supplementary character (surrogate
+    * lead 0xD800+) and the other holds a BMP char in 0xE000–0xFFFF —
+    * driver-side tie-breaks must use THIS, or merge selection / token
+    * ranking silently diverges from the oracle on emoji-bearing corpora. */
+  private[operators] def cmpUtf8(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The shared single-scan vocab collection of [[bpeTrain]] /
+    * [[bpeVocab]]: ONE corpus read feeding one hash aggregate (map-side
+    * combine; shuffle volume = vocab size, not corpus bytes); the
+    * delimiter-collision check runs against the aggregated DISTINCT-word
+    * frame (every corpus word appears there, so coverage is full-corpus)
+    * on the same cached aggregate instead of a second corpus scan; only
+    * the bounded top-cap vocab reaches the driver. */
+  private def collectVocab(df: DataFrame, textCol: String, delim: String,
+      vocabCap: Int): Array[(String, Long)] = {
+    require(delim.length == 1, "delim must be a single character")
+    require(vocabCap >= 1, "vocabCap must be positive")
+    val vocab = graft.core.Partitions.ensureParallelism(df)
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
-    require(words.filter(col("w").contains(delim)).isEmpty,
-      s"corpus contains the delimiter character (codepoint " +
-        s"${delim.codePointAt(0)}) — pass a delim absent from the data")
-    // ONE corpus-wide aggregate; only the bounded top-cap vocab reaches
-    // the driver
-    val vocabRows = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w"))
-      .limit(vocabCap)
-      .collect()
-    bpeMergeLoop(vocabRows.map(r => (r.getString(0), r.getLong(1))), merges)
-      .toDF("step", "lhs", "rhs", "n_occurrences")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(vocab.filter(col("w").contains(delim)).isEmpty,
+        s"corpus contains the delimiter character (codepoint " +
+          s"${delim.codePointAt(0)}) — pass a delim absent from the data")
+      vocab.orderBy(col("freq").desc, col("w"))
+        .limit(vocabCap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    } finally vocab.unpersist()
   }
 
   /** Driver-local BPE merge loop over a frequency-weighted vocab:
@@ -132,8 +166,8 @@ object Lexicon {
     * word: `aaaa` + (a,a) → `[aa, aa]`, never the overlapping middle
     * pair — one pass eliminates every (lhs, rhs) adjacency in a word,
     * so the merged pair's count always drains to zero. */
-  private def bpeMergeLoop(vocab: Array[(String, Long)],
-      merges: Int): Seq[(Int, String, String, Long)] = {
+  private def bpeMergeLoop(vocab: Array[(String, Long)], merges: Int)
+      : (Seq[(Int, String, String, Long)], Array[Array[String]]) = {
     import scala.collection.mutable
     // split by CODEPOINT, not UTF-16 unit: w.map(_.toString) would break
     // a supplementary char (e.g. an emoji) into lone surrogates and
@@ -157,8 +191,11 @@ object Lexicon {
         val c = java.lang.Long.compare(a._1, b._1)
         if (c != 0) c
         else {
-          val l = b._2.compareTo(a._2) // smaller lhs wins among equal counts
-          if (l != 0) l else b._3.compareTo(a._3)
+          // smaller lhs wins among equal counts — in CODEPOINT (binary
+          // UTF-8) order, the collation Spark and DuckDB sort strings
+          // by; String.compareTo would mis-rank supplementary chars
+          val l = cmpUtf8(b._2, a._2)
+          if (l != 0) l else cmpUtf8(b._3, a._3)
         }
       }
     }
@@ -220,7 +257,10 @@ object Lexicon {
           step += 1
       }
     }
-    learned.toSeq
+    // syms now holds every vocab word's FINAL post-merge symbol array —
+    // returned so bpeVocab can tally the vocabulary without re-applying
+    // the merges
+    (learned.toSeq, syms)
   }
 
   /** PERSISTED BPE merge artifact — the train/serve split every other
@@ -417,47 +457,24 @@ object Lexicon {
   def bpeVocab(df: DataFrame, textCol: String, merges: Int,
       delim: String = "\u0001", vocabCap: Int = 1000000): DataFrame = {
     require(merges >= 1 && merges <= 100000, "merges must be in [1, 100000]")
-    require(delim.length == 1, "delim must be a single character")
-    require(vocabCap >= 1, "vocabCap must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = graft.core.Partitions.ensureParallelism(df)
-      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-    require(words.filter(col("w").contains(delim)).isEmpty,
-      s"corpus contains the delimiter character (codepoint " +
-        s"${delim.codePointAt(0)}) — pass a delim absent from the data")
-    val vocabRows = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w"))
-      .limit(vocabCap)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val learned = bpeMergeLoop(vocabRows, merges).map(m => (m._2, m._3))
-    // re-encode each vocab word with the learned merges (greedy
-    // left-to-right, training order) and tally symbols weighted by freq
-    import scala.collection.mutable
-    val counts = mutable.HashMap.empty[String, Long]
-    for ((w, f) <- vocabRows) {
-      var toks = mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < w.length) {
-        val n = Character.charCount(w.codePointAt(i))
-        toks += w.substring(i, i + n)
-        i += n
-      }
-      for ((l, r) <- learned) {
-        val out = mutable.ArrayBuffer.empty[String]
-        var j = 0
-        while (j < toks.length) {
-          if (j < toks.length - 1 && toks(j) == l && toks(j + 1) == r) {
-            out += (l + r); j += 2
-          } else { out += toks(j); j += 1 }
-        }
-        toks = out
-      }
-      toks.foreach(t => counts(t) = counts.getOrElse(t, 0L) + f)
+    val vocabRows = collectVocab(df, textCol, delim, vocabCap)
+    // the merge loop already holds every word's FINAL symbol array —
+    // tally those, weighted by word frequency
+    val (_, finalSyms) = bpeMergeLoop(vocabRows, merges)
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < vocabRows.length) {
+      val f = vocabRows(i)._2
+      finalSyms(i).foreach(t => counts(t) = counts.getOrElse(t, 0L) + f)
+      i += 1
     }
-    val ranked = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+    // rank in codepoint (binary UTF-8) token order on count ties — the
+    // collation the DuckDB oracle's ORDER BY uses
+    val ranked = counts.toSeq.sortWith { case ((ta, na), (tb, nb)) =>
+      if (na != nb) na > nb else cmpUtf8(ta, tb) < 0
+    }
     ranked.zipWithIndex.map { case ((t, n), i) => (i.toLong, t, n) }
       .toDF("token_id", "token", "n_occurrences")
   }

@@ -85,8 +85,11 @@ object LinkGraph {
     var r = nodes.withColumn("rank_micro", lit(scale / n))
     // the checkpoint a pinned round supersedes: once `next` is eagerly
     // materialized it no longer reads the previous pin, whose blocks
-    // would otherwise accumulate one node-sized copy per round for the
-    // life of the JVM (50 copies at iters=50)
+    // would otherwise accumulate one node-sized copy per pinned round
+    // until ContextCleaner GCs them. Dataset.unpersist() is a silent
+    // no-op for localCheckpoint storage (it only clears CacheManager),
+    // so release goes through CheckpointInterop, which unpersists the
+    // materialized RDD behind the pin's LogicalRDD leaf
     var prevPinned: Option[DataFrame] = None
     var it = 0
     var converged = false
@@ -111,7 +114,9 @@ object LinkGraph {
         converged = changed == 0L
       }
       if (pinned) {
-        prevPinned.foreach(_.unpersist())
+        prevPinned.foreach(
+          org.apache.spark.sql.graftinterop.CheckpointInterop
+            .unpersistLocalCheckpoint(_))
         prevPinned = Some(next)
       }
       r = next

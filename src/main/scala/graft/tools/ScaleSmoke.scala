@@ -116,7 +116,9 @@ object ScaleSmoke {
         .mkString(" ")
       // growth per step vs the DATA growth of that step: g < dataRatio
       // is sub-linear
-      val growth = ks.sliding(2).map { case Seq(a, b) =>
+      // collect only FULL windows: sliding(2) over a single-multiplier
+      // run yields one partial Seq(k), which must not crash the report
+      val growth = ks.sliding(2).collect { case Seq(a, b) =>
         (a, b, byK(b) / byK(a), b.toDouble / a)
       }.toSeq
       val gStr = growth.map { case (a, b, g, d) =>

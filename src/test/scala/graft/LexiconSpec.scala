@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{array, lit}
+
 import graft.operators.Lexicon
 
 /** Corpus-level lexical statistics: vocabulary, TF-IDF, per-doc terms. */
@@ -328,6 +330,43 @@ class LexiconSpec extends SparkSpec {
     val totalSymbols = got.map(_._3).sum
     assert(totalSymbols > 0 && totalSymbols <=
       freqs.map { case (w, f) => w.length * f }.sum)
+  }
+
+  test("bpeTrain/bpeVocab tie-breaks use CODEPOINT (UTF-8) collation, " +
+      "not Java UTF-16 order: BMP private-use char outranks an emoji") {
+    // (U+E000, a) and (U+1F600, a) tie on count; codepoint order — what
+    // Spark's UTF8String and DuckDB's ORDER BY both use — puts U+E000
+    // (57344) before U+1F600 (128512), while Java String.compareTo
+    // compares UTF-16 units (0xE000 AFTER the 0xD83D surrogate) and
+    // would pick the emoji — a silent cross-engine divergence
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = new String(Character.toChars(0xE000))
+    val corpus = Seq((1L, s"${emoji}a ${pua}a")).toDF("doc_id", "text")
+    val step1 = Lexicon.bpeTrain(corpus, "text", merges = 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).head
+    assert(step1 == ((pua, "a")),
+      s"tie must break to the codepoint-smaller lhs (U+E000), got $step1")
+    // vocab ranking on count ties follows the same collation: after the
+    // single (pua, a) merge the surviving symbols are `a` (from the
+    // unmerged emoji word), `a`, and the lone emoji — all count 1,
+    // so token_ids are pure collation: codepoint order puts U+E000-led
+    // before U+1F600-led, where UTF-16 unit order would swap them
+    val vocab = Lexicon.bpeVocab(corpus, "text", merges = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(vocab == Seq((0L, "a"), (1L, pua + "a"), (2L, emoji)),
+      s"tied-count tokens must rank in codepoint order, got $vocab")
+  }
+
+  test("BpeEncodeWords: a null array element yields an empty token " +
+      "array, not an executor NPE") {
+    import graft.functions.BpeExpressions.bpe_encode_words
+    val out = spark.range(1)
+      .select(bpe_encode_words(
+        array(lit("ab"), lit(null).cast("string"), lit("c")),
+        Seq(("a", "b"))).as("t"))
+      .head().getSeq[scala.collection.Seq[String]](0)
+      .map(_.toSeq)
+    assert(out == Seq(Seq("ab"), Seq(), Seq("c")), s"got $out")
   }
 
   test("bpeApplyDeep: rank-loop encoder == sequential replace-chain on " +
