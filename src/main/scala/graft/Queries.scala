@@ -2000,6 +2000,28 @@ object Queries {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** END-TO-END streaming funnel in ONE query — the streaming analogue
+    * of q_pipeline_e2e: watermarked in-stream dedup (one arrival per
+    * (user, event_type, hour)) → stream-static broadcast enrichment →
+    * tumbling per-(window, segment) counts; two CHAINED stateful
+    * operators in append mode with a watermark flush. Emits exactly the
+    * windows whose end ≤ final watermark (max ts − 1 h); the oracle
+    * applies the same cut. Dedup keys include the event-time hour so
+    * the surviving row's window is deterministic (see
+    * [[graft.streaming.Streaming.funnelCounts]]). */
+  val q_stream_funnel: Q = (s, dir) => {
+    val agg = Streaming.funnelCounts(Streaming.eventsStream(s, dir),
+      t(s, dir, "customer").df, joinKeys = Seq("user_id" -> "c_custkey"),
+      segmentCol = "c_mktsegment")
+    Streaming.runToBatch(agg, "stream_funnel_out", mode = "append",
+        watermarkFlush = true)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("c_mktsegment"), col("n"))
+      .distinct() // state re-init across runs could re-emit (q_stream_dedup contract)
+      .orderBy(col("hour"), col("c_mktsegment"))
+  }
+
   /** Stream-stream interval join (click→purchase attribution): each
     * click pairs with the same user's purchases within 10 minutes after
     * it; both sides are watermarked streams, matches emit in append
@@ -2223,6 +2245,7 @@ object Queries {
     "q_stream_stateful" -> q_stream_stateful,
     "q_session_window" -> q_session_window,
     "q_stream_dedup" -> q_stream_dedup,
+    "q_stream_funnel" -> q_stream_funnel,
     "q_parse_timedelta" -> q_parse_timedelta,
     "q_shuffle" -> q_shuffle,
     "q_multimodal_meta" -> q_multimodal_meta,
@@ -3758,6 +3781,18 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // the funnel's append-mode cut: only windows whose end has passed
+    // the final watermark (max ts - 1 h) are emitted by the stream
+    "q_stream_funnel" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |d AS (SELECT DISTINCT user_id, event_type,
+        |        date_trunc('hour', ts) AS h FROM events)
+        |SELECT strftime(d.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  c.c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM d JOIN customer c ON d.user_id = c.c_custkey CROSS JOIN m
+        |WHERE d.h + INTERVAL 1 HOUR <= m.mx - INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH assigned AS (

@@ -85,7 +85,8 @@ object Streaming {
     *     ephemeral by construction. Long-lived queries should use
     *     writeStream directly with a durable checkpointLocation.
     */
-  def runToBatch(agg: DataFrame, name: String, mode: String = "complete"): DataFrame = {
+  def runToBatch(agg: DataFrame, name: String, mode: String = "complete",
+      watermarkFlush: Boolean = false): DataFrame = {
     val spark = agg.sparkSession
     val partsKey = "spark.sql.shuffle.partitions"
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -99,7 +100,13 @@ object Streaming {
       else None
     val q = try {
       spark.conf.set(partsKey, math.min(prevParts.toInt, target))
-      spark.conf.set(noDataKey, "false")
+      // append-mode WINDOW aggregates only emit a closed window in a
+      // batch AFTER the one that advanced the watermark past it — with
+      // no-data batches off, a to-completion run would emit NOTHING.
+      // watermarkFlush keeps them on so the flush batch runs; for
+      // complete/update/dedup shapes the data batch is already final
+      // and the extra batch only costs time (see the scaladoc above)
+      spark.conf.set(noDataKey, watermarkFlush.toString)
       val w = agg.writeStream
         .outputMode(mode)
         .format("memory")
@@ -111,6 +118,21 @@ object Streaming {
     }
     try {
       q.processAllAvailable()
+      if (watermarkFlush) {
+        // the watermark-flush batch is triggered by the watermark
+        // update, not by data — processAllAvailable can return between
+        // the data batch and the flush batch. The sink is final once
+        // its contents survive one more processAllAvailable unchanged.
+        var prev = -1L
+        var cur = spark.table(name).count()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (prev != cur && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          q.processAllAvailable()
+          prev = cur
+          cur = spark.table(name).count()
+        }
+      }
       q.stop()
     } finally {
       if (q.isActive) q.stop()
@@ -166,6 +188,37 @@ object Streaming {
       delay: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** END-TO-END streaming funnel in ONE query — the streaming analogue
+    * of the batch `q_pipeline_e2e` integration gate: watermarked
+    * in-stream dedup (keep one arrival per (user, event_type, hour) —
+    * state expires with the watermark) → stream-static broadcast
+    * enrichment (inner, per-micro-batch re-resolution of the dim) →
+    * tumbling event-time counts per (window, segment). Two CHAINED
+    * stateful operators (dedup, then windowed aggregation) — legal in
+    * append mode with watermark propagation; run via
+    * `runToBatch(..., mode = "append", watermarkFlush = true)`.
+    *
+    * Determinism contract: the dedup key INCLUDES the event-time hour,
+    * so whichever physical row survives, its window assignment is
+    * fixed — per-(window, segment) counts are exact and
+    * oracle-matchable, where a (user, type)-only dedup would leave the
+    * surviving row's window nondeterministic. Append emits exactly the
+    * windows whose end ≤ final watermark (max event time − delay);
+    * the oracle applies the same cut. */
+  def funnelCounts(events: DataFrame, dim: DataFrame,
+      joinKeys: Seq[(String, String)], segmentCol: String,
+      window: String = "1 hour", delay: String = "1 hour"): DataFrame = {
+    val keyed = events.withColumn("__hour", date_trunc("hour", col("ts")))
+    val deduped = dedupStream(keyed,
+      Seq(joinKeys.head._1, "event_type", "__hour"), "ts", delay)
+    val enriched = enrichWithStatic(deduped, dim, joinKeys,
+      Seq(segmentCol), joinType = "inner")
+    enriched
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col(segmentCol))
+      .agg(count(lit(1)).as("n"))
+  }
 
   /** Streaming INGEST dedup against an existing corpus — the live-crawl
     * flavor of [[graft.operators.Dedup.dedupAgainst]], sharing its

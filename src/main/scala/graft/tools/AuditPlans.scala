@@ -27,7 +27,7 @@ object AuditPlans {
   /** Streaming queries need a streaming sink to plan; audited via their
     * batch-equivalent plans and the streaming specs instead. */
   val skipExec: Set[String] = Set("q_stream_tumbling", "q_stream_sliding",
-    "q_stream_stateful", "q_stream_dedup")
+    "q_stream_stateful", "q_stream_dedup", "q_stream_funnel")
 
   /** Pinned shuffle-exchange counts per query (static plan, sf0.001,
     * AQE off): the shuffle BUDGET each operator is designed to spend. A

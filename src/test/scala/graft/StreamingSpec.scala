@@ -223,6 +223,38 @@ class StreamingSpec extends SparkSpec {
       "windows must not mix")
   }
 
+  test("funnelCounts: chained dedup → enrich → window agg equals the " +
+      "batch funnel under the append watermark cut") {
+    val out = Streaming.runToBatch(
+      Streaming.funnelCounts(Streaming.eventsStream(spark, dir),
+        spark.read.parquet(s"$dir/customer.parquet"),
+        joinKeys = Seq("user_id" -> "c_custkey"),
+        segmentCol = "c_mktsegment"),
+      "funnel_spec_out", mode = "append", watermarkFlush = true)
+      .select(col("window.start").as("h"), col("c_mktsegment"), col("n"))
+      .distinct()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.sources.EventTime.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = ev
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("h"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      // the append cut: emitted windows end at or before the final
+      // watermark (max event time - 1 h delay)
+      .filter(col("h") + expr("INTERVAL 1 HOUR") <=
+        lit(mx) - expr("INTERVAL 1 HOUR"))
+    assert(out.count() == batch.count(), "row counts")
+    assert(out.join(batch, Seq("h", "c_mktsegment", "n")).count() ==
+      batch.count(), "streamed funnel == batch funnel under the cut")
+    assert(batch.count() > 0, "fixture must close at least one window")
+  }
+
   test("watermark lateness: an event older than the horizon arriving in " +
       "a later micro-batch is DROPPED from its closed window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
