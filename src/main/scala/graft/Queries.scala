@@ -53,15 +53,25 @@ object Queries {
     val mtime = new java.io.File(s"$dir/$source.parquet").lastModified
     val base = (prefix + dir).replaceAll("[^A-Za-z0-9]+", "_")
     val name = base + "_m" + mtime
+    // boundary-anchored membership: `n` belongs to a family iff it IS
+    // the family name or extends it across a `_` boundary. A bare
+    // startsWith would (a) let a sibling data dir whose sanitized name
+    // extends this one (sf0_1 vs sf0_1b) get its LIVE artifacts pruned
+    // by runs at the shorter dir, and (b) protect a stale generation
+    // whose mtime digit-extends the current one (_m123 vs _m1234)
+    def inFamily(n: String, fam: String): Boolean =
+      n == fam || n.startsWith(fam + "_")
+    // Hadoop FS, not java.io.File: a non-local warehouse (hdfs://,
+    // s3a://) would make File.listFiles() return null and silently
+    // skip pruning forever (Sources.replaceTable uses the same API)
     val warehouse = s.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val entries = Option(new java.io.File(warehouse).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    // prune on the UN-mtimed base so pre-mtime-keying generations go
-    // too; distinct SF dirs sanitize to non-prefix names (sf0_1 /
-    // sf0_01 / sf0_001 diverge before their ends), so no cross-SF hits
-    entries.map(_.getName)
-      .filter(n => n.startsWith(base) && !n.startsWith(name))
+    val wPath = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = wPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries =
+      if (fs.exists(wPath)) fs.listStatus(wPath).map(_.getPath.getName)
+      else Array.empty[String]
+    entries
+      .filter(n => inFamily(n, base) && !inFamily(n, name))
       .foreach(n => graft.sources.Sources.replaceTable(s, n))
     name
   }

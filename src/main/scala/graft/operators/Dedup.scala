@@ -494,6 +494,16 @@ object Dedup {
               if (fs.exists(p)) fs.delete(p, true)
           } catch { case _: Throwable => () }
         }
+        // ... and the localCheckpoint fallback's pins likewise: dropRound
+        // never ran for the still-recorded rounds, and leaving them to
+        // ContextCleaner re-opens the copies-per-failed-attempt leak on
+        // a harness that retries after failures
+        roundPins.values.flatten.foreach { df =>
+          try org.apache.spark.sql.graftinterop.CheckpointInterop
+            .unpersistLocalCheckpoint(df)
+          catch { case _: Throwable => () }
+        }
+        roundPins.clear()
         throw t
     } finally {
       // context-global state must not outlive the call on ANY exit path

@@ -121,11 +121,22 @@ object Streaming {
       if (watermarkFlush) {
         // the watermark-flush batch is triggered by the watermark
         // update, not by data — processAllAvailable can return between
-        // the data batch and the flush batch. The sink is final once
-        // its contents survive one more processAllAvailable unchanged.
+        // the data batch and the flush batch, and a count-stability
+        // check alone could observe (pre-flush, pre-flush) and exit
+        // early. First REQUIRE the flush batch itself: with no-data
+        // batches on, a watermark advance schedules batch ≥ 1, so wait
+        // until the query has committed past batch 0 (deadline-bounded:
+        // an empty source never advances and legitimately stays at 0).
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def lastBatch: Long =
+          Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        while (lastBatch < 1 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          q.processAllAvailable()
+        }
+        // then settle: contents must survive one more cycle unchanged
         var prev = -1L
         var cur = spark.table(name).count()
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         while (prev != cur && System.nanoTime() < deadline) {
           Thread.sleep(200)
           q.processAllAvailable()
@@ -199,23 +210,29 @@ object Streaming {
     * append mode with watermark propagation; run via
     * `runToBatch(..., mode = "append", watermarkFlush = true)`.
     *
-    * Determinism contract: the dedup key INCLUDES the event-time hour,
+    * Determinism contract: the dedup key INCLUDES the event-time hour —
+    * the SAME granularity as the (fixed, hourly) aggregation window —
     * so whichever physical row survives, its window assignment is
-    * fixed — per-(window, segment) counts are exact and
-    * oracle-matchable, where a (user, type)-only dedup would leave the
-    * surviving row's window nondeterministic. Append emits exactly the
-    * windows whose end ≤ final watermark (max event time − delay);
-    * the oracle applies the same cut. */
+    * fixed: per-(window, segment) counts are exact and oracle-matchable,
+    * where a (user, type)-only dedup would leave the surviving row's
+    * window nondeterministic. The window size is deliberately NOT a
+    * parameter: a window finer than the dedup granularity would break
+    * exactly that contract (two same-hour duplicates in different
+    * sub-hour windows — survivor arrival order decides the counts), so
+    * the hour is hard-coded in both places. All stream-side join key
+    * columns participate in the dedup key. Append emits exactly the
+    * windows whose end ≤ final watermark (max event time − delay); the
+    * oracle applies the same cut. */
   def funnelCounts(events: DataFrame, dim: DataFrame,
       joinKeys: Seq[(String, String)], segmentCol: String,
-      window: String = "1 hour", delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour"): DataFrame = {
     val keyed = events.withColumn("__hour", date_trunc("hour", col("ts")))
     val deduped = dedupStream(keyed,
-      Seq(joinKeys.head._1, "event_type", "__hour"), "ts", delay)
+      joinKeys.map(_._1) ++ Seq("event_type", "__hour"), "ts", delay)
     val enriched = enrichWithStatic(deduped, dim, joinKeys,
       Seq(segmentCol), joinType = "inner")
     enriched
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
         col(segmentCol))
       .agg(count(lit(1)).as("n"))
   }
