@@ -2032,6 +2032,69 @@ object Queries {
       .orderBy(col("hour"), col("c_mktsegment"))
   }
 
+  /** Streaming NEAR-duplicate ingest dedup against a static corpus: the
+    * documents "crawl" stream (doc_id % 3 == 0) is deduped per
+    * micro-batch against the fixed corpus (doc_id % 3 != 0) at 3-gram
+    * Jaccard ≥ 0.5 — shared-shingle inverted-index join (complete
+    * candidate generation), exact Jaccard verify, survivors landing as
+    * idempotent per-batch parquet segments
+    * ([[graft.streaming.Streaming.nearDedupAgainstSink]]). Oracle: the
+    * batch anti-join formulation of the same exact-Jaccard predicate —
+    * deterministic regardless of micro-batch boundaries because dedup is
+    * against the FIXED corpus only (see the operator's determinism
+    * contract). */
+  val q_stream_neardedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").df
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val stream = Streaming.documentsStream(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+    val out = s"${ioDir(dir)}/stream_neardedup"
+    // clear stale segments from a previous run: this run may produce
+    // fewer batches, and per-batch overwrite only replaces its own id
+    val hp = new org.apache.hadoop.fs.Path(out)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val q = Streaming.nearDedupAgainstSink(stream, corpus,
+      "doc_id", "text", out, n = 3, minJaccard = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    // read the sink ROOT (batch=<id> resolves as a partition column,
+    // dropped by the select) rather than a `batch=*` glob — the glob
+    // path trips FileStreamSink's metadata probe into WARN-logging a
+    // spurious FileNotFoundException stack trace on every run
+    s.read.parquet(out)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming near-dup SERVING gate: identical semantics and oracle to
+    * q_stream_neardedup, but each micro-batch joins the PERSISTED
+    * shingle-bucketed corpus index
+    * ([[graft.operators.Contamination.shingleIndexFor]], built at most
+    * once per (session, corpus mtime)) instead of re-deriving the corpus
+    * shingle explode inside every batch plan — the build/serve split a
+    * live-crawl deployment runs, and the shape that survives a 100 TB
+    * corpus (the index never moves; the micro-batch shuffles into its
+    * bucket layout, or broadcasts). */
+  val q_stream_neardedup_serve: Q = (s, dir) => {
+    import graft.operators.Contamination
+    val docs = t(s, dir, "documents").df
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val table = artifactTable(s, "shingle_idx", dir, "documents")
+    val idx = Contamination.shingleIndexFor(corpus, "doc_id", "text", table, n = 3)
+    val stream = Streaming.documentsStream(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+    val out = s"${ioDir(dir)}/stream_neardedup_serve"
+    val hp = new org.apache.hadoop.fs.Path(out)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val q = Streaming.nearDedupAgainstIndexSink(stream, idx,
+      "doc_id", "text", out, n = 3, minJaccard = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stream-stream interval join (click→purchase attribution): each
     * click pairs with the same user's purchases within 10 minutes after
     * it; both sides are watermarked streams, matches emit in append
@@ -2256,6 +2319,8 @@ object Queries {
     "q_session_window" -> q_session_window,
     "q_stream_dedup" -> q_stream_dedup,
     "q_stream_funnel" -> q_stream_funnel,
+    "q_stream_neardedup" -> q_stream_neardedup,
+    "q_stream_neardedup_serve" -> q_stream_neardedup_serve,
     "q_parse_timedelta" -> q_parse_timedelta,
     "q_shuffle" -> q_shuffle,
     "q_multimodal_meta" -> q_multimodal_meta,
@@ -2310,6 +2375,34 @@ object Queries {
       |FROM embeddings, q
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Shared by q_stream_neardedup and q_stream_neardedup_serve: the
+    * batch anti-join formulation of "stream docs (doc_id%3==0) with no
+    * corpus (doc_id%3!=0) neighbor at 3-gram Jaccard ≥ 0.5". */
+  private val streamNearDedupSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      |  FROM docs
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT s.doc_id AS sid, c.doc_id AS cid, count(*) AS i
+      |  FROM sh s JOIN sh c ON s.shingle = c.shingle
+      |  WHERE s.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+      |  GROUP BY 1, 2
+      |), flagged AS (
+      |  SELECT DISTINCT sid FROM inter
+      |  JOIN sizes ss ON ss.doc_id = sid
+      |  JOIN sizes sc ON sc.doc_id = cid
+      |  WHERE CAST(i AS DOUBLE) / CAST(ss.n_sh + sc.n_sh - i AS DOUBLE) >= 0.5
+      |)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT sid FROM flagged)
+      |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2363,6 +2456,12 @@ object Queries {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_neardedup" -> streamNearDedupSql,
+
+    // identical semantics — the serve gate only changes WHERE the corpus
+    // shingle index comes from (persisted bucketed table vs in-plan)
+    "q_stream_neardedup_serve" -> streamNearDedupSql,
 
     "q_parse_timedelta" ->
       """SELECT strftime(ts, '%H:%M:%S') AS s,

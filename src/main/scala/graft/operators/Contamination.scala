@@ -109,6 +109,84 @@ object Contamination {
   }
 
   // ------------------------------------------------------------------
+  // Persisted shingle index (the repeated-check / streaming-serve shape)
+  // ------------------------------------------------------------------
+
+  /** The exploded shingle index of a document set: one `(id, n_sh, shk)`
+    * row per (document, distinct n-gram hash) — the join-side view every
+    * exact-Jaccard check needs. Public so it can be built ONCE and
+    * persisted when the same reference set is checked repeatedly (a
+    * benchmark suite under a daily decontamination run, a corpus under a
+    * streaming near-dup ingest). */
+  def shingleIndexFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("__sh"))
+      .select(col("id"), size(col("__sh")).as("n_sh"),
+        explode(col("__sh")).as("shk"))
+
+  /** [[fuzzyContaminationPairs]] against a PREBUILT `(id, n_sh, shk)`
+    * index (same output for the same reference set). The index side is
+    * NOT broadcast — this is the path for a reference set too large to
+    * rebuild or ship per check: a shingle-bucketed persisted index joins
+    * with at most an exchange of the (small) incoming side into its
+    * bucket layout, and the big side never moves. */
+  def fuzzyContaminationPairsFromIndex(corpus: DataFrame, idCol: String,
+      textCol: String, benchIndex: DataFrame,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val cSh = corpus
+      .select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("__na"),
+        explode(col("__sh")).as("shk"))
+    val bSh = benchIndex.select(col("id").as("__bid"),
+      col("n_sh").as("__nb"), col("shk"))
+    cSh.join(bSh, "shk")
+      .groupBy(col(idCol), col("__bid"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__i"))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col(idCol), col("__bid").as("bench_id"), col("jaccard"))
+  }
+
+  /** [[decontaminateFuzzy]] against a prebuilt `(id, n_sh, shk)` index. */
+  def decontaminateFuzzyFromIndex(corpus: DataFrame, idCol: String,
+      textCol: String, benchIndex: DataFrame,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val flagged = fuzzyContaminationPairsFromIndex(corpus, idCol, textCol,
+        benchIndex, n, minJaccard)
+      .select(col(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Load the persisted shingle index for `docs`, building and saving it
+    * first if this session's warehouse doesn't hold a matching one (the
+    * [[graft.operators.Search.bm25IndexFor]] build-once contract). The
+    * index is bucketed+sorted on `shk`, so every subsequent Jaccard
+    * check joins it WITHOUT an index-side exchange — the incoming side
+    * shuffles into the bucket layout (or broadcasts, for a micro-batch);
+    * the N-scale index is scanned in place. A `_meta` sibling pins
+    * (n, buckets); parameter drift rebuilds. */
+  def shingleIndexFor(docs: DataFrame, idCol: String, textCol: String,
+      table: String, n: Int = 3, buckets: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val matches = spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(s"${table}_meta") && {
+        val m = spark.table(s"${table}_meta").head()
+        m.getInt(0) == n && m.getInt(1) == buckets
+      }
+    if (!matches) {
+      graft.sources.Sources.writeBucketed(
+        graft.core.GTable(shingleIndexFrame(docs, idCol, textCol, n)),
+        table, Seq("shk"), buckets)
+      graft.sources.Sources.replaceTable(spark, s"${table}_meta")
+      import spark.implicits._
+      Seq((n, buckets)).toDF("n", "buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    }
+    spark.table(table)
+  }
+
+  // ------------------------------------------------------------------
   // Bloom-prefiltered exact decontamination (the 100 TB shape)
   // ------------------------------------------------------------------
 

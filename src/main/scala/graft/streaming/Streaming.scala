@@ -32,7 +32,17 @@ object Streaming {
     * pinning the stream to a stale schema for the life of the JVM. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
+    graft.sources.EventTime.normalizeTs(fileStream(spark, dir, "events.parquet"))
+  }
+
+  /** Streaming view of one parquet file under `dir`. The (static) file
+    * schema is cached per (path, mtime) — streaming sources need an
+    * explicit schema, and re-reading the footer on every query build is
+    * measurable in a tight harness loop; keying by mtime means a
+    * regenerated file invalidates the entry instead of pinning the
+    * stream to a stale schema for the life of the JVM. */
+  def fileStream(spark: SparkSession, dir: String, file: String): DataFrame = {
+    val path = s"$dir/$file"
     // 0L for non-local paths → plain per-path caching
     val mtime = try new java.io.File(path).lastModified catch { case _: Exception => 0L }
     // ONE entry per path (stale mtimes are replaced, not accumulated —
@@ -45,12 +55,15 @@ object Streaming {
         schemaCache.put(path, (mtime, s))
         s
     }
-    graft.sources.EventTime.normalizeTs(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", file)
+      .parquet(dir)
   }
+
+  /** Streaming view of the documents table (live-crawl ingest shape). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    fileStream(spark, dir, "documents.parquet")
 
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, org.apache.spark.sql.types.StructType)]
@@ -261,6 +274,96 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .join(seen, Seq("__fp"), "left_anti")
       .drop("__fp")
+  }
+
+  /** Streaming NEAR-duplicate ingest dedup against a static corpus — the
+    * live-crawl flavor of near-dup decontamination: each micro-batch of
+    * incoming documents is checked for word-n-gram Jaccard similarity
+    * against the existing corpus, and only documents with NO corpus
+    * neighbor at `jaccard ≥ minJaccard` land in the sink. This is the
+    * approximate-similarity tier above [[dedupStreamAgainst]]'s exact
+    * content-digest tier; the two compose (digest dedup first is
+    * cheaper).
+    *
+    * Execution shape (per micro-batch, via `foreachBatch` — the batch
+    * operator [[graft.operators.Contamination.decontaminateFuzzy]] runs
+    * unchanged): the batch's shingle sets explode and join the corpus
+    * shingle index on the shingle hash — candidate generation is the
+    * shared-shingle inverted-index join (complete for any τ > 0: two
+    * sets with Jaccard ≥ τ share a shingle), never a cartesian product —
+    * then survivors write as an idempotent per-batch parquet segment
+    * (`outDir/batch=<id>`, overwrite — a replayed batch rewrites its own
+    * segment, the lakehouse ingest contract shared with [[zOrderedSink]]).
+    *
+    * Determinism contract: batches are deduped against the FIXED corpus
+    * only, not against earlier admitted batches — admitting across
+    * batches would make the output depend on micro-batch boundaries
+    * (two near-dup docs in one batch vs two both survive either way, but
+    * cross-batch the second would be dropped). A nightly compaction that
+    * folds admitted segments into the corpus closes that loop without
+    * giving up replay determinism; within-stream EXACT re-occurrences
+    * are [[dedupStream]]'s job upstream.
+    *
+    * Scale shape: the corpus side is re-resolved every micro-batch (a
+    * compaction-grown corpus is picked up for free). `broadcastCorpus`
+    * defaults to false — a 100 TB corpus index shuffle-joins against the
+    * (small) micro-batch side, and Spark's own size estimate may still
+    * choose a build-side broadcast of the BATCH; set it true only for a
+    * corpus known to fit driver/executor memory. */
+  def nearDedupAgainstSink(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, outDir: String,
+      n: Int = 3, minJaccard: Double = 0.5,
+      broadcastCorpus: Boolean = false,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Contamination
+    segmentSink(stream, outDir, checkpoint)(batch =>
+      Contamination.decontaminateFuzzy(batch, idCol, textCol,
+        corpus, idCol, textCol, n, minJaccard,
+        broadcastBench = broadcastCorpus))
+  }
+
+  /** [[nearDedupAgainstSink]] against a PREBUILT corpus shingle index —
+    * the shape that survives a 100 TB corpus: [[nearDedupAgainstSink]]
+    * re-derives the corpus's exploded shingle view inside every
+    * micro-batch's plan, i.e. a full corpus scan per trigger; here the
+    * index is built ONCE ([[graft.operators.Contamination.shingleIndexFor]]
+    * — persisted, bucketed+sorted on the shingle hash) and each
+    * micro-batch joins it with no index-side exchange: the batch side
+    * shuffles into the bucket layout (or broadcasts), the corpus never
+    * moves. A compaction that folds admitted segments into the corpus
+    * rebuilds the index on its own cadence — between rebuilds the
+    * determinism contract is unchanged (dedup vs the FIXED index). */
+  def nearDedupAgainstIndexSink(stream: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, outDir: String,
+      n: Int = 3, minJaccard: Double = 0.5,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Contamination
+    segmentSink(stream, outDir, checkpoint)(batch =>
+      Contamination.decontaminateFuzzyFromIndex(batch, idCol, textCol,
+        corpusIndex, n, minJaccard))
+  }
+
+  /** Shared idempotent-segment `foreachBatch` sink: `survivors(batch)`
+    * writes to `outDir/batch=<id>` (overwrite — a replayed batch
+    * rewrites its own segment, the lakehouse ingest contract shared with
+    * [[zOrderedSink]]). The micro-batch is persisted across the sink's
+    * passes (emptiness probe + the survivors plan re-reads it). */
+  private def segmentSink(stream: DataFrame, outDir: String,
+      checkpoint: Option[String])(survivors: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "segmentSink needs a streaming frame")
+    val w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pinned = batch.persist()
+        try {
+          // empty micro-batches (source ticks) write no segment
+          if (!pinned.isEmpty)
+            survivors(pinned)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        } finally pinned.unpersist()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
   /** Streaming HEAVY HITTERS per event-time window — the Misra-Gries

@@ -329,6 +329,65 @@ class StreamingSpec extends SparkSpec {
       == Seq(0, 1))
   }
 
+  test("nearDedupAgainstSink: per-batch Jaccard dedup against a fixed " +
+      "corpus == batch anti-join; stream-internal near-dups both survive") {
+    import graft.operators.Contamination
+    val base = "/tmp/graft-test/neardedup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    // three files → three micro-batches (maxFilesPerTrigger = 1)
+    val streamRows = Seq(
+      // near-dup of corpus 1 (J = 6/8 = 0.75) → dropped
+      Seq((10L, "the quick brown fox jumps over the lazy cat")),
+      // exact dup of corpus 2 → dropped; unrelated doc → survives
+      Seq((13L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (16L, "completely different content about distributed query engines")),
+      // < n words (empty shingle set) → survives; a stream-INTERNAL
+      // near-dup pair (J = 5/7) in the same batch: BOTH survive — dedup
+      // is against the fixed corpus only (determinism contract)
+      Seq((19L, "two words"),
+        (22L, "one two three four five six seven eight"),
+        (25L, "one two three four five six seven nine")))
+    val inDir = s"$base/in"
+    streamRows.foreach(rows =>
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir))
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val outDir = s"$base/out"
+    val q = Streaming.nearDedupAgainstSink(stream, corpus,
+      "doc_id", "text", outDir, n = 3, minJaccard = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$outDir/batch=*").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = Contamination.decontaminateFuzzy(
+        streamRows.flatten.toDF("doc_id", "text"), "doc_id", "text",
+        corpus, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"streamed=$got batch=$want")
+    assert(got == Seq(16L, 19L, 22L, 25L), s"got $got")
+    // micro-batches landed as separate idempotent segments
+    val segs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(segs.length >= 2, s"expected multiple batch segments, got ${segs.toSeq}")
+    // serve path: the same stream against the PERSISTED bucketed shingle
+    // index — identical survivors
+    val idx = Contamination.shingleIndexFor(corpus, "doc_id", "text",
+      "neardedup_spec_idx", n = 3)
+    val outDir2 = s"$base/out_serve"
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q2 = Streaming.nearDedupAgainstIndexSink(stream2, idx,
+      "doc_id", "text", outDir2, n = 3, minJaccard = 0.5)
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.read.parquet(outDir2).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == got, s"serve=$got2 build=$got")
+  }
+
   test("runningUserTotals: GroupState persists across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.UserEvent
