@@ -135,6 +135,49 @@ object ScaleSmoke {
           f"""\"g${a}_$b\":$g%.2f""" }.mkString(",")
         s""""$n":{$ts,$gs}"""
       }.mkString(",") + "}}")
+
+    // ---------------------------------------------------------------
+    // Streaming near-dup build-vs-serve: per-MICRO-BATCH cost against a
+    // corpus scaled k×. The batch is FIXED (the 1× doc_id%3==0 slice,
+    // copy-0 suffixed so it near-matches the corpus's copy 0 and the
+    // Jaccard verify does real work); only the corpus side grows. The
+    // in-plan tier re-explodes the corpus inside every batch's plan
+    // (explode + shuffle + sort of k× data per trigger); the serve tier
+    // joins the persisted shingle-bucketed index (built UNTIMED, once
+    // per corpus generation) with no index-side exchange. Both scans
+    // are O(corpus), so both grow with k — the claim under test is the
+    // serve tier's smaller slope (no per-trigger explode/shuffle/sort).
+    // ---------------------------------------------------------------
+    import graft.operators.Contamination
+    val batch = scaled(docs, 1).filter(col("doc_id") % 3 === 0).persist()
+    batch.count()
+    def ndOnce(k: Int, timed: Boolean): Seq[(String, Double, Long)] = {
+      val corpus = frames(k)
+      val tbl = s"scale_shingle_idx_$k"
+      val idx = Contamination.shingleIndexFor(corpus, "doc_id", "text",
+        tbl, n = 3) // build is untimed: once per corpus generation
+      val (tIn, nIn) = time(forceAll(Contamination.decontaminateFuzzy(
+        batch, "doc_id", "text", corpus, "doc_id", "text",
+        n = 3, minJaccard = 0.5, broadcastBench = false)))
+      val (tIdx, nIdx) = time(forceAll(
+        Contamination.decontaminateFuzzyFromIndex(
+          batch, "doc_id", "text", idx, n = 3, minJaccard = 0.5)))
+      require(nIn == nIdx, s"serve/in-plan survivor mismatch at $k×")
+      if (timed)
+        println(f"neardedup $k%3d×: in-plan $tIn%.2fs  serve $tIdx%.2fs  " +
+          f"(survivors $nIdx)")
+      Seq(("inplan", tIn, nIn), ("serve", tIdx, nIdx))
+    }
+    ndOnce(ks.head, timed = false) // warmup (codegen/JIT)
+    val ndRuns = ks.map(k => k -> ndOnce(k, timed = true))
+    ks.foreach { k =>
+      graft.sources.Sources.replaceTable(spark, s"scale_shingle_idx_$k")
+      graft.sources.Sources.replaceTable(spark, s"scale_shingle_idx_${k}_meta")
+    }
+    println("{\"probe\":\"neardedup_serve\",\"sf\":\"" + sfDir + "\"," +
+      ndRuns.map { case (k, rs) =>
+        rs.map { case (n, t, _) => f"""\"${n}_t$k\":$t%.3f""" }.mkString(",")
+      }.mkString(",") + "}")
     spark.stop()
   }
 }
