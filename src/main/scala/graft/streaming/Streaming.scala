@@ -343,6 +343,35 @@ object Streaming {
         corpusIndex, n, minJaccard))
   }
 
+  /** Close the near-dup ingest loop on a COMPACTION cadence: rebuild the
+    * serving shingle index over corpus ∪ admitted-segments, so the next
+    * streaming run drops near-dups of documents admitted by previous
+    * runs — without ever deduping against un-compacted admissions
+    * (which would break [[nearDedupAgainstIndexSink]]'s determinism
+    * contract by making output depend on micro-batch boundaries). The
+    * nightly shape: stream against the FIXED index all day; compact;
+    * the new generation serves tomorrow.
+    *
+    * `admittedDir` is the segment sink written by
+    * [[nearDedupAgainstSink]]/[[nearDedupAgainstIndexSink]] (the
+    * `batch=<id>` layout; the partition column is dropped here). The
+    * index table is dropped and rebuilt — callers key `table` by corpus
+    * generation (the `artifactTable` mtime idiom) when the corpus
+    * itself can also change. */
+  def compactNearDedupIndex(corpus: DataFrame, admittedDir: String,
+      idCol: String, textCol: String, table: String,
+      n: Int = 3, buckets: Int = 32): DataFrame = {
+    import graft.operators.Contamination
+    val spark = corpus.sparkSession
+    val admitted = spark.read.parquet(admittedDir)
+      .select(col(idCol), col(textCol))
+    graft.sources.Sources.replaceTable(spark, table)
+    graft.sources.Sources.replaceTable(spark, s"${table}_meta")
+    Contamination.shingleIndexFor(
+      corpus.select(col(idCol), col(textCol)).unionByName(admitted),
+      idCol, textCol, table, n, buckets)
+  }
+
   /** Shared idempotent-segment `foreachBatch` sink: `survivors(batch)`
     * writes to `outDir/batch=<id>` (overwrite — a replayed batch
     * rewrites its own segment, the lakehouse ingest contract shared with

@@ -386,6 +386,19 @@ class StreamingSpec extends SparkSpec {
     val got2 = spark.read.parquet(outDir2).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got2 == got, s"serve=$got2 build=$got")
+    // compaction closes the loop: fold the admitted segments into the
+    // index; a near-dup of an ADMITTED doc (16's text, one word changed)
+    // that survived against the original corpus is dropped next run
+    val idx2 = Streaming.compactNearDedupIndex(corpus, outDir2,
+      "doc_id", "text", "neardedup_spec_idx2", n = 3)
+    val probe = Seq(
+      (30L, "completely different content about distributed query planners"),
+      (33L, "fresh unrelated sentence with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val after = Contamination.decontaminateFuzzyFromIndex(probe,
+        "doc_id", "text", idx2, n = 3, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(33L), s"post-compaction survivors: $after")
   }
 
   test("runningUserTotals: GroupState persists across micro-batches") {
