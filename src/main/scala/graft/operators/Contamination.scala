@@ -77,22 +77,13 @@ object Contamination {
       textCol: String, bench: DataFrame, benchIdCol: String,
       benchTextCol: String, n: Int = 3, minJaccard: Double = 0.8,
       broadcastBench: Boolean = true): DataFrame = {
-    val cSh = corpus
-      .select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
-      .select(col(idCol), size(col("__sh")).as("__na"),
-        explode(col("__sh")).as("shk"))
-    val bSh0 = bench
-      .select(col(benchIdCol).as("__bid"), shingleHashes(col(benchTextCol), n).as("__sh"))
-      .select(col("__bid"), size(col("__sh")).as("__nb"),
-        explode(col("__sh")).as("shk"))
-    val bSh = if (broadcastBench) broadcast(bSh0) else bSh0
-    cSh.join(bSh, "shk")
-      .groupBy(col(idCol), col("__bid"), col("__na"), col("__nb"))
-      .agg(count(lit(1)).as("__i"))
-      .withColumn("jaccard", col("__i").cast("double") /
-        (col("__na") + col("__nb") - col("__i")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col(idCol), col("__bid").as("bench_id"), col("jaccard"))
+    // one Jaccard-join implementation: build the bench index in-plan and
+    // delegate to the FromIndex path (the hint survives the projection;
+    // EliminateResolvedHint propagates it up to the join)
+    val bIdx0 = shingleIndexFrame(bench, benchIdCol, benchTextCol, n)
+    val bIdx = if (broadcastBench) broadcast(bIdx0) else bIdx0
+    fuzzyContaminationPairsFromIndex(corpus, idCol, textCol, bIdx,
+      n, minJaccard)
   }
 
   /** Corpus minus every document whose n-gram Jaccard with ANY benchmark
@@ -112,27 +103,51 @@ object Contamination {
   // Persisted shingle index (the repeated-check / streaming-serve shape)
   // ------------------------------------------------------------------
 
+  /** Metadata key stamped on the `shk` column by [[shingleIndexFrame]]:
+    * the shingle width the hashes were computed with. Hash spaces of
+    * different widths are disjoint, so a width mismatch between build
+    * and serve would SILENTLY produce zero candidates (everything
+    * admitted) — the FromIndex joins fail loudly on it instead. */
+  private val ShingleNKey = "graft_shingle_n"
+
   /** The exploded shingle index of a document set: one `(id, n_sh, shk)`
     * row per (document, distinct n-gram hash) — the join-side view every
     * exact-Jaccard check needs. Public so it can be built ONCE and
     * persisted when the same reference set is checked repeatedly (a
     * benchmark suite under a daily decontamination run, a corpus under a
-    * streaming near-dup ingest). */
+    * streaming near-dup ingest). The `shk` column carries the shingle
+    * width as column metadata (it survives the parquet round-trip), so
+    * serve-side joins can validate it. */
   def shingleIndexFrame(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleNKey, n.toLong).build()
     df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("__sh"))
       .select(col("id"), size(col("__sh")).as("n_sh"),
         explode(col("__sh")).as("shk"))
+      // stamp in a SEPARATE projection: an alias directly on a
+      // generator goes through the Generate aliasing path, which drops
+      // explicit metadata
+      .select(col("id"), col("n_sh"), col("shk").as("shk", meta))
+  }
 
   /** [[fuzzyContaminationPairs]] against a PREBUILT `(id, n_sh, shk)`
     * index (same output for the same reference set). The index side is
-    * NOT broadcast — this is the path for a reference set too large to
-    * rebuild or ship per check: a shingle-bucketed persisted index joins
-    * with at most an exchange of the (small) incoming side into its
-    * bucket layout, and the big side never moves. */
+    * NOT broadcast by default — this is the path for a reference set too
+    * large to rebuild or ship per check: a shingle-bucketed persisted
+    * index joins with at most an exchange of the (small) incoming side
+    * into its bucket layout, and the big side never moves. If the index
+    * carries a shingle-width stamp ([[shingleIndexFrame]] writes one), a
+    * mismatch with `n` throws — disjoint hash spaces would otherwise
+    * silently admit every near-duplicate. */
   def fuzzyContaminationPairsFromIndex(corpus: DataFrame, idCol: String,
       textCol: String, benchIndex: DataFrame,
       n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val m = benchIndex.schema("shk").metadata
+    if (m.contains(ShingleNKey))
+      require(m.getLong(ShingleNKey) == n.toLong,
+        s"shingle-width mismatch: index built with n=${m.getLong(ShingleNKey)}, " +
+          s"serve called with n=$n — the hash spaces are disjoint")
     val cSh = corpus
       .select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
       .select(col(idCol), size(col("__sh")).as("__na"),
@@ -173,6 +188,12 @@ object Contamination {
       spark.catalog.tableExists(s"${table}_meta") && {
         val m = spark.table(s"${table}_meta").head()
         m.getInt(0) == n && m.getInt(1) == buckets
+      } && {
+        // an index from before the width stamp existed (or whose stamp
+        // disagrees) rebuilds — serving it would defeat the FromIndex
+        // joins' mismatch guard
+        val sm = spark.table(table).schema("shk").metadata
+        sm.contains(ShingleNKey) && sm.getLong(ShingleNKey) == n.toLong
       }
     if (!matches) {
       graft.sources.Sources.writeBucketed(

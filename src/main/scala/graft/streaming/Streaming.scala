@@ -363,13 +363,27 @@ object Streaming {
       n: Int = 3, buckets: Int = 32): DataFrame = {
     import graft.operators.Contamination
     val spark = corpus.sparkSession
-    val admitted = spark.read.parquet(admittedDir)
-      .select(col(idCol), col(textCol))
+    // a day where the stream admitted nothing never creates the sink
+    // dir — compact over the corpus alone instead of aborting the job
+    val hp = new org.apache.hadoop.fs.Path(admittedDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = corpus.select(col(idCol), col(textCol))
+    val unioned =
+      if (!fs.exists(hp)) docs
+      else docs.unionByName(
+        spark.read.parquet(admittedDir)
+          .select(col(idCol), col(textCol))
+          // a checkpoint-less rerun can slice the same input into fewer
+          // batches, leaving STALE higher-id segments next to the fresh
+          // ones (per-batch overwrite only replaces its own id): the
+          // same doc would then index twice and every shared shingle
+          // would double-count in the Jaccard. One row per id; if
+          // generations disagree on a doc's text the survivor is
+          // arbitrary among them.
+          .dropDuplicates(idCol))
     graft.sources.Sources.replaceTable(spark, table)
     graft.sources.Sources.replaceTable(spark, s"${table}_meta")
-    Contamination.shingleIndexFor(
-      corpus.select(col(idCol), col(textCol)).unionByName(admitted),
-      idCol, textCol, table, n, buckets)
+    Contamination.shingleIndexFor(unioned, idCol, textCol, table, n, buckets)
   }
 
   /** Shared idempotent-segment `foreachBatch` sink: `survivors(batch)`
@@ -378,7 +392,10 @@ object Streaming {
     * [[zOrderedSink]]). The micro-batch is persisted across the sink's
     * passes (emptiness probe + the survivors plan re-reads it). */
   private def segmentSink(stream: DataFrame, outDir: String,
-      checkpoint: Option[String])(survivors: DataFrame => DataFrame)
+      checkpoint: Option[String],
+      write: (DataFrame, String) => Unit =
+        (df, path) => df.write.mode("overwrite").parquet(path))
+      (transform: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming, "segmentSink needs a streaming frame")
     val w = stream.writeStream
@@ -388,8 +405,7 @@ object Streaming {
         try {
           // empty micro-batches (source ticks) write no segment
           if (!pinned.isEmpty)
-            survivors(pinned)
-              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+            write(transform(pinned), s"$outDir/batch=$id")
         } finally pinned.unpersist()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
@@ -498,19 +514,9 @@ object Streaming {
     * anything longer-lived than a test. */
   def zOrderedSink(stream: DataFrame, dir: String, zCols: Seq[String],
       filesPerBatch: Int = 4,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(stream.isStreaming, "zOrderedSink needs a streaming frame")
-    val w = stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val pinned = batch.persist()
-        try {
-          // empty micro-batches (watermark ticks) write no segment
-          if (!pinned.isEmpty)
-            graft.operators.Layout.writeZOrdered(
-              pinned, s"$dir/batch=$id", zCols, filesPerBatch)
-        } finally pinned.unpersist()
-      }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-  }
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    segmentSink(stream, dir, checkpoint,
+      write = (df, path) =>
+        graft.operators.Layout.writeZOrdered(df, path, zCols, filesPerBatch)
+    )(identity)
 }

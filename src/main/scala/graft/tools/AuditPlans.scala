@@ -138,6 +138,10 @@ object AuditPlans {
     "q_sim_topk" -> 0, "q_slice" -> 1,
     "q_span_dedup" -> 3, "q_split_hash" -> 1, "q_splitby" -> 2,
     "q_stats" -> 1, "q_stream_enrich" -> 1, "q_stream_join" -> 2,
+    // the near-dedup gates RETURN a batch read of the segment sink (the
+    // streaming work runs before the audited plan): scan → select →
+    // global orderBy = the one range exchange
+    "q_stream_neardedup" -> 1, "q_stream_neardedup_serve" -> 1,
     "q_tail" -> 0, "q_tfidf_top" -> 5, "q_token_count" -> 1,
     "q_topk_per_group" -> 2, "q_tsv_roundtrip" -> 1, "q_typed_dataset" -> 2,
     "q_udaf_summaries" -> 2, "q_union_all" -> 2, "q_unique_first" -> 2,

@@ -377,6 +377,13 @@ class StreamingSpec extends SparkSpec {
     // index — identical survivors
     val idx = Contamination.shingleIndexFor(corpus, "doc_id", "text",
       "neardedup_spec_idx", n = 3)
+    // the shingle-width stamp survives the parquet round-trip; a
+    // mismatched serve width fails loudly instead of silently admitting
+    // everything (disjoint hash spaces)
+    assertThrows[IllegalArgumentException] {
+      Contamination.decontaminateFuzzyFromIndex(corpus, "doc_id", "text",
+        idx, n = 13, minJaccard = 0.5)
+    }
     val outDir2 = s"$base/out_serve"
     val stream2 = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -399,6 +406,15 @@ class StreamingSpec extends SparkSpec {
         "doc_id", "text", idx2, n = 3, minJaccard = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(after == Seq(33L), s"post-compaction survivors: $after")
+    // a day with no admissions: compaction over a missing sink dir falls
+    // back to corpus-only instead of aborting; 30 (near-dup of the
+    // ADMITTED 16, not of the corpus) survives against it
+    val idx3 = Streaming.compactNearDedupIndex(corpus, s"$base/never_written",
+      "doc_id", "text", "neardedup_spec_idx3", n = 3)
+    val none = Contamination.decontaminateFuzzyFromIndex(probe,
+        "doc_id", "text", idx3, n = 3, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(none == Seq(30L, 33L), s"corpus-only survivors: $none")
   }
 
   test("runningUserTotals: GroupState persists across micro-batches") {
