@@ -92,7 +92,15 @@ object Chunk {
     * (reused by both join inputs), one groupBy(doc) to reassemble. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
+    // PERFORMANCE cache only (the Ordinals idiom; dropped by
+    // ContextCleaner with the result frame): the span explode feeds both
+    // the first-occurrence aggregate and the join probe, and the
+    // regex-split + span-reassembly transform dominates at small scale —
+    // recomputing it doubles the operator. Results are identical without
+    // the cache; when the exploded spans exceed executor storage the
+    // blocks spill or evict and the recompute path is what runs anyway.
     val spans = tokenWindows(df, idCol, textCol, spanTokens, stride = spanTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = spans.groupBy(col("chunk_text"))
       .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
     spans.join(first, "chunk_text")
@@ -146,6 +154,12 @@ object Chunk {
       .select(col(idCol),
         coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
           array().cast("array<string>")).as("__ws"))
+    // PERFORMANCE cache only (the Ordinals idiom; dropped by
+    // ContextCleaner with the result frame): the hashed window explode —
+    // the dominant map-side term, one md5 per sliding window — feeds
+    // both the duplicate-count aggregate and the confirm-join probe;
+    // recomputing it doubles the operator. Results are identical without
+    // the cache; oversized blocks evict to the recompute path.
     val wins = toks
       .filter(size(col("__ws")) >= k)
       .select(col(idCol), col("__ws"),
@@ -153,6 +167,7 @@ object Chunk {
       .select(col(idCol), col("__j"),
         md5(array_join(slice(col("__ws"), col("__j"), lit(k)), " ")
           .cast("binary")).as("__key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstAgg = wins.groupBy(col("__key"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col(idCol), col("__j"))).as("__first"))
@@ -206,6 +221,14 @@ object Chunk {
       maxFreq: Long = 1L, lineSep: String = "\n"): DataFrame = {
     require(maxFreq >= 1, "maxFreq must be >= 1")
     require(lineSep.nonEmpty, "lineSep must be non-empty")
+    // PERFORMANCE cache only (the Ordinals idiom; dropped by
+    // ContextCleaner with the result frame): the exploded lines feed
+    // both the frequency aggregate and the join probe, and the upstream
+    // lineage (callers typically split/reassemble text into lines first)
+    // dominates at small scale — recomputing it doubles the operator.
+    // Results are identical without the cache; when the exploded lines
+    // exceed executor storage the blocks evict and the recompute path is
+    // what runs anyway.
     val lines = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
@@ -213,6 +236,7 @@ object Chunk {
           java.util.regex.Pattern.quote(lineSep))))
       .select(col(idCol), col("pos").as("line_no"), col("col").as("line"))
       .filter(length(trim(col("line"))) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("__freq"))
     lines.join(freq, "line")
       .groupBy(col(idCol))

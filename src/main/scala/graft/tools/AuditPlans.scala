@@ -71,7 +71,10 @@ object AuditPlans {
     "q_lm_score" -> 6,
     // ensureParallelism + window-key agg + the reused window-keyed
     // confirm-join exchange + per-doc removed-set agg + output ORDER BY
-    "q_substr_dedup" -> 6,
+    // 6 → 5 with the r8 window-explode performance cache: the confirm
+    // join's probe side reads the cached explode instead of re-planning
+    // its own exchange
+    "q_substr_dedup" -> 5,
     // bucketed-window exchange (the two-level prefix sum) + output
     // ORDER BY; the per-bucket prefix frame joins broadcast
     "q_token_budget" -> 2,
