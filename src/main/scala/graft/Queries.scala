@@ -830,6 +830,55 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Mergeable-sketch ROLLUP gate (the pre-aggregated reporting cube a
+    * 100 TB deployment serves reports from): per-(source, lang, shard)
+    * HLL sketches are built once and PERSISTED (mtime-keyed artifact),
+    * then per-source answers come from MERGING the persisted sketches —
+    * no corpus access on the serve path. Two guarantees folded into the
+    * gate filter, so a violation drops rows and breaks the hash match
+    * vs the unconditional exact oracle:
+    *  - ROW CONSERVATION (bit-exact): the cube's `n_rows` rolls up to
+    *    the corpus's per-source row counts — the cube covers every row
+    *    exactly once;
+    *  - ACCURACY: every rolled-up estimate — both the one-hop rollup
+    *    and the two-hop rollup through an intermediate (source, lang)
+    *    sketch tier — lands within 15% of the exact distinct count
+    *    (lgK=12 ⇒ rse ≈ 1.6%; wide margin for tiny groups).
+    * Rolled estimates are deliberately NOT compared bit-exact across
+    * paths or against a fresh single sketch: intermediate union
+    * serialization and the HIP-vs-composite estimator split both move
+    * estimates within the error band — see [[graft.operators.Sketch
+    * .buildDistinctSketches]]. */
+  val q_sketch_rollup: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "hll_cube", dir, "documents")
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.replaceTable(s, table)
+      Sketch.buildDistinctSketches(
+          docs.withColumn("shard", col("doc_id") % 4),
+          Seq("source", "lang", "shard"), "n_chars")
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+    }
+    val cube = s.table(table)
+    val oneHop = Sketch.rollupDistinct(cube, Seq("source"))
+    val twoHop = Sketch.rollupDistinct(
+        Sketch.rollupSketches(cube, Seq("source", "lang")), Seq("source"))
+      .select(col("source"), col("est_distinct").as("__est2"),
+        col("n_rows").as("__n2"))
+    val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(col("n_chars")).as("n_exact"),
+        count(lit(1)).as("__n_rows_corpus"))
+    def withinTol(est: Column) =
+      abs(est - col("n_exact")).cast("double") <= lit(0.15) * col("n_exact")
+    oneHop.join(twoHop, "source").join(exact, "source")
+      .filter(col("n_rows") === col("__n_rows_corpus") &&
+        col("__n2") === col("__n_rows_corpus") &&
+        withinTol(col("est_distinct")) && withinTol(col("__est2")))
+      .select(col("source"), col("n_exact"))
+      .orderBy(col("source"))
+  }
+
   /** Count-min-sketch frequency gate: per event type, the exact count,
     * emitted only if the CMS estimate respects both CMS guarantees
     * (never under-counts; over-counts by at most eps·N). A dropped row
@@ -2253,6 +2302,7 @@ object Queries {
     "q_search_bm25" -> q_search_bm25,
     "q_search_bm25_serve" -> q_search_bm25_serve,
     "q_approx_distinct" -> q_approx_distinct,
+    "q_sketch_rollup" -> q_sketch_rollup,
     "q_cms_counts" -> q_cms_counts,
     "q_heavy_hitters" -> q_heavy_hitters,
     "q_gopher_rules" -> q_gopher_rules,
@@ -3031,6 +3081,13 @@ object Queries {
     "q_cms_counts" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // unconditional exact per-source distinct counts: the Spark side
+    // only emits a row when the merged-sketch estimate exactly equals
+    // the direct sketch AND lands within tolerance of the exact count
+    "q_sketch_rollup" ->
+      """SELECT source, count(DISTINCT n_chars) AS n_exact
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH toks AS (

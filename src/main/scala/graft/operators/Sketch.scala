@@ -44,6 +44,57 @@ object Sketch {
           lit(tol) * col("exact_nd"))
       .drop("__approx")
 
+  // ------------------------------------------------------------------
+  // Mergeable sketch ROLLUP (the pre-aggregated reporting cube)
+  // ------------------------------------------------------------------
+
+  /** Per-group Datasketches HLL sketches: one `(keys..., sketch, n_rows)`
+    * row per group, with `sketch` the serialized HLL of `valueCol`'s
+    * distinct values (lgK registers; map-side partially aggregated like
+    * any Spark agg). This is the BUILD half of the sketch-rollup pattern:
+    * persist this table once per corpus generation at the finest grouping
+    * you report on, and every coarser rollup merges sketches instead of
+    * rescanning the corpus — the cube is group-count-sized, the corpus is
+    * 100 TB.
+    *
+    * Guarantees (and the deliberate non-guarantees): per-group row
+    * counts roll up EXACTLY (the cube covers every row once), repeated
+    * rollups of the same persisted cube are deterministic, and every
+    * rollup path reports within the ~1.04/√2^lgK relative-error band of
+    * the exact count — which is what the accuracy gate checks. Estimate
+    * BIT-stability beyond that is not promised: different rollup paths,
+    * different build layouts, and rolled-vs-lone-sketch comparisons can
+    * each nudge registers or switch estimators (set→HLL promotion
+    * points depend on partial-merge order; an intermediate union gadget
+    * serializes to a target sketch type; a lone sketch answers with the
+    * stream-order-dependent HIP estimator while a union falls back to
+    * composite). All of it stays inside the same error band — measured
+    * in SketchSpec. */
+  def buildDistinctSketches(df: DataFrame, keys: Seq[String],
+      valueCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Intermediate rollup that KEEPS sketches mergeable: union down to
+    * `keepKeys`, preserving the `sketch` column for further rollups —
+    * the multi-tier cube shape (hour → day → month) where each tier is
+    * itself a persisted sketch table. */
+  def rollupSketches(sketches: DataFrame, keepKeys: Seq[String]): DataFrame =
+    sketches.groupBy(keepKeys.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** The SERVE half: roll a sketch table up to `keepKeys` by HLL union
+    * and report the distinct estimate per coarser group — no corpus
+    * access at all. See [[buildDistinctSketches]] for the path-equality
+    * and accuracy guarantees. */
+  def rollupDistinct(sketches: DataFrame, keepKeys: Seq[String]): DataFrame =
+    sketches.groupBy(keepKeys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("est_distinct"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** Misra-Gries heavy hitters over `valueCol`: one row per candidate
     * `(item, est_count)`, where every value with true frequency > N/(k+1)
     * is guaranteed a row and `true − N/(k+1) ≤ est_count ≤ true`. The

@@ -75,6 +75,11 @@ object AuditPlans {
     // join's probe side reads the cached explode instead of re-planning
     // its own exchange
     "q_substr_dedup" -> 5,
+    // cube-sized aggregates: one-hop rollup (1) + two-hop rollup (2) +
+    // corpus exact distinct (2: partial/final count_distinct) + the
+    // final orderBy range exchange — the CORPUS is scanned once, for
+    // the exact side only; the serve paths touch just the cube table
+    "q_sketch_rollup" -> 6,
     // bucketed-window exchange (the two-level prefix sum) + output
     // ORDER BY; the per-bucket prefix frame joins broadcast
     "q_token_budget" -> 2,

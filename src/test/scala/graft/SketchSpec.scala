@@ -23,6 +23,57 @@ class SketchSpec extends SparkSpec {
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 
+  test("sketch rollup: layout-invariant, deterministic, every rollup " +
+      "path within the rse band of exact; rows conserve exactly") {
+    // 911 distinct values — enough to promote the sketches OUT of
+    // sparse mode, the regime where the documented non-guarantees show
+    // (cross-path register drift, HIP vs composite estimator)
+    val docs = (1 to 4000).map { i =>
+      (s"s${i % 4}", s"l${i % 3}", (i % 911).toLong)
+    }.toDF("source", "lang", "v")
+    val fine = Sketch.buildDistinctSketches(
+      docs.withColumn("shard", col("v") % 5), Seq("source", "lang", "shard"), "v")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneHop = collect(Sketch.rollupDistinct(fine, Seq("source")))
+    val twoHop = collect(Sketch.rollupDistinct(
+      Sketch.rollupSketches(fine, Seq("source", "lang")), Seq("source")))
+    // exact per-source truth
+    val truth = docs.groupBy("source")
+      .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // every path: rows conserve EXACTLY, estimates within the band
+    for (path <- Seq(oneHop, twoHop); ((s0, est, n), (s1, nd, nTrue)) <- path.zip(truth)) {
+      assert(s0 == s1)
+      assert(n == nTrue, s"row conservation broke: $s0 $n vs $nTrue")
+      assert(math.abs(est - nd).toDouble <= 0.10 * nd, s"$s0: est=$est exact=$nd")
+    }
+    // DETERMINISM: the same cube rolled up twice gives identical rows
+    assert(collect(Sketch.rollupDistinct(fine, Seq("source"))) == oneHop)
+    // a repartitioned BUILD stays within the band too (bit-stability
+    // across physical layouts is NOT promised: set→HLL promotion points
+    // depend on partial-merge order, nudging registers within the band)
+    val fine2 = Sketch.buildDistinctSketches(
+      docs.repartition(17).withColumn("shard", col("v") % 5),
+      Seq("source", "lang", "shard"), "v")
+    for (((s0, est, n), (s1, nd, nTrue)) <-
+        collect(Sketch.rollupDistinct(fine2, Seq("source"))).zip(truth)) {
+      assert(s0 == s1 && n == nTrue)
+      assert(math.abs(est - nd).toDouble <= 0.10 * nd, s"$s0: est=$est exact=$nd")
+    }
+    // global rollup and a lone whole-table sketch agree within the band
+    // (not bit-exactly — HIP vs composite, the documented non-guarantee)
+    val global = Sketch.rollupDistinct(fine, Seq.empty).head().getLong(0)
+    val directAll = docs.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12)))).head().getLong(0)
+    val exact = docs.select(countDistinct(col("v"))).head().getLong(0)
+    assert(math.abs(global - exact).toDouble <= 0.10 * exact,
+      s"global=$global exact=$exact")
+    assert(math.abs(directAll - exact).toDouble <= 0.10 * exact)
+  }
+
   test("MisraGries class: classic decrement + mergeable-summaries merge") {
     val mg = new graft.functions.Aggregators.MisraGries(2)
     // stream a a b c with k=2: c evicts nothing it can keep — after the
