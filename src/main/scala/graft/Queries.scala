@@ -1997,6 +1997,37 @@ object Queries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming approximate distinct (HLL++) per (hour, event_type): the
+    * sketch whose point IS streaming — exact count_distinct is an
+    * unsupported streaming plan (unbounded per-group value-set state),
+    * while HLL state is KB registers. ACCURACY GATE in the
+    * q_approx_distinct mold: the streamed estimate rides next to the
+    * batch-exact per-window distinct, rows emit only within tolerance —
+    * 15% relative error with a ±3 absolute floor for the handful-sized
+    * windows where HLL++'s small-range bias correction wobbles a count
+    * or two (at rsd = 0.05 two sf0.1 windows at n≈20 missed a bare 15%;
+    * rsd = 0.01 reads worst-case 6.3% there, and the floor covers the
+    * integer-granularity tail on regenerated data) — and the oracle is
+    * the unconditional exact, so a violation breaks the hash match.
+    * HLL++ is hash-deterministic: the streamed estimate equals what the
+    * batch plan computes, independent of arrival order. */
+  val q_stream_approx_distinct: Q = (s, dir) => {
+    val agg = Streaming.approxDistinctStream(Streaming.eventsStream(s, dir),
+      itemCol = "user_id", groupCols = Seq("event_type"), rsd = 0.01)
+    val streamed = Streaming.runToBatch(agg, "stream_apxnd_out")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("approx_nd"))
+    val exact = events(s, dir).df
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    val absDiff = abs(col("approx_nd") - col("n_exact")).cast("double")
+    streamed.join(exact, Seq("hour", "event_type"))
+      .filter(absDiff <= lit(0.15) * col("n_exact") || absDiff <= lit(3.0))
+      .select(col("hour"), col("event_type"), col("n_exact"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Sliding windows (2h size / 1h slide) under streaming — each event
     * contributes to two windows. */
   val q_stream_sliding: Q = (s, dir) => {
@@ -2363,6 +2394,7 @@ object Queries {
     "q_csv_string" -> q_csv_string,
     "q_zip_import" -> q_zip_import,
     "q_stream_tumbling" -> q_stream_tumbling,
+    "q_stream_approx_distinct" -> q_stream_approx_distinct,
     "q_stream_join" -> q_stream_join,
     "q_stream_sliding" -> q_stream_sliding,
     "q_stream_stateful" -> q_stream_stateful,
@@ -3946,6 +3978,13 @@ object Queries {
     "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // unconditional exact per-window distincts: the streamed HLL
+    // estimate only lets a row through when it is within 15% of this
+    "q_stream_approx_distinct" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(DISTINCT user_id) AS n_exact
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     // the funnel's append-mode cut: only windows whose end has passed

@@ -411,6 +411,25 @@ object Streaming {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming APPROXIMATE DISTINCT per event-time window: per-window
+    * HLL++ cardinality of `itemCol` — the estimator whose whole point is
+    * streaming, because exact `count_distinct` is UNSUPPORTED on
+    * streams (it would need unbounded per-group value sets in the state
+    * store; Spark rejects the plan). The HLL buffer is KBs per (window,
+    * key) group regardless of cardinality, partial-aggregates map-side,
+    * and the state store carries registers, never values. Deterministic:
+    * HLL++ is hash-based, so the estimate is layout- and
+    * arrival-order-free. Output: one row per (window, group keys...,
+    * approx_nd), emitted on watermark close in append mode. */
+  def approxDistinctStream(events: DataFrame, itemCol: String,
+      groupCols: Seq[String], tsCol: String = "ts",
+      window: String = "1 hour", delay: String = "1 hour",
+      rsd: Double = 0.05): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window) +:
+        groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(itemCol), rsd).as("approx_nd"))
+
   /** Streaming HEAVY HITTERS per event-time window — the Misra-Gries
     * sketch ([[graft.operators.Sketch.heavyHitters]]'s merge-safe
     * `Aggregator`) run as a watermarked tumbling-window aggregation:

@@ -146,6 +146,9 @@ object AuditPlans {
     "q_sim_topk" -> 0, "q_slice" -> 1,
     "q_span_dedup" -> 3, "q_split_hash" -> 1, "q_splitby" -> 2,
     "q_stats" -> 1, "q_stream_enrich" -> 1, "q_stream_join" -> 2,
+    // memory-sink scan + batch exact count_distinct (2: partial/final)
+    // + the join/orderBy share — the streamed agg ran before the plan
+    "q_stream_approx_distinct" -> 3,
     // the near-dedup gates RETURN a batch read of the segment sink (the
     // streaming work runs before the audited plan): scan → select →
     // global orderBy = the one range exchange
