@@ -879,6 +879,42 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** KLL quantile-rollup gate — the QUANTILE face of the persisted
+    * sketch cube: per-(source, lang, shard) KLL sketches of n_chars are
+    * built once (mtime-keyed artifact, sharing `q_sketch_rollup`'s
+    * build discipline), then per-source p50/p90 are served by MERGE
+    * with no corpus access. The gated contract is KLL's actual
+    * guarantee — the RANK of the served quantile: for each source,
+    * count(n_chars ≤ served_q) must sit within 5% of q·n (k = 200 ⇒
+    * ~1.65% at 99% conf; wide margin), and the cube's row counts must
+    * roll up exactly. Rows failing either drop and break the hash match
+    * vs the unconditional exact per-source row-count oracle. */
+  val q_quantile_rollup: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "kll_cube", dir, "documents")
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.replaceTable(s, table)
+      Sketch.buildQuantileSketches(
+          docs.withColumn("shard", col("doc_id") % 4),
+          Seq("source", "lang", "shard"), "n_chars")
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+    }
+    val served = Sketch.rollupQuantiles(s.table(table), Seq("source"),
+      Seq(0.5, 0.9))
+    val checked = docs.join(broadcast(served), "source")
+      .groupBy(col("source"), col("n_rows"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("n_chars") <= col("q_50"), 1L).otherwise(0L)).as("__r50"),
+        sum(when(col("n_chars") <= col("q_90"), 1L).otherwise(0L)).as("__r90"))
+    checked
+      .filter(col("n_rows") === col("__n") &&
+        abs(col("__r50").cast("double") / col("__n") - lit(0.5)) <= lit(0.05) &&
+        abs(col("__r90").cast("double") / col("__n") - lit(0.9)) <= lit(0.05))
+      .select(col("source"), col("__n").as("n_rows"))
+      .orderBy(col("source"))
+  }
+
   /** Count-min-sketch frequency gate: per event type, the exact count,
     * emitted only if the CMS estimate respects both CMS guarantees
     * (never under-counts; over-counts by at most eps·N). A dropped row
@@ -2334,6 +2370,7 @@ object Queries {
     "q_search_bm25_serve" -> q_search_bm25_serve,
     "q_approx_distinct" -> q_approx_distinct,
     "q_sketch_rollup" -> q_sketch_rollup,
+    "q_quantile_rollup" -> q_quantile_rollup,
     "q_cms_counts" -> q_cms_counts,
     "q_heavy_hitters" -> q_heavy_hitters,
     "q_gopher_rules" -> q_gopher_rules,
@@ -3119,6 +3156,13 @@ object Queries {
     // the direct sketch AND lands within tolerance of the exact count
     "q_sketch_rollup" ->
       """SELECT source, count(DISTINCT n_chars) AS n_exact
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // unconditional exact per-source row counts: the Spark side only
+    // emits a row when the merged KLL p50/p90's true ranks are within
+    // 5% of target and the cube's row counts conserve exactly
+    "q_quantile_rollup" ->
+      """SELECT source, count(*) AS n_rows
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_heavy_hitters" ->

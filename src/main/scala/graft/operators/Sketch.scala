@@ -95,6 +95,40 @@ object Sketch {
           .as("est_distinct"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Per-group KLL quantile sketches over a BIGINT column — the
+    * QUANTILE companion to [[buildDistinctSketches]]'s cube: persist at
+    * the finest grouping once per corpus generation, and serve any
+    * coarser group's quantiles by MERGING sketches (KLL merge preserves
+    * the rank-error guarantee; k = 200 ⇒ normalized rank error ≈ 1.65%
+    * at 99% confidence). Same non-guarantees as the HLL cube: merged
+    * sketches are deterministic for a fixed cube but not bit-stable
+    * across build layouts; the gated contract is the RANK guarantee —
+    * the true rank of a served q-quantile sits within ε of q·n. */
+  def buildQuantileSketches(df: DataFrame, keys: Seq[String],
+      valueCol: String, k: Int = 200): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(kll_sketch_agg_bigint(col(valueCol), lit(k)).as("qsketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge a KLL sketch table down to `keepKeys`, keeping the sketch
+    * mergeable for further tiers (the [[rollupSketches]] shape). */
+  def rollupQuantileSketches(sketches: DataFrame,
+      keepKeys: Seq[String]): DataFrame =
+    sketches.groupBy(keepKeys.map(col): _*)
+      .agg(kll_merge_agg_bigint(col("qsketch")).as("qsketch"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** Serve quantile estimates per coarser group from a sketch table —
+    * one `q_<pct>` column per requested quantile, no corpus access. */
+  def rollupQuantiles(sketches: DataFrame, keepKeys: Seq[String],
+      quantiles: Seq[Double]): DataFrame = {
+    val merged = rollupQuantileSketches(sketches, keepKeys)
+    val cols = keepKeys.map(col) ++ quantiles.map(q =>
+      kll_sketch_get_quantile_bigint(col("qsketch"), lit(q))
+        .as(s"q_${(q * 100).round}")) :+ col("n_rows")
+    merged.select(cols: _*)
+  }
+
   /** Misra-Gries heavy hitters over `valueCol`: one row per candidate
     * `(item, est_count)`, where every value with true frequency > N/(k+1)
     * is guaranteed a row and `true − N/(k+1) ≤ est_count ≤ true`. The

@@ -80,6 +80,10 @@ object AuditPlans {
     // final orderBy range exchange — the CORPUS is scanned once, for
     // the exact side only; the serve paths touch just the cube table
     "q_sketch_rollup" -> 6,
+    // merge rollup over the cube (1) + the grouped rank check over the
+    // broadcast-joined corpus (partial/final fold into one visible
+    // exchange at audit scale) + the orderBy exchange
+    "q_quantile_rollup" -> 3,
     // bucketed-window exchange (the two-level prefix sum) + output
     // ORDER BY; the per-bucket prefix frame joins broadcast
     "q_token_budget" -> 2,

@@ -74,6 +74,37 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(directAll - exact).toDouble <= 0.10 * exact)
   }
 
+  test("KLL quantile rollup: rank guarantee on every path, rows conserve") {
+    val docs = (1 to 4000).map { i =>
+      (s"s${i % 4}", s"l${i % 3}", ((i * 7919) % 911).toLong)
+    }.toDF("source", "lang", "v")
+    val fine = Sketch.buildQuantileSketches(
+      docs.withColumn("shard", col("v") % 5), Seq("source", "lang", "shard"), "v")
+    def rankCheck(served: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = docs.join(broadcast(served), "source")
+        .groupBy(col("source"), col("n_rows"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") <= col("q_50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("v") <= col("q_90"), 1L).otherwise(0L)).as("r90"))
+        .collect()
+      assert(rows.length == 4)
+      rows.foreach { r =>
+        val (nRows, n) = (r.getLong(1), r.getLong(2))
+        assert(nRows == n, s"${r.getString(0)}: cube rows $nRows vs $n")
+        assert(math.abs(r.getLong(3).toDouble / n - 0.5) <= 0.05,
+          s"${r.getString(0)}: p50 rank ${r.getLong(3)}/$n")
+        assert(math.abs(r.getLong(4).toDouble / n - 0.9) <= 0.05,
+          s"${r.getString(0)}: p90 rank ${r.getLong(4)}/$n")
+      }
+    }
+    // one-hop serve and two-hop serve (through a (source, lang) sketch
+    // tier) both honor the rank guarantee — merge preserves it
+    rankCheck(Sketch.rollupQuantiles(fine, Seq("source"), Seq(0.5, 0.9)))
+    rankCheck(Sketch.rollupQuantiles(
+      Sketch.rollupQuantileSketches(fine, Seq("source", "lang")),
+      Seq("source"), Seq(0.5, 0.9)))
+  }
+
   test("MisraGries class: classic decrement + mergeable-summaries merge") {
     val mg = new graft.functions.Aggregators.MisraGries(2)
     // stream a a b c with k=2: c evicts nothing it can keep — after the
