@@ -2039,29 +2039,35 @@ object Queries {
     * while HLL state is KB registers. ACCURACY GATE in the
     * q_approx_distinct mold: the streamed estimate rides next to the
     * batch-exact per-window distinct, rows emit only within tolerance —
-    * 15% relative error with a ±3 absolute floor for the handful-sized
-    * windows where HLL++'s small-range bias correction wobbles a count
-    * or two (at rsd = 0.05 two sf0.1 windows at n≈20 missed a bare 15%;
-    * rsd = 0.01 reads worst-case 6.3% there, and the floor covers the
-    * integer-granularity tail on regenerated data) — and the oracle is
-    * the unconditional exact, so a violation breaks the hash match.
+    * 15% relative error with a ±3 absolute floor for handful-sized
+    * windows (HLL++'s small-range bias correction can wobble a count or
+    * two; measured across all 3 SFs, daily/rsd=0.02 worst-case is 4.1%
+    * relative / abs 2 at the small end, a 3.7× margin) — and the oracle
+    * is the unconditional exact, so a violation breaks the hash match.
     * HLL++ is hash-deterministic: the streamed estimate equals what the
     * batch plan computes, independent of arrival order. */
   val q_stream_approx_distinct: Q = (s, dir) => {
+    // DAILY windows at rsd=0.02 — both knobs measured, not guessed:
+    // rsd sizes the per-group buffer (0.01 ⇒ ~22 KB, and the streaming
+    // run reads 2.7–3.5 s; 0.02/0.05 ⇒ ~1.1 s, at plain-count cost),
+    // and the window sizes the group count (hourly = 3600 groups
+    // through the state store, daily = ~120) while pushing every
+    // window's count up into the safe relative-tolerance regime.
     val agg = Streaming.approxDistinctStream(Streaming.eventsStream(s, dir),
-      itemCol = "user_id", groupCols = Seq("event_type"), rsd = 0.01)
+      itemCol = "user_id", groupCols = Seq("event_type"),
+      window = "1 day", delay = "1 hour", rsd = 0.02)
     val streamed = Streaming.runToBatch(agg, "stream_apxnd_out")
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("approx_nd"))
     val exact = events(s, dir).df
-      .groupBy(date_format(date_trunc("hour", col("ts")),
-          "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .groupBy(date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd").as("day"), col("event_type"))
       .agg(count_distinct(col("user_id")).as("n_exact"))
     val absDiff = abs(col("approx_nd") - col("n_exact")).cast("double")
-    streamed.join(exact, Seq("hour", "event_type"))
+    streamed.join(exact, Seq("day", "event_type"))
       .filter(absDiff <= lit(0.15) * col("n_exact") || absDiff <= lit(3.0))
-      .select(col("hour"), col("event_type"), col("n_exact"))
-      .orderBy(col("hour"), col("event_type"))
+      .select(col("day"), col("event_type"), col("n_exact"))
+      .orderBy(col("day"), col("event_type"))
   }
 
   /** Sliding windows (2h size / 1h slide) under streaming — each event
@@ -4025,11 +4031,11 @@ object Queries {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     // unconditional exact per-window distincts: the streamed HLL
-    // estimate only lets a row through when it is within 15% of this
+    // estimate only lets a row through when it is within tolerance
     "q_stream_approx_distinct" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  event_type, count(DISTINCT user_id) AS n_exact
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     // the funnel's append-mode cut: only windows whose end has passed
     // the final watermark (max ts - 1 h) are emitted by the stream

@@ -47,6 +47,30 @@ object Curate {
       .select(col("s.stage"), col("s.name"), col("s.survivors"))
   }
 
+  /** The funnel with a FREE per-stage report: returns the survivors
+    * frame plus a registered `Observation` whose per-stage counts
+    * (`n_0` = input, `n_i` = survivors of stages 1..i) materialize as a
+    * side effect of whatever SINGLE action runs the frame — the write,
+    * the count, the downstream job. [[report]] answers "what did the
+    * funnel do" with its own aggregate scan; this is the production
+    * shape, where the telemetry rides the main pass map-side and costs
+    * zero extra scans of a 100 TB corpus. Read `observation.get` (or
+    * `getAsJava`) AFTER the action completes; per Spark's Observation
+    * contract the metrics reflect the FIRST action that materializes
+    * the observed frame. */
+  def filteredObserved(t: GTable, stages: Seq[Stage],
+      name: String = "curation_funnel"): (GTable, org.apache.spark.sql.Observation) = {
+    require(stages.nonEmpty, "need at least one stage")
+    val cumulative = stages.scanLeft(lit(true))((acc, s) => acc && s.keep).tail
+    val aggs = count(lit(1)).cast("long").as("n_0") +:
+      cumulative.zipWithIndex.map { case (pred, i) =>
+        count(when(pred, 1)).cast("long").as(s"n_${i + 1}")
+      }
+    val obs = org.apache.spark.sql.Observation(name)
+    val observed = t.df.observe(obs, aggs.head, aggs.tail: _*)
+    (t.copy(df = observed.filter(cumulative.last)), obs)
+  }
+
   /** Corpus balancing: keep at most `k` rows per group, chosen by
     * `order` (make it a total order for determinism — tie-break on a
     * unique id). The standard per-domain / per-source cap that stops a

@@ -39,6 +39,20 @@ class CurateSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"per-stage unions would rescan:\n$plan")
   }
 
+  test("filteredObserved: survivors match filtered(), per-stage counts " +
+      "arrive as a side effect of the one materializing action") {
+    val (survivors, obs) = Curate.filteredObserved(t, stages, "funnel_spec")
+    // ONE action materializes both the survivors and the telemetry
+    val ids = survivors.df.select("id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("a", "d"))
+    val m = obs.get
+    assert(m("n_0") == 5L && m("n_1") == 3L && m("n_2") == 2L, s"got $m")
+    // same numbers report() computes with its own aggregate scan
+    val rep = Curate.report(t, stages).orderBy("stage")
+      .collect().map(_.getLong(2)).toSeq
+    assert(rep == Seq(5L, 3L, 2L))
+  }
+
   test("capPerGroup: keeps at most k per group by the given total order") {
     val capped = Curate.capPerGroup(t, Seq("lang"),
         Seq(col("len").desc, col("id")), k = 2)
