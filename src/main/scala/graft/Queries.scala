@@ -884,11 +884,13 @@ object Queries {
     * built once (mtime-keyed artifact, sharing `q_sketch_rollup`'s
     * build discipline), then per-source p50/p90 are served by MERGE
     * with no corpus access. The gated contract is KLL's actual
-    * guarantee — the RANK of the served quantile: for each source,
-    * count(n_chars ≤ served_q) must sit within 5% of q·n (k = 200 ⇒
-    * ~1.65% at 99% conf; wide margin), and the cube's row counts must
-    * roll up exactly. Rows failing either drop and break the hash match
-    * vs the unconditional exact per-source row-count oracle. */
+    * guarantee — the RANK of the served quantile: for each source, the
+    * NORMALIZED rank error |count(n_chars ≤ served_q)/n − q| must be
+    * ≤ 0.05 (i.e. the rank sits within 0.05·n of q·n — KLL's guarantee
+    * is normalized rank error, ~1.65% at k = 200/99% conf; wide
+    * margin), and the cube's row counts must roll up exactly. Rows
+    * failing either drop and break the hash match vs the unconditional
+    * exact per-source row-count oracle. */
   val q_quantile_rollup: Q = (s, dir) => {
     import graft.operators.Sketch
     val docs = t(s, dir, "documents").df
@@ -3158,8 +3160,9 @@ object Queries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // unconditional exact per-source distinct counts: the Spark side
-    // only emits a row when the merged-sketch estimate exactly equals
-    // the direct sketch AND lands within tolerance of the exact count
+    // only emits a row when the cube's row counts roll up EXACTLY and
+    // BOTH rollup paths' estimates land within tolerance of the exact
+    // count (bit-equality across paths is a documented non-guarantee)
     "q_sketch_rollup" ->
       """SELECT source, count(DISTINCT n_chars) AS n_exact
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

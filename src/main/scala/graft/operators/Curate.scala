@@ -27,15 +27,26 @@ object Curate {
     t.copy(df = t.df.filter(stages.map(_.keep).reduce(_ && _)))
   }
 
-  /** Per-stage survivor report: rows (stage, name, survivors), stage 0
-    * being the unfiltered input. One aggregate pass. */
-  def report(t: GTable, stages: Seq[Stage]): DataFrame = {
+  /** Shared funnel-count machinery: the cumulative conjunctive
+    * predicates (stage i = stages 1..i ANDed) and the one-pass
+    * conditional-count aggregates (`n_0` = input, `n_i` = survivors of
+    * stage i). [[report]] runs them as their own aggregate;
+    * [[filteredObserved]] rides them on the main pass via `observe` —
+    * ONE construction so the two can never diverge. */
+  private def funnelCounts(stages: Seq[Stage]): (Seq[Column], Seq[Column]) = {
     require(stages.nonEmpty, "need at least one stage")
     val cumulative = stages.scanLeft(lit(true))((acc, s) => acc && s.keep).tail
     val aggs = count(lit(1)).cast("long").as("n_0") +:
       cumulative.zipWithIndex.map { case (pred, i) =>
         count(when(pred, 1)).cast("long").as(s"n_${i + 1}")
       }
+    (cumulative, aggs)
+  }
+
+  /** Per-stage survivor report: rows (stage, name, survivors), stage 0
+    * being the unfiltered input. One aggregate pass. */
+  def report(t: GTable, stages: Seq[Stage]): DataFrame = {
+    val (_, aggs) = funnelCounts(stages)
     val one = t.df.agg(aggs.head, aggs.tail: _*)
     val stageStructs = struct(lit(0).as("stage"), lit("input").as("name"),
       col("n_0").as("survivors")) +:
@@ -60,12 +71,7 @@ object Curate {
     * the observed frame. */
   def filteredObserved(t: GTable, stages: Seq[Stage],
       name: String = "curation_funnel"): (GTable, org.apache.spark.sql.Observation) = {
-    require(stages.nonEmpty, "need at least one stage")
-    val cumulative = stages.scanLeft(lit(true))((acc, s) => acc && s.keep).tail
-    val aggs = count(lit(1)).cast("long").as("n_0") +:
-      cumulative.zipWithIndex.map { case (pred, i) =>
-        count(when(pred, 1)).cast("long").as(s"n_${i + 1}")
-      }
+    val (cumulative, aggs) = funnelCounts(stages)
     val obs = org.apache.spark.sql.Observation(name)
     val observed = t.df.observe(obs, aggs.head, aggs.tail: _*)
     (t.copy(df = observed.filter(cumulative.last)), obs)

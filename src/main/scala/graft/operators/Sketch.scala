@@ -87,13 +87,14 @@ object Sketch {
 
   /** The SERVE half: roll a sketch table up to `keepKeys` by HLL union
     * and report the distinct estimate per coarser group — no corpus
-    * access at all. See [[buildDistinctSketches]] for the path-equality
-    * and accuracy guarantees. */
+    * access at all. Composes [[rollupSketches]] (one union
+    * implementation) + the estimate projection. See
+    * [[buildDistinctSketches]] for the accuracy guarantees. */
   def rollupDistinct(sketches: DataFrame, keepKeys: Seq[String]): DataFrame =
-    sketches.groupBy(keepKeys.map(col): _*)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
-          .as("est_distinct"),
-        sum(col("n_rows")).as("n_rows"))
+    rollupSketches(sketches, keepKeys)
+      .select(keepKeys.map(col) ++ Seq(
+        hll_sketch_estimate(col("sketch")).as("est_distinct"),
+        col("n_rows")): _*)
 
   /** Per-group KLL quantile sketches over a BIGINT column — the
     * QUANTILE companion to [[buildDistinctSketches]]'s cube: persist at
@@ -111,21 +112,39 @@ object Sketch {
         count(lit(1)).as("n_rows"))
 
   /** Merge a KLL sketch table down to `keepKeys`, keeping the sketch
-    * mergeable for further tiers (the [[rollupSketches]] shape). */
+    * mergeable for further tiers (the [[rollupSketches]] shape).
+    * `k` MUST match the build-time k: Spark's `kll_merge_agg_bigint`
+    * builds its merge target with the DEFAULT k (200) when none is
+    * given, silently downgrading a higher-precision build — so the
+    * parameter is threaded, not defaulted away. */
   def rollupQuantileSketches(sketches: DataFrame,
-      keepKeys: Seq[String]): DataFrame =
+      keepKeys: Seq[String], k: Int = 200): DataFrame =
     sketches.groupBy(keepKeys.map(col): _*)
-      .agg(kll_merge_agg_bigint(col("qsketch")).as("qsketch"),
+      .agg(kll_merge_agg_bigint(col("qsketch"), lit(k)).as("qsketch"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Collision-free column name for a quantile: `q_50`/`q_90` for whole
+    * percents, the full decimal otherwise (`q_0_995`) — a rounded
+    * percent would alias 0.995 and 0.999 onto one name. */
+  private def quantileColName(q: Double): String = {
+    val pct = q * 100
+    if (math.abs(pct - pct.round) < 1e-9) s"q_${pct.round}"
+    else "q_" + q.toString.replace(".", "_").replace("-", "m")
+  }
+
   /** Serve quantile estimates per coarser group from a sketch table —
-    * one `q_<pct>` column per requested quantile, no corpus access. */
+    * one column per requested quantile ([[quantileColName]] naming), no
+    * corpus access. `k` must match the build (see
+    * [[rollupQuantileSketches]]). */
   def rollupQuantiles(sketches: DataFrame, keepKeys: Seq[String],
-      quantiles: Seq[Double]): DataFrame = {
-    val merged = rollupQuantileSketches(sketches, keepKeys)
-    val cols = keepKeys.map(col) ++ quantiles.map(q =>
-      kll_sketch_get_quantile_bigint(col("qsketch"), lit(q))
-        .as(s"q_${(q * 100).round}")) :+ col("n_rows")
+      quantiles: Seq[Double], k: Int = 200): DataFrame = {
+    val names = quantiles.map(quantileColName)
+    require(names.distinct == names,
+      s"quantile column names collide: $names")
+    val merged = rollupQuantileSketches(sketches, keepKeys, k)
+    val cols = keepKeys.map(col) ++ quantiles.zip(names).map { case (q, n) =>
+      kll_sketch_get_quantile_bigint(col("qsketch"), lit(q)).as(n)
+    } :+ col("n_rows")
     merged.select(cols: _*)
   }
 

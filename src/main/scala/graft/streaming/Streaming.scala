@@ -420,7 +420,11 @@ object Streaming {
     * and the state store carries registers, never values. Deterministic:
     * HLL++ is hash-based, so the estimate is layout- and
     * arrival-order-free. Output: one row per (window, group keys...,
-    * approx_nd), emitted on watermark close in append mode. */
+    * approx_nd). In a long-lived append-mode query rows emit on
+    * watermark close; with [[runToBatch]] use `mode = "complete"` (the
+    * q_stream_tumbling pattern) or pass `watermarkFlush = true` —
+    * append without the flush disables the no-data batch that would
+    * emit closed windows, and a to-completion run returns NOTHING. */
   def approxDistinctStream(events: DataFrame, itemCol: String,
       groupCols: Seq[String], tsCol: String = "ts",
       window: String = "1 hour", delay: String = "1 hour",
