@@ -2072,6 +2072,43 @@ object Queries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Streaming per-window QUANTILES via KLL sketches (daily p50/p90 of
+    * the event value per type): the stream emits SKETCHES — any
+    * quantile extracts downstream, and windows/keys stay mergeable —
+    * while exact streaming percentiles would hold every value in state.
+    * RANK GATE in the q_quantile_rollup mold: for each (day, type) the
+    * rank error of the served p50/p90 — |count(value ≤ q̂) − q·n| —
+    * must be ≤ max(0.05·n, 1) AND the sketch's row count must equal
+    * the batch count; rows failing either drop and break the hash match
+    * vs the unconditional exact per-(day, type) row-count oracle. The
+    * one-rank absolute floor is integer granularity, not slack: a
+    * 5-row window's achievable p90 ranks are 4/5 and 5/5, both ≥ 0.1
+    * from 0.9 — no estimator can beat the nearest attainable rank. */
+  val q_stream_quantiles: Q = (s, dir) => {
+    val agg = Streaming.quantilesStream(Streaming.eventsStream(s, dir),
+      valueCol = "value", groupCols = Seq("event_type"), window = "1 day")
+    val streamed = Streaming.runToBatch(agg, "stream_kll_out")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        kll_sketch_get_quantile_double(col("qsketch"), lit(0.5)).as("__q50"),
+        kll_sketch_get_quantile_double(col("qsketch"), lit(0.9)).as("__q90"),
+        col("n_rows"))
+    events(s, dir).df
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .join(broadcast(streamed), Seq("day", "event_type"))
+      .groupBy(col("day"), col("event_type"), col("n_rows"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("value") <= col("__q50"), 1L).otherwise(0L)).as("__r50"),
+        sum(when(col("value") <= col("__q90"), 1L).otherwise(0L)).as("__r90"))
+      .filter(col("n_rows") === col("__n") &&
+        abs(col("__r50").cast("double") - lit(0.5) * col("__n")) <=
+          greatest(lit(0.05) * col("__n"), lit(1.0)) &&
+        abs(col("__r90").cast("double") - lit(0.9) * col("__n")) <=
+          greatest(lit(0.05) * col("__n"), lit(1.0)))
+      .select(col("day"), col("event_type"), col("__n").as("n_rows"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Sliding windows (2h size / 1h slide) under streaming — each event
     * contributes to two windows. */
   val q_stream_sliding: Q = (s, dir) => {
@@ -2440,6 +2477,7 @@ object Queries {
     "q_zip_import" -> q_zip_import,
     "q_stream_tumbling" -> q_stream_tumbling,
     "q_stream_approx_distinct" -> q_stream_approx_distinct,
+    "q_stream_quantiles" -> q_stream_quantiles,
     "q_stream_join" -> q_stream_join,
     "q_stream_sliding" -> q_stream_sliding,
     "q_stream_stateful" -> q_stream_stateful,
@@ -4038,6 +4076,14 @@ object Queries {
     "q_stream_approx_distinct" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  event_type, count(DISTINCT user_id) AS n_exact
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // unconditional exact per-(day, type) row counts: the streamed KLL
+    // p50/p90's true ranks must sit within 0.05·n of target and the
+    // sketch row counts must equal the batch counts, or rows drop
+    "q_stream_quantiles" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n_rows
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     // the funnel's append-mode cut: only windows whose end has passed

@@ -434,6 +434,27 @@ object Streaming {
         groupCols.map(col): _*)
       .agg(approx_count_distinct(col(itemCol), rsd).as("approx_nd"))
 
+  /** Streaming QUANTILE SKETCHES per event-time window: per-window KLL
+    * sketches of `valueCol` — the percentile-latency/size report shape.
+    * Exact per-window percentiles would hold every value in the state
+    * store; the KLL buffer is O(k) per (window, key) with the
+    * ~1.65%-at-k=200 normalized rank-error guarantee, and the emitted
+    * column is the SKETCH itself (`qsketch`, plus `n_rows`), so
+    * downstream can extract any quantile — `kll_sketch_get_quantile_*`
+    * — or keep merging across windows/keys (the
+    * [[graft.operators.Sketch.rollupQuantileSketches]] tier). Same
+    * [[runToBatch]] caveat as [[approxDistinctStream]]: complete mode,
+    * or append with `watermarkFlush = true`. */
+  def quantilesStream(events: DataFrame, valueCol: String,
+      groupCols: Seq[String], tsCol: String = "ts",
+      window: String = "1 hour", delay: String = "1 hour",
+      k: Int = 200): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window) +:
+        groupCols.map(col): _*)
+      .agg(kll_sketch_agg_double(col(valueCol), lit(k)).as("qsketch"),
+        count(lit(1)).as("n_rows"))
+
   /** Streaming HEAVY HITTERS per event-time window — the Misra-Gries
     * sketch ([[graft.operators.Sketch.heavyHitters]]'s merge-safe
     * `Aggregator`) run as a watermarked tumbling-window aggregation:

@@ -153,6 +153,9 @@ object AuditPlans {
     // memory-sink scan + batch exact count_distinct (2: partial/final)
     // + the join/orderBy share — the streamed agg ran before the plan
     "q_stream_approx_distinct" -> 3,
+    // events-side rank-check aggregate + the orderBy exchange; the
+    // streamed sketch table broadcasts into the corpus-side join
+    "q_stream_quantiles" -> 2,
     // the near-dedup gates RETURN a batch read of the segment sink (the
     // streaming work runs before the audited plan): scan → select →
     // global orderBy = the one range exchange

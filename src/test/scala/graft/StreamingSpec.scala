@@ -417,6 +417,33 @@ class StreamingSpec extends SparkSpec {
     assert(none == Seq(30L, 33L), s"corpus-only survivors: $none")
   }
 
+  test("quantilesStream: per-window KLL sketches merge across batches; " +
+      "extracted quantiles honor the rank guarantee") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = Streaming.quantilesStream(
+      in.toDF().toDF("ts", "event_type", "value"),
+      valueCol = "value", groupCols = Seq("event_type"), window = "1 hour")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("kll_spec_out").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      // two batches into the SAME window: sketch state must merge
+      in.addData((1 to 50).map(i => (ts(i % 60), "click", i.toDouble)): _*)
+      q.processAllAvailable()
+      in.addData((51 to 100).map(i => (ts(i % 60), "click", i.toDouble)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = spark.table("kll_spec_out")
+      .select(kll_sketch_get_quantile_double(col("qsketch"), lit(0.5)).as("q50"),
+        col("n_rows")).head()
+    assert(row.getLong(1) == 100L, s"rows ${row.getLong(1)}")
+    // value stream is 1..100: p50 must sit within the k=200 rank band
+    // (exact at this size — KLL stores all 100 values)
+    assert(math.abs(row.getDouble(0) - 50.0) <= 5.0, s"p50=${row.getDouble(0)}")
+  }
+
   test("runningUserTotals: GroupState persists across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.UserEvent
