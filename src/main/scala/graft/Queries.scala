@@ -884,13 +884,12 @@ object Queries {
     * built once (mtime-keyed artifact, sharing `q_sketch_rollup`'s
     * build discipline), then per-source p50/p90 are served by MERGE
     * with no corpus access. The gated contract is KLL's actual
-    * guarantee — the RANK of the served quantile: for each source, the
-    * NORMALIZED rank error |count(n_chars ≤ served_q)/n − q| must be
-    * ≤ 0.05 (i.e. the rank sits within 0.05·n of q·n — KLL's guarantee
-    * is normalized rank error, ~1.65% at k = 200/99% conf; wide
-    * margin), and the cube's row counts must roll up exactly. Rows
-    * failing either drop and break the hash match vs the unconditional
-    * exact per-source row-count oracle. */
+    * guarantee — the RANK of the served quantile (see [[kllRankGate]]:
+    * rank error ≤ max(0.05·n, 1 rank); KLL's guarantee is normalized
+    * rank error, ~1.65% at k = 200/99% conf, so 5% is wide margin) —
+    * and the cube's row counts must roll up exactly. Rows failing
+    * either drop and break the hash match vs the unconditional exact
+    * per-source row-count oracle. */
   val q_quantile_rollup: Q = (s, dir) => {
     import graft.operators.Sketch
     val docs = t(s, dir, "documents").df
@@ -903,18 +902,35 @@ object Queries {
         .write.mode("overwrite").format("parquet").saveAsTable(table)
     }
     val served = Sketch.rollupQuantiles(s.table(table), Seq("source"),
-      Seq(0.5, 0.9))
-    val checked = docs.join(broadcast(served), "source")
-      .groupBy(col("source"), col("n_rows"))
+        Seq(0.5, 0.9))
+      .select(col("source"), col("q_50").as("__q50"),
+        col("q_90").as("__q90"), col("n_rows"))
+    kllRankGate(docs, col("n_chars"), served, Seq("source"))
+  }
+
+  /** Shared KLL rank gate (q_quantile_rollup / q_stream_quantiles): for
+    * each group, the served p50/p90's rank error — |count(value ≤ q̂) −
+    * q·n| — must be ≤ max(0.05·n, 1 rank) and the sketch's `n_rows`
+    * must equal the data-side count; survivors emit (keys..., n_rows).
+    * The absolute one-rank floor is integer granularity, not slack: a
+    * 5-row group's attainable p90 ranks are 4/5 and 5/5, both ≥ 0.1
+    * from 0.9 — no estimator can beat the nearest attainable rank.
+    * `served` carries (keys..., __q50, __q90, n_rows). */
+  private def kllRankGate(data: DataFrame, value: Column,
+      served: DataFrame, keys: Seq[String]): DataFrame = {
+    val checked = data.join(broadcast(served), keys)
+      .groupBy(keys.map(col) :+ col("n_rows"): _*)
       .agg(count(lit(1)).as("__n"),
-        sum(when(col("n_chars") <= col("q_50"), 1L).otherwise(0L)).as("__r50"),
-        sum(when(col("n_chars") <= col("q_90"), 1L).otherwise(0L)).as("__r90"))
+        sum(when(value <= col("__q50"), 1L).otherwise(0L)).as("__r50"),
+        sum(when(value <= col("__q90"), 1L).otherwise(0L)).as("__r90"))
+    def rankOk(r: Column, q: Double): Column =
+      abs(r.cast("double") - lit(q) * col("__n")) <=
+        greatest(lit(0.05) * col("__n"), lit(1.0))
     checked
       .filter(col("n_rows") === col("__n") &&
-        abs(col("__r50").cast("double") / col("__n") - lit(0.5)) <= lit(0.05) &&
-        abs(col("__r90").cast("double") / col("__n") - lit(0.9)) <= lit(0.05))
-      .select(col("source"), col("__n").as("n_rows"))
-      .orderBy(col("source"))
+        rankOk(col("__r50"), 0.5) && rankOk(col("__r90"), 0.9))
+      .select(keys.map(col) :+ col("__n").as("n_rows"): _*)
+      .orderBy(keys.map(col): _*)
   }
 
   /** Count-min-sketch frequency gate: per event type, the exact count,
@@ -2093,20 +2109,9 @@ object Queries {
         kll_sketch_get_quantile_double(col("qsketch"), lit(0.5)).as("__q50"),
         kll_sketch_get_quantile_double(col("qsketch"), lit(0.9)).as("__q90"),
         col("n_rows"))
-    events(s, dir).df
+    val data = events(s, dir).df
       .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
-      .join(broadcast(streamed), Seq("day", "event_type"))
-      .groupBy(col("day"), col("event_type"), col("n_rows"))
-      .agg(count(lit(1)).as("__n"),
-        sum(when(col("value") <= col("__q50"), 1L).otherwise(0L)).as("__r50"),
-        sum(when(col("value") <= col("__q90"), 1L).otherwise(0L)).as("__r90"))
-      .filter(col("n_rows") === col("__n") &&
-        abs(col("__r50").cast("double") - lit(0.5) * col("__n")) <=
-          greatest(lit(0.05) * col("__n"), lit(1.0)) &&
-        abs(col("__r90").cast("double") - lit(0.9) * col("__n")) <=
-          greatest(lit(0.05) * col("__n"), lit(1.0)))
-      .select(col("day"), col("event_type"), col("__n").as("n_rows"))
-      .orderBy(col("day"), col("event_type"))
+    kllRankGate(data, col("value"), streamed, Seq("day", "event_type"))
   }
 
   /** Sliding windows (2h size / 1h slide) under streaming — each event

@@ -108,8 +108,11 @@ object Sketch {
   def buildQuantileSketches(df: DataFrame, keys: Seq[String],
       valueCol: String, k: Int = 200): DataFrame =
     df.groupBy(keys.map(col): _*)
+      // count(valueCol), not count(*): the sketch skips NULLs, and
+      // n_rows is the rank denominator — counting NULL rows would skew
+      // every q·n target on a nullable column
       .agg(kll_sketch_agg_bigint(col(valueCol), lit(k)).as("qsketch"),
-        count(lit(1)).as("n_rows"))
+        count(col(valueCol)).as("n_rows"))
 
   /** Merge a KLL sketch table down to `keepKeys`, keeping the sketch
     * mergeable for further tiers (the [[rollupSketches]] shape).
@@ -121,6 +124,16 @@ object Sketch {
       keepKeys: Seq[String], k: Int = 200): DataFrame =
     sketches.groupBy(keepKeys.map(col): _*)
       .agg(kll_merge_agg_bigint(col("qsketch"), lit(k)).as("qsketch"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** [[rollupQuantileSketches]] for DOUBLE-typed KLL sketches (the
+    * [[graft.streaming.Streaming.quantilesStream]] output) — the
+    * Datasketches wire formats are type-specific, so a bigint merge of
+    * a doubles sketch throws; pick the variant matching the build. */
+  def rollupQuantileSketchesDouble(sketches: DataFrame,
+      keepKeys: Seq[String], k: Int = 200): DataFrame =
+    sketches.groupBy(keepKeys.map(col): _*)
+      .agg(kll_merge_agg_double(col("qsketch"), lit(k)).as("qsketch"),
         sum(col("n_rows")).as("n_rows"))
 
   /** Collision-free column name for a quantile: `q_50`/`q_90` for whole

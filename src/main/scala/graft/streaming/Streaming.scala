@@ -440,11 +440,13 @@ object Streaming {
     * store; the KLL buffer is O(k) per (window, key) with the
     * ~1.65%-at-k=200 normalized rank-error guarantee, and the emitted
     * column is the SKETCH itself (`qsketch`, plus `n_rows`), so
-    * downstream can extract any quantile — `kll_sketch_get_quantile_*`
-    * — or keep merging across windows/keys (the
-    * [[graft.operators.Sketch.rollupQuantileSketches]] tier). Same
-    * [[runToBatch]] caveat as [[approxDistinctStream]]: complete mode,
-    * or append with `watermarkFlush = true`. */
+    * downstream can extract any quantile —
+    * `kll_sketch_get_quantile_double` — or keep merging across
+    * windows/keys via
+    * [[graft.operators.Sketch.rollupQuantileSketchesDouble]] (the
+    * DOUBLE-typed merge; the bigint variant throws on a doubles
+    * sketch). Same [[runToBatch]] caveat as [[approxDistinctStream]]:
+    * complete mode, or append with `watermarkFlush = true`. */
   def quantilesStream(events: DataFrame, valueCol: String,
       groupCols: Seq[String], tsCol: String = "ts",
       window: String = "1 hour", delay: String = "1 hour",
@@ -452,8 +454,10 @@ object Streaming {
     events.withWatermark(tsCol, delay)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window) +:
         groupCols.map(col): _*)
+      // count(valueCol), not count(*): the sketch skips NULLs and
+      // n_rows is the rank denominator (see Sketch.buildQuantileSketches)
       .agg(kll_sketch_agg_double(col(valueCol), lit(k)).as("qsketch"),
-        count(lit(1)).as("n_rows"))
+        count(col(valueCol)).as("n_rows"))
 
   /** Streaming HEAVY HITTERS per event-time window — the Misra-Gries
     * sketch ([[graft.operators.Sketch.heavyHitters]]'s merge-safe

@@ -442,6 +442,16 @@ class StreamingSpec extends SparkSpec {
     // value stream is 1..100: p50 must sit within the k=200 rank band
     // (exact at this size — KLL stores all 100 values)
     assert(math.abs(row.getDouble(0) - 50.0) <= 5.0, s"p50=${row.getDouble(0)}")
+    // the advertised downstream composition: the DOUBLE-typed merge
+    // rolls the windowed sketches up (bigint merge would throw on a
+    // doubles sketch — Datasketches wire formats are type-specific)
+    val merged = graft.operators.Sketch.rollupQuantileSketchesDouble(
+        spark.table("kll_spec_out").select(col("qsketch"), col("n_rows")),
+        Seq.empty)
+      .select(kll_sketch_get_quantile_double(col("qsketch"), lit(0.9)),
+        col("n_rows")).head()
+    assert(merged.getLong(1) == 100L)
+    assert(math.abs(merged.getDouble(0) - 90.0) <= 5.0, s"p90=${merged.getDouble(0)}")
   }
 
   test("runningUserTotals: GroupState persists across micro-batches") {
