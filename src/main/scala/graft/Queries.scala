@@ -915,12 +915,15 @@ object Queries {
     * The absolute one-rank floor is integer granularity, not slack: a
     * 5-row group's attainable p90 ranks are 4/5 and 5/5, both ≥ 0.1
     * from 0.9 — no estimator can beat the nearest attainable rank.
-    * `served` carries (keys..., __q50, __q90, n_rows). */
+    * `served` carries (keys..., __q50, __q90, n_rows). The denominator
+    * is `count(value)` — NON-NULL values — matching the build side's
+    * n_rows discipline (the sketch skips NULLs; counting NULL rows
+    * would both fail row conservation and skew every q·n target). */
   private def kllRankGate(data: DataFrame, value: Column,
       served: DataFrame, keys: Seq[String]): DataFrame = {
     val checked = data.join(broadcast(served), keys)
       .groupBy(keys.map(col) :+ col("n_rows"): _*)
-      .agg(count(lit(1)).as("__n"),
+      .agg(count(value).as("__n"),
         sum(when(value <= col("__q50"), 1L).otherwise(0L)).as("__r50"),
         sum(when(value <= col("__q90"), 1L).otherwise(0L)).as("__r90"))
     def rankOk(r: Column, q: Double): Column =
@@ -2209,27 +2212,38 @@ object Queries {
     * deterministic regardless of micro-batch boundaries because dedup is
     * against the FIXED corpus only (see the operator's determinism
     * contract). */
+  /** Shared scaffolding for the two streaming near-dup gates: clear
+    * stale segments (a rerun may produce fewer batches, and per-batch
+    * overwrite only replaces its own id), run the sink query to
+    * completion, read the segments back. Reads the sink ROOT
+    * (batch=<id> resolves as a partition column, dropped by the select)
+    * rather than a `batch=*` glob — the glob path trips FileStreamSink's
+    * metadata probe into WARN-logging a spurious FileNotFoundException
+    * stack trace on every run. An empty stream slice never creates the
+    * sink dir; that reads back as the empty survivor set, not a
+    * PATH_NOT_FOUND crash. */
+  private def runNearDedupGate(s: SparkSession, dir: String, out: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(out)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val q = start
+    try q.processAllAvailable() finally q.stop()
+    val back =
+      if (fs.exists(hp)) s.read.parquet(out)
+      else t(s, dir, "documents").df.limit(0) // empty slice → empty set
+    back.select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val q_stream_neardedup: Q = (s, dir) => {
     val docs = t(s, dir, "documents").df
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
     val stream = Streaming.documentsStream(s, dir)
       .filter(col("doc_id") % 3 === 0)
     val out = s"${ioDir(dir)}/stream_neardedup"
-    // clear stale segments from a previous run: this run may produce
-    // fewer batches, and per-batch overwrite only replaces its own id
-    val hp = new org.apache.hadoop.fs.Path(out)
-    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(hp, true)
-    val q = Streaming.nearDedupAgainstSink(stream, corpus,
-      "doc_id", "text", out, n = 3, minJaccard = 0.5)
-    try q.processAllAvailable() finally q.stop()
-    // read the sink ROOT (batch=<id> resolves as a partition column,
-    // dropped by the select) rather than a `batch=*` glob — the glob
-    // path trips FileStreamSink's metadata probe into WARN-logging a
-    // spurious FileNotFoundException stack trace on every run
-    s.read.parquet(out)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
+    runNearDedupGate(s, dir, out)(Streaming.nearDedupAgainstSink(stream,
+      corpus, "doc_id", "text", out, n = 3, minJaccard = 0.5))
   }
 
   /** Streaming near-dup SERVING gate: identical semantics and oracle to
@@ -2250,15 +2264,8 @@ object Queries {
     val stream = Streaming.documentsStream(s, dir)
       .filter(col("doc_id") % 3 === 0)
     val out = s"${ioDir(dir)}/stream_neardedup_serve"
-    val hp = new org.apache.hadoop.fs.Path(out)
-    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(hp, true)
-    val q = Streaming.nearDedupAgainstIndexSink(stream, idx,
-      "doc_id", "text", out, n = 3, minJaccard = 0.5)
-    try q.processAllAvailable() finally q.stop()
-    s.read.parquet(out)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
+    runNearDedupGate(s, dir, out)(Streaming.nearDedupAgainstIndexSink(stream,
+      idx, "doc_id", "text", out, n = 3, minJaccard = 0.5))
   }
 
   /** Stream-stream interval join (click→purchase attribution): each
@@ -3214,7 +3221,7 @@ object Queries {
     // emits a row when the merged KLL p50/p90's true ranks are within
     // 5% of target and the cube's row counts conserve exactly
     "q_quantile_rollup" ->
-      """SELECT source, count(*) AS n_rows
+      """SELECT source, count(n_chars) AS n_rows
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_heavy_hitters" ->
@@ -4088,7 +4095,7 @@ object Queries {
     // sketch row counts must equal the batch counts, or rows drop
     "q_stream_quantiles" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |  event_type, count(*) AS n_rows
+        |  event_type, count("value") AS n_rows
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     // the funnel's append-mode cut: only windows whose end has passed

@@ -16,6 +16,33 @@ import graft.functions.TextAnalysis
   */
 object Chunk {
 
+  /** One-slot PERFORMANCE-cache registry per operator: pins the
+    * operator's double-read exploded frame (both the aggregate and the
+    * confirm-join probe read it; the broadcast-join plan has no common
+    * exchange to reuse, so without a pin the full upstream re-computes
+    * per input), and releases the PREVIOUS call's pin on the next call
+    * — bounding cache growth at one intermediate per operator per JVM.
+    * The bound matters: CacheManager holds cached plans until an
+    * explicit unpersist (ContextCleaner does not prune it, and
+    * MEMORY_AND_DISK blocks spill to disk rather than evict), so a
+    * bare per-call `persist` would accumulate for the session's
+    * lifetime. Correctness never depends on the cache — unpersisting
+    * it mid-query (a concurrent call to the same operator) just sends
+    * the other query down the recompute path; `sameResult` guards the
+    * repeated-identical-input case, where CacheManager shares one
+    * entry between the old and new frames. */
+  private val cacheSlots =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def pinSlot(slot: String, df: DataFrame): DataFrame = {
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheSlots.put(slot, pinned).foreach { prev =>
+      if (!prev.queryExecution.analyzed
+          .sameResult(pinned.queryExecution.analyzed))
+        prev.unpersist(blocking = false)
+    }
+    pinned
+  }
+
   /** Concat-and-cut SEQUENCE PACKING index (the standard LLM training
     * prep): conceptually concatenate every document's tokens in `order`
     * and cut the stream every `contextLen` tokens. Returns one row per
@@ -92,15 +119,13 @@ object Chunk {
     * (reused by both join inputs), one groupBy(doc) to reassemble. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
-    // PERFORMANCE cache only (the Ordinals idiom; dropped by
-    // ContextCleaner with the result frame): the span explode feeds both
-    // the first-occurrence aggregate and the join probe, and the
-    // regex-split + span-reassembly transform dominates at small scale —
-    // recomputing it doubles the operator. Results are identical without
-    // the cache; when the exploded spans exceed executor storage the
-    // blocks spill or evict and the recompute path is what runs anyway.
-    val spans = tokenWindows(df, idCol, textCol, spanTokens, stride = spanTokens)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PERFORMANCE cache via the one-slot registry (see [[pinSlot]]):
+    // the span explode feeds both the first-occurrence aggregate and
+    // the join probe, and the regex-split + span-reassembly transform
+    // dominates at small scale — recomputing it doubles the operator.
+    // Results are identical without the cache.
+    val spans = pinSlot("dedupSpans",
+      tokenWindows(df, idCol, textCol, spanTokens, stride = spanTokens))
     val first = spans.groupBy(col("chunk_text"))
       .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
     spans.join(first, "chunk_text")
@@ -154,20 +179,18 @@ object Chunk {
       .select(col(idCol),
         coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
           array().cast("array<string>")).as("__ws"))
-    // PERFORMANCE cache only (the Ordinals idiom; dropped by
-    // ContextCleaner with the result frame): the hashed window explode —
-    // the dominant map-side term, one md5 per sliding window — feeds
-    // both the duplicate-count aggregate and the confirm-join probe;
-    // recomputing it doubles the operator. Results are identical without
-    // the cache; oversized blocks evict to the recompute path.
-    val wins = toks
+    // PERFORMANCE cache via the one-slot registry (see [[pinSlot]]):
+    // the hashed window explode — the dominant map-side term, one md5
+    // per sliding window — feeds both the duplicate-count aggregate
+    // and the confirm-join probe; recomputing it doubles the operator.
+    // Results are identical without the cache.
+    val wins = pinSlot("dedupSubstrings", toks
       .filter(size(col("__ws")) >= k)
       .select(col(idCol), col("__ws"),
         explode(sequence(lit(1), size(col("__ws")) - (k - 1))).as("__j"))
       .select(col(idCol), col("__j"),
         md5(array_join(slice(col("__ws"), col("__j"), lit(k)), " ")
-          .cast("binary")).as("__key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .cast("binary")).as("__key")))
     val firstAgg = wins.groupBy(col("__key"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col(idCol), col("__j"))).as("__first"))
@@ -221,22 +244,19 @@ object Chunk {
       maxFreq: Long = 1L, lineSep: String = "\n"): DataFrame = {
     require(maxFreq >= 1, "maxFreq must be >= 1")
     require(lineSep.nonEmpty, "lineSep must be non-empty")
-    // PERFORMANCE cache only (the Ordinals idiom; dropped by
-    // ContextCleaner with the result frame): the exploded lines feed
-    // both the frequency aggregate and the join probe, and the upstream
-    // lineage (callers typically split/reassemble text into lines first)
-    // dominates at small scale — recomputing it doubles the operator.
-    // Results are identical without the cache; when the exploded lines
-    // exceed executor storage the blocks evict and the recompute path is
-    // what runs anyway.
-    val lines = df
+    // PERFORMANCE cache via the one-slot registry (see [[pinSlot]]):
+    // the exploded lines feed both the frequency aggregate and the join
+    // probe, and the upstream lineage (callers typically
+    // split/reassemble text into lines first) dominates at small scale
+    // — recomputing it doubles the operator. Results are identical
+    // without the cache.
+    val lines = pinSlot("removeFrequentLines", df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(lineSep))))
       .select(col(idCol), col("pos").as("line_no"), col("col").as("line"))
-      .filter(length(trim(col("line"))) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(length(trim(col("line"))) > 0))
     val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("__freq"))
     lines.join(freq, "line")
       .groupBy(col(idCol))

@@ -185,10 +185,11 @@ object Contamination {
       table: String, n: Int = 3, buckets: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     val matches = spark.catalog.tableExists(table) &&
-      spark.catalog.tableExists(s"${table}_meta") && {
-        val m = spark.table(s"${table}_meta").head()
-        m.getInt(0) == n && m.getInt(1) == buckets
-      } && {
+      spark.catalog.tableExists(s"${table}_meta") &&
+      // headOption: a committed-but-empty meta table (interrupted
+      // write) must read as a mismatch and rebuild, not throw
+      spark.table(s"${table}_meta").limit(1).collect().headOption.exists(
+        m => m.getInt(0) == n && m.getInt(1) == buckets) && {
         // an index from before the width stamp existed (or whose stamp
         // disagrees) rebuilds — serving it would defeat the FromIndex
         // joins' mismatch guard

@@ -371,16 +371,16 @@ object Streaming {
     val unioned =
       if (!fs.exists(hp)) docs
       else docs.unionByName(
-        spark.read.parquet(admittedDir)
-          .select(col(idCol), col(textCol))
-          // a checkpoint-less rerun can slice the same input into fewer
-          // batches, leaving STALE higher-id segments next to the fresh
-          // ones (per-batch overwrite only replaces its own id): the
-          // same doc would then index twice and every shared shingle
-          // would double-count in the Jaccard. One row per id; if
-          // generations disagree on a doc's text the survivor is
-          // arbitrary among them.
-          .dropDuplicates(idCol))
+        spark.read.parquet(admittedDir).select(col(idCol), col(textCol)))
+        // dedup the UNION, not just the admitted side: duplicate ids can
+        // come from stale segments (a checkpoint-less rerun slicing the
+        // same input into fewer batches leaves higher-id segments that
+        // per-batch overwrite never replaces) OR from an admitted id
+        // colliding with a corpus id — either way the doc would index
+        // twice and every shared shingle would double-count in the
+        // Jaccard, falsely dropping fresh documents. One row per id; if
+        // the copies disagree on text the survivor is arbitrary.
+        .dropDuplicates(idCol)
     graft.sources.Sources.replaceTable(spark, table)
     graft.sources.Sources.replaceTable(spark, s"${table}_meta")
     Contamination.shingleIndexFor(unioned, idCol, textCol, table, n, buckets)

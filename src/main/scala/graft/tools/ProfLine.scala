@@ -1,7 +1,10 @@
+package graft.tools
+
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc steady-state timer for individual gates (see OPERATORS.md
-  * round-8 adjudication): `runMain ProfLine q_line_dedup q_span_dedup`. */
+  * round-8 adjudication):
+  * `runMain graft.tools.ProfLine q_line_dedup q_span_dedup`. */
 object ProfLine {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
