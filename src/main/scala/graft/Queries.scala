@@ -2109,8 +2109,15 @@ object Queries {
     val streamed = Streaming.runToBatch(agg, "stream_kll_out")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"),
-        kll_sketch_get_quantile_double(col("qsketch"), lit(0.5)).as("__q50"),
-        kll_sketch_get_quantile_double(col("qsketch"), lit(0.9)).as("__q90"),
+        // empty-sketch guard (all-NULL value window): getQuantile throws
+        // on an empty sketch; serve NULL instead (same discipline as
+        // Sketch.rollupQuantiles)
+        when(col("n_rows") > 0,
+          kll_sketch_get_quantile_double(col("qsketch"), lit(0.5)))
+          .otherwise(lit(null)).as("__q50"),
+        when(col("n_rows") > 0,
+          kll_sketch_get_quantile_double(col("qsketch"), lit(0.9)))
+          .otherwise(lit(null)).as("__q90"),
         col("n_rows"))
     val data = events(s, dir).df
       .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))

@@ -26,19 +26,35 @@ object Chunk {
     * explicit unpersist (ContextCleaner does not prune it, and
     * MEMORY_AND_DISK blocks spill to disk rather than evict), so a
     * bare per-call `persist` would accumulate for the session's
-    * lifetime. Correctness never depends on the cache — unpersisting
-    * it mid-query (a concurrent call to the same operator) just sends
-    * the other query down the recompute path; `sameResult` guards the
-    * repeated-identical-input case, where CacheManager shares one
-    * entry between the old and new frames. */
+    * lifetime. Correctness never depends on the cache for PLAN
+    * equivalence — unpersisting it mid-query (a concurrent call to the
+    * same operator) just sends the other query down the recompute path;
+    * `sameResult` guards the repeated-identical-input case, where
+    * CacheManager shares one entry between the old and new frames.
+    * One caveat that discipline can't cover: if the SAME source files
+    * are regenerated in place between calls (same paths, new bytes),
+    * `sameResult` still holds and the slot serves the pre-regeneration
+    * data until the slot cycles — callers that rewrite inputs in place
+    * must `spark.catalog.clearCache()` (the serving artifacts avoid
+    * this class entirely by mtime-keying, `Queries.artifactTable`).
+    *
+    * Slots are keyed per SparkSession (identity), not JVM-global: an
+    * embedder that stops one session and starts another must not have
+    * the new session's first call touch a DataFrame from the dead
+    * context. The previous pin's release is best-effort — unpersist on
+    * a stopped session throws, and a failed release of a dead
+    * session's block is a no-op in practice (the blocks died with the
+    * context). */
   private val cacheSlots =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def pinSlot(slot: String, df: DataFrame): DataFrame = {
     val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cacheSlots.put(slot, pinned).foreach { prev =>
+    val key = (System.identityHashCode(df.sparkSession), slot)
+    cacheSlots.put(key, pinned).foreach { prev =>
       if (!prev.queryExecution.analyzed
           .sameResult(pinned.queryExecution.analyzed))
-        prev.unpersist(blocking = false)
+        try prev.unpersist(blocking = false)
+        catch { case _: Exception => () } // dead session: blocks already gone
     }
     pinned
   }

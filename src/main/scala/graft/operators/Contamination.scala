@@ -180,7 +180,14 @@ object Contamination {
     * check joins it WITHOUT an index-side exchange — the incoming side
     * shuffles into the bucket layout (or broadcasts, for a micro-batch);
     * the N-scale index is scanned in place. A `_meta` sibling pins
-    * (n, buckets); parameter drift rebuilds. */
+    * (n, buckets); parameter drift rebuilds.
+    *
+    * SINGLE-WRITER assumption: the check-then-build sequence is not
+    * atomic — two jobs sharing a warehouse can race the rebuild (last
+    * writer wins; readers of the loser's handle may see the winner's
+    * identical rebuild). Safe because rebuilds are idempotent for a
+    * fixed (docs, n, buckets); concurrent builds over DIFFERENT corpora
+    * into the same table name are a caller configuration error. */
   def shingleIndexFor(docs: DataFrame, idCol: String, textCol: String,
       table: String, n: Int = 3, buckets: Int = 32): DataFrame = {
     val spark = docs.sparkSession
@@ -192,9 +199,13 @@ object Contamination {
         m => m.getInt(0) == n && m.getInt(1) == buckets) && {
         // an index from before the width stamp existed (or whose stamp
         // disagrees) rebuilds — serving it would defeat the FromIndex
-        // joins' mismatch guard
-        val sm = spark.table(table).schema("shk").metadata
-        sm.contains(ShingleNKey) && sm.getLong(ShingleNKey) == n.toLong
+        // joins' mismatch guard; a same-named foreign table with no
+        // `shk` column at all is likewise a mismatch, not an error
+        val schema = spark.table(table).schema
+        schema.exists(_.name == "shk") && {
+          val sm = schema("shk").metadata
+          sm.contains(ShingleNKey) && sm.getLong(ShingleNKey) == n.toLong
+        }
       }
     if (!matches) {
       graft.sources.Sources.writeBucketed(

@@ -155,8 +155,13 @@ object Sketch {
     require(names.distinct == names,
       s"quantile column names collide: $names")
     val merged = rollupQuantileSketches(sketches, keepKeys, k)
+    // n_rows == 0 ⇔ the group's valueCol was entirely NULL ⇔ the merged
+    // sketch is empty, and Datasketches' getQuantile THROWS on an empty
+    // sketch — serve NULL for such groups instead of crashing the scan
     val cols = keepKeys.map(col) ++ quantiles.zip(names).map { case (q, n) =>
-      kll_sketch_get_quantile_bigint(col("qsketch"), lit(q)).as(n)
+      when(col("n_rows") > 0,
+        kll_sketch_get_quantile_bigint(col("qsketch"), lit(q)))
+        .otherwise(lit(null)).as(n)
     } :+ col("n_rows")
     merged.select(cols: _*)
   }

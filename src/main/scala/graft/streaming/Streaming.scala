@@ -370,17 +370,31 @@ object Streaming {
     val docs = corpus.select(col(idCol), col(textCol))
     val unioned =
       if (!fs.exists(hp)) docs
-      else docs.unionByName(
-        spark.read.parquet(admittedDir).select(col(idCol), col(textCol)))
+      else {
         // dedup the UNION, not just the admitted side: duplicate ids can
         // come from stale segments (a checkpoint-less rerun slicing the
         // same input into fewer batches leaves higher-id segments that
         // per-batch overwrite never replaces) OR from an admitted id
         // colliding with a corpus id — either way the doc would index
         // twice and every shared shingle would double-count in the
-        // Jaccard, falsely dropping fresh documents. One row per id; if
-        // the copies disagree on text the survivor is arbitrary.
-        .dropDuplicates(idCol)
+        // Jaccard, falsely dropping fresh documents. One row per id;
+        // when the copies disagree on text the CORPUS copy wins
+        // deterministically (priority 0 < 1) — for a decontamination
+        // index the corpus is the authority, and a bare dropDuplicates
+        // would let whichever partition ordered first silently replace
+        // the corpus text with the admitted stream's.
+        val admitted = spark.read.parquet(admittedDir)
+          .select(col(idCol), col(textCol))
+        docs.withColumn("__prio", lit(0))
+          .unionByName(admitted.withColumn("__prio", lit(1)))
+          .groupBy(col(idCol))
+          // min_by, not a row_number window: hash agg partial-combines
+          // map-side and needs no per-partition sort — same single
+          // shuffle dropDuplicates would pay. Corpus ids are unique, so
+          // the priority-0 row is unambiguous when present; ties among
+          // admitted copies stay arbitrary, as before.
+          .agg(min_by(col(textCol), col("__prio")).as(textCol))
+      }
     graft.sources.Sources.replaceTable(spark, table)
     graft.sources.Sources.replaceTable(spark, s"${table}_meta")
     Contamination.shingleIndexFor(unioned, idCol, textCol, table, n, buckets)

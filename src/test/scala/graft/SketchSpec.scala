@@ -105,6 +105,20 @@ class SketchSpec extends SparkSpec {
       Seq("source"), Seq(0.5, 0.9)))
   }
 
+  test("KLL serve: an all-NULL group serves NULL quantiles, not a crash") {
+    val docs = Seq(
+      ("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),
+      ("b", None), ("b", None) // entirely-NULL value column → empty sketch
+    ).toDF("source", "v")
+    val fine = Sketch.buildQuantileSketches(docs, Seq("source"), "v")
+    val served = Sketch.rollupQuantiles(fine, Seq("source"), Seq(0.5))
+      .orderBy("source").collect()
+    assert(served.length == 2)
+    assert(!served(0).isNullAt(1) && served(0).getLong(2) == 3L)
+    assert(served(1).isNullAt(1), "empty sketch must serve NULL")
+    assert(served(1).getLong(2) == 0L)
+  }
+
   test("MisraGries class: classic decrement + mergeable-summaries merge") {
     val mg = new graft.functions.Aggregators.MisraGries(2)
     // stream a a b c with k=2: c evicts nothing it can keep — after the

@@ -417,6 +417,43 @@ class StreamingSpec extends SparkSpec {
     assert(none == Seq(30L, 33L), s"corpus-only survivors: $none")
   }
 
+  test("compactNearDedupIndex: on id collision the CORPUS text wins " +
+      "deterministically; shingleIndexFor rebuilds over a foreign table") {
+    import graft.operators.Contamination
+    val base = "/tmp/graft-test/neardedup_priority"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    // an admitted segment whose id collides with corpus id 1 but whose
+    // text differs — a stale/buggy upstream; the corpus copy must win
+    Seq((1L, "totally different admitted text that must not be indexed"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/admitted/batch=0")
+    val idx = Streaming.compactNearDedupIndex(corpus, s"$base/admitted",
+      "doc_id", "text", "neardedup_prio_idx", n = 3)
+    val collided = idx.filter(col("id") === 1L)
+    val wantShingles = Contamination.shingleIndexFrame(
+        corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
+      .select("shk").collect().map(_.getLong(0)).toSet
+    val gotShingles = collided.select("shk")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotShingles == wantShingles,
+      "index must hold the CORPUS shingles for the collided id")
+
+    // a pre-existing same-named table WITHOUT an shk column reads as a
+    // mismatch and rebuilds — not an IllegalArgumentException
+    Seq((3, 32)).toDF("n", "buckets").write.mode("overwrite")
+      .format("parquet").saveAsTable("neardedup_foreign_idx_meta")
+    Seq((1, 2)).toDF("a", "b").write.mode("overwrite")
+      .format("parquet").saveAsTable("neardedup_foreign_idx")
+    val rebuilt = Contamination.shingleIndexFor(corpus, "doc_id", "text",
+      "neardedup_foreign_idx", n = 3)
+    assert(rebuilt.schema.exists(_.name == "shk"),
+      "foreign table must be rebuilt into a shingle index")
+  }
+
   test("quantilesStream: per-window KLL sketches merge across batches; " +
       "extracted quantiles honor the rank guarantee") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
