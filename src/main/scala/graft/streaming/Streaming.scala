@@ -223,29 +223,34 @@ object Streaming {
     * append mode with watermark propagation; run via
     * `runToBatch(..., mode = "append", watermarkFlush = true)`.
     *
-    * Determinism contract: the dedup key INCLUDES the event-time hour —
-    * the SAME granularity as the (fixed, hourly) aggregation window —
-    * so whichever physical row survives, its window assignment is
-    * fixed: per-(window, segment) counts are exact and oracle-matchable,
-    * where a (user, type)-only dedup would leave the surviving row's
-    * window nondeterministic. The window size is deliberately NOT a
-    * parameter: a window finer than the dedup granularity would break
-    * exactly that contract (two same-hour duplicates in different
-    * sub-hour windows — survivor arrival order decides the counts), so
-    * the hour is hard-coded in both places. All stream-side join key
-    * columns participate in the dedup key. Append emits exactly the
-    * windows whose end ≤ final watermark (max event time − delay); the
-    * oracle applies the same cut. */
+    * Determinism contract: the dedup key INCLUDES the event-time WINDOW
+    * — the SAME granularity as the aggregation window — so whichever
+    * physical row survives, its window assignment is fixed:
+    * per-(window, segment) counts are exact and oracle-matchable, where
+    * a keys-only dedup would leave the surviving row's window
+    * nondeterministic. The window is a parameter, but it is ONE
+    * parameter driving BOTH the dedup bucket and the aggregation window
+    * — the contract holds for any size by construction (a separate
+    * finer aggregation window would let two same-bucket duplicates land
+    * in different sub-windows, survivor arrival order deciding the
+    * counts). All stream-side join key columns participate in the dedup
+    * key, plus `dedupCols` (extra event identity, e.g. the event type).
+    * Append emits exactly the windows whose end ≤ final watermark (max
+    * event time − delay); the oracle applies the same cut. */
   def funnelCounts(events: DataFrame, dim: DataFrame,
       joinKeys: Seq[(String, String)], segmentCol: String,
-      delay: String = "1 hour"): DataFrame = {
-    val keyed = events.withColumn("__hour", date_trunc("hour", col("ts")))
+      delay: String = "1 hour",
+      dedupCols: Seq[String] = Seq("event_type"),
+      tsCol: String = "ts",
+      windowDur: String = "1 hour"): DataFrame = {
+    val keyed = events.withColumn("__w",
+      org.apache.spark.sql.functions.window(col(tsCol), windowDur))
     val deduped = dedupStream(keyed,
-      joinKeys.map(_._1) ++ Seq("event_type", "__hour"), "ts", delay)
+      joinKeys.map(_._1) ++ dedupCols :+ "__w", tsCol, delay)
     val enriched = enrichWithStatic(deduped, dim, joinKeys,
       Seq(segmentCol), joinType = "inner")
     enriched
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), windowDur),
         col(segmentCol))
       .agg(count(lit(1)).as("n"))
   }

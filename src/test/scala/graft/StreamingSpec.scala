@@ -255,6 +255,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0, "fixture must close at least one window")
   }
 
+  test("funnelCounts re-targeted: non-events schema, 30-minute window, " +
+      "custom ts/dedup columns — same contract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val dim = Seq((7L, "emea"), (8L, "apac")).toDF("device_id", "region")
+    val agg = Streaming.funnelCounts(
+      in.toDF().toDF("device_id", "action", "event_time"), dim,
+      joinKeys = Seq("device_id" -> "device_id"), segmentCol = "region",
+      delay = "1 hour", dedupCols = Seq("action"),
+      tsCol = "event_time", windowDur = "30 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_retarget_out").start()
+    try {
+      in.addData(
+        (7L, "tap", ts(10, 5)),
+        (7L, "tap", ts(10, 20)),  // same (device, action, 30-min bucket) → deduped
+        (7L, "tap", ts(10, 40)),  // next bucket → kept
+        (8L, "tap", ts(10, 10)),
+        (9L, "tap", ts(10, 15)),  // no dim row → inner enrich drops it
+        (7L, "hold", ts(14, 0))) // watermark driver; its window stays open
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_retarget_out")
+      .select(date_format(col("window.start"), "HH:mm").as("w"),
+        col("region"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("10:00", "emea", 1L), ("10:30", "emea", 1L),
+      ("10:00", "apac", 1L)), s"got $got")
+  }
+
   test("watermark lateness: an event older than the horizon arriving in " +
       "a later micro-batch is DROPPED from its closed window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
