@@ -180,24 +180,29 @@ object Sketch {
       .select(explode(col("__hh")).as(Seq("item", "est_count")))
 
   /** Count-min-sketch frequency estimates for a candidate set of values:
-    * builds ONE CMS over `valueCol` (eps/confidence size the grid), then
-    * reports the estimate next to each candidate. The sketch is a single
-    * fixed-size aggregation buffer (map-side combined), collected once —
-    * KBs on the driver; candidates are a tiny literal table. Estimates
-    * only ever OVER-count (CMS guarantee): `est ≥ true`, and
-    * `est ≤ true + eps·N` with probability `confidence`. */
+    * builds ONE CMS over `valueCol` (eps/confidence size the grid) and
+    * evaluates each candidate against it — all INSIDE the returned plan
+    * (nothing executes until the caller's first action, the engine-wide
+    * lazy contract). The sketch is a single fixed-size aggregation
+    * buffer (map-side combined) that broadcasts as ONE row; candidates
+    * are a tiny literal table; the lookup is the codegen'd
+    * [[graft.functions.SketchExpressions.cms_estimate]] expression. The
+    * nominal nested-loop join is a map over the candidate side against a
+    * one-row build — scale-safe at any corpus size. Estimates only ever
+    * OVER-count (CMS guarantee): `est ≥ true`, and `est ≤ true + eps·N`
+    * with probability `confidence`. */
   def cmsEstimates(df: DataFrame, valueCol: String,
       candidates: Seq[String], eps: Double = 0.0001,
       confidence: Double = 0.99, seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bytes = df
+    val sk = df
       .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
-        .as("sk"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(bytes))
-    candidates.map(v => (v, cms.estimateCount(v)))
-      .toDF(valueCol, "est_count")
+        .as("__sk"))
+    candidates.toDF(valueCol)
+      .crossJoin(broadcast(sk))
+      .select(col(valueCol),
+        graft.functions.SketchExpressions
+          .cms_estimate(col("__sk"), col(valueCol)).as("est_count"))
   }
 }

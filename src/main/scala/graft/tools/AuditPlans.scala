@@ -46,7 +46,10 @@ object AuditPlans {
   val expectedShuffles: Map[String, Int] = Map(
     "q1_agg" -> 2, "q_approx_distinct" -> 3, "q_batched" -> 3,
     "q_cap_per_source" -> 2, "q_chunk_windows" -> 1, "q_cluster_best" -> 3,
-    "q_cms_counts" -> 2, "q_compute_field" -> 1, "q_contamination" -> 3,
+    // q_cms_counts 2 → 3: the CMS serve became a lazy in-plan aggregate
+    // (global agg = +1 single-partition exchange of ONE sketch row)
+    // instead of a driver-side collect-and-relit
+    "q_cms_counts" -> 3, "q_compute_field" -> 1, "q_contamination" -> 3,
     "q_csv_roundtrip" -> 1, "q_csv_string" -> 1, "q_cube" -> 2,
     "q_curation_funnel" -> 1, "q_decontam_bloom" -> 3,
     "q_decontam_fuzzy" -> 4, "q_dedup_cluster" -> 2,
@@ -179,7 +182,9 @@ object AuditPlans {
     "q_pivot_3level" ->
       "pivot key-lattice grid: product of two broadcast DISTINCT-KEY sets, bounded by pivot-key cardinality",
     "q_quantile_band" ->
-      "quantile thresholds: build side is exactly ONE broadcast row (the [lo,hi] aggregate), so the 'nested loop' is a map over the stream side")
+      "quantile thresholds: build side is exactly ONE broadcast row (the [lo,hi] aggregate), so the 'nested loop' is a map over the stream side",
+    "q_cms_counts" ->
+      "CMS serve join: build side is exactly ONE broadcast row (the sketch aggregate), probed by a bounded candidate list")
 
   /** Unpartitioned windows that are part of the design, with why their
     * single partition is bounded (never the corpus). */

@@ -157,11 +157,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("cmsEstimates: never under-counts, over-counts within eps·N") {
+  test("cmsEstimates: never under-counts, over-counts within eps·N; " +
+      "LAZY — no job runs before the caller's first action") {
     val df = (1 to 10000).map(i => s"k${i % 37}").toDF("v").cache()
     val exact = df.groupBy("v").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val est = Sketch.cmsEstimates(df, "v", exact.keys.toSeq.sorted, eps = 0.001)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val estDf =
+      try {
+        val d = Sketch.cmsEstimates(df, "v", exact.keys.toSeq.sorted, eps = 0.001)
+        Thread.sleep(300) // listener bus is async; any job from the call
+                          // above would have completed (blocking) already
+        assert(jobs == 0, s"cmsEstimates ran $jobs job(s) before any action")
+        d
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val est = estDf
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
       assert(est(k) >= n, s"CMS under-counted $k")
