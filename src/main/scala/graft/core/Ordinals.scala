@@ -42,10 +42,13 @@ import org.apache.spark.sql.types._
   * `rand()`, an unseeded shuffle, `monotonically_increasing_id`, or a
   * non-idempotent source can disagree with itself between passes —
   * bucket counts taken in pass 2 would not describe the rows emitted in
-  * pass 3, corrupting ordinals silently. Callers with such a source
-  * must materialize first (`df.localCheckpoint(true)` or
-  * `persist()+count()`) and hand this module the pinned frame;
-  * everything in this repo feeds deterministic parquet-derived plans.
+  * pass 3, corrupting ordinals silently. ENFORCED for the detectable
+  * case ([[requireDeterministicPlan]]): a plan carrying a
+  * nondeterministic expression fails fast. Callers with such a source
+  * must materialize first (`df.localCheckpoint(true)` — persist alone
+  * is insufficient, eviction recomputes) and hand this module the
+  * checkpointed frame; everything in this repo feeds deterministic
+  * parquet-derived plans.
   *
   * The sort keys MUST be a total order (include a unique tiebreaker) for
   * results to be deterministic. Bucket granularity is bounded by the
@@ -117,10 +120,34 @@ object Ordinals {
         "name) before ordinal/run-id/cumsum ops")
   }
 
+  /** The EXECUTION CONTRACT above (multi-pass evaluation needs a
+    * value-deterministic input), ENFORCED for the detectable case: any
+    * nondeterministic expression in the analyzed plan — `rand()`,
+    * `shuffle()`, `monotonically_increasing_id()`, `uuid()` — would let
+    * the passes disagree, corrupting ordinals SILENTLY. Fail fast with
+    * the remedy instead. (A non-idempotent SOURCE — a re-read table
+    * mutated mid-query — is not statically detectable; that half of the
+    * contract stays documentation.) */
+  private def requireDeterministicPlan(df: DataFrame, op: String): Unit = {
+    val bad = df.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(e =>
+          e.exists(!_.deterministic)) => p
+    }
+    require(bad.isEmpty,
+      s"$op evaluates its input MORE THAN ONCE, but the plan contains a " +
+        "nondeterministic expression (e.g. rand/shuffle/" +
+        "monotonically_increasing_id) in:\n" + bad.get.toString.take(500) +
+        "\nMaterialize first — df.localCheckpoint(true), which severs " +
+        "lineage and pins values — and pass the checkpointed frame. " +
+        "(persist()+count() is NOT sufficient: eviction silently " +
+        "recomputes, and the plan still carries the expression.)")
+  }
+
   /** Append a consecutive 1-based ordinal in the order of `keys`. */
   def withOrdinal(df: DataFrame, keys: Seq[SortKey], name: String = "__ord"): DataFrame = {
     require(keys.nonEmpty, "ordinals are order-defined — orderby first")
     requireNoScratchClash(df, name)
+    requireDeterministicPlan(df, "withOrdinal")
     val first = keys.head
     val (bucketOpt, _) = orderedBucket(df, first.c, defaultBuckets(df))
     val data = df.withColumn("__bkt", bucketOpt.getOrElse(lit(0L)))
@@ -159,6 +186,7 @@ object Ordinals {
       requireNonNullFirst: Option[String]): DataFrame = {
     require(keys.nonEmpty, "running totals are order-defined")
     requireNoScratchClash(df, name)
+    requireDeterministicPlan(df, "runningTotal")
     val nBuckets = if (buckets > 0) buckets else defaultBuckets(df)
     df.schema(valueCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
@@ -196,6 +224,7 @@ object Ordinals {
       name: String = "__run"): DataFrame = {
     require(keys.nonEmpty, "run ids are order-defined")
     requireNoScratchClash(df, name)
+    requireDeterministicPlan(df, "withRunId")
     val spark = df.sparkSession
     val first = keys.head
     val (bucketOpt, _) = orderedBucket(df, first.c, defaultBuckets(df))
