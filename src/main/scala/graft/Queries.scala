@@ -1916,6 +1916,60 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
   }
 
+  /** STATIC partition pruning over the Hive-partitioned corpus layout
+    * (build-once artifact, `source` directory per value): the `isin`
+    * filter on the partition column must reach the scan as a partition
+    * filter and select exactly the 2 named directories of 20 — the
+    * planner never lists the other 18 at any corpus size. The prune is
+    * asserted fail-fast at plan time ([[Layout.requireStaticPrune]]);
+    * values are oracle-checked against the unpartitioned parquet. */
+  val q_partition_prune: Q = (s, dir) => {
+    import graft.operators.Layout
+    val table = artifactTable(s, "docs_part", dir, "documents")
+    val part = Layout.partitionedTableFor(
+      t(s, dir, "documents").df, table, "source")
+    val picked = Seq("src3", "src7")
+    Layout.requireStaticPrune(
+      part.filter(col("source").isin(picked: _*))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("lang")),
+      maxPartitions = picked.size)
+  }
+
+  /** DYNAMIC partition pruning (DPP) — the 100 TB star-join access
+    * pattern: the partitioned corpus joins a dimension whose filter is
+    * NOT statically inferable onto the fact side (it sits on an
+    * AGGREGATE of the dim — "sources with above-average total volume"),
+    * so pruning must happen at RUNTIME via the DPP subquery reusing the
+    * dim's broadcast. [[Layout.requireDynamicPrune]] asserts the
+    * DynamicPruningExpression actually reached the scan's partition
+    * filters; the runtime partition count is pinned in LayoutSpec. */
+  val q_partition_prune_dynamic: Q = (s, dir) => {
+    import graft.operators.Layout
+    val table = artifactTable(s, "docs_part", dir, "documents")
+    val docs = t(s, dir, "documents").df
+    val part = Layout.partitionedTableFor(docs, table, "source")
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("__tot"))
+    // threshold as a LITERAL from one tiny aggregate (driver-side KBs,
+    // the zorder-gate idiom) — deliberately: DPP's isLikelySelective
+    // only recognizes literal comparisons, so an in-plan attribute
+    // threshold (crossJoin with the avg row) would never trigger the
+    // runtime prune this gate exists to demonstrate
+    val avgTot = perSrc.agg(avg(col("__tot"))).head().getDouble(0)
+    val dim = perSrc.filter(col("__tot") > lit(avgTot)).select(col("source"))
+    // broadcast(dim) pins the BUILD side: size estimation would happily
+    // broadcast the column-pruned FACT instead (it read fewer columns),
+    // and DPP can only prune the PROBE side — the hint is what makes
+    // the scan eligible for the runtime filter at every SF
+    Layout.requireDynamicPrune(
+      part.join(broadcast(dim), "source")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang")))
+  }
+
   // ==================================================================
   // §2.1 Sources / sinks (round-trips against parquet ground truth)
   // ==================================================================
@@ -2481,6 +2535,8 @@ object Queries {
     "q_dedup_embedding" -> q_dedup_embedding,
     "q_dedup_semantic" -> q_dedup_semantic,
     "q_zorder_layout" -> q_zorder_layout,
+    "q_partition_prune" -> q_partition_prune,
+    "q_partition_prune_dynamic" -> q_partition_prune_dynamic,
     "q_sim_topk" -> q_sim_topk,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
@@ -4038,6 +4094,29 @@ object Queries {
         |FROM lineitem, b
         |WHERE l_partkey BETWEEN b.lo AND b.hi
         |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+
+    // both prune gates read the PARTITIONED rewrite; the oracle reads
+    // the original parquet — hash-match proves the layout preserved
+    // content, and the in-plan requireStaticPrune/requireDynamicPrune
+    // asserts prove the directories were actually skipped
+    "q_partition_prune" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE source IN ('src3', 'src7')
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_partition_prune_dynamic" ->
+      """SELECT d.lang, count(*) AS n_docs
+        |FROM documents d
+        |JOIN (SELECT source FROM documents GROUP BY source
+        |      HAVING CAST(sum(n_chars) AS DOUBLE) >
+        |        (SELECT avg(tot) FROM (SELECT CAST(sum(n_chars) AS DOUBLE) AS tot
+        |                               FROM documents GROUP BY source))) s
+        |  ON d.source = s.source
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin,
 
     "q_sim_topk" ->
       """WITH q AS (

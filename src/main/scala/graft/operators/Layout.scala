@@ -214,4 +214,114 @@ object Layout {
       laid.write.mode("overwrite").parquet(outDir)
     }
   }
+
+  // ------------------------------------------------------------------
+  // Hive-style partitioned layout + partition-pruning assertions
+  // ------------------------------------------------------------------
+
+  /** Build-once HIVE-PARTITIONED copy of `df` (directory per
+    * `partitionCol` value) — the coarsest and most common 100 TB layout
+    * tier: a date/source-partitioned corpus where a filter on the
+    * partition column prunes whole DIRECTORIES at planning time (static)
+    * or at runtime from a joined dimension's filter (dynamic partition
+    * pruning), before file footers are even listed. Z-order
+    * ([[writeZOrdered]]) covers intra-file skipping; this covers the
+    * level above it. An existing table with the same single-column
+    * partition scheme is served as-is (callers key `table` by corpus
+    * generation — the `artifactTable` mtime idiom); scheme drift
+    * rebuilds. Keep `partitionCol` low-cardinality: one directory (and
+    * ≥1 file) per value is exactly the small-files incident this
+    * module's compaction half exists to prevent. */
+  def partitionedTableFor(df: DataFrame, table: String,
+      partitionCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val matches = spark.catalog.tableExists(table) && {
+      try spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .partitionColumnNames == Seq(partitionCol)
+      catch { case _: Exception => false }
+    }
+    if (!matches) {
+      graft.sources.Sources.replaceTable(spark, table)
+      df.write.mode("overwrite").format("parquet")
+        .partitionBy(partitionCol).saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
+  /** Per-scan partition-pruning evidence from a plan: for every file
+    * scan over a partitioned relation, the number of partitions the
+    * planner SELECTED, whether a static partition filter reached the
+    * scan, and whether a runtime [[DynamicPruningExpression]] (DPP) is
+    * attached. Empty for unpartitioned scans. */
+  final case class PruneStat(selected: Int, staticFilter: Boolean,
+      dynamicFilter: Boolean)
+  def scanPruneStats(df: DataFrame): Seq[PruneStat] = {
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // descend through AQE wrappers and cached subtrees — plan.collect
+    // treats AdaptiveSparkPlanExec as a leaf and would report no scans
+    val out = scala.collection.mutable.ListBuffer.empty[PruneStat]
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan) // post-execution AQE leaf
+      case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+      case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty =>
+        val (dyn, static) =
+          s.partitionFilters.partition(_.exists(_.isInstanceOf[DynamicPruningExpression]))
+        out += PruneStat(s.selectedPartitions.partitionCount,
+          static.nonEmpty, dyn.nonEmpty)
+      case _ => ()
+    }
+    walk(df.queryExecution.executedPlan)
+    out.toList
+  }
+
+  /** Fail-fast gate: at least one partitioned scan in `df`'s plan must
+    * carry a STATIC partition filter that pruned to ≤ `maxPartitions`.
+    * Planning-time only — no job runs. */
+  def requireStaticPrune(df: DataFrame, maxPartitions: Int): DataFrame = {
+    val stats = scanPruneStats(df)
+    require(stats.exists(s => s.staticFilter && s.selected <= maxPartitions),
+      s"no statically-pruned scan ≤ $maxPartitions partitions; scans: $stats")
+    df
+  }
+
+  /** Fail-fast gate: at least one partitioned scan must carry a runtime
+    * DPP filter (planning-time check; the pruned partition count is
+    * runtime — assert it via [[dynamicPruneCounts]] in specs). */
+  def requireDynamicPrune(df: DataFrame): DataFrame = {
+    val stats = scanPruneStats(df)
+    require(stats.exists(_.dynamicFilter),
+      s"no dynamic-partition-pruning filter reached any scan; scans: $stats")
+    df
+  }
+
+  /** RUNTIME partition counts after dynamic filters evaluate, one per
+    * DPP-carrying scan, read from the scan's `numPartitions` driver
+    * metric (the listing itself is `protected`) — call AFTER an action
+    * has executed the plan; a cold plan reports 0. */
+  def dynamicPruneCounts(df: DataFrame): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val out = scala.collection.mutable.ListBuffer.empty[Int]
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan) // post-execution AQE leaf
+      case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+      case s: FileSourceScanExec
+          if s.partitionFilters.exists(_.exists(_.isInstanceOf[DynamicPruningExpression])) =>
+        out += s.metrics("numPartitions").value.toInt
+      case _ => ()
+    }
+    walk(df.queryExecution.executedPlan)
+    out.toList
+  }
 }

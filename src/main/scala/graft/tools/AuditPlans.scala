@@ -61,6 +61,9 @@ object AuditPlans {
     "q_fingerprint" -> 1, "q_fixedwidth" -> 1, "q_format" -> 1,
     "q_frame_sample" -> 2, "q_gopher_rules" -> 1, "q_groupby_runs" -> 5,
     "q_groupby_summaries" -> 2, "q_heavy_hitters" -> 3, "q_intersect" -> 2,
+    // prune gates: fact-side groupBy agg + final sort; the dim/threshold
+    // sides are broadcast (dynamic) or literal (static)
+    "q_partition_prune" -> 2, "q_partition_prune_dynamic" -> 2,
     "q_join3_revenue" -> 1, "q_join_anti" -> 1, "q_join_asof" -> 2,
     "q_join_chain" -> 2, "q_join_full" -> 3, "q_join_inner" -> 2,
     "q_join_left" -> 2, "q_join_multikey" -> 3, "q_join_range" -> 1,

@@ -150,6 +150,49 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.overlapFraction(stats, "l_partkey", pkLo, pkHi) <= 0.6)
   }
 
+  test("partitionedTableFor: static prune selects exactly the named " +
+      "directories; scheme drift rebuilds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val part = Layout.partitionedTableFor(docs, "layout_spec_part", "source")
+    val total = Layout.scanPruneStats(part)
+    assert(total == Seq(Layout.PruneStat(20, false, false)), s"got $total")
+    val pruned = part.filter(col("source").isin("src3", "src7"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val st = Layout.scanPruneStats(pruned)
+    assert(st == Seq(Layout.PruneStat(2, true, false)), s"got $st")
+    // values survive the layout: pruned scan == plain filtered parquet
+    val want = docs.filter(col("source").isin("src3", "src7"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty)
+    // a same-named UNPARTITIONED table is scheme drift → rebuild
+    // (replaceTable first: the in-memory catalog forgets tables across
+    // JVMs but the warehouse directory survives)
+    graft.sources.Sources.replaceTable(spark, "layout_spec_drift")
+    docs.limit(5).write.mode("overwrite").format("parquet")
+      .saveAsTable("layout_spec_drift")
+    val rebuilt = Layout.partitionedTableFor(docs, "layout_spec_drift", "source")
+    assert(Layout.scanPruneStats(rebuilt).nonEmpty, "must be partitioned")
+    assert(rebuilt.count() == docs.count(), "rebuild must carry full data")
+  }
+
+  test("dynamic partition pruning: the runtime filter skips directories " +
+      "the planner could not") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val part = Layout.partitionedTableFor(docs, "layout_spec_part", "source")
+    val perSrc = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("t"))
+    val thr = perSrc.agg(avg(col("t"))).head().getDouble(0)
+    val nAbove = perSrc.filter(col("t") > lit(thr)).count().toInt
+    assert(nAbove > 0 && nAbove < 20, s"fixture degenerate: $nAbove")
+    val dim = perSrc.filter(col("t") > lit(thr)).select(col("source"))
+    val q = part.join(broadcast(dim), "source")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    Layout.requireDynamicPrune(q)
+    q.collect() // evaluate, then read the runtime-pruned listing
+    val dyn = Layout.dynamicPruneCounts(q)
+    assert(dyn == Seq(nAbove),
+      s"runtime prune read $dyn partitions, wanted Seq($nAbove) of 20")
+  }
+
   test("zValue edge cases: constant column and nulls bucket low") {
     val df = Seq((Some(1L), 5L), (None, 5L), (Some(3L), 5L))
       .toDF("a", "b")
