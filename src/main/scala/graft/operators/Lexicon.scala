@@ -441,6 +441,31 @@ object Lexicon {
           .as("decoded"))
   }
 
+  /** [[bpeTokenize]] at REAL-TOKENIZER merge depth — the token-STREAM
+    * counterpart of [[bpeApplyDeep]] (same output schema as
+    * [[bpeTokenize]]: per-doc count, delim-joined token stream, and the
+    * independent decode): encoding runs in the codegen'd rank-loop
+    * [[graft.functions.BpeEncodeWords]], so a vocabulary-scale merge
+    * list (1k–100k) is one reference object riding into codegen — the
+    * replace-chain's 128-merge stack bound does not apply. Same
+    * invertibility law: BPE is concatenative, `decoded` reconstructs
+    * the whitespace-normalized input exactly. One codegen'd map pass,
+    * no shuffle, no explode, no UDF. */
+  def bpeTokenizeDeep(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], delim: String = "\u0001"): DataFrame = {
+    require(delim.length == 1, "delim must be a single character")
+    import graft.functions.BpeExpressions.bpe_encode_words
+    val ws = coalesce(filter(TextAnalysis.words(col(textCol)), w => w =!= ""),
+      array().cast("array<string>"))
+    df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), bpe_encode_words(col("__ws"), merges).as("__tt"))
+      .select(col(idCol),
+        size(flatten(col("__tt"))).cast("long").as("n_tokens_bpe"),
+        array_join(flatten(col("__tt")), delim).as("tokens_joined"),
+        array_join(transform(col("__tt"), a => array_join(a, "")), " ")
+          .as("decoded"))
+  }
+
   /** The FINAL VOCABULARY after BPE training — the second artifact a
     * tokenizer ships (alongside [[bpeTrain]]'s merge list): every
     * distinct subword symbol left when all requested merges have been

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{array, lit}
+import org.apache.spark.sql.functions.{array, array_join, col, filter, lit, regexp_replace, sum}
 
 import graft.operators.Lexicon
 
@@ -441,6 +441,90 @@ class LexiconSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).head
     assert(deepOk == ((3L, 6L)), // no merge fires: 2+2+2 codepoint symbols
       s"5000 never-firing merges must leave codepoints intact: $deepOk")
+  }
+
+  test("VOCABULARY-DEPTH end-to-end: a 1500-effective-merge TRAINED " +
+      "artifact — train, persist, deep-apply, invertible roundtrip, " +
+      "sequential-mirror agreement") {
+    // widen the real corpus the ScaleSmoke way: 48 word-suffixed copies
+    // of sf0.001 documents keep the vocab growing (probed: 48 copies
+    // sustain 1629 effective merges; the bare corpus drains at ~106)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val copies = 48
+    val wide = (0 until copies).map { k =>
+      docs.select((col("doc_id") * copies + k).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1" + ("q" + k)).as("text"))
+    }.reduce(_ unionByName _)
+    val table = "bpe_depth_spec_artifact"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    // train → persist: the full requested depth must be EFFECTIVE (the
+    // whole point — prior gates only ever exercised ≤ ~89 real merges)
+    val merges = Lexicon.bpeMergesFor(wide, "text", table, merges = 1500)
+    assert(merges.size == 1500, s"corpus drained at ${merges.size} merges")
+    // persisted artifact serves identically in a second call (no retrain:
+    // a different corpus would train differently)
+    val served = Lexicon.bpeMergesFor(
+      Seq((1L, "zz zz yy")).toDF("doc_id", "text"), "text", table,
+      merges = 1500)
+    assert(served == merges, "artifact serve must not retrain")
+    // deep-apply + token stream + decode at full depth, one codegen pass
+    val toks = Lexicon.bpeTokenizeDeep(wide, "doc_id", "text", merges)
+      .persist()
+    try {
+      // invertibility on EVERY document: decoded == whitespace-normalized
+      // input, computed independently of the encoder
+      val raw = wide.select(col("doc_id"),
+        array_join(filter(graft.functions.TextAnalysis.words(col("text")),
+          w => w =!= ""), " ").as("raw"))
+      val broken = toks.join(raw, "doc_id")
+        .filter(col("decoded") =!= col("raw")).count()
+      assert(broken == 0, s"$broken documents fail decode(encode(x)) == x")
+      // count path and stream path agree doc-for-doc
+      val counts = Lexicon.bpeApplyDeep(wide, "doc_id", "text", merges)
+      val disagree = toks.select(col("doc_id"), col("n_tokens_bpe"))
+        .join(counts.select(col("doc_id"),
+          col("n_tokens_bpe").as("n2")), "doc_id")
+        .filter(col("n_tokens_bpe") =!= col("n2")).count()
+      assert(disagree == 0, s"$disagree docs: stream length != deep count")
+      // depth actually bites: the 1500-merge encoding must compress the
+      // corpus vs a 100-merge prefix (equal would mean dead tail merges)
+      val fullTok = toks.agg(sum(col("n_tokens_bpe"))).head().getLong(0)
+      val prefixTok = Lexicon.bpeApplyDeep(wide, "doc_id", "text",
+          merges.take(100))
+        .agg(sum(col("n_tokens_bpe"))).head().getLong(0)
+      assert(fullTok < prefixTok,
+        s"full-depth $fullTok !< 100-merge $prefixTok — tail merges dead")
+      // training-order sequential mirror on a sample: the rank loop's
+      // lowest-rank-first result equals Sennrich sequential application
+      def applySeq(t: List[String], l: String, r: String): List[String] =
+        t match {
+          case a :: b :: rest if a == l && b == r =>
+            (a + b) :: applySeq(rest, l, r)
+          case a :: rest => a :: applySeq(rest, l, r)
+          case Nil => Nil
+        }
+      val sample = wide.filter(col("doc_id") % 2400 === 7)
+        .select("doc_id", "text").collect()
+      assert(sample.length >= 5, "sample must not be empty")
+      val got = toks.filter(col("doc_id") % 2400 === 7)
+        .select("doc_id", "n_tokens_bpe").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sample.foreach { r =>
+        val want = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+          .map { w =>
+            var t = w.map(_.toString).toList
+            for ((l, rr) <- merges) t = applySeq(t, l, rr)
+            t.length
+          }.sum.toLong
+        assert(got(r.getLong(0)) == want,
+          s"doc ${r.getLong(0)}: deep ${got(r.getLong(0))} != mirror $want")
+      }
+    } finally {
+      toks.unpersist()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    }
   }
 
   test("tfIdf: tf and df exact; idf follows the smoothed sklearn formula") {
