@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * quadratically by construction — a data property, not an operator
   * property, and not what this probe measures).
   *
-  * Usage: runMain graft.tools.ScaleSmoke [sfDir] [k1,k2,...]
+  * Usage: runMain graft.tools.ScaleSmoke [sfDir] [k1,k2,...] [op1,op2,...]
   * Default multipliers 1,4,16: at sf0.1's ~5k docs the 1×/2× points are
   * fixed-overhead-dominated (scheduling, stage setup) and read ≈1×
   * growth regardless of operator cost; the wider spacing lets per-row
-  * cost dominate by the last point.
+  * cost dominate by the last point. The optional third arg restricts to
+  * named tiers (plus "neardedup" for the streaming build-vs-serve
+  * section) — what makes a 256× run of just the steepest tiers
+  * affordable.
   */
 object ScaleSmoke {
 
@@ -105,12 +108,42 @@ object ScaleSmoke {
     val ks = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 4, 16))
     require(ks == ks.sorted && ks.distinct == ks, "multipliers must ascend")
-    val frames = ks.map(k => k -> scaled(docs, k).persist()).toMap
-    frames.values.foreach(_.count()) // materialize inputs outside timing
+    // Cluster-faithful scaling contract (matters from ~64× up, where
+    // probe artifacts would otherwise dominate the curve):
+    //  - inputs are PARQUET on disk, not heap-cached frames — a cluster
+    //    reads storage; pinning 16×+64×+256× (336× total) of corpus in
+    //    one driver heap measures cache thrash, not the operator;
+    //  - shuffle partitions grow with data (constant bytes/partition,
+    //    floor 32, cap 1024) — a cluster adds executors and partitions
+    //    as data grows; a frozen 32 grows per-partition sort volume
+    //    16× across this sweep and tips every sort into spill.
+    def shufflePartitionsFor(k: Int): Int =
+      math.min(1024, math.max(32, 32 * k / ks.head))
+    val onlyOps: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    onlyOps.foreach { names =>
+      val known = ops.map(_._1).toSet + "neardedup"
+      val unknown = names -- known
+      require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
+    }
+    def opSelected(name: String): Boolean = onlyOps.forall(_.contains(name))
+    val selOps = ops.filter { case (n, _) => opSelected(n) }
+    val scaleDir = "/tmp/graft_scale_smoke"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleDir))
+    val frames = ks.map { k =>
+      scaled(docs, k).write.mode("overwrite").parquet(s"$scaleDir/k=$k")
+      k -> spark.read.parquet(s"$scaleDir/k=$k")
+    }.toMap // materialized to parquet outside timing
 
-    val results = ops.map { case (name, op) =>
+    val results = selOps.map { case (name, op) =>
       op(frames(ks.head)) // untimed warmup (codegen/JIT)
-      val runs = ks.map { k => val (t, n) = time(op(frames(k))); (k, t, n) }
+      val runs = ks.map { k =>
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val (t, n) = time(op(frames(k)))
+        (k, t, n)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
       val byK = runs.map { case (k, t, _) => k -> t }.toMap
       val line = runs.map { case (k, t, n) => f"${k}x=$t%.2fs(n=$n)" }
         .mkString(" ")
@@ -149,6 +182,7 @@ object ScaleSmoke {
     // serve tier's smaller slope (no per-trigger explode/shuffle/sort).
     // ---------------------------------------------------------------
     import graft.operators.Contamination
+    if (!opSelected("neardedup")) { spark.stop(); return }
     val batch = scaled(docs, 1).filter(col("doc_id") % 3 === 0).persist()
     batch.count()
     def ndOnce(k: Int, timed: Boolean): Seq[(String, Double, Long)] = {
