@@ -478,6 +478,10 @@ class StreamingSpec extends SparkSpec {
 
     // a pre-existing same-named table WITHOUT an shk column reads as a
     // mismatch and rebuilds — not an IllegalArgumentException
+    // (replaceTable first: warehouse dirs survive previous JVMs whose
+    // in-memory catalog entries did not)
+    graft.sources.Sources.replaceTable(spark, "neardedup_foreign_idx_meta")
+    graft.sources.Sources.replaceTable(spark, "neardedup_foreign_idx")
     Seq((3, 32)).toDF("n", "buckets").write.mode("overwrite")
       .format("parquet").saveAsTable("neardedup_foreign_idx_meta")
     Seq((1, 2)).toDF("a", "b").write.mode("overwrite")
