@@ -243,8 +243,11 @@ object Streaming {
       dedupCols: Seq[String] = Seq("event_type"),
       tsCol: String = "ts",
       windowDur: String = "1 hour"): DataFrame = {
+    // dedup on the window START (a timestamp), not the full struct: a
+    // tumbling window is identified by its start, and the scalar keeps
+    // the state-store key fixed-width
     val keyed = events.withColumn("__w",
-      org.apache.spark.sql.functions.window(col(tsCol), windowDur))
+      org.apache.spark.sql.functions.window(col(tsCol), windowDur)("start"))
     val deduped = dedupStream(keyed,
       joinKeys.map(_._1) ++ dedupCols :+ "__w", tsCol, delay)
     val enriched = enrichWithStatic(deduped, dim, joinKeys,
