@@ -233,18 +233,28 @@ object Layout {
     * ≥1 file) per value is exactly the small-files incident this
     * module's compaction half exists to prevent. */
   def partitionedTableFor(df: DataFrame, table: String,
-      partitionCol: String): DataFrame = {
+      partitionCol: String): DataFrame =
+    partitionedTableFor(df, table, Seq(partitionCol))
+
+  /** Multi-level variant — nested directories in `partitionCols` order
+    * (e.g. `source=.../day=...`, the canonical date+source corpus
+    * layout): a filter on any PREFIX of the hierarchy prunes whole
+    * subtrees; deeper columns prune within them. Directory count is the
+    * PRODUCT of the levels' cardinalities — keep it bounded. */
+  def partitionedTableFor(df: DataFrame, table: String,
+      partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
     val spark = df.sparkSession
     val matches = spark.catalog.tableExists(table) && {
       try spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .partitionColumnNames == Seq(partitionCol)
+        .partitionColumnNames == partitionCols
       catch { case _: Exception => false }
     }
     if (!matches) {
       graft.sources.Sources.replaceTable(spark, table)
       df.write.mode("overwrite").format("parquet")
-        .partitionBy(partitionCol).saveAsTable(table)
+        .partitionBy(partitionCols: _*).saveAsTable(table)
     }
     spark.table(table)
   }

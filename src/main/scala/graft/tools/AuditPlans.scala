@@ -64,6 +64,7 @@ object AuditPlans {
     // prune gates: fact-side groupBy agg + final sort; the dim/threshold
     // sides are broadcast (dynamic) or literal (static)
     "q_partition_prune" -> 2, "q_partition_prune_dynamic" -> 2,
+    "q_partition_prune_multi" -> 2,
     "q_join3_revenue" -> 1, "q_join_anti" -> 1, "q_join_asof" -> 2,
     "q_join_chain" -> 2, "q_join_full" -> 3, "q_join_inner" -> 2,
     "q_join_left" -> 2, "q_join_multikey" -> 3, "q_join_range" -> 1,

@@ -175,6 +175,33 @@ class LayoutSpec extends SparkSpec {
     assert(rebuilt.count() == docs.count(), "rebuild must carry full data")
   }
 
+  test("two-level partitioning: a prefix filter prunes whole subtrees; " +
+      "a full filter selects the exact cell set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("bucket", (col("doc_id") % 3).cast("string"))
+    val part = Layout.partitionedTableFor(docs, "layout_spec_part2",
+      Seq("source", "bucket")) // 20 × 3 = 60 directories
+    assert(Layout.scanPruneStats(part) ==
+      Seq(Layout.PruneStat(60, false, false)))
+    // prefix (source only): 2 sources × all 3 buckets = 6 cells
+    val pfx = Layout.scanPruneStats(
+      part.filter(col("source").isin("src3", "src7")))
+    assert(pfx == Seq(Layout.PruneStat(6, true, false)), s"got $pfx")
+    // full hierarchy: 2 sources × 1 bucket = 2 cells
+    val full = Layout.scanPruneStats(
+      part.filter(col("source").isin("src3", "src7") &&
+        col("bucket") === "1"))
+    assert(full == Seq(Layout.PruneStat(2, true, false)), s"got $full")
+    // content preserved through the two-level rewrite
+    val want = docs.filter(col("source").isin("src3", "src7") &&
+      col("bucket") === "1")
+    val got = part.filter(col("source").isin("src3", "src7") &&
+      col("bucket") === "1")
+    assert(got.select(docs.columns.map(col): _*)
+      .exceptAll(want).isEmpty &&
+      want.exceptAll(got.select(docs.columns.map(col): _*)).isEmpty)
+  }
+
   test("dynamic partition pruning: the runtime filter skips directories " +
       "the planner could not") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
