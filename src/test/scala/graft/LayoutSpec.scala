@@ -202,6 +202,21 @@ class LayoutSpec extends SparkSpec {
       want.exceptAll(got.select(docs.columns.map(col): _*)).isEmpty)
   }
 
+  test("partitioned layout: NULL partition values round-trip (Hive " +
+      "default partition) and stay out of value-filtered scans") {
+    val df = Seq((1L, "a", Some("s1")), (2L, "b", None), (3L, "c", Some("s2")))
+      .toDF("id", "v", "src")
+    val part = Layout.partitionedTableFor(df, "layout_spec_nulls", "src")
+    // content round-trips, including the NULL-source row
+    assert(part.count() == 3)
+    assert(part.filter(col("src").isNull).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a value filter selects only its directory — the NULL
+    // (__HIVE_DEFAULT_PARTITION__) directory is pruned, not read
+    val st = Layout.scanPruneStats(part.filter(col("src") === "s1"))
+    assert(st == Seq(Layout.PruneStat(1, true, false)), s"got $st")
+  }
+
   test("dynamic partition pruning: the runtime filter skips directories " +
       "the planner could not") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
