@@ -129,10 +129,20 @@ object Ordinals {
     * mutated mid-query — is not statically detectable; that half of the
     * contract stays documentation.) */
   private def requireDeterministicPlan(df: DataFrame, op: String): Unit = {
-    val bad = df.queryExecution.analyzed.collectFirst {
-      case p if p.expressions.exists(e =>
-          e.exists(!_.deterministic)) => p
-    }
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    // descend into SUBQUERY plans too: plan.collectFirst/Expression.exists
+    // stop at a SubqueryExpression's expression node and never walk its
+    // nested plan, so a rand()/uuid() inside a scalar/EXISTS/IN subquery
+    // would escape the gate while still corrupting multi-pass ordinals
+    def nondet(plan: LogicalPlan): Option[LogicalPlan] =
+      plan.collectFirst {
+        case p if p.expressions.exists(e => e.exists {
+            case s: SubqueryExpression => nondet(s.plan).isDefined
+            case other => !other.deterministic
+          }) => p
+      }
+    val bad = nondet(df.queryExecution.analyzed)
     require(bad.isEmpty,
       s"$op evaluates its input MORE THAN ONCE, but the plan contains a " +
         "nondeterministic expression (e.g. rand/shuffle/" +

@@ -22,12 +22,16 @@ object CmsOps {
 
   def sketch(bytes: Array[Byte]): CountMinSketch = {
     val cached = last.get()
-    if (cached != null &&
-        ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
+    // content-only comparison against a DEFENSIVE COPY of the key: a
+    // reference-identity shortcut (or storing the caller's array) would
+    // serve a stale sketch if any codegen path reuses a buffer in place —
+    // Arrays.equals(buf, buf) is trivially true however the contents
+    // changed. The clone costs one KB-copy per cache MISS only.
+    if (cached != null && java.util.Arrays.equals(cached._1, bytes))
       cached._2
     else {
       val s = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      last.set((bytes, s))
+      last.set((bytes.clone(), s))
       s
     }
   }

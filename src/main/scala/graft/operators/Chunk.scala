@@ -31,31 +31,66 @@ object Chunk {
     * same operator) just sends the other query down the recompute path;
     * `sameResult` guards the repeated-identical-input case, where
     * CacheManager shares one entry between the old and new frames.
-    * One caveat that discipline can't cover: if the SAME source files
-    * are regenerated in place between calls (same paths, new bytes),
-    * `sameResult` still holds and the slot serves the pre-regeneration
-    * data until the slot cycles — callers that rewrite inputs in place
-    * must `spark.catalog.clearCache()` (the serving artifacts avoid
-    * this class entirely by mtime-keying, `Queries.artifactTable`).
+    * The sameResult discipline alone cannot cover IN-PLACE REGENERATION
+    * (same source paths, new bytes): two reads of the same directory
+    * `sameResult` each other (`InMemoryFileIndex` equality is by root
+    * path), so CacheManager would hand the regenerated frame the
+    * PRE-regeneration blocks. Each slot therefore also carries a SOURCE
+    * FINGERPRINT — the sorted (input file, mtime) list, the
+    * `Queries.artifactTable` idiom — and a fingerprint change releases
+    * the previous pin even when `sameResult` holds, forcing the fresh
+    * persist down the recompute path.
     *
-    * Slots are keyed per SparkSession (identity), not JVM-global: an
-    * embedder that stops one session and starts another must not have
+    * Slots are keyed by the SparkSession OBJECT (not its identity hash
+    * — a hash collision between two sessions would alias their slots),
+    * so an embedder that stops one session and starts another never has
     * the new session's first call touch a DataFrame from the dead
-    * context. The previous pin's release is best-effort — unpersist on
-    * a stopped session throws, and a failed release of a dead
-    * session's block is a no-op in practice (the blocks died with the
-    * context). */
-  private val cacheSlots =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    * context. Entries whose underlying SparkContext has stopped are
+    * swept on every call — their blocks died with the context, so the
+    * sweep is a plain removal, and the registry cannot leak dead
+    * sessions' DataFrames for the JVM's lifetime. (A WEAK map cannot do
+    * this job: the held DataFrame strongly references its session
+    * through QueryExecution, so a weakly-keyed entry would never
+    * collect.) The previous pin's release is best-effort — unpersist on
+    * a stopped session throws, and a failed release of a dead session's
+    * blocks is a no-op in practice. */
+  private val cacheSlots = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (String, DataFrame)]
+
+  /** Sorted (path, mtime) digest of `df`'s file-source inputs; constant
+    * for purely in-memory frames (where `sameResult` is the whole
+    * story). Listing cost is the file index Spark already built. */
+  private def sourceFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val parts = df.inputFiles.sorted.map { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val m = try path.getFileSystem(conf).getFileStatus(path).getModificationTime
+        catch { case _: Exception => -1L } // deleted/unreachable: still distinct from any real mtime
+      s"$p@$m"
+    }
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(parts.mkString("\n").getBytes("UTF-8")))
+  }
+
   private def pinSlot(slot: String, df: DataFrame): DataFrame = {
-    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val key = (System.identityHashCode(df.sparkSession), slot)
-    cacheSlots.put(key, pinned).foreach { prev =>
-      if (!prev.queryExecution.analyzed
-          .sameResult(pinned.queryExecution.analyzed))
+    // sweep dead-context entries (blocks died with the context)
+    cacheSlots.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) cacheSlots.remove(k)
+    }
+    val fp = sourceFingerprint(df)
+    val key = (df.sparkSession, slot)
+    // release BEFORE persist: CacheManager ignores a persist whose plan
+    // sameResults an existing entry, so a stale same-plan entry must be
+    // gone before the new pin registers
+    cacheSlots.get(key).foreach { case (prevFp, prev) =>
+      if (prevFp != fp || !prev.queryExecution.analyzed
+          .sameResult(df.queryExecution.analyzed))
         try prev.unpersist(blocking = false)
         catch { case _: Exception => () } // dead session: blocks already gone
     }
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheSlots.put(key, (fp, pinned))
     pinned
   }
 

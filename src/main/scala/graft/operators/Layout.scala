@@ -246,10 +246,18 @@ object Layout {
     require(partitionCols.nonEmpty, "need at least one partition column")
     val spark = df.sparkSession
     val matches = spark.catalog.tableExists(table) && {
-      try spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .partitionColumnNames == partitionCols
-      catch { case _: Exception => false }
+      // resolver-based comparison: the catalog stores partition column
+      // names as the ANALYZER normalized them, so a verbatim == against
+      // the caller's casing never matches mixed-case columns and would
+      // silently rebuild the full table on every call
+      val resolver = spark.sessionState.analyzer.resolver
+      try {
+        val catalogCols = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .partitionColumnNames
+        catalogCols.length == partitionCols.length &&
+          catalogCols.zip(partitionCols).forall { case (a, b) => resolver(a, b) }
+      } catch { case _: Exception => false }
     }
     if (!matches) {
       graft.sources.Sources.replaceTable(spark, table)

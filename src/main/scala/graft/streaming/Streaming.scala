@@ -21,6 +21,18 @@ case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
   */
 object Streaming {
 
+  /** Fixed length of an interval string in microseconds, for comparing a
+    * window duration against a watermark delay. Month-bearing intervals
+    * have no fixed length (and `window()` itself rejects them) — fail
+    * fast rather than guess. */
+  private def durationMicros(interval: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(iv.months == 0,
+      s"'$interval' has a month component — no fixed duration to compare")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
   /** Streaming view of events. The `ts` encoding is whatever the writer
     * chose (long-nanos / TIMESTAMP_NTZ / TIMESTAMP) — normalized to µs
     * TimestampType by [[graft.sources.EventTime.normalizeTs]], branching
@@ -233,8 +245,13 @@ object Streaming {
     * — the contract holds for any size by construction (a separate
     * finer aggregation window would let two same-bucket duplicates land
     * in different sub-windows, survivor arrival order deciding the
-    * counts). All stream-side join key columns participate in the dedup
-    * key, plus `dedupCols` (extra event identity, e.g. the event type).
+    * counts). The OTHER half of exactness is dedup COMPLETENESS:
+    * `dropDuplicatesWithinWatermark` only guarantees dropping duplicates
+    * that arrive within `delay` of each other, so the contract
+    * additionally REQUIRES windowDur ≤ delay (enforced below) — then any
+    * same-window pair is within the guarantee. All stream-side join key
+    * columns participate in the dedup key, plus `dedupCols` (extra event
+    * identity, e.g. the event type).
     * Append emits exactly the windows whose end ≤ final watermark (max
     * event time − delay); the oracle applies the same cut. */
   def funnelCounts(events: DataFrame, dim: DataFrame,
@@ -243,6 +260,18 @@ object Streaming {
       dedupCols: Seq[String] = Seq("event_type"),
       tsCol: String = "ts",
       windowDur: String = "1 hour"): DataFrame = {
+    // EXACT-counts precondition: dropDuplicatesWithinWatermark only
+    // GUARANTEES dedup of duplicates arriving within `delay` of each
+    // other — two same-window duplicates more than `delay` apart could
+    // both survive and double-count. Same-window events are at most
+    // `windowDur` apart, so windowDur ≤ delay makes every same-window
+    // duplicate pair fall inside the guarantee. Fail fast rather than
+    // silently over-count.
+    require(durationMicros(windowDur) <= durationMicros(delay),
+      s"funnelCounts exact-count contract needs windowDur ($windowDur) <= " +
+        s"watermark delay ($delay): dropDuplicatesWithinWatermark only " +
+        "guarantees dedup of events within the delay of each other, so a " +
+        "wider window admits same-window duplicate pairs it cannot drop")
     // dedup on the window START (a timestamp), not the full struct: a
     // tumbling window is identified by its start, and the scalar keeps
     // the state-store key fixed-width

@@ -27,6 +27,25 @@ class OrdinalsSpec extends SparkSpec {
     }
   }
 
+  test("a nondeterministic expression INSIDE a subquery plan is rejected " +
+      "too — the gate descends into scalar/EXISTS subqueries") {
+    base.createOrReplaceTempView("ord_subq_t")
+    // rand()*0 keeps the values deterministic in fact, but the PLAN
+    // carries a nondeterministic expression inside the scalar subquery —
+    // exactly what a top-level-only walk misses
+    val q = spark.sql(
+      "select id, v from ord_subq_t " +
+        "where id > (select min(id) + rand() * 0 from ord_subq_t)")
+    val e = intercept[IllegalArgumentException](
+      Ordinals.withOrdinal(q, Seq(SortKey(col("id")))))
+    assert(e.getMessage.contains("nondeterministic"), e.getMessage)
+    // the same shape WITHOUT rand() passes
+    val ok = spark.sql(
+      "select id, v from ord_subq_t " +
+        "where id > (select min(id) from ord_subq_t)")
+    assert(Ordinals.withOrdinal(ok, Seq(SortKey(col("id")))).count() == 99)
+  }
+
   test("the documented remedy passes: localCheckpoint severs the " +
       "nondeterministic lineage and ordinals come out consistent") {
     val pinned = base.withColumn("score", rand(42)).localCheckpoint(true)

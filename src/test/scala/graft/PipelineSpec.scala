@@ -276,6 +276,29 @@ class PipelineSpec extends SparkSpec {
       lineSep = "|")).toSeq == Seq((1L, 2L, 1L, "y"), (2L, 2L, 1L, "z")))
   }
 
+  test("pinSlot: an in-place regenerated source is recomputed, never " +
+      "served from the previous generation's cache slot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-regen")
+      .toFile.getAbsolutePath
+    def gen(a: String, b: String, c: String, d: String): Unit =
+      Seq((1L, s"$a\n$b"), (2L, s"$a\n$c"), (3L, s"$d"))
+        .toDF("id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    def kept(): Map[Long, String] =
+      Chunk.removeFrequentLines(spark.read.parquet(dir), "id", "text",
+          maxFreq = 1)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    gen("dup", "one", "two", "solo")
+    assert(kept() == Map(1L -> "one", 2L -> "two", 3L -> "solo"))
+    // regenerate the SAME directory: fresh reads of it sameResult the
+    // pinned plan (InMemoryFileIndex equality is by root path), so only
+    // the slot's source fingerprint stands between this read and the
+    // pre-regeneration cache blocks
+    gen("boiler", "uno", "dos", "tres")
+    assert(kept() == Map(1L -> "uno", 2L -> "dos", 3L -> "tres"),
+      "slot served the pre-regeneration generation")
+  }
+
   test("shardBySize: longest-first round-robin matches the value-sorted " +
       "rank exactly and is layout-invariant") {
     val d = (0L until 200L).map(i => (i, i % 13)).toDF("id", "sz")

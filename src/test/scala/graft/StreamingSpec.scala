@@ -289,6 +289,27 @@ class StreamingSpec extends SparkSpec {
       ("10:00", "apac", 1L)), s"got $got")
   }
 
+  test("funnelCounts rejects windowDur > delay: same-window duplicates " +
+      "farther apart than the delay would escape the dedup guarantee") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val dim = Seq((7L, "emea")).toDF("device_id", "region")
+    val e = intercept[IllegalArgumentException](
+      Streaming.funnelCounts(
+        in.toDF().toDF("device_id", "action", "event_time"), dim,
+        joinKeys = Seq("device_id" -> "device_id"), segmentCol = "region",
+        delay = "1 hour", dedupCols = Seq("action"),
+        tsCol = "event_time", windowDur = "1 day"))
+    assert(e.getMessage.contains("windowDur"), e.getMessage)
+    // boundary case windowDur == delay is legal
+    Streaming.funnelCounts(
+      in.toDF().toDF("device_id", "action", "event_time"), dim,
+      joinKeys = Seq("device_id" -> "device_id"), segmentCol = "region",
+      delay = "30 minutes", dedupCols = Seq("action"),
+      tsCol = "event_time", windowDur = "30 minutes")
+  }
+
   test("watermark lateness: an event older than the horizon arriving in " +
       "a later micro-batch is DROPPED from its closed window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
