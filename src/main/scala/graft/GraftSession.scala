@@ -10,6 +10,23 @@ import org.apache.spark.sql.SparkSession
   * count vs data volume, memory fractions) still applies.
   */
 object GraftSession {
+  import scala.util.chaining._
+
+  /** RocksDB-backed streaming state: the default HDFSBackedStateStore
+    * keeps every state row on the executor HEAP — at pipeline ingest
+    * rates (dedup state = keys × watermark horizon) that is an OOM wall,
+    * while RocksDB spills to local disk with a bounded block cache and
+    * scales state per executor to what the disk holds. Changelog
+    * checkpointing uploads per-batch deltas instead of full SST
+    * snapshots, so commit latency stays flat as state grows. Factored
+    * out so the minimal harness sessions (Verify/Bench/specs) run the
+    * stateful operators under the SAME state backend a deployment
+    * would. */
+  def rocksDbState(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
 
   /** Apply the recommended configs to a builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
@@ -26,6 +43,7 @@ object GraftSession {
     // 128 MB scan splits: big enough to amortize task overhead, small
     // enough that a partition's working set fits executor memory.
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    .pipe(rocksDbState)
     // graft's codegen'd expressions as SQL functions (vec_*, simhash64,
     // shingle_hash_set, normalize_words).
     .withExtensions(new graft.plans.GraftExtensions)

@@ -1995,6 +1995,37 @@ object Queries {
       maxPartitions = 14)
   }
 
+  /** PARTITION-PRUNED STREAMING SOURCE — the incremental-ingest analogue
+    * of [[q_partition_prune_multi]]: subscribe a file stream to ONE
+    * subtree (`event_type=click`) of the two-level Hive layout, so the
+    * per-trigger directory LISTING never touches the other four types'
+    * 120 directories, and filter the week's days in-stream (the `day=`
+    * partition column is directory-inferred below the subtree, so the
+    * filter prunes file scans within it). Week bounds enter as literals
+    * from one tiny min aggregate (the [[q_partition_prune_multi]]
+    * idiom). The listing-containment assertion (every file the source
+    * processed lives under the subtree) is pinned in StreamingSpec,
+    * where the checkpoint's source log is inspectable. */
+  val q_stream_partition_prune: Q = (s, dir) => {
+    import graft.operators.Layout
+    import graft.streaming.Streaming
+    val table = artifactTable(s, "events_part", dir, "events")
+    val ev = events(s, dir).df.withColumn("day",
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+    Layout.partitionedTableFor(ev, table, Seq("event_type", "day"))
+    val d0 = ev.agg(min(to_date(col("day")))).head().getDate(0).toLocalDate
+    val (lo, hi) = (d0.plusDays(7).toString, d0.plusDays(13).toString)
+    val stream = Streaming.partitionSubtreeStream(
+      s, Layout.tableLocation(s, table), "event_type=click")
+    // directory inference types the day= partition column as DATE —
+    // normalize to the yyyy-MM-dd string the layout (and oracle) uses
+    val agg = stream.filter(col("day").between(lo, hi))
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    Streaming.runToBatch(agg, "stream_week_clicks")
+      .orderBy(col("day"))
+  }
+
   // ==================================================================
   // §2.1 Sources / sinks (round-trips against parquet ground truth)
   // ==================================================================
@@ -2563,6 +2594,7 @@ object Queries {
     "q_partition_prune" -> q_partition_prune,
     "q_partition_prune_dynamic" -> q_partition_prune_dynamic,
     "q_partition_prune_multi" -> q_partition_prune_multi,
+    "q_stream_partition_prune" -> q_stream_partition_prune,
     "q_sim_topk" -> q_sim_topk,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
@@ -4154,6 +4186,17 @@ object Queries {
         |                               AND b.d0 + INTERVAL 13 DAY
         |GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
+
+    "q_stream_partition_prune" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n, round(sum("value"), 2) AS sum_value
+        |FROM events, b
+        |WHERE event_type = 'click'
+        |  AND date_trunc('day', ts) BETWEEN b.d0 + INTERVAL 7 DAY
+        |                               AND b.d0 + INTERVAL 13 DAY
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
 
     "q_sim_topk" ->
       """WITH q AS (

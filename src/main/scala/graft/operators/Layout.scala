@@ -267,6 +267,14 @@ object Layout {
     spark.table(table)
   }
 
+  /** Filesystem root of a catalog table's data — the directory whose
+    * `col=value` subtrees a partition-pruned reader (batch or
+    * [[graft.streaming.Streaming.partitionSubtreeStream]]) addresses. */
+  def tableLocation(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.getPath
+
   /** Per-scan partition-pruning evidence from a plan: for every file
     * scan over a partitioned relation, the number of partitions the
     * planner SELECTED, whether a static partition filter reached the

@@ -77,6 +77,39 @@ object Streaming {
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     fileStream(spark, dir, "documents.parquet")
 
+  /** PARTITION-PRUNED incremental ingest: stream ONE subtree of a
+    * Hive-partitioned layout (e.g. `event_type=click` of an
+    * `event_type=/day=` corpus, [[graft.operators.Layout
+    * .partitionedTableFor]]). The file-stream source's DIRECTORY LISTING
+    * — the per-trigger cost a 100 TB layout pays forever — walks only
+    * the subscribed subtree: the other top-level partitions are never
+    * listed, the incremental analogue of static partition pruning (a
+    * 150-directory corpus with 5 event types lists 30 directories, not
+    * 150, every trigger). Partition columns BELOW the subtree (`day=`)
+    * are directory-inferred into the schema as in batch reads, so a
+    * day-range filter still prunes file scans within the subtree.
+    * `maxFilesPerTrigger` bounds each micro-batch (0 = unbounded).
+    * The schema is footer-read once from the subtree per (path, mtime)
+    * — same cache discipline as [[fileStream]]. */
+  def partitionSubtreeStream(spark: SparkSession, tableDir: String,
+      subtree: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val path = s"$tableDir/$subtree"
+    val mtime = try new java.io.File(path).lastModified catch { case _: Exception => 0L }
+    val schema = schemaCache.get(path) match {
+      case Some((m, s)) if m == mtime => s
+      case _ =>
+        // batch read of the subtree: data schema + the partition columns
+        // directory-inferred BELOW the subtree root
+        val s = spark.read.parquet(path).schema
+        schemaCache.put(path, (mtime, s))
+        s
+    }
+    val r = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else r).parquet(path)
+  }
+
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, org.apache.spark.sql.types.StructType)]
 

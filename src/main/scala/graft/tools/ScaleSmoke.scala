@@ -122,7 +122,7 @@ object ScaleSmoke {
     val onlyOps: Option[Set[String]] =
       args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     onlyOps.foreach { names =>
-      val known = ops.map(_._1).toSet + "neardedup"
+      val known = ops.map(_._1).toSet + "neardedup" + "join3" + "join_skew"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -130,10 +130,156 @@ object ScaleSmoke {
     val selOps = ops.filter { case (n, _) => opSelected(n) }
     val scaleDir = "/tmp/graft_scale_smoke"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleDir))
-    val frames = ks.map { k =>
+    // doc-corpus frames: only materialized when a document tier runs
+    lazy val frames = ks.map { k =>
       scaled(docs, k).write.mode("overwrite").parquet(s"$scaleDir/k=$k")
       k -> spark.read.parquet(s"$scaleDir/k=$k")
     }.toMap // materialized to parquet outside timing
+
+    // ---------------------------------------------------------------
+    // Relational tiers (round 10): the TPC-H-shaped join path under the
+    // SAME cluster-faithful contract (scaled parquet inputs on disk,
+    // shuffle partitions growing with the multiplier). The seven
+    // document tiers never exercise the fact-fact join path where a
+    // 100× TPC-H-style workload actually lives; these two do.
+    //  - join3: the q_join3_revenue shape — broadcast filtered dim →
+    //    fact-fact equi-join → agg → top-k. Orderkeys are k-shifted per
+    //    copy so per-key join multiplicity is CONSTANT (output scales
+    //    k×, never k²).
+    //  - join_skew: the same fact-fact join with 25% of all lineitem
+    //    rows redirected to ONE hot orderkey, run as a plain shuffle
+    //    join under AQE with skew thresholds scaled to the probe's
+    //    per-partition bytes (a cluster at 100 TB hits the DEFAULT
+    //    thresholds; this data is ~100× smaller per partition) — the
+    //    probe REQUIRES the AQE skew split to fire, and cross-checks
+    //    the manual salted-join alternative for identical results.
+    // ---------------------------------------------------------------
+    val relSel = Seq("join3", "join_skew").filter(opSelected)
+    if (relSel.nonEmpty) {
+      import org.apache.spark.sql.functions.broadcast
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord0 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val relFrames = ks.map { k =>
+        (0 until k).map(i => li0.select(
+            (col("l_orderkey") * k + i).as("l_orderkey"),
+            col("l_extendedprice"), col("l_discount")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$scaleDir/li_k=$k")
+        (0 until k).map(i => ord0.select(
+            (col("o_orderkey") * k + i).as("o_orderkey"),
+            col("o_custkey"), col("o_orderdate"), col("o_orderpriority")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$scaleDir/ord_k=$k")
+        k -> (spark.read.parquet(s"$scaleDir/li_k=$k"),
+          spark.read.parquet(s"$scaleDir/ord_k=$k"))
+      }.toMap
+
+      def withConfs[T](kvs: (String, String)*)(f: => T): T = {
+        val prev = kvs.map { case (c, _) => c -> spark.conf.get(c) }
+        try { kvs.foreach { case (c, v) => spark.conf.set(c, v) }; f }
+        finally prev.foreach { case (c, v) => spark.conf.set(c, v) }
+      }
+
+      def planHasSkewHandling(df: DataFrame): Boolean = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+        var found = false
+        def walk(p: SparkPlan): Unit = p.foreach {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case s: SortMergeJoinExec if s.isSkewJoin => found = true
+          case s: ShuffledHashJoinExec if s.isSkewJoin => found = true
+          case r: AQEShuffleReadExec if r.hasSkewedPartition => found = true
+          case _ => ()
+        }
+        walk(df.queryExecution.executedPlan)
+        found
+      }
+
+      if (relSel.contains("join3")) {
+        def join3(k: Int): Long = {
+          val (li, ord) = relFrames(k)
+          forceAll(ord.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+            .join(li, col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("o_orderkey"), col("o_orderdate"))
+            .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+            .orderBy(col("revenue").desc, col("o_orderkey")).limit(10))
+        }
+        join3(ks.head) // untimed warmup
+        val runs = ks.map { k =>
+          spark.conf.set("spark.sql.shuffle.partitions",
+            shufflePartitionsFor(k).toString)
+          val (t, n) = time(join3(k))
+          (k, t, n)
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val line = runs.map { case (k, t, _) => f"${k}x=$t%.2fs" }.mkString(" ")
+        val growth = ks.sliding(2).collect { case Seq(a, b) =>
+          f"$a→$b: ${runs.find(_._1 == b).get._2 / runs.find(_._1 == a).get._2}%.2f× (data ${b.toDouble / a}%.0f×)"
+        }.mkString("  ")
+        println(f"join3          $line  growth $growth")
+        println("{\"probe\":\"scale_join3\",\"sf\":\"" + sfDir + "\"," +
+          runs.map { case (k, t, _) => f"""\"t$k\":$t%.3f""" }.mkString(",") + "}")
+      }
+
+      if (relSel.contains("join_skew")) {
+        def skewOnce(k: Int): (Int, Double, Double) = {
+          val (li, ord) = relFrames(k)
+          val hot = ord.agg(min(col("o_orderkey"))).head().getLong(0)
+          // 25% of ALL lineitem rows onto one existing orderkey
+          val liSkew = li.withColumn("l_orderkey",
+            when(col("l_orderkey") % 4 === 0, lit(hot))
+              .otherwise(col("l_orderkey")))
+          def agged(j: DataFrame): DataFrame = j
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_items"),
+              round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          spark.conf.set("spark.sql.shuffle.partitions",
+            shufflePartitionsFor(k).toString)
+          val out = withConfs(
+            "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m") {
+            val aqeJoin = agged(
+              liSkew.join(ord, col("l_orderkey") === col("o_orderkey")))
+            val t0 = System.nanoTime()
+            val aqeRows = aqeJoin.collect()
+            val tAqe = (System.nanoTime() - t0) / 1e9
+            require(planHasSkewHandling(aqeJoin),
+              s"AQE skew split did not fire at $k× — thresholds vs data out of tune")
+            val salted = agged(graft.core.GTable(liSkew, "li")
+              .joinSalted(graft.core.GTable(ord, "ord"), 8,
+                "l_orderkey" -> "o_orderkey").df)
+            val t1 = System.nanoTime()
+            val saltRows = salted.collect()
+            val tSalt = (System.nanoTime() - t1) / 1e9
+            require(aqeRows.map(_.toString).sorted.sameElements(
+              saltRows.map(_.toString).sorted),
+              s"salted join disagrees with AQE skew join at $k×")
+            (k, tAqe, tSalt)
+          }
+          out
+        }
+        skewOnce(ks.head) // untimed warmup (codegen/JIT)
+        val skewRuns = ks.map(skewOnce)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val line = skewRuns.map { case (k, a, s) =>
+          f"${k}x: aqe=$a%.2fs salted=$s%.2fs" }.mkString("  ")
+        println(s"join_skew      $line  (skew split fired at every k)")
+        println("{\"probe\":\"scale_join_skew\",\"sf\":\"" + sfDir + "\"," +
+          skewRuns.map { case (k, a, s) =>
+            f"""\"aqe_t$k\":$a%.3f,\"salted_t$k\":$s%.3f""" }.mkString(",") + "}")
+      }
+      if (selOps.isEmpty && !opSelected("neardedup")) { spark.stop(); return }
+    }
 
     val results = selOps.map { case (name, op) =>
       op(frames(ks.head)) // untimed warmup (codegen/JIT)

@@ -157,6 +157,89 @@ class StreamingSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("partitionSubtreeStream: processed files are CONTAINED in the " +
+      "subscribed subtree, nested partition column is inferred, and the " +
+      "other top-level partitions are never listed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-subtree")
+      .toFile.getAbsolutePath
+    Seq(
+      ("click", "2024-01-01", 1.0), ("click", "2024-01-01", 2.0),
+      ("click", "2024-01-02", 4.0),
+      ("view", "2024-01-01", 8.0), ("purchase", "2024-01-02", 16.0))
+      .toDF("event_type", "day", "value")
+      .repartition(2)
+      .write.mode("overwrite").partitionBy("event_type", "day").parquet(dir)
+    val stream = Streaming.partitionSubtreeStream(spark, dir,
+      "event_type=click", maxFilesPerTrigger = 1)
+    assert(stream.columns.contains("day"),
+      "nested partition column must be directory-inferred")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-subtree-ckpt")
+    val q = stream.groupBy(col("day").cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(col("value")).as("s"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("subtree_out")
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("subtree_out").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("2024-01-01" -> 3.0, "2024-01-02" -> 4.0),
+      s"got $got") // view/purchase rows must not leak in
+    // the checkpoint's source log records every file the source ever
+    // listed-and-processed — containment there IS the pruning claim
+    import scala.jdk.CollectionConverters._
+    val srcLog = ckpt.resolve("sources").resolve("0")
+    val paths = java.nio.file.Files.walk(srcLog).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.endsWith(".crc")) // binary sidecars
+      .flatMap(f => java.nio.file.Files.readAllLines(f).asScala)
+      .flatMap(l => "\"path\":\"([^\"]+)\"".r
+        .findAllMatchIn(l).map(_.group(1)))
+      .toSet
+    assert(paths.nonEmpty, "source log recorded no files")
+    assert(paths.forall(_.contains("/event_type=click/")),
+      s"source listed outside the subtree: $paths")
+    val subtreeFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir, "event_type=click")).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet"))
+    assert(paths.size == subtreeFiles,
+      s"processed ${paths.size} files, subtree holds $subtreeFiles")
+  }
+
+  test("streaming state runs on RocksDB: multi-batch dedup reports state " +
+      "rows and rocksdb-specific store metrics in the query progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"),
+      "suite session must run the deployment state backend")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val deduped = Streaming.dedupStream(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      Seq("user_id", "event_type"), "ts", "30 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("rocksdb_metrics_out").start()
+    try {
+      in.addData((1 to 200).map(i => (i.toLong, "click", ts(i % 30))): _*)
+      q.processAllAvailable()
+      in.addData((1 to 100).map(i => (i.toLong, "view", ts(i % 30))): _*)
+      q.processAllAvailable()
+      // the final data batch's progress (processAllAvailable can also
+      // surface a trailing no-data batch — skip those)
+      val prog = q.recentProgress.reverse
+        .find(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+      assert(prog.isDefined, "no stateful progress recorded")
+      val so = prog.get.stateOperators.head
+      // every key is within the watermark horizon (all events in one
+      // 30-min span) → state holds exactly the 300 distinct keys
+      assert(so.numRowsTotal == 300L, s"numRowsTotal=${so.numRowsTotal}")
+      val custom = so.customMetrics.keySet()
+      assert(custom.stream().anyMatch(_.startsWith("rocksdb")),
+        s"expected rocksdb custom metrics, got $custom")
+    } finally q.stop()
+    assert(spark.table("rocksdb_metrics_out").count() == 300L)
+  }
+
   test("dedupStreamAgainst: corpus copies drop (normalized), in-stream " +
       "re-occurrences drop, fresh docs pass — across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
