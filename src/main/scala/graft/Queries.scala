@@ -1218,6 +1218,31 @@ object Queries {
       .orderBy(col("step"))
   }
 
+  /** BPE at TRUE VOCABULARY DEPTH, oracle-pinned — the round-10 close of
+    * the one remaining depth gap: the corpus is widened IN-ENGINE by
+    * `copies` word-suffixed copies (every word in copy k gets `qk`
+    * appended — the [[graft.tools.BpeDepthProbe]] idiom: copies share
+    * no words, so the sustainable merge count multiplies), and the
+    * trainer runs 1100 rounds WITHOUT draining (round 1100 still merges
+    * at frequency ~888 on the sf0.01 corpus). Every one of the 1100
+    * (step, lhs, rhs, n) rows must bit-match the independent DuckDB
+    * mirror — ending the question the ScalaTest-only 1500-merge
+    * artifact left open (our own Sennrich mirror agreeing with our own
+    * trainer). The widening is ONE scan + an explode, not `copies`
+    * scans; the per-row regexp_replace appends the copy suffix to every
+    * word. */
+  val q_bpe_train_vocab_depth: Q = (s, dir) => {
+    import graft.operators.Lexicon
+    val copies = 48
+    val wide = t(s, dir, "documents").df
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(copies - 1))).as("k"))
+      .select((col("doc_id") * copies + col("k")).as("doc_id"),
+        expr("regexp_replace(text, '(\\\\S+)', concat('$1q', k))").as("text"))
+    Lexicon.bpeTrain(wide, "text", merges = 1100)
+      .orderBy(col("step"))
+  }
+
   /** UNCAPPED BPE inference gate — the codegen rank-loop encoder
     * ([[graft.operators.Lexicon.bpeApplyDeep]], merge-depth-independent
     * per-word cost) answers the SAME DuckDB oracle as q_bpe_apply's
@@ -1298,6 +1323,57 @@ object Queries {
       .map(k => s"SELECT $k AS step, lhs, rhs, n AS n_occurrences FROM t$k")
       .mkString("\nUNION ALL ")
     s"${bpeCtes(rounds)}\n$sel\nORDER BY step"
+  }
+
+  /** [[q_bpe_train_vocab_depth]] oracle: the SAME per-round semantics as
+    * [[bpeOracleSql]] (pair count → deterministic top-1 → delimiter
+    * replace) over the `copies`-widened vocabulary, emitted as a flat
+    * STATEMENT SEQUENCE (`CREATE OR REPLACE TEMP TABLE` triple per
+    * round, `SELECT` last — DuckDB's Python `sql()` runs the sequence
+    * and returns the final relation) instead of one chained
+    * MATERIALIZED-CTE statement: at 1100 rounds the chain exceeds
+    * DuckDB's binder recursion limit and its single-statement bind time
+    * grows super-linearly, while the flat sequence binds each round
+    * independently (measured: 28 s total at 1100 rounds, sf0.01).
+    * Widening happens at the WORD level (`w || 'qk'`) — identical to
+    * the engine's text-level suffix since words are whitespace-split.
+    * The drained-round guard keeps post-drain rounds inert (empty top-1
+    * would otherwise NULL the vocab via scalar subqueries). */
+  private def bpeDeepWideOracleSql(rounds: Int, copies: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""CREATE OR REPLACE TEMP TABLE bpe_dw_v AS
+         |SELECT regexp_replace(w || 'q' || CAST(k AS VARCHAR), '(.)', chr(1) || '\\1' || chr(1), 'g') AS t,
+         |       count(*) AS freq
+         |FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+         |     LATERAL unnest(generate_series(0, ${copies - 1})) AS g(k)
+         |WHERE w <> ''
+         |GROUP BY 1;
+         |CREATE OR REPLACE TEMP TABLE bpe_dw_m (step INTEGER, lhs VARCHAR, rhs VARCHAR, n BIGINT);
+         |""".stripMargin
+    (1 to rounds).foreach { k =>
+      sb ++=
+        s"""CREATE OR REPLACE TEMP TABLE bpe_dw_t AS
+           |SELECT lhs, rhs, n FROM (
+           |  SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq, list_filter(string_split(t, chr(1)), x -> x <> '') AS a
+           |    FROM bpe_dw_v) AS s,
+           |  LATERAL unnest(generate_series(1, len(a) - 1)) AS u(i)
+           |  GROUP BY 1, 2)
+           |ORDER BY n DESC, lhs, rhs LIMIT 1;
+           |INSERT INTO bpe_dw_m SELECT $k, lhs, rhs, n FROM bpe_dw_t;
+           |CREATE OR REPLACE TEMP TABLE bpe_dw_v AS
+           |SELECT CASE WHEN (SELECT count(*) FROM bpe_dw_t) = 0 THEN t
+           |  ELSE replace(t,
+           |    chr(1) || (SELECT lhs FROM bpe_dw_t) || chr(1) || chr(1) ||
+           |      (SELECT rhs FROM bpe_dw_t) || chr(1),
+           |    chr(1) || (SELECT lhs FROM bpe_dw_t) || (SELECT rhs FROM bpe_dw_t) || chr(1))
+           |  END AS t, freq
+           |FROM bpe_dw_v;
+           |""".stripMargin
+    }
+    sb ++= "SELECT step, lhs, rhs, n AS n_occurrences FROM bpe_dw_m ORDER BY step"
+    sb.toString
   }
 
   /** [[q_bpe_apply]] oracle: recompute the learned merges via the same
@@ -2565,6 +2641,7 @@ object Queries {
     "q_bpe_pairs" -> q_bpe_pairs,
     "q_bpe_train" -> q_bpe_train,
     "q_bpe_train_deep" -> q_bpe_train_deep,
+    "q_bpe_train_vocab_depth" -> q_bpe_train_vocab_depth,
     "q_bpe_apply" -> q_bpe_apply,
     "q_bpe_roundtrip" -> q_bpe_roundtrip,
     "q_bpe_vocab" -> q_bpe_vocab,
@@ -3747,6 +3824,7 @@ object Queries {
     // near-free on both engines (measured: 256 MATERIALIZED rounds
     // 18.1 s vs 120 rounds 17.1 s in DuckDB at sf0.01)
     "q_bpe_train_deep" -> bpeOracleSql(256),
+    "q_bpe_train_vocab_depth" -> bpeDeepWideOracleSql(1100, 48),
     "q_bpe_apply" -> bpeApplyOracleSql(4),
     "q_bpe_roundtrip" -> bpeRoundtripOracleSql(4),
     "q_bpe_vocab" -> bpeVocabOracleSql(4),
