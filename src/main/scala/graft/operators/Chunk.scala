@@ -59,15 +59,24 @@ object Chunk {
 
   /** Sorted (path, mtime) digest of `df`'s file-source inputs; constant
     * for purely in-memory frames (where `sameResult` is the whole
-    * story). Listing cost is the file index Spark already built. */
+    * story). The statuses come from each relation's OWN file index —
+    * the listing Spark already performed to plan the frame — so the
+    * fingerprint costs zero filesystem RPCs at any file count (a
+    * per-file getFileStatus here would be 100k driver round-trips on a
+    * 100 TB corpus). A fresh read lists freshly, so its index's mtimes
+    * are current — which is exactly the comparison the slot needs. */
   private def sourceFingerprint(df: DataFrame): String = {
-    val conf = df.sparkSession.sessionState.newHadoopConf()
-    val parts = df.inputFiles.sorted.map { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val m = try path.getFileSystem(conf).getFileStatus(path).getModificationTime
-        catch { case _: Exception => -1L } // deleted/unreachable: still distinct from any real mtime
-      s"$p@$m"
-    }
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    val parts = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation
+    }.flatMap {
+      case fs: HadoopFsRelation => fs.location match {
+        case p: PartitioningAwareFileIndex =>
+          p.allFiles().map(st => s"${st.getPath}@${st.getModificationTime}")
+        case other => other.inputFiles.map(f => s"$f@") // no cached mtimes: path-only
+      }
+      case _ => Nil
+    }.sorted
     java.util.Base64.getEncoder.encodeToString(
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(parts.mkString("\n").getBytes("UTF-8")))

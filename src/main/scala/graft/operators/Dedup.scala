@@ -448,7 +448,15 @@ object Dedup {
         .withColumn("comp", col("id")))
       var it = 0
       var converged = false
+      // opt-in per-round wall log (-Dgraft.cc.timing=1 or
+      // GRAFT_CC_TIMING=1 — the env form survives sbt's forked run JVM):
+      // the evidence that separates a shuffle-retry/straggler round (one
+      // round's wall spikes) from uniform pressure like GC (every round
+      // inflates) when a run's total diverges from its siblings
+      val ccTiming = sys.props.contains("graft.cc.timing") ||
+        sys.env.contains("GRAFT_CC_TIMING")
       while (!converged && it < maxIter) {
+        val tRound = System.nanoTime()
         roundId += 1
         setRoundDir()
         val nbrMin = sym.join(labels, sym("dst") === labels("id"))
@@ -476,6 +484,9 @@ object Dedup {
         // round joins against; it is reclaimed after the loop)
         if (roundId >= 2) dropRound(roundId - 1)
         it += 1
+        if (ccTiming)
+          System.err.println(
+            f"[cc-timing] round=$it wall=${(System.nanoTime() - tRound) / 1e9}%.2fs converged=$converged")
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds " +
         "(pathological chain diameter — raise maxIter)")

@@ -127,6 +127,15 @@ object AuditPlans {
     // after the corpus drains) localToDF + output ORDER BY — merge
     // depth never changes the audited plan, which is the point
     "q_bpe_train_deep" -> 1,
+    // the 1100-row learned-merge table localToDF + output ORDER BY —
+    // the 48-copy widening and the 1100 training rounds all run inside
+    // bpeTrain's bounded driver-loop jobs, exactly as q_bpe_train_deep
+    "q_bpe_train_vocab_depth" -> 1,
+    // the gate RETURNS a batch read of the memory sink (the streaming
+    // subtree run happens before the audited plan): sink scan → groupBy
+    // came pre-aggregated in the sink → the one range exchange is the
+    // output ORDER BY
+    "q_stream_partition_prune" -> 1,
     // q_lm_score minus one leg: train filters the SAME ensureParallelism
     // scan (en slice), so 2× leg + C₂ + C₁ + per-doc groupBy + output
     // ORDER BY = 6, unchanged from q_lm_score; model joins broadcast

@@ -261,9 +261,18 @@ object ScaleSmoke {
             val t1 = System.nanoTime()
             val saltRows = salted.collect()
             val tSalt = (System.nanoTime() - t1) / 1e9
-            require(aqeRows.map(_.toString).sorted.sameElements(
-              saltRows.map(_.toString).sorted),
-              s"salted join disagrees with AQE skew join at $k×")
+            // counts must agree EXACTLY; the double sums only to relative
+            // tolerance — tens of millions of additions in different
+            // orders (skew-split vs salted partitioning) legitimately
+            // differ in the last floating-point digits
+            def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+              .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+            val (am, sm) = (keyed(aqeRows), keyed(saltRows))
+            require(am.keySet == sm.keySet &&
+              am.forall { case (p, (n, sum)) =>
+                sm(p)._1 == n &&
+                  math.abs(sm(p)._2 - sum) <= 1e-9 * math.abs(sum) },
+              s"salted join disagrees with AQE skew join at $k×: $am vs $sm")
             (k, tAqe, tSalt)
           }
           out
