@@ -64,17 +64,24 @@ object Chunk {
     * fingerprint costs zero filesystem RPCs at any file count (a
     * per-file getFileStatus here would be 100k driver round-trips on a
     * 100 TB corpus). A fresh read lists freshly, so its index's mtimes
-    * are current — which is exactly the comparison the slot needs. */
+    * are current — which is exactly the comparison the slot needs.
+    * Non-partitioning-aware indexes (e.g. a catalog table's
+    * CatalogFileIndex) fall back to a full `listFiles` — a real listing
+    * per call, but one that still carries mtimes: a path-only
+    * fingerprint would miss an in-place regeneration reproducing
+    * identical file names, the exact bug class this digest closes. */
   private def sourceFingerprint(df: DataFrame): String = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
     val parts = df.queryExecution.analyzed.collect {
       case l: LogicalRelation => l.relation
     }.flatMap {
-      case fs: HadoopFsRelation => fs.location match {
-        case p: PartitioningAwareFileIndex =>
-          p.allFiles().map(st => s"${st.getPath}@${st.getModificationTime}")
-        case other => other.inputFiles.map(f => s"$f@") // no cached mtimes: path-only
-      }
+      case fs: HadoopFsRelation =>
+        fs.location match {
+          case p: PartitioningAwareFileIndex =>
+            p.allFiles().map(st => s"${st.getPath}@${st.getModificationTime}")
+          case other => other.listFiles(Nil, Nil).flatMap(_.files)
+            .map(st => s"${st.getPath}@${st.getModificationTime}")
+        }
       case _ => Nil
     }.sorted
     java.util.Base64.getEncoder.encodeToString(

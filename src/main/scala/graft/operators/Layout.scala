@@ -267,13 +267,16 @@ object Layout {
     spark.table(table)
   }
 
-  /** Filesystem root of a catalog table's data — the directory whose
+  /** Root URI of a catalog table's data — the directory whose
     * `col=value` subtrees a partition-pruned reader (batch or
-    * [[graft.streaming.Streaming.partitionSubtreeStream]]) addresses. */
+    * [[graft.streaming.Streaming.partitionSubtreeStream]]) addresses.
+    * The FULL URI, scheme and authority included: `getPath` would strip
+    * `hdfs://nn:8020` / `s3a://bucket` and silently re-resolve against
+    * the default filesystem on any non-local warehouse. */
   def tableLocation(spark: SparkSession, table: String): String =
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location.getPath
+      .location.toString
 
   /** Per-scan partition-pruning evidence from a plan: for every file
     * scan over a partitioned relation, the number of partitions the

@@ -89,21 +89,18 @@ object Streaming {
     * are directory-inferred into the schema as in batch reads, so a
     * day-range filter still prunes file scans within the subtree.
     * `maxFilesPerTrigger` bounds each micro-batch (0 = unbounded).
-    * The schema is footer-read once from the subtree per (path, mtime)
-    * — same cache discipline as [[fileStream]]. */
+    * The schema is footer-read from the subtree per CALL — deliberately
+    * NOT the [[fileStream]] mtime cache: a directory's mtime only
+    * tracks its direct children, so nested `day=` content changes would
+    * serve a stale schema, and the callers' table locations are
+    * per-generation artifact dirs anyway (a cache would grow one dead
+    * entry per generation). Query START-UP cost only, once per stream. */
   def partitionSubtreeStream(spark: SparkSession, tableDir: String,
       subtree: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     val path = s"$tableDir/$subtree"
-    val mtime = try new java.io.File(path).lastModified catch { case _: Exception => 0L }
-    val schema = schemaCache.get(path) match {
-      case Some((m, s)) if m == mtime => s
-      case _ =>
-        // batch read of the subtree: data schema + the partition columns
-        // directory-inferred BELOW the subtree root
-        val s = spark.read.parquet(path).schema
-        schemaCache.put(path, (mtime, s))
-        s
-    }
+    // batch read of the subtree: data schema + the partition columns
+    // directory-inferred BELOW the subtree root
+    val schema = spark.read.parquet(path).schema
     val r = spark.readStream.schema(schema)
     (if (maxFilesPerTrigger > 0)
        r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)

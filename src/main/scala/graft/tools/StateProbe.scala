@@ -105,7 +105,7 @@ object StateProbe {
           s"at $k× — horizon or dedup keys wrong")
       line
     }
-    println(lines.mkString("\n"))
+    require(lines.nonEmpty)
     spark.stop()
   }
 }
