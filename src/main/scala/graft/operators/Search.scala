@@ -207,16 +207,30 @@ object Search {
     import spark.implicits._
     Seq((index.nDocs, index.avgLen, buckets)).toDF("n_docs", "avg_len", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
-    statsCache.remove((spark, table))
+    statsFor(spark).remove(table)
   }
 
   // corpus constants are constants: cache per (session, table) so the
-  // serving path doesn't pay a stats-read job per query
-  private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (Long, Double)]
+  // serving path doesn't pay a stats-read job per query. Keyed WEAKLY
+  // by session (the Similarity.SessionCaches idiom): a tuple-keyed
+  // strong map would pin every stopped session's object graph for the
+  // JVM's lifetime. The per-session value map holds only primitives, so
+  // it never keeps its own key reachable.
+  private val statsCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.concurrent.TrieMap[String, (Long, Double)]]()
+  private def statsFor(spark: org.apache.spark.sql.SparkSession) =
+    statsCache.synchronized {
+      var c = statsCache.get(spark)
+      if (c == null) {
+        c = scala.collection.concurrent.TrieMap.empty[String, (Long, Double)]
+        statsCache.put(spark, c)
+      }
+      c
+    }
 
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, table: String): Bm25Index = {
-    val (n, avg) = statsCache.getOrElseUpdate((spark, table), {
+    val (n, avg) = statsFor(spark).getOrElseUpdate(table, {
       val st = spark.table(s"${table}_stats").head()
       (st.getLong(0), st.getDouble(1))
     })
