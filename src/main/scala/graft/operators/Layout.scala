@@ -257,7 +257,15 @@ object Layout {
           .partitionColumnNames
         catalogCols.length == partitionCols.length &&
           catalogCols.zip(partitionCols).forall { case (a, b) => resolver(a, b) }
-      } catch { case _: Exception => false }
+      } catch {
+        // ONLY the tableExists/getTableMetadata race (table dropped in
+        // between) falls through to the rebuild path. A broader catch
+        // would turn any transient catalog/filesystem error into a
+        // silent drop-and-full-rewrite of the table — at the 100 TB
+        // tier a destructive rebuild triggered by a hiccup, with
+        // concurrent readers losing the old table mid-query.
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => false
+      }
     }
     if (!matches) {
       graft.sources.Sources.replaceTable(spark, table)
@@ -285,20 +293,36 @@ object Layout {
     * attached. Empty for unpartitioned scans. */
   final case class PruneStat(selected: Int, staticFilter: Boolean,
       dynamicFilter: Boolean)
+
+  /** Apply `f` to every node of a physical plan, descending through the
+    * wrappers `TreeNode.foreach` treats as LEAVES: AQE's
+    * `AdaptiveSparkPlanExec` (its current `executedPlan`), post-execution
+    * `QueryStageExec` stage leaves, and cached `InMemoryTableScanExec`
+    * subtrees. The ONE walker behind every plan assertion in the repo —
+    * scan pruning here, pushdown in PushdownSpec, skew handling in
+    * ScaleSmoke — so the next AQE wrapper node is handled once, not
+    * re-discovered per call site when an assertion starts reporting
+    * "no scans". */
+  def foreachPlanNode(root: org.apache.spark.sql.execution.SparkPlan)(
+      f: org.apache.spark.sql.execution.SparkPlan => Unit): Unit = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    root.foreach { node =>
+      f(node)
+      node match {
+        case a: AdaptiveSparkPlanExec => foreachPlanNode(a.executedPlan)(f)
+        case q: QueryStageExec => foreachPlanNode(q.plan)(f)
+        case im: InMemoryTableScanExec => foreachPlanNode(im.relation.cachedPlan)(f)
+        case _ => ()
+      }
+    }
+  }
+
   def scanPruneStats(df: DataFrame): Seq[PruneStat] = {
     import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    // descend through AQE wrappers and cached subtrees — plan.collect
-    // treats AdaptiveSparkPlanExec as a leaf and would report no scans
     val out = scala.collection.mutable.ListBuffer.empty[PruneStat]
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    def walk(p: SparkPlan): Unit = p.foreach {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => walk(q.plan) // post-execution AQE leaf
-      case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+    foreachPlanNode(df.queryExecution.executedPlan) {
       case s: FileSourceScanExec if s.relation.partitionSchema.nonEmpty =>
         val (dyn, static) =
           s.partitionFilters.partition(_.exists(_.isInstanceOf[DynamicPruningExpression]))
@@ -306,7 +330,6 @@ object Layout {
           static.nonEmpty, dyn.nonEmpty)
       case _ => ()
     }
-    walk(df.queryExecution.executedPlan)
     out.toList
   }
 
@@ -336,21 +359,14 @@ object Layout {
     * has executed the plan; a cold plan reports 0. */
   def dynamicPruneCounts(df: DataFrame): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val out = scala.collection.mutable.ListBuffer.empty[Int]
-    def walk(p: SparkPlan): Unit = p.foreach {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => walk(q.plan) // post-execution AQE leaf
-      case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+    foreachPlanNode(df.queryExecution.executedPlan) {
       case s: FileSourceScanExec
           if s.partitionFilters.exists(_.exists(_.isInstanceOf[DynamicPruningExpression])) =>
         out += s.metrics("numPartitions").value.toInt
       case _ => ()
     }
-    walk(df.queryExecution.executedPlan)
     out.toList
   }
 }

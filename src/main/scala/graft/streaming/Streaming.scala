@@ -94,14 +94,43 @@ object Streaming {
     * tracks its direct children, so nested `day=` content changes would
     * serve a stale schema, and the callers' table locations are
     * per-generation artifact dirs anyway (a cache would grow one dead
-    * entry per generation). Query START-UP cost only, once per stream. */
+    * entry per generation). Query START-UP cost only, once per stream.
+    *
+    * SUBSCRIBE-BEFORE-DATA: a subtree with no files yet (first writer
+    * hasn't landed, or this partition value is absent in the current
+    * generation) has no footers to infer from, so the schema falls back
+    * to the TABLE ROOT's footers minus the subtree's own pinned
+    * partition levels — pass `schema` explicitly to skip inference
+    * entirely (e.g. from catalog metadata when even the root is empty).
+    * The (empty) subtree directory is created if missing — exactly the
+    * directory the first writer would create — because the file source
+    * lists it per trigger and refuses to START on a nonexistent path,
+    * where an empty one subscribes and picks files up as they land. */
   def partitionSubtreeStream(spark: SparkSession, tableDir: String,
-      subtree: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+      subtree: String, maxFilesPerTrigger: Int = 0,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val path = s"$tableDir/$subtree"
-    // batch read of the subtree: data schema + the partition columns
-    // directory-inferred BELOW the subtree root
-    val schema = spark.read.parquet(path).schema
-    val r = spark.readStream.schema(schema)
+    val resolved = schema.getOrElse {
+      // batch read of the subtree: data schema + the partition columns
+      // directory-inferred BELOW the subtree root
+      try spark.read.parquet(path).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // no footers under the subtree yet — derive from the table
+          // root, dropping the partition levels the subtree path pins
+          // (they are constants of the path, not columns of the stream)
+          val pinned = subtree.split("/").toSeq
+            .filter(_.contains("=")).map(_.takeWhile(_ != '='))
+          val resolver = spark.sessionState.analyzer.resolver
+          org.apache.spark.sql.types.StructType(
+            spark.read.parquet(tableDir).schema
+              .filterNot(f => pinned.exists(p => resolver(p, f.name))))
+      }
+    }
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) fs.mkdirs(hPath)
+    val r = spark.readStream.schema(resolved)
     (if (maxFilesPerTrigger > 0)
        r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
      else r).parquet(path)

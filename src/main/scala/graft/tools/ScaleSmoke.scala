@@ -117,8 +117,15 @@ object ScaleSmoke {
     //    floor 32, cap 1024) — a cluster adds executors and partitions
     //    as data grows; a frozen 32 grows per-partition sort volume
     //    16× across this sweep and tips every sort into spill.
+    // The ladder is anchored at the ABSOLUTE multiplier (canonical base
+    // 16× → 32 partitions, so 64× → 128, 256× → 512 in EVERY
+    // invocation), not at ks.head: anchoring at the list's first entry
+    // made the same k-point's partition geometry depend on which
+    // restricted list was passed (a `64,256` run re-measured 64× at 32
+    // partitions vs the full sweep's 128), so curves from different
+    // invocations were silently incomparable.
     def shufflePartitionsFor(k: Int): Int =
-      math.min(1024, math.max(32, 32 * k / ks.head))
+      math.min(1024, math.max(32, 32 * k / 16))
     val onlyOps: Option[Set[String]] =
       args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     onlyOps.foreach { names =>
@@ -186,19 +193,15 @@ object ScaleSmoke {
       }
 
       def planHasSkewHandling(df: DataFrame): Boolean = {
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
         import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
         var found = false
-        def walk(p: SparkPlan): Unit = p.foreach {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case q: QueryStageExec => walk(q.plan)
+        graft.operators.Layout.foreachPlanNode(df.queryExecution.executedPlan) {
           case s: SortMergeJoinExec if s.isSkewJoin => found = true
           case s: ShuffledHashJoinExec if s.isSkewJoin => found = true
           case r: AQEShuffleReadExec if r.hasSkewedPartition => found = true
           case _ => ()
         }
-        walk(df.queryExecution.executedPlan)
         found
       }
 

@@ -1,8 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.FileSourceScanExec
 
 /** Scan-level efficiency contracts, pinned: filters REACH the parquet
   * scan (PushedFilters) and projections PRUNE it (ReadSchema) on the
@@ -15,13 +14,10 @@ class PushdownSpec extends SparkSpec {
 
   private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
     val out = scala.collection.mutable.ListBuffer.empty[FileSourceScanExec]
-    def walk(p: SparkPlan): Unit = p.foreach {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => walk(q.plan)
+    graft.operators.Layout.foreachPlanNode(df.queryExecution.executedPlan) {
       case s: FileSourceScanExec => out += s
       case _ => ()
     }
-    walk(df.queryExecution.executedPlan)
     out.toList
   }
 

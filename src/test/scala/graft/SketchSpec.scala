@@ -184,4 +184,36 @@ class SketchSpec extends SparkSpec {
       assert(est(k) <= n + math.ceil(0.001 * 10000).toLong + 1, s"CMS over-bound on $k")
     }
   }
+
+  test("cms_estimate foldable path: a driver-held sketch probed over a " +
+      "full column agrees bit-for-bit with the per-row column path and " +
+      "is null on null items") {
+    import graft.functions.SketchExpressions
+    val df = (1 to 10000).map(i => s"k${i % 37}").toDF("v").cache()
+    val bytes = df
+      .agg(count_min_sketch(col("v"), lit(0.001), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    // same serialized sketch through both paths: foldable literal
+    // (once-per-instance deserialize) vs per-row binary COLUMN from a
+    // broadcast one-row frame (CmsOps content-keyed cache) — identical
+    // estimates, every row
+    val skFrame = df.agg(
+      count_min_sketch(col("v"), lit(0.001), lit(0.99), lit(42)).as("__sk"))
+    val both = df
+      .crossJoin(broadcast(skFrame))
+      .select(col("v"),
+        SketchExpressions.cms_estimate(bytes, col("v")).as("via_lit"),
+        SketchExpressions.cms_estimate(col("__sk"), col("v")).as("via_col"))
+      .collect()
+    assert(both.length == 10000)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"foldable vs column path disagree on ${r.getString(0)}")
+      assert(r.getLong(1) >= 10000 / 37) // never under-counts
+    }
+    val onNull = df.limit(1)
+      .select(SketchExpressions
+        .cms_estimate(bytes, lit(null).cast("string"))).head()
+    assert(onNull.isNullAt(0), "null item must estimate to null")
+  }
 }

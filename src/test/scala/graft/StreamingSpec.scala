@@ -205,6 +205,41 @@ class StreamingSpec extends SparkSpec {
       s"processed ${paths.size} files, subtree holds $subtreeFiles")
   }
 
+  test("partitionSubtreeStream subscribe-before-data: a subtree with no " +
+      "files yet starts (root-derived schema, directory created) and " +
+      "picks up rows once the first writer lands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-subtree-pre")
+      .toFile.getAbsolutePath
+    // the table exists, but the subscribed partition value does not
+    Seq(("view", "2024-01-01", 8.0), ("purchase", "2024-01-02", 16.0))
+      .toDF("event_type", "day", "value")
+      .write.mode("overwrite").partitionBy("event_type", "day").parquet(dir)
+    val stream = Streaming.partitionSubtreeStream(spark, dir,
+      "event_type=click")
+    assert(stream.columns.toSet == Set("value", "day"),
+      s"root-derived schema must drop the pinned level: ${stream.columns.toSeq}")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-subtree-pre-ck")
+    val q = stream.groupBy(col("day").cast("string").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(col("value")).as("s"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("subtree_pre_out")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("subtree_pre_out").isEmpty,
+        "no click rows exist yet")
+      // first writer lands in the (pre-created) subtree
+      Seq(("2024-01-03", 5.0), ("2024-01-03", 7.0))
+        .toDF("day", "value")
+        .write.mode("append").partitionBy("day")
+        .parquet(s"$dir/event_type=click")
+      q.processAllAvailable()
+      val got = spark.table("subtree_pre_out").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("2024-01-03" -> 12.0), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming state runs on RocksDB: multi-batch dedup reports state " +
       "rows and rocksdb-specific store metrics in the query progress") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
