@@ -33,7 +33,8 @@ object CmsOps {
     // reference-identity shortcut (or storing the caller's array) would
     // serve a stale sketch if any codegen path reuses a buffer in place —
     // Arrays.equals(buf, buf) is trivially true however the contents
-    // changed. The clone costs one KB-copy per cache MISS only.
+    // changed. The clone costs one grid-sized copy (~1.1 MB at default
+    // eps) per cache MISS only.
     if (cached != null && java.util.Arrays.equals(cached._1, bytes))
       cached._2
     else {

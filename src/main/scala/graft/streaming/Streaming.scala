@@ -115,7 +115,15 @@ object Streaming {
       // directory-inferred BELOW the subtree root
       try spark.read.parquet(path).schema
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        // ONLY the two no-footers-yet shapes fall back (missing dir /
+        // dir with nothing to infer from): any OTHER analysis error
+        // over a subtree that HAS files — e.g. corrupt or conflicting
+        // schemas — must surface here, not start a stream whose
+        // root-derived schema silently misreads the broken files
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+                c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
           // no footers under the subtree yet — derive from the table
           // root, dropping the partition levels the subtree path pins
           // (they are constants of the path, not columns of the stream)

@@ -49,21 +49,16 @@ class ExtensionsSpec extends SparkSpec {
     // withExtensions injection path only takes effect on a FRESH session
     // (GraftSession.local) — its registration list is the same one
     // install() uses, which the other tests here exercise end-to-end.
-    val keys = Seq("spark.sql.adaptive.enabled",
+    savingConf("spark.sql.adaptive.enabled",
       "spark.sql.adaptive.skewJoin.enabled",
       "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
-    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try {
+      "spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes") {
       val s = graft.GraftSession.configure(
         org.apache.spark.sql.SparkSession.builder(), shufflePartitions = 8)
         .getOrCreate()
       assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
       assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
       assert(s.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

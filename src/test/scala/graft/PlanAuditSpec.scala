@@ -11,13 +11,10 @@ import graft.tools.AuditPlans
 class PlanAuditSpec extends SparkSpec {
 
   test("plan sweep has zero unexplained red flags") {
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    val rows =
-      try {
-        // static plans: AQE wrapping hides codegen spans from the check
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        AuditPlans.sweep(spark, "/root/testdata/sf0.001")
-      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // static plans: AQE wrapping hides codegen spans from the check
+    val rows = withConf("spark.sql.adaptive.enabled" -> "false") {
+      AuditPlans.sweep(spark, "/root/testdata/sf0.001")
+    }
     assert(rows.nonEmpty)
     val bad = rows.filter(_.unexplained)
     assert(bad.isEmpty, bad.map(r =>

@@ -20,16 +20,6 @@ class RuntimeFilterSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   private def hasBloomProbe(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     df.queryExecution.optimizedPlan.exists(
@@ -77,12 +67,18 @@ class RuntimeFilterSpec extends SparkSpec {
       "probe: the small filtered dim broadcasts and prunes at the join") {
     val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
     val orders = spark.read.parquet(s"$dir/orders.parquet")
-    val joined = lineitem
-      .join(broadcast(orders.filter(col("o_orderpriority") === "1-URGENT")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderdate")).agg(count(lit(1)).as("n"))
-    assert(!hasBloomProbe(joined),
-      "bloom probe injected under an explicit broadcast — wasted work")
-    assert(joined.limit(1).collect().nonEmpty)
+    // same lowered application threshold as the positive test — under
+    // the 10 GB default NO sf0.01 plan could get a probe, and the
+    // negative assertion would pass vacuously
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val joined = lineitem
+        .join(broadcast(orders.filter(col("o_orderpriority") === "1-URGENT")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).agg(count(lit(1)).as("n"))
+      assert(!hasBloomProbe(joined),
+        "bloom probe injected under an explicit broadcast — wasted work")
+      assert(joined.limit(1).collect().nonEmpty)
+    }
   }
 }

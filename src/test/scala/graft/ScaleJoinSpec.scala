@@ -17,9 +17,7 @@ class ScaleJoinSpec extends SparkSpec {
       .select("o_orderkey", "o_totalprice")
     Sources.writeBucketed(GTable(li, "li"), "li_bkt", Seq("l_orderkey"), 8)
     Sources.writeBucketed(GTable(ord, "ord"), "ord_bkt", Seq("o_orderkey"), 8)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val joined = spark.table("li_bkt")
         .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
@@ -28,7 +26,7 @@ class ScaleJoinSpec extends SparkSpec {
       // and it still computes the right thing
       val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
       assert(joined.count() == expected)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 
   test("salted join returns exactly the plain join's rows") {
@@ -55,11 +53,9 @@ class ScaleJoinSpec extends SparkSpec {
     // a single shuffle of the index between both sides
     import graft.operators.Dedup
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
       for ((name, df) <- Seq(
           "ngram" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
           "simhash" -> Dedup.simhashPairs(docs, "doc_id", "text", 3),
@@ -68,9 +64,6 @@ class ScaleJoinSpec extends SparkSpec {
         assert(plan.contains("ReusedExchange"),
           s"$name self-join must reuse the index exchange:\n${plan.take(600)}")
       }
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
