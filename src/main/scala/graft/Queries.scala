@@ -1234,12 +1234,30 @@ object Queries {
   val q_bpe_train_vocab_depth: Q = (s, dir) => {
     import graft.operators.Lexicon
     val copies = 48
-    val wide = t(s, dir, "documents").df
+    val docs = t(s, dir, "documents").df
+    // The DuckDB oracle is UNCAPPED; the engine caps its vocab, so the
+    // two only agree while the widened vocab fits under the cap. Guard
+    // that explicitly: widened distinct words = base distinct × copies
+    // EXACTLY (the appended suffix is 'q'+digits — a suffix mismatch in
+    // length would need its longer form to start with two 'q's, which
+    // 'q'+digits cannot, so no two (word, copy) pairs collide). A
+    // scale-up that overflows the cap fails HERE with a clear message
+    // instead of as a confusing downstream hash mismatch.
+    val vocabCap = 1000000
+    val baseDistinct = docs
+      .select(explode(graft.functions.TextAnalysis.words(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct().count()
+    require(baseDistinct * copies < vocabCap,
+      s"widened vocab ${baseDistinct * copies} would overflow vocabCap " +
+        s"$vocabCap — the capped engine would diverge from the uncapped " +
+        "DuckDB oracle; raise the cap (and keep the oracle uncapped) or " +
+        "lower the widening")
+    val wide = docs
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), lit(copies - 1))).as("k"))
       .select((col("doc_id") * copies + col("k")).as("doc_id"),
         expr("regexp_replace(text, '(\\\\S+)', concat('$1q', k))").as("text"))
-    Lexicon.bpeTrain(wide, "text", merges = 1100)
+    Lexicon.bpeTrain(wide, "text", merges = 1100, vocabCap = vocabCap)
       .orderBy(col("step"))
   }
 

@@ -11,8 +11,9 @@ import java.util.regex.Pattern
   * hyphen-split, and significant code-doc endings (error/warning/
   * exception).
   *
-  * Pure Scala — exposed to Spark as a UDF by [[graft.operators.Search]];
-  * the per-row cost is trivial next to the shuffle it feeds.
+  * Pure Scala — exposed to Spark as the codegen'd `NormalizeWords`
+  * expression ([[graft.functions.TextHashExpressions]]), keeping the
+  * search pipeline inside whole-stage codegen end to end.
   */
 object TextNormalize {
 

@@ -57,6 +57,18 @@ object Chunk {
   private val cacheSlots = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), (String, DataFrame)]
 
+  /** Per-slot monitors serializing [[pinSlot]]'s release→persist→put
+    * sequence. The release must happen BEFORE the persist (CacheManager
+    * ignores a persist whose plan sameResults a live entry), so the
+    * atomic `put`-and-release-displaced pattern cannot work here — two
+    * concurrent callers interleaving get→unpersist→persist→put could
+    * instead lose an unpersist and leak the displaced frame's blocks.
+    * Locks are only swept for stopped contexts (where interleaving is
+    * harmless — the blocks died with the context), so a live slot keeps
+    * one stable monitor for its session's lifetime. */
+  private val slotLocks = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Object]
+
   /** Sorted (path, mtime) digest of `df`'s file-source inputs; constant
     * for purely in-memory frames (where `sameResult` is the whole
     * story). The statuses come from each relation's OWN file index —
@@ -92,22 +104,24 @@ object Chunk {
   private def pinSlot(slot: String, df: DataFrame): DataFrame = {
     // sweep dead-context entries (blocks died with the context)
     cacheSlots.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) cacheSlots.remove(k)
+      if (k._1.sparkContext.isStopped) { cacheSlots.remove(k); slotLocks.remove(k) }
     }
     val fp = sourceFingerprint(df)
     val key = (df.sparkSession, slot)
-    // release BEFORE persist: CacheManager ignores a persist whose plan
-    // sameResults an existing entry, so a stale same-plan entry must be
-    // gone before the new pin registers
-    cacheSlots.get(key).foreach { case (prevFp, prev) =>
-      if (prevFp != fp || !prev.queryExecution.analyzed
-          .sameResult(df.queryExecution.analyzed))
-        try prev.unpersist(blocking = false)
-        catch { case _: Exception => () } // dead session: blocks already gone
+    slotLocks.getOrElseUpdate(key, new Object).synchronized {
+      // release BEFORE persist: CacheManager ignores a persist whose plan
+      // sameResults an existing entry, so a stale same-plan entry must be
+      // gone before the new pin registers
+      cacheSlots.get(key).foreach { case (prevFp, prev) =>
+        if (prevFp != fp || !prev.queryExecution.analyzed
+            .sameResult(df.queryExecution.analyzed))
+          try prev.unpersist(blocking = false)
+          catch { case _: Exception => () } // dead session: blocks already gone
+      }
+      val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cacheSlots.put(key, (fp, pinned))
+      pinned
     }
-    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cacheSlots.put(key, (fp, pinned))
-    pinned
   }
 
   /** Concat-and-cut SEQUENCE PACKING index (the standard LLM training

@@ -241,8 +241,10 @@ object Streaming {
       if (q.isActive) q.stop()
       ckptDir.foreach { d =>
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // close the walk stream (it holds a directory fd)
+        scala.util.Using.resource(java.nio.file.Files.walk(d))(
+          _.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p)))
       }
     }
     spark.table(name)

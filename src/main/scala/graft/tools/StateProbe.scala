@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object StateProbe {
 
+  /** DURABLE state bytes = the checkpoint's state/ subtree on disk
+    * (changelog + snapshot files — what a recovery replays). The walk
+    * stream is closed via Using — each one holds a directory fd. */
+  private[tools] def dirBytes(root: java.nio.file.Path): Long =
+    if (java.nio.file.Files.exists(root))
+      scala.util.Using.resource(java.nio.file.Files.walk(root))(
+        _.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum())
+    else 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks = args.lift(1)
@@ -84,13 +94,7 @@ object StateProbe {
       // RocksDB = the NATIVE budget (memtables + block cache) —
       // expected ~FLAT across multipliers: that flatness IS the
       // bounded-memory claim (rows spill to disk, heap does not grow).
-      val stateBytes = {
-        val root = ckpt.resolve("state")
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong(java.nio.file.Files.size(_)).sum()
-        else 0L
-      }
+      val stateBytes = dirBytes(ckpt.resolve("state"))
       val line =
         f"""{"probe":"state_size","k":$k,"distinct_keys":$expectedKeys,""" +
         f""""state_rows":${so.numRowsTotal},""" +

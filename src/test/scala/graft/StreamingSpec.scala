@@ -188,19 +188,21 @@ class StreamingSpec extends SparkSpec {
     // listed-and-processed — containment there IS the pruning claim
     import scala.jdk.CollectionConverters._
     val srcLog = ckpt.resolve("sources").resolve("0")
-    val paths = java.nio.file.Files.walk(srcLog).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .filterNot(_.getFileName.toString.endsWith(".crc")) // binary sidecars
-      .flatMap(f => java.nio.file.Files.readAllLines(f).asScala)
-      .flatMap(l => "\"path\":\"([^\"]+)\"".r
-        .findAllMatchIn(l).map(_.group(1)))
-      .toSet
+    // close each walk stream (it holds a directory fd)
+    val paths = scala.util.Using.resource(java.nio.file.Files.walk(srcLog))(
+      _.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.endsWith(".crc")) // binary sidecars
+        .flatMap(f => java.nio.file.Files.readAllLines(f).asScala)
+        .flatMap(l => "\"path\":\"([^\"]+)\"".r
+          .findAllMatchIn(l).map(_.group(1)))
+        .toSet)
     assert(paths.nonEmpty, "source log recorded no files")
     assert(paths.forall(_.contains("/event_type=click/")),
       s"source listed outside the subtree: $paths")
-    val subtreeFiles = java.nio.file.Files
-      .walk(java.nio.file.Paths.get(dir, "event_type=click")).iterator().asScala
-      .count(p => p.toString.endsWith(".parquet"))
+    val subtreeFiles = scala.util.Using.resource(java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir, "event_type=click")))(
+      _.iterator().asScala.count(p => p.toString.endsWith(".parquet")))
     assert(paths.size == subtreeFiles,
       s"processed ${paths.size} files, subtree holds $subtreeFiles")
   }
