@@ -2,35 +2,58 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryProgress}
 
-/** Streaming STATE-SIZE probe for the RocksDB state backend: run the
-  * watermarked dedup (the state-heaviest streaming tier — state = one
-  * row per distinct key inside the watermark horizon) over the events
-  * corpus at two multipliers and report, per multiplier, the state
-  * store's row count and byte sizes from `StreamingQueryProgress`. The
-  * design claim under test: state ROWS grow linearly with distinct keys
-  * (by construction) while the bytes/row stays flat — i.e. the store's
-  * footprint is a predictable `keys × horizon × bytes/key` budget a
-  * 100 TB/day deployment can size disks for, not an executor-heap wall
-  * (the default HDFSBackedStateStoreProvider keeps every row on-heap;
-  * RocksDB holds them in native memtables + local-disk SSTs with a
-  * bounded block cache).
+/** Streaming STATE-SIZE probe suite for the RocksDB state backend — one
+  * probe per STATEFUL OPERATOR SHAPE the engine ships, not just the
+  * simplest one:
   *
-  * The watermark horizon is set WIDER than the corpus's event-time span
-  * so nothing expires: the probe measures the worst-case bound, state =
-  * ALL distinct keys. Key cardinality scales with the multiplier by
-  * user_id-shifting each copy (copies share no keys). Micro-batching is
-  * forced through a file source with maxFilesPerTrigger, so the numbers
-  * come from a genuine multi-batch run (commit/changelog per batch),
-  * not one giant batch.
+  *   - `dedup`: watermarked `dropDuplicatesWithinWatermark` (state = one
+  *     fixed-width row per distinct key inside the horizon).
+  *   - `funnel`: the [[graft.streaming.Streaming.funnelCounts]] chain —
+  *     TWO chained stateful operators (dedup, then windowed agg) in one
+  *     query; each operator's state is reported separately.
+  *   - `join`: [[graft.streaming.Streaming.intervalJoin]] — TWO-SIDED
+  *     buffered state (every in-horizon row of both sides).
+  *   - `sketch`: [[graft.streaming.Streaming.quantilesStream]] — per
+  *     (window, key) KLL sketch state: rows = GROUPS, bytes/row = O(k),
+  *     never O(distinct values).
+  *   - `expire`: the RECLAIM probe — dedup under a watermark of HALF the
+  *     event-time span; final state rows must come in strictly BELOW the
+  *     distinct-key count (eviction actually ran, instead of being
+  *     assumed from the horizon arithmetic).
+  *   - `restart`: the RECOVERY probe — kill the highest-multiplier dedup
+  *     stream mid-run (after ≥ 1 committed batch, before the source
+  *     drains), restart on the same checkpoint, and report the replay
+  *     wall (state-store reload + first re-executed batch) plus the
+  *     resumed run's final state rows, which must still equal the
+  *     distinct-key count (state survived the kill).
   *
-  * Usage: runMain graft.tools.StateProbe [sfDir] [k1,k2,...]
+  * The design claim under test, per operator: state ROWS grow linearly
+  * with the operator's key/buffer cardinality while native memory stays
+  * ~flat (RocksDB memtables + block cache — rows spill to local-disk
+  * SSTs, the executor heap does not grow), i.e. a 100 TB/day deployment
+  * sizes DISKS with a predictable `keys × horizon × bytes/key` budget
+  * instead of hitting an executor-heap wall. Scaling dimensions: key
+  * probes shift `user_id` per copy (copies share no keys); window probes
+  * shift `ts` by a full corpus span per copy (copies share no windows),
+  * so every operator's cardinality multiplies by construction.
+  *
+  * Micro-batching is forced through a file source with
+  * maxFilesPerTrigger, so the numbers come from genuine multi-batch runs
+  * (commit + changelog per batch), not one giant batch.
+  *
+  * Usage: runMain graft.tools.StateProbe [sfDir] [k1,k2,...] [probes]
+  *   probes ⊆ dedup,funnel,join,sketch,expire,restart (default: all)
   */
 object StateProbe {
 
   /** DURABLE state bytes = the checkpoint's state/ subtree on disk
-    * (changelog + snapshot files — what a recovery replays). The walk
-    * stream is closed via Using — each one holds a directory fd. */
+    * (changelog + snapshot files — what a recovery replays). The
+    * per-batch rocksdb byte counters reset each trigger and read ~0 at
+    * this scale (state fits the memtable); the checkpoint is the
+    * cumulative, restart-surviving measure. The walk stream is closed
+    * via Using — each one holds a directory fd. */
   private[tools] def dirBytes(root: java.nio.file.Path): Long =
     if (java.nio.file.Files.exists(root))
       scala.util.Using.resource(java.nio.file.Files.walk(root))(
@@ -38,10 +61,36 @@ object StateProbe {
           .mapToLong(java.nio.file.Files.size(_)).sum())
     else 0L
 
+  /** Last progress carrying state-operator rows. Input-row count is NOT
+    * required: a resumed query's final committed batch can be a no-data
+    * batch that still reports cumulative state. */
+  private def lastStateProgress(q: StreamingQuery): StreamingQueryProgress =
+    q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .getOrElse(sys.error("no stateful progress recorded"))
+
+  /** One JSON report line: per-operator state rows + native memory, plus
+    * the checkpoint's durable state bytes and the run wall. */
+  private def report(probe: String, k: Int, prog: StreamingQueryProgress,
+      ckpt: java.nio.file.Path, wall: Double,
+      extra: Map[String, Long]): String = {
+    val ops = prog.stateOperators.map(so =>
+      s"""{"op":"${so.operatorName}","rows":${so.numRowsTotal},""" +
+        s""""native_memory_bytes":${so.memoryUsedBytes}}""").mkString(",")
+    val extras = extra.toSeq.sortBy(_._1)
+      .map { case (k2, v) => s""""$k2":$v""" }.mkString(",")
+    f"""{"probe":"$probe","k":$k,"ops":[$ops],""" +
+      (if (extras.nonEmpty) extras + "," else "") +
+      f""""checkpoint_state_bytes":${dirBytes(ckpt.resolve("state"))},""" +
+      f""""wall_sec":$wall%.2f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks = args.lift(1)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4))
+    val probes = args.lift(2)
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("dedup", "funnel", "join", "sketch", "expire", "restart"))
     val spark = graft.GraftSession.rocksDbState(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -52,64 +101,225 @@ object StateProbe {
 
     val events = graft.sources.EventTime.normalizeTs(
         spark.read.parquet(s"$sfDir/events.parquet"))
-      .select("user_id", "event_type", "ts")
+      .select("user_id", "event_type", "ts", "value")
     val maxUid = events.agg(max("user_id")).head().getLong(0) + 1
+    val (tsMin, tsMax) = {
+      val r = events.agg(min("ts"), max("ts")).head()
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    // one full span + an hour between copies: copies share no windows
+    val stepSec = (tsMax.getTime - tsMin.getTime) / 1000 + 3600
 
-    def scaled(k: Int): DataFrame =
+    /** k copies sharing no KEYS (user_id shifted per copy). */
+    def uidScaled(k: Int): DataFrame =
       (0 until k).map(i => events
         .withColumn("user_id", col("user_id") + lit(i.toLong * maxUid)))
+        .reduce(_ unionByName _)
+
+    /** k copies sharing no WINDOWS (ts shifted a full span per copy);
+      * user_ids unchanged, so dimension-join hit rates are preserved. */
+    def timeScaled(k: Int): DataFrame =
+      (0 until k).map(i => events
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * stepSec} SECOND")))
         .reduce(_ unionByName _)
 
     val dir = "/tmp/graft_state_probe"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
 
-    val lines = ks.map { k =>
-      val path = s"$dir/k=$k"
-      scaled(k).repartition(8).write.mode("overwrite").parquet(path)
-      val expectedKeys = spark.read.parquet(path)
-        .select("user_id", "event_type").distinct().count()
-      val stream = spark.readStream
+    /** Materialize a scaled input as 8 parquet files (→ 4 two-file
+      * micro-batches) and return (path, batch view of it). */
+    def materialize(tag: String, k: Int, df: DataFrame): (String, DataFrame) = {
+      val path = s"$dir/$tag/k=$k"
+      df.repartition(8).write.mode("overwrite").parquet(path)
+      (path, spark.read.parquet(path))
+    }
+
+    def fileStream(path: String, filesPerTrigger: Int = 2): DataFrame =
+      spark.readStream
         .schema(spark.read.parquet(path).schema)
-        .option("maxFilesPerTrigger", "2") // 8 files → 4 data batches
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(path)
-      // horizon wider than the event-time span: nothing expires, state
-      // bounds at ALL distinct keys — the worst case being sized for
-      val deduped = graft.streaming.Streaming.dedupStream(
-        stream, Seq("user_id", "event_type"), "ts", "3650 days")
-      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sp-$k-")
+
+    /** Run `agg` to completion on a fresh checkpoint; return the final
+      * stateful progress, the checkpoint path, and the wall. */
+    def runToEnd(tag: String, agg: DataFrame)
+        : (StreamingQueryProgress, java.nio.file.Path, Double) = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sp-$tag-")
       val t0 = System.nanoTime()
-      val q = deduped.writeStream.outputMode("append").format("noop")
+      val q = agg.writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", ckpt.toString).start()
       try q.processAllAvailable() finally q.stop()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val prog = q.recentProgress.reverse
-        .find(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
-        .getOrElse(sys.error(s"no stateful progress at $k×"))
-      val so = prog.stateOperators.head
-      // DURABLE state bytes = the checkpoint's state/ subtree on disk
-      // (changelog + snapshot files — what a recovery replays). The
-      // per-batch rocksdb byte counters reset each trigger and read ~0
-      // at this scale (state fits the memtable); the checkpoint is the
-      // cumulative, restart-surviving measure. memoryUsedBytes under
-      // RocksDB = the NATIVE budget (memtables + block cache) —
-      // expected ~FLAT across multipliers: that flatness IS the
-      // bounded-memory claim (rows spill to disk, heap does not grow).
-      val stateBytes = dirBytes(ckpt.resolve("state"))
-      val line =
-        f"""{"probe":"state_size","k":$k,"distinct_keys":$expectedKeys,""" +
-        f""""state_rows":${so.numRowsTotal},""" +
-        f""""native_memory_bytes":${so.memoryUsedBytes},""" +
-        f""""checkpoint_state_bytes":$stateBytes,""" +
-        f""""state_bytes_per_row":${
-          if (so.numRowsTotal > 0) stateBytes / so.numRowsTotal else -1L},""" +
-        f""""wall_sec":$wall%.2f}"""
-      println(line)
-      require(so.numRowsTotal == expectedKeys,
-        s"state rows ${so.numRowsTotal} != distinct keys $expectedKeys " +
-          s"at $k× — horizon or dedup keys wrong")
-      line
+      ((lastStateProgress(q), ckpt, (System.nanoTime() - t0) / 1e9))
     }
-    require(lines.nonEmpty)
+
+    // horizon wider than any scaled event-time span: nothing expires,
+    // state bounds at the full operator cardinality — the worst case
+    // being sized for (the `expire` probe measures the other regime)
+    val wide = s"${3650 + ks.max * 40} days"
+    val hourWin = org.apache.spark.sql.functions.window(col("ts"), "1 hour")
+
+    if (probes("dedup")) ks.foreach { k =>
+      val (path, batch) = materialize("dedup", k, uidScaled(k))
+      val expectedKeys = batch.select("user_id", "event_type").distinct().count()
+      val deduped = graft.streaming.Streaming.dedupStream(
+        fileStream(path), Seq("user_id", "event_type"), "ts", wide)
+      val (prog, ckpt, wall) = runToEnd("dedup", deduped)
+      println(report("dedup", k, prog, ckpt, wall,
+        Map("distinct_keys" -> expectedKeys)))
+      val rows = prog.stateOperators.head.numRowsTotal
+      require(rows == expectedKeys,
+        s"dedup state rows $rows != distinct keys $expectedKeys at $k×")
+    }
+
+    if (probes("funnel")) ks.foreach { k =>
+      val (path, batch) = materialize("funnel", k, timeScaled(k))
+      val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+      // per-operator oracles, computed batch-side with the SAME window:
+      // dedup state = distinct (user, etype, hour); agg state = distinct
+      // (window, segment) among dimension-matched events — nothing
+      // expires under the wide horizon, so final state = full cardinality
+      val expectDedup = batch
+        .select(col("user_id"), col("event_type"), hourWin("start"))
+        .distinct().count()
+      val expectAgg = batch
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(hourWin("start"), col("c_mktsegment")).distinct().count()
+      val agg = graft.streaming.Streaming.funnelCounts(
+        fileStream(path), dim, joinKeys = Seq("user_id" -> "c_custkey"),
+        segmentCol = "c_mktsegment", delay = wide)
+      val (prog, ckpt, wall) = runToEnd("funnel", agg)
+      println(report("funnel", k, prog, ckpt, wall,
+        Map("expect_dedup_rows" -> expectDedup, "expect_agg_rows" -> expectAgg)))
+      val byOp = prog.stateOperators.map(so => so.operatorName -> so.numRowsTotal).toMap
+      require(byOp.size == 2, s"funnel expected 2 stateful operators, got $byOp")
+      require(byOp.getOrElse("dedupeWithinWatermark", -1L) == expectDedup,
+        s"funnel dedup-op state $byOp != expected $expectDedup at $k×")
+      require(byOp.getOrElse("stateStoreSave", -1L) == expectAgg,
+        s"funnel agg-op state $byOp != expected $expectAgg at $k×")
+    }
+
+    if (probes("join")) ks.foreach { k =>
+      val (path, batch) = materialize("join", k, uidScaled(k))
+      // under the no-evict horizon BOTH sides buffer every row: state
+      // rows = clicks + purchases (each buffered exactly once)
+      val expectBuffered = batch
+        .filter(col("event_type").isin("click", "purchase")).count()
+      val ev = fileStream(path)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+      val pairs = graft.streaming.Streaming.intervalJoin(clicks, buys,
+        keys = "c_user" -> "p_user", tsCols = "c_ts" -> "p_ts",
+        lower = "0 seconds", upper = "10 minutes", delay = wide)
+      val (prog, ckpt, wall) = runToEnd("join", pairs)
+      println(report("join", k, prog, ckpt, wall,
+        Map("expect_buffered_rows" -> expectBuffered)))
+      val rows = prog.stateOperators.head.numRowsTotal
+      require(rows == expectBuffered,
+        s"interval-join buffered state $rows != input rows $expectBuffered at $k×")
+    }
+
+    if (probes("sketch")) ks.foreach { k =>
+      val (path, batch) = materialize("sketch", k, timeScaled(k))
+      // KLL state: one row per (window, event_type) GROUP — never per
+      // value. bytes/row is the O(k)-sketch claim, reported for the log.
+      val expectGroups = batch
+        .select(hourWin("start"), col("event_type")).distinct().count()
+      val agg = graft.streaming.Streaming.quantilesStream(
+        fileStream(path), "value", Seq("event_type"), delay = wide)
+      val (prog, ckpt, wall) = runToEnd("sketch", agg)
+      println(report("sketch", k, prog, ckpt, wall,
+        Map("expect_groups" -> expectGroups)))
+      val rows = prog.stateOperators.head.numRowsTotal
+      require(rows == expectGroups,
+        s"sketch state rows $rows != groups $expectGroups at $k× — " +
+          "state is supposed to be per-group sketches, not per-value")
+    }
+
+    if (probes("expire")) {
+      // RECLAIM: an EXPIRING horizon — the append-mode tumbling
+      // aggregation evicts every window the advancing watermark closes,
+      // so the final state must hold only the trailing open windows,
+      // strictly below the full group count: RocksDB eviction OBSERVED,
+      // not assumed from horizon arithmetic. (The dedup shape cannot
+      // demonstrate this deterministically: dropDuplicatesWithinWatermark
+      // evicts on `lastSeen < max(ts) − 2·delay`, which a recurring key
+      // dodges for any data-dependent recurrence pattern; window close
+      // is exact.) The final watermark is max(ts) − 1 h, so the expected
+      // survivor set — groups whose window hasn't closed — is computed
+      // batch-side: windows ending after the watermark.
+      val (path, batch) = materialize("expire", 1, uidScaled(1))
+      val totalGroups = batch
+        .select(hourWin("start"), col("event_type")).distinct().count()
+      val openGroups = batch
+        .select(hourWin.as("__w"), col("event_type"))
+        .filter(col("__w")("end") > lit(tsMax) - expr("INTERVAL 1 HOUR"))
+        .select(col("__w")("start"), col("event_type")).distinct().count()
+      val agg = graft.streaming.Streaming.tumblingCounts(fileStream(path))
+      val (prog, ckpt, wall) = runToEnd("expire", agg)
+      val rows = prog.stateOperators.head.numRowsTotal
+      println(report("expire", 1, prog, ckpt, wall,
+        Map("total_groups" -> totalGroups, "expect_open_groups" -> openGroups)))
+      require(rows > 0 && rows < totalGroups,
+        s"expiring-horizon state rows $rows not in (0, $totalGroups) — " +
+          "watermark close did not reclaim state")
+      require(rows <= openGroups,
+        s"state rows $rows exceed the $openGroups windows still open at " +
+          "the final watermark — closed windows were not evicted")
+    }
+
+    if (probes("restart")) {
+      // RECOVERY: run the highest-multiplier dedup on a DURABLE
+      // checkpoint, kill it after ≥ 1 committed batch but before the
+      // source drains, restart on the same checkpoint, and measure the
+      // replay wall (changelog/snapshot reload + first re-executed
+      // batch). The resumed run's final state must still carry every
+      // distinct key — proof the kill lost nothing.
+      val k = ks.max
+      val (path, batch) = materialize("restart", k, uidScaled(k))
+      val expectedKeys = batch.select("user_id", "event_type").distinct().count()
+      val ckpt = java.nio.file.Paths.get(s"$dir/restart/ckpt")
+      def start(): StreamingQuery = graft.streaming.Streaming.dedupStream(
+          fileStream(path, filesPerTrigger = 1), // 8 files → 8 batches
+          Seq("user_id", "event_type"), "ts", wide)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt.toString).start()
+      val q1 = start()
+      val killDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      try {
+        while (Option(q1.lastProgress).map(_.batchId).getOrElse(-1L) < 1 &&
+            System.nanoTime() < killDeadline)
+          Thread.sleep(50)
+      } finally q1.stop() // kill mid-run: ≥ 2 of 8 batches committed
+      val committed = Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
+      require(committed >= 1 && committed < 7,
+        s"kill window missed: committed batch $committed of 8 — nothing " +
+          "left to replay (or nothing committed before the kill)")
+      val t0 = System.nanoTime()
+      val q2 = start()
+      // replay wall = start() → first committed progress of the resume
+      val replayDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (q2.recentProgress.isEmpty && System.nanoTime() < replayDeadline)
+        Thread.sleep(20)
+      val replayWall = (System.nanoTime() - t0) / 1e9
+      try q2.processAllAvailable() finally q2.stop()
+      val resumeWall = (System.nanoTime() - t0) / 1e9
+      val prog = lastStateProgress(q2)
+      val rows = prog.stateOperators.head.numRowsTotal
+      println(f"""{"probe":"restart","k":$k,""" +
+        f""""distinct_keys":$expectedKeys,"state_rows":$rows,""" +
+        f""""batches_before_kill":${committed + 1},""" +
+        f""""replay_first_batch_sec":$replayWall%.2f,""" +
+        f""""resume_total_sec":$resumeWall%.2f,""" +
+        f""""checkpoint_state_bytes":${dirBytes(ckpt.resolve("state"))}}""")
+      require(rows == expectedKeys,
+        s"post-restart state rows $rows != distinct keys $expectedKeys — " +
+          "the resume lost state")
+    }
+
     spark.stop()
   }
 }

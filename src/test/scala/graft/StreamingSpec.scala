@@ -691,4 +691,45 @@ class StreamingSpec extends SparkSpec {
     // batch 2 emission: count/sum continue from persisted state
     assert(rows.contains((1L, 3L, 17.5)))
   }
+
+  test("restart recovery: a stopped dedup stream resumes from its " +
+      "checkpoint with state intact — no re-admissions, metrics carry " +
+      "the full key count") {
+    // the recovery contract a 100 TB/day ingest lives on: the RocksDB
+    // state a run builds must survive a stop/restart, so a duplicate of
+    // a PRE-restart key arriving POST-restart is still dropped, and the
+    // resumed query's state metrics report the cumulative key count.
+    val root = java.nio.file.Files.createTempDirectory("graft-restart-")
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def land(keys: Range): Unit = keys.map(k => (k.toLong,
+        java.sql.Timestamp.valueOf("2024-01-01 00:05:00")))
+      .toDF("k", "ts").coalesce(1).write.mode("append").parquet(in)
+    def start() = Streaming.dedupStream(
+        spark.readStream
+          .schema("k LONG, ts TIMESTAMP").parquet(in),
+        Seq("k"), "ts", "3650 days")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    // run 1: keys 1..10 admit, then STOP (the "kill")
+    land(1 to 10)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 input lands AFTER the stop: 6..10 duplicate pre-restart
+    // keys, 11..15 are fresh
+    land(6 to 15)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val admitted = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted
+    assert(admitted.toSeq == (1L to 15L),
+      s"resume re-admitted or dropped keys: ${admitted.mkString(",")} — " +
+        "checkpoint state did not survive the restart")
+    val prog = q2.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .getOrElse(fail("resumed query recorded no stateful progress"))
+    assert(prog.stateOperators.head.numRowsTotal == 15,
+      s"resumed state rows ${prog.stateOperators.head.numRowsTotal} != 15 " +
+        "— recovery metrics lost pre-restart keys")
+  }
 }
