@@ -1937,6 +1937,45 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** IVF INCREMENTAL-UPSERT gate: the serving artifact is built over the
+    * BASE corpus only (vec_id % 5 != 0), then the delta (vec_id % 5 == 0
+    * — including the query vector itself) is admitted through
+    * [[graft.operators.Similarity.upsertIvfIndex]]: assigned with the
+    * FROZEN base-trained centroids in one map-side pass and APPENDED
+    * into the cluster-partitioned store — the base corpus is never
+    * re-scanned, re-encoded, or rewritten (DedupSpec pins base-file
+    * immutability at the filesystem level). The served top-20 over the
+    * upserted index must still contain the exact cosine top-10 over the
+    * FULL corpus — the recall contract survives the append even though
+    * the centroids never saw the delta (the top hit, the query vector,
+    * arrives VIA the upsert). Rebuilt fresh each run (saveIvfIndex
+    * replaces the generation): upsert is append-only by contract, so an
+    * idempotent gate re-creates its generation instead of re-appending
+    * into it. Same oracle as q_sim_ivf. */
+  val q_sim_ivf_upsert: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "ivf_ups", dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(base, "vec_id", "embedding", nCentroids = 16, iters = 3),
+      table)
+    Similarity.upsertIvfIndex(delta, "vec_id", "embedding", table)
+    val idx = Similarity.loadIvfIndex(s, table)
+    // nProbe 14 (vs q_sim_ivf's 12): centroids trained on 80% of a
+    // near-uniform corpus rank the query's neighbors' cells slightly
+    // worse than full-corpus training — measured: one top-10 vector
+    // lands in cell rank 13-14 at sf0.001/sf0.01. The gate pins the
+    // post-upsert recall CONTRACT; cell pruning on this synthetic
+    // corpus was never the speedup story (see q_sim_ivf's scaladoc).
+    val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 14)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** PQ-ANN RECALL GATE (oracle-checked): product-quantize to 16
     * subspaces × 32 codes (16 bytes of codes standing in for 256 bytes
     * of floats during candidate generation), ADC-score the corpus
@@ -2695,6 +2734,7 @@ object Queries {
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
     "q_sim_ivf" -> q_sim_ivf,
     "q_sim_ivf_serve" -> q_sim_ivf_serve,
+    "q_sim_ivf_upsert" -> q_sim_ivf_upsert,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_excel_roundtrip" -> q_excel_roundtrip,
     "q_excel_dates" -> q_excel_dates,
@@ -2753,10 +2793,10 @@ object Queries {
       |  FROM scored)
       |WHERE bm25_rank <= 25 ORDER BY bm25_rank""".stripMargin
 
-  /** Shared by the six ANN recall gates (q_sim_lsh / q_sim_ivf /
-    * q_sim_pq and their `_serve` variants over persisted indexes) —
-    * each gate must contain exactly this exact cosine top-10 inside its
-    * ANN top-20. */
+  /** Shared by the seven ANN recall gates (q_sim_lsh / q_sim_ivf /
+    * q_sim_pq, their `_serve` variants over persisted indexes, and the
+    * incremental q_sim_ivf_upsert) — each gate must contain exactly
+    * this exact cosine top-10 inside its ANN top-20. */
   private val annExactTop10Sql: String =
     """WITH q AS (
       |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
@@ -4183,6 +4223,7 @@ object Queries {
     // the serving gates answer the same recall contract from the
     // persisted indexes
     "q_sim_ivf_serve" -> annExactTop10Sql,
+    "q_sim_ivf_upsert" -> annExactTop10Sql,
 
     "q_dedup_remove" ->
       """WITH docs AS (

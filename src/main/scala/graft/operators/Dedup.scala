@@ -406,6 +406,20 @@ object Dedup {
     * this run later deletes. On an exception exit the run's entire
     * `cc-<uuid>` root is best-effort deleted (nothing from a failed run
     * is referenced). */
+  /** Per-stage walls of the most recent [[connectedComponents]] run in
+    * this JVM: `edgePinSec` = candidate-pair generation + edge-list
+    * checkpoint (one action), `initSec` = label init, `roundsSec` = the
+    * propagation loop. Diagnostic telemetry for scale harnesses — the
+    * round-10 cc variance hunt attributed a 1.33× run-to-run spread to
+    * the edge stage; this keeps that attribution pinned per run instead
+    * of re-instrumenting at the next regression. */
+  final case class CcStages(edgePinSec: Double, initSec: Double,
+      roundsSec: Double, nRounds: Int) {
+    def totalSec: Double = edgePinSec + initSec + roundsSec
+  }
+  @volatile private var lastCcStagesVar: Option[CcStages] = None
+  def lastCcStages: Option[CcStages] = lastCcStagesVar
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -442,10 +456,20 @@ object Dedup {
       // candidate-generation pipeline (shingle index self-join), and every
       // propagation round joins against it — without this checkpoint each
       // round would re-run that pipeline from the scan up.
+      // Stage walls (edge pin = candidate-pair generation + checkpoint
+      // write, evaluated in one action; init; propagation rounds) are
+      // recorded on every run — nanoTime bookkeeping is free — and
+      // published via [[lastCcStages]] so harnesses (ScaleSmoke) can pin
+      // which stage a wall-time regression lives in from the log alone.
+      val tEdge0 = System.nanoTime()
       val sym = pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      val edgePinSec = (System.nanoTime() - tEdge0) / 1e9
+      val tInit0 = System.nanoTime()
       var labels = pin(sym.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")))
+      val initSec = (System.nanoTime() - tInit0) / 1e9
+      var roundsSec = 0.0
       var it = 0
       var converged = false
       // opt-in per-round wall log (-Dgraft.cc.timing=1 or
@@ -484,12 +508,18 @@ object Dedup {
         // round joins against; it is reclaimed after the loop)
         if (roundId >= 2) dropRound(roundId - 1)
         it += 1
+        roundsSec += (System.nanoTime() - tRound) / 1e9
         if (ccTiming)
           System.err.println(
             f"[cc-timing] round=$it wall=${(System.nanoTime() - tRound) / 1e9}%.2fs converged=$converged")
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds " +
         "(pathological chain diameter — raise maxIter)")
+      lastCcStagesVar = Some(CcStages(edgePinSec, initSec, roundsSec, it))
+      if (ccTiming)
+        System.err.println(
+          f"[cc-timing] stages edge_pin=$edgePinSec%.2fs init=$initSec%.2fs " +
+            f"rounds_total=$roundsSec%.2fs n_rounds=$it")
       // the result frame reads only the final round's materialization —
       // the edge list and init labels (round 0) are no longer referenced
       if (roundId >= 1) dropRound(0)

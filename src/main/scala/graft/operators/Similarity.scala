@@ -316,6 +316,67 @@ object Similarity {
     IvfIndex(spark.table(table), centroids)
   }
 
+  /** INCREMENTAL upsert into a persisted IVF serving artifact: assign
+    * ONLY the `delta` rows with the artifact's FROZEN centroids (one
+    * map-side codegen pass over the delta — the corpus is never
+    * re-scanned or re-encoded) and APPEND them into the
+    * cluster-partitioned store. Touched cluster partitions gain new
+    * files; no existing file is rewritten — a daily 100 TB ingest pays
+    * for its delta, not for the corpus (the build-once alternative
+    * re-clusters and rewrites everything nightly).
+    *
+    * Frozen-centroid contract (the standard vector-DB add path — e.g.
+    * FAISS `add` never retrains): upserted rows are assigned to the
+    * nearest EXISTING centroid, so `ivfTopK`'s probe arithmetic is
+    * unchanged and the recall contract transfers to the appended rows.
+    * Centroid drift from a corpus that GROWS differently than it was
+    * trained accumulates until [[compactIvfIndex]] retrains on its own
+    * cadence — the exact contract the near-dup serving tier already has
+    * ([[graft.streaming.Streaming.compactNearDedupIndex]]).
+    *
+    * Identity: append-only — the caller owns id uniqueness (the dedup
+    * tier exists for exactly that); re-upserting the same delta doubles
+    * its rows. Null vectors are dropped, as in [[ivfIndex]]. */
+  def upsertIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
+      table: String): Unit = {
+    val spark = delta.sparkSession
+    val centroids = loadIvfIndex(spark, table).centroids
+    val v = col(vecCol)
+    delta.filter(v.isNotNull)
+      .withColumn("cluster", nearestCentroidCos(v, centroids))
+      .write.mode("append").format("parquet")
+      .partitionBy("cluster").saveAsTable(table)
+  }
+
+  /** RETRAIN-on-cadence compaction for the IVF artifact — the closing
+    * half of the upsert loop: re-run spherical k-means over the table's
+    * CURRENT content (original corpus ∪ every upserted delta) and
+    * rewrite the serving artifact, resetting the centroid drift
+    * [[upsertIvfIndex]]'s frozen-centroid contract accumulates. The
+    * nightly shape mirrors the near-dup tier's
+    * [[graft.streaming.Streaming.compactNearDedupIndex]]: upsert against
+    * frozen centroids all day; compact; the new generation serves
+    * tomorrow. A compaction IS a full re-cluster + rewrite by definition
+    * — that cost moves to the cadence, off the ingest path. Content is
+    * staged to a scratch directory first: the rebuild overwrites the
+    * table it reads from, and Spark (correctly) refuses overwrite-while-
+    * reading on the live plan. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, vecCol: String,
+      nCentroids: Int = 64, iters: Int = 3): IvfIndex = {
+    val staging = java.nio.file.Files
+      .createTempDirectory(s"graft-ivf-compact-").toString
+    try {
+      spark.table(table).drop("cluster")
+        .write.mode("overwrite").parquet(staging)
+      val idx = ivfIndex(spark.read.parquet(staging), idCol, vecCol,
+        nCentroids, iters)
+      saveIvfIndex(idx, table)
+      loadIvfIndex(spark, table)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(staging))
+  }
+
   /** Load the persisted IVF index, building and persisting it first if
     * this session doesn't know it. An existing artifact is reused only
     * when its centroid count matches `nCentroids` (a changed `iters`

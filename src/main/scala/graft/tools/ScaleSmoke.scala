@@ -129,7 +129,8 @@ object ScaleSmoke {
     val onlyOps: Option[Set[String]] =
       args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     onlyOps.foreach { names =>
-      val known = ops.map(_._1).toSet + "neardedup" + "join3" + "join_skew"
+      val known = ops.map(_._1).toSet +
+        "neardedup" + "join3" + "join_skew" + "ivf_upsert"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -142,6 +143,72 @@ object ScaleSmoke {
       scaled(docs, k).write.mode("overwrite").parquet(s"$scaleDir/k=$k")
       k -> spark.read.parquet(s"$scaleDir/k=$k")
     }.toMap // materialized to parquet outside timing
+
+    // ---------------------------------------------------------------
+    // IVF rebuild-vs-upsert (round 11): the incremental-maintenance cost
+    // claim, measured. The day's serving artifact is built over the BASE
+    // corpus (untimed — it exists before the day starts); then the same
+    // ~6% delta is admitted both ways: (a) upsertIvfIndex — one
+    // map-side frozen-centroid assignment over the DELTA + a partition
+    // append; (b) a full rebuild — k-means iterations over base ∪ delta
+    // + a full rewrite, what a build-once artifact pays for ANY ingest.
+    // Both corpora scale k×; the claim is the upsert's large, persistent
+    // cost advantage (it re-encodes ~6% of the rows and rewrites no
+    // base file), asserted as rebuild/upsert >= 2× at every k.
+    // ---------------------------------------------------------------
+    if (opSelected("ivf_upsert")) {
+      import graft.operators.Similarity
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val maxVid = emb0.agg(max("vec_id")).head().getLong(0) + 1
+      val embFrames = ks.map { k =>
+        (0 until k).map(i => emb0.select(
+            (col("vec_id") + lit(i.toLong * maxVid)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$scaleDir/emb_k=$k")
+        k -> spark.read.parquet(s"$scaleDir/emb_k=$k")
+      }.toMap
+      def ivfOnce(k: Int, timed: Boolean): (Double, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val full = embFrames(k)
+        val delta = full.filter(col("vec_id") % 16 === 0)
+        val base = full.filter(col("vec_id") % 16 =!= 0)
+        val tblU = s"scale_ivf_upsert_$k"
+        val tblR = s"scale_ivf_rebuild_$k"
+        Similarity.saveIvfIndex(Similarity.ivfIndex(base, "vec_id",
+          "embedding", nCentroids = 16, iters = 3), tblU) // untimed
+        val t0 = System.nanoTime()
+        Similarity.upsertIvfIndex(delta, "vec_id", "embedding", tblU)
+        val tUp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Similarity.saveIvfIndex(Similarity.ivfIndex(full, "vec_id",
+          "embedding", nCentroids = 16, iters = 3), tblR)
+        val tRe = (System.nanoTime() - t1) / 1e9
+        require(spark.table(tblU).count() == spark.table(tblR).count(),
+          s"upserted store and rebuild disagree on row count at $k×")
+        Seq(tblU, tblR).foreach { t =>
+          graft.sources.Sources.replaceTable(spark, t)
+          graft.sources.Sources.replaceTable(spark, s"${t}_centroids")
+        }
+        if (timed) println(f"ivf_upsert $k%3d×: upsert $tUp%.2fs  " +
+          f"rebuild $tRe%.2fs  (${tRe / tUp}%.1f× cheaper to upsert)")
+        (tUp, tRe)
+      }
+      ivfOnce(ks.head, timed = false) // warmup (codegen/JIT)
+      val ivfRuns = ks.map(k => k -> ivfOnce(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      ivfRuns.foreach { case (k, (up, re)) =>
+        require(re >= 2.0 * up,
+          f"IVF rebuild ($re%.2fs) is not >= 2× the upsert ($up%.2fs) at " +
+            f"$k× — the incremental path lost its cost advantage")
+      }
+      println("{\"probe\":\"ivf_upsert\",\"sf\":\"" + sfDir + "\"," +
+        ivfRuns.map { case (k, (up, re)) =>
+          f"""\"upsert_t$k\":$up%.3f,\"rebuild_t$k\":$re%.3f""" }
+          .mkString(",") + "}")
+    }
 
     // ---------------------------------------------------------------
     // Relational tiers (round 10): the TPC-H-shaped join path under the
@@ -299,6 +366,25 @@ object ScaleSmoke {
         spark.conf.set("spark.sql.shuffle.partitions",
           shufflePartitionsFor(k).toString)
         val (t, n) = time(op(frames(k)))
+        if (name == "cc_cluster") {
+          // per-stage walls, published by connectedComponents: the next
+          // wall-time regression is attributable from the log alone
+          // (round 10 spent a session locating a 1.33× spread in the
+          // edge stage). The propagation loop's share is ASSERTED
+          // bounded — the r10 attribution ("variance lives in candidate
+          // generation + edge checkpoint, not the CC loop") stays pinned.
+          val st = graft.operators.Dedup.lastCcStages
+            .getOrElse(sys.error("cc_cluster ran but recorded no stage walls"))
+          println(f"""{"probe":"cc_stages","k":$k,""" +
+            f""""edge_pin":${st.edgePinSec}%.3f,"init":${st.initSec}%.3f,""" +
+            f""""rounds":${st.roundsSec}%.3f,"n_rounds":${st.nRounds},""" +
+            f""""rounds_share":${st.roundsSec / st.totalSec}%.3f,""" +
+            f""""op_wall":$t%.3f}""")
+          require(st.roundsSec <= 0.7 * st.totalSec,
+            f"CC propagation-loop share ${st.roundsSec / st.totalSec}%.2f " +
+              f"exceeds 0.70 at $k× — the loop, not candidate generation, " +
+              "is where the wall went; the r10 attribution no longer holds")
+        }
         (k, t, n)
       }
       spark.conf.set("spark.sql.shuffle.partitions", "32")

@@ -260,6 +260,96 @@ class DedupSpec extends SparkSpec {
       s"expected partition filters on the cluster-partitioned scan:\n$probePlan")
   }
 
+  test("IVF upsert: delta appended under frozen centroids — base files " +
+      "byte-identical, assignments == frozen-centroid recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val table = "ivf_spec_upsert"
+    graft.sources.Sources.replaceTable(spark, table)
+    graft.sources.Sources.replaceTable(spark, s"${table}_centroids")
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(base, "vec_id", "embedding", nCentroids = 16, iters = 2),
+      table)
+    // snapshot the partitioned store's data files before the upsert
+    val loc = java.nio.file.Paths.get(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location)
+    import scala.jdk.CollectionConverters._
+    def files(): Map[String, (Long, Long)] =
+      scala.util.Using.resource(java.nio.file.Files.walk(loc))(
+        _.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap)
+    val before = files()
+    assert(before.nonEmpty)
+    Similarity.upsertIvfIndex(delta, "vec_id", "embedding", table)
+    val after = files()
+    // no full rebuild: every pre-upsert file survives byte-identical;
+    // the delta lands as NEW files only
+    before.foreach { case (f, meta) =>
+      assert(after.get(f).contains(meta), s"upsert rewrote a base file: $f")
+    }
+    assert(after.size > before.size, "upsert appended no new files")
+    val idx = Similarity.loadIvfIndex(spark, table)
+    assert(idx.assigned.count() ==
+      base.filter(col("embedding").isNotNull).count() +
+        delta.filter(col("embedding").isNotNull).count(),
+      "row accounting after the append")
+    // every stored assignment — base AND delta — must equal a recompute
+    // against the frozen centroid set the artifact serves with
+    val mismatches = idx.assigned.filter(col("cluster") =!=
+      graft.functions.VectorExpressions
+        .nearest_centroid_cos(col("embedding"), idx.centroids)).count()
+    assert(mismatches == 0, s"$mismatches stored assignments disagree " +
+      "with the frozen centroids")
+  }
+
+  test("IVF compaction: retrains over corpus ∪ deltas, preserves rows, " +
+      "self-consistent fresh generation with the recall contract intact") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val table = "ivf_spec_compact"
+    graft.sources.Sources.replaceTable(spark, table)
+    graft.sources.Sources.replaceTable(spark, s"${table}_centroids")
+    // iters = 3 everywhere: the q_sim_ivf family's parameterization,
+    // whose nProbe=12/16 recall contract this test re-asserts
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", nCentroids = 16, iters = 3), table)
+    Similarity.upsertIvfIndex(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", table)
+    val compacted = Similarity.compactIvfIndex(spark, table,
+      "vec_id", "embedding", nCentroids = 16, iters = 3)
+    assert(compacted.centroids.length == 16)
+    assert(compacted.assigned.count() == emb.count(), "compaction lost rows")
+    // the retrain saw corpus ∪ deltas: centroids must match a direct
+    // build over the full corpus (same deterministic init; aggregation
+    // order can wiggle the means in the last float digits)
+    val direct = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 3)
+    compacted.centroids.zip(direct.centroids).foreach { case (c, d) =>
+      c.zip(d).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // fresh generation is self-consistent with ITS centroids
+    val mismatches = compacted.assigned.filter(col("cluster") =!=
+      graft.functions.VectorExpressions
+        .nearest_centroid_cos(col("embedding"), compacted.centroids)).count()
+    assert(mismatches == 0)
+    // and the recall contract holds on the compacted generation
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact5 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 5)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.ivfTopK(compacted, "vec_id", "embedding", qvec, 20,
+      nProbe = 12).collect().map(_.getLong(0)).toSet
+    assert(exact5.subsetOf(ann), s"recall lost after compaction: " +
+      s"missing ${exact5 -- ann}")
+  }
+
   test("PQ ANN: deterministic codebooks, codes in range, rerank recall") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
