@@ -91,4 +91,14 @@ object Scrub {
       regexp_count(col(textCol), lit(specialTokens)).as("n_special"))
       .withColumn("is_clean",
         col("n_mojibake") + col("n_ctrl") + col("n_special") === 0)
+
+  /** [[encodingArtifacts]]'s `is_clean` verdict as a bare predicate
+    * COLUMN — the composition-friendly form for pipelines that must
+    * keep their other columns (a streaming ingest filter can't afford
+    * the projection): same three regexp_count terms, same codegen'd
+    * zero-shuffle shape, pushable by Catalyst. */
+  def encodingClean(c: Column): Column =
+    regexp_count(c, lit(mojibake)) +
+      regexp_count(c, lit(controlChars)) +
+      regexp_count(c, lit(specialTokens)) === 0
 }
