@@ -2451,6 +2451,66 @@ object Queries {
       .orderBy(col("hour"), col("c_mktsegment"))
   }
 
+  /** COMPOSED STREAMING INGEST gate — the END-TO-END live pipeline,
+    * wiring four individually-gated pieces into ONE streaming query
+    * whose chained watermark/state/filter interactions are exactly where
+    * silent drops hide: partition-pruned subtree source
+    * ([[graft.streaming.Streaming.partitionSubtreeStream]], only the
+    * subscribed `source=src3` subtree of the 20-source layout is ever
+    * listed) → watermarked digest dedup within the stream AND against
+    * yesterday's corpus ([[graft.streaming.Streaming.dedupStreamAgainst]])
+    * → codegen'd quality + encoding curation → idempotent per-batch
+    * segment sink. Planted fixtures make every stage non-vacuous at
+    * every SF: doc_id % 13 → a degenerate low-quality text (quality
+    * filter), % 11 → a stray control char (encoding scan), % 3 → a
+    * 90-minutes-later re-emission in the subscribed source (in-stream
+    * dedup state; src3 doc_ids are ≡ 3 mod 20, so a %5 fixture would
+    * never fire there), % 7 → already in the corpus (anti-join). Output is
+    * SURVIVOR-INVARIANT by construction — raw-byte digests mean every
+    * kept row's text is byte-identical to its dropped duplicates', so
+    * (fp, n_tokens, quality) cannot depend on which arrival the dedup
+    * state kept or on micro-batch boundaries. Oracle: the equivalent
+    * batch funnel (dedup = GROUP BY digest under the full-horizon
+    * watermark cut, then the same corpus anti-join and curation
+    * predicates). Multi-batch equivalence is pinned in StreamingSpec. */
+  val q_stream_ingest_e2e: Q = (s, dir) => {
+    import graft.operators.Layout
+    val docs = t(s, dir, "documents").df
+    val degenerate = Seq.fill(20)("zzzzzzzzzzzzzz").mkString(" ")
+    val fixed = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 13 === 0, lit(degenerate))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit("\u0007")))
+        .otherwise(col("text")).as("text"))
+    val t0 = to_timestamp(lit("2024-03-01 00:00:00"))
+    def at(minutes: org.apache.spark.sql.Column) =
+      t0 + make_dt_interval(lit(0), lit(0), minutes.cast("int"), lit(0.0))
+    val base = fixed.select(col("doc_id"), col("text"), col("source"),
+      at(col("doc_id")).as("ts"))
+    val reemit = fixed.filter(col("source") === "src3" && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        col("source"), at(col("doc_id") + 90).as("ts"))
+    val table = artifactTable(s, "ingest_feed", dir, "documents")
+    Layout.partitionedTableFor(base.unionByName(reemit), table, Seq("source"))
+    val corpus = docs.filter(col("doc_id") % 7 === 0)
+    val out = s"${ioDir(dir)}/ingest_e2e"
+    val hp = new org.apache.hadoop.fs.Path(out)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val stream = Streaming.partitionSubtreeStream(
+      s, Layout.tableLocation(s, table), "source=src3")
+    val q = Streaming.ingestCurationSink(stream, corpus, "text", "ts", out,
+      delay = "30 days")
+    try q.processAllAvailable() finally q.stop()
+    val back =
+      if (fs.exists(hp)) s.read.parquet(out)
+      else docs.limit(0).select(col("text"), lit(0L).as("n_tokens"),
+        lit(0.0).as("quality"))
+    back.select(
+        graft.operators.Dedup.contentKey(col("text"), normalize = false).as("fp"),
+        col("n_tokens"), col("quality"))
+      .orderBy(col("fp"))
+  }
+
   /** Streaming NEAR-duplicate ingest dedup against a static corpus: the
     * documents "crawl" stream (doc_id % 3 == 0) is deduped per
     * micro-batch against the fixed corpus (doc_id % 3 != 0) at 3-gram
@@ -2752,6 +2812,7 @@ object Queries {
     "q_session_window" -> q_session_window,
     "q_stream_dedup" -> q_stream_dedup,
     "q_stream_funnel" -> q_stream_funnel,
+    "q_stream_ingest_e2e" -> q_stream_ingest_e2e,
     "q_stream_neardedup" -> q_stream_neardedup,
     "q_stream_neardedup_serve" -> q_stream_neardedup_serve,
     "q_parse_timedelta" -> q_parse_timedelta,
@@ -3788,6 +3849,58 @@ object Queries {
         |  array_to_string(ws[starts[i]:ends[i]], ' ') AS chunk_text
         |FROM c, LATERAL unnest(generate_series(1, len(starts))) AS t(i)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the batch-funnel mirror of the composed streaming ingest: the same
+    // fixture CASE (13 before 11 — precedence matters), the same feed
+    // (subscribed source + its %5 re-emissions), dedup = GROUP BY raw
+    // md5 digest (the full-horizon watermark admits every duplicate
+    // pair), corpus anti-join on the digest, then the q_quality_score
+    // quality formula and the q_encoding_scan hygiene predicate
+    "q_stream_ingest_e2e" ->
+      s"""WITH fixed AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN trim(repeat('zzzzzzzzzzzzzz ', 20))
+        |         WHEN doc_id % 11 = 0 THEN text || chr(7)
+        |         ELSE text END AS text
+        |  FROM documents
+        |), feed AS (
+        |  SELECT text FROM fixed WHERE source = 'src3'
+        |  UNION ALL
+        |  SELECT text FROM fixed WHERE source = 'src3' AND doc_id % 3 = 0
+        |), dedup AS (
+        |  SELECT md5(text) AS fp, min(text) AS text FROM feed GROUP BY md5(text)
+        |), corpus AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 7 = 0
+        |), fresh AS (
+        |  SELECT d.fp, d.text FROM dedup d
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = d.fp)
+        |), q AS (
+        |  SELECT fp, text, string_split_regex(trim(text),'\\s+') AS ws,
+        |    length(text) AS n_chars_c
+        |  FROM fresh
+        |), r AS (
+        |  SELECT fp, text, n_chars_c, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(ws, x -> x='the')) + len(list_filter(ws, x -> x='a'))
+        |       + len(list_filter(ws, x -> x='of')) + len(list_filter(ws, x -> x='and'))
+        |       + len(list_filter(ws, x -> x='to')) AS DOUBLE)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS stopword_ratio,
+        |    CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS mean_word_len
+        |  FROM q
+        |), sc AS (
+        |  SELECT fp, text, n_tokens,
+        |    ((CASE WHEN n_chars_c BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.5 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0
+        |      AS quality
+        |  FROM r
+        |)
+        |SELECT fp, n_tokens, quality FROM sc
+        |WHERE quality > 0.5
+        |  AND len(regexp_extract_all(text, '${graft.operators.Scrub.mojibake}'))
+        |    + len(regexp_extract_all(text, '${graft.operators.Scrub.controlChars}'))
+        |    + len(regexp_extract_all(text, '${graft.operators.Scrub.specialTokens}')) = 0
+        |ORDER BY fp""".stripMargin,
 
     "q_encoding_scan" ->
       s"""WITH w AS (

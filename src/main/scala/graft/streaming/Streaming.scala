@@ -382,6 +382,53 @@ object Streaming {
       .drop("__fp")
   }
 
+  /** The COMPOSED streaming ingest pipeline in ONE query — the live
+    * analogue of the batch `q_pipeline_e2e` curation funnel, wiring the
+    * individually-gated pieces end to end:
+    *
+    *   partition-pruned source (the caller subscribes via
+    *   [[partitionSubtreeStream]]) → [[dedupStreamAgainst]] (watermarked
+    *   in-stream digest dedup — state = fixed-width digests expiring
+    *   with the watermark — then the left-anti corpus join) → map-side
+    *   curation (quality score band + encoding-hygiene scan, both
+    *   codegen'd zero-shuffle predicates) → idempotent per-batch segment
+    *   sink (`outDir/batch=<id>`, overwrite — a replayed batch rewrites
+    *   its own segment).
+    *
+    * The stateful tier (dropDuplicatesWithinWatermark) lives in the
+    * STREAM plan — it cannot run inside foreachBatch — while the
+    * curation filters are stateless map-side predicates that ride the
+    * same plan; only the sink write happens per batch. Survivor rows
+    * carry `quality` and `n_tokens` columns next to the source columns.
+    *
+    * Digest identity uses `normalize = false` (raw bytes): every
+    * surviving row's text is then byte-identical to its dropped
+    * duplicates', so all curation metrics are SURVIVOR-INVARIANT — which
+    * arrival the dedup keeps cannot change what the funnel emits, the
+    * determinism contract the oracle check needs (the q_stream_dedup
+    * idiom, extended to a whole pipeline).
+    *
+    * Scale shape: per trigger, the only non-map-side work is the digest
+    * dedup's state lookup and the anti-join against the corpus's
+    * distinct-digest projection (collapsed map-side to fixed-width
+    * keys, re-resolved per batch so a nightly compaction is picked up
+    * for free). The curation predicates fold into the same codegen
+    * stage. State is finite by the watermark horizon — the
+    * StateProbe-measured `keys × horizon × bytes/key` budget. */
+  def ingestCurationSink(stream: DataFrame, corpus: DataFrame,
+      textCol: String, tsCol: String, outDir: String,
+      delay: String = "1 hour", minQuality: Double = 0.5,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextAnalysis
+    val curated = dedupStreamAgainst(stream, corpus, textCol, tsCol,
+        delay, normalize = false)
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .filter(col("quality") > minQuality &&
+        graft.operators.Scrub.encodingClean(col(textCol)))
+    segmentSink(curated, outDir, checkpoint)(identity)
+  }
+
   /** Streaming NEAR-duplicate ingest dedup against a static corpus — the
     * live-crawl flavor of near-dup decontamination: each micro-batch of
     * incoming documents is checked for word-n-gram Jaccard similarity

@@ -176,6 +176,14 @@ object AuditPlans {
     // streaming work runs before the audited plan): scan → select →
     // global orderBy = the one range exchange
     "q_stream_neardedup" -> 1, "q_stream_neardedup_serve" -> 1,
+    // the returned frame is the segment read-back + survivor-invariant
+    // projection + ORDER BY (1 range exchange); the streaming pipeline
+    // itself ran to completion in its own query, audited by StreamingSpec
+    "q_stream_ingest_e2e" -> 1,
+    // build+upsert run as side-effect jobs (k-means aggs, partitioned
+    // writes); the returned frame is exact-top10 semi-join ann-candidates
+    // with both sides broadcast-sized at sf0.001 → zero visible exchanges
+    "q_sim_ivf_upsert" -> 0,
     "q_tail" -> 0, "q_tfidf_top" -> 5, "q_token_count" -> 1,
     "q_topk_per_group" -> 2, "q_tsv_roundtrip" -> 1, "q_typed_dataset" -> 2,
     "q_udaf_summaries" -> 2, "q_union_all" -> 2, "q_unique_first" -> 2,

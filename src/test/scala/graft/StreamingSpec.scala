@@ -692,6 +692,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 17.5)))
   }
 
+  test("ingestCurationSink: a multi-batch run equals the batch funnel — " +
+      "micro-batch boundaries and cross-batch duplicates are invisible") {
+    import graft.operators.{Dedup, Scrub}
+    import graft.functions.TextAnalysis
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-mb-")
+    val feedDir = root.resolve("feed")
+    val sub = feedDir.resolve("source=src3")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val degenerate = Seq.fill(20)("zzzzzzzzzzzzzz").mkString(" ")
+    val fixed = docs.filter(col("source") === "src3").select(col("doc_id"),
+      when(col("doc_id") % 13 === 0, lit(degenerate))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit("\u0007")))
+        .otherwise(col("text")).as("text"))
+    val t0 = to_timestamp(lit("2024-03-01 00:00:00"))
+    def at(m: org.apache.spark.sql.Column) =
+      t0 + make_dt_interval(lit(0), lit(0), m.cast("int"), lit(0.0))
+    val base = fixed.select(col("doc_id"), col("text"), at(col("doc_id")).as("ts"))
+    val reemit = fixed.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"),
+        at(col("doc_id") + 90).as("ts"))
+    // base spread over 3 files; the re-emissions land as a LATER file —
+    // with maxFilesPerTrigger=1 every duplicate pair crosses a
+    // micro-batch boundary, so the dedup state (not within-batch
+    // collapse) is what must drop them
+    base.repartition(3).write.mode("overwrite").parquet(sub.toString)
+    reemit.coalesce(1).write.mode("append").parquet(sub.toString)
+    val corpus = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+    val out = root.resolve("out").toString
+    val stream = Streaming.partitionSubtreeStream(spark, feedDir.toString,
+      "source=src3", maxFilesPerTrigger = 1)
+    val q = Streaming.ingestCurationSink(stream, corpus, "text", "ts", out,
+      delay = "30 days")
+    try q.processAllAvailable() finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"need a genuine multi-batch run, got $dataBatches")
+    assert(reemit.count() > 0, "fixture must produce cross-batch duplicates")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(Dedup.contentKey(col("text"), normalize = false).as("fp"),
+        col("n_tokens"), col("quality"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val gotRows = key(spark.read.parquet(out))
+    assert(gotRows.length == gotRows.toSet.size,
+      "sink carries duplicate digests — cross-batch dedup state failed")
+    val expected = key(base.unionByName(reemit)
+      .groupBy(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+      .agg(min(col("text")).as("text"))
+      .join(corpus.select(Dedup.contentKey(col("text"), normalize = false)
+        .as("fp")).distinct(), Seq("fp"), "left_anti")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .filter(col("quality") > 0.5 && Scrub.encodingClean(col("text"))))
+    assert(gotRows.toSet == expected.toSet && gotRows.nonEmpty,
+      s"streamed funnel != batch funnel: got ${gotRows.length}, " +
+        s"expected ${expected.length}")
+  }
+
   test("restart recovery: a stopped dedup stream resumes from its " +
       "checkpoint with state intact — no re-admissions, metrics carry " +
       "the full key count") {
