@@ -1976,6 +1976,62 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** LSH INCREMENTAL-UPSERT gate — the second artifact family's append
+    * path: the bucket-partitioned per-table layouts are built over the
+    * BASE corpus (vec_id % 5 != 0), then the delta (including the query
+    * vector) is hashed with the artifact's pinned (bits, tables, dims)
+    * and appended via [[graft.operators.Similarity.upsertLshIndex]].
+    * Unlike IVF/PQ there is NOTHING trained to drift: the hyperplanes
+    * are deterministic splitmix64 functions, so the upserted layout is
+    * content-identical to a full rebuild (DedupSpec asserts served
+    * top-k equality) and q_sim_lsh_serve's recall contract transfers
+    * unchanged. Same oracle as q_sim_lsh. */
+  val q_sim_lsh_upsert: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "lsh_ups", dir, "embeddings")
+    Similarity.saveLshIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      "embedding", dims = 64, table, bits = 8, tables = 3)
+    Similarity.upsertLshIndex(emb.filter(col("vec_id") % 5 === 0),
+      "embedding", table)
+    val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding",
+      qvec, 20, probeDist = 4)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** PQ INCREMENTAL-UPSERT gate — the third artifact family's append
+    * path: codebooks are trained over the BASE corpus only, the delta
+    * (including the query vector) is encoded with those FROZEN codebooks
+    * in one map-side `pq_encode` pass and appended
+    * ([[graft.operators.Similarity.upsertPqIndex]]) — the corpus is
+    * never re-encoded, the PQ-at-scale invariant. The reranked top-20
+    * over the upserted store must contain the exact full-corpus cosine
+    * top-10: the ADC candidate generation survives encoding today's
+    * delta with yesterday's codebooks (drift resets on
+    * `compactPqIndex`'s cadence, pinned in DedupSpec). Same oracle as
+    * q_sim_pq. */
+  val q_sim_pq_upsert: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "pq_ups", dir, "embeddings")
+    Similarity.savePqIndex(
+      Similarity.pqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 8,
+        sampleN = 2048), table)
+    Similarity.upsertPqIndex(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", table)
+    val idx = Similarity.loadPqIndex(s, table)
+    val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 500)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** PQ-ANN RECALL GATE (oracle-checked): product-quantize to 16
     * subspaces × 32 codes (16 bytes of codes standing in for 256 bytes
     * of floats during candidate generation), ADC-score the corpus
@@ -2795,6 +2851,8 @@ object Queries {
     "q_sim_ivf" -> q_sim_ivf,
     "q_sim_ivf_serve" -> q_sim_ivf_serve,
     "q_sim_ivf_upsert" -> q_sim_ivf_upsert,
+    "q_sim_lsh_upsert" -> q_sim_lsh_upsert,
+    "q_sim_pq_upsert" -> q_sim_pq_upsert,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_excel_roundtrip" -> q_excel_roundtrip,
     "q_excel_dates" -> q_excel_dates,
@@ -2854,10 +2912,11 @@ object Queries {
       |  FROM scored)
       |WHERE bm25_rank <= 25 ORDER BY bm25_rank""".stripMargin
 
-  /** Shared by the seven ANN recall gates (q_sim_lsh / q_sim_ivf /
+  /** Shared by the nine ANN recall gates (q_sim_lsh / q_sim_ivf /
     * q_sim_pq, their `_serve` variants over persisted indexes, and the
-    * incremental q_sim_ivf_upsert) — each gate must contain exactly
-    * this exact cosine top-10 inside its ANN top-20. */
+    * incremental `_upsert` gates over delta-appended artifacts) — each
+    * gate must contain exactly this exact cosine top-10 inside its ANN
+    * top-20. */
   private val annExactTop10Sql: String =
     """WITH q AS (
       |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
@@ -4337,6 +4396,8 @@ object Queries {
     // persisted indexes
     "q_sim_ivf_serve" -> annExactTop10Sql,
     "q_sim_ivf_upsert" -> annExactTop10Sql,
+    "q_sim_lsh_upsert" -> annExactTop10Sql,
+    "q_sim_pq_upsert" -> annExactTop10Sql,
 
     "q_dedup_remove" ->
       """WITH docs AS (

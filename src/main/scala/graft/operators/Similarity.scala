@@ -175,6 +175,32 @@ object Similarity {
     if (!matches) saveLshIndex(df, vecCol, dims, table, bits, tables)
   }
 
+  /** INCREMENTAL upsert into a persisted LSH serving layout: hash ONLY
+    * the `delta` rows with the artifact's pinned (bits, tables, dims)
+    * and APPEND them into each hash table's bucket-partitioned
+    * projection. Unlike the IVF/PQ upserts there is NO drift to
+    * compact away: the hyperplanes are deterministic functions of
+    * (table, plane, dim) — splitmix64, never trained — so an upserted
+    * layout is IDENTICAL in content to a full rebuild over the grown
+    * corpus; the only rebuild reason left is file-count hygiene, which
+    * is [[graft.operators.Layout.compact]]'s generic job. Identity is
+    * append-only — the caller owns id uniqueness (the dedup tier). */
+  def upsertLshIndex(delta: DataFrame, vecCol: String, table: String): Unit = {
+    val spark = delta.sparkSession
+    val (bits, tables, dims) = lshMetaFor(spark, table)
+    for (t <- 0 until tables)
+      delta.withColumn("bucket", codeColumn(col(vecCol), dims, bits, t))
+        .write.mode("append").format("parquet")
+        .partitionBy("bucket").saveAsTable(s"${table}_t$t")
+  }
+
+  private def lshMetaFor(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Int, Int, Int) =
+    cachesFor(spark).lshMeta.getOrElseUpdate(table, {
+      val m = spark.table(s"${table}_meta").head()
+      (m.getInt(0), m.getInt(1), m.getInt(2))
+    })
+
   /** All `bits`-bit codes within Hamming distance `d` of `code` —
     * Σ C(bits, 0..d) values, the enumerable probe set. */
   private def codesWithin(code: Long, bits: Int, d: Int): Seq[Long] =
@@ -204,10 +230,7 @@ object Similarity {
   def lshServedCandidates(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, vecCol: String, query: Seq[Double],
       probeDist: Int): DataFrame = {
-    val (bits, tables, dims) = cachesFor(spark).lshMeta.getOrElseUpdate(table, {
-      val m = spark.table(s"${table}_meta").head()
-      (m.getInt(0), m.getInt(1), m.getInt(2))
-    })
+    val (bits, tables, dims) = lshMetaFor(spark, table)
     (0 until tables).map { t =>
       val probes = codesWithin(queryCode(query, bits, t, dims), bits, probeDist)
       spark.table(s"${table}_t$t")
@@ -477,6 +500,48 @@ object Similarity {
         .map(_._2.sortBy(_._2).map(_._3)).toArray
     })
     PqIndex(spark.table(table), codebooks)
+  }
+
+  /** INCREMENTAL upsert into a persisted PQ serving artifact: encode
+    * ONLY the `delta` rows with the artifact's FROZEN codebooks (one
+    * map-side `pq_encode` pass — the corpus is never re-encoded, which
+    * is the entire point of PQ at 100 TB) and APPEND them to the encoded
+    * table. Same frozen-constants contract as [[upsertIvfIndex]]:
+    * codebooks trained on yesterday's distribution encode today's delta,
+    * and the drift accumulates until [[compactPqIndex]] retrains on its
+    * own cadence. Null vectors are dropped, as in [[pqIndex]]; identity
+    * is append-only — the caller owns id uniqueness. */
+  def upsertPqIndex(delta: DataFrame, idCol: String, vecCol: String,
+      table: String): Unit = {
+    import graft.functions.VectorExpressions.{vec_l2_normalize, pq_encode}
+    val spark = delta.sparkSession
+    val codebooks = loadPqIndex(spark, table).codebooks
+    delta.filter(col(vecCol).isNotNull)
+      .withColumn("pq_code", pq_encode(vec_l2_normalize(col(vecCol)), codebooks))
+      .write.mode("append").format("parquet").saveAsTable(table)
+  }
+
+  /** RETRAIN-on-cadence compaction for the PQ artifact — the closing
+    * half of [[upsertPqIndex]]'s frozen-codebook contract, mirroring
+    * [[compactIvfIndex]]: re-run per-subspace k-means over the table's
+    * CURRENT content (corpus ∪ every upserted delta) and re-encode the
+    * whole corpus into a fresh generation. Content is staged to scratch
+    * first (the rebuild overwrites the table it reads from). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, vecCol: String, dims: Int,
+      m: Int = 16, nCodes: Int = 32, iters: Int = 8,
+      sampleN: Int = 2048): PqIndex = {
+    val staging = java.nio.file.Files
+      .createTempDirectory(s"graft-pq-compact-").toString
+    try {
+      spark.table(table).drop("pq_code")
+        .write.mode("overwrite").parquet(staging)
+      val idx = pqIndex(spark.read.parquet(staging), idCol, vecCol, dims,
+        m, nCodes, iters, sampleN)
+      savePqIndex(idx, table)
+      loadPqIndex(spark, table)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(staging))
   }
 
   /** Load the persisted PQ index, building and persisting it first if

@@ -350,6 +350,92 @@ class DedupSpec extends SparkSpec {
       s"missing ${exact5 -- ann}")
   }
 
+  test("LSH upsert: appended layout is content-identical to a full " +
+      "rebuild — deterministic hyperplanes leave nothing to drift") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val (ups, reb) = ("lsh_spec_upsert", "lsh_spec_rebuild")
+    Seq(ups, reb).foreach { t =>
+      (0 until 3).foreach(i =>
+        graft.sources.Sources.replaceTable(spark, s"${t}_t$i"))
+      graft.sources.Sources.replaceTable(spark, s"${t}_meta")
+    }
+    Similarity.saveLshIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      "embedding", dims = 64, ups, bits = 8, tables = 3)
+    Similarity.upsertLshIndex(emb.filter(col("vec_id") % 5 === 0),
+      "embedding", ups)
+    Similarity.saveLshIndex(emb, "embedding", dims = 64, reb,
+      bits = 8, tables = 3)
+    // per-table content equality: same (vec_id, bucket) assignment set
+    (0 until 3).foreach { t =>
+      def pairs(tbl: String) = spark.table(s"${tbl}_t$t")
+        .select(col("vec_id"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(ups) == pairs(reb),
+        s"table $t: upserted layout diverges from the rebuild")
+    }
+    // and the served ranking is identical
+    def top(tbl: String) = Similarity.lshTopKServed(spark, tbl, "vec_id",
+      "embedding", qvec, 20, probeDist = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(ups) == top(reb))
+  }
+
+  test("PQ upsert + compaction: delta encoded with frozen codebooks, " +
+      "no corpus re-encode; compaction retrains and re-encodes") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val table = "pq_spec_upsert"
+    graft.sources.Sources.replaceTable(spark, table)
+    graft.sources.Sources.replaceTable(spark, s"${table}_codebooks")
+    Similarity.savePqIndex(
+      Similarity.pqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 4),
+      table)
+    val baseBooks = Similarity.loadPqIndex(spark, table).codebooks
+    // snapshot data files: the upsert must append, never rewrite
+    val loc = java.nio.file.Paths.get(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location)
+    import scala.jdk.CollectionConverters._
+    def files(): Map[String, (Long, Long)] =
+      scala.util.Using.resource(java.nio.file.Files.walk(loc))(
+        _.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap)
+    val before = files()
+    assert(before.nonEmpty)
+    Similarity.upsertPqIndex(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", table)
+    val after = files()
+    before.foreach { case (f, meta) =>
+      assert(after.get(f).contains(meta), s"upsert rewrote a base file: $f")
+    }
+    assert(after.size > before.size, "upsert appended no new files")
+    val upserted = Similarity.loadPqIndex(spark, table)
+    assert(upserted.encoded.count() == emb.count())
+    // every stored code — base AND delta — equals a frozen-codebook
+    // recompute (codebooks unchanged by the append)
+    assert(upserted.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      baseBooks.map(_.map(_.toSeq).toSeq).toSeq)
+    import graft.functions.VectorExpressions.{vec_l2_normalize, pq_encode}
+    val mismatches = upserted.encoded.filter(col("pq_code") =!=
+      pq_encode(vec_l2_normalize(col("embedding")), baseBooks)).count()
+    assert(mismatches == 0, s"$mismatches stored codes disagree with the " +
+      "frozen codebooks")
+    // compaction retrains over corpus ∪ deltas == a direct full build
+    val compacted = Similarity.compactPqIndex(spark, table,
+      "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 4)
+    val direct = Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+      m = 16, nCodes = 32, iters = 4)
+    assert(compacted.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      direct.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "compaction's retrain must equal a direct full-corpus build")
+    assert(compacted.encoded.count() == emb.count(), "compaction lost rows")
+  }
+
   test("PQ ANN: deterministic codebooks, codes in range, rerank recall") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -748,6 +748,55 @@ class StreamingSpec extends SparkSpec {
         s"expected ${expected.length}")
   }
 
+  test("segment sink replay: re-executing batches over the same input " +
+      "rewrites the same batch=<id> segments — no duplicate rows, no " +
+      "orphan segments") {
+    // the idempotence the exactly-once recovery story rests on: a
+    // re-executed batch id lands on its OWN directory with overwrite,
+    // so a replay (here: the worst case — a checkpoint-less full
+    // re-run over identical input, every batch re-executed) leaves the
+    // sink byte-equal instead of appending second copies. (Surgical
+    // commit-log deletion can't simulate the partial-replay window:
+    // Spark's metadata log detects the regressed log as concurrent use
+    // and refuses to start.)
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-replay-")
+    val feedDir = root.resolve("feed")
+    val sub = feedDir.resolve("source=src3")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === "src3")
+      .select(col("doc_id"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).as("ts"))
+    docs.repartition(3).write.mode("overwrite").parquet(sub.toString)
+    val corpus = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+    val out = root.resolve("out")
+    def run(ckpt: String): Unit = {
+      val stream = Streaming.partitionSubtreeStream(spark, feedDir.toString,
+        "source=src3", maxFilesPerTrigger = 1)
+      val q = Streaming.ingestCurationSink(stream, corpus, "text", "ts",
+        out.toString, delay = "30 days", checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    def segments(): Seq[String] = scala.util.Using.resource(
+      java.nio.file.Files.list(out))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).toSeq.sorted)
+    def contents(): Seq[String] = spark.read.parquet(out.toString)
+      .select(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    run(root.resolve("ckpt1").toString)
+    val (firstSegs, first) = (segments(), contents())
+    assert(first.nonEmpty && first == first.distinct)
+    assert(firstSegs.size >= 3, s"need a multi-batch run, got $firstSegs")
+    run(root.resolve("ckpt2").toString) // full replay: same files, same slicing
+    assert(segments() == firstSegs,
+      s"replay changed the segment set: ${segments()} vs $firstSegs")
+    assert(contents() == first,
+      "replayed batches changed the sink — the per-batch overwrite is " +
+        "not idempotent (duplicate or divergent rows)")
+  }
+
   test("restart recovery: a stopped dedup stream resumes from its " +
       "checkpoint with state intact — no re-admissions, metrics carry " +
       "the full key count") {
