@@ -102,9 +102,16 @@ object Chunk {
   }
 
   private def pinSlot(slot: String, df: DataFrame): DataFrame = {
-    // sweep dead-context entries (blocks died with the context)
+    // sweep dead-context entries (blocks died with the context); the
+    // lock map is swept INDEPENDENTLY — a pin that failed between
+    // getOrElseUpdate and cacheSlots.put leaves a lock with no slot
+    // entry, which a slots-keyed sweep would never release (pinning the
+    // stopped session in the static map for the JVM lifetime)
     cacheSlots.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) { cacheSlots.remove(k); slotLocks.remove(k) }
+      if (k._1.sparkContext.isStopped) cacheSlots.remove(k)
+    }
+    slotLocks.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) slotLocks.remove(k)
     }
     val fp = sourceFingerprint(df)
     val key = (df.sparkSession, slot)

@@ -386,7 +386,14 @@ object Similarity {
     * reading on the live plan. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, vecCol: String,
-      nCentroids: Int = 64, iters: Int = 3): IvfIndex = {
+      iters: Int = 3): IvfIndex = {
+    // geometry comes from the ARTIFACT, never from caller defaults: a
+    // compaction that silently retrained to a different centroid count
+    // would make the next ivfIndexFor(nCentroids = <old>) see a
+    // mismatch and rebuild from its base frame — dropping every
+    // upserted delta from the serving artifact. (`iters` stays a
+    // parameter: it is not recoverable from the artifact.)
+    val nCentroids = loadIvfIndex(spark, table).centroids.length
     val staging = java.nio.file.Files
       .createTempDirectory(s"graft-ivf-compact-").toString
     try {
@@ -528,16 +535,29 @@ object Similarity {
     * whole corpus into a fresh generation. Content is staged to scratch
     * first (the rebuild overwrites the table it reads from). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, idCol: String, vecCol: String, dims: Int,
-      m: Int = 16, nCodes: Int = 32, iters: Int = 8,
-      sampleN: Int = 2048): PqIndex = {
+      table: String, idCol: String, vecCol: String,
+      iters: Int = 8, sampleN: Int = 2048): PqIndex = {
+    // geometry comes from the ARTIFACT (codebook tensor shape), never
+    // from caller defaults — a silently re-shaped compaction would make
+    // the next pqIndexFor(m/nCodes = <old>) rebuild from its base
+    // frame, dropping every upserted delta. dims is reconstructed as
+    // m × subDim: pqIndex only ever uses dims through
+    // subDim = ceil(dims/m), so any dims in that subDim's band encodes
+    // identically. (`iters`/`sampleN` stay parameters: not recoverable.)
+    val books = loadPqIndex(spark, table).codebooks
+    val m = books.length
+    val subDim = if (books.isEmpty || books(0).isEmpty) 0 else books(0)(0).length
+    val nCodes = if (books.isEmpty) 0 else books(0).length
+    require(m > 0 && nCodes > 1 && subDim > 0,
+      s"artifact $table has a degenerate codebook shape (m=$m, " +
+        s"nCodes=$nCodes, subDim=$subDim)")
     val staging = java.nio.file.Files
       .createTempDirectory(s"graft-pq-compact-").toString
     try {
       spark.table(table).drop("pq_code")
         .write.mode("overwrite").parquet(staging)
-      val idx = pqIndex(spark.read.parquet(staging), idCol, vecCol, dims,
-        m, nCodes, iters, sampleN)
+      val idx = pqIndex(spark.read.parquet(staging), idCol, vecCol,
+        dims = m * subDim, m, nCodes, iters, sampleN)
       savePqIndex(idx, table)
       loadPqIndex(spark, table)
     } finally org.apache.commons.io.FileUtils

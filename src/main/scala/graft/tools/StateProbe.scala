@@ -88,9 +88,14 @@ object StateProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks = args.lift(1)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4))
+    val knownProbes = Set("dedup", "funnel", "join", "sketch", "expire", "restart")
     val probes = args.lift(2)
-      .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("dedup", "funnel", "join", "sketch", "expire", "restart"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(knownProbes)
+    // a typo'd probe name must fail loudly, not silently run nothing
+    // and exit green (the ScaleSmoke unknown-ops contract)
+    require((probes -- knownProbes).isEmpty,
+      s"unknown probes: ${probes -- knownProbes} (known: $knownProbes)")
     val spark = graft.GraftSession.rocksDbState(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -282,12 +287,23 @@ object StateProbe {
       val (path, batch) = materialize("restart", k, uidScaled(k))
       val expectedKeys = batch.select("user_id", "event_type").distinct().count()
       val ckpt = java.nio.file.Paths.get(s"$dir/restart/ckpt")
-      def start(): StreamingQuery = graft.streaming.Streaming.dedupStream(
-          fileStream(path, filesPerTrigger = 1), // 8 files → 8 batches
-          Seq("user_id", "event_type"), "ts", wide)
-        .writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", ckpt.toString).start()
-      val q1 = start()
+      def start(throttled: Boolean): StreamingQuery = {
+        val w = graft.streaming.Streaming.dedupStream(
+            fileStream(path, filesPerTrigger = 1), // 8 files → 8 batches
+            Seq("user_id", "event_type"), "ts", wide)
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt.toString)
+        // run 1 paces one batch per second: between OBSERVING batch 1
+        // and stop() taking effect at most one more trigger can fire,
+        // so the kill lands mid-run deterministically (an unthrottled
+        // run on a fast box can drain all 8 batches inside the poll
+        // gap and leave nothing to replay). The resume runs unthrottled
+        // — its replay wall should measure recovery, not the pacing.
+        (if (throttled) w.trigger(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+         else w).start()
+      }
+      val q1 = start(throttled = true)
       val killDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       try {
         while (Option(q1.lastProgress).map(_.batchId).getOrElse(-1L) < 1 &&
@@ -299,7 +315,7 @@ object StateProbe {
         s"kill window missed: committed batch $committed of 8 — nothing " +
           "left to replay (or nothing committed before the kill)")
       val t0 = System.nanoTime()
-      val q2 = start()
+      val q2 = start(throttled = false)
       // replay wall = start() → first committed progress of the resume
       val replayDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
       while (q2.recentProgress.isEmpty && System.nanoTime() < replayDeadline)

@@ -260,6 +260,21 @@ class DedupSpec extends SparkSpec {
       s"expected partition filters on the cluster-partitioned scan:\n$probePlan")
   }
 
+  /** (path → (size, mtime)) snapshot of a table's parquet data files —
+    * the base-file-immutability proxy the upsert tests assert on. */
+  private def tableDataFiles(table: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val loc = java.nio.file.Paths.get(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location)
+    scala.util.Using.resource(java.nio.file.Files.walk(loc))(
+      _.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap)
+  }
+
   test("IVF upsert: delta appended under frozen centroids — base files " +
       "byte-identical, assignments == frozen-centroid recompute") {
     val dir = "/root/testdata/sf0.001"
@@ -273,17 +288,7 @@ class DedupSpec extends SparkSpec {
       Similarity.ivfIndex(base, "vec_id", "embedding", nCentroids = 16, iters = 2),
       table)
     // snapshot the partitioned store's data files before the upsert
-    val loc = java.nio.file.Paths.get(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location)
-    import scala.jdk.CollectionConverters._
-    def files(): Map[String, (Long, Long)] =
-      scala.util.Using.resource(java.nio.file.Files.walk(loc))(
-        _.iterator().asScala
-          .filter(_.toString.endsWith(".parquet"))
-          .map(p => p.toString -> (java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis))
-          .toMap)
+    def files(): Map[String, (Long, Long)] = tableDataFiles(table)
     val before = files()
     assert(before.nonEmpty)
     Similarity.upsertIvfIndex(delta, "vec_id", "embedding", table)
@@ -322,8 +327,9 @@ class DedupSpec extends SparkSpec {
         "vec_id", "embedding", nCentroids = 16, iters = 3), table)
     Similarity.upsertIvfIndex(emb.filter(col("vec_id") % 5 === 0),
       "vec_id", "embedding", table)
+    // geometry is derived from the artifact (16 centroids), not passed
     val compacted = Similarity.compactIvfIndex(spark, table,
-      "vec_id", "embedding", nCentroids = 16, iters = 3)
+      "vec_id", "embedding", iters = 3)
     assert(compacted.centroids.length == 16)
     assert(compacted.assigned.count() == emb.count(), "compaction lost rows")
     // the retrain saw corpus ∪ deltas: centroids must match a direct
@@ -396,15 +402,7 @@ class DedupSpec extends SparkSpec {
       table)
     val baseBooks = Similarity.loadPqIndex(spark, table).codebooks
     // snapshot data files: the upsert must append, never rewrite
-    val loc = java.nio.file.Paths.get(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location)
-    import scala.jdk.CollectionConverters._
-    def files(): Map[String, (Long, Long)] =
-      scala.util.Using.resource(java.nio.file.Files.walk(loc))(
-        _.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-          .map(p => p.toString -> (java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap)
+    def files(): Map[String, (Long, Long)] = tableDataFiles(table)
     val before = files()
     assert(before.nonEmpty)
     Similarity.upsertPqIndex(emb.filter(col("vec_id") % 5 === 0),
@@ -426,8 +424,10 @@ class DedupSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches stored codes disagree with the " +
       "frozen codebooks")
     // compaction retrains over corpus ∪ deltas == a direct full build
+    // geometry (m=16, nCodes=32, dims=m×subDim=64) derives from the
+    // artifact's codebook tensor, not from caller arguments
     val compacted = Similarity.compactPqIndex(spark, table,
-      "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 4)
+      "vec_id", "embedding", iters = 4)
     val direct = Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
       m = 16, nCodes = 32, iters = 4)
     assert(compacted.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
