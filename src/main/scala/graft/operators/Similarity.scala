@@ -407,6 +407,45 @@ object Similarity {
       .deleteQuietly(new java.io.File(staging))
   }
 
+  /** Load the IVF index over base table ∪ streaming-admitted segments
+    * ([[graft.streaming.Streaming.ivfIngestSink]]'s `batch=<id>/
+    * cluster=<c>` layout): the segment rows carry the SAME
+    * frozen-centroid assignments as the base, and `cluster` is a
+    * partition column in BOTH sources, so a probe's `cluster IN (...)`
+    * filter prunes directories across base and every segment alike. A
+    * missing/empty segment dir serves the base alone (the
+    * subscribe-before-data shape). */
+  def loadIvfIndexWithSegments(spark: org.apache.spark.sql.SparkSession,
+      table: String, segDir: String): IvfIndex = {
+    val base = loadIvfIndex(spark, table)
+    val hp = new org.apache.hadoop.fs.Path(segDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) base
+    else IvfIndex(base.assigned.unionByName(
+      spark.read.parquet(segDir).drop("batch")), base.centroids)
+  }
+
+  /** Fold streaming-admitted segments into the base IVF table — the
+    * CHEAP half of the compaction cadence: segment rows already carry
+    * the frozen-centroid assignments, so the fold is a plain partition
+    * append (no re-encode, no retrain) followed by segment-dir removal;
+    * only touched cluster partitions gain files. Run [[compactIvfIndex]]
+    * separately when accumulated drift warrants a retrain. A fold that
+    * crashes after the append but before the delete re-admits the
+    * segments on retry — run it under the same id-dedup discipline as
+    * any append (the caller owns identity). No-op on a missing dir. */
+  def foldIvfSegments(spark: org.apache.spark.sql.SparkSession,
+      table: String, segDir: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(segDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) {
+      spark.read.parquet(segDir).drop("batch")
+        .write.mode("append").format("parquet")
+        .partitionBy("cluster").saveAsTable(table)
+      fs.delete(hp, true)
+    }
+  }
+
   /** Load the persisted IVF index, building and persisting it first if
     * this session doesn't know it. An existing artifact is reused only
     * when its centroid count matches `nCentroids` (a changed `iters`

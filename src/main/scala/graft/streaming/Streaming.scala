@@ -553,6 +553,38 @@ object Streaming {
     Contamination.shingleIndexFor(unioned, idCol, textCol, table, n, buckets)
   }
 
+  /** Streaming ANN ingest — the live admission path for the IVF serving
+    * artifact, composing [[graft.operators.Similarity.upsertIvfIndex]]'s
+    * frozen-centroid contract with the idempotent segment sink: each
+    * micro-batch of NEW embeddings is assigned map-side against the
+    * artifact's centroids (loaded ONCE at query build — KBs, the
+    * bounded-artifact contract) and lands as its own
+    * `segDir/batch=<id>/cluster=<c>/` parquet segment. Overwrite by
+    * batch id keeps replays idempotent — the reason this is NOT a bare
+    * per-batch `upsertIvfIndex` (a replayed table append would
+    * double-admit its rows); cluster partitioning inside every segment
+    * keeps probe pruning effective across base + segments.
+    *
+    * Serve with [[graft.operators.Similarity.loadIvfIndexWithSegments]]
+    * (base ∪ admitted segments, probes prune both); fold segments into
+    * the base table on a compaction cadence with
+    * [[graft.operators.Similarity.foldIvfSegments]] (a plain append —
+    * the segments already carry the SAME frozen-centroid assignments),
+    * and retrain drift away with `compactIvfIndex` on its own cadence —
+    * the upsert-all-day / compact-nightly loop, streamed. */
+  def ivfIngestSink(stream: DataFrame, table: String, vecCol: String,
+      segDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val centroids = graft.operators.Similarity.loadIvfIndex(spark, table).centroids
+    val v = col(vecCol)
+    val assigned = stream.filter(v.isNotNull).withColumn("cluster",
+      graft.functions.VectorExpressions.nearest_centroid_cos(v, centroids))
+    segmentSink(assigned, segDir, checkpoint,
+      write = (df, path) => df.write.mode("overwrite")
+        .partitionBy("cluster").parquet(path))(identity)
+  }
+
   /** Shared idempotent-segment `foreachBatch` sink: `survivors(batch)`
     * writes to `outDir/batch=<id>` (overwrite — a replayed batch
     * rewrites its own segment, the lakehouse ingest contract shared with

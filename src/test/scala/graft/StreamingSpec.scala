@@ -748,6 +748,59 @@ class StreamingSpec extends SparkSpec {
         s"expected ${expected.length}")
   }
 
+  test("ivfIngestSink: streamed embeddings land as cluster-partitioned " +
+      "segments with frozen-centroid assignments; serving spans base + " +
+      "segments and folding preserves the ranking") {
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions.nearest_centroid_cos
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-stream-")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val table = "ivf_stream_spec"
+    graft.sources.Sources.replaceTable(spark, table)
+    graft.sources.Sources.replaceTable(spark, s"${table}_centroids")
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(base, "vec_id", "embedding", nCentroids = 16, iters = 3),
+      table)
+    val in = root.resolve("in").toString
+    delta.repartition(3).write.mode("overwrite").parquet(in)
+    val segDir = root.resolve("seg").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = Streaming.ivfIngestSink(stream, table, "embedding", segDir)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "need a genuine multi-batch admission")
+    val served = Similarity.loadIvfIndexWithSegments(spark, table, segDir)
+    assert(served.assigned.count() == emb.count(), "admission lost rows")
+    // every row — base AND streamed segments — assigned by the SAME
+    // frozen centroids (what makes the fold a plain append)
+    val mismatches = served.assigned.filter(col("cluster") =!=
+      nearest_centroid_cos(col("embedding"), served.centroids)).count()
+    assert(mismatches == 0, s"$mismatches segment assignments disagree " +
+      "with the frozen centroids")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def top(i: Similarity.IvfIndex) = Similarity.ivfTopK(i, "vec_id",
+      "embedding", qvec, 20, nProbe = 14)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val servedTop = top(served)
+    val exact5 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact5.subsetOf(servedTop.map(_._1).toSet),
+      s"recall lost serving base+segments: missing " +
+        s"${exact5 -- servedTop.map(_._1).toSet}")
+    // fold: plain append of already-assigned rows, then the segment dir
+    // is gone and the base-only serving ranks identically
+    Similarity.foldIvfSegments(spark, table, segDir)
+    assert(!new java.io.File(segDir).exists(), "fold left the segment dir")
+    val folded = Similarity.loadIvfIndex(spark, table)
+    assert(folded.assigned.count() == emb.count(), "fold lost rows")
+    assert(top(folded) == servedTop, "fold changed the served ranking")
+  }
+
   test("segment sink replay: re-executing batches over the same input " +
       "rewrites the same batch=<id> segments — no duplicate rows, no " +
       "orphan segments") {
