@@ -386,7 +386,14 @@ object Similarity {
     * reading on the live plan. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, vecCol: String,
-      iters: Int = 3): IvfIndex = {
+      iters: Int = 3, segDir: Option[String] = None): IvfIndex = {
+    // Streaming-admitted segments MUST be folded before the retrain:
+    // they carry OLD-generation cluster ids, so serving them next to a
+    // retrained base would put them in effectively random partitions
+    // (silent recall loss), and folding them afterwards would bake the
+    // stale assignments into the new table. Pass the sink's segDir so
+    // the fold happens inside the compaction, in order.
+    segDir.foreach(d => foldIvfSegments(spark, table, d))
     // geometry comes from the ARTIFACT, never from caller defaults: a
     // compaction that silently retrained to a different centroid count
     // would make the next ivfIndexFor(nCentroids = <old>) see a
@@ -418,31 +425,56 @@ object Similarity {
   def loadIvfIndexWithSegments(spark: org.apache.spark.sql.SparkSession,
       table: String, segDir: String): IvfIndex = {
     val base = loadIvfIndex(spark, table)
+    val segs = completeSegmentDirs(spark, segDir)
+    if (segs.isEmpty) base
+    else IvfIndex(base.assigned.unionByName(
+      spark.read.option("basePath", segDir)
+        .parquet(segs.map(_.toString): _*).drop("batch")), base.centroids)
+  }
+
+  /** The COMPLETE `batch=<id>` segment dirs under `segDir` — ones that
+    * already carry `cluster=` partition children. A pre-created-but-
+    * empty segDir (the subscribe-before-data shape), a dir holding only
+    * a crashed write's `_temporary`, or a missing dir all yield Nil, so
+    * serving/folding degrade to the base instead of tripping parquet
+    * schema inference on footerless paths. */
+  private def completeSegmentDirs(spark: org.apache.spark.sql.SparkSession,
+      segDir: String): Seq[org.apache.hadoop.fs.Path] = {
     val hp = new org.apache.hadoop.fs.Path(segDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) base
-    else IvfIndex(base.assigned.unionByName(
-      spark.read.parquet(segDir).drop("batch")), base.centroids)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter(d => fs.listStatus(d)
+        .exists(c => c.isDirectory && c.getPath.getName.startsWith("cluster=")))
   }
 
   /** Fold streaming-admitted segments into the base IVF table — the
     * CHEAP half of the compaction cadence: segment rows already carry
     * the frozen-centroid assignments, so the fold is a plain partition
-    * append (no re-encode, no retrain) followed by segment-dir removal;
-    * only touched cluster partitions gain files. Run [[compactIvfIndex]]
-    * separately when accumulated drift warrants a retrain. A fold that
-    * crashes after the append but before the delete re-admits the
-    * segments on retry — run it under the same id-dedup discipline as
-    * any append (the caller owns identity). No-op on a missing dir. */
+    * append (no re-encode, no retrain); only touched cluster partitions
+    * gain files. The fold ENUMERATES the complete `batch=<id>` dirs
+    * first, reads exactly those, and deletes exactly those — a
+    * recursive segDir delete would destroy any batch a still-running
+    * [[graft.streaming.Streaming.ivfIngestSink]] committed between the
+    * read and the delete (its checkpoint marks the batch done, so it
+    * would never be rewritten: permanent row loss). The dir itself
+    * stays, ready for the next admission. A fold that crashes after the
+    * append but before the deletes re-admits those segments on retry —
+    * run it under the same id-dedup discipline as any append (the
+    * caller owns identity). No-op on a missing/empty dir. */
   def foldIvfSegments(spark: org.apache.spark.sql.SparkSession,
       table: String, segDir: String): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(segDir)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) {
-      spark.read.parquet(segDir).drop("batch")
+    val segs = completeSegmentDirs(spark, segDir)
+    if (segs.nonEmpty) {
+      spark.read.option("basePath", segDir)
+        .parquet(segs.map(_.toString): _*).drop("batch")
         .write.mode("append").format("parquet")
         .partitionBy("cluster").saveAsTable(table)
-      fs.delete(hp, true)
+      val fs = new org.apache.hadoop.fs.Path(segDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      segs.foreach(d => fs.delete(d, true))
     }
   }
 

@@ -580,6 +580,22 @@ object Streaming {
     val v = col(vecCol)
     val assigned = stream.filter(v.isNotNull).withColumn("cluster",
       graft.functions.VectorExpressions.nearest_centroid_cos(v, centroids))
+    // fail at SINK CONSTRUCTION if the assigned stream's shape doesn't
+    // match the serving table: a mismatch admits green all day and only
+    // explodes at serve (strict unionByName) or fold (append) time,
+    // leaving segments that can be neither served nor folded
+    val resolver = spark.sessionState.analyzer.resolver
+    val want = spark.table(table).schema.fields
+    val got = assigned.schema.fields
+    require(want.length == got.length && want.forall(w =>
+        got.exists(g => resolver(w.name, g.name) &&
+          // catalogString carries no nullability markers — the
+          // nullability-insensitive compare (sameType is private[sql])
+          w.dataType.catalogString == g.dataType.catalogString)),
+      s"ivfIngestSink stream shape ${assigned.schema.simpleString} does " +
+        s"not match serving table '$table' " +
+        s"${spark.table(table).schema.simpleString} — admitted segments " +
+        "could be neither served (unionByName) nor folded (append)")
     segmentSink(assigned, segDir, checkpoint,
       write = (df, path) => df.write.mode("overwrite")
         .partitionBy("cluster").parquet(path))(identity)

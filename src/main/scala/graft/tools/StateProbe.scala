@@ -92,8 +92,9 @@ object StateProbe {
     val probes = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownProbes)
-    // a typo'd probe name must fail loudly, not silently run nothing
-    // and exit green (the ScaleSmoke unknown-ops contract)
+    // a typo'd or empty probe list must fail loudly, not silently run
+    // nothing and exit green (the ScaleSmoke unknown-ops contract)
+    require(probes.nonEmpty, s"empty probe list (known: $knownProbes)")
     require((probes -- knownProbes).isEmpty,
       s"unknown probes: ${probes -- knownProbes} (known: $knownProbes)")
     val spark = graft.GraftSession.rocksDbState(SparkSession.builder()

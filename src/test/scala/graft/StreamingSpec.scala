@@ -766,9 +766,19 @@ class StreamingSpec extends SparkSpec {
     val in = root.resolve("in").toString
     delta.repartition(3).write.mode("overwrite").parquet(in)
     val segDir = root.resolve("seg").toString
+    // pre-created empty segDir (subscribe-before-data): serving must
+    // degrade to the base, not trip parquet inference on a footerless dir
+    java.nio.file.Files.createDirectories(root.resolve("seg"))
+    assert(Similarity.loadIvfIndexWithSegments(spark, table, segDir)
+      .assigned.count() == base.count())
     val stream = spark.readStream
       .schema(spark.read.parquet(in).schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
+    // a shape mismatch must fail at SINK CONSTRUCTION, not at serve time
+    intercept[IllegalArgumentException] {
+      Streaming.ivfIngestSink(stream.withColumn("extra", lit(1)),
+        table, "embedding", segDir)
+    }
     val q = Streaming.ivfIngestSink(stream, table, "embedding", segDir)
     try q.processAllAvailable() finally q.stop()
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
@@ -795,7 +805,12 @@ class StreamingSpec extends SparkSpec {
     // fold: plain append of already-assigned rows, then the segment dir
     // is gone and the base-only serving ranks identically
     Similarity.foldIvfSegments(spark, table, segDir)
-    assert(!new java.io.File(segDir).exists(), "fold left the segment dir")
+    // the fold deletes exactly the batch dirs it read — the segment
+    // ROOT stays, ready for the next admission (and so a batch landing
+    // concurrently would survive)
+    val leftover = new java.io.File(segDir).list()
+    assert(leftover != null && !leftover.exists(_.startsWith("batch=")),
+      s"fold left batch segments: ${leftover.mkString(",")}")
     val folded = Similarity.loadIvfIndex(spark, table)
     assert(folded.assigned.count() == emb.count(), "fold lost rows")
     assert(top(folded) == servedTop, "fold changed the served ranking")
