@@ -1958,22 +1958,23 @@ object Queries {
     * upserted index must still contain the exact cosine top-10 over the
     * FULL corpus — the recall contract survives the append even though
     * the centroids never saw the delta (the top hit, the query vector,
-    * arrives VIA the upsert). Rebuilt fresh each run (saveIvfIndex
-    * replaces the generation): upsert is append-only by contract, so an
-    * idempotent gate re-creates its generation instead of re-appending
-    * into it. Same oracle as q_sim_ivf. */
+    * arrives VIA the upsert). Built-and-upserted ONCE per mtime-keyed
+    * generation (the `onceUpserted` marker): upsert is append-only by
+    * contract, so a repeated gate serves the admitted generation
+    * instead of re-appending into it. Same oracle as q_sim_ivf. */
   val q_sim_ivf_upsert: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings").df
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
     val table = artifactTable(s, "ivf_ups", dir, "embeddings")
-    val base = emb.filter(col("vec_id") % 5 =!= 0)
-    val delta = emb.filter(col("vec_id") % 5 === 0)
-    Similarity.saveIvfIndex(
-      Similarity.ivfIndex(base, "vec_id", "embedding", nCentroids = 16, iters = 3),
-      table)
-    Similarity.upsertIvfIndex(delta, "vec_id", "embedding", table)
+    onceUpserted(s, table) {
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", nCentroids = 16, iters = 3), table)
+      Similarity.upsertIvfIndex(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", table)
+    }
     val idx = Similarity.loadIvfIndex(s, table)
     // nProbe 14 (vs q_sim_ivf's 12): centroids trained on 80% of a
     // near-uniform corpus rank the query's neighbors' cells slightly
@@ -1984,6 +1985,26 @@ object Queries {
     val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 14)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
       .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** Build-and-upsert ONCE per artifact generation for the `_upsert`
+    * gates: the `<table>_upserted` marker records a completed
+    * base-build + delta-append for the mtime-keyed generation, so later
+    * runs serve directly — the real cadence (a delta is admitted once,
+    * then served many times), and the reason re-appending on every
+    * query would be wrong anyway (upsert is append-only: a second
+    * admission double-counts). Crash-safe: the marker is written LAST,
+    * and every builder starts with replaceTable, so a half-applied
+    * generation can never serve — the next run rebuilds it whole. */
+  private def onceUpserted(s: SparkSession, table: String)(
+      buildAndUpsert: => Unit): Unit = {
+    import s.implicits._
+    val marker = s"${table}_upserted"
+    if (!s.catalog.tableExists(marker)) {
+      buildAndUpsert
+      graft.sources.Sources.replaceTable(s, marker)
+      Seq(1).toDF("done").write.mode("overwrite").saveAsTable(marker)
+    }
   }
 
   /** LSH INCREMENTAL-UPSERT gate — the second artifact family's append
@@ -2002,10 +2023,12 @@ object Queries {
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
     val table = artifactTable(s, "lsh_ups", dir, "embeddings")
-    Similarity.saveLshIndex(emb.filter(col("vec_id") % 5 =!= 0),
-      "embedding", dims = 64, table, bits = 8, tables = 3)
-    Similarity.upsertLshIndex(emb.filter(col("vec_id") % 5 === 0),
-      "embedding", table)
+    onceUpserted(s, table) {
+      Similarity.saveLshIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "embedding", dims = 64, table, bits = 8, tables = 3)
+      Similarity.upsertLshIndex(emb.filter(col("vec_id") % 5 === 0),
+        "embedding", table)
+    }
     val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding",
       qvec, 20, probeDist = 4)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
@@ -2029,12 +2052,14 @@ object Queries {
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
     val table = artifactTable(s, "pq_ups", dir, "embeddings")
-    Similarity.savePqIndex(
-      Similarity.pqIndex(emb.filter(col("vec_id") % 5 =!= 0),
-        "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 8,
-        sampleN = 2048), table)
-    Similarity.upsertPqIndex(emb.filter(col("vec_id") % 5 === 0),
-      "vec_id", "embedding", table)
+    onceUpserted(s, table) {
+      Similarity.savePqIndex(
+        Similarity.pqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 8,
+          sampleN = 2048), table)
+      Similarity.upsertPqIndex(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", table)
+    }
     val idx = Similarity.loadPqIndex(s, table)
     val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
       candidates = 500)
