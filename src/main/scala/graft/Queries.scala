@@ -817,6 +817,75 @@ object Queries {
       .orderBy(col("bm25_rank"))
   }
 
+  /** BM25 INCREMENTAL-UPSERT gate — the SEARCH artifact family joins the
+    * ANN families' append story, and like LSH the upsert is EXACT: the
+    * base index is built over 80% of the corpus (doc_id % 5 != 0), the
+    * delta is admitted through [[graft.operators.Search.upsertBm25Index]]
+    * (per-doc postings computed over the delta only, appended under the
+    * pinned word-bucket spec; (n_docs, total_len) merged in long
+    * arithmetic so avg_len is bit-identical to a rebuild's), and the
+    * served full-corpus ranking must equal the full-build ranking —
+    * the SAME oracle as q_search_bm25, not a relaxed recall contract.
+    * Built-and-upserted once per mtime-keyed generation (upsert is
+    * append-only; re-admitting would double-count postings). Per-term
+    * df/idf need no maintenance: they are computed in-plan from the
+    * postings at serve time. */
+  val q_search_bm25_upsert: Q = (s, dir) => {
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "bm25_ups", dir, "documents")
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text"), table)
+      Search.upsertBm25Index(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", table)
+    }
+    val idx = Search.loadBm25Index(s, table)
+    Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
+  /** STREAMING BM25 ingest gate — the live-admission analogue of
+    * q_search_bm25_upsert, and the one streaming-ingest tier whose
+    * serve path IS oracle-expressible (the IVF ingest's centroids are
+    * engine artifacts; postings are not): the base artifact is built
+    * over 80% of the corpus, the remaining docs STREAM in through
+    * [[graft.streaming.Streaming.bm25IngestSink]] (per-batch postings
+    * landing as idempotent `batch=<id>` segments with their stats
+    * marker), and the served top-25 over base ∪ admitted segments must
+    * equal the full-corpus build's ranking — the SAME q_search_bm25
+    * oracle, because postings are per-document and stats long-merge
+    * (content identity survives any micro-batch slicing). Admitted once
+    * per mtime-keyed generation; the segments persist in the warehouse
+    * beside the artifact and are SERVED here (folding is pinned in
+    * StreamingSpec). */
+  val q_stream_bm25_ingest: Q = (s, dir) => {
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "bm25_ing", dir, "documents")
+    val segDir = s"${s.conf.get("spark.sql.warehouse.dir")}/${table}_segs"
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text"), table)
+      // clear segments from a crashed prior attempt: a rerun may slice
+      // fewer batches, and per-batch overwrite only replaces its own id
+      val hp = new org.apache.hadoop.fs.Path(segDir)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val stream = graft.streaming.Streaming.documentsStream(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+      val q = graft.streaming.Streaming.bm25IngestSink(stream, table,
+        "doc_id", "text", segDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val idx = Search.loadBm25IndexWithSegments(s, table, segDir)
+    Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
   /** HLL approximate-distinct accuracy gate: per source, the exact
     * distinct doc-length count next to a within-tolerance flag for the
     * HLL estimate (both aggregates share one shuffle). The oracle emits
@@ -2826,6 +2895,8 @@ object Queries {
     "q_tfidf_top" -> q_tfidf_top,
     "q_search_bm25" -> q_search_bm25,
     "q_search_bm25_serve" -> q_search_bm25_serve,
+    "q_search_bm25_upsert" -> q_search_bm25_upsert,
+    "q_stream_bm25_ingest" -> q_stream_bm25_ingest,
     "q_approx_distinct" -> q_approx_distinct,
     "q_sketch_rollup" -> q_sketch_rollup,
     "q_quantile_rollup" -> q_quantile_rollup,
@@ -2915,9 +2986,12 @@ object Queries {
     "q_frame_sample" -> q_frame_sample
   )
 
-  /** Shared by q_search_bm25 (build+query in one plan) and
-    * q_search_bm25_serve (query over the persisted postings table) —
-    * both must produce exactly this ranking. */
+  /** Shared by q_search_bm25 (build+query in one plan),
+    * q_search_bm25_serve (query over the persisted postings table),
+    * q_search_bm25_upsert (query over a base+delta-appended artifact),
+    * and q_stream_bm25_ingest (query over base ∪ streaming-admitted
+    * segments) — append and admission are content-identical to a full
+    * build, so all four must produce exactly this ranking. */
   private val bm25OracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
@@ -3688,6 +3762,8 @@ object Queries {
     "q_search_bm25" -> bm25OracleSql,
     // the serving gate answers the same question from the persisted index
     "q_search_bm25_serve" -> bm25OracleSql,
+    "q_search_bm25_upsert" -> bm25OracleSql,
+    "q_stream_bm25_ingest" -> bm25OracleSql,
 
     "q_cluster_best" ->
       """WITH RECURSIVE docs AS (

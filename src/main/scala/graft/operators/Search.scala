@@ -168,7 +168,8 @@ object Search {
     * than the scored-search normalizer so the ranking math is
     * engine-reproducible; BM25's idf discounts stopword-grade terms on
     * its own. */
-  final case class Bm25Index(postings: DataFrame, nDocs: Long, avgLen: Double)
+  final case class Bm25Index(postings: DataFrame, nDocs: Long, avgLen: Double,
+      totalLen: Long)
 
   /** Build the BM25 index. Scale shape: one explode + one hash aggregate
     * keyed by (id, word) — doclen rides along as a function of id, so no
@@ -180,7 +181,8 @@ object Search {
       .select(size(filter(words, w => w =!= lit(""))).cast("long").as("__l"))
       .agg(count(lit(1)).as("n"), sum(col("__l")).as("total")).head()
     val nDocs = lenStats.getLong(0)
-    val avgLen = if (nDocs == 0) 0.0 else lenStats.getLong(1).toDouble / nDocs
+    val totalLen = if (lenStats.isNullAt(1)) 0L else lenStats.getLong(1)
+    val avgLen = if (nDocs == 0) 0.0 else totalLen.toDouble / nDocs
     val postings = graft.core.Partitions.ensureParallelism(data)
       .select(col(idCol), words.as("__ws"))
       .select(col(idCol),
@@ -189,7 +191,7 @@ object Search {
       .filter(col("word") =!= "")
       .groupBy(col(idCol), col("doclen"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    Bm25Index(postings, nDocs, avgLen)
+    Bm25Index(postings, nDocs, avgLen, totalLen)
   }
 
   /** Persist a built BM25 index as a serving artifact: postings become a
@@ -203,11 +205,140 @@ object Search {
     val spark = index.postings.sparkSession
     graft.sources.Sources.writeBucketed(
       graft.core.GTable(index.postings), table, Seq("word"), buckets)
+    writeStats(spark, table, index.nDocs, index.avgLen, buckets, index.totalLen)
+  }
+
+  // `total_len` rides in the stats table purely for the upsert path:
+  // avg_len alone cannot be merged exactly (avg·n re-derives total with
+  // float loss), but (n, total) merge in long arithmetic, so an upserted
+  // generation's avg_len is BIT-identical to a full rebuild's.
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+      table: String, nDocs: Long, avgLen: Double, buckets: Int,
+      totalLen: Long): Unit = {
     graft.sources.Sources.replaceTable(spark, s"${table}_stats")
     import spark.implicits._
-    Seq((index.nDocs, index.avgLen, buckets)).toDF("n_docs", "avg_len", "buckets")
+    Seq((nDocs, avgLen, buckets, totalLen))
+      .toDF("n_docs", "avg_len", "buckets", "total_len")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
     statsFor(spark).remove(table)
+  }
+
+  /** INCREMENTAL UPSERT for the persisted BM25 artifact — the search
+    * tier's analogue of `Similarity.upsertLshIndex`, and like LSH it is
+    * EXACT: postings rows are purely per-document (id, doclen, word, tf),
+    * so the delta's postings are what a full rebuild would compute for
+    * those documents, and the corpus stats merge in long arithmetic
+    * ((n, Σlen) add; avg re-derives bit-identically). The upserted
+    * artifact is content-identical to a rebuild over base ∪ delta — no
+    * drift exists, no retrain cadence is needed. Per-term df and idf are
+    * computed in-plan from the postings at serve time, so they price the
+    * delta in automatically.
+    *
+    * Scale shape: one explode + one hash aggregate over the DELTA only,
+    * appended into the word-bucketed table under the artifact's pinned
+    * bucket spec (bucket pruning keeps working — each bucket just gains
+    * a file per admitted delta; fold small files on the usual compaction
+    * cadence if deltas are frequent). The base corpus is never re-read
+    * or rewritten. Callers own id-disjointness: re-admitting a document
+    * double-counts it, exactly as in the ANN upsert family. */
+  def upsertBm25Index(delta: DataFrame, idCol: String, attr: String,
+      table: String): Unit = {
+    val spark = delta.sparkSession
+    val st = spark.table(s"${table}_stats")
+    require(st.columns.contains("total_len"),
+      s"$table predates the upsert-capable stats schema (no total_len); " +
+        "rebuild the artifact before upserting into it")
+    val row = st.head()
+    val (n, buckets, total) = (row.getLong(0), row.getInt(2), row.getLong(3))
+    val d = buildBm25Index(delta, idCol, attr)
+    d.postings.write.mode("append").format("parquet")
+      .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)
+    val (n2, total2) = (n + d.nDocs, total + d.totalLen)
+    val avg2 = if (n2 == 0) 0.0 else total2.toDouble / n2
+    writeStats(spark, table, n2, avg2, buckets, total2)
+  }
+
+  /** Load the BM25 index over base table ∪ streaming-admitted segments
+    * ([[graft.streaming.Streaming.bm25IngestSink]]'s
+    * `batch=<id>/{postings,stats}` layout): segment postings are purely
+    * per-document, so base ∪ segments is content-identical to a rebuild
+    * over base ∪ admitted docs, and the corpus stats merge in long
+    * arithmetic (base (n, Σlen) + the sum over segment stats rows — one
+    * tiny aggregate job at load). A missing/empty segment dir serves the
+    * base alone (the subscribe-before-data shape). */
+  def loadBm25IndexWithSegments(spark: org.apache.spark.sql.SparkSession,
+      table: String, segDir: String): Bm25Index = {
+    val base = loadBm25Index(spark, table)
+    val segs = completeBm25SegmentDirs(spark, segDir)
+    if (segs.isEmpty) base
+    else {
+      val postings = spark.read
+        .parquet(segs.map(d => s"$d/postings"): _*)
+      val st = spark.read.parquet(segs.map(d => s"$d/stats"): _*)
+        .agg(sum(col("n_docs")), sum(col("total_len"))).head()
+      val (n2, total2) = (base.nDocs + st.getLong(0),
+        base.totalLen + st.getLong(1))
+      Bm25Index(base.postings.unionByName(postings), n2,
+        if (n2 == 0) 0.0 else total2.toDouble / n2, total2)
+    }
+  }
+
+  /** The COMPLETE `batch=<id>` segment dirs under `segDir` — ones whose
+    * `stats/` child (written LAST by the sink — the completion marker)
+    * already holds parquet. A pre-created-but-empty segDir, a segment
+    * whose crash left only `postings/`, or a missing dir all yield Nil /
+    * get skipped, so serving and folding degrade to the complete set
+    * instead of admitting a torn segment (postings without stats would
+    * silently skew avg_len). */
+  private def completeBm25SegmentDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      segDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val hp = new org.apache.hadoop.fs.Path(segDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter { d =>
+        val st = new org.apache.hadoop.fs.Path(d, "stats")
+        fs.exists(st) && fs.listStatus(st)
+          .exists(_.getPath.getName.endsWith(".parquet"))
+      }
+  }
+
+  /** Fold streaming-admitted BM25 segments into the base artifact — the
+    * cheap half of the ingest loop, and (unlike IVF) there is no
+    * expensive half: nothing is trained, so no retrain cadence exists.
+    * Segment postings append under the artifact's pinned word-bucket
+    * spec, the stats tables merge in long arithmetic, and exactly the
+    * enumerated `batch=<id>` dirs are deleted (the
+    * [[graft.operators.Similarity.foldIvfSegments]] discipline: a
+    * recursive segDir delete would destroy a batch a still-running sink
+    * committed between the read and the delete). A fold that crashes
+    * after the append but before the deletes re-admits those segments on
+    * retry — run it under the same id-dedup discipline as any append
+    * (the caller owns identity). No-op on a missing/empty dir. */
+  def foldBm25Segments(spark: org.apache.spark.sql.SparkSession,
+      table: String, segDir: String): Unit = {
+    val segs = completeBm25SegmentDirs(spark, segDir)
+    if (segs.nonEmpty) {
+      require(spark.table(s"${table}_stats").columns.contains("total_len"),
+        s"$table predates the upsert-capable stats schema (no total_len); " +
+          "rebuild the artifact before folding segments into it")
+      val row = spark.table(s"${table}_stats").head()
+      val (n, buckets, total) = (row.getLong(0), row.getInt(2), row.getLong(3))
+      spark.read.parquet(segs.map(d => s"$d/postings"): _*)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)
+      val st = spark.read.parquet(segs.map(d => s"$d/stats"): _*)
+        .agg(sum(col("n_docs")), sum(col("total_len"))).head()
+      val (n2, total2) = (n + st.getLong(0), total + st.getLong(1))
+      writeStats(spark, table, n2,
+        if (n2 == 0) 0.0 else total2.toDouble / n2, buckets, total2)
+      val fs = new org.apache.hadoop.fs.Path(segDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      segs.foreach(d => fs.delete(d, true))
+    }
   }
 
   // corpus constants are constants: cache per (session, table) so the
@@ -218,23 +349,29 @@ object Search {
   // it never keeps its own key reachable.
   private val statsCache = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
-    scala.collection.concurrent.TrieMap[String, (Long, Double)]]()
+    scala.collection.concurrent.TrieMap[String, (Long, Double, Long)]]()
   private def statsFor(spark: org.apache.spark.sql.SparkSession) =
     statsCache.synchronized {
       var c = statsCache.get(spark)
       if (c == null) {
-        c = scala.collection.concurrent.TrieMap.empty[String, (Long, Double)]
+        c = scala.collection.concurrent.TrieMap.empty[String, (Long, Double, Long)]
         statsCache.put(spark, c)
       }
       c
     }
 
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, table: String): Bm25Index = {
-    val (n, avg) = statsFor(spark).getOrElseUpdate(table, {
-      val st = spark.table(s"${table}_stats").head()
-      (st.getLong(0), st.getDouble(1))
+    val (n, avg, total) = statsFor(spark).getOrElseUpdate(table, {
+      val stats = spark.table(s"${table}_stats")
+      val st = stats.head()
+      // pre-total_len generations load fine for serving; only upsert
+      // requires the mergeable schema (upsertBm25Index checks)
+      val t = if (stats.columns.contains("total_len"))
+        st.getLong(stats.columns.indexOf("total_len"))
+      else math.round(st.getDouble(1) * st.getLong(0))
+      (st.getLong(0), st.getDouble(1), t)
     })
-    Bm25Index(spark.table(table), n, avg)
+    Bm25Index(spark.table(table), n, avg, total)
   }
 
   /** Load the persisted index, building and persisting it first if this
@@ -250,7 +387,10 @@ object Search {
     val matches = spark.catalog.tableExists(table) &&
       spark.catalog.tableExists(s"${table}_stats") && {
         val st = spark.table(s"${table}_stats")
-        st.columns.contains("buckets") && st.head().getInt(2) == buckets
+        // total_len required: migrates pre-upsert-schema generations to
+        // the mergeable stats layout on their next build-if-missing
+        st.columns.contains("buckets") && st.columns.contains("total_len") &&
+          st.head().getInt(2) == buckets
       }
     if (!matches)
       saveBm25Index(buildBm25Index(data, idCol, attr), table, buckets)

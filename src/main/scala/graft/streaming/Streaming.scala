@@ -601,6 +601,79 @@ object Streaming {
         .partitionBy("cluster").parquet(path))(identity)
   }
 
+  /** Streaming SEARCH ingest — the BM25 artifact's live admission path,
+    * completing the ingest symmetry across the three serving tiers
+    * (near-dup, ANN, search). Each micro-batch of NEW documents runs the
+    * per-doc postings aggregate OVER THE BATCH ONLY and lands as its own
+    * `segDir/batch=<id>/` segment: `postings/` first, then the 1-row
+    * `stats/` (n_docs, total_len) LAST as the segment-completeness
+    * marker — a crash between the two leaves a torn segment that
+    * serving/folding skip instead of silently skewing avg_len. Overwrite
+    * by batch id keeps replays idempotent (the segment-sink contract).
+    *
+    * Unlike the ANN tiers there is NOTHING trained and nothing frozen:
+    * postings are purely per-document and the corpus stats are
+    * long-mergeable, so base ∪ segments is content-identical to a full
+    * rebuild over base ∪ admitted docs — the streamed admission inherits
+    * [[graft.operators.Search.upsertBm25Index]]'s exactness, and the
+    * whole pipeline is STATELESS streaming (no watermark, no state
+    * store; each doc must arrive exactly once — the caller owns
+    * identity, as in every append path). Serve with
+    * [[graft.operators.Search.loadBm25IndexWithSegments]]; fold segments
+    * into the bucketed base on cadence with
+    * [[graft.operators.Search.foldBm25Segments]] — a plain append + a
+    * long-arithmetic stats merge; no retrain cadence exists because no
+    * drift exists. */
+  def bm25IngestSink(stream: DataFrame, table: String, idCol: String,
+      attr: String, segDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val resolver = spark.sessionState.analyzer.resolver
+    val idField = stream.schema.fields.find(f => resolver(f.name, idCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"bm25IngestSink: stream has no '$idCol' column " +
+          s"(${stream.schema.simpleString})"))
+    require(stream.schema.fields.exists(f => resolver(f.name, attr)),
+      s"bm25IngestSink: stream has no '$attr' column " +
+        s"(${stream.schema.simpleString})")
+    // fail at SINK CONSTRUCTION if the batch postings shape wouldn't
+    // match the serving table (the ivfIngestSink contract): a mismatch
+    // admits green all day and only explodes at serve (unionByName) or
+    // fold (append) time
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val got = Seq(StructField(idCol, idField.dataType),
+      StructField("doclen", LongType), StructField("word", StringType),
+      StructField("tf", LongType))
+    val want = spark.table(table).schema.fields
+    require(want.length == got.length && want.forall(w =>
+        got.exists(g => resolver(w.name, g.name) &&
+          w.dataType.catalogString == g.dataType.catalogString)),
+      s"bm25IngestSink batch postings shape " +
+        s"(${got.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")}) " +
+        s"does not match serving table '$table' " +
+        s"${spark.table(table).schema.simpleString} — admitted segments " +
+        "could be neither served (unionByName) nor folded (append)")
+    require(stream.isStreaming, "bm25IngestSink needs a streaming frame")
+    val w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pinned = batch.persist()
+        try {
+          // empty micro-batches (source ticks) write no segment
+          if (!pinned.isEmpty) {
+            val d = graft.operators.Search.buildBm25Index(pinned, idCol, attr)
+            d.postings.write.mode("overwrite")
+              .parquet(s"$segDir/batch=$id/postings")
+            import spark.implicits._
+            // stats LAST — the completion marker serving/folding key on
+            Seq((d.nDocs, d.totalLen)).toDF("n_docs", "total_len")
+              .write.mode("overwrite").parquet(s"$segDir/batch=$id/stats")
+          }
+        } finally pinned.unpersist()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Shared idempotent-segment `foreachBatch` sink: `survivors(batch)`
     * writes to `outDir/batch=<id>` (overwrite — a replayed batch
     * rewrites its own segment, the lakehouse ingest contract shared with

@@ -130,7 +130,7 @@ object ScaleSmoke {
       args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     onlyOps.foreach { names =>
       val known = ops.map(_._1).toSet +
-        "neardedup" + "join3" + "join_skew" + "ivf_upsert"
+        "neardedup" + "join3" + "join_skew" + "ivf_upsert" + "bm25_upsert"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -206,6 +206,63 @@ object ScaleSmoke {
       }
       println("{\"probe\":\"ivf_upsert\",\"sf\":\"" + sfDir + "\"," +
         ivfRuns.map { case (k, (up, re)) =>
+          f"""\"upsert_t$k\":$up%.3f,\"rebuild_t$k\":$re%.3f""" }
+          .mkString(",") + "}")
+    }
+
+    // ---------------------------------------------------------------
+    // BM25 rebuild-vs-upsert (round 11): the search artifact family's
+    // incremental-maintenance cost, measured under the same contract as
+    // ivf_upsert. The base word-bucketed postings table is built untimed
+    // (it exists before the day starts); the same ~6% delta is admitted
+    // both ways: (a) upsertBm25Index — the per-doc postings aggregate
+    // over the DELTA only + a bucketed append + a long-arithmetic stats
+    // merge; (b) a full rebuild — the postings aggregate over base ∪
+    // delta + a full bucketed rewrite. Unlike IVF the upsert here is
+    // EXACT (content-identical to the rebuild), so the assertion also
+    // pins row-count equality of the two stores. Claim: rebuild/upsert
+    // >= 2× at every k — the advantage is structural (the upsert's work
+    // is proportional to the delta, the rebuild's to the corpus) and
+    // should WIDEN with k.
+    // ---------------------------------------------------------------
+    if (opSelected("bm25_upsert")) {
+      def bm25Once(k: Int, timed: Boolean): (Double, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val full = frames(k)
+        val delta = full.filter(col("doc_id") % 16 === 0)
+        val base = full.filter(col("doc_id") % 16 =!= 0)
+        val tblU = s"scale_bm25_upsert_$k"
+        val tblR = s"scale_bm25_rebuild_$k"
+        Search.saveBm25Index(
+          Search.buildBm25Index(base, "doc_id", "text"), tblU) // untimed
+        val t0 = System.nanoTime()
+        Search.upsertBm25Index(delta, "doc_id", "text", tblU)
+        val tUp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Search.saveBm25Index(
+          Search.buildBm25Index(full, "doc_id", "text"), tblR)
+        val tRe = (System.nanoTime() - t1) / 1e9
+        require(spark.table(tblU).count() == spark.table(tblR).count(),
+          s"upserted postings and rebuild disagree on row count at $k×")
+        Seq(tblU, tblR).foreach { t =>
+          graft.sources.Sources.replaceTable(spark, t)
+          graft.sources.Sources.replaceTable(spark, s"${t}_stats")
+        }
+        if (timed) println(f"bm25_upsert $k%3d×: upsert $tUp%.2fs  " +
+          f"rebuild $tRe%.2fs  (${tRe / tUp}%.1f× cheaper to upsert)")
+        (tUp, tRe)
+      }
+      bm25Once(ks.head, timed = false) // warmup (codegen/JIT)
+      val bm25Runs = ks.map(k => k -> bm25Once(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      bm25Runs.foreach { case (k, (up, re)) =>
+        require(re >= 2.0 * up,
+          f"BM25 rebuild ($re%.2fs) is not >= 2× the upsert ($up%.2fs) at " +
+            f"$k× — the incremental path lost its cost advantage")
+      }
+      println("{\"probe\":\"bm25_upsert\",\"sf\":\"" + sfDir + "\"," +
+        bm25Runs.map { case (k, (up, re)) =>
           f"""\"upsert_t$k\":$up%.3f,\"rebuild_t$k\":$re%.3f""" }
           .mkString(",") + "}")
     }

@@ -151,4 +151,57 @@ class SearchSpec extends SparkSpec {
     // second; doc 4 (no term) is absent
     assert(got(5L) == 1 && got(1L) == 2 && !got.contains(4L))
   }
+
+  test("BM25 upsert: delta-appended artifact is content-identical to a " +
+      "full rebuild — base files untouched, stats merged bit-exactly") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val table = "bm25_spec_upsert"
+    Seq(table, s"${table}_stats").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Search.saveBm25Index(Search.buildBm25Index(base, "doc_id", "text"), table)
+    // snapshot the bucketed store's data files before the upsert
+    def files(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val loc = java.nio.file.Paths.get(spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      scala.util.Using.resource(java.nio.file.Files.walk(loc))(
+        _.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap)
+    }
+    val before = files()
+    assert(before.nonEmpty)
+    Search.upsertBm25Index(delta, "doc_id", "text", table)
+    val after = files()
+    // append, never rewrite: every base file survives byte-identical
+    before.foreach { case (f, meta) =>
+      assert(after.get(f).contains(meta), s"upsert rewrote a base file: $f")
+    }
+    assert(after.size > before.size, "upsert appended no new files")
+    val up = Search.loadBm25Index(spark, table)
+    val full = Search.buildBm25Index(docs, "doc_id", "text")
+    // stats merge is EXACT: long-arithmetic (n, total), bit-equal avg
+    assert(up.nDocs == full.nDocs && up.totalLen == full.totalLen)
+    assert(up.avgLen == full.avgLen,
+      s"merged avg_len ${up.avgLen} != rebuild ${full.avgLen}")
+    // postings content == rebuild's, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("doclen"), col("word"), col("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+    assert(rows(up.postings) == rows(full.postings),
+      "upserted postings diverge from a full rebuild")
+    // and the served ranking is identical
+    def top(idx: Search.Bm25Index) =
+      Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
+        .select(col("doc_id"), col("bm25_rank"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(top(up) == top(full))
+  }
 }

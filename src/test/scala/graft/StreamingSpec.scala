@@ -816,6 +816,76 @@ class StreamingSpec extends SparkSpec {
     assert(top(folded) == servedTop, "fold changed the served ranking")
   }
 
+  test("bm25IngestSink: streamed docs land as postings segments with a " +
+      "stats completion marker; base+segments is content-identical to a " +
+      "full rebuild and folding preserves it exactly") {
+    import graft.operators.Search
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-stream-")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val table = "bm25_stream_spec"
+    Seq(table, s"${table}_stats").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Search.saveBm25Index(Search.buildBm25Index(base, "doc_id", "text"), table)
+    val in = root.resolve("in").toString
+    delta.repartition(3).write.mode("overwrite").parquet(in)
+    val segDir = root.resolve("seg").toString
+    // pre-created empty segDir (subscribe-before-data): serving must
+    // degrade to the base alone
+    java.nio.file.Files.createDirectories(root.resolve("seg"))
+    assert(Search.loadBm25IndexWithSegments(spark, table, segDir).nDocs ==
+      base.count())
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    // a shape mismatch must fail at SINK CONSTRUCTION, not at serve time
+    intercept[IllegalArgumentException] {
+      Streaming.bm25IngestSink(stream, table, "source", "text", segDir)
+    }
+    val q = Streaming.bm25IngestSink(stream, table, "doc_id", "text", segDir)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "need a genuine multi-batch admission")
+    // a TORN segment (postings present, stats marker missing — the
+    // crash-between-writes shape) must be skipped by serve AND fold
+    val torn = new java.io.File(s"$segDir/batch=999/postings")
+    delta.limit(5).select(col("doc_id"), lit(7L).as("doclen"),
+        lit("tornword").as("word"), lit(1L).as("tf"))
+      .write.mode("overwrite").parquet(torn.toString)
+    val served = Search.loadBm25IndexWithSegments(spark, table, segDir)
+    val full = Search.buildBm25Index(docs, "doc_id", "text")
+    // content identity: stats merged bit-exactly, postings row-for-row
+    assert(served.nDocs == full.nDocs && served.totalLen == full.totalLen &&
+      served.avgLen == full.avgLen, "served stats diverge from a rebuild")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("doclen"), col("word"), col("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+    assert(rows(served.postings) == rows(full.postings),
+      "served postings diverge from a rebuild (or admitted a torn segment)")
+    def top(idx: Search.Bm25Index) =
+      Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
+        .select(col("doc_id"), col("bm25_rank"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val servedTop = top(served)
+    assert(servedTop == top(full), "served ranking != full-rebuild ranking")
+    // fold: plain bucketed append + long-arithmetic stats merge; the
+    // complete batch dirs are gone, the torn one is left for its replay,
+    // and the base-only serving is content-identical to the rebuild
+    Search.foldBm25Segments(spark, table, segDir)
+    val leftover = new java.io.File(segDir).list()
+    assert(leftover != null && leftover.toSet == Set("batch=999"),
+      s"fold should delete exactly the complete segments: " +
+        s"${leftover.mkString(",")}")
+    val folded = Search.loadBm25Index(spark, table)
+    assert(folded.nDocs == full.nDocs && folded.totalLen == full.totalLen &&
+      folded.avgLen == full.avgLen, "folded stats diverge from a rebuild")
+    assert(rows(folded.postings) == rows(full.postings),
+      "folded postings diverge from a rebuild")
+    assert(top(folded) == servedTop, "fold changed the served ranking")
+  }
+
   test("segment sink replay: re-executing batches over the same input " +
       "rewrites the same batch=<id> segments — no duplicate rows, no " +
       "orphan segments") {
