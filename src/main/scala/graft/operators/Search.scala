@@ -237,8 +237,8 @@ object Search {
     * Scale shape: one explode + one hash aggregate over the DELTA only,
     * appended into the word-bucketed table under the artifact's pinned
     * bucket spec (bucket pruning keeps working — each bucket just gains
-    * a file per admitted delta; fold small files on the usual compaction
-    * cadence if deltas are frequent). The base corpus is never re-read
+    * a file per admitted delta; [[compactBm25Index]] heals the small
+    * files on cadence without recomputing). The base corpus is never re-read
     * or rewritten. Callers own id-disjointness: re-admitting a document
     * double-counts it, exactly as in the ANN upsert family. */
   def upsertBm25Index(delta: DataFrame, idCol: String, attr: String,
@@ -256,6 +256,32 @@ object Search {
     val (n2, total2) = (n + d.nDocs, total + d.totalLen)
     val avg2 = if (n2 == 0) 0.0 else total2.toDouble / n2
     writeStats(spark, table, n2, avg2, buckets, total2)
+  }
+
+  /** FILE-COMPACTION for the BM25 artifact — heals the small-file
+    * accumulation of the append paths (each [[upsertBm25Index]] /
+    * [[foldBm25Segments]] adds one file per touched bucket): rewrite the
+    * postings table FROM ITS OWN CONTENT under the same pinned bucket
+    * spec — one shuffle, no postings recompute, no corpus access, and
+    * (unlike the ANN tiers' compactions) nothing to retrain, so the
+    * rewritten generation is row-identical by construction. Stats are
+    * untouched — compaction changes layout, never content. Content is
+    * staged to a scratch directory first ([[graft.operators.Similarity
+    * .compactIvfIndex]]'s discipline): the rewrite overwrites the table
+    * it reads from, and Spark correctly refuses overwrite-while-reading
+    * on the live plan. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val buckets = spark.table(s"${table}_stats").head().getInt(2)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-bm25-compact-").toString
+    try {
+      spark.table(table).write.mode("overwrite").parquet(staging)
+      graft.sources.Sources.writeBucketed(
+        graft.core.GTable(spark.read.parquet(staging)), table,
+        Seq("word"), buckets)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
   }
 
   /** Load the BM25 index over base table ∪ streaming-admitted segments

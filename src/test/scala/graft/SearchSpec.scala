@@ -202,6 +202,19 @@ class SearchSpec extends SparkSpec {
       Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
         .select(col("doc_id"), col("bm25_rank"))
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
-    assert(top(up) == top(full))
+    val upTop = top(up)
+    assert(upTop == top(full))
+    // compaction heals the append's small files WITHOUT recomputing:
+    // fewer data files, identical postings content, stats untouched
+    Search.compactBm25Index(spark, table)
+    val compacted = files()
+    assert(compacted.size < after.size,
+      s"compaction did not reduce files: ${after.size} -> ${compacted.size}")
+    val cp = Search.loadBm25Index(spark, table)
+    assert(cp.nDocs == full.nDocs && cp.totalLen == full.totalLen &&
+      cp.avgLen == full.avgLen, "compaction changed the stats")
+    assert(rows(cp.postings) == rows(full.postings),
+      "compaction changed the postings content")
+    assert(top(cp) == upTop, "compaction changed the served ranking")
   }
 }
