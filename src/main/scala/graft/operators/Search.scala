@@ -244,18 +244,34 @@ object Search {
   def upsertBm25Index(delta: DataFrame, idCol: String, attr: String,
       table: String): Unit = {
     val spark = delta.sparkSession
+    val (n, buckets, total) = readMergeableStats(spark, table)
+    // pin the delta across the two passes (length-stats aggregate, then
+    // the postings append) — an expensive upstream delta pipeline would
+    // otherwise execute twice, the same double-pass bm25IngestSink
+    // already pins its micro-batch for
+    val pinned = delta.persist()
+    try {
+      val d = buildBm25Index(pinned, idCol, attr)
+      d.postings.write.mode("append").format("parquet")
+        .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)
+      val (n2, total2) = (n + d.nDocs, total + d.totalLen)
+      val avg2 = if (n2 == 0) 0.0 else total2.toDouble / n2
+      writeStats(spark, table, n2, avg2, buckets, total2)
+    } finally pinned.unpersist()
+  }
+
+  /** The (n_docs, buckets, total_len) of an upsert-capable artifact —
+    * the one place the mergeable-schema guard and the positional stats
+    * destructuring live (upsert, fold, and compaction all key on it). */
+  private def readMergeableStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Long, Int, Long) = {
     val st = spark.table(s"${table}_stats")
     require(st.columns.contains("total_len"),
       s"$table predates the upsert-capable stats schema (no total_len); " +
-        "rebuild the artifact before upserting into it")
+        "rebuild the artifact before upserting/folding/serving segments " +
+        "into it")
     val row = st.head()
-    val (n, buckets, total) = (row.getLong(0), row.getInt(2), row.getLong(3))
-    val d = buildBm25Index(delta, idCol, attr)
-    d.postings.write.mode("append").format("parquet")
-      .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)
-    val (n2, total2) = (n + d.nDocs, total + d.totalLen)
-    val avg2 = if (n2 == 0) 0.0 else total2.toDouble / n2
-    writeStats(spark, table, n2, avg2, buckets, total2)
+    (row.getLong(0), row.getInt(2), row.getLong(3))
   }
 
   /** FILE-COMPACTION for the BM25 artifact — heals the small-file
@@ -269,19 +285,37 @@ object Search {
     * staged to a scratch directory first ([[graft.operators.Similarity
     * .compactIvfIndex]]'s discipline): the rewrite overwrites the table
     * it reads from, and Spark correctly refuses overwrite-while-reading
-    * on the live plan. */
+    * on the live plan. The staging copy is deleted ONLY after a
+    * successful rewrite — between `writeBucketed`'s drop and its write
+    * it is the sole surviving copy of the postings, so a failed rewrite
+    * must leave it on disk for recovery (the raised error names the
+    * path).
+    *
+    * `dedupExact` additionally drops exact-duplicate postings rows —
+    * the documented recovery from a fold retry that double-appended a
+    * crashed attempt's segments (see [[foldBm25Segments]]); safe
+    * because (id, doclen, word, tf) is unique per document in any
+    * legitimately-built artifact, so only faulty double-admissions
+    * collapse. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
+      table: String, dedupExact: Boolean = false): Unit = {
     val buckets = spark.table(s"${table}_stats").head().getInt(2)
     val staging = java.nio.file.Files
       .createTempDirectory("graft-bm25-compact-").toString
-    try {
-      spark.table(table).write.mode("overwrite").parquet(staging)
+    val content = spark.table(table)
+    (if (dedupExact) content.distinct() else content)
+      .write.mode("overwrite").parquet(staging)
+    try
       graft.sources.Sources.writeBucketed(
         graft.core.GTable(spark.read.parquet(staging)), table,
         Seq("word"), buckets)
-    } finally
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    catch {
+      case e: Throwable =>
+        throw new RuntimeException(
+          s"BM25 compaction failed mid-rewrite; '$table' may be dropped — " +
+            s"the staged postings copy survives at $staging", e)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
   }
 
   /** Load the BM25 index over base table ∪ streaming-admitted segments
@@ -298,6 +332,13 @@ object Search {
     val segs = completeBm25SegmentDirs(spark, segDir)
     if (segs.isEmpty) base
     else {
+      // segments merge against the base's LONG stats; a pre-total_len
+      // base would fall back to loadBm25Index's round(avg·n)
+      // reconstruction, which is not guaranteed exact at large totals —
+      // the segment path hard-requires the mergeable schema like its
+      // upsert/fold siblings instead of silently degrading the
+      // content-identity contract
+      readMergeableStats(spark, table)
       val postings = spark.read
         .parquet(segs.map(d => s"$d/postings"): _*)
       val st = spark.read.parquet(segs.map(d => s"$d/stats"): _*)
@@ -340,19 +381,28 @@ object Search {
     * enumerated `batch=<id>` dirs are deleted (the
     * [[graft.operators.Similarity.foldIvfSegments]] discipline: a
     * recursive segDir delete would destroy a batch a still-running sink
-    * committed between the read and the delete). A fold that crashes
-    * after the append but before the deletes re-admits those segments on
-    * retry — run it under the same id-dedup discipline as any append
-    * (the caller owns identity). No-op on a missing/empty dir. */
+    * committed between the read and the delete). No-op on a
+    * missing/empty dir.
+    *
+    * NOT ATOMIC — run the fold in a quiet window, off the serve path
+    * (the nightly-cadence contract every fold in this engine carries).
+    * The windows, precisely:
+    *  - append committed, segments not yet deleted: a concurrent
+    *    [[loadBm25IndexWithSegments]] reads those postings twice (the
+    *    IVF fold shares this window — fold off-cadence, not mid-serve);
+    *  - crash between the append and the stats write: the RETRY folds
+    *    the still-present segments again — stats come out right (the
+    *    crashed attempt never wrote them) but the postings rows are
+    *    appended twice. Duplicated rows are EXACT duplicates
+    *    ((id, doclen, word, tf) is unique per doc in any legitimate
+    *    artifact), so [[compactBm25Index]]`(dedupExact = true)` heals
+    *    the artifact in one pass — the documented recovery, where the
+    *    id-keyed ANN stores leave recovery to caller-side id dedup. */
   def foldBm25Segments(spark: org.apache.spark.sql.SparkSession,
       table: String, segDir: String): Unit = {
     val segs = completeBm25SegmentDirs(spark, segDir)
     if (segs.nonEmpty) {
-      require(spark.table(s"${table}_stats").columns.contains("total_len"),
-        s"$table predates the upsert-capable stats schema (no total_len); " +
-          "rebuild the artifact before folding segments into it")
-      val row = spark.table(s"${table}_stats").head()
-      val (n, buckets, total) = (row.getLong(0), row.getInt(2), row.getLong(3))
+      val (n, buckets, total) = readMergeableStats(spark, table)
       spark.read.parquet(segs.map(d => s"$d/postings"): _*)
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)

@@ -403,15 +403,27 @@ object Similarity {
     val nCentroids = loadIvfIndex(spark, table).centroids.length
     val staging = java.nio.file.Files
       .createTempDirectory(s"graft-ivf-compact-").toString
-    try {
-      spark.table(table).drop("cluster")
-        .write.mode("overwrite").parquet(staging)
-      val idx = ivfIndex(spark.read.parquet(staging), idCol, vecCol,
-        nCentroids, iters)
-      saveIvfIndex(idx, table)
-      loadIvfIndex(spark, table)
-    } finally org.apache.commons.io.FileUtils
-      .deleteQuietly(new java.io.File(staging))
+    // staged FIRST, deleted only after a successful rebuild: between
+    // saveIvfIndex's replaceTable and its write the staging copy is the
+    // sole surviving generation — deleting it on the failure path too
+    // (the old finally shape) would turn a failed rewrite into
+    // permanent data loss
+    spark.table(table).drop("cluster")
+      .write.mode("overwrite").parquet(staging)
+    val out =
+      try {
+        val idx = ivfIndex(spark.read.parquet(staging), idCol, vecCol,
+          nCentroids, iters)
+        saveIvfIndex(idx, table)
+        loadIvfIndex(spark, table)
+      } catch {
+        case e: Throwable =>
+          throw new RuntimeException(
+            s"IVF compaction failed mid-rewrite; '$table' may be dropped " +
+              s"— the staged rows survive at $staging", e)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    out
   }
 
   /** Load the IVF index over base table ∪ streaming-admitted segments
@@ -624,15 +636,24 @@ object Similarity {
         s"nCodes=$nCodes, subDim=$subDim)")
     val staging = java.nio.file.Files
       .createTempDirectory(s"graft-pq-compact-").toString
-    try {
-      spark.table(table).drop("pq_code")
-        .write.mode("overwrite").parquet(staging)
-      val idx = pqIndex(spark.read.parquet(staging), idCol, vecCol,
-        dims = m * subDim, m, nCodes, iters, sampleN)
-      savePqIndex(idx, table)
-      loadPqIndex(spark, table)
-    } finally org.apache.commons.io.FileUtils
-      .deleteQuietly(new java.io.File(staging))
+    // staging survives a failed rewrite — it is the sole copy between
+    // savePqIndex's replaceTable and its write (see compactIvfIndex)
+    spark.table(table).drop("pq_code")
+      .write.mode("overwrite").parquet(staging)
+    val out =
+      try {
+        val idx = pqIndex(spark.read.parquet(staging), idCol, vecCol,
+          dims = m * subDim, m, nCodes, iters, sampleN)
+        savePqIndex(idx, table)
+        loadPqIndex(spark, table)
+      } catch {
+        case e: Throwable =>
+          throw new RuntimeException(
+            s"PQ compaction failed mid-rewrite; '$table' may be dropped " +
+              s"— the staged rows survive at $staging", e)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    out
   }
 
   /** Load the persisted PQ index, building and persisting it first if

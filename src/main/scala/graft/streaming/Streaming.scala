@@ -661,6 +661,18 @@ object Streaming {
         try {
           // empty micro-batches (source ticks) write no segment
           if (!pinned.isEmpty) {
+            // a REPLAYED batch (crash after both writes, before the
+            // checkpoint commit) must first RETRACT its stale completion
+            // marker — overwriting postings/ while the old stats/ still
+            // stands would present a half-rewritten segment as complete
+            // to a concurrent serve/fold; with the marker gone the
+            // stats-last ordering holds on replay exactly as on first
+            // write
+            val marker = new org.apache.hadoop.fs.Path(
+              s"$segDir/batch=$id/stats")
+            val fs = marker.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(marker)) fs.delete(marker, true)
             val d = graft.operators.Search.buildBm25Index(pinned, idCol, attr)
             d.postings.write.mode("overwrite")
               .parquet(s"$segDir/batch=$id/postings")

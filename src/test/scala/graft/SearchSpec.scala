@@ -217,4 +217,49 @@ class SearchSpec extends SparkSpec {
       "compaction changed the postings content")
     assert(top(cp) == upTop, "compaction changed the served ranking")
   }
+
+  test("fold crash-retry recovery: a fold that died between the postings " +
+      "append and the stats write double-appends on retry; " +
+      "compactBm25Index(dedupExact) heals to the rebuild exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val table = "bm25_spec_foldretry"
+    Seq(table, s"${table}_stats").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Search.saveBm25Index(Search.buildBm25Index(base, "doc_id", "text"), table)
+    // hand-write the delta as one completed segment (the sink's layout)
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-foldretry-").toString
+    val d = Search.buildBm25Index(delta, "doc_id", "text")
+    d.postings.write.parquet(s"$segDir/batch=0/postings")
+    import spark.implicits._
+    Seq((d.nDocs, d.totalLen)).toDF("n_docs", "total_len")
+      .write.parquet(s"$segDir/batch=0/stats")
+    // simulate the CRASHED fold: the postings append committed, the
+    // stats write and the segment deletes never ran
+    spark.read.parquet(s"$segDir/batch=0/postings")
+      .write.mode("append").format("parquet")
+      .bucketBy(32, "word").sortBy("word").saveAsTable(table)
+    // the RETRY fold: appends the same postings again, merges stats once
+    Search.foldBm25Segments(spark, table, segDir)
+    val full = Search.buildBm25Index(docs, "doc_id", "text")
+    val torn = Search.loadBm25Index(spark, table)
+    assert(torn.nDocs == full.nDocs && torn.totalLen == full.totalLen,
+      "retry must merge stats exactly once")
+    assert(torn.postings.count() > full.postings.count(),
+      "precondition: the retry double-appended the segment postings")
+    // the documented recovery: exact-duplicate collapse
+    Search.compactBm25Index(spark, table, dedupExact = true)
+    val healed = Search.loadBm25Index(spark, table)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("doclen"), col("word"), col("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+    assert(healed.postings.count() == full.postings.count() &&
+      rows(healed.postings) == rows(full.postings),
+      "dedupExact compaction did not restore the rebuild content")
+    assert(healed.nDocs == full.nDocs && healed.totalLen == full.totalLen &&
+      healed.avgLen == full.avgLen)
+  }
 }
