@@ -281,15 +281,12 @@ object Search {
     * spec — one shuffle, no postings recompute, no corpus access, and
     * (unlike the ANN tiers' compactions) nothing to retrain, so the
     * rewritten generation is row-identical by construction. Stats are
-    * untouched — compaction changes layout, never content. Content is
-    * staged to a scratch directory first ([[graft.operators.Similarity
-    * .compactIvfIndex]]'s discipline): the rewrite overwrites the table
-    * it reads from, and Spark correctly refuses overwrite-while-reading
-    * on the live plan. The staging copy is deleted ONLY after a
-    * successful rewrite — between `writeBucketed`'s drop and its write
-    * it is the sole surviving copy of the postings, so a failed rewrite
-    * must leave it on disk for recovery (the raised error names the
-    * path).
+    * untouched — compaction changes layout, never content. The new
+    * layout is built in full under `<table>__next` while the live
+    * postings keep serving ([[graft.operators.Similarity
+    * .compactIvfIndex]]'s discipline), then promoted by a metadata-only
+    * catalog rename ([[graft.sources.Sources.promoteTable]]) — a failed
+    * rewrite never touched the live generation.
     *
     * `dedupExact` additionally drops exact-duplicate postings rows —
     * the documented recovery from a fold retry that double-appended a
@@ -299,23 +296,25 @@ object Search {
     * collapse. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       table: String, dedupExact: Boolean = false): Unit = {
-    val buckets = spark.table(s"${table}_stats").head().getInt(2)
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-bm25-compact-").toString
+    val buckets = readMergeableStats(spark, table)._2
+    // next generation built beside the live postings (the
+    // compactIvfIndex discipline): the rewrite READS the live table,
+    // which keeps serving throughout — one shuffle into the pinned
+    // bucket spec under `<table>__next`, then a metadata-only promote
+    // ([[graft.sources.Sources.promoteTable]]); a failed rewrite leaves
+    // the live generation untouched
+    val next = s"${table}__next"
     val content = spark.table(table)
-    (if (dedupExact) content.distinct() else content)
-      .write.mode("overwrite").parquet(staging)
     try
       graft.sources.Sources.writeBucketed(
-        graft.core.GTable(spark.read.parquet(staging)), table,
-        Seq("word"), buckets)
+        graft.core.GTable(if (dedupExact) content.distinct() else content),
+        next, Seq("word"), buckets)
     catch {
       case e: Throwable =>
-        throw new RuntimeException(
-          s"BM25 compaction failed mid-rewrite; '$table' may be dropped — " +
-            s"the staged postings copy survives at $staging", e)
+        graft.sources.Sources.replaceTable(spark, next)
+        throw e
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    graft.sources.Sources.promoteTable(spark, next, table)
   }
 
   /** Load the BM25 index over base table ∪ streaming-admitted segments

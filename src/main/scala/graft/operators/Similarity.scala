@@ -182,9 +182,9 @@ object Similarity {
     * compact away: the hyperplanes are deterministic functions of
     * (table, plane, dim) — splitmix64, never trained — so an upserted
     * layout is IDENTICAL in content to a full rebuild over the grown
-    * corpus; the only rebuild reason left is file-count hygiene, which
-    * is [[graft.operators.Layout.compact]]'s generic job. Identity is
-    * append-only — the caller owns id uniqueness (the dedup tier). */
+    * corpus; the only rebuild reason left is file-count hygiene —
+    * [[compactLshIndex]]'s job, on cadence. Identity is append-only —
+    * the caller owns id uniqueness (the dedup tier). */
   def upsertLshIndex(delta: DataFrame, vecCol: String, table: String): Unit = {
     val spark = delta.sparkSession
     val (bits, tables, dims) = lshMetaFor(spark, table)
@@ -200,6 +200,36 @@ object Similarity {
       val m = spark.table(s"${table}_meta").head()
       (m.getInt(0), m.getInt(1), m.getInt(2))
     })
+
+  /** FILE-COMPACTION for the LSH layout — the [[graft.operators.Search
+    * .compactBm25Index]] analogue: each [[upsertLshIndex]] adds a file
+    * per touched bucket partition per hash table; this rewrites every
+    * projection FROM ITS OWN CONTENT (no rehash — the hyperplanes are
+    * deterministic, so content is already rebuild-identical; compaction
+    * changes layout, never content). `repartition(bucket)` collapses
+    * each bucket's accumulated files into one before the partitioned
+    * write. Built under `<proj>__next` while the live projection keeps
+    * serving, promoted by a metadata-only rename
+    * ([[graft.sources.Sources.promoteTable]]); a failed rewrite never
+    * touched the live generation. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val (_, tables, _) = lshMetaFor(spark, table)
+    for (t <- 0 until tables) {
+      val live = s"${table}_t$t"
+      val next = s"${live}__next"
+      graft.sources.Sources.replaceTable(spark, next)
+      try
+        spark.table(live).repartition(col("bucket"))
+          .write.format("parquet").partitionBy("bucket").saveAsTable(next)
+      catch {
+        case e: Throwable =>
+          graft.sources.Sources.replaceTable(spark, next)
+          throw e
+      }
+      graft.sources.Sources.promoteTable(spark, next, live)
+    }
+  }
 
   /** All `bits`-bit codes within Hamming distance `d` of `code` —
     * Σ C(bits, 0..d) values, the enumerable probe set. */
@@ -380,10 +410,10 @@ object Similarity {
     * [[graft.streaming.Streaming.compactNearDedupIndex]]: upsert against
     * frozen centroids all day; compact; the new generation serves
     * tomorrow. A compaction IS a full re-cluster + rewrite by definition
-    * — that cost moves to the cadence, off the ingest path. Content is
-    * staged to a scratch directory first: the rebuild overwrites the
-    * table it reads from, and Spark (correctly) refuses overwrite-while-
-    * reading on the live plan. */
+    * — that cost moves to the cadence, off the ingest path. The next
+    * generation is built in full under `<table>__next` while the live
+    * artifact keeps serving, then promoted by a metadata-only catalog
+    * rename ([[graft.sources.Sources.promoteTable]]). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, vecCol: String,
       iters: Int = 3, segDir: Option[String] = None): IvfIndex = {
@@ -401,29 +431,31 @@ object Similarity {
     // upserted delta from the serving artifact. (`iters` stays a
     // parameter: it is not recoverable from the artifact.)
     val nCentroids = loadIvfIndex(spark, table).centroids.length
-    val staging = java.nio.file.Files
-      .createTempDirectory(s"graft-ivf-compact-").toString
-    // staged FIRST, deleted only after a successful rebuild: between
-    // saveIvfIndex's replaceTable and its write the staging copy is the
-    // sole surviving generation — deleting it on the failure path too
-    // (the old finally shape) would turn a failed rewrite into
-    // permanent data loss
-    spark.table(table).drop("cluster")
-      .write.mode("overwrite").parquet(staging)
-    val out =
-      try {
-        val idx = ivfIndex(spark.read.parquet(staging), idCol, vecCol,
-          nCentroids, iters)
-        saveIvfIndex(idx, table)
-        loadIvfIndex(spark, table)
-      } catch {
-        case e: Throwable =>
-          throw new RuntimeException(
-            s"IVF compaction failed mid-rewrite; '$table' may be dropped " +
-              s"— the staged rows survive at $staging", e)
-      }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    out
+    // build the NEXT GENERATION beside the live one: the retrain reads
+    // the live table, which is never dropped mid-build, so serving
+    // continues through the whole rebuild and a failed build leaves the
+    // live generation untouched (the staged tables are the only debris).
+    // The swap itself is [[graft.sources.Sources.promoteTable]] — pure
+    // metadata, so the serve gap shrinks from the retrain to the rename;
+    // the only remaining window is between the two promotes (new rows
+    // visible with old centroids), which the off-serve compaction
+    // cadence already covers.
+    val next = s"${table}__next"
+    try {
+      val idx = ivfIndex(spark.table(table).drop("cluster"), idCol, vecCol,
+        nCentroids, iters)
+      saveIvfIndex(idx, next)
+    } catch {
+      case e: Throwable =>
+        graft.sources.Sources.replaceTable(spark, next)
+        graft.sources.Sources.replaceTable(spark, s"${next}_centroids")
+        throw e
+    }
+    graft.sources.Sources.promoteTable(spark, s"${next}_centroids",
+      s"${table}_centroids")
+    graft.sources.Sources.promoteTable(spark, next, table)
+    cachesFor(spark).centroids.remove(table)
+    loadIvfIndex(spark, table)
   }
 
   /** Load the IVF index over base table ∪ streaming-admitted segments
@@ -615,8 +647,9 @@ object Similarity {
     * half of [[upsertPqIndex]]'s frozen-codebook contract, mirroring
     * [[compactIvfIndex]]: re-run per-subspace k-means over the table's
     * CURRENT content (corpus ∪ every upserted delta) and re-encode the
-    * whole corpus into a fresh generation. Content is staged to scratch
-    * first (the rebuild overwrites the table it reads from). */
+    * whole corpus into a fresh generation, built under `<table>__next`
+    * while the live artifact keeps serving and promoted by a
+    * metadata-only rename ([[graft.sources.Sources.promoteTable]]). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, vecCol: String,
       iters: Int = 8, sampleN: Int = 2048): PqIndex = {
@@ -634,26 +667,26 @@ object Similarity {
     require(m > 0 && nCodes > 1 && subDim > 0,
       s"artifact $table has a degenerate codebook shape (m=$m, " +
         s"nCodes=$nCodes, subDim=$subDim)")
-    val staging = java.nio.file.Files
-      .createTempDirectory(s"graft-pq-compact-").toString
-    // staging survives a failed rewrite — it is the sole copy between
-    // savePqIndex's replaceTable and its write (see compactIvfIndex)
-    spark.table(table).drop("pq_code")
-      .write.mode("overwrite").parquet(staging)
-    val out =
-      try {
-        val idx = pqIndex(spark.read.parquet(staging), idCol, vecCol,
-          dims = m * subDim, m, nCodes, iters, sampleN)
-        savePqIndex(idx, table)
-        loadPqIndex(spark, table)
-      } catch {
-        case e: Throwable =>
-          throw new RuntimeException(
-            s"PQ compaction failed mid-rewrite; '$table' may be dropped " +
-              s"— the staged rows survive at $staging", e)
-      }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    out
+    // next generation built beside the live table (see compactIvfIndex):
+    // the retrain + re-encode read the live artifact, which keeps
+    // serving throughout; a failed build leaves it untouched and the
+    // promote is metadata-only
+    val next = s"${table}__next"
+    try {
+      val idx = pqIndex(spark.table(table).drop("pq_code"), idCol, vecCol,
+        dims = m * subDim, m, nCodes, iters, sampleN)
+      savePqIndex(idx, next)
+    } catch {
+      case e: Throwable =>
+        graft.sources.Sources.replaceTable(spark, next)
+        graft.sources.Sources.replaceTable(spark, s"${next}_codebooks")
+        throw e
+    }
+    graft.sources.Sources.promoteTable(spark, s"${next}_codebooks",
+      s"${table}_codebooks")
+    graft.sources.Sources.promoteTable(spark, next, table)
+    cachesFor(spark).codebooks.remove(table)
+    loadPqIndex(spark, table)
   }
 
   /** Load the persisted PQ index, building and persisting it first if

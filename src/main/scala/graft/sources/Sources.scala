@@ -414,4 +414,27 @@ object Sources {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
+
+  /** PROMOTE a fully-built staged table over the live one — the
+    * generation-swap primitive behind every artifact compaction: the
+    * next generation is built in full under a staged name while the
+    * LIVE table keeps serving, then this swap (drop + catalog RENAME,
+    * which moves the managed table's directory in one metadata
+    * operation, + a partition re-discovery listing for partitioned
+    * layouts) retires the old generation. The serve outage of a
+    * generation rewrite collapses from the whole retrain+rewrite to
+    * these metadata operations, and a build that fails never touched
+    * the live table at all. */
+  private[graft] def promoteTable(spark: SparkSession, staged: String,
+      live: String): Unit = {
+    val partitioned = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(staged))
+      .partitionColumnNames.nonEmpty
+    replaceTable(spark, live)
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$live`")
+    // the in-memory catalog's rename moves the directory but keeps the
+    // per-partition locations it recorded at write time — re-list them
+    // from the moved directory (metadata-only, no data scan)
+    if (partitioned) spark.sql(s"ALTER TABLE `$live` RECOVER PARTITIONS")
+  }
 }

@@ -548,9 +548,24 @@ object Streaming {
           // admitted copies stay arbitrary, as before.
           .agg(min_by(col(textCol), col("__prio")).as(textCol))
       }
-    graft.sources.Sources.replaceTable(spark, table)
-    graft.sources.Sources.replaceTable(spark, s"${table}_meta")
-    Contamination.shingleIndexFor(unioned, idCol, textCol, table, n, buckets)
+    // next generation built beside the live index (the compactIvfIndex
+    // discipline): the live table keeps serving through the whole
+    // shingle rebuild, the promote is metadata-only, and a failed build
+    // never touched the serving generation
+    val next = s"${table}__next"
+    graft.sources.Sources.replaceTable(spark, next)
+    graft.sources.Sources.replaceTable(spark, s"${next}_meta")
+    try Contamination.shingleIndexFor(unioned, idCol, textCol, next, n, buckets)
+    catch {
+      case e: Throwable =>
+        graft.sources.Sources.replaceTable(spark, next)
+        graft.sources.Sources.replaceTable(spark, s"${next}_meta")
+        throw e
+    }
+    graft.sources.Sources.promoteTable(spark, s"${next}_meta",
+      s"${table}_meta")
+    graft.sources.Sources.promoteTable(spark, next, table)
+    spark.table(table)
   }
 
   /** Streaming ANN ingest — the live admission path for the IVF serving

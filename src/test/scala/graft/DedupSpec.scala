@@ -354,6 +354,42 @@ class DedupSpec extends SparkSpec {
       nProbe = 12).collect().map(_.getLong(0)).toSet
     assert(exact5.subsetOf(ann), s"recall lost after compaction: " +
       s"missing ${exact5 -- ann}")
+    // the promote moved the staged partitioned table over the live name:
+    // cluster must still be a catalog partition column (probe pruning
+    // keys on it) and no staged generation may be left behind
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(meta.partitionColumnNames == Seq("cluster"),
+      s"promotion dropped the partition spec: ${meta.partitionColumnNames}")
+    assert(!spark.catalog.tableExists(s"${table}__next") &&
+      !spark.catalog.tableExists(s"${table}__next_centroids"),
+      "staged generation tables left behind after promotion")
+  }
+
+  test("compaction failure safety: a build that dies mid-retrain leaves " +
+      "the live generation serving and no staged debris") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val table = "ivf_spec_failsafe"
+    Seq(table, s"${table}_centroids").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Similarity.saveIvfIndex(Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 1), table)
+    val rowsBefore = Similarity.loadIvfIndex(spark, table).assigned.count()
+    // a build the caller got wrong (unresolvable vector column) dies
+    // inside the retrain, BEFORE any promote — under the old
+    // drop-then-rewrite shape this was the data-loss window
+    intercept[Exception] {
+      Similarity.compactIvfIndex(spark, table, "vec_id", "no_such_col",
+        iters = 1)
+    }
+    val after = Similarity.loadIvfIndex(spark, table)
+    assert(after.assigned.count() == rowsBefore,
+      "failed compaction touched the live generation")
+    assert(after.centroids.length == 8)
+    assert(!spark.catalog.tableExists(s"${table}__next") &&
+      !spark.catalog.tableExists(s"${table}__next_centroids"),
+      "failed compaction left staged debris")
   }
 
   test("LSH upsert: appended layout is content-identical to a full " +
@@ -387,6 +423,28 @@ class DedupSpec extends SparkSpec {
       "embedding", qvec, 20, probeDist = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(top(ups) == top(reb))
+    // file compaction heals the upsert's per-bucket file accumulation
+    // without rehashing: fewer data files, identical content + ranking,
+    // bucket partitioning preserved through the promote
+    val filesBefore = (0 until 3).map(t => tableDataFiles(s"${ups}_t$t").size)
+    Similarity.compactLshIndex(spark, ups)
+    (0 until 3).foreach { t =>
+      val n = tableDataFiles(s"${ups}_t$t").size
+      assert(n < filesBefore(t),
+        s"table $t: compaction did not reduce files (${filesBefore(t)} -> $n)")
+      def pairs(tbl: String) = spark.table(s"${tbl}_t$t")
+        .select(col("vec_id"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(ups) == pairs(reb),
+        s"table $t: compaction changed the layout content")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${ups}_t$t"))
+      assert(meta.partitionColumnNames == Seq("bucket"),
+        s"table $t: promotion dropped the partition spec")
+      assert(!spark.catalog.tableExists(s"${ups}_t${t}__next"),
+        s"table $t: staged generation left behind")
+    }
+    assert(top(ups) == top(reb), "compaction changed the served ranking")
   }
 
   test("PQ upsert + compaction: delta encoded with frozen codebooks, " +

@@ -216,6 +216,16 @@ class SearchSpec extends SparkSpec {
     assert(rows(cp.postings) == rows(full.postings),
       "compaction changed the postings content")
     assert(top(cp) == upTop, "compaction changed the served ranking")
+    // the promote is a catalog rename of the staged generation — the
+    // pinned word-bucket spec (what keeps serve-time df lookups
+    // bucket-pruned) must ride through it
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(meta.bucketSpec.exists(b =>
+      b.numBuckets == 32 && b.bucketColumnNames == Seq("word")),
+      s"promotion dropped the bucket spec: ${meta.bucketSpec}")
+    assert(!spark.catalog.tableExists(s"${table}__next"),
+      "staged generation table left behind after promotion")
   }
 
   test("fold crash-retry recovery: a fold that died between the postings " +
