@@ -130,7 +130,8 @@ object ScaleSmoke {
       args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     onlyOps.foreach { names =>
       val known = ops.map(_._1).toSet +
-        "neardedup" + "join3" + "join_skew" + "ivf_upsert" + "bm25_upsert"
+        "neardedup" + "join3" + "join_skew" + "ivf_upsert" +
+        "bm25_upsert" + "compact_outage"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -278,6 +279,67 @@ object ScaleSmoke {
       println("{\"probe\":\"bm25_upsert\",\"sf\":\"" + sfDir + "\"," +
         bm25Runs.map { case (k, (up, re)) =>
           f"""\"upsert_t$k\":$up%.3f,\"rebuild_t$k\":$re%.3f""" }
+          .mkString(",") + "}")
+    }
+
+    // ---------------------------------------------------------------
+    // Staged-compaction serve outage (round 11): the promoteTable claim,
+    // measured. A compaction's cost splits into the BUILD (retrain +
+    // rewrite into <table>__next — the live generation keeps serving
+    // through all of it) and the PROMOTE (drop + catalog rename +
+    // partition re-listing — the only serve gap). The claim worth a
+    // number: the gap is metadata-scale and STAYS metadata-scale as the
+    // data grows k×, while the build grows with the data. Phases are
+    // timed exactly as compactIvfIndex sequences them.
+    // ---------------------------------------------------------------
+    if (opSelected("compact_outage")) {
+      import graft.operators.Similarity
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val maxVid = emb0.agg(max("vec_id")).head().getLong(0) + 1
+      def onceAt(k: Int, timed: Boolean): (Double, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val full = (0 until k).map(i => emb0.select(
+            (col("vec_id") + lit(i.toLong * maxVid)).as("vec_id"),
+            col("embedding"))).reduce(_ unionByName _)
+        full.write.mode("overwrite").parquet(s"$scaleDir/co_k=$k")
+        val corpus = spark.read.parquet(s"$scaleDir/co_k=$k")
+        val tbl = s"scale_compact_outage_$k"
+        Similarity.saveIvfIndex(Similarity.ivfIndex(corpus, "vec_id",
+          "embedding", nCentroids = 16, iters = 3), tbl) // live gen, untimed
+        val next = s"${tbl}__next"
+        val t0 = System.nanoTime()
+        Similarity.saveIvfIndex(Similarity.ivfIndex(
+          spark.table(tbl).drop("cluster"), "vec_id", "embedding",
+          nCentroids = 16, iters = 3), next)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.sources.Sources.promoteTable(spark, s"${next}_centroids",
+          s"${tbl}_centroids")
+        graft.sources.Sources.promoteTable(spark, next, tbl)
+        val tPromote = (System.nanoTime() - t1) / 1e9
+        require(spark.table(tbl).count() == corpus.count(),
+          s"promoted generation lost rows at $k×")
+        Seq(tbl, s"${tbl}_centroids").foreach(
+          graft.sources.Sources.replaceTable(spark, _))
+        if (timed) println(f"compact_outage $k%3d×: build $tBuild%.2fs  " +
+          f"promote $tPromote%.3fs  (gap = ${100 * tPromote / tBuild}%.1f%% " +
+          "of the rewrite)")
+        (tBuild, tPromote)
+      }
+      onceAt(ks.head, timed = false) // warmup (codegen/JIT)
+      val runs = ks.map(k => k -> onceAt(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      runs.foreach { case (k, (build, promote)) =>
+        require(promote < math.max(1.0, 0.25 * build),
+          f"promote gap $promote%.2fs at $k× is not metadata-scale " +
+            f"(build was $build%.2fs) — the staged-compaction outage " +
+            "claim fails")
+      }
+      println("{\"probe\":\"compact_outage\",\"sf\":\"" + sfDir + "\"," +
+        runs.map { case (k, (b, p)) =>
+          f"""\"build_t$k\":$b%.3f,\"promote_t$k\":$p%.3f""" }
           .mkString(",") + "}")
     }
 
