@@ -975,4 +975,122 @@ class StreamingSpec extends SparkSpec {
       s"resumed state rows ${prog.stateOperators.head.numRowsTotal} != 15 " +
         "— recovery metrics lost pre-restart keys")
   }
+
+  test("ingestCurationSink restart recovery: the COMPOSED pipeline's " +
+      "dedup state survives a stop — a pre-restart digest re-arriving " +
+      "post-restart is dropped, fresh docs admit, no segment collision") {
+    // the e2e gate pins composition, the dedup restart test pins bare
+    // state recovery; this pins BOTH AT ONCE — the kill lands between
+    // the waves, so a duplicate whose original was admitted in run 1
+    // can only be dropped by replayed RocksDB state flowing through the
+    // full source→dedup→quality→sink chain
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-rr-")
+    val feedDir = root.resolve("feed")
+    val sub = feedDir.resolve("source=src3")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === "src3")
+    val t0 = to_timestamp(lit("2024-03-01 00:00:00"))
+    def at(m: org.apache.spark.sql.Column) =
+      t0 + make_dt_interval(lit(0), lit(0), m.cast("int"), lit(0.0))
+    val wave1 = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), at(col("doc_id")).as("ts"))
+    wave1.coalesce(1).write.mode("overwrite").parquet(sub.toString)
+    val corpus = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def run(): Unit = {
+      val stream = Streaming.partitionSubtreeStream(spark, feedDir.toString,
+        "source=src3", maxFilesPerTrigger = 1)
+      val q = Streaming.ingestCurationSink(stream, corpus, "text", "ts",
+        out, delay = "30 days", checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterRun1 = spark.read.parquet(out).count()
+    assert(afterRun1 > 0, "run 1 admitted nothing")
+    // lands while the query is DOWN: re-emissions of run-1 documents
+    // (same bytes, new ids, later ts inside the watermark) + fresh docs
+    val dups = wave1.select((col("doc_id") + 5000L).as("doc_id"),
+      col("text"), at(col("doc_id") + 30).as("ts"))
+    val fresh = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"), at(col("doc_id") + 60).as("ts"))
+    dups.unionByName(fresh).coalesce(1).write.mode("append")
+      .parquet(sub.toString)
+    run()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+      .collect().map(_.getString(0))
+    val got = key(spark.read.parquet(out))
+    assert(got.length == got.toSet.size,
+      "restart re-admitted a pre-restart digest — checkpoint state " +
+        "did not survive through the composed pipeline")
+    // fresh post-restart documents flowed through the resumed funnel
+    assert(got.length > afterRun1,
+      "resumed query admitted no fresh documents")
+    // and the resumed output still equals the batch funnel over
+    // everything that ever landed (the e2e determinism contract)
+    import graft.operators.Scrub
+    import graft.functions.TextAnalysis
+    val expected = key(wave1.unionByName(dups).unionByName(fresh)
+      .groupBy(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+      .agg(min(col("text")).as("text"))
+      .join(corpus.select(Dedup.contentKey(col("text"), normalize = false)
+        .as("fp")).distinct(), Seq("fp"), "left_anti")
+      .filter(TextAnalysis.qualityScore(col("text")) > 0.5 &&
+        Scrub.encodingClean(col("text"))))
+    assert(got.toSet == expected.toSet,
+      s"resumed funnel != batch funnel: got ${got.length}, " +
+        s"expected ${expected.length}")
+  }
+
+  test("bm25IngestSink restart recovery: a resumed sink admits only the " +
+      "files that landed while it was down — no double admission, " +
+      "served content still equals a full rebuild") {
+    import graft.operators.Search
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-rr-")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta1 = docs.filter(col("doc_id") % 10 === 0)
+    val delta2 = docs.filter(col("doc_id") % 10 === 5)
+    val table = "bm25_stream_rr"
+    Seq(table, s"${table}_stats").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Search.saveBm25Index(Search.buildBm25Index(base, "doc_id", "text"), table)
+    val in = root.resolve("in").toString
+    val segDir = root.resolve("seg").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = docs.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streaming.bm25IngestSink(stream, table, "doc_id", "text",
+        segDir, checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    delta1.coalesce(1).write.mode("overwrite").parquet(in)
+    run()
+    val segsAfter1 = new java.io.File(segDir).list()
+      .filter(_.startsWith("batch=")).toSet
+    assert(segsAfter1.nonEmpty, "run 1 admitted no segments")
+    delta2.coalesce(1).write.mode("append").parquet(in)
+    run()
+    val segsAfter2 = new java.io.File(segDir).list()
+      .filter(_.startsWith("batch=")).toSet
+    // the resume continued the batch-id sequence: run-1 segments are
+    // untouched, run 2 added exactly the new files' batches
+    assert(segsAfter1.subsetOf(segsAfter2) && segsAfter2.size > segsAfter1.size,
+      s"resume disturbed the segment set: $segsAfter1 -> $segsAfter2")
+    val served = Search.loadBm25IndexWithSegments(spark, table, segDir)
+    val full = Search.buildBm25Index(
+      base.unionByName(delta1).unionByName(delta2), "doc_id", "text")
+    assert(served.nDocs == full.nDocs && served.totalLen == full.totalLen,
+      "resumed admission double-counted or dropped documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("doclen"), col("word"), col("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+    assert(rows(served.postings) == rows(full.postings),
+      "served postings after the resume diverge from a full rebuild")
+  }
 }
