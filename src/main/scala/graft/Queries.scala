@@ -847,6 +847,36 @@ object Queries {
       .orderBy(col("bm25_rank"))
   }
 
+  /** BM25 MAINTENANCE-LOOP gate — the full upsert-then-compact cadence
+    * on the driver-checked correctness path: base build over 80% of the
+    * corpus, delta admitted via [[graft.operators.Search
+    * .upsertBm25Index]], then [[graft.operators.Search
+    * .compactBm25Index]] rewrites the accumulated layout as a staged
+    * next generation promoted by catalog rename
+    * ([[graft.sources.Sources.promoteTable]]). The served top-25 must
+    * equal the full-build ranking — the SAME q_search_bm25 oracle — so
+    * any content drift through the append, the staged rewrite, or the
+    * promote is a hash mismatch, not a spec-only regression. Runs once
+    * per mtime-keyed generation (the real cadence: compact nightly,
+    * serve all day). */
+  val q_search_bm25_compact: Q = (s, dir) => {
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "bm25_cpt", dir, "documents")
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text"), table)
+      Search.upsertBm25Index(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", table)
+      Search.compactBm25Index(s, table)
+    }
+    val idx = Search.loadBm25Index(s, table)
+    Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
   /** STREAMING BM25 ingest gate — the live-admission analogue of
     * q_search_bm25_upsert, and the one streaming-ingest tier whose
     * serve path IS oracle-expressible (the IVF ingest's centroids are
@@ -2896,6 +2926,7 @@ object Queries {
     "q_search_bm25" -> q_search_bm25,
     "q_search_bm25_serve" -> q_search_bm25_serve,
     "q_search_bm25_upsert" -> q_search_bm25_upsert,
+    "q_search_bm25_compact" -> q_search_bm25_compact,
     "q_stream_bm25_ingest" -> q_stream_bm25_ingest,
     "q_approx_distinct" -> q_approx_distinct,
     "q_sketch_rollup" -> q_sketch_rollup,
@@ -3763,6 +3794,7 @@ object Queries {
     // the serving gate answers the same question from the persisted index
     "q_search_bm25_serve" -> bm25OracleSql,
     "q_search_bm25_upsert" -> bm25OracleSql,
+    "q_search_bm25_compact" -> bm25OracleSql,
     "q_stream_bm25_ingest" -> bm25OracleSql,
 
     "q_cluster_best" ->

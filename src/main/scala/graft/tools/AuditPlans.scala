@@ -159,6 +159,7 @@ object AuditPlans {
     "q_rank" -> 1, "q_repetition" -> 1, "q_rollup" -> 2,
     "q_sample_stratified" -> 2, "q_search_bm25" -> 6,
     "q_search_bm25_serve" -> 2, "q_search_bm25_upsert" -> 2,
+    "q_search_bm25_compact" -> 2,
     "q_stream_bm25_ingest" -> 3, "q_search_minscore" -> 4,
     "q_search_scored" -> 4, "q_select_computed" -> 1,
     "q_session_window" -> 2, "q_shuffle" -> 1, "q_sim_ivf" -> 0, "q_sim_ivf_serve" -> 0,
@@ -218,6 +219,8 @@ object AuditPlans {
     "q_search_bm25_serve" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_search_bm25_upsert" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_search_bm25_compact" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_stream_bm25_ingest" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
