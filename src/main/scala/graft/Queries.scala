@@ -2086,6 +2086,39 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** IVF MAINTENANCE-LOOP gate — the upsert-then-compact cadence for
+    * the cluster-PARTITIONED artifact on the oracle path: base trained
+    * on 80% of the corpus, delta admitted with frozen centroids via
+    * [[graft.operators.Similarity.upsertIvfIndex]], then
+    * [[graft.operators.Similarity.compactIvfIndex]] retrains spherical
+    * k-means over the full corpus as a staged next generation and
+    * promotes it by catalog rename + partition re-discovery
+    * ([[graft.sources.Sources.promoteTable]]). The retrained geometry
+    * equals a direct full-corpus build (deterministic k-means), so the
+    * served top-20 must contain the exact cosine top-10 at q_sim_ivf's
+    * own nProbe=12 — the recall contract this family always carries,
+    * now asserted THROUGH the promote. Runs once per mtime-keyed
+    * generation. Same oracle as q_sim_ivf. */
+  val q_sim_ivf_compact: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "ivf_cpt", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", nCentroids = 16, iters = 3), table)
+      Similarity.upsertIvfIndex(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", table)
+      Similarity.compactIvfIndex(s, table, "vec_id", "embedding", iters = 3)
+    }
+    val idx = Similarity.loadIvfIndex(s, table)
+    val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 12)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** Build-and-upsert ONCE per artifact generation for the `_upsert`
     * gates: the `<table>_upserted` marker records a completed
     * base-build + delta-append for the mtime-keyed generation, so later
@@ -2988,6 +3021,7 @@ object Queries {
     "q_sim_ivf" -> q_sim_ivf,
     "q_sim_ivf_serve" -> q_sim_ivf_serve,
     "q_sim_ivf_upsert" -> q_sim_ivf_upsert,
+    "q_sim_ivf_compact" -> q_sim_ivf_compact,
     "q_sim_lsh_upsert" -> q_sim_lsh_upsert,
     "q_sim_pq_upsert" -> q_sim_pq_upsert,
     "q_csv_roundtrip" -> q_csv_roundtrip,
@@ -4539,6 +4573,7 @@ object Queries {
     // persisted indexes
     "q_sim_ivf_serve" -> annExactTop10Sql,
     "q_sim_ivf_upsert" -> annExactTop10Sql,
+    "q_sim_ivf_compact" -> annExactTop10Sql,
     "q_sim_lsh_upsert" -> annExactTop10Sql,
     "q_sim_pq_upsert" -> annExactTop10Sql,
 
