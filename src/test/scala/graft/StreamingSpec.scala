@@ -1093,4 +1093,58 @@ class StreamingSpec extends SparkSpec {
     assert(rows(served.postings) == rows(full.postings),
       "served postings after the resume diverge from a full rebuild")
   }
+
+  test("ivfIngestSink restart recovery: the shared segment sink resumes " +
+      "its checkpoint's batch-id sequence — run-1 segments untouched, " +
+      "only the files landed while down admitted, frozen assignments") {
+    // pins the resume contract of segmentSink itself, which every
+    // idempotent-segment consumer (near-dup, z-order, ANN) rides
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions.nearest_centroid_cos
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-rr-")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta1 = emb.filter(col("vec_id") % 10 === 0)
+    val delta2 = emb.filter(col("vec_id") % 10 === 5)
+    val table = "ivf_stream_rr"
+    Seq(table, s"${table}_centroids").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Similarity.saveIvfIndex(Similarity.ivfIndex(base, "vec_id", "embedding",
+      nCentroids = 16, iters = 3), table)
+    val in = root.resolve("in").toString
+    val segDir = root.resolve("seg").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = emb.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streaming.ivfIngestSink(stream, table, "embedding", segDir,
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    delta1.coalesce(1).write.mode("overwrite").parquet(in)
+    run()
+    def segs() = new java.io.File(segDir).list()
+      .filter(_.startsWith("batch=")).toSet
+    def segMtimes() = segs().map(s =>
+      s -> new java.io.File(segDir, s).lastModified).toMap
+    val after1 = segMtimes()
+    assert(after1.nonEmpty, "run 1 admitted no segments")
+    delta2.coalesce(1).write.mode("append").parquet(in)
+    run()
+    val after2 = segMtimes()
+    after1.foreach { case (s, m) =>
+      assert(after2.get(s).contains(m),
+        s"resume rewrote run-1 segment $s — batch-id sequence restarted")
+    }
+    assert(after2.size > after1.size, "resume admitted nothing new")
+    val served = Similarity.loadIvfIndexWithSegments(spark, table, segDir)
+    assert(served.assigned.count() ==
+      base.count() + delta1.count() + delta2.count(),
+      "resumed admission double-counted or dropped rows")
+    val mismatches = served.assigned.filter(col("cluster") =!=
+      nearest_centroid_cos(col("embedding"), served.centroids)).count()
+    assert(mismatches == 0,
+      s"$mismatches resumed assignments disagree with the frozen centroids")
+  }
 }
