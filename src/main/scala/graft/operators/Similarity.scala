@@ -430,16 +430,22 @@ object Similarity {
     // mismatch and rebuild from its base frame — dropping every
     // upserted delta from the serving artifact. (`iters` stays a
     // parameter: it is not recoverable from the artifact.)
+    buildNextIvfGeneration(spark, table, idCol, vecCol, iters)
+    promoteIvfGeneration(spark, table)
+  }
+
+  /** Build the NEXT IVF generation beside the live one — the long half
+    * of a compaction, runnable any time: the retrain reads the live
+    * table, which is never dropped mid-build, so serving continues
+    * through the whole rebuild, and a failed build leaves the live
+    * generation untouched (the staged `<table>__next` tables are the
+    * only debris, and even those are cleaned on a caught failure).
+    * Geometry (nCentroids) comes from the artifact, as in
+    * [[compactIvfIndex]]. Pair with [[promoteIvfGeneration]] in the
+    * maintenance window. */
+  def buildNextIvfGeneration(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, vecCol: String, iters: Int = 3): Unit = {
     val nCentroids = loadIvfIndex(spark, table).centroids.length
-    // build the NEXT GENERATION beside the live one: the retrain reads
-    // the live table, which is never dropped mid-build, so serving
-    // continues through the whole rebuild and a failed build leaves the
-    // live generation untouched (the staged tables are the only debris).
-    // The swap itself is [[graft.sources.Sources.promoteTable]] — pure
-    // metadata, so the serve gap shrinks from the retrain to the rename;
-    // the only remaining window is between the two promotes (new rows
-    // visible with old centroids), which the off-serve compaction
-    // cadence already covers.
     val next = s"${table}__next"
     try {
       val idx = ivfIndex(spark.table(table).drop("cluster"), idCol, vecCol,
@@ -451,6 +457,22 @@ object Similarity {
         graft.sources.Sources.replaceTable(spark, s"${next}_centroids")
         throw e
     }
+  }
+
+  /** Promote a fully-built staged IVF generation over the live one —
+    * the short half of a compaction: two metadata-only
+    * [[graft.sources.Sources.promoteTable]] swaps, so the serve gap is
+    * the rename, not the retrain. The only inconsistency window is
+    * between the two promotes (new rows visible with old centroids),
+    * which the off-serve maintenance cadence covers. Fails fast if no
+    * staged generation exists. */
+  def promoteIvfGeneration(spark: org.apache.spark.sql.SparkSession,
+      table: String): IvfIndex = {
+    val next = s"${table}__next"
+    require(spark.catalog.tableExists(next) &&
+        spark.catalog.tableExists(s"${next}_centroids"),
+      s"no staged generation to promote for '$table' — run " +
+        "buildNextIvfGeneration (or compactIvfIndex) first")
     graft.sources.Sources.promoteTable(spark, s"${next}_centroids",
       s"${table}_centroids")
     graft.sources.Sources.promoteTable(spark, next, table)

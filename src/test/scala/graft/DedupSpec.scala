@@ -366,6 +366,64 @@ class DedupSpec extends SparkSpec {
       "staged generation tables left behind after promotion")
   }
 
+  test("serve-during-compaction: the live generation answers unchanged " +
+      "through the staged build; only the promote flips content") {
+    // deterministic (no racing threads): the build/promote split makes
+    // the "live keeps serving through the rebuild" claim a sequence of
+    // plain assertions — old content after the staged build completes,
+    // new content only after the metadata swap
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val table = "ivf_spec_livegen"
+    Seq(table, s"${table}_centroids").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    // live generation: centroids trained on 80%, the rest upserted with
+    // frozen assignments — so a retrain over current content MUST move
+    // the centroids, making old-vs-new observable
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", nCentroids = 16, iters = 3), table)
+    Similarity.upsertIvfIndex(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", table)
+    def centroidRows() = spark.table(s"${table}_centroids")
+      .orderBy(col("cluster")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    def assignments() = spark.table(table)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (oldCentroids, oldAssign) = (centroidRows(), assignments())
+    Similarity.buildNextIvfGeneration(spark, table, "vec_id", "embedding",
+      iters = 3)
+    // the staged generation is fully built — and the LIVE tables still
+    // serve the old generation, byte-for-byte
+    assert(spark.catalog.tableExists(s"${table}__next"))
+    assert(centroidRows() == oldCentroids,
+      "staged build touched the live centroids")
+    assert(assignments() == oldAssign,
+      "staged build touched the live assignments")
+    val promoted = Similarity.promoteIvfGeneration(spark, table)
+    // now — and only now — the retrained generation serves: centroids
+    // equal a direct full-corpus build's (deterministic k-means), rows
+    // self-consistent with them
+    val direct = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 3)
+    promoted.centroids.zip(direct.centroids).foreach { case (c, d) =>
+      c.zip(d).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    assert(centroidRows() != oldCentroids,
+      "promote served the old generation — the swap did nothing")
+    val mismatches = spark.table(table).filter(col("cluster") =!=
+      graft.functions.VectorExpressions.nearest_centroid_cos(
+        col("embedding"), promoted.centroids)).count()
+    assert(mismatches == 0,
+      s"$mismatches promoted assignments disagree with the new centroids")
+    assert(!spark.catalog.tableExists(s"${table}__next"))
+    // promoting again without a staged build fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.promoteIvfGeneration(spark, table)
+    }
+  }
+
   test("compaction failure safety: a build that dies mid-retrain leaves " +
       "the live generation serving and no staged debris") {
     val dir = "/root/testdata/sf0.001"
