@@ -675,13 +675,25 @@ object Similarity {
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, vecCol: String,
       iters: Int = 8, sampleN: Int = 2048): PqIndex = {
-    // geometry comes from the ARTIFACT (codebook tensor shape), never
-    // from caller defaults — a silently re-shaped compaction would make
-    // the next pqIndexFor(m/nCodes = <old>) rebuild from its base
-    // frame, dropping every upserted delta. dims is reconstructed as
-    // m × subDim: pqIndex only ever uses dims through
-    // subDim = ceil(dims/m), so any dims in that subDim's band encodes
-    // identically. (`iters`/`sampleN` stay parameters: not recoverable.)
+    buildNextPqGeneration(spark, table, idCol, vecCol, iters, sampleN)
+    promotePqGeneration(spark, table)
+  }
+
+  /** Build the NEXT PQ generation beside the live one — the long half
+    * of a compaction ([[buildNextIvfGeneration]]'s discipline): retrain
+    * per-subspace k-means + re-encode into `<table>__next` while the
+    * live artifact keeps serving; a failed build leaves it untouched.
+    * Geometry comes from the ARTIFACT (codebook tensor shape), never
+    * from caller defaults — a silently re-shaped compaction would make
+    * the next pqIndexFor(m/nCodes = <old>) rebuild from its base
+    * frame, dropping every upserted delta. dims is reconstructed as
+    * m × subDim: pqIndex only ever uses dims through
+    * subDim = ceil(dims/m), so any dims in that subDim's band encodes
+    * identically. (`iters`/`sampleN` stay parameters: not recoverable.)
+    * Pair with [[promotePqGeneration]] in the maintenance window. */
+  def buildNextPqGeneration(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, vecCol: String,
+      iters: Int = 8, sampleN: Int = 2048): Unit = {
     val books = loadPqIndex(spark, table).codebooks
     val m = books.length
     val subDim = if (books.isEmpty || books(0).isEmpty) 0 else books(0)(0).length
@@ -689,10 +701,6 @@ object Similarity {
     require(m > 0 && nCodes > 1 && subDim > 0,
       s"artifact $table has a degenerate codebook shape (m=$m, " +
         s"nCodes=$nCodes, subDim=$subDim)")
-    // next generation built beside the live table (see compactIvfIndex):
-    // the retrain + re-encode read the live artifact, which keeps
-    // serving throughout; a failed build leaves it untouched and the
-    // promote is metadata-only
     val next = s"${table}__next"
     try {
       val idx = pqIndex(spark.table(table).drop("pq_code"), idCol, vecCol,
@@ -704,6 +712,18 @@ object Similarity {
         graft.sources.Sources.replaceTable(spark, s"${next}_codebooks")
         throw e
     }
+  }
+
+  /** Promote a fully-built staged PQ generation over the live one — the
+    * short, metadata-only half ([[promoteIvfGeneration]]'s discipline).
+    * Fails fast if no staged generation exists. */
+  def promotePqGeneration(spark: org.apache.spark.sql.SparkSession,
+      table: String): PqIndex = {
+    val next = s"${table}__next"
+    require(spark.catalog.tableExists(next) &&
+        spark.catalog.tableExists(s"${next}_codebooks"),
+      s"no staged generation to promote for '$table' — run " +
+        "buildNextPqGeneration (or compactPqIndex) first")
     graft.sources.Sources.promoteTable(spark, s"${next}_codebooks",
       s"${table}_codebooks")
     graft.sources.Sources.promoteTable(spark, next, table)
