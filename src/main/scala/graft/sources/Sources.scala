@@ -424,7 +424,14 @@ object Sources {
     * layouts) retires the old generation. The serve outage of a
     * generation rewrite collapses from the whole retrain+rewrite to
     * these metadata operations, and a build that fails never touched
-    * the live table at all. */
+    * the live table at all.
+    *
+    * Storage-layer honesty: the rename is metadata-only on HDFS and
+    * local filesystems. On an object store (s3a://), a directory
+    * "rename" is a copy — there, keep the staged data in place and
+    * swap `ALTER TABLE ... SET LOCATION` to the staged path instead
+    * (same catalog-level flip, zero data movement); this helper
+    * targets the filesystem regime the engine is benched on. */
   private[graft] def promoteTable(spark: SparkSession, staged: String,
       live: String): Unit = {
     val partitioned = spark.sessionState.catalog
