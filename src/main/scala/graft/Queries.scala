@@ -2199,6 +2199,39 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** PQ MAINTENANCE-LOOP gate — completes the trio with
+    * q_search_bm25_compact and q_sim_ivf_compact: base codebooks trained
+    * on 80% of the corpus, delta encoded with the FROZEN codebooks via
+    * [[graft.operators.Similarity.upsertPqIndex]], then
+    * [[graft.operators.Similarity.compactPqIndex]] retrains per-subspace
+    * k-means over the full corpus and re-encodes into a staged next
+    * generation promoted by catalog rename. The reranked top-20 over the
+    * promoted generation must contain the exact cosine top-10 —
+    * q_sim_pq's own contract, asserted THROUGH the promote. Runs once
+    * per mtime-keyed generation. Same oracle as q_sim_pq. */
+  val q_sim_pq_compact: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "pq_cpt", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.savePqIndex(
+        Similarity.pqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 8,
+          sampleN = 2048), table)
+      Similarity.upsertPqIndex(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", table)
+      Similarity.compactPqIndex(s, table, "vec_id", "embedding", iters = 8,
+        sampleN = 2048)
+    }
+    val idx = Similarity.loadPqIndex(s, table)
+    val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 500)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** PQ-ANN RECALL GATE (oracle-checked): product-quantize to 16
     * subspaces × 32 codes (16 bytes of codes standing in for 256 bytes
     * of floats during candidate generation), ADC-score the corpus
@@ -3024,6 +3057,7 @@ object Queries {
     "q_sim_ivf_compact" -> q_sim_ivf_compact,
     "q_sim_lsh_upsert" -> q_sim_lsh_upsert,
     "q_sim_pq_upsert" -> q_sim_pq_upsert,
+    "q_sim_pq_compact" -> q_sim_pq_compact,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_excel_roundtrip" -> q_excel_roundtrip,
     "q_excel_dates" -> q_excel_dates,
@@ -4576,6 +4610,7 @@ object Queries {
     "q_sim_ivf_compact" -> annExactTop10Sql,
     "q_sim_lsh_upsert" -> annExactTop10Sql,
     "q_sim_pq_upsert" -> annExactTop10Sql,
+    "q_sim_pq_compact" -> annExactTop10Sql,
 
     "q_dedup_remove" ->
       """WITH docs AS (
