@@ -214,7 +214,9 @@ object Contamination {
       graft.sources.Sources.replaceTable(spark, s"${table}_meta")
       import spark.implicits._
       Seq((n, buckets)).toDF("n", "buckets")
-        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+        .write.mode("overwrite").format("parquet")
+        .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_meta"))
+        .saveAsTable(s"${table}_meta")
     }
     spark.table(table)
   }

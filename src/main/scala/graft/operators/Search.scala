@@ -219,7 +219,9 @@ object Search {
     import spark.implicits._
     Seq((nDocs, avgLen, buckets, totalLen))
       .toDF("n_docs", "avg_len", "buckets", "total_len")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+      .write.mode("overwrite").format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_stats"))
+      .saveAsTable(s"${table}_stats")
     statsFor(spark).remove(table)
   }
 

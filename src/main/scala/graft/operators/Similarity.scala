@@ -130,11 +130,14 @@ object Similarity {
       graft.sources.Sources.replaceTable(spark, s"${table}_t$t")
       df.withColumn("bucket", codeColumn(col(vecCol), dims, bits, t))
         .write.mode("overwrite").format("parquet")
+        .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_t$t"))
         .partitionBy("bucket").saveAsTable(s"${table}_t$t")
     }
     graft.sources.Sources.replaceTable(spark, s"${table}_meta")
     Seq((bits, tables, dims)).toDF("bits", "tables", "dims")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+      .write.mode("overwrite").format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_meta"))
+      .saveAsTable(s"${table}_meta")
     cachesFor(spark).lshMeta.remove(table)
   }
 
@@ -221,7 +224,9 @@ object Similarity {
       graft.sources.Sources.replaceTable(spark, next)
       try
         spark.table(live).repartition(col("bucket"))
-          .write.format("parquet").partitionBy("bucket").saveAsTable(next)
+          .write.format("parquet")
+          .options(graft.sources.Sources.stagedWriteOptions(spark, next))
+          .partitionBy("bucket").saveAsTable(next)
       catch {
         case e: Throwable =>
           graft.sources.Sources.replaceTable(spark, next)
@@ -352,11 +357,14 @@ object Similarity {
     import spark.implicits._
     graft.sources.Sources.replaceTable(spark, table)
     index.assigned.write.mode("overwrite").format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark, table))
       .partitionBy("cluster").saveAsTable(table)
     graft.sources.Sources.replaceTable(spark, s"${table}_centroids")
     index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+      .write.mode("overwrite").format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_centroids"))
+      .saveAsTable(s"${table}_centroids")
     cachesFor(spark).centroids.remove(table)
   }
 
@@ -469,8 +477,11 @@ object Similarity {
   def promoteIvfGeneration(spark: org.apache.spark.sql.SparkSession,
       table: String): IvfIndex = {
     val next = s"${table}__next"
-    require(spark.catalog.tableExists(next) &&
-        spark.catalog.tableExists(s"${next}_centroids"),
+    // the main staged table alone gates the promote: a crash between the
+    // centroids promote and the table promote leaves `next` present but
+    // `next_centroids` already swapped — re-running this completes the
+    // swap (promoteTable's resume path handles the half-promoted side)
+    require(spark.catalog.tableExists(next),
       s"no staged generation to promote for '$table' — run " +
         "buildNextIvfGeneration (or compactIvfIndex) first")
     graft.sources.Sources.promoteTable(spark, s"${next}_centroids",
@@ -626,12 +637,16 @@ object Similarity {
     val spark = index.encoded.sparkSession
     import spark.implicits._
     graft.sources.Sources.replaceTable(spark, table)
-    index.encoded.write.mode("overwrite").format("parquet").saveAsTable(table)
+    index.encoded.write.mode("overwrite").format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark, table))
+      .saveAsTable(table)
     graft.sources.Sources.replaceTable(spark, s"${table}_codebooks")
     index.codebooks.zipWithIndex.flatMap { case (codes, s) =>
       codes.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_codebooks")
+      .write.mode("overwrite").format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_codebooks"))
+      .saveAsTable(s"${table}_codebooks")
     cachesFor(spark).codebooks.remove(table)
   }
 
@@ -720,8 +735,11 @@ object Similarity {
   def promotePqGeneration(spark: org.apache.spark.sql.SparkSession,
       table: String): PqIndex = {
     val next = s"${table}__next"
-    require(spark.catalog.tableExists(next) &&
-        spark.catalog.tableExists(s"${next}_codebooks"),
+    // the main staged table alone gates the promote: a crash between the
+    // codebooks promote and the table promote leaves `next` present but
+    // `next_codebooks` already swapped — re-running this completes the
+    // swap (promoteTable's resume path handles the half-promoted side)
+    require(spark.catalog.tableExists(next),
       s"no staged generation to promote for '$table' — run " +
         "buildNextPqGeneration (or compactPqIndex) first")
     graft.sources.Sources.promoteTable(spark, s"${next}_codebooks",

@@ -396,52 +396,261 @@ object Sources {
     * hash indexes (littletable.py:1515-1576) can't express. */
   def writeBucketed(t: GTable, table: String, keys: Seq[String],
       buckets: Int): Unit = {
-    replaceTable(t.df.sparkSession, table)
+    val spark = t.df.sparkSession
+    replaceTable(spark, table)
     t.df.write.mode("overwrite").format("parquet")
+      .options(stagedWriteOptions(spark, table))
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
 
+  /** Marker file a location-swap promote drops into a directory that a
+    * LIVE table adopted as its serving location ([[promoteTable]]'s
+    * object-store regime): underscore-prefixed so parquet readers skip
+    * it, and checked by [[replaceTable]] so a staged rebuild under the
+    * directory's original table name can never silently delete the data
+    * a different table is now serving from. */
+  private[graft] val ServingMarker = "_GRAFT_SERVING"
+
   /** True overwrite prep for a warehouse table: drop the catalog entry
-    * AND clear a leftover location from a previous session (the
-    * in-memory catalog forgets the table across sessions, the directory
-    * stays). Call immediately before `saveAsTable`. */
+    * AND clear leftover data — both the table's REGISTERED location (a
+    * staged external build in the object-store regime lives off the
+    * default path) and the default `warehouse/<name>` directory a
+    * previous session's managed build may have left behind (the
+    * in-memory catalog forgets tables across sessions, the directory
+    * stays). Call immediately before `saveAsTable`.
+    *
+    * Refuses (fails fast) to delete a directory carrying the
+    * [[ServingMarker]]: that directory is the adopted serving location
+    * of a DIFFERENT live table after a location-swap promote — deleting
+    * it would destroy the serving generation. Builders in that regime
+    * must write staged generations at fresh locations
+    * ([[stagedWriteOptions]]). */
   private[graft] def replaceTable(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val registered =
+      if (catalog.tableExists(ident))
+        Option(catalog.getTableMetadata(ident).location)
+          .map(new org.apache.hadoop.fs.Path(_))
+      else None
+    detachPartitions(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val default = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = default.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (registered.toSeq :+ default).distinct.foreach { loc =>
+      if (fs.exists(loc)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(loc, ServingMarker)))
+          throw new IllegalStateException(
+            s"$loc is the adopted serving location of a live table " +
+              "(location-swap promote); refusing to delete it. Build the " +
+              "staged generation at a fresh location — see " +
+              "Sources.stagedWriteOptions")
+        fs.delete(loc, true)
+      }
+    }
   }
+
+  /** Drop a table's PARTITION METADATA without touching any file
+    * (`retainData`) so a following `DROP TABLE` deletes exactly the
+    * table's own directory. After a catalog rename or `SET LOCATION`
+    * the per-partition locations still record the PREVIOUS directory —
+    * which by then is the LIVE generation's data — and a plain drop
+    * would delete those partition dirs out from under the live table
+    * (the round-12 promote reorder surfaced exactly this). Metadata-only
+    * and a no-op for unpartitioned or missing tables. */
+  private def detachPartitions(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (catalog.tableExists(ident) &&
+        catalog.getTableMetadata(ident).partitionColumnNames.nonEmpty) {
+      val specs = catalog.listPartitions(ident).map(_.spec)
+      if (specs.nonEmpty)
+        catalog.dropPartitions(ident, specs, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+    }
+  }
+
+  /** Path schemes where a directory rename is a COPY of every object —
+    * the object-store regimes that take the `SET LOCATION` promote
+    * instead of the catalog rename. HDFS/local/viewfs renames are
+    * metadata-only and stay on the rename path. */
+  private val copyOnRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+    "cos", "swift")
+  private[graft] def renameIsCopy(scheme: String): Boolean =
+    copyOnRenameSchemes.contains(scheme)
+  private[graft] def warehouseScheme(spark: SparkSession): String =
+    Option(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getScheme)
+      .getOrElse("file")
+
+  /** Write options for a staged-generation build. In the rename regime
+    * (local/HDFS warehouse) this is empty — staged tables are managed,
+    * and the promote's catalog rename moves their directory for free. In
+    * the object-store regime it pins a generation-unique EXTERNAL
+    * location (`warehouse/<staged>__g<N>`), because a location-swap
+    * promote makes the live table adopt the staged data's path in place
+    * — the next staged build must land somewhere fresh, and an external
+    * entry's drop must not delete data the live table now serves.
+    * Builders apply it as `.options(stagedWriteOptions(spark, name))` on
+    * every staged `saveAsTable`. */
+  private[graft] def stagedWriteOptions(spark: SparkSession,
+      staged: String): Map[String, String] =
+    if (!renameIsCopy(warehouseScheme(spark))) Map.empty
+    else {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val fs = new org.apache.hadoop.fs.Path(warehouse)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gen = Iterator.from(0).find(i => !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$warehouse/${staged}__g$i"))).get
+      Map("path" -> s"$warehouse/${staged}__g$gen")
+    }
 
   /** PROMOTE a fully-built staged table over the live one — the
     * generation-swap primitive behind every artifact compaction: the
     * next generation is built in full under a staged name while the
-    * LIVE table keeps serving, then this swap (drop + catalog RENAME,
-    * which moves the managed table's directory in one metadata
-    * operation, + a partition re-discovery listing for partitioned
-    * layouts) retires the old generation. The serve outage of a
-    * generation rewrite collapses from the whole retrain+rewrite to
-    * these metadata operations, and a build that fails never touched
-    * the live table at all.
+    * LIVE table keeps serving, then a metadata-only swap retires the old
+    * generation. The serve outage of a generation rewrite collapses from
+    * the whole retrain+rewrite to these metadata operations; a build
+    * that fails never touched the live table; and a promote that CRASHES
+    * at any point leaves a state that either still serves or is healed
+    * by re-running the promote (see [[promoteTableByRename]] /
+    * [[promoteTableByLocationSwap]] for the exact windows).
     *
-    * Storage-layer honesty: the rename is metadata-only on HDFS and
-    * local filesystems. On an object store (s3a://), a directory
-    * "rename" is a copy — there, keep the staged data in place and
-    * swap `ALTER TABLE ... SET LOCATION` to the staged path instead
-    * (same catalog-level flip, zero data movement); this helper
-    * targets the filesystem regime the engine is benched on. */
+    * Dispatches on the warehouse path scheme: catalog RENAME where a
+    * directory rename is metadata-only (local, HDFS), `ALTER TABLE ...
+    * SET LOCATION` where it is a copy (object stores — zero data
+    * movement; the catalog pointer flips to the staged data in place).
+    * Both regimes require staged and live generations to share schema
+    * and partition layout, which every artifact family's rebuild does by
+    * construction. */
   private[graft] def promoteTable(spark: SparkSession, staged: String,
-      live: String): Unit = {
-    val partitioned = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(staged))
+      live: String): Unit =
+    if (renameIsCopy(warehouseScheme(spark)))
+      promoteTableByLocationSwap(spark, staged, live)
+    else promoteTableByRename(spark, staged, live)
+
+  /** Rename-regime promote, CRASH-ORDERED so no intermediate state
+    * lacks a servable (or one-rerun-recoverable) table:
+    *
+    *  1. drop any `<live>__retired` debris from an earlier crash;
+    *  2. rename live -> `<live>__retired` (the old generation is set
+    *     aside, never deleted before the new one is in);
+    *  3. rename staged -> live (+ `RECOVER PARTITIONS` for partitioned
+    *     layouts: the in-memory catalog's rename moves the directory
+    *     but keeps the per-partition locations recorded at write time —
+    *     the re-list is metadata-only, no data scan);
+    *  4. drop the retired generation.
+    *
+    * Crash windows, by step: after 1 or 2 the staged generation is
+    * intact and re-running the promote completes the swap (the resume
+    * path below); after 3 the NEW generation already serves and the
+    * rerun merely finishes the partition re-list and debris drop. The
+    * old drop-then-rename ordering had a window with NO serving table
+    * and nothing to recover without a full rebuild. */
+  private[graft] def promoteTableByRename(spark: SparkSession,
+      staged: String, live: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    def exists(n: String) =
+      catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(n))
+    def partitioned(n: String) = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(n))
       .partitionColumnNames.nonEmpty
-    replaceTable(spark, live)
+    val retired = s"${live}__retired"
+    if (!exists(staged)) {
+      // RESUME after a crash mid-promote: the staged generation is
+      // already swapped in (finish the re-list + debris drop), or —
+      // staged gone AND live gone — roll the retired generation back.
+      if (exists(live)) {
+        if (partitioned(live))
+          spark.sql(s"ALTER TABLE `$live` RECOVER PARTITIONS")
+        replaceTable(spark, retired)
+        return
+      }
+      if (exists(retired)) {
+        spark.sql(s"ALTER TABLE `$retired` RENAME TO `$live`")
+        if (partitioned(live))
+          spark.sql(s"ALTER TABLE `$live` RECOVER PARTITIONS")
+        return
+      }
+      throw new IllegalArgumentException(
+        s"no staged table `$staged` to promote over `$live` and nothing " +
+          "to resume — build the staged generation first")
+    }
+    val stagedPartitioned = partitioned(staged)
+    replaceTable(spark, retired)
+    if (exists(live)) spark.sql(s"ALTER TABLE `$live` RENAME TO `$retired`")
+    else
+      // no catalog entry but a leftover directory from a forgotten
+      // session would make the staged rename land INSIDE it — clear it
+      replaceTable(spark, live)
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$live`")
-    // the in-memory catalog's rename moves the directory but keeps the
-    // per-partition locations it recorded at write time — re-list them
-    // from the moved directory (metadata-only, no data scan)
-    if (partitioned) spark.sql(s"ALTER TABLE `$live` RECOVER PARTITIONS")
+    if (stagedPartitioned)
+      spark.sql(s"ALTER TABLE `$live` RECOVER PARTITIONS")
+    replaceTable(spark, retired)
+  }
+
+  /** Object-store promote: flip the live table's catalog pointer to the
+    * staged data IN PLACE (`ALTER TABLE ... SET LOCATION`) — zero data
+    * movement where a directory rename would copy every object — then
+    * retire the old generation's data. The live table permanently adopts
+    * the staged build's location (marked with [[ServingMarker]] so
+    * [[replaceTable]] can never delete it out from under the catalog);
+    * subsequent staged builds go to fresh locations via
+    * [[stagedWriteOptions]].
+    *
+    * Retirement handles both staged table types: an EXTERNAL staged
+    * entry (the [[stagedWriteOptions]] shape) is dropped — data stays —
+    * and the old generation's directory is deleted explicitly; a MANAGED
+    * staged entry is first pointed at the old generation's directory so
+    * its drop deletes exactly that. First-ever promote (no live table)
+    * falls back to the catalog rename: a one-time bootstrap cost, after
+    * which every promote is metadata-only.
+    *
+    * Crash windows: after the live `SET LOCATION` the new generation
+    * serves and re-running the promote completes retirement; after the
+    * staged drop a rerun has nothing to resume and the old generation's
+    * directory can linger as data-safe debris (never a lost serving
+    * table). Object-store deletes are per-key metadata operations — no
+    * data moves in any step. */
+  private[graft] def promoteTableByLocationSwap(spark: SparkSession,
+      staged: String, live: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    def ident(n: String) = org.apache.spark.sql.catalyst.TableIdentifier(n)
+    require(catalog.tableExists(ident(staged)),
+      s"no staged table `$staged` to promote over `$live` — build the " +
+        "staged generation first")
+    val stagedMeta = catalog.getTableMetadata(ident(staged))
+    val stagedLoc = new org.apache.hadoop.fs.Path(stagedMeta.location)
+    val fs = stagedLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!catalog.tableExists(ident(live))) {
+      // bootstrap: no generation to retire — the plain rename promote
+      // installs the staged table under the live name (a one-time copy
+      // on an object store; steady-state promotes never copy)
+      promoteTableByRename(spark, staged, live)
+      return
+    }
+    val liveLoc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(ident(live)).location)
+    spark.sql(s"ALTER TABLE `$live` SET LOCATION '$stagedLoc'")
+    if (stagedMeta.partitionColumnNames.nonEmpty)
+      spark.sql(s"ALTER TABLE `$live` RECOVER PARTITIONS")
+    // the new generation serves from here on; mark its adopted home
+    fs.create(new org.apache.hadoop.fs.Path(stagedLoc, ServingMarker),
+      true).close()
+    // partition metadata still records the staged directory — the live
+    // table's adopted data; detach it so the drop below can never
+    // delete those partition dirs (metadata-only)
+    detachPartitions(spark, staged)
+    if (stagedMeta.tableType !=
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+      // managed: point the doomed entry at the old generation so its
+      // drop retires exactly that directory
+      spark.sql(s"ALTER TABLE `$staged` SET LOCATION '$liveLoc'")
+    spark.sql(s"DROP TABLE `$staged`") // external: entry only, data stays
+    if (liveLoc != stagedLoc && fs.exists(liveLoc)) fs.delete(liveLoc, true)
   }
 }
