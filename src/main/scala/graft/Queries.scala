@@ -4122,7 +4122,7 @@ object Queries {
 
     // the batch-funnel mirror of the composed streaming ingest: the same
     // fixture CASE (13 before 11 — precedence matters), the same feed
-    // (subscribed source + its %5 re-emissions), dedup = GROUP BY raw
+    // (subscribed source + its %3 re-emissions), dedup = GROUP BY raw
     // md5 digest (the full-horizon watermark admits every duplicate
     // pair), corpus anti-join on the digest, then the q_quality_score
     // quality formula and the q_encoding_scan hygiene predicate

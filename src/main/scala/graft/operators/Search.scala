@@ -212,13 +212,18 @@ object Search {
   // avg_len alone cannot be merged exactly (avg·n re-derives total with
   // float loss), but (n, total) merge in long arithmetic, so an upserted
   // generation's avg_len is BIT-identical to a full rebuild's.
+  // `folded_batches` is the FOLD LEDGER: the `batch=<id>` segment dirs
+  // whose postings AND stats a fold has already merged — written in the
+  // SAME one-row commit as the merged stats, so a fold retry (or a
+  // concurrent segment serve) can never double-count a segment whose
+  // merge committed but whose dir delete didn't.
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
       table: String, nDocs: Long, avgLen: Double, buckets: Int,
-      totalLen: Long): Unit = {
+      totalLen: Long, foldedBatches: Seq[String] = Seq.empty): Unit = {
     graft.sources.Sources.replaceTable(spark, s"${table}_stats")
     import spark.implicits._
-    Seq((nDocs, avgLen, buckets, totalLen))
-      .toDF("n_docs", "avg_len", "buckets", "total_len")
+    Seq((nDocs, avgLen, buckets, totalLen, foldedBatches))
+      .toDF("n_docs", "avg_len", "buckets", "total_len", "folded_batches")
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_stats"))
       .saveAsTable(s"${table}_stats")
@@ -246,11 +251,11 @@ object Search {
   def upsertBm25Index(delta: DataFrame, idCol: String, attr: String,
       table: String): Unit = {
     val spark = delta.sparkSession
-    val (n, buckets, total) = readMergeableStats(spark, table)
+    val (n, buckets, total, folded) = readMergeableStats(spark, table)
     // pin the delta across the two passes (length-stats aggregate, then
     // the postings append) — an expensive upstream delta pipeline would
-    // otherwise execute twice, the same double-pass bm25IngestSink
-    // already pins its micro-batch for
+    // otherwise execute twice, the same reason bm25IngestSink already
+    // pins its micro-batch across ITS two passes
     val pinned = delta.persist()
     try {
       val d = buildBm25Index(pinned, idCol, attr)
@@ -258,22 +263,30 @@ object Search {
         .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)
       val (n2, total2) = (n + d.nDocs, total + d.totalLen)
       val avg2 = if (n2 == 0) 0.0 else total2.toDouble / n2
-      writeStats(spark, table, n2, avg2, buckets, total2)
+      // the fold ledger rides through: an upsert between a crashed fold
+      // and its retry must not forget which segments are already merged
+      writeStats(spark, table, n2, avg2, buckets, total2, folded)
     } finally pinned.unpersist()
   }
 
-  /** The (n_docs, buckets, total_len) of an upsert-capable artifact —
-    * the one place the mergeable-schema guard and the positional stats
-    * destructuring live (upsert, fold, and compaction all key on it). */
+  /** The (n_docs, buckets, total_len, folded-batch ledger) of an
+    * upsert-capable artifact — the one place the mergeable-schema guard
+    * and the positional stats destructuring live (upsert, fold, and
+    * compaction all key on it). A pre-ledger generation reads back an
+    * empty ledger; its next stats write migrates the schema. */
   private def readMergeableStats(spark: org.apache.spark.sql.SparkSession,
-      table: String): (Long, Int, Long) = {
+      table: String): (Long, Int, Long, Seq[String]) = {
     val st = spark.table(s"${table}_stats")
     require(st.columns.contains("total_len"),
       s"$table predates the upsert-capable stats schema (no total_len); " +
         "rebuild the artifact before upserting/folding/serving segments " +
         "into it")
     val row = st.head()
-    (row.getLong(0), row.getInt(2), row.getLong(3))
+    val folded =
+      if (st.columns.contains("folded_batches"))
+        row.getSeq[String](st.columns.indexOf("folded_batches"))
+      else Seq.empty[String]
+    (row.getLong(0), row.getInt(2), row.getLong(3), folded)
   }
 
   /** FILE-COMPACTION for the BM25 artifact — heals the small-file
@@ -330,8 +343,8 @@ object Search {
   def loadBm25IndexWithSegments(spark: org.apache.spark.sql.SparkSession,
       table: String, segDir: String): Bm25Index = {
     val base = loadBm25Index(spark, table)
-    val segs = completeBm25SegmentDirs(spark, segDir)
-    if (segs.isEmpty) base
+    val all = completeBm25SegmentDirs(spark, segDir)
+    if (all.isEmpty) base
     else {
       // segments merge against the base's LONG stats; a pre-total_len
       // base would fall back to loadBm25Index's round(avg·n)
@@ -339,11 +352,19 @@ object Search {
       // the segment path hard-requires the mergeable schema like its
       // upsert/fold siblings instead of silently degrading the
       // content-identity contract
-      readMergeableStats(spark, table)
+      val folded = readMergeableStats(spark, table)._4
+      // skip ledgered segments: their content is already IN the base —
+      // a fold that crashed after its merge commit but before its dir
+      // deletes must not serve those postings twice
+      val segs = all.filterNot(d => folded.contains(d.getName))
+      if (segs.isEmpty) return base
       val postings = spark.read
         .parquet(segs.map(d => s"$d/postings"): _*)
+      // coalesce: a committed-but-empty stats file must merge as zero,
+      // not NPE the serve (the marker check only proves the file exists)
       val st = spark.read.parquet(segs.map(d => s"$d/stats"): _*)
-        .agg(sum(col("n_docs")), sum(col("total_len"))).head()
+        .agg(coalesce(sum(col("n_docs")), lit(0L)),
+          coalesce(sum(col("total_len")), lit(0L))).head()
       val (n2, total2) = (base.nDocs + st.getLong(0),
         base.totalLen + st.getLong(1))
       Bm25Index(base.postings.unionByName(postings), n2,
@@ -385,36 +406,49 @@ object Search {
     * committed between the read and the delete). No-op on a
     * missing/empty dir.
     *
-    * NOT ATOMIC — run the fold in a quiet window, off the serve path
-    * (the nightly-cadence contract every fold in this engine carries).
-    * The windows, precisely:
-    *  - append committed, segments not yet deleted: a concurrent
-    *    [[loadBm25IndexWithSegments]] reads those postings twice (the
-    *    IVF fold shares this window — fold off-cadence, not mid-serve);
-    *  - crash between the append and the stats write: the RETRY folds
-    *    the still-present segments again — stats come out right (the
-    *    crashed attempt never wrote them) but the postings rows are
-    *    appended twice. Duplicated rows are EXACT duplicates
-    *    ((id, doclen, word, tf) is unique per doc in any legitimate
-    *    artifact), so [[compactBm25Index]]`(dedupExact = true)` heals
-    *    the artifact in one pass — the documented recovery, where the
-    *    id-keyed ANN stores leave recovery to caller-side id dedup. */
+    * IDEMPOTENT BY LEDGER: the merged stats and the set of folded
+    * `batch=<id>` dirs commit in ONE one-row stats write, and both the
+    * retry and the segment serve skip ledgered dirs. The windows,
+    * precisely:
+    *  - unledgered append committed, the merge commit didn't: the RETRY
+    *    re-appends those postings — stats still merge exactly once (the
+    *    crashed attempt never committed them), and the duplicated rows
+    *    are EXACT duplicates ((id, doclen, word, tf) is unique per doc
+    *    in any legitimate artifact), so [[compactBm25Index]]
+    *    `(dedupExact = true)` heals the artifact in one pass — the
+    *    documented recovery, where the id-keyed ANN stores leave
+    *    recovery to caller-side id dedup;
+    *  - merge commit landed, dir deletes didn't: the retry and every
+    *    concurrent [[loadBm25IndexWithSegments]] SKIP the ledgered dirs
+    *    — no double-counted stats (the pre-ledger silent avg_len/idf
+    *    skew), no twice-served postings; the retry just finishes the
+    *    deletes. Ledger entries for deleted dirs go inert and are
+    *    pruned by the next fold's write (batch ids never recur under a
+    *    live checkpoint; resetting the checkpoint re-ingests from
+    *    scratch and owns its own identity, as everywhere else). */
   def foldBm25Segments(spark: org.apache.spark.sql.SparkSession,
       table: String, segDir: String): Unit = {
-    val segs = completeBm25SegmentDirs(spark, segDir)
-    if (segs.nonEmpty) {
-      val (n, buckets, total) = readMergeableStats(spark, table)
-      spark.read.parquet(segs.map(d => s"$d/postings"): _*)
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)
-      val st = spark.read.parquet(segs.map(d => s"$d/stats"): _*)
-        .agg(sum(col("n_docs")), sum(col("total_len"))).head()
-      val (n2, total2) = (n + st.getLong(0), total + st.getLong(1))
-      writeStats(spark, table, n2,
-        if (n2 == 0) 0.0 else total2.toDouble / n2, buckets, total2)
+    val present = completeBm25SegmentDirs(spark, segDir)
+    if (present.nonEmpty) {
+      val (n, buckets, total, ledger) = readMergeableStats(spark, table)
+      val todo = present.filterNot(d => ledger.contains(d.getName))
+      if (todo.nonEmpty) {
+        spark.read.parquet(todo.map(d => s"$d/postings"): _*)
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)
+        val st = spark.read.parquet(todo.map(d => s"$d/stats"): _*)
+          .agg(coalesce(sum(col("n_docs")), lit(0L)),
+            coalesce(sum(col("total_len")), lit(0L))).head()
+        val (n2, total2) = (n + st.getLong(0), total + st.getLong(1))
+        // ONE commit carries the merged stats AND the ledger covering
+        // every dir about to be deleted — the idempotence point
+        writeStats(spark, table, n2,
+          if (n2 == 0) 0.0 else total2.toDouble / n2, buckets, total2,
+          foldedBatches = present.map(_.getName))
+      }
       val fs = new org.apache.hadoop.fs.Path(segDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      segs.foreach(d => fs.delete(d, true))
+      present.foreach(d => fs.delete(d, true))
     }
   }
 

@@ -355,6 +355,10 @@ object Similarity {
   def saveIvfIndex(index: IvfIndex, table: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
+    // a rebuilt artifact is a fresh identity: a stale fold ledger from a
+    // previous generation could mark a NEW checkpoint's batch ids as
+    // already folded (batch numbering restarts) — silent segment loss
+    graft.sources.Sources.replaceTable(spark, s"${table}_folded")
     graft.sources.Sources.replaceTable(spark, table)
     index.assigned.write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, table))
@@ -502,12 +506,29 @@ object Similarity {
   def loadIvfIndexWithSegments(spark: org.apache.spark.sql.SparkSession,
       table: String, segDir: String): IvfIndex = {
     val base = loadIvfIndex(spark, table)
+    // ledgered segments are already folded INTO the base — serving them
+    // again (a fold crashed between its ledger commit and its dir
+    // deletes) would double-count their rows
+    val folded = ivfFoldLedger(spark, table)
     val segs = completeSegmentDirs(spark, segDir)
+      .filterNot(d => folded.contains(d.getName))
     if (segs.isEmpty) base
     else IvfIndex(base.assigned.unionByName(
       spark.read.option("basePath", segDir)
         .parquet(segs.map(_.toString): _*).drop("batch")), base.centroids)
   }
+
+  /** The IVF artifact's FOLD LEDGER — the `batch=<id>` segment dirs a
+    * fold has already appended into the base table, recorded in the
+    * sibling `<table>_folded` between the append and the dir deletes so
+    * a fold retry (or a concurrent segment serve) skips them instead of
+    * double-admitting. Reset by [[saveIvfIndex]]: a rebuilt artifact
+    * starts with a fresh identity. Missing table = empty ledger (the
+    * pre-ledger and freshly-built shapes). */
+  private def ivfFoldLedger(spark: org.apache.spark.sql.SparkSession,
+      table: String): Set[String] =
+    if (!spark.catalog.tableExists(s"${table}_folded")) Set.empty
+    else spark.table(s"${table}_folded").collect().map(_.getString(0)).toSet
 
   /** The COMPLETE `batch=<id>` segment dirs under `segDir` — ones that
     * already carry `cluster=` partition children. A pre-created-but-
@@ -537,21 +558,41 @@ object Similarity {
     * [[graft.streaming.Streaming.ivfIngestSink]] committed between the
     * read and the delete (its checkpoint marks the batch done, so it
     * would never be rewritten: permanent row loss). The dir itself
-    * stays, ready for the next admission. A fold that crashes after the
-    * append but before the deletes re-admits those segments on retry —
-    * run it under the same id-dedup discipline as any append (the
-    * caller owns identity). No-op on a missing/empty dir. */
+    * stays, ready for the next admission. No-op on a missing/empty dir.
+    *
+    * IDEMPOTENT BY LEDGER ([[foldBm25Segments]]'s discipline, adapted —
+    * IVF has no stats table, so the ledger is the sibling
+    * `<table>_folded`): folded batch ids are committed between the
+    * append and the dir deletes, and both the retry and
+    * [[loadIvfIndexWithSegments]] skip ledgered dirs. The one remaining
+    * window — append committed, ledger commit didn't — re-admits those
+    * rows on retry; run folds under the same id-dedup discipline as any
+    * append (the caller owns identity), exactly as before. */
   def foldIvfSegments(spark: org.apache.spark.sql.SparkSession,
       table: String, segDir: String): Unit = {
-    val segs = completeSegmentDirs(spark, segDir)
-    if (segs.nonEmpty) {
-      spark.read.option("basePath", segDir)
-        .parquet(segs.map(_.toString): _*).drop("batch")
-        .write.mode("append").format("parquet")
-        .partitionBy("cluster").saveAsTable(table)
+    val present = completeSegmentDirs(spark, segDir)
+    if (present.nonEmpty) {
+      val ledger = ivfFoldLedger(spark, table)
+      val todo = present.filterNot(d => ledger.contains(d.getName))
+      if (todo.nonEmpty) {
+        spark.read.option("basePath", segDir)
+          .parquet(todo.map(_.toString): _*).drop("batch")
+          .write.mode("append").format("parquet")
+          .partitionBy("cluster").saveAsTable(table)
+        // ledger covers every dir about to be deleted — a crash from
+        // here on makes the retry skip, never re-append (stale ids for
+        // deleted dirs go inert and are pruned by the next fold)
+        import spark.implicits._
+        graft.sources.Sources.replaceTable(spark, s"${table}_folded")
+        present.map(_.getName).toDF("batch")
+          .write.mode("overwrite").format("parquet")
+          .options(graft.sources.Sources.stagedWriteOptions(spark,
+            s"${table}_folded"))
+          .saveAsTable(s"${table}_folded")
+      }
       val fs = new org.apache.hadoop.fs.Path(segDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      segs.foreach(d => fs.delete(d, true))
+      present.foreach(d => fs.delete(d, true))
     }
   }
 

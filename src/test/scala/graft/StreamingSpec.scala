@@ -886,6 +886,119 @@ class StreamingSpec extends SparkSpec {
     assert(top(folded) == servedTop, "fold changed the served ranking")
   }
 
+  test("BM25 fold merge-commit crash: stats+ledger committed, segment " +
+      "deletes pending — the retry and the serve skip the ledgered " +
+      "segment; stats and row set stay bit-exact") {
+    import graft.operators.Search
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val table = "bm25_fold_ledger_spec"
+    Seq(table, s"${table}_stats").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Search.saveBm25Index(Search.buildBm25Index(base, "doc_id", "text"), table)
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-ledger-").toString
+    def writeSegment(id: Int, docsDf: org.apache.spark.sql.DataFrame): Unit = {
+      val d = Search.buildBm25Index(docsDf, "doc_id", "text")
+      d.postings.write.mode("overwrite")
+        .parquet(s"$segDir/batch=$id/postings")
+      Seq((d.nDocs, d.totalLen)).toDF("n_docs", "total_len")
+        .write.mode("overwrite").parquet(s"$segDir/batch=$id/stats")
+    }
+    writeSegment(0, delta)
+    Search.foldBm25Segments(spark, table, segDir)
+    val folded = Search.loadBm25Index(spark, table)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("doclen"), col("word"), col("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+    val (goldRows, goldN, goldTotal) =
+      (rows(folded.postings), folded.nDocs, folded.totalLen)
+    // CRASH SIMULATION: the merge commit (stats + ledger) landed, the
+    // dir delete never ran — the segment reappears with identical
+    // content (deterministic build)
+    writeSegment(0, delta)
+    // a concurrent serve must not count the ledgered segment twice
+    val served = Search.loadBm25IndexWithSegments(spark, table, segDir)
+    assert(served.nDocs == goldN && served.totalLen == goldTotal,
+      "serve double-counted a ledgered segment's stats")
+    assert(rows(served.postings) == goldRows,
+      "serve double-admitted a ledgered segment's postings")
+    // the RETRY must skip the merge entirely and just finish the deletes
+    Search.foldBm25Segments(spark, table, segDir)
+    val retried = Search.loadBm25Index(spark, table)
+    assert(retried.nDocs == goldN && retried.totalLen == goldTotal &&
+      retried.avgLen == folded.avgLen,
+      "fold retry double-merged the stats — the pre-ledger silent skew")
+    assert(retried.postings.count() == folded.postings.count() &&
+      rows(retried.postings) == goldRows,
+      "fold retry re-appended ledgered postings")
+    val leftover = new java.io.File(segDir).list()
+    assert(leftover != null && !leftover.exists(_.startsWith("batch=")),
+      "retry must finish the pending segment deletes")
+    // a FRESH batch then folds exactly once, and the ledger prunes to
+    // the current fold's segments (stale ids don't accumulate)
+    val extra = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    writeSegment(1, extra)
+    Search.foldBm25Segments(spark, table, segDir)
+    val after = Search.loadBm25Index(spark, table)
+    assert(after.nDocs == goldN + extra.count(),
+      "fresh segment must merge exactly once after the recovery")
+    val ledger = spark.table(s"${table}_stats")
+      .select(col("folded_batches")).head().getSeq[String](0)
+    assert(ledger == Seq("batch=1"),
+      s"ledger must prune to the live fold's segments, got $ledger")
+  }
+
+  test("IVF fold merge-commit crash: ledger committed, segment deletes " +
+      "pending — retry and serve skip the ledgered segment") {
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions.nearest_centroid_cos
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val table = "ivf_fold_ledger_spec"
+    Seq(table, s"${table}_centroids", s"${table}_folded").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(base, "vec_id", "embedding", nCentroids = 16,
+        iters = 2), table)
+    val centroids = Similarity.loadIvfIndex(spark, table).centroids
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-ledger-").toString
+    def writeSegment(): Unit =
+      delta.withColumn("cluster",
+          nearest_centroid_cos(col("embedding"), centroids))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$segDir/batch=0")
+    writeSegment()
+    Similarity.foldIvfSegments(spark, table, segDir)
+    val goldCount = spark.table(table).count()
+    assert(goldCount == emb.filter(col("embedding").isNotNull).count())
+    // CRASH SIMULATION: ledger committed, delete pending — the segment
+    // reappears with identical (deterministic frozen-centroid) content
+    writeSegment()
+    assert(Similarity.loadIvfIndexWithSegments(spark, table, segDir)
+      .assigned.count() == goldCount,
+      "serve double-counted a ledgered segment")
+    Similarity.foldIvfSegments(spark, table, segDir)
+    assert(spark.table(table).count() == goldCount,
+      "fold retry re-appended a ledgered segment")
+    val leftover = new java.io.File(segDir).list()
+    assert(leftover != null && !leftover.exists(_.startsWith("batch=")),
+      "retry must finish the pending segment deletes")
+    // a rebuild resets the ledger: a fresh artifact generation must not
+    // inherit folded ids from the previous identity
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(base, "vec_id", "embedding", nCentroids = 16,
+        iters = 2), table)
+    assert(!spark.catalog.tableExists(s"${table}_folded"),
+      "saveIvfIndex must reset the fold ledger")
+  }
+
   test("segment sink replay: re-executing batches over the same input " +
       "rewrites the same batch=<id> segments — no duplicate rows, no " +
       "orphan segments") {
