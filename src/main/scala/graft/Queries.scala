@@ -2167,6 +2167,38 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** LSH MAINTENANCE-LOOP gate — completes the quartet with
+    * q_search_bm25_compact / q_sim_ivf_compact / q_sim_pq_compact: the
+    * bucket-partitioned projections are built over the BASE corpus,
+    * the delta (including the query vector) appended via
+    * [[graft.operators.Similarity.upsertLshIndex]], then
+    * [[graft.operators.Similarity.compactLshIndex]] rewrites every
+    * projection FROM ITS OWN CONTENT (hyperplanes are deterministic —
+    * nothing retrains; compaction heals the per-bucket file
+    * accumulation) as staged generations promoted by catalog rename
+    * ([[graft.sources.Sources.promoteTable]]). The served top-20 over
+    * the compacted layout must contain the exact cosine top-10 —
+    * q_sim_lsh's own recall contract, asserted THROUGH the promote.
+    * Runs once per mtime-keyed generation. Same oracle as q_sim_lsh. */
+  val q_sim_lsh_compact: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "lsh_cpt", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.saveLshIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "embedding", dims = 64, table, bits = 8, tables = 3)
+      Similarity.upsertLshIndex(emb.filter(col("vec_id") % 5 === 0),
+        "embedding", table)
+      Similarity.compactLshIndex(s, table)
+    }
+    val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding",
+      qvec, 20, probeDist = 4)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** PQ INCREMENTAL-UPSERT gate — the third artifact family's append
     * path: codebooks are trained over the BASE corpus only, the delta
     * (including the query vector) is encoded with those FROZEN codebooks
@@ -3056,6 +3088,7 @@ object Queries {
     "q_sim_ivf_upsert" -> q_sim_ivf_upsert,
     "q_sim_ivf_compact" -> q_sim_ivf_compact,
     "q_sim_lsh_upsert" -> q_sim_lsh_upsert,
+    "q_sim_lsh_compact" -> q_sim_lsh_compact,
     "q_sim_pq_upsert" -> q_sim_pq_upsert,
     "q_sim_pq_compact" -> q_sim_pq_compact,
     "q_csv_roundtrip" -> q_csv_roundtrip,
@@ -4609,6 +4642,7 @@ object Queries {
     "q_sim_ivf_upsert" -> annExactTop10Sql,
     "q_sim_ivf_compact" -> annExactTop10Sql,
     "q_sim_lsh_upsert" -> annExactTop10Sql,
+    "q_sim_lsh_compact" -> annExactTop10Sql,
     "q_sim_pq_upsert" -> annExactTop10Sql,
     "q_sim_pq_compact" -> annExactTop10Sql,
 

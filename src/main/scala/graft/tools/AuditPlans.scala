@@ -188,8 +188,8 @@ object AuditPlans {
     // lsh_upsert's 1 = the served candidates' dropDuplicates(vec_id)
     // across the three unioned table probes
     "q_sim_ivf_upsert" -> 0, "q_sim_ivf_compact" -> 0,
-    "q_sim_lsh_upsert" -> 1, "q_sim_pq_upsert" -> 0,
-    "q_sim_pq_compact" -> 0,
+    "q_sim_lsh_upsert" -> 1, "q_sim_lsh_compact" -> 1,
+    "q_sim_pq_upsert" -> 0, "q_sim_pq_compact" -> 0,
     "q_tail" -> 0, "q_tfidf_top" -> 5, "q_token_count" -> 1,
     "q_topk_per_group" -> 2, "q_tsv_roundtrip" -> 1, "q_typed_dataset" -> 2,
     "q_udaf_summaries" -> 2, "q_union_all" -> 2, "q_unique_first" -> 2,
