@@ -76,6 +76,31 @@ object Queries {
     name
   }
 
+  /** Fixed (per-SF-dir) warehouse name + source fingerprint for the
+    * `*IndexFor` build-once gates — the LIBRARY-level staleness
+    * mechanism (round 12): the helper itself rebuilds when the stamped
+    * fingerprint of `$dir/$source.parquet` changes, so these gates no
+    * longer need mtime-keyed NAMES, and a driver-regenerated corpus
+    * rebuilds IN PLACE instead of orphaning a generation per mtime.
+    * One-time hygiene: this family's pre-round-12 mtime-keyed
+    * `<base>_m<digits>…` generations (and their side tables) are pruned
+    * from the warehouse. The `onceUpserted` gates stay on
+    * [[artifactTable]]: their build is a multi-step admission sequence
+    * the marker table keys by generation name. */
+  private def fingerprintedArtifact(s: SparkSession, prefix: String,
+      dir: String, source: String): (String, String) = {
+    val base = (prefix + dir).replaceAll("[^A-Za-z0-9]+", "_")
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val wPath = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = wPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mkeyed = ("^" + java.util.regex.Pattern.quote(base) + "_m\\d+(_.*)?$").r
+    if (fs.exists(wPath))
+      fs.listStatus(wPath).map(_.getPath.getName)
+        .filter(n => mkeyed.matches(n))
+        .foreach(n => graft.sources.Sources.replaceTable(s, n))
+    (base, graft.sources.Sources.pathFingerprint(s, s"$dir/$source.parquet"))
+  }
+
   /** The events table's `ts` encoding varies by writer — TIMESTAMP(NANOS)
     * (readable only as long under the legacy conf), timestamp[us]
     * (TIMESTAMP_NTZ), or TIMESTAMP. Normalize whatever arrives to a
@@ -810,8 +835,9 @@ object Queries {
   val q_search_bm25_serve: Q = (s, dir) => {
     import graft.operators.Search
     val docs = t(s, dir, "documents").df
-    val table = artifactTable(s, "bm25_idx", dir, "documents")
-    val idx = Search.bm25IndexFor(docs, "doc_id", "text", table)
+    val (table, fp) = fingerprintedArtifact(s, "bm25_idx", dir, "documents")
+    val idx = Search.bm25IndexFor(docs, "doc_id", "text", table,
+      fingerprint = fp)
     Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
       .select(col("doc_id"), col("bm25_rank"))
       .orderBy(col("bm25_rank"))
@@ -1070,9 +1096,10 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = artifactTable(s, "pq_idx", dir, "embeddings")
+    val (table, fp) = fingerprintedArtifact(s, "pq_idx", dir, "embeddings")
     val idx = Similarity.pqIndexFor(emb, "vec_id", "embedding", dims = 64,
-      table, m = 16, nCodes = 32, iters = 8, sampleN = 2048)
+      table, m = 16, nCodes = 32, iters = 8, sampleN = 2048,
+      fingerprint = fp)
     val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
       candidates = 500)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
@@ -1999,9 +2026,9 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = artifactTable(s, "lsh_idx", dir, "embeddings")
+    val (table, fp) = fingerprintedArtifact(s, "lsh_idx", dir, "embeddings")
     Similarity.lshIndexFor(emb, "embedding", dims = 64, table,
-      bits = 8, tables = 3)
+      bits = 8, tables = 3, fingerprint = fp)
     val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding", qvec, 20,
       probeDist = 4)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
@@ -2038,9 +2065,9 @@ object Queries {
     val qvec = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
-    val table = artifactTable(s, "ivf_idx", dir, "embeddings")
+    val (table, fp) = fingerprintedArtifact(s, "ivf_idx", dir, "embeddings")
     val idx = Similarity.ivfIndexFor(emb, "vec_id", "embedding", table,
-      nCentroids = 16, iters = 3)
+      nCentroids = 16, iters = 3, fingerprint = fp)
     val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 12)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -2857,8 +2884,9 @@ object Queries {
     import graft.operators.Contamination
     val docs = t(s, dir, "documents").df
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
-    val table = artifactTable(s, "shingle_idx", dir, "documents")
-    val idx = Contamination.shingleIndexFor(corpus, "doc_id", "text", table, n = 3)
+    val (table, fp) = fingerprintedArtifact(s, "shingle_idx", dir, "documents")
+    val idx = Contamination.shingleIndexFor(corpus, "doc_id", "text", table,
+      n = 3, fingerprint = fp)
     val stream = Streaming.documentsStream(s, dir)
       .filter(col("doc_id") % 3 === 0)
     val out = s"${ioDir(dir)}/stream_neardedup_serve"

@@ -189,7 +189,8 @@ object Contamination {
     * fixed (docs, n, buckets); concurrent builds over DIFFERENT corpora
     * into the same table name are a caller configuration error. */
   def shingleIndexFor(docs: DataFrame, idCol: String, textCol: String,
-      table: String, n: Int = 3, buckets: Int = 32): DataFrame = {
+      table: String, n: Int = 3, buckets: Int = 32,
+      fingerprint: String = ""): DataFrame = {
     val spark = docs.sparkSession
     val matches = spark.catalog.tableExists(table) &&
       spark.catalog.tableExists(s"${table}_meta") &&
@@ -206,7 +207,9 @@ object Contamination {
           val sm = schema("shk").metadata
           sm.contains(ShingleNKey) && sm.getLong(ShingleNKey) == n.toLong
         }
-      }
+      } && (fingerprint.isEmpty ||
+        graft.sources.Sources.readFingerprint(spark, table)
+          .contains(fingerprint))
     if (!matches) {
       graft.sources.Sources.writeBucketed(
         graft.core.GTable(shingleIndexFrame(docs, idCol, textCol, n)),
@@ -217,6 +220,9 @@ object Contamination {
         .write.mode("overwrite").format("parquet")
         .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_meta"))
         .saveAsTable(s"${table}_meta")
+      // stamped LAST: a build that dies mid-way reads as a mismatch
+      if (fingerprint.nonEmpty)
+        graft.sources.Sources.writeFingerprint(spark, table, fingerprint)
     }
     spark.table(table)
   }

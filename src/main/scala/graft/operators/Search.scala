@@ -488,12 +488,14 @@ object Search {
   /** Load the persisted index, building and persisting it first if this
     * session doesn't know it — callers express "query the index" and pay
     * the build only when the artifact is missing. A stored artifact is
-    * reused only when its pinned bucket count matches the request.
-    * Source-data changes are NOT detected: the table name identifies a
-    * build; use a new name (or drop the tables) when the corpus
-    * changes. */
+    * reused only when its pinned bucket count matches the request. Pass
+    * `fingerprint` ([[graft.sources.Sources.pathFingerprint]] of the
+    * corpus) to also detect source-data changes — a stored artifact
+    * whose stamped fingerprint differs rebuilds instead of silently
+    * serving stale data; empty keeps the name-identifies-a-build
+    * contract (use a new name when the corpus changes). */
   def bm25IndexFor(data: DataFrame, idCol: String, attr: String,
-      table: String, buckets: Int = 32): Bm25Index = {
+      table: String, buckets: Int = 32, fingerprint: String = ""): Bm25Index = {
     val spark = data.sparkSession
     val matches = spark.catalog.tableExists(table) &&
       spark.catalog.tableExists(s"${table}_stats") && {
@@ -502,9 +504,15 @@ object Search {
         // the mergeable stats layout on their next build-if-missing
         st.columns.contains("buckets") && st.columns.contains("total_len") &&
           st.head().getInt(2) == buckets
-      }
-    if (!matches)
+      } && (fingerprint.isEmpty ||
+        graft.sources.Sources.readFingerprint(spark, table)
+          .contains(fingerprint))
+    if (!matches) {
       saveBm25Index(buildBm25Index(data, idCol, attr), table, buckets)
+      // stamped LAST: a build that dies mid-way reads as a mismatch
+      if (fingerprint.nonEmpty)
+        graft.sources.Sources.writeFingerprint(spark, table, fingerprint)
+    }
     loadBm25Index(spark, table)
   }
 

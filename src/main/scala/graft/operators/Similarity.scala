@@ -164,18 +164,29 @@ object Similarity {
   /** Build-if-missing for the persisted LSH layout. An existing artifact
     * is reused only when its pinned (bits, tables, dims) match the
     * request — a parameter change rebuilds instead of silently serving
-    * the old hash configuration. Source-data changes are NOT detected:
-    * the table name identifies a build; use a new name (or drop the
-    * tables) when the corpus changes. */
+    * the old hash configuration. Pass `fingerprint` (e.g.
+    * [[graft.sources.Sources.pathFingerprint]] of the corpus) to also
+    * detect SOURCE-DATA changes: a stored artifact whose stamped
+    * fingerprint differs rebuilds instead of silently serving stale
+    * data. An empty fingerprint keeps the name-identifies-a-build
+    * contract (use a new name when the corpus changes). */
   def lshIndexFor(df: DataFrame, vecCol: String, dims: Int,
-      table: String, bits: Int = 8, tables: Int = 2): Unit = {
+      table: String, bits: Int = 8, tables: Int = 2,
+      fingerprint: String = ""): Unit = {
     val spark = df.sparkSession
     val matches = spark.catalog.tableExists(s"${table}_meta") &&
       (0 until tables).forall(t => spark.catalog.tableExists(s"${table}_t$t")) && {
         val m = spark.table(s"${table}_meta").head()
         (m.getInt(0), m.getInt(1), m.getInt(2)) == ((bits, tables, dims))
-      }
-    if (!matches) saveLshIndex(df, vecCol, dims, table, bits, tables)
+      } && (fingerprint.isEmpty ||
+        graft.sources.Sources.readFingerprint(spark, table)
+          .contains(fingerprint))
+    if (!matches) {
+      saveLshIndex(df, vecCol, dims, table, bits, tables)
+      // stamped LAST: a build that dies mid-way reads as a mismatch
+      if (fingerprint.nonEmpty)
+        graft.sources.Sources.writeFingerprint(spark, table, fingerprint)
+    }
   }
 
   /** INCREMENTAL upsert into a persisted LSH serving layout: hash ONLY
@@ -600,16 +611,24 @@ object Similarity {
     * this session doesn't know it. An existing artifact is reused only
     * when its centroid count matches `nCentroids` (a changed `iters`
     * is not recoverable from the artifact and does not trigger a
-    * rebuild). Source-data changes are NOT detected: the table name
-    * identifies a build; use a new name when the corpus changes. */
+    * rebuild). Pass `fingerprint` ([[graft.sources.Sources
+    * .pathFingerprint]] of the corpus) to also detect source-data
+    * changes; empty keeps the name-identifies-a-build contract. */
   def ivfIndexFor(df: DataFrame, idCol: String, vecCol: String, table: String,
-      nCentroids: Int = 64, iters: Int = 3): IvfIndex = {
+      nCentroids: Int = 64, iters: Int = 3,
+      fingerprint: String = ""): IvfIndex = {
     val spark = df.sparkSession
     val matches = spark.catalog.tableExists(table) &&
       spark.catalog.tableExists(s"${table}_centroids") &&
-      spark.table(s"${table}_centroids").count() == nCentroids
-    if (!matches)
+      spark.table(s"${table}_centroids").count() == nCentroids &&
+      (fingerprint.isEmpty ||
+        graft.sources.Sources.readFingerprint(spark, table)
+          .contains(fingerprint))
+    if (!matches) {
       saveIvfIndex(ivfIndex(df, idCol, vecCol, nCentroids, iters), table)
+      if (fingerprint.nonEmpty)
+        graft.sources.Sources.writeFingerprint(spark, table, fingerprint)
+    }
     loadIvfIndex(spark, table)
   }
 
@@ -793,21 +812,27 @@ object Similarity {
   /** Load the persisted PQ index, building and persisting it first if
     * this session doesn't know it. An existing artifact is reused only
     * when its codebook shape matches (m, nCodes) — changed iters/sampleN
-    * are not recoverable and do not trigger a rebuild. Source-data
-    * changes are NOT detected: the table name identifies a build; use a
-    * new name when the corpus changes. */
+    * are not recoverable and do not trigger a rebuild. Pass
+    * `fingerprint` ([[graft.sources.Sources.pathFingerprint]] of the
+    * corpus) to also detect source-data changes; empty keeps the
+    * name-identifies-a-build contract. */
   def pqIndexFor(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       table: String, m: Int = 16, nCodes: Int = 32, iters: Int = 8,
-      sampleN: Int = 2048): PqIndex = {
+      sampleN: Int = 2048, fingerprint: String = ""): PqIndex = {
     val spark = df.sparkSession
     val matches = spark.catalog.tableExists(table) &&
       spark.catalog.tableExists(s"${table}_codebooks") && {
         val r = spark.table(s"${table}_codebooks")
           .agg(count_distinct(col("subspace")), count_distinct(col("code"))).head()
         r.getLong(0) == m && r.getLong(1) == nCodes
-      }
-    if (!matches)
+      } && (fingerprint.isEmpty ||
+        graft.sources.Sources.readFingerprint(spark, table)
+          .contains(fingerprint))
+    if (!matches) {
       savePqIndex(pqIndex(df, idCol, vecCol, dims, m, nCodes, iters, sampleN), table)
+      if (fingerprint.nonEmpty)
+        graft.sources.Sources.writeFingerprint(spark, table, fingerprint)
+    }
     loadPqIndex(spark, table)
   }
 

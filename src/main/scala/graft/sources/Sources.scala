@@ -473,6 +473,50 @@ object Sources {
     }
   }
 
+  /** Fingerprint of a source path for build-once artifact staleness
+    * detection: (name, length, mtime) of the file — or of every direct
+    * child, for a directory — folded into one hex string. Metadata-only
+    * (no data read; one `listStatus`), so it works at any scale on any
+    * Hadoop scheme. Same-path-new-bytes regenerations (the classic
+    * silent-staleness trap for name-keyed artifacts) change the mtime
+    * and therefore the fingerprint. */
+  private[graft] def pathFingerprint(spark: SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val parts =
+      if (st.isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.getName).toSeq
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      else Seq(s"${p.getName}:${st.getLen}:${st.getModificationTime}")
+    java.lang.Long.toHexString(
+      parts.foldLeft(1125899906842597L)((h, s) => h * 31 + s.hashCode))
+  }
+
+  /** The source fingerprint a build-once artifact was built from — the
+    * 1-row `<table>_fp` sibling every `*IndexFor` helper writes after a
+    * fingerprinted build and checks before reuse. None = never stamped
+    * (a pre-fingerprint or fingerprint-less build). */
+  private[graft] def readFingerprint(spark: SparkSession,
+      table: String): Option[String] =
+    if (!spark.catalog.tableExists(s"${table}_fp")) None
+    else spark.table(s"${table}_fp").limit(1).collect().headOption
+      .map(_.getString(0))
+
+  /** Stamp the artifact's source fingerprint — written LAST, after a
+    * successful build, so a torn build reads as a mismatch and rebuilds
+    * whole. */
+  private[graft] def writeFingerprint(spark: SparkSession, table: String,
+      fp: String): Unit = {
+    import spark.implicits._
+    replaceTable(spark, s"${table}_fp")
+    Seq(fp).toDF("fingerprint")
+      .write.mode("overwrite").format("parquet")
+      .options(stagedWriteOptions(spark, s"${table}_fp"))
+      .saveAsTable(s"${table}_fp")
+  }
+
   /** Path schemes where a directory rename is a COPY of every object —
     * the object-store regimes that take the `SET LOCATION` promote
     * instead of the catalog rename. HDFS/local/viewfs renames are
