@@ -131,7 +131,7 @@ object ScaleSmoke {
     onlyOps.foreach { names =>
       val known = ops.map(_._1).toSet +
         "neardedup" + "join3" + "join_skew" + "ivf_upsert" +
-        "bm25_upsert" + "compact_outage"
+        "bm25_upsert" + "compact_outage" + "fold_wall"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -340,6 +340,103 @@ object ScaleSmoke {
       println("{\"probe\":\"compact_outage\",\"sf\":\"" + sfDir + "\"," +
         runs.map { case (k, (b, p)) =>
           f"""\"build_t$k\":$b%.3f,\"promote_t$k\":$p%.3f""" }
+          .mkString(",") + "}")
+    }
+
+    // ---------------------------------------------------------------
+    // Fold wall (round 12): segments accumulated over 8 ingest batches,
+    // folded ONCE — the ingest loop's cheap half, measured. The fold's
+    // work is proportional to the SEGMENT volume (a ~6% delta), not the
+    // corpus: BM25 appends the segment postings under the pinned bucket
+    // spec and merges stats+ledger in one 1-row write; IVF appends
+    // already-assigned rows into the cluster partitions and commits its
+    // ledger. Correctness is asserted by row accounting against the
+    // pre-computed expected counts; the wall is the number a 100 TB/day
+    // operator budgets for the fold cadence.
+    // ---------------------------------------------------------------
+    if (opSelected("fold_wall")) {
+      import graft.operators.Similarity
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val maxVid = emb0.agg(max("vec_id")).head().getLong(0) + 1
+      def foldOnce(k: Int, timed: Boolean): (Double, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        // BM25 over the scaled doc corpus
+        val full = frames(k)
+        val delta = full.filter(col("doc_id") % 16 === 0)
+        val base = full.filter(col("doc_id") % 16 =!= 0)
+        val tbl = s"scale_fold_bm25_$k"
+        Seq(tbl, s"${tbl}_stats").foreach(
+          graft.sources.Sources.replaceTable(spark, _))
+        Search.saveBm25Index(
+          Search.buildBm25Index(base, "doc_id", "text"), tbl) // untimed
+        val baseRows = spark.table(tbl).count()
+        val segDir = s"$scaleDir/fold_bm25_k=$k"
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(segDir))
+        var segRows = 0L
+        (0 until 8).foreach { b => // the sink's job — untimed
+          val d = Search.buildBm25Index(
+            delta.filter(col("doc_id") % 8 === b), "doc_id", "text")
+          val pinned = d.postings.persist()
+          segRows += pinned.count()
+          pinned.write.mode("overwrite").parquet(s"$segDir/batch=$b/postings")
+          pinned.unpersist()
+          import spark.implicits._
+          Seq((d.nDocs, d.totalLen)).toDF("n_docs", "total_len")
+            .write.mode("overwrite").parquet(s"$segDir/batch=$b/stats")
+        }
+        val t0 = System.nanoTime()
+        Search.foldBm25Segments(spark, tbl, segDir)
+        val tBm = (System.nanoTime() - t0) / 1e9
+        require(spark.table(tbl).count() == baseRows + segRows,
+          s"BM25 fold row accounting failed at $k×")
+        Seq(tbl, s"${tbl}_stats").foreach(
+          graft.sources.Sources.replaceTable(spark, _))
+        // IVF over the scaled embedding corpus
+        val fullEmb = (0 until k).map(i => emb0.select(
+            (col("vec_id") + lit(i.toLong * maxVid)).as("vec_id"),
+            col("embedding"))).reduce(_ unionByName _)
+        fullEmb.write.mode("overwrite").parquet(s"$scaleDir/fold_emb_k=$k")
+        val corpus = spark.read.parquet(s"$scaleDir/fold_emb_k=$k")
+        val embDelta = corpus.filter(col("vec_id") % 16 === 0)
+        val embBase = corpus.filter(col("vec_id") % 16 =!= 0)
+        val itbl = s"scale_fold_ivf_$k"
+        Seq(itbl, s"${itbl}_centroids", s"${itbl}_folded").foreach(
+          graft.sources.Sources.replaceTable(spark, _))
+        Similarity.saveIvfIndex(Similarity.ivfIndex(embBase, "vec_id",
+          "embedding", nCentroids = 16, iters = 3), itbl) // untimed
+        val ivfBaseRows = spark.table(itbl).count()
+        val centroids = Similarity.loadIvfIndex(spark, itbl).centroids
+        val isegDir = s"$scaleDir/fold_ivf_k=$k"
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(isegDir))
+        (0 until 8).foreach { b => // frozen-centroid admission — untimed
+          embDelta.filter(col("vec_id") % 8 === b)
+            .withColumn("cluster", graft.functions.VectorExpressions
+              .nearest_centroid_cos(col("embedding"), centroids))
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$isegDir/batch=$b")
+        }
+        val t1 = System.nanoTime()
+        Similarity.foldIvfSegments(spark, itbl, isegDir)
+        val tIvf = (System.nanoTime() - t1) / 1e9
+        require(spark.table(itbl).count() == ivfBaseRows +
+          embDelta.filter(col("embedding").isNotNull).count(),
+          s"IVF fold row accounting failed at $k×")
+        Seq(itbl, s"${itbl}_centroids", s"${itbl}_folded").foreach(
+          graft.sources.Sources.replaceTable(spark, _))
+        if (timed) println(f"fold_wall $k%3d×: bm25_fold $tBm%.2fs  " +
+          f"ivf_fold $tIvf%.2fs  (8 segments, ~6%% delta)")
+        (tBm, tIvf)
+      }
+      foldOnce(ks.head, timed = false) // warmup (codegen/JIT)
+      val foldRuns = ks.map(k => k -> foldOnce(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      println("{\"probe\":\"fold_wall\",\"sf\":\"" + sfDir + "\"," +
+        foldRuns.map { case (k, (bm, iv)) =>
+          f"""\"bm25_fold_t$k\":$bm%.3f,\"ivf_fold_t$k\":$iv%.3f""" }
           .mkString(",") + "}")
     }
 
