@@ -418,7 +418,9 @@ object Streaming {
   def ingestCurationSink(stream: DataFrame, corpus: DataFrame,
       textCol: String, tsCol: String, outDir: String,
       delay: String = "1 hour", minQuality: Double = 0.5,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextAnalysis
     val curated = dedupStreamAgainst(stream, corpus, textCol, tsCol,
         delay, normalize = false)
@@ -426,7 +428,7 @@ object Streaming {
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .filter(col("quality") > minQuality &&
         graft.operators.Scrub.encodingClean(col(textCol)))
-    segmentSink(curated, outDir, checkpoint)(identity)
+    segmentSink(curated, outDir, checkpoint, trigger = trigger)(identity)
   }
 
   /** Streaming NEAR-duplicate ingest dedup against a static corpus — the
@@ -641,7 +643,9 @@ object Streaming {
     * drift exists. */
   def bm25IngestSink(stream: DataFrame, table: String, idCol: String,
       attr: String, segDir: String,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
     val resolver = spark.sessionState.analyzer.resolver
     val idField = stream.schema.fields.find(f => resolver(f.name, idCol))
@@ -698,7 +702,8 @@ object Streaming {
           }
         } finally pinned.unpersist()
       }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    val wt = trigger.fold(w)(w.trigger)
+    checkpoint.fold(wt)(c => wt.option("checkpointLocation", c)).start()
   }
 
   /** Shared idempotent-segment `foreachBatch` sink: `survivors(batch)`
@@ -709,11 +714,12 @@ object Streaming {
   private def segmentSink(stream: DataFrame, outDir: String,
       checkpoint: Option[String],
       write: (DataFrame, String) => Unit =
-        (df, path) => df.write.mode("overwrite").parquet(path))
+        (df, path) => df.write.mode("overwrite").parquet(path),
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       (transform: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming, "segmentSink needs a streaming frame")
-    val w = stream.writeStream
+    val w0 = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val pinned = batch.persist()
@@ -723,6 +729,7 @@ object Streaming {
             write(transform(pinned), s"$outDir/batch=$id")
         } finally pinned.unpersist()
       }
+    val w = trigger.fold(w0)(w0.trigger)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 

@@ -268,10 +268,19 @@ object ScaleSmoke {
         f"BM25 rebuild/upsert ratio $rLast%.1f× at the largest tier " +
           f"($kLast×) is below 2× — the incremental path lost its " +
           "structural cost advantage")
+      // the WIDENING claim is asserted on the endpoints (the structural
+      // trend), with a 0.7 step tolerance for the mid-tiers: a RATIO of
+      // two walls doubles the relative noise of each, and the 1-3 s
+      // mid-tier upsert walls carry enough of it that a 0.8 step bound
+      // tripped on a healthy ladder (r12 run B: 3.8× at 16× vs 2.9× at
+      // 64×, endpoints 1.2× → 4.3×)
+      require(rLast >= ratios.head._2,
+        f"BM25 rebuild/upsert ratio at $kLast× ($rLast%.1f×) fell below " +
+          f"the ${ratios.head._1}× tier's (${ratios.head._2}%.1f×) — the " +
+          "advantage should widen over the sweep")
       ratios.sliding(2).foreach {
         case Seq((k1, r1), (k2, r2)) =>
-          // 0.8 tolerance absorbs wall-clock noise at the small tiers
-          require(r2 >= 0.8 * r1,
+          require(r2 >= 0.7 * r1,
             f"BM25 rebuild/upsert ratio SHRANK with scale: $r1%.1f× at " +
               f"$k1× but $r2%.1f× at $k2× — the advantage should widen")
         case _ => ()

@@ -88,7 +88,8 @@ object StateProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks = args.lift(1)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4))
-    val knownProbes = Set("dedup", "funnel", "join", "sketch", "expire", "restart")
+    val knownProbes = Set("dedup", "funnel", "join", "sketch", "expire",
+      "restart", "restart_ingest", "restart_bm25")
     val probes = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownProbes)
@@ -335,6 +336,156 @@ object StateProbe {
       require(rows == expectedKeys,
         s"post-restart state rows $rows != distinct keys $expectedKeys — " +
           "the resume lost state")
+    }
+
+    // ---------------------------------------------------------------
+    // Ingest-sink recovery walls (round 12): the `restart` probe proves
+    // the bare dedup operator recovers; these two kill the SINKS a
+    // deployment actually runs — the composed curation pipeline
+    // (stateful dedup + idempotent segment sink) and the stateless BM25
+    // ingest (replay-retraction path) — and report the recovery-time
+    // budget plus segment/content parity after the resume.
+    // ---------------------------------------------------------------
+
+    /** k doc copies sharing no text (per-copy word suffix) — the
+      * ScaleSmoke scaling shape, so dedup state carries every doc. */
+    def docScaled(k: Int): DataFrame = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until k).map { i =>
+        docs.select(
+          (col("doc_id") * k + i).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
+          col("source"))
+      }.reduce(_ unionByName _)
+    }
+
+    /** Kill-and-restart harness shared by the sink probes: run 1 paces
+      * one batch per second and is stopped after ≥ 1 committed batch
+      * (but before all `nBatches` drain); run 2 resumes unthrottled on
+      * the same checkpoint. Returns (batches committed before the kill,
+      * replay wall to the resume's first progress, resume total). */
+    def killAndRestart(nBatches: Int,
+        start: Boolean => StreamingQuery): (Long, Double, Double) = {
+      val q1 = start(true)
+      val killDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      try {
+        while (Option(q1.lastProgress).map(_.batchId).getOrElse(-1L) < 1 &&
+            System.nanoTime() < killDeadline)
+          Thread.sleep(50)
+      } finally q1.stop()
+      val committed = Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
+      require(committed >= 1 && committed < nBatches - 1,
+        s"kill window missed: committed batch $committed of $nBatches")
+      val t0 = System.nanoTime()
+      val q2 = start(false)
+      val replayDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (q2.recentProgress.isEmpty && System.nanoTime() < replayDeadline)
+        Thread.sleep(20)
+      val replayWall = (System.nanoTime() - t0) / 1e9
+      try q2.processAllAvailable() finally q2.stop()
+      (committed + 1, replayWall, (System.nanoTime() - t0) / 1e9)
+    }
+
+    /** The 1-batch/second pacing run 1 uses so the kill lands mid-run
+      * deterministically (the `restart` probe's rationale). */
+    def pacing(on: Boolean): Option[org.apache.spark.sql.streaming.Trigger] =
+      if (on) Some(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      else None
+
+    if (probes("restart_ingest")) {
+      // the composed curation pipeline: watermarked digest dedup vs a
+      // static corpus + quality/encoding filters + per-batch segment
+      // sink. Survivor parity is asserted against the batch funnel.
+      import graft.functions.TextAnalysis
+      val k = ks.max
+      val feed = s"$dir/restart_ingest/feed/source=src0"
+      val scaledDocs = docScaled(k)
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+        .select("doc_id", "text", "ts")
+      scaledDocs.repartition(8).write.mode("overwrite").parquet(feed)
+      val batch = spark.read.parquet(feed)
+      val corpus = batch.filter(col("doc_id") % 7 === 0)
+        .select("doc_id", "text")
+      // batch-funnel mirror: the sink dedups on raw-byte digests and
+      // anti-joins corpus digests — for the COUNT, plain text identity
+      // is the same partition (digests are collision-free here)
+      val expectedSurvivors = batch
+        .join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+        .dropDuplicates("text")
+        .filter(TextAnalysis.qualityScore(col("text")) > 0.5 &&
+          graft.operators.Scrub.encodingClean(col("text")))
+        .count()
+      val out = s"$dir/restart_ingest/out"
+      val ckpt = s"$dir/restart_ingest/ckpt"
+      def start(throttled: Boolean): StreamingQuery = {
+        val stream = graft.streaming.Streaming.partitionSubtreeStream(spark,
+          s"$dir/restart_ingest/feed", "source=src0", maxFilesPerTrigger = 1)
+        graft.streaming.Streaming.ingestCurationSink(stream, corpus,
+          "text", "ts", out, delay = "30 days", checkpoint = Some(ckpt),
+          trigger = pacing(throttled))
+      }
+      val (before, replay, total) = killAndRestart(8, start)
+      val segs = Option(new java.io.File(out).list()).toSeq.flatten
+        .count(_.startsWith("batch="))
+      val survivors = spark.read.parquet(out).count()
+      println(f"""{"probe":"restart_ingest","k":$k,""" +
+        f""""batches_before_kill":$before,""" +
+        f""""replay_first_batch_sec":$replay%.2f,""" +
+        f""""resume_total_sec":$total%.2f,"segments":$segs,""" +
+        f""""survivor_rows":$survivors,""" +
+        f""""expect_survivors":$expectedSurvivors,""" +
+        f""""checkpoint_state_bytes":${dirBytes(
+          java.nio.file.Paths.get(ckpt).resolve("state"))}}""")
+      require(survivors == expectedSurvivors,
+        s"post-restart survivors $survivors != batch funnel " +
+          s"$expectedSurvivors — the resume double-admitted or lost rows")
+    }
+
+    if (probes("restart_bm25")) {
+      // the stateless BM25 ingest: replay retracts the torn segment's
+      // marker and rewrites it; after the resume, base ∪ segments must
+      // be content-identical to a full rebuild.
+      import graft.operators.Search
+      val k = ks.max
+      val full = docScaled(k)
+      val base = full.filter(col("doc_id") % 16 =!= 0)
+      val delta = full.filter(col("doc_id") % 16 === 0)
+      val table = "state_probe_bm25"
+      Seq(table, s"${table}_stats").foreach(
+        graft.sources.Sources.replaceTable(spark, _))
+      Search.saveBm25Index(Search.buildBm25Index(base, "doc_id", "text"), table)
+      val feed = s"$dir/restart_bm25/feed"
+      delta.select("doc_id", "text").repartition(8)
+        .write.mode("overwrite").parquet(feed)
+      val segDir = s"$dir/restart_bm25/seg"
+      val ckpt = s"$dir/restart_bm25/ckpt"
+      def start(throttled: Boolean): StreamingQuery = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        graft.streaming.Streaming.bm25IngestSink(stream, table,
+          "doc_id", "text", segDir, checkpoint = Some(ckpt),
+          trigger = pacing(throttled))
+      }
+      val (before, replay, total) = killAndRestart(8, start)
+      val segs = Option(new java.io.File(segDir).list()).toSeq.flatten
+        .count(_.startsWith("batch="))
+      val served = Search.loadBm25IndexWithSegments(spark, table, segDir)
+      val fullIdx = Search.buildBm25Index(full, "doc_id", "text")
+      println(f"""{"probe":"restart_bm25","k":$k,""" +
+        f""""batches_before_kill":$before,""" +
+        f""""replay_first_batch_sec":$replay%.2f,""" +
+        f""""resume_total_sec":$total%.2f,"segments":$segs,""" +
+        f""""served_docs":${served.nDocs},""" +
+        f""""expect_docs":${fullIdx.nDocs}}""")
+      require(served.nDocs == fullIdx.nDocs &&
+        served.totalLen == fullIdx.totalLen,
+        s"post-restart served stats (${served.nDocs}, ${served.totalLen}) " +
+          s"!= full rebuild (${fullIdx.nDocs}, ${fullIdx.totalLen}) — the " +
+          "replay double-admitted or lost a segment")
+      require(served.postings.count() == fullIdx.postings.count(),
+        "post-restart served postings diverge from a full rebuild")
     }
 
     spark.stop()
