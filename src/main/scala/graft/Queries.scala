@@ -90,16 +90,23 @@ object Queries {
   private def fingerprintedArtifact(s: SparkSession, prefix: String,
       dir: String, source: String): (String, String) = {
     val base = (prefix + dir).replaceAll("[^A-Za-z0-9]+", "_")
-    val warehouse = s.conf.get("spark.sql.warehouse.dir")
-    val wPath = new org.apache.hadoop.fs.Path(warehouse)
-    val fs = wPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val mkeyed = ("^" + java.util.regex.Pattern.quote(base) + "_m\\d+(_.*)?$").r
-    if (fs.exists(wPath))
-      fs.listStatus(wPath).map(_.getPath.getName)
-        .filter(n => mkeyed.matches(n))
-        .foreach(n => graft.sources.Sources.replaceTable(s, n))
+    // the legacy-generation prune is one-time hygiene — run it once per
+    // (session, family), not on every serving call (a warehouse listing
+    // per gate per bench run is measurable)
+    if (prunedFamilies.add(base)) {
+      val warehouse = s.conf.get("spark.sql.warehouse.dir")
+      val wPath = new org.apache.hadoop.fs.Path(warehouse)
+      val fs = wPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val mkeyed = ("^" + java.util.regex.Pattern.quote(base) + "_m\\d+(_.*)?$").r
+      if (fs.exists(wPath))
+        fs.listStatus(wPath).map(_.getPath.getName)
+          .filter(n => mkeyed.matches(n))
+          .foreach(n => graft.sources.Sources.replaceTable(s, n))
+    }
     (base, graft.sources.Sources.pathFingerprint(s, s"$dir/$source.parquet"))
   }
+  private val prunedFamilies =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The events table's `ts` encoding varies by writer — TIMESTAMP(NANOS)
     * (readable only as long under the legacy conf), timestamp[us]

@@ -436,6 +436,8 @@ object Sources {
           .map(new org.apache.hadoop.fs.Path(_))
       else None
     detachPartitions(spark, table)
+    // dropping a fingerprint sibling invalidates its session cache entry
+    if (table.endsWith("_fp")) fpFor(spark).remove(table.stripSuffix("_fp"))
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val default = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
@@ -494,15 +496,31 @@ object Sources {
       parts.foldLeft(1125899906842597L)((h, s) => h * 31 + s.hashCode))
   }
 
+  // fingerprints are build-time constants: cached per (session, table)
+  // so a serving-path staleness check costs no Spark job after the
+  // first (the Search.statsFor idiom — weak session key, tiny values;
+  // cross-session writers are unseen by the same documented contract)
+  private val fpCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Option[String]]]()
+  private def fpFor(spark: SparkSession) = fpCache.synchronized {
+    var c = fpCache.get(spark)
+    if (c == null) {
+      c = scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+      fpCache.put(spark, c)
+    }
+    c
+  }
+
   /** The source fingerprint a build-once artifact was built from — the
     * 1-row `<table>_fp` sibling every `*IndexFor` helper writes after a
     * fingerprinted build and checks before reuse. None = never stamped
     * (a pre-fingerprint or fingerprint-less build). */
   private[graft] def readFingerprint(spark: SparkSession,
       table: String): Option[String] =
-    if (!spark.catalog.tableExists(s"${table}_fp")) None
-    else spark.table(s"${table}_fp").limit(1).collect().headOption
-      .map(_.getString(0))
+    fpFor(spark).getOrElseUpdate(table,
+      if (!spark.catalog.tableExists(s"${table}_fp")) None
+      else spark.table(s"${table}_fp").limit(1).collect().headOption
+        .map(_.getString(0)))
 
   /** Stamp the artifact's source fingerprint — written LAST, after a
     * successful build, so a torn build reads as a mismatch and rebuilds
@@ -515,6 +533,7 @@ object Sources {
       .write.mode("overwrite").format("parquet")
       .options(stagedWriteOptions(spark, s"${table}_fp"))
       .saveAsTable(s"${table}_fp")
+    fpFor(spark).put(table, Some(fp))
   }
 
   /** Path schemes where a directory rename is a COPY of every object —
