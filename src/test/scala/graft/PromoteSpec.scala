@@ -183,6 +183,36 @@ class PromoteSpec extends SparkSpec {
     }
   }
 
+  test("two-table promote resume: a crash between the centroids promote " +
+      "and the table promote is healed by re-running promoteIvfGeneration") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val table = "pr_twostep"
+    Seq(table, s"${table}_centroids", s"${table}_folded").foreach(
+      Sources.replaceTable(spark, _))
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", nCentroids = 8, iters = 2), table)
+    Similarity.buildNextIvfGeneration(spark, table, "vec_id", "embedding",
+      iters = 2)
+    // crash simulation: the centroids promote committed, the main-table
+    // promote never ran — the half-promoted window
+    Sources.promoteTable(spark, s"${table}__next_centroids",
+      s"${table}_centroids")
+    assert(!exists(s"${table}__next_centroids") && exists(s"${table}__next"))
+    val promoted = Similarity.promoteIvfGeneration(spark, table)
+    // nothing was upserted, so the retrained generation covers the base
+    // corpus — the resume claim is about the swap, not the content
+    val direct = Similarity.ivfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", nCentroids = 8, iters = 2)
+    assert(promoted.assigned.count() == direct.assigned.count())
+    promoted.centroids.zip(direct.centroids).foreach { case (c, d) =>
+      c.zip(d).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    assert(!exists(s"${table}__next") && !exists(s"${table}__next_centroids"),
+      "staged debris left after the resumed promote")
+  }
+
   test("location-swap bootstrap with no live generation falls back to " +
       "the rename promote") {
     val (live, staged) = ("pr_swapb", "pr_swapb__next")
