@@ -596,6 +596,46 @@ object Sources {
       promoteTableByLocationSwap(spark, staged, live)
     else promoteTableByRename(spark, staged, live)
 
+  /** Delete ORPHANED generation debris for `live` — warehouse
+    * directories named `<live>__next*`, `<live>__retired*`, or their
+    * `__g<N>` external-generation forms that (a) are not the registered
+    * location of ANY catalog table, (b) are not a catalog table by
+    * name, and (c) do not carry the [[ServingMarker]]. These are the
+    * data-safe leaks a promote crash window can leave (a staged build
+    * that never promoted, a retired generation whose drop didn't run,
+    * an old external generation whose delete crashed). Returns the
+    * deleted paths. Run in the maintenance window, NOT concurrent with
+    * a staged build of the same artifact — a mid-write staged directory
+    * has no catalog entry yet and would read as debris (the same
+    * single-writer discipline every maintenance op here carries). */
+  private[graft] def vacuumGenerations(spark: SparkSession,
+      live: String): Seq[String] = {
+    val catalog = spark.sessionState.catalog
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val wPath = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = wPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wPath)) return Nil
+    val referenced: Set[String] = catalog.listTables("default").flatMap {
+      id =>
+        try Some(new org.apache.hadoop.fs.Path(
+          catalog.getTableMetadata(id).location).toUri.getPath)
+        catch { case _: Exception => None }
+    }.toSet
+    val prefixes = Seq(s"${live}__next", s"${live}__retired")
+    fs.listStatus(wPath).toSeq
+      .filter(_.isDirectory)
+      .filter { st =>
+        val n = st.getPath.getName
+        prefixes.exists(p => n == p || n.startsWith(p + "_"))
+      }
+      .filterNot(st => referenced.contains(st.getPath.toUri.getPath))
+      .filterNot(st => catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(st.getPath.getName)))
+      .filterNot(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, ServingMarker)))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   /** Rename-regime promote, CRASH-ORDERED so no intermediate state
     * lacks a servable (or one-rerun-recoverable) table:
     *

@@ -591,7 +591,9 @@ object Streaming {
     * the upsert-all-day / compact-nightly loop, streamed. */
   def ivfIngestSink(stream: DataFrame, table: String, vecCol: String,
       segDir: String,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
     val centroids = graft.operators.Similarity.loadIvfIndex(spark, table).centroids
     val v = col(vecCol)
@@ -615,7 +617,7 @@ object Streaming {
         "could be neither served (unionByName) nor folded (append)")
     segmentSink(assigned, segDir, checkpoint,
       write = (df, path) => df.write.mode("overwrite")
-        .partitionBy("cluster").parquet(path))(identity)
+        .partitionBy("cluster").parquet(path), trigger = trigger)(identity)
   }
 
   /** Streaming SEARCH ingest — the BM25 artifact's live admission path,

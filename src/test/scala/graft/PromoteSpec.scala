@@ -183,6 +183,36 @@ class PromoteSpec extends SparkSpec {
     }
   }
 
+  test("vacuumGenerations: deletes orphaned staged/retired debris, " +
+      "spares live tables, marker-guarded dirs, and catalog entries") {
+    val live = "pr_vac"
+    writeGen(live, "live")
+    // debris shapes a promote crash can leave:
+    val orphanNext = hp(s"/tmp/graft-warehouse/${live}__next__g0")
+    val orphanRetired = hp(s"/tmp/graft-warehouse/${live}__retired")
+    fs.mkdirs(orphanNext); fs.mkdirs(orphanRetired)
+    // a marker-guarded dir (adopted serving location) must survive
+    val adopted = hp(s"/tmp/graft-warehouse/${live}__next__g1")
+    fs.mkdirs(adopted)
+    fs.create(hp(s"$adopted/${Sources.ServingMarker}"), true).close()
+    // a REGISTERED staged table (mid-maintenance) must survive
+    writeGen(s"${live}__next", "staged")
+    val deleted = Sources.vacuumGenerations(spark, live)
+    assert(deleted.toSet.map((s: String) => hp(s).getName) ==
+      Set(s"${live}__next__g0", s"${live}__retired"),
+      s"vacuum deleted the wrong set: $deleted")
+    assert(!fs.exists(orphanNext) && !fs.exists(orphanRetired))
+    assert(fs.exists(adopted), "vacuum deleted a marker-guarded dir")
+    assert(exists(s"${live}__next") && gens(s"${live}__next") == Set("staged"),
+      "vacuum touched a registered staged table")
+    assert(gens(live) == Set("live"), "vacuum touched the live table")
+    // cleanup
+    fs.delete(hp(s"$adopted/${Sources.ServingMarker}"), false)
+    fs.delete(adopted, true)
+    Sources.replaceTable(spark, live)
+    Sources.replaceTable(spark, s"${live}__next")
+  }
+
   test("two-table promote resume: a crash between the centroids promote " +
       "and the table promote is healed by re-running promoteIvfGeneration") {
     import graft.operators.Similarity
