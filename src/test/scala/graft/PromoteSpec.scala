@@ -183,6 +183,55 @@ class PromoteSpec extends SparkSpec {
     }
   }
 
+  test("location-swap promote on a real bucketed serving artifact: the " +
+      "BM25 ranking and bucket spec ride through the SET LOCATION flip") {
+    import graft.operators.Search
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (live, staged) = ("pr_swap_bm25", "pr_swap_bm25__next")
+    val stagedPath = s"/tmp/graft-warehouse/${staged}__g0"
+    try {
+      Seq(live, s"${live}_stats", staged).foreach(
+        Sources.replaceTable(spark, _))
+      // live generation over 80% of the corpus
+      Search.saveBm25Index(Search.buildBm25Index(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"), live)
+      // staged full-corpus generation, EXTERNAL at a unique path (the
+      // object-store build shape), same pinned bucket spec
+      val full = Search.buildBm25Index(docs, "doc_id", "text")
+      full.postings.write.mode("overwrite").format("parquet")
+        .option("path", stagedPath)
+        .bucketBy(32, "word").sortBy("word").saveAsTable(staged)
+      Sources.promoteTableByLocationSwap(spark, staged, live)
+      // serve THROUGH the swap: stats rewritten separately (as
+      // compactBm25Index does not touch them, write them here to the
+      // full corpus so ranking math matches the rebuild)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(live))
+      assert(meta.bucketSpec.exists(b =>
+        b.numBuckets == 32 && b.bucketColumnNames == Seq("word")),
+        s"swap dropped the bucket spec: ${meta.bucketSpec}")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("doclen"), col("word"), col("tf"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3))).toSet
+      assert(rows(spark.table(live)) == rows(full.postings),
+        "swapped generation's postings diverge from the staged build")
+      val served = Search.Bm25Index(spark.table(live), full.nDocs,
+        full.avgLen, full.totalLen)
+      def top(idx: Search.Bm25Index) =
+        Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 10)
+          .select(col("doc_id"), col("bm25_rank"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(top(served) == top(full),
+        "served ranking diverged through the location swap")
+    } finally {
+      fs.delete(hp(s"$stagedPath/${Sources.ServingMarker}"), false)
+      Seq(live, s"${live}_stats", staged).foreach(
+        Sources.replaceTable(spark, _))
+      fs.delete(hp(stagedPath), true)
+    }
+  }
+
   test("vacuumGenerations: deletes orphaned staged/retired debris, " +
       "spares live tables, marker-guarded dirs, and catalog entries") {
     val live = "pr_vac"
