@@ -2298,6 +2298,85 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** STREAMING LSH ingest gate — completes the streaming-admission
+    * symmetry across the serving families on the ORACLE path: the
+    * bucket-partitioned projections are built over 80% of the corpus,
+    * the remaining vectors (including the query vector) STREAM in
+    * through [[graft.streaming.Streaming.lshIngestSink]] (per-batch
+    * deterministic-hyperplane hashing into idempotent
+    * `batch=<id>/t<k>/bucket=<b>` segments, last projection as the
+    * completeness marker), and the served top-20 over base ∪ admitted
+    * segments must contain the exact cosine top-10 — q_sim_lsh's own
+    * recall contract; hyperplanes are deterministic, so base ∪ segments
+    * is content-identical to a rebuild and the contract transfers
+    * unchanged. Admitted once per mtime-keyed generation; the segments
+    * persist beside the artifact and are SERVED here (folding is pinned
+    * in StreamingSpec). Same oracle as q_sim_lsh. */
+  val q_stream_lsh_ingest: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "lsh_ing", dir, "embeddings")
+    val segDir = s"${s.conf.get("spark.sql.warehouse.dir")}/${table}_segs"
+    onceUpserted(s, table) {
+      Similarity.saveLshIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "embedding", dims = 64, table, bits = 8, tables = 3)
+      // clear segments from a crashed prior attempt: a rerun may slice
+      // fewer batches, and per-batch overwrite only replaces its own id
+      val hp = new org.apache.hadoop.fs.Path(segDir)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val stream = graft.streaming.Streaming.fileStream(s, dir,
+        "embeddings.parquet").filter(col("vec_id") % 5 === 0)
+      val q = graft.streaming.Streaming.lshIngestSink(stream, table,
+        "embedding", segDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val ann = Similarity.lshTopKServedWithSegments(s, table, "vec_id",
+      "embedding", qvec, 20, probeDist = 4, segDir)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** STREAMING PQ ingest gate — the compressed-scan tier's live
+    * admission on the oracle path: codebooks are trained over 80% of
+    * the corpus, the remaining vectors (including the query vector)
+    * STREAM in through [[graft.streaming.Streaming.pqIngestSink]]
+    * (per-batch FROZEN-codebook map-side encode into idempotent plain
+    * `batch=<id>` segments, `_SUCCESS` as the completeness marker), and
+    * the reranked top-20 over base ∪ admitted segments must contain the
+    * exact full-corpus cosine top-10 — q_sim_pq_upsert's contract,
+    * asserted through the streamed admission (base ∪ segments is
+    * content-identical to upserting every batch). Admitted once per
+    * mtime-keyed generation; segments persist and are SERVED here
+    * (folding pinned in StreamingSpec). Same oracle as q_sim_pq. */
+  val q_stream_pq_ingest: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "pq_ing", dir, "embeddings")
+    val segDir = s"${s.conf.get("spark.sql.warehouse.dir")}/${table}_segs"
+    onceUpserted(s, table) {
+      Similarity.savePqIndex(
+        Similarity.pqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 8,
+          sampleN = 2048), table)
+      val hp = new org.apache.hadoop.fs.Path(segDir)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val stream = graft.streaming.Streaming.fileStream(s, dir,
+        "embeddings.parquet").filter(col("vec_id") % 5 === 0)
+      val q = graft.streaming.Streaming.pqIngestSink(stream, table,
+        "embedding", segDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val idx = Similarity.loadPqIndexWithSegments(s, table, segDir)
+    val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 500)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** PQ-ANN RECALL GATE (oracle-checked): product-quantize to 16
     * subspaces × 32 codes (16 bytes of codes standing in for 256 bytes
     * of floats during candidate generation), ADC-score the corpus
@@ -3124,6 +3203,8 @@ object Queries {
     "q_sim_ivf_compact" -> q_sim_ivf_compact,
     "q_sim_lsh_upsert" -> q_sim_lsh_upsert,
     "q_sim_lsh_compact" -> q_sim_lsh_compact,
+    "q_stream_lsh_ingest" -> q_stream_lsh_ingest,
+    "q_stream_pq_ingest" -> q_stream_pq_ingest,
     "q_sim_pq_upsert" -> q_sim_pq_upsert,
     "q_sim_pq_compact" -> q_sim_pq_compact,
     "q_csv_roundtrip" -> q_csv_roundtrip,
@@ -4678,6 +4759,8 @@ object Queries {
     "q_sim_ivf_compact" -> annExactTop10Sql,
     "q_sim_lsh_upsert" -> annExactTop10Sql,
     "q_sim_lsh_compact" -> annExactTop10Sql,
+    "q_stream_lsh_ingest" -> annExactTop10Sql,
+    "q_stream_pq_ingest" -> annExactTop10Sql,
     "q_sim_pq_upsert" -> annExactTop10Sql,
     "q_sim_pq_compact" -> annExactTop10Sql,
 

@@ -48,7 +48,7 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  private def codeColumn(v: Column, dims: Int, bits: Int, table: Int): Column =
+  private[graft] def codeColumn(v: Column, dims: Int, bits: Int, table: Int): Column =
     (0 until bits).map { p =>
       val plane = array((0 until dims).map(d =>
         lit(planeComponent(table * bits + p, d))): _*)
@@ -126,6 +126,9 @@ object Similarity {
       table: String, bits: Int = 8, tables: Int = 2): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // a rebuilt artifact is a fresh identity: a stale fold ledger could
+    // mark a new checkpoint's batch ids as already folded
+    graft.sources.Sources.replaceTable(spark, s"${table}_folded")
     for (t <- 0 until tables) {
       graft.sources.Sources.replaceTable(spark, s"${table}_t$t")
       df.withColumn("bucket", codeColumn(col(vecCol), dims, bits, t))
@@ -208,7 +211,7 @@ object Similarity {
         .partitionBy("bucket").saveAsTable(s"${table}_t$t")
   }
 
-  private def lshMetaFor(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def lshMetaFor(spark: org.apache.spark.sql.SparkSession,
       table: String): (Int, Int, Int) =
     cachesFor(spark).lshMeta.getOrElseUpdate(table, {
       val m = spark.table(s"${table}_meta").head()
@@ -520,7 +523,7 @@ object Similarity {
     // ledgered segments are already folded INTO the base — serving them
     // again (a fold crashed between its ledger commit and its dir
     // deletes) would double-count their rows
-    val folded = ivfFoldLedger(spark, table)
+    val folded = foldLedger(spark, table)
     val segs = completeSegmentDirs(spark, segDir)
       .filterNot(d => folded.contains(d.getName))
     if (segs.isEmpty) base
@@ -529,17 +532,32 @@ object Similarity {
         .parquet(segs.map(_.toString): _*).drop("batch")), base.centroids)
   }
 
-  /** The IVF artifact's FOLD LEDGER — the `batch=<id>` segment dirs a
-    * fold has already appended into the base table, recorded in the
-    * sibling `<table>_folded` between the append and the dir deletes so
-    * a fold retry (or a concurrent segment serve) skips them instead of
-    * double-admitting. Reset by [[saveIvfIndex]]: a rebuilt artifact
-    * starts with a fresh identity. Missing table = empty ledger (the
-    * pre-ledger and freshly-built shapes). */
-  private def ivfFoldLedger(spark: org.apache.spark.sql.SparkSession,
+  /** An artifact's FOLD LEDGER — the `batch=<id>` segment dirs a fold
+    * has already appended into the base table, recorded in the sibling
+    * `<table>_folded` between the append and the dir deletes so a fold
+    * retry (or a concurrent segment serve) skips them instead of
+    * double-admitting. Reset by the artifact's save (a rebuilt artifact
+    * starts with a fresh identity). Missing table = empty ledger (the
+    * pre-ledger and freshly-built shapes). Shared by the IVF, PQ, and
+    * LSH fold paths; BM25's ledger rides in its stats table instead. */
+  private def foldLedger(spark: org.apache.spark.sql.SparkSession,
       table: String): Set[String] =
     if (!spark.catalog.tableExists(s"${table}_folded")) Set.empty
     else spark.table(s"${table}_folded").collect().map(_.getString(0)).toSet
+
+  /** Commit the fold ledger = exactly `present` (stale ids for already-
+    * deleted dirs prune away). Written between the append and the dir
+    * deletes — the idempotence point of every `fold*Segments`. */
+  private def writeFoldLedger(spark: org.apache.spark.sql.SparkSession,
+      table: String, present: Seq[String]): Unit = {
+    import spark.implicits._
+    graft.sources.Sources.replaceTable(spark, s"${table}_folded")
+    present.toDF("batch")
+      .write.mode("overwrite").format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark,
+        s"${table}_folded"))
+      .saveAsTable(s"${table}_folded")
+  }
 
   /** The COMPLETE `batch=<id>` segment dirs under `segDir` — ones that
     * already carry `cluster=` partition children. A pre-created-but-
@@ -583,7 +601,7 @@ object Similarity {
       table: String, segDir: String): Unit = {
     val present = completeSegmentDirs(spark, segDir)
     if (present.nonEmpty) {
-      val ledger = ivfFoldLedger(spark, table)
+      val ledger = foldLedger(spark, table)
       val todo = present.filterNot(d => ledger.contains(d.getName))
       if (todo.nonEmpty) {
         spark.read.option("basePath", segDir)
@@ -593,13 +611,98 @@ object Similarity {
         // ledger covers every dir about to be deleted — a crash from
         // here on makes the retry skip, never re-append (stale ids for
         // deleted dirs go inert and are pruned by the next fold)
-        import spark.implicits._
-        graft.sources.Sources.replaceTable(spark, s"${table}_folded")
-        present.map(_.getName).toDF("batch")
-          .write.mode("overwrite").format("parquet")
-          .options(graft.sources.Sources.stagedWriteOptions(spark,
-            s"${table}_folded"))
-          .saveAsTable(s"${table}_folded")
+        writeFoldLedger(spark, table, present.map(_.getName))
+      }
+      val fs = new org.apache.hadoop.fs.Path(segDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      present.foreach(d => fs.delete(d, true))
+    }
+  }
+
+  /** LSH candidates from the persisted layout ∪ streaming-admitted
+    * segments ([[graft.streaming.Streaming.lshIngestSink]]'s
+    * `batch=<id>/t<k>/bucket=<b>` layout): per hash table, the probe
+    * set prunes bucket partitions in the base projection AND in every
+    * complete, unledgered segment's matching `t<k>` subtree — the same
+    * directory pruning, extended over the not-yet-folded admissions.
+    * Hyperplanes are deterministic, so segment codes are identical to
+    * what a rebuild would assign. */
+  def lshServedCandidatesWithSegments(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String, vecCol: String, query: Seq[Double], probeDist: Int,
+      segDir: String): DataFrame = {
+    val (bits, tables, dims) = lshMetaFor(spark, table)
+    val folded = foldLedger(spark, table)
+    val segs = completeLshSegmentDirs(spark, segDir, tables)
+      .filterNot(d => folded.contains(d.getName))
+    (0 until tables).map { t =>
+      val probes = codesWithin(queryCode(query, bits, t, dims), bits, probeDist)
+      val base = spark.table(s"${table}_t$t")
+        .filter(col("bucket").isin(probes: _*))
+        .select(col(idCol), col(vecCol))
+      segs.foldLeft(base) { (acc, d) =>
+        acc.unionByName(
+          spark.read.option("basePath", s"$d/t$t").parquet(s"$d/t$t")
+            .filter(col("bucket").isin(probes: _*))
+            .select(col(idCol), col(vecCol)))
+      }
+    }.reduce(_ unionByName _).dropDuplicates(idCol)
+  }
+
+  /** Top-k over base ∪ admitted LSH segments — [[lshTopKServed]]'s
+    * contract, extended over the not-yet-folded admissions. */
+  def lshTopKServedWithSegments(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, vecCol: String, query: Seq[Double],
+      k: Int, probeDist: Int, segDir: String): DataFrame =
+    bruteForceTopK(lshServedCandidatesWithSegments(spark, table, idCol,
+      vecCol, query, probeDist, segDir), idCol, vecCol, query, k)
+
+  /** The COMPLETE `batch=<id>` dirs of the per-projection LSH segment
+    * layout: the sink writes projections t0..t(T-1) in order and a
+    * replay retracts t(T-1) first, so a batch dir whose LAST projection
+    * subtree exists (with bucket children) is complete — the stats-last
+    * marker discipline, per-projection. */
+  private def completeLshSegmentDirs(
+      spark: org.apache.spark.sql.SparkSession, segDir: String,
+      tables: Int): Seq[org.apache.hadoop.fs.Path] = {
+    val hp = new org.apache.hadoop.fs.Path(segDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter { d =>
+        val last = new org.apache.hadoop.fs.Path(d, s"t${tables - 1}")
+        fs.exists(last) && fs.listStatus(last)
+          .exists(c => c.isDirectory && c.getPath.getName.startsWith("bucket="))
+      }
+  }
+
+  /** Fold streaming-admitted LSH segments into the base projections —
+    * the [[foldIvfSegments]] discipline per hash table: segment rows
+    * already carry deterministic-hyperplane bucket codes, so each
+    * projection's fold is a plain bucket-partitioned append; the fold
+    * ledger commits once after ALL projections appended, before the dir
+    * deletes, and retry/serve skip ledgered batches. The one remaining
+    * window — a crash between the projection appends and the ledger
+    * commit — re-appends every projection on retry: exact duplicate
+    * rows, invisible to serving (candidates dedup by id) and owned by
+    * the caller's id-dedup discipline, as in every append path. */
+  def foldLshSegments(spark: org.apache.spark.sql.SparkSession,
+      table: String, segDir: String): Unit = {
+    val (_, tables, _) = lshMetaFor(spark, table)
+    val present = completeLshSegmentDirs(spark, segDir, tables)
+    if (present.nonEmpty) {
+      val ledger = foldLedger(spark, table)
+      val todo = present.filterNot(d => ledger.contains(d.getName))
+      if (todo.nonEmpty) {
+        for (t <- 0 until tables)
+          todo.map(d => spark.read.option("basePath", s"$d/t$t")
+              .parquet(s"$d/t$t"))
+            .reduce(_ unionByName _)
+            .write.mode("append").format("parquet")
+            .partitionBy("bucket").saveAsTable(s"${table}_t$t")
+        writeFoldLedger(spark, table, present.map(_.getName))
       }
       val fs = new org.apache.hadoop.fs.Path(segDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -696,6 +799,9 @@ object Similarity {
   def savePqIndex(index: PqIndex, table: String): Unit = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
+    // a rebuilt artifact is a fresh identity: a stale fold ledger could
+    // mark a new checkpoint's batch ids as already folded
+    graft.sources.Sources.replaceTable(spark, s"${table}_folded")
     graft.sources.Sources.replaceTable(spark, table)
     index.encoded.write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, table))
@@ -738,6 +844,63 @@ object Similarity {
     delta.filter(col(vecCol).isNotNull)
       .withColumn("pq_code", pq_encode(vec_l2_normalize(col(vecCol)), codebooks))
       .write.mode("append").format("parquet").saveAsTable(table)
+  }
+
+  /** Load the PQ index over base table ∪ streaming-admitted segments
+    * ([[graft.streaming.Streaming.pqIngestSink]]'s plain `batch=<id>/`
+    * layout): segment rows carry the SAME frozen-codebook codes as the
+    * base (deterministic map-side encode), so base ∪ segments is
+    * content-identical to upserting every admitted batch. Ledgered and
+    * torn segments are skipped; a missing/empty dir serves the base
+    * alone (the subscribe-before-data shape). */
+  def loadPqIndexWithSegments(spark: org.apache.spark.sql.SparkSession,
+      table: String, segDir: String): PqIndex = {
+    val base = loadPqIndex(spark, table)
+    val folded = foldLedger(spark, table)
+    val segs = completePlainSegmentDirs(spark, segDir)
+      .filterNot(d => folded.contains(d.getName))
+    if (segs.isEmpty) base
+    else PqIndex(base.encoded.unionByName(
+      spark.read.option("basePath", segDir)
+        .parquet(segs.map(_.toString): _*).drop("batch")), base.codebooks)
+  }
+
+  /** The COMPLETE `batch=<id>` dirs of a PLAIN (unpartitioned) segment
+    * layout — ones carrying the parquet job-commit marker (`_SUCCESS`),
+    * which a crashed write never leaves. */
+  private def completePlainSegmentDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      segDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val hp = new org.apache.hadoop.fs.Path(segDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+  }
+
+  /** Fold streaming-admitted PQ segments into the base encoded table —
+    * [[foldIvfSegments]]'s discipline on the plain layout: segment rows
+    * already carry frozen-codebook codes, so the fold is a plain append;
+    * the fold ledger commits between the append and the dir deletes, and
+    * retry/serve skip ledgered batches. No-op on a missing/empty dir. */
+  def foldPqSegments(spark: org.apache.spark.sql.SparkSession,
+      table: String, segDir: String): Unit = {
+    val present = completePlainSegmentDirs(spark, segDir)
+    if (present.nonEmpty) {
+      val ledger = foldLedger(spark, table)
+      val todo = present.filterNot(d => ledger.contains(d.getName))
+      if (todo.nonEmpty) {
+        spark.read.option("basePath", segDir)
+          .parquet(todo.map(_.toString): _*).drop("batch")
+          .write.mode("append").format("parquet").saveAsTable(table)
+        writeFoldLedger(spark, table, present.map(_.getName))
+      }
+      val fs = new org.apache.hadoop.fs.Path(segDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      present.foreach(d => fs.delete(d, true))
+    }
   }
 
   /** RETRAIN-on-cadence compaction for the PQ artifact — the closing

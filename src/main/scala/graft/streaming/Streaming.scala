@@ -620,6 +620,117 @@ object Streaming {
         .partitionBy("cluster").parquet(path), trigger = trigger)(identity)
   }
 
+  /** Streaming ANN ingest for the PQ artifact — [[ivfIngestSink]]'s
+    * discipline on the compressed-scan tier, completing the streaming
+    * admission symmetry across every serving family: each micro-batch of
+    * NEW embeddings is encoded map-side with the artifact's FROZEN
+    * codebooks (loaded once at query build — KBs, the bounded-artifact
+    * contract; the corpus is never re-encoded, the PQ-at-scale
+    * invariant) and lands as its own plain `segDir/batch=<id>/` parquet
+    * segment (the job-commit `_SUCCESS` is the completeness marker a
+    * crashed write never leaves). Overwrite by batch id keeps replays
+    * idempotent. Serve with
+    * [[graft.operators.Similarity.loadPqIndexWithSegments]]; fold on
+    * cadence with [[graft.operators.Similarity.foldPqSegments]]; codes
+    * drift away on [[graft.operators.Similarity.compactPqIndex]]'s
+    * retrain cadence — the upsert-all-day / compact-nightly loop,
+    * streamed. */
+  def pqIngestSink(stream: DataFrame, table: String, vecCol: String,
+      segDir: String,
+      checkpoint: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.VectorExpressions.{vec_l2_normalize, pq_encode}
+    val spark = stream.sparkSession
+    val codebooks =
+      graft.operators.Similarity.loadPqIndex(spark, table).codebooks
+    val v = col(vecCol)
+    val encoded = stream.filter(v.isNotNull)
+      .withColumn("pq_code", pq_encode(vec_l2_normalize(v), codebooks))
+    // fail at SINK CONSTRUCTION if the encoded stream's shape doesn't
+    // match the serving table (the ivfIngestSink contract)
+    val resolver = spark.sessionState.analyzer.resolver
+    val want = spark.table(table).schema.fields
+    val got = encoded.schema.fields
+    require(want.length == got.length && want.forall(w =>
+        got.exists(g => resolver(w.name, g.name) &&
+          w.dataType.catalogString == g.dataType.catalogString)),
+      s"pqIngestSink stream shape ${encoded.schema.simpleString} does " +
+        s"not match serving table '$table' " +
+        s"${spark.table(table).schema.simpleString} — admitted segments " +
+        "could be neither served (unionByName) nor folded (append)")
+    segmentSink(encoded, segDir, checkpoint, trigger = trigger)(identity)
+  }
+
+  /** Streaming ANN ingest for the multi-projection LSH layout: each
+    * micro-batch of NEW embeddings is hashed map-side with the
+    * artifact's pinned (bits, tables, dims) — deterministic hyperplanes,
+    * nothing trained, so segment content is IDENTICAL to what a rebuild
+    * would assign — and lands as `segDir/batch=<id>/t<k>/bucket=<b>/`,
+    * one bucket-partitioned subtree per hash table, written in
+    * projection order with the LAST projection as the completeness
+    * marker (a replay retracts it first, the bm25IngestSink stats-last
+    * discipline). Probe pruning works inside segments exactly as in the
+    * base layout. Serve with [[graft.operators.Similarity
+    * .lshTopKServedWithSegments]]; fold on cadence with
+    * [[graft.operators.Similarity.foldLshSegments]] (no retrain cadence
+    * exists — nothing drifts; [[graft.operators.Similarity
+    * .compactLshIndex]] stays pure file hygiene). */
+  def lshIngestSink(stream: DataFrame, table: String, vecCol: String,
+      segDir: String,
+      checkpoint: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val (bits, tables, dims) =
+      graft.operators.Similarity.lshMetaFor(spark, table)
+    val resolver = spark.sessionState.analyzer.resolver
+    require(stream.schema.fields.exists(f => resolver(f.name, vecCol)),
+      s"lshIngestSink: stream has no '$vecCol' column " +
+        s"(${stream.schema.simpleString})")
+    // fail at SINK CONSTRUCTION if the hashed batch shape wouldn't match
+    // the serving projections (stream columns + the bucket code)
+    val want = spark.table(s"${table}_t0").schema.fields
+    val got = stream.schema.fields :+ org.apache.spark.sql.types.StructField(
+      "bucket", org.apache.spark.sql.types.LongType)
+    require(want.length == got.length && want.forall(w =>
+        got.exists(g => resolver(w.name, g.name) &&
+          w.dataType.catalogString == g.dataType.catalogString)),
+      s"lshIngestSink stream shape " +
+        s"(${got.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")}) " +
+        s"does not match serving projection '${table}_t0' " +
+        s"${spark.table(s"${table}_t0").schema.simpleString} — admitted " +
+        "segments could be neither served (unionByName) nor folded (append)")
+    require(stream.isStreaming, "lshIngestSink needs a streaming frame")
+    val w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pinned = batch.persist()
+        try {
+          // empty micro-batches (source ticks) write no segment
+          if (!pinned.isEmpty) {
+            // a REPLAYED batch retracts its completeness marker (the
+            // LAST projection's subtree) before rewriting: per-subtree
+            // overwrite momentarily empties each t<k> dir, and the
+            // marker must not present a half-rewritten segment as
+            // complete to a concurrent serve/fold
+            val marker = new org.apache.hadoop.fs.Path(
+              s"$segDir/batch=$id/t${tables - 1}")
+            val fs = marker.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(marker)) fs.delete(marker, true)
+            for (t <- 0 until tables)
+              pinned.withColumn("bucket", graft.operators.Similarity
+                  .codeColumn(col(vecCol), dims, bits, t))
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(s"$segDir/batch=$id/t$t")
+          }
+        } finally pinned.unpersist()
+      }
+    val wt = trigger.fold(w)(w.trigger)
+    checkpoint.fold(wt)(c => wt.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming SEARCH ingest — the BM25 artifact's live admission path,
     * completing the ingest symmetry across the three serving tiers
     * (near-dup, ANN, search). Each micro-batch of NEW documents runs the

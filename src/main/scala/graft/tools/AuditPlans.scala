@@ -190,6 +190,9 @@ object AuditPlans {
     "q_sim_ivf_upsert" -> 0, "q_sim_ivf_compact" -> 0,
     "q_sim_lsh_upsert" -> 1, "q_sim_lsh_compact" -> 1,
     "q_sim_pq_upsert" -> 0, "q_sim_pq_compact" -> 0,
+    // ingest gates serve base ∪ segment unions; the one exchange in the
+    // LSH shape is the served candidates' cross-table dropDuplicates
+    "q_stream_lsh_ingest" -> 1, "q_stream_pq_ingest" -> 0,
     "q_tail" -> 0, "q_tfidf_top" -> 5, "q_token_count" -> 1,
     "q_topk_per_group" -> 2, "q_tsv_roundtrip" -> 1, "q_typed_dataset" -> 2,
     "q_udaf_summaries" -> 2, "q_union_all" -> 2, "q_unique_first" -> 2,

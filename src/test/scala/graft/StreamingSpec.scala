@@ -886,6 +886,158 @@ class StreamingSpec extends SparkSpec {
     assert(top(folded) == servedTop, "fold changed the served ranking")
   }
 
+  test("lshIngestSink: streamed embeddings land as per-projection " +
+      "bucket-partitioned segments; serving spans base + segments with " +
+      "rebuild-identical ranking; torn segments skip; fold preserves it") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-stream-")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val (table, reb) = ("lsh_stream_spec", "lsh_stream_spec_reb")
+    Seq(table, reb).foreach { t =>
+      (0 until 3).foreach(i =>
+        graft.sources.Sources.replaceTable(spark, s"${t}_t$i"))
+      Seq(s"${t}_meta", s"${t}_folded").foreach(
+        graft.sources.Sources.replaceTable(spark, _))
+    }
+    Similarity.saveLshIndex(base, "embedding", dims = 64, table,
+      bits = 8, tables = 3)
+    Similarity.saveLshIndex(emb, "embedding", dims = 64, reb,
+      bits = 8, tables = 3) // the full-corpus rebuild oracle
+    val in = root.resolve("in").toString
+    delta.repartition(3).write.mode("overwrite").parquet(in)
+    val segDir = root.resolve("seg").toString
+    java.nio.file.Files.createDirectories(root.resolve("seg"))
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // subscribe-before-data: empty segDir serves the base alone
+    assert(Similarity.lshServedCandidatesWithSegments(spark, table,
+      "vec_id", "embedding", qvec, probeDist = 4, segDir).count() ==
+      Similarity.lshServedCandidates(spark, table, "vec_id", "embedding",
+        qvec, probeDist = 4).count())
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    // a shape mismatch must fail at SINK CONSTRUCTION
+    intercept[IllegalArgumentException] {
+      Streaming.lshIngestSink(stream.withColumn("extra", lit(1)),
+        table, "embedding", segDir)
+    }
+    val q = Streaming.lshIngestSink(stream, table, "embedding", segDir)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "need a genuine multi-batch admission")
+    // a TORN segment (last projection missing — the crash-between-
+    // projection-writes shape) must be skipped by serve AND fold
+    delta.limit(5)
+      .withColumn("bucket", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$segDir/batch=999/t0")
+    def top(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val servedTop = top(Similarity.lshTopKServedWithSegments(spark, table,
+      "vec_id", "embedding", qvec, 20, probeDist = 4, segDir))
+    val rebTop = top(Similarity.lshTopKServed(spark, reb,
+      "vec_id", "embedding", qvec, 20, probeDist = 4))
+    assert(servedTop == rebTop,
+      "base+segments ranking diverges from the full rebuild " +
+        "(or a torn segment was admitted)")
+    // fold: per-projection bucket-partitioned appends; content equals
+    // the rebuild per (vec_id, bucket); torn segment left for replay
+    Similarity.foldLshSegments(spark, table, segDir)
+    val leftover = new java.io.File(segDir).list()
+    assert(leftover != null && leftover.toSet == Set("batch=999"),
+      s"fold should delete exactly the complete segments: " +
+        s"${leftover.mkString(",")}")
+    (0 until 3).foreach { t2 =>
+      def pairs(tbl: String) = spark.table(s"${tbl}_t$t2")
+        .select(col("vec_id"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(table) == pairs(reb),
+        s"projection $t2: folded layout diverges from the rebuild")
+    }
+    assert(top(Similarity.lshTopKServed(spark, table, "vec_id",
+      "embedding", qvec, 20, probeDist = 4)) == rebTop,
+      "fold changed the served ranking")
+    assert(spark.catalog.tableExists(s"${table}_folded") &&
+      spark.table(s"${table}_folded").count() >= 3,
+      "fold ledger must record the folded batches")
+  }
+
+  test("pqIngestSink: streamed embeddings encoded with frozen codebooks " +
+      "land as plain segments; base+segments equals the upsert path; " +
+      "torn segments skip; fold preserves the ranking") {
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions.{vec_l2_normalize, pq_encode}
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-stream-")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val table = "pq_stream_spec"
+    Seq(table, s"${table}_codebooks", s"${table}_folded").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Similarity.savePqIndex(
+      Similarity.pqIndex(base, "vec_id", "embedding", dims = 64,
+        m = 16, nCodes = 32, iters = 4), table)
+    val in = root.resolve("in").toString
+    delta.repartition(3).write.mode("overwrite").parquet(in)
+    val segDir = root.resolve("seg").toString
+    java.nio.file.Files.createDirectories(root.resolve("seg"))
+    assert(Similarity.loadPqIndexWithSegments(spark, table, segDir)
+      .encoded.count() == base.filter(col("embedding").isNotNull).count())
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    intercept[IllegalArgumentException] {
+      Streaming.pqIngestSink(stream.withColumn("extra", lit(1)),
+        table, "embedding", segDir)
+    }
+    val q = Streaming.pqIngestSink(stream, table, "embedding", segDir)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "need a genuine multi-batch admission")
+    // a TORN segment (no _SUCCESS commit marker) must be skipped
+    val torn = new java.io.File(s"$segDir/batch=999")
+    delta.limit(5).withColumn("pq_code",
+        pq_encode(vec_l2_normalize(col("embedding")),
+          Similarity.loadPqIndex(spark, table).codebooks))
+      .write.mode("overwrite").parquet(torn.toString)
+    assert(new java.io.File(torn, "_SUCCESS").delete(),
+      "fixture: torn segment needs its marker removed")
+    val served = Similarity.loadPqIndexWithSegments(spark, table, segDir)
+    assert(served.encoded.count() ==
+      emb.filter(col("embedding").isNotNull).count(),
+      "admission lost rows or admitted the torn segment")
+    // every stored code — base AND streamed — equals a frozen-codebook
+    // recompute (what makes the fold a plain append)
+    val mismatches = served.encoded.filter(col("pq_code") =!=
+      pq_encode(vec_l2_normalize(col("embedding")), served.codebooks))
+      .count()
+    assert(mismatches == 0, s"$mismatches segment codes disagree with " +
+      "the frozen codebooks")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def top(i: Similarity.PqIndex) = Similarity.pqTopK(i, "vec_id",
+      "embedding", qvec, 20, candidates = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val servedTop = top(served)
+    val exact5 = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      qvec, 5).collect().map(_.getLong(0)).toSet
+    assert(exact5.subsetOf(servedTop.map(_._1).toSet),
+      s"recall lost serving base+segments: " +
+        s"${exact5 -- servedTop.map(_._1).toSet}")
+    Similarity.foldPqSegments(spark, table, segDir)
+    val leftover = new java.io.File(segDir).list()
+    assert(leftover != null && leftover.toSet == Set("batch=999"),
+      s"fold should delete exactly the complete segments: " +
+        s"${leftover.mkString(",")}")
+    val folded = Similarity.loadPqIndex(spark, table)
+    assert(folded.encoded.count() ==
+      emb.filter(col("embedding").isNotNull).count(), "fold lost rows")
+    assert(top(folded) == servedTop, "fold changed the served ranking")
+  }
+
   test("BM25 fold merge-commit crash: stats+ledger committed, segment " +
       "deletes pending — the retry and the serve skip the ledgered " +
       "segment; stats and row set stay bit-exact") {
