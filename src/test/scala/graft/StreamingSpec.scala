@@ -1309,6 +1309,129 @@ class StreamingSpec extends SparkSpec {
         s"expected ${expected.length}")
   }
 
+  test("lshIngestSink restart recovery + fold merge-commit crash: the " +
+      "resume admits only new files; a ledgered segment that reappears " +
+      "is skipped by serve and fold retry") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-rr-")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta1 = emb.filter(col("vec_id") % 10 === 0)
+    val delta2 = emb.filter(col("vec_id") % 10 === 5)
+    val table = "lsh_stream_rr"
+    (0 until 3).foreach(i =>
+      graft.sources.Sources.replaceTable(spark, s"${table}_t$i"))
+    Seq(s"${table}_meta", s"${table}_folded").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Similarity.saveLshIndex(base, "embedding", dims = 64, table,
+      bits = 8, tables = 3)
+    val in = root.resolve("in").toString
+    val segDir = root.resolve("seg").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = emb.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streaming.lshIngestSink(stream, table, "embedding", segDir,
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    delta1.coalesce(1).write.mode("overwrite").parquet(in)
+    run()
+    def segs() = new java.io.File(segDir).list()
+      .filter(_.startsWith("batch=")).toSet
+    val after1 = segs()
+    assert(after1.nonEmpty, "run 1 admitted no segments")
+    delta2.coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(after1.subsetOf(segs()) && segs().size > after1.size,
+      s"resume disturbed the segment set: $after1 -> ${segs()}")
+    val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def served() = Similarity.lshTopKServedWithSegments(spark, table,
+      "vec_id", "embedding", qvec, 20, probeDist = 4, segDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val preFold = served()
+    // fold, then CRASH SIMULATION: a folded segment reappears with
+    // identical content (deterministic hashes) — ledger must make both
+    // the serve and the fold retry skip it
+    Similarity.foldLshSegments(spark, table, segDir)
+    val foldedRows = (0 until 3).map(t =>
+      spark.table(s"${table}_t$t").count())
+    for (t <- 0 until 3)
+      delta1.withColumn("bucket",
+          Similarity.codeColumn(col("embedding"), 64, 8, t))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$segDir/batch=0/t$t")
+    assert(served() == preFold,
+      "serve double-counted a ledgered segment after the fold crash")
+    Similarity.foldLshSegments(spark, table, segDir)
+    (0 until 3).foreach(t => assert(
+      spark.table(s"${table}_t$t").count() == foldedRows(t),
+      s"projection $t: fold retry re-appended a ledgered segment"))
+    assert(segs().isEmpty, "retry must finish the pending deletes")
+  }
+
+  test("pqIngestSink restart recovery + fold merge-commit crash: the " +
+      "resume admits only new files; a ledgered segment that reappears " +
+      "is skipped by serve and fold retry") {
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions.{vec_l2_normalize, pq_encode}
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-rr-")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta1 = emb.filter(col("vec_id") % 10 === 0)
+    val delta2 = emb.filter(col("vec_id") % 10 === 5)
+    val table = "pq_stream_rr"
+    Seq(table, s"${table}_codebooks", s"${table}_folded").foreach(
+      graft.sources.Sources.replaceTable(spark, _))
+    Similarity.savePqIndex(
+      Similarity.pqIndex(base, "vec_id", "embedding", dims = 64,
+        m = 16, nCodes = 32, iters = 4), table)
+    val in = root.resolve("in").toString
+    val segDir = root.resolve("seg").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = emb.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streaming.pqIngestSink(stream, table, "embedding", segDir,
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    delta1.coalesce(1).write.mode("overwrite").parquet(in)
+    run()
+    def segs() = new java.io.File(segDir).list()
+      .filter(_.startsWith("batch=")).toSet
+    val after1 = segs()
+    assert(after1.nonEmpty, "run 1 admitted no segments")
+    delta2.coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(after1.subsetOf(segs()) && segs().size > after1.size,
+      s"resume disturbed the segment set: $after1 -> ${segs()}")
+    val expected = base.unionByName(delta1).unionByName(delta2)
+      .filter(col("embedding").isNotNull).count()
+    assert(Similarity.loadPqIndexWithSegments(spark, table, segDir)
+      .encoded.count() == expected,
+      "resumed admission double-counted or dropped vectors")
+    // fold, then CRASH SIMULATION: the folded segment reappears with
+    // identical frozen-codebook content — ledger skips it everywhere
+    Similarity.foldPqSegments(spark, table, segDir)
+    val foldedRows = spark.table(table).count()
+    assert(foldedRows == expected)
+    delta1.filter(col("embedding").isNotNull)
+      .withColumn("pq_code", pq_encode(vec_l2_normalize(col("embedding")),
+        Similarity.loadPqIndex(spark, table).codebooks))
+      .write.mode("overwrite").parquet(s"$segDir/batch=0")
+    assert(Similarity.loadPqIndexWithSegments(spark, table, segDir)
+      .encoded.count() == expected,
+      "serve double-counted a ledgered segment after the fold crash")
+    Similarity.foldPqSegments(spark, table, segDir)
+    assert(spark.table(table).count() == foldedRows,
+      "fold retry re-appended a ledgered segment")
+    assert(segs().isEmpty, "retry must finish the pending deletes")
+  }
+
   test("bm25IngestSink restart recovery: a resumed sink admits only the " +
       "files that landed while it was down — no double admission, " +
       "served content still equals a full rebuild") {
