@@ -89,7 +89,8 @@ object StateProbe {
     val ks = args.lift(1)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4))
     val knownProbes = Set("dedup", "funnel", "join", "sketch", "expire",
-      "restart", "restart_ingest", "restart_bm25")
+      "restart", "restart_ingest", "restart_bm25", "restart_lsh",
+      "restart_pq")
     val probes = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownProbes)
@@ -486,6 +487,114 @@ object StateProbe {
           "replay double-admitted or lost a segment")
       require(served.postings.count() == fullIdx.postings.count(),
         "post-restart served postings diverge from a full rebuild")
+    }
+
+    /** k embedding copies sharing no ids (vec_id shifted per copy) —
+      * vectors repeat across copies, which is irrelevant to the sink
+      * walls (hashing/encoding cost is per row). */
+    def embScaled(k: Int): DataFrame = {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val maxVid = emb0.agg(max("vec_id")).head().getLong(0) + 1
+      (0 until k).map(i => emb0.select(
+          (col("vec_id") + lit(i.toLong * maxVid)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+    }
+
+    if (probes("restart_lsh")) {
+      // the multi-projection ANN ingest: replay retracts the last
+      // projection (the completeness marker) and rewrites all three.
+      import graft.operators.Similarity
+      val k = ks.max
+      val full = embScaled(k)
+      val base = full.filter(col("vec_id") % 16 =!= 0)
+      val delta = full.filter(col("vec_id") % 16 === 0)
+      val table = "state_probe_lsh"
+      (0 until 3).foreach(i =>
+        graft.sources.Sources.replaceTable(spark, s"${table}_t$i"))
+      Seq(s"${table}_meta", s"${table}_folded").foreach(
+        graft.sources.Sources.replaceTable(spark, _))
+      Similarity.saveLshIndex(base, "embedding", dims = 64, table,
+        bits = 8, tables = 3)
+      val feed = s"$dir/restart_lsh/feed"
+      delta.repartition(8).write.mode("overwrite").parquet(feed)
+      val segDir = s"$dir/restart_lsh/seg"
+      val ckpt = s"$dir/restart_lsh/ckpt"
+      def start(throttled: Boolean): StreamingQuery = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        graft.streaming.Streaming.lshIngestSink(stream, table,
+          "embedding", segDir, checkpoint = Some(ckpt),
+          trigger = pacing(throttled))
+      }
+      val (before, replay, total) = killAndRestart(8, start)
+      val segs = Option(new java.io.File(segDir).list()).toSeq.flatten
+        .count(_.startsWith("batch="))
+      // content parity: every projection's (id, bucket) set over
+      // base ∪ segments must equal a full rebuild's (deterministic
+      // hyperplanes make this exact)
+      val reb = "state_probe_lsh_reb"
+      (0 until 3).foreach(i =>
+        graft.sources.Sources.replaceTable(spark, s"${reb}_t$i"))
+      Seq(s"${reb}_meta", s"${reb}_folded").foreach(
+        graft.sources.Sources.replaceTable(spark, _))
+      Similarity.saveLshIndex(full, "embedding", dims = 64, reb,
+        bits = 8, tables = 3)
+      Similarity.foldLshSegments(spark, table, segDir)
+      val mismatched = (0 until 3).count { t =>
+        val a = spark.table(s"${table}_t$t").select("vec_id", "bucket")
+        val b = spark.table(s"${reb}_t$t").select("vec_id", "bucket")
+        a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count() > 0
+      }
+      println(f"""{"probe":"restart_lsh","k":$k,""" +
+        f""""batches_before_kill":$before,""" +
+        f""""replay_first_batch_sec":$replay%.2f,""" +
+        f""""resume_total_sec":$total%.2f,"segments":$segs,""" +
+        f""""mismatched_projections":$mismatched}""")
+      require(mismatched == 0,
+        "post-restart folded projections diverge from a full rebuild — " +
+          "the replay double-admitted or lost a segment")
+    }
+
+    if (probes("restart_pq")) {
+      import graft.operators.Similarity
+      val k = ks.max
+      val full = embScaled(k)
+      val base = full.filter(col("vec_id") % 16 =!= 0)
+      val delta = full.filter(col("vec_id") % 16 === 0)
+      val table = "state_probe_pq"
+      Seq(table, s"${table}_codebooks", s"${table}_folded").foreach(
+        graft.sources.Sources.replaceTable(spark, _))
+      Similarity.savePqIndex(Similarity.pqIndex(base, "vec_id",
+        "embedding", dims = 64, m = 16, nCodes = 32, iters = 4), table)
+      val feed = s"$dir/restart_pq/feed"
+      delta.repartition(8).write.mode("overwrite").parquet(feed)
+      val segDir = s"$dir/restart_pq/seg"
+      val ckpt = s"$dir/restart_pq/ckpt"
+      def start(throttled: Boolean): StreamingQuery = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        graft.streaming.Streaming.pqIngestSink(stream, table,
+          "embedding", segDir, checkpoint = Some(ckpt),
+          trigger = pacing(throttled))
+      }
+      val (before, replay, total) = killAndRestart(8, start)
+      val segs = Option(new java.io.File(segDir).list()).toSeq.flatten
+        .count(_.startsWith("batch="))
+      val served = Similarity.loadPqIndexWithSegments(spark, table, segDir)
+      val expect = full.filter(col("embedding").isNotNull).count()
+      println(f"""{"probe":"restart_pq","k":$k,""" +
+        f""""batches_before_kill":$before,""" +
+        f""""replay_first_batch_sec":$replay%.2f,""" +
+        f""""resume_total_sec":$total%.2f,"segments":$segs,""" +
+        f""""served_vectors":${served.encoded.count()},""" +
+        f""""expect_vectors":$expect}""")
+      require(served.encoded.count() == expect,
+        "post-restart served vectors != corpus — the replay " +
+          "double-admitted or lost a segment")
     }
 
     spark.stop()
