@@ -2338,6 +2338,48 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** STREAMING IVF ingest gate — the last ingest family joins the
+    * hash-checked path (r11 ran it under ScalaTest only, reasoning that
+    * centroids aren't oracle-expressible; the SERVE-path recall
+    * contract is, exactly as in q_sim_ivf_upsert): centroids trained on
+    * 80% of the corpus, the remaining vectors (including the query
+    * vector) STREAM in through
+    * [[graft.streaming.Streaming.ivfIngestSink]] (per-batch map-side
+    * frozen-centroid assignment into idempotent
+    * `batch=<id>/cluster=<c>` segments), and the served top-20 over
+    * base ∪ admitted segments — probe pruning spanning base and segment
+    * partitions alike — must contain the exact full-corpus cosine
+    * top-10 at q_sim_ivf_upsert's nProbe=14 (same split, same
+    * frozen-centroid contract, so the measured recall transfers).
+    * Admitted once per mtime-keyed generation; segments persist and are
+    * SERVED here (folding pinned in StreamingSpec). Same oracle as
+    * q_sim_ivf. */
+  val q_stream_ivf_ingest: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "ivf_ing", dir, "embeddings")
+    val segDir = s"${s.conf.get("spark.sql.warehouse.dir")}/${table}_segs"
+    onceUpserted(s, table) {
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", nCentroids = 16, iters = 3), table)
+      val hp = new org.apache.hadoop.fs.Path(segDir)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val stream = graft.streaming.Streaming.fileStream(s, dir,
+        "embeddings.parquet").filter(col("vec_id") % 5 === 0)
+      val q = graft.streaming.Streaming.ivfIngestSink(stream, table,
+        "embedding", segDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val idx = Similarity.loadIvfIndexWithSegments(s, table, segDir)
+    val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20,
+      nProbe = 14)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** STREAMING PQ ingest gate — the compressed-scan tier's live
     * admission on the oracle path: codebooks are trained over 80% of
     * the corpus, the remaining vectors (including the query vector)
@@ -3205,6 +3247,7 @@ object Queries {
     "q_sim_lsh_compact" -> q_sim_lsh_compact,
     "q_stream_lsh_ingest" -> q_stream_lsh_ingest,
     "q_stream_pq_ingest" -> q_stream_pq_ingest,
+    "q_stream_ivf_ingest" -> q_stream_ivf_ingest,
     "q_sim_pq_upsert" -> q_sim_pq_upsert,
     "q_sim_pq_compact" -> q_sim_pq_compact,
     "q_csv_roundtrip" -> q_csv_roundtrip,
@@ -4761,6 +4804,7 @@ object Queries {
     "q_sim_lsh_compact" -> annExactTop10Sql,
     "q_stream_lsh_ingest" -> annExactTop10Sql,
     "q_stream_pq_ingest" -> annExactTop10Sql,
+    "q_stream_ivf_ingest" -> annExactTop10Sql,
     "q_sim_pq_upsert" -> annExactTop10Sql,
     "q_sim_pq_compact" -> annExactTop10Sql,
 

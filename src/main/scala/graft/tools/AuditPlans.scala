@@ -193,6 +193,7 @@ object AuditPlans {
     // ingest gates serve base ∪ segment unions; the one exchange in the
     // LSH shape is the served candidates' cross-table dropDuplicates
     "q_stream_lsh_ingest" -> 1, "q_stream_pq_ingest" -> 0,
+    "q_stream_ivf_ingest" -> 0,
     "q_tail" -> 0, "q_tfidf_top" -> 5, "q_token_count" -> 1,
     "q_topk_per_group" -> 2, "q_tsv_roundtrip" -> 1, "q_typed_dataset" -> 2,
     "q_udaf_summaries" -> 2, "q_union_all" -> 2, "q_unique_first" -> 2,
