@@ -910,6 +910,38 @@ object Queries {
       .orderBy(col("bm25_rank"))
   }
 
+  /** BM25 CONCURRENT-MAINTENANCE gate — the lost-delta window on the
+    * oracle path: [[graft.operators.Search.buildNextBm25Layout]]
+    * snapshots its basis file set, THEN a delta is upserted into the
+    * live artifact — exactly the admission a nightly layout rewrite
+    * races against in a multi-writer deployment — and
+    * [[graft.operators.Search.promoteBm25Layout]]'s catch-up copies the
+    * mid-build postings into the staged generation before the swap.
+    * The served top-25 must equal the full-build ranking (q_search_bm25's
+    * own oracle): without the catch-up, the delta's postings would
+    * vanish at the swap while their already-merged stats survive — a
+    * silent n_docs/avg_len/idf skew plus missing documents, which this
+    * hash-checked gate turns into a driver failure. Runs once per
+    * mtime-keyed generation. */
+  val q_search_bm25_catchup: Q = (s, dir) => {
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "bm25_cu", dir, "documents")
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text"), table)
+      Search.buildNextBm25Layout(s, table)
+      Search.upsertBm25Index(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", table)
+      Search.promoteBm25Layout(s, table)
+    }
+    val idx = Search.loadBm25Index(s, table)
+    Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
   /** STREAMING BM25 ingest gate — the live-admission analogue of
     * q_search_bm25_upsert, and the one streaming-ingest tier whose
     * serve path IS oracle-expressible (the IVF ingest's centroids are
@@ -2153,6 +2185,44 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** IVF CONCURRENT-MAINTENANCE gate — the lost-delta window for the
+    * retrained family: [[graft.operators.Similarity
+    * .buildNextIvfGeneration]] pins its input to the basis file set,
+    * THEN the delta (including the query vector) is upserted into the
+    * LIVE artifact with the old frozen centroids — the admission a
+    * nightly retrain races against — and [[graft.operators.Similarity
+    * .promoteIvfGeneration]]'s catch-up re-ASSIGNS the mid-build delta
+    * with the NEW generation's centroids before the swap. Served top-20
+    * must contain the exact cosine top-10 at nProbe=14 — the
+    * q_sim_ivf_upsert geometry (centroids trained on 80% of the
+    * corpus), because the promoted generation was retrained over the
+    * basis snapshot, not the full corpus. Without the catch-up the
+    * query's own neighborhood would be MISSING from the promoted
+    * artifact, a hash mismatch, not a recall nuance. Same oracle as
+    * q_sim_ivf. */
+  val q_sim_ivf_catchup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "ivf_cu", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", nCentroids = 16, iters = 3), table)
+      Similarity.buildNextIvfGeneration(s, table, "vec_id", "embedding",
+        iters = 3)
+      Similarity.upsertIvfIndex(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", table)
+      Similarity.promoteIvfGeneration(s, table)
+    }
+    val idx = Similarity.loadIvfIndex(s, table)
+    val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20,
+      nProbe = 14)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** Build-and-upsert ONCE per artifact generation for the `_upsert`
     * gates: the `<table>_upserted` marker records a completed
     * base-build + delta-append for the mtime-keyed generation, so later
@@ -2233,6 +2303,38 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** LSH CONCURRENT-MAINTENANCE gate — the lost-delta window for the
+    * deterministic family: [[graft.operators.Similarity
+    * .buildNextLshLayout]] pins every projection's rewrite to its basis
+    * file set, THEN the delta (including the query vector) is upserted
+    * into the LIVE projections, and [[graft.operators.Similarity
+    * .promoteLshLayout]]'s catch-up COPIES the mid-build files into
+    * each staged projection before the swaps (hyperplanes are
+    * deterministic — the copied bucket codes are exactly what a rebuild
+    * would assign; nothing re-hashes). Served top-20 must contain the
+    * exact cosine top-10 at q_sim_lsh's own probeDist=4: without the
+    * catch-up, the promoted projections would be missing the query's
+    * neighborhood entirely. Same oracle as q_sim_lsh. */
+  val q_sim_lsh_catchup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "lsh_cu", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.saveLshIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "embedding", dims = 64, table, bits = 8, tables = 3)
+      Similarity.buildNextLshLayout(s, table)
+      Similarity.upsertLshIndex(emb.filter(col("vec_id") % 5 === 0),
+        "embedding", table)
+      Similarity.promoteLshLayout(s, table)
+    }
+    val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding",
+      qvec, 20, probeDist = 4)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** PQ INCREMENTAL-UPSERT gate — the third artifact family's append
     * path: codebooks are trained over the BASE corpus only, the delta
     * (including the query vector) is encoded with those FROZEN codebooks
@@ -2290,6 +2392,42 @@ object Queries {
         "vec_id", "embedding", table)
       Similarity.compactPqIndex(s, table, "vec_id", "embedding", iters = 8,
         sampleN = 2048)
+    }
+    val idx = Similarity.loadPqIndex(s, table)
+    val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 500)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** PQ CONCURRENT-MAINTENANCE gate — the lost-delta window for the
+    * encoded family, and the sharpest of the four: a delta upserted
+    * during a PQ retrain carries codes from the OLD codebooks, which
+    * the retrain invalidates — so [[graft.operators.Similarity
+    * .promotePqGeneration]]'s catch-up must not just carry the rows
+    * over but re-ENCODE them with the NEW generation's codebooks
+    * (CatchUpSpec pins the code equality). Base codebooks train on 80%
+    * of the corpus, the staged retrain snapshots that basis, the delta
+    * (including the query vector) lands mid-build via
+    * [[graft.operators.Similarity.upsertPqIndex]], and the promoted
+    * generation's reranked top-20 must contain the exact cosine
+    * top-10 — q_sim_pq_upsert's contract. Same oracle as q_sim_pq. */
+  val q_sim_pq_catchup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 10)
+    val table = artifactTable(s, "pq_cu", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.savePqIndex(
+        Similarity.pqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", dims = 64, m = 16, nCodes = 32, iters = 8,
+          sampleN = 2048), table)
+      Similarity.buildNextPqGeneration(s, table, "vec_id", "embedding",
+        iters = 8, sampleN = 2048)
+      Similarity.upsertPqIndex(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", table)
+      Similarity.promotePqGeneration(s, table)
     }
     val idx = Similarity.loadPqIndex(s, table)
     val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
@@ -3181,6 +3319,7 @@ object Queries {
     "q_search_bm25_serve" -> q_search_bm25_serve,
     "q_search_bm25_upsert" -> q_search_bm25_upsert,
     "q_search_bm25_compact" -> q_search_bm25_compact,
+    "q_search_bm25_catchup" -> q_search_bm25_catchup,
     "q_stream_bm25_ingest" -> q_stream_bm25_ingest,
     "q_approx_distinct" -> q_approx_distinct,
     "q_sketch_rollup" -> q_sketch_rollup,
@@ -3243,13 +3382,16 @@ object Queries {
     "q_sim_ivf_serve" -> q_sim_ivf_serve,
     "q_sim_ivf_upsert" -> q_sim_ivf_upsert,
     "q_sim_ivf_compact" -> q_sim_ivf_compact,
+    "q_sim_ivf_catchup" -> q_sim_ivf_catchup,
     "q_sim_lsh_upsert" -> q_sim_lsh_upsert,
     "q_sim_lsh_compact" -> q_sim_lsh_compact,
+    "q_sim_lsh_catchup" -> q_sim_lsh_catchup,
     "q_stream_lsh_ingest" -> q_stream_lsh_ingest,
     "q_stream_pq_ingest" -> q_stream_pq_ingest,
     "q_stream_ivf_ingest" -> q_stream_ivf_ingest,
     "q_sim_pq_upsert" -> q_sim_pq_upsert,
     "q_sim_pq_compact" -> q_sim_pq_compact,
+    "q_sim_pq_catchup" -> q_sim_pq_catchup,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_excel_roundtrip" -> q_excel_roundtrip,
     "q_excel_dates" -> q_excel_dates,
@@ -4055,6 +4197,7 @@ object Queries {
     "q_search_bm25_serve" -> bm25OracleSql,
     "q_search_bm25_upsert" -> bm25OracleSql,
     "q_search_bm25_compact" -> bm25OracleSql,
+    "q_search_bm25_catchup" -> bm25OracleSql,
     "q_stream_bm25_ingest" -> bm25OracleSql,
 
     "q_cluster_best" ->
@@ -4800,13 +4943,16 @@ object Queries {
     "q_sim_ivf_serve" -> annExactTop10Sql,
     "q_sim_ivf_upsert" -> annExactTop10Sql,
     "q_sim_ivf_compact" -> annExactTop10Sql,
+    "q_sim_ivf_catchup" -> annExactTop10Sql,
     "q_sim_lsh_upsert" -> annExactTop10Sql,
     "q_sim_lsh_compact" -> annExactTop10Sql,
+    "q_sim_lsh_catchup" -> annExactTop10Sql,
     "q_stream_lsh_ingest" -> annExactTop10Sql,
     "q_stream_pq_ingest" -> annExactTop10Sql,
     "q_stream_ivf_ingest" -> annExactTop10Sql,
     "q_sim_pq_upsert" -> annExactTop10Sql,
     "q_sim_pq_compact" -> annExactTop10Sql,
+    "q_sim_pq_catchup" -> annExactTop10Sql,
 
     "q_dedup_remove" ->
       """WITH docs AS (

@@ -311,25 +311,74 @@ object Search {
     * collapse. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       table: String, dedupExact: Boolean = false): Unit = {
+    buildNextBm25Layout(spark, table, dedupExact)
+    promoteBm25Layout(spark, table)
+  }
+
+  /** Build the NEXT postings layout beside the live one — the long half
+    * of [[compactBm25Index]], runnable any time: the rewrite is pinned
+    * to the file set listed at entry (the basis discipline shared with
+    * [[graft.operators.Similarity.buildNextIvfGeneration]] — a
+    * concurrent [[upsertBm25Index]] cannot race the rewrite's scan; its
+    * postings are COPIED into the staged layout at the promote instead
+    * of vanishing at the swap), one shuffle into the pinned bucket spec
+    * under `<table>__next`, basis committed LAST. A failed rewrite
+    * leaves the live generation untouched. */
+  def buildNextBm25Layout(spark: org.apache.spark.sql.SparkSession,
+      table: String, dedupExact: Boolean = false): Unit = {
     val buckets = readMergeableStats(spark, table)._2
-    // next generation built beside the live postings (the
-    // compactIvfIndex discipline): the rewrite READS the live table,
-    // which keeps serving throughout — one shuffle into the pinned
-    // bucket spec under `<table>__next`, then a metadata-only promote
-    // ([[graft.sources.Sources.promoteTable]]); a failed rewrite leaves
-    // the live generation untouched
     val next = s"${table}__next"
-    val content = spark.table(table)
-    try
+    val files = graft.sources.Sources.tableDataFiles(spark, table)
+    try {
+      val content =
+        if (files.isEmpty) spark.table(table)
+        else spark.read.parquet(files: _*)
       graft.sources.Sources.writeBucketed(
         graft.core.GTable(if (dedupExact) content.distinct() else content),
         next, Seq("word"), buckets)
-    catch {
+      graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
+        files.map(0 -> _), "", "")
+    } catch {
       case e: Throwable =>
         graft.sources.Sources.replaceTable(spark, next)
+        graft.sources.Sources.replaceTable(spark, s"${next}_basis")
         throw e
     }
+  }
+
+  /** Promote a fully-built staged postings layout — the short half of
+    * [[compactBm25Index]]: postings files upserted into the live table
+    * since the build's basis snapshot are COPIED into the staged layout
+    * (postings rows are purely per-document — nothing re-derives; their
+    * stats already merged into the live `_stats` sibling, which the
+    * promote never touches, so corpus constants stay consistent by
+    * construction), the basis commits the consumed files (a crashed
+    * retry skips them), then the metadata-only swap. Catch-up rows skip
+    * a `dedupExact` build's distinct — they are fresh admissions, not
+    * historic double-folds. Streaming segments need no catch-up:
+    * segment postings are generation-independent; serve keeps unioning
+    * them and the fold merges them later, unchanged. */
+  def promoteBm25Layout(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val next = s"${table}__next"
+    require(spark.catalog.tableExists(next),
+      s"no staged layout to promote for '$table' — run " +
+        "buildNextBm25Layout (or compactBm25Index) first")
+    graft.sources.Sources.readBuildBasis(spark, s"${next}_basis")
+      .foreach { case (basis, _, _) =>
+        val delta = graft.sources.Sources.tableDataFiles(spark, table)
+          .filterNot(f => basis.contains((0, f)))
+        if (delta.nonEmpty) {
+          val buckets = readMergeableStats(spark, table)._2
+          spark.read.parquet(delta: _*)
+            .write.mode("append").format("parquet")
+            .bucketBy(buckets, "word").sortBy("word").saveAsTable(next)
+          graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
+            (basis ++ delta.map(0 -> _)).toSeq, "", "")
+        }
+      }
     graft.sources.Sources.promoteTable(spark, next, table)
+    graft.sources.Sources.replaceTable(spark, s"${next}_basis")
   }
 
   /** Load the BM25 index over base table ∪ streaming-admitted segments

@@ -231,23 +231,98 @@ object Similarity {
     * touched the live generation. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
+    buildNextLshLayout(spark, table)
+    promoteLshLayout(spark, table)
+  }
+
+  /** Build the NEXT LSH layout generation beside the live projections —
+    * the long half of [[compactLshIndex]], runnable any time: every
+    * projection's rewrite is pinned to the file set listed at entry
+    * (the [[buildNextIvfGeneration]] basis discipline — a concurrent
+    * [[upsertLshIndex]] cannot race the rewrite's scan), ALL staged
+    * projections are built before any promote (no window where the
+    * projections serve different generations), and the basis commits
+    * LAST so a torn build degrades to the plain swap. A failed build
+    * leaves the live layout untouched. */
+  def buildNextLshLayout(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
     val (_, tables, _) = lshMetaFor(spark, table)
-    for (t <- 0 until tables) {
-      val live = s"${table}_t$t"
-      val next = s"${live}__next"
-      graft.sources.Sources.replaceTable(spark, next)
-      try
-        spark.table(live).repartition(col("bucket"))
+    val basis = Seq.newBuilder[(Int, String)]
+    try {
+      for (t <- 0 until tables) {
+        val live = s"${table}_t$t"
+        val next = s"${live}__next"
+        val files = graft.sources.Sources.tableDataFiles(spark, live)
+        val loc = graft.sources.Sources.tableLocationOf(spark, live)
+        basis ++= files.map(t -> _)
+        graft.sources.Sources.replaceTable(spark, next)
+        val input =
+          if (files.isEmpty) spark.table(live)
+          else graft.sources.Sources.conformTo(
+            spark.read.option("basePath", loc).parquet(files: _*),
+            spark.table(live).schema)
+        input.repartition(col("bucket"))
           .write.format("parquet")
           .options(graft.sources.Sources.stagedWriteOptions(spark, next))
           .partitionBy("bucket").saveAsTable(next)
-      catch {
-        case e: Throwable =>
-          graft.sources.Sources.replaceTable(spark, next)
-          throw e
       }
-      graft.sources.Sources.promoteTable(spark, next, live)
+      graft.sources.Sources.writeBuildBasis(spark,
+        s"${table}__next_basis", basis.result(), "", "")
+    } catch {
+      case e: Throwable =>
+        for (t <- 0 until tables)
+          graft.sources.Sources.replaceTable(spark, s"${table}_t${t}__next")
+        graft.sources.Sources.replaceTable(spark, s"${table}__next_basis")
+        throw e
     }
+  }
+
+  /** Promote a fully-built staged LSH layout — the short half of
+    * [[compactLshIndex]]: per projection, files upserted into the live
+    * layout since the build's basis snapshot are COPIED into the staged
+    * generation (hyperplanes are deterministic, so the rows — bucket
+    * codes included — are exactly what a rebuild would assign; nothing
+    * re-hashes), the basis commits the consumed files (a crashed retry
+    * skips them), then every projection swaps by metadata-only rename.
+    * A projection whose staged table is already gone (a rerun after a
+    * crash mid-swap) skips its catch-up and resumes the swap via
+    * [[graft.sources.Sources.promoteTable]]'s resume path. Streaming
+    * segments need no catch-up here: their codes are generation-
+    * independent, so serve keeps unioning them and the fold merges them
+    * later, unchanged. */
+  def promoteLshLayout(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val (_, tables, _) = lshMetaFor(spark, table)
+    val basisTable = s"${table}__next_basis"
+    graft.sources.Sources.readBuildBasis(spark, basisTable).foreach {
+      case (basis, _, _) =>
+        val consumed = Seq.newBuilder[(Int, String)]
+        for (t <- 0 until tables) {
+          val live = s"${table}_t$t"
+          val next = s"${live}__next"
+          if (spark.catalog.tableExists(next)) {
+            val loc = graft.sources.Sources.tableLocationOf(spark, live)
+            val delta = graft.sources.Sources.tableDataFiles(spark, live)
+              .filterNot(f => basis.contains((t, f)))
+            if (delta.nonEmpty) {
+              graft.sources.Sources.conformTo(
+                spark.read.option("basePath", loc).parquet(delta: _*),
+                spark.table(live).schema)
+                .write.mode("append").format("parquet")
+                .partitionBy("bucket").saveAsTable(next)
+              consumed ++= delta.map(t -> _)
+            }
+          }
+        }
+        val c = consumed.result()
+        if (c.nonEmpty)
+          graft.sources.Sources.writeBuildBasis(spark, basisTable,
+            (basis ++ c).toSeq, "", "")
+    }
+    for (t <- 0 until tables)
+      graft.sources.Sources.promoteTable(spark, s"${table}_t${t}__next",
+        s"${table}_t$t")
+    graft.sources.Sources.replaceTable(spark, basisTable)
   }
 
   /** All `bits`-bit codes within Hamming distance `d` of `code` —
@@ -457,7 +532,9 @@ object Similarity {
     // upserted delta from the serving artifact. (`iters` stays a
     // parameter: it is not recoverable from the artifact.)
     buildNextIvfGeneration(spark, table, idCol, vecCol, iters)
-    promoteIvfGeneration(spark, table)
+    // segDir rides into the promote too: segments admitted AFTER the
+    // pre-build fold are re-assigned with the new centroids there
+    promoteIvfGeneration(spark, table, segDir)
   }
 
   /** Build the NEXT IVF generation beside the live one — the long half
@@ -473,27 +550,47 @@ object Similarity {
       table: String, idCol: String, vecCol: String, iters: Int = 3): Unit = {
     val nCentroids = loadIvfIndex(spark, table).centroids.length
     val next = s"${table}__next"
+    // pin the build's input to the EXACT file set listed here (not the
+    // table name, whose scan would race concurrent upserts) and record
+    // it as the staged generation's basis: the promote diffs the live
+    // file list against it and re-admits anything admitted mid-build
+    // with the NEW centroids — no delta is lost at the swap
+    val basisFiles = graft.sources.Sources.tableDataFiles(spark, table)
+    val loc = graft.sources.Sources.tableLocationOf(spark, table)
     try {
-      val idx = ivfIndex(spark.table(table).drop("cluster"), idCol, vecCol,
+      val input =
+        if (basisFiles.isEmpty) spark.table(table)
+        else spark.read.option("basePath", loc).parquet(basisFiles: _*)
+      val idx = ivfIndex(input.drop("cluster"), idCol, vecCol,
         nCentroids, iters)
       saveIvfIndex(idx, next)
+      // basis LAST: a torn build leaves no basis, so it can never
+      // mis-drive a catch-up (and the promote falls back to plain swap)
+      graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
+        basisFiles.map(0 -> _), idCol, vecCol)
     } catch {
       case e: Throwable =>
         graft.sources.Sources.replaceTable(spark, next)
         graft.sources.Sources.replaceTable(spark, s"${next}_centroids")
+        graft.sources.Sources.replaceTable(spark, s"${next}_basis")
         throw e
     }
   }
 
   /** Promote a fully-built staged IVF generation over the live one —
-    * the short half of a compaction: two metadata-only
+    * the short half of a compaction: a CATCH-UP pass re-admits anything
+    * admitted into the live artifact since the build's basis snapshot
+    * (see [[catchUpTrained]]), then two metadata-only
     * [[graft.sources.Sources.promoteTable]] swaps, so the serve gap is
-    * the rename, not the retrain. The only inconsistency window is
-    * between the two promotes (new rows visible with old centroids),
-    * which the off-serve maintenance cadence covers. Fails fast if no
-    * staged generation exists. */
+    * the rename plus O(delta), never O(corpus). The only inconsistency
+    * window is between the two promotes (new rows visible with old
+    * centroids), which the off-serve maintenance cadence covers. Fails
+    * fast if no staged generation exists. Pass the streaming sink's
+    * `segDir` so segments admitted after the pre-build fold are
+    * re-assigned with the NEW centroids instead of serving stale
+    * cluster ids against the retrained geometry. */
   def promoteIvfGeneration(spark: org.apache.spark.sql.SparkSession,
-      table: String): IvfIndex = {
+      table: String, segDir: Option[String] = None): IvfIndex = {
     val next = s"${table}__next"
     // the main staged table alone gates the promote: a crash between the
     // centroids promote and the table promote leaves `next` present but
@@ -502,11 +599,103 @@ object Similarity {
     require(spark.catalog.tableExists(next),
       s"no staged generation to promote for '$table' — run " +
         "buildNextIvfGeneration (or compactIvfIndex) first")
+    catchUpTrained(spark, table, segDir, staleCols = Seq("cluster"),
+      completeDirs = completeSegmentDirs(spark, _),
+      admit = (rows, _, vecCol) => {
+        // a promote RERUN may find the centroids sibling already
+        // swapped (crash between the two promotes) — the new
+        // generation's centroids then live under the live name
+        val src = if (spark.catalog.tableExists(s"${next}_centroids"))
+          next else table
+        val centroids = spark.table(s"${src}_centroids")
+          .orderBy(col("cluster")).collect()
+          .map(_.getSeq[Double](1).toArray)
+        val v = col(vecCol)
+        rows.filter(v.isNotNull)
+          .withColumn("cluster", nearestCentroidCos(v, centroids))
+          .write.mode("append").format("parquet")
+          .partitionBy("cluster").saveAsTable(next)
+      })
     graft.sources.Sources.promoteTable(spark, s"${next}_centroids",
       s"${table}_centroids")
     graft.sources.Sources.promoteTable(spark, next, table)
+    graft.sources.Sources.replaceTable(spark, s"${next}_basis")
     cachesFor(spark).centroids.remove(table)
+    cachesFor(spark).centroids.remove(next)
+    segDir.foreach(d => deleteLedgeredSegmentDirs(spark, table, d,
+      completeSegmentDirs(spark, _)))
     loadIvfIndex(spark, table)
+  }
+
+  /** CATCH-UP for a trained family's staged promote — the closing of
+    * the concurrent-maintenance window: rows admitted into the LIVE
+    * artifact after the staged build's basis snapshot (upserted base
+    * files ∪ complete, unledgered streaming segments) are re-admitted
+    * into the STAGED generation with ITS parameters before the swap.
+    * Without this, a delta upserted during a long retrain would vanish
+    * at the promote, and a segment admitted after the pre-build fold
+    * would serve OLD-generation assignments against the new geometry
+    * (silent recall loss). Cost is O(delta): only the diffed files and
+    * unledgered segments are read — the corpus is never re-scanned.
+    *
+    * Idempotence (the fold-ledger idiom): consumed segments commit into
+    * the artifact's fold ledger and consumed base files into the basis,
+    * each in one table write, AFTER the append — a retry skips what
+    * already committed. The residual window (append committed, commit
+    * didn't) re-admits on retry: exact-duplicate rows under the same
+    * documented id-dedup recovery every append path carries. The ledger
+    * write lands BEFORE the swap on purpose: a crash there briefly
+    * hides the consumed segments from the OLD generation's serve (one
+    * promote rerun heals it), which is strictly better than the
+    * alternative ordering, where a crash would serve stale-assignment
+    * segments against the NEW generation — wrong results, not missing
+    * ones. A basis-less staged build (pre-basis or torn) degrades to
+    * the plain swap. */
+  private def catchUpTrained(spark: org.apache.spark.sql.SparkSession,
+      table: String, segDir: Option[String], staleCols: Seq[String],
+      completeDirs: String => Seq[org.apache.hadoop.fs.Path],
+      admit: (DataFrame, String, String) => Unit): Unit = {
+    val basisTable = s"${table}__next_basis"
+    graft.sources.Sources.readBuildBasis(spark, basisTable).foreach {
+      case (basis, idCol, vecCol) =>
+        val loc = graft.sources.Sources.tableLocationOf(spark, table)
+        val delta = graft.sources.Sources.tableDataFiles(spark, table)
+          .filterNot(f => basis.contains((0, f)))
+        val ledger = foldLedger(spark, table)
+        val present = segDir.map(completeDirs).getOrElse(Nil)
+        val segs = present.filterNot(d => ledger.contains(d.getName))
+        if (delta.nonEmpty || segs.nonEmpty) {
+          val parts =
+            (if (delta.isEmpty) Nil
+             else Seq(spark.read.option("basePath", loc)
+               .parquet(delta: _*))) ++
+            (if (segs.isEmpty) Nil
+             else Seq(spark.read.option("basePath", segDir.get)
+               .parquet(segs.map(_.toString): _*).drop("batch")))
+          admit(parts.reduce(_ unionByName _).drop(staleCols: _*),
+            idCol, vecCol)
+          if (segs.nonEmpty)
+            writeFoldLedger(spark, table,
+              (present.map(_.getName).filter(ledger.contains) ++
+                segs.map(_.getName)).distinct)
+          graft.sources.Sources.writeBuildBasis(spark, basisTable,
+            (basis ++ delta.map(0 -> _)).toSeq, idCol, vecCol)
+        }
+    }
+  }
+
+  /** Post-swap cleanup of segment dirs the catch-up consumed (they are
+    * in the fold ledger, so serve already skips them); a crash before
+    * this is data-safe debris the next fold's delete pass clears. */
+  private def deleteLedgeredSegmentDirs(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      segDir: String,
+      completeDirs: String => Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val ledger = foldLedger(spark, table)
+    val fs = new org.apache.hadoop.fs.Path(segDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    completeDirs(segDir).filter(d => ledger.contains(d.getName))
+      .foreach(d => fs.delete(d, true))
   }
 
   /** Load the IVF index over base table ∪ streaming-admitted segments
@@ -912,9 +1101,13 @@ object Similarity {
     * metadata-only rename ([[graft.sources.Sources.promoteTable]]). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, vecCol: String,
-      iters: Int = 8, sampleN: Int = 2048): PqIndex = {
+      iters: Int = 8, sampleN: Int = 2048,
+      segDir: Option[String] = None): PqIndex = {
+    // fold admitted segments FIRST so the retrain sees them; any segment
+    // admitted after this fold is re-encoded at the promote's catch-up
+    segDir.foreach(d => foldPqSegments(spark, table, d))
     buildNextPqGeneration(spark, table, idCol, vecCol, iters, sampleN)
-    promotePqGeneration(spark, table)
+    promotePqGeneration(spark, table, segDir)
   }
 
   /** Build the NEXT PQ generation beside the live one — the long half
@@ -940,23 +1133,37 @@ object Similarity {
       s"artifact $table has a degenerate codebook shape (m=$m, " +
         s"nCodes=$nCodes, subDim=$subDim)")
     val next = s"${table}__next"
+    // basis-pinned input + basis-written-last: the [[buildNextIvfGeneration]]
+    // concurrent-upsert discipline — the promote re-encodes anything
+    // admitted mid-build with the NEW codebooks instead of losing it
+    val basisFiles = graft.sources.Sources.tableDataFiles(spark, table)
     try {
-      val idx = pqIndex(spark.table(table).drop("pq_code"), idCol, vecCol,
+      val input =
+        if (basisFiles.isEmpty) spark.table(table)
+        else spark.read.parquet(basisFiles: _*)
+      val idx = pqIndex(input.drop("pq_code"), idCol, vecCol,
         dims = m * subDim, m, nCodes, iters, sampleN)
       savePqIndex(idx, next)
+      graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
+        basisFiles.map(0 -> _), idCol, vecCol)
     } catch {
       case e: Throwable =>
         graft.sources.Sources.replaceTable(spark, next)
         graft.sources.Sources.replaceTable(spark, s"${next}_codebooks")
+        graft.sources.Sources.replaceTable(spark, s"${next}_basis")
         throw e
     }
   }
 
   /** Promote a fully-built staged PQ generation over the live one — the
-    * short, metadata-only half ([[promoteIvfGeneration]]'s discipline).
+    * short half ([[promoteIvfGeneration]]'s discipline): a catch-up
+    * pass re-ENCODES anything admitted since the build's basis snapshot
+    * (upserted files ∪ unledgered [[graft.streaming.Streaming
+    * .pqIngestSink]] segments, whose old-codebook codes the retrain
+    * invalidated) with the NEW codebooks, then the metadata-only swaps.
     * Fails fast if no staged generation exists. */
   def promotePqGeneration(spark: org.apache.spark.sql.SparkSession,
-      table: String): PqIndex = {
+      table: String, segDir: Option[String] = None): PqIndex = {
     val next = s"${table}__next"
     // the main staged table alone gates the promote: a crash between the
     // codebooks promote and the table promote leaves `next` present but
@@ -965,10 +1172,31 @@ object Similarity {
     require(spark.catalog.tableExists(next),
       s"no staged generation to promote for '$table' — run " +
         "buildNextPqGeneration (or compactPqIndex) first")
+    catchUpTrained(spark, table, segDir, staleCols = Seq("pq_code"),
+      completeDirs = completePlainSegmentDirs(spark, _),
+      admit = (rows, _, vecCol) => {
+        import graft.functions.VectorExpressions.{vec_l2_normalize, pq_encode}
+        // rerun-safe codebook source, as in the IVF promote
+        val src = if (spark.catalog.tableExists(s"${next}_codebooks"))
+          next else table
+        val books = spark.table(s"${src}_codebooks")
+          .orderBy(col("subspace"), col("code")).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3)).toArray
+        rows.filter(col(vecCol).isNotNull)
+          .withColumn("pq_code",
+            pq_encode(vec_l2_normalize(col(vecCol)), books))
+          .write.mode("append").format("parquet").saveAsTable(next)
+      })
     graft.sources.Sources.promoteTable(spark, s"${next}_codebooks",
       s"${table}_codebooks")
     graft.sources.Sources.promoteTable(spark, next, table)
+    graft.sources.Sources.replaceTable(spark, s"${next}_basis")
     cachesFor(spark).codebooks.remove(table)
+    cachesFor(spark).codebooks.remove(next)
+    segDir.foreach(d => deleteLedgeredSegmentDirs(spark, table, d,
+      completePlainSegmentDirs(spark, _)))
     loadPqIndex(spark, table)
   }
 

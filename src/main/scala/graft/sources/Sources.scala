@@ -536,6 +536,95 @@ object Sources {
     fpFor(spark).put(table, Some(fp))
   }
 
+  /** The registered location of a catalog table, as a URI string. */
+  private[graft] def tableLocationOf(spark: SparkSession,
+      table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+
+  /** Every DATA file currently under `table`'s registered location —
+    * recursive, commit markers / `_temporary` / hidden entries skipped.
+    * This is the unit of the catch-up diff behind the staged-generation
+    * promotes: every append path in the library writes NEW files and
+    * never rewrites an existing one (byte-immutability is pinned per
+    * artifact family), so "rows admitted since a snapshot" is exactly
+    * "files not in the snapshot". Metadata-only (listings, no data
+    * read) — the same driver-side cost Spark's own InMemoryFileIndex
+    * pays on every table scan, so it holds at any scale a table scan
+    * holds at. */
+  private[graft] def tableDataFiles(spark: SparkSession,
+      table: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(tableLocationOf(spark, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val out = Seq.newBuilder[String]
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (st.isDirectory) walk(st.getPath)
+            else out += st.getPath.toString
+          }
+        }
+      walk(p)
+      out.result()
+    }
+  }
+
+  /** BUILD BASIS of a staged generation: exactly the live-table files
+    * its build consumed, committed as the one-table `<staged>_basis`
+    * sibling so the PROMOTE can diff the live table's current files
+    * against it and re-admit anything that arrived mid-build (the
+    * concurrent-upsert catch-up — without it, a delta admitted between
+    * the build's snapshot and the promote would vanish at the swap).
+    * Schema `(proj, file, id_col, vec_col)`: `proj` keys multi-table
+    * layouts (LSH projections; single-table families use 0), and the
+    * `proj = -1` row carries the build's column meta so an empty file
+    * set still round-trips. Written LAST by the staged builders — a
+    * torn build has no basis and its promote falls back to the plain
+    * swap. The catch-up rewrites it (basis ∪ consumed delta) in the
+    * same one-commit idiom as the fold ledger, making a crashed
+    * catch-up retry skip what already landed. */
+  private[graft] def writeBuildBasis(spark: SparkSession,
+      basisTable: String, files: Seq[(Int, String)], idCol: String,
+      vecCol: String): Unit = {
+    import spark.implicits._
+    replaceTable(spark, basisTable)
+    ((-1, "") +: files).map { case (t, f) => (t, f, idCol, vecCol) }
+      .toDF("proj", "file", "id_col", "vec_col")
+      .write.mode("overwrite").format("parquet")
+      .options(stagedWriteOptions(spark, basisTable))
+      .saveAsTable(basisTable)
+  }
+
+  /** Conform a raw-file read to `schema` (names, order, types): a
+    * partitioned read through `basePath` re-INFERS partition-column
+    * types from directory names (e.g. a stored `bucket: long` comes
+    * back `int`), so every basis-pinned rebuild and catch-up copy casts
+    * back to the live table's schema before writing — a generation swap
+    * must never drift a column type. */
+  private[graft] def conformTo(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    df.select(schema.fields.toSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+
+  /** The staged build's basis — `(file set keyed by projection, id_col,
+    * vec_col)` — or None for a pre-basis or torn build (plain-swap
+    * promote). Driver-side like every file listing. */
+  private[graft] def readBuildBasis(spark: SparkSession,
+      basisTable: String): Option[(Set[(Int, String)], String, String)] =
+    if (!spark.catalog.tableExists(basisTable)) None
+    else {
+      val rows = spark.table(basisTable).collect()
+      rows.find(_.getInt(0) == -1).map { meta =>
+        (rows.filter(_.getInt(0) >= 0)
+          .map(r => (r.getInt(0), r.getString(1))).toSet,
+          meta.getString(2), meta.getString(3))
+      }
+    }
+
   /** Path schemes where a directory rename is a COPY of every object —
     * the object-store regimes that take the `SET LOCATION` promote
     * instead of the catalog rename. HDFS/local/viewfs renames are

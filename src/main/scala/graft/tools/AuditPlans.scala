@@ -159,7 +159,7 @@ object AuditPlans {
     "q_rank" -> 1, "q_repetition" -> 1, "q_rollup" -> 2,
     "q_sample_stratified" -> 2, "q_search_bm25" -> 6,
     "q_search_bm25_serve" -> 2, "q_search_bm25_upsert" -> 2,
-    "q_search_bm25_compact" -> 2,
+    "q_search_bm25_compact" -> 2, "q_search_bm25_catchup" -> 2,
     "q_stream_bm25_ingest" -> 3, "q_search_minscore" -> 4,
     "q_search_scored" -> 4, "q_select_computed" -> 1,
     "q_session_window" -> 2, "q_shuffle" -> 1, "q_sim_ivf" -> 0, "q_sim_ivf_serve" -> 0,
@@ -188,8 +188,11 @@ object AuditPlans {
     // lsh_upsert's 1 = the served candidates' dropDuplicates(vec_id)
     // across the three unioned table probes
     "q_sim_ivf_upsert" -> 0, "q_sim_ivf_compact" -> 0,
+    "q_sim_ivf_catchup" -> 0,
     "q_sim_lsh_upsert" -> 1, "q_sim_lsh_compact" -> 1,
+    "q_sim_lsh_catchup" -> 1,
     "q_sim_pq_upsert" -> 0, "q_sim_pq_compact" -> 0,
+    "q_sim_pq_catchup" -> 0,
     // ingest gates serve base ∪ segment unions; the one exchange in the
     // LSH shape is the served candidates' cross-table dropDuplicates
     "q_stream_lsh_ingest" -> 1, "q_stream_pq_ingest" -> 0,
@@ -227,6 +230,8 @@ object AuditPlans {
     "q_search_bm25_upsert" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_search_bm25_compact" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_search_bm25_catchup" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_stream_bm25_ingest" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
