@@ -942,6 +942,65 @@ object Queries {
       .orderBy(col("bm25_rank"))
   }
 
+  /** BM25 TAKEDOWN gate — the delete tier on the oracle path: the
+    * artifact is built over the FULL corpus, then every doc_id % 7 == 3
+    * is deleted via [[graft.operators.Search.deleteBm25Docs]] — an
+    * O(small-commit) tombstone append, no base-file rewrite — and the
+    * served top-25 must equal a DuckDB BM25 computed over the corpus
+    * WITHOUT those documents. That equality is only possible if the
+    * masking is content-exact end to end: rows anti-joined out AND the
+    * corpus constants (n_docs/avg_len, and through them every idf)
+    * corrected by exactly the deleted documents' (count, Σlen) — a
+    * rank-sensitive contract, since avg_len skew reorders mid-ranks.
+    * Build + delete run once per mtime-keyed generation; every later
+    * run serves through the tombstone mask. */
+  val q_search_bm25_delete: Q = (s, dir) => {
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "bm25_del", dir, "documents")
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs, "doc_id", "text"), table)
+      Search.deleteBm25Docs(s, table, docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")))
+    }
+    val idx = Search.loadBm25Index(s, table)
+    Search.searchBm25(docs.filter(col("doc_id") % 7 =!= 3), idx,
+        "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
+  /** BM25 RECLAIM gate — physical erasure on the oracle path: build
+    * over the full corpus, tombstone doc_id % 7 == 3, then run the full
+    * [[graft.operators.Search.compactBm25Index]] cadence — the staged
+    * rewrite FILTERS the tombstoned documents (the promoted
+    * generation's files no longer contain them — the GDPR requirement
+    * masking alone never meets; DeleteSpec reads the raw parquet to pin
+    * it), the promote subtracts exactly their (count, Σlen) from the
+    * live stats under the build-token idempotence guard, and the
+    * consumed tombstones leave the sibling. The served ranking must
+    * STILL equal the corpus-without-them BM25 — same oracle as
+    * q_search_bm25_delete, now from erased files + corrected stats with
+    * no mask left in the plan. Runs once per mtime-keyed generation. */
+  val q_search_bm25_reclaim: Q = (s, dir) => {
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "bm25_rcl", dir, "documents")
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs, "doc_id", "text"), table)
+      Search.deleteBm25Docs(s, table, docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")))
+      Search.compactBm25Index(s, table)
+    }
+    val idx = Search.loadBm25Index(s, table)
+    Search.searchBm25(docs.filter(col("doc_id") % 7 =!= 3), idx,
+        "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
   /** STREAMING BM25 ingest gate — the live-admission analogue of
     * q_search_bm25_upsert, and the one streaming-ingest tier whose
     * serve path IS oracle-expressible (the IVF ingest's centroids are
@@ -2223,6 +2282,82 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** IVF TAKEDOWN gate — the delete tier for the trained family: the
+    * index is built over the FULL corpus, every vec_id % 7 == 3 (≈14%
+    * of it, including members of the original top-10 neighborhood) is
+    * deleted via [[graft.operators.Similarity.deleteVectors]] — one
+    * tombstone commit, no file rewrite, nothing retrained — and the
+    * served top-20 must (a) contain the exact cosine top-10 over the
+    * REMAINING corpus (the DuckDB oracle) and (b) leak no deleted id:
+    * an in-plan one-row broadcast gate empties the output if any
+    * tombstoned vector survives the mask, turning a leak into a
+    * driver-visible row-count break, not a recall nuance. nProbe=14 of
+    * 16: the post-delete top-10 pulls in previously-rank-11+ neighbors
+    * whose cells the tighter q_sim_ivf probe set may miss. */
+  val q_sim_ivf_delete: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val remaining = emb.filter(col("vec_id") % 7 =!= 3)
+    val exact = Similarity.bruteForceTopK(remaining, "vec_id", "embedding",
+      qvec, 10)
+    val table = artifactTable(s, "ivf_del", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nCentroids = 16, iters = 3), table)
+      Similarity.deleteVectors(s, table,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    }
+    val idx = Similarity.loadIvfIndex(s, table)
+    val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20,
+      nProbe = 14).select(col("vec_id")).localCheckpoint(true)
+    val leakFree = ann.agg(
+      (sum(when(col("vec_id") % 7 === 3, 1).otherwise(0)) === 0).as("__ok"))
+    exact.join(ann, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(leakFree)).filter(col("__ok"))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** IVF RECLAIM gate — physical erasure AND geometry forgetting for
+    * the trained family: after the takedown, the full
+    * [[graft.operators.Similarity.compactIvfIndex]] cadence runs — the
+    * staged retrain excludes the tombstoned vectors (the new centroids
+    * are trained WITHOUT them — the deleted data stops shaping the
+    * index, not just appearing in it), the promoted generation's files
+    * no longer contain them (DeleteSpec reads the raw parquet), and the
+    * consumed tombstones leave the sibling — then the same
+    * recall-plus-no-leak contract must hold against the retrained
+    * geometry with NO mask left in the plan. Same oracle as
+    * q_sim_ivf_delete. */
+  val q_sim_ivf_reclaim: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val remaining = emb.filter(col("vec_id") % 7 =!= 3)
+    val exact = Similarity.bruteForceTopK(remaining, "vec_id", "embedding",
+      qvec, 10)
+    val table = artifactTable(s, "ivf_rcl", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nCentroids = 16, iters = 3), table)
+      Similarity.deleteVectors(s, table,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      Similarity.compactIvfIndex(s, table, "vec_id", "embedding", iters = 3)
+    }
+    val idx = Similarity.loadIvfIndex(s, table)
+    val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20,
+      nProbe = 14).select(col("vec_id")).localCheckpoint(true)
+    val leakFree = ann.agg(
+      (sum(when(col("vec_id") % 7 === 3, 1).otherwise(0)) === 0).as("__ok"))
+    exact.join(ann, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(leakFree)).filter(col("__ok"))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** Build-and-upsert ONCE per artifact generation for the `_upsert`
     * gates: the `<table>_upserted` marker records a completed
     * base-build + delta-append for the mtime-keyed generation, so later
@@ -2332,6 +2467,39 @@ object Queries {
     val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding",
       qvec, 20, probeDist = 4)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** LSH TAKEDOWN gate — the delete tier for the deterministic family:
+    * the bucket-partitioned projections are built over the FULL corpus,
+    * vec_id % 7 == 3 deleted (one tombstone commit covers every
+    * projection — the sibling keys on the artifact prefix), and the
+    * served top-20 must contain the exact cosine top-10 over the
+    * remaining corpus with no deleted id leaking (the in-plan gate of
+    * q_sim_ivf_delete). Masking happens once, after the cross-
+    * projection candidate dedup — one broadcast anti-join per query,
+    * not one per projection. q_sim_lsh's own probeDist=4. */
+  val q_sim_lsh_delete: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val remaining = emb.filter(col("vec_id") % 7 =!= 3)
+    val exact = Similarity.bruteForceTopK(remaining, "vec_id", "embedding",
+      qvec, 10)
+    val table = artifactTable(s, "lsh_del", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.saveLshIndex(emb, "embedding", dims = 64, table,
+        bits = 8, tables = 3)
+      Similarity.deleteVectors(s, table,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    }
+    val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding",
+      qvec, 20, probeDist = 4).select(col("vec_id")).localCheckpoint(true)
+    val leakFree = ann.agg(
+      (sum(when(col("vec_id") % 7 === 3, 1).otherwise(0)) === 0).as("__ok"))
+    exact.join(ann, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(leakFree)).filter(col("__ok"))
+      .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
@@ -2577,6 +2745,39 @@ object Queries {
     val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
       candidates = 500)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** PQ TAKEDOWN gate — the delete tier for the encoded family: codes
+    * are trained and stored over the FULL corpus, vec_id % 7 == 3
+    * deleted via the one-commit tombstone path (no re-encode — codes of
+    * masked rows simply stop being ADC candidates), and the reranked
+    * top-20 must contain the exact cosine top-10 over the remaining
+    * corpus with no deleted id leaking (q_sim_ivf_delete's in-plan
+    * gate). q_sim_pq's own candidates=500. */
+  val q_sim_pq_delete: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val remaining = emb.filter(col("vec_id") % 7 =!= 3)
+    val exact = Similarity.bruteForceTopK(remaining, "vec_id", "embedding",
+      qvec, 10)
+    val table = artifactTable(s, "pq_del", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.savePqIndex(
+        Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+          m = 16, nCodes = 32, iters = 8, sampleN = 2048), table)
+      Similarity.deleteVectors(s, table,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    }
+    val idx = Similarity.loadPqIndex(s, table)
+    val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 500).select(col("vec_id")).localCheckpoint(true)
+    val leakFree = ann.agg(
+      (sum(when(col("vec_id") % 7 === 3, 1).otherwise(0)) === 0).as("__ok"))
+    exact.join(ann, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(leakFree)).filter(col("__ok"))
+      .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
@@ -3320,6 +3521,8 @@ object Queries {
     "q_search_bm25_upsert" -> q_search_bm25_upsert,
     "q_search_bm25_compact" -> q_search_bm25_compact,
     "q_search_bm25_catchup" -> q_search_bm25_catchup,
+    "q_search_bm25_delete" -> q_search_bm25_delete,
+    "q_search_bm25_reclaim" -> q_search_bm25_reclaim,
     "q_stream_bm25_ingest" -> q_stream_bm25_ingest,
     "q_approx_distinct" -> q_approx_distinct,
     "q_sketch_rollup" -> q_sketch_rollup,
@@ -3383,15 +3586,19 @@ object Queries {
     "q_sim_ivf_upsert" -> q_sim_ivf_upsert,
     "q_sim_ivf_compact" -> q_sim_ivf_compact,
     "q_sim_ivf_catchup" -> q_sim_ivf_catchup,
+    "q_sim_ivf_delete" -> q_sim_ivf_delete,
+    "q_sim_ivf_reclaim" -> q_sim_ivf_reclaim,
     "q_sim_lsh_upsert" -> q_sim_lsh_upsert,
     "q_sim_lsh_compact" -> q_sim_lsh_compact,
     "q_sim_lsh_catchup" -> q_sim_lsh_catchup,
+    "q_sim_lsh_delete" -> q_sim_lsh_delete,
     "q_stream_lsh_ingest" -> q_stream_lsh_ingest,
     "q_stream_pq_ingest" -> q_stream_pq_ingest,
     "q_stream_ivf_ingest" -> q_stream_ivf_ingest,
     "q_sim_pq_upsert" -> q_sim_pq_upsert,
     "q_sim_pq_compact" -> q_sim_pq_compact,
     "q_sim_pq_catchup" -> q_sim_pq_catchup,
+    "q_sim_pq_delete" -> q_sim_pq_delete,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_excel_roundtrip" -> q_excel_roundtrip,
     "q_excel_dates" -> q_excel_dates,
@@ -3454,6 +3661,44 @@ object Queries {
       |  FROM scored)
       |WHERE bm25_rank <= 25 ORDER BY bm25_rank""".stripMargin
 
+  /** Shared by the BM25 takedown pair (q_search_bm25_delete masks at
+    * serve; q_search_bm25_reclaim physically erases at compaction):
+    * the SAME ranking computation as [[bm25OracleSql]] but over the
+    * corpus WITHOUT the deleted documents (doc_id % 7 == 3) — n,
+    * avg_len, df, every idf recomputed from the survivors, so a
+    * masking path that forgot any constant correction ranks
+    * differently and hash-mismatches. */
+  private val bm25DeletedOracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM docs
+      |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM docs) AS n,
+      |    (SELECT count(*) FROM tok2)::DOUBLE
+      |      / (SELECT count(*) FROM docs) AS avglen),
+      |terms(word) AS (VALUES ('hash'), ('join'), ('filter')),
+      |tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM tok2
+      |  WHERE word IN (SELECT word FROM terms) GROUP BY doc_id, word),
+      |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+      |  FROM tf JOIN dfreq d USING (word)
+      |    JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN stats s
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, bm25_rank FROM (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+      |  FROM scored)
+      |WHERE bm25_rank <= 25 ORDER BY bm25_rank""".stripMargin
+
   /** Shared by the nine ANN recall gates (q_sim_lsh / q_sim_ivf /
     * q_sim_pq, their `_serve` variants over persisted indexes, and the
     * incremental `_upsert` gates over delta-appended artifacts) — each
@@ -3468,6 +3713,22 @@ object Queries {
       |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |      * sqrt(list_dot_product(qv, qv))) AS cosine
       |FROM embeddings, q
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Shared by the four ANN takedown/reclaim gates: the exact cosine
+    * top-10 over the corpus WITHOUT the deleted vectors
+    * (vec_id % 7 == 3) — the post-takedown neighborhood the masked (or
+    * physically erased) artifact must still recover. */
+  private val annExactTop10DeletedSql: String =
+    """WITH q AS (
+      |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+      |)
+      |SELECT vec_id,
+      |  list_dot_product(embedding::DOUBLE[], qv)
+      |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |      * sqrt(list_dot_product(qv, qv))) AS cosine
+      |FROM embeddings, q
+      |WHERE vec_id % 7 <> 3
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
   /** Shared by q_stream_neardedup and q_stream_neardedup_serve: the
@@ -4198,6 +4459,8 @@ object Queries {
     "q_search_bm25_upsert" -> bm25OracleSql,
     "q_search_bm25_compact" -> bm25OracleSql,
     "q_search_bm25_catchup" -> bm25OracleSql,
+    "q_search_bm25_delete" -> bm25DeletedOracleSql,
+    "q_search_bm25_reclaim" -> bm25DeletedOracleSql,
     "q_stream_bm25_ingest" -> bm25OracleSql,
 
     "q_cluster_best" ->
@@ -4944,15 +5207,19 @@ object Queries {
     "q_sim_ivf_upsert" -> annExactTop10Sql,
     "q_sim_ivf_compact" -> annExactTop10Sql,
     "q_sim_ivf_catchup" -> annExactTop10Sql,
+    "q_sim_ivf_delete" -> annExactTop10DeletedSql,
+    "q_sim_ivf_reclaim" -> annExactTop10DeletedSql,
     "q_sim_lsh_upsert" -> annExactTop10Sql,
     "q_sim_lsh_compact" -> annExactTop10Sql,
     "q_sim_lsh_catchup" -> annExactTop10Sql,
+    "q_sim_lsh_delete" -> annExactTop10DeletedSql,
     "q_stream_lsh_ingest" -> annExactTop10Sql,
     "q_stream_pq_ingest" -> annExactTop10Sql,
     "q_stream_ivf_ingest" -> annExactTop10Sql,
     "q_sim_pq_upsert" -> annExactTop10Sql,
     "q_sim_pq_compact" -> annExactTop10Sql,
     "q_sim_pq_catchup" -> annExactTop10Sql,
+    "q_sim_pq_delete" -> annExactTop10DeletedSql,
 
     "q_dedup_remove" ->
       """WITH docs AS (

@@ -217,13 +217,19 @@ object Search {
   // SAME one-row commit as the merged stats, so a fold retry (or a
   // concurrent segment serve) can never double-count a segment whose
   // merge committed but whose dir delete didn't.
+  // `reclaim_token` marks the one staged-generation promote whose
+  // tombstone-reclaim subtraction already landed in this stats row — the
+  // idempotence guard for a promote retry (see [[promoteBm25Layout]]);
+  // upsert and fold thread it through unchanged.
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
       table: String, nDocs: Long, avgLen: Double, buckets: Int,
-      totalLen: Long, foldedBatches: Seq[String] = Seq.empty): Unit = {
+      totalLen: Long, foldedBatches: Seq[String] = Seq.empty,
+      reclaimToken: String = ""): Unit = {
     graft.sources.Sources.replaceTable(spark, s"${table}_stats")
     import spark.implicits._
-    Seq((nDocs, avgLen, buckets, totalLen, foldedBatches))
-      .toDF("n_docs", "avg_len", "buckets", "total_len", "folded_batches")
+    Seq((nDocs, avgLen, buckets, totalLen, foldedBatches, reclaimToken))
+      .toDF("n_docs", "avg_len", "buckets", "total_len", "folded_batches",
+        "reclaim_token")
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_stats"))
       .saveAsTable(s"${table}_stats")
@@ -251,7 +257,7 @@ object Search {
   def upsertBm25Index(delta: DataFrame, idCol: String, attr: String,
       table: String): Unit = {
     val spark = delta.sparkSession
-    val (n, buckets, total, folded) = readMergeableStats(spark, table)
+    val (n, buckets, total, folded, token) = readMergeableStats(spark, table)
     // pin the delta across the two passes (length-stats aggregate, then
     // the postings append) — an expensive upstream delta pipeline would
     // otherwise execute twice, the same reason bm25IngestSink already
@@ -263,9 +269,10 @@ object Search {
         .bucketBy(buckets, "word").sortBy("word").saveAsTable(table)
       val (n2, total2) = (n + d.nDocs, total + d.totalLen)
       val avg2 = if (n2 == 0) 0.0 else total2.toDouble / n2
-      // the fold ledger rides through: an upsert between a crashed fold
-      // and its retry must not forget which segments are already merged
-      writeStats(spark, table, n2, avg2, buckets, total2, folded)
+      // the fold ledger and reclaim token ride through: an upsert
+      // between a crashed fold/promote and its retry must not forget
+      // which segments are merged or which reclaim already landed
+      writeStats(spark, table, n2, avg2, buckets, total2, folded, token)
     } finally pinned.unpersist()
   }
 
@@ -275,7 +282,7 @@ object Search {
     * compaction all key on it). A pre-ledger generation reads back an
     * empty ledger; its next stats write migrates the schema. */
   private def readMergeableStats(spark: org.apache.spark.sql.SparkSession,
-      table: String): (Long, Int, Long, Seq[String]) = {
+      table: String): (Long, Int, Long, Seq[String], String) = {
     val st = spark.table(s"${table}_stats")
     require(st.columns.contains("total_len"),
       s"$table predates the upsert-capable stats schema (no total_len); " +
@@ -286,7 +293,11 @@ object Search {
       if (st.columns.contains("folded_batches"))
         row.getSeq[String](st.columns.indexOf("folded_batches"))
       else Seq.empty[String]
-    (row.getLong(0), row.getInt(2), row.getLong(3), folded)
+    val token =
+      if (st.columns.contains("reclaim_token"))
+        row.getString(st.columns.indexOf("reclaim_token"))
+      else ""
+    (row.getLong(0), row.getInt(2), row.getLong(3), folded, token)
   }
 
   /** FILE-COMPACTION for the BM25 artifact — heals the small-file
@@ -329,15 +340,25 @@ object Search {
     val buckets = readMergeableStats(spark, table)._2
     val next = s"${table}__next"
     val files = graft.sources.Sources.tableDataFiles(spark, table)
+    // RECLAIM: the rewrite filters out the tombstoned documents present
+    // at entry — the promoted generation's files no longer CONTAIN them
+    // (physical erasure, not just masking) — and records the consumed
+    // tombstone files + a build token in the basis so the promote can
+    // subtract exactly their (n, Σlen) from the live stats, exactly
+    // once. Deletes issued mid-build stay in the residual tombstone set.
+    val tombFiles = graft.operators.Tombstones.snapshotFiles(spark, table)
     try {
-      val content =
+      val content0 =
         if (files.isEmpty) spark.table(table)
         else spark.read.parquet(files: _*)
+      val content =
+        graft.operators.Tombstones.maskByFiles(spark, content0, tombFiles)
       graft.sources.Sources.writeBucketed(
         graft.core.GTable(if (dedupExact) content.distinct() else content),
         next, Seq("word"), buckets)
       graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
-        files.map(0 -> _), "", "")
+        files.map(0 -> _), "", "", tombFiles = tombFiles,
+        token = java.util.UUID.randomUUID().toString)
     } catch {
       case e: Throwable =>
         graft.sources.Sources.replaceTable(spark, next)
@@ -361,24 +382,64 @@ object Search {
   def promoteBm25Layout(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     val next = s"${table}__next"
-    require(spark.catalog.tableExists(next),
+    val basisTable = s"${next}_basis"
+    // the basis is dropped LAST, so staged-gone + basis-present means a
+    // previous promote crashed after its swap: RESUME the post-swap
+    // steps (token-guarded, so nothing re-applies) instead of failing.
+    // Rerun-to-completion is the contract (as in PromoteSpec's windows):
+    // a stale consumed-tombstone basis left unhealed would double-count
+    // at the NEXT build's snapshot.
+    val resume = !spark.catalog.tableExists(next) &&
+      spark.catalog.tableExists(basisTable)
+    require(spark.catalog.tableExists(next) || resume,
       s"no staged layout to promote for '$table' — run " +
         "buildNextBm25Layout (or compactBm25Index) first")
-    graft.sources.Sources.readBuildBasis(spark, s"${next}_basis")
-      .foreach { case (basis, _, _) =>
-        val delta = graft.sources.Sources.tableDataFiles(spark, table)
-          .filterNot(f => basis.contains((0, f)))
-        if (delta.nonEmpty) {
-          val buckets = readMergeableStats(spark, table)._2
-          spark.read.parquet(delta: _*)
-            .write.mode("append").format("parquet")
-            .bucketBy(buckets, "word").sortBy("word").saveAsTable(next)
-          graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
-            (basis ++ delta.map(0 -> _)).toSeq, "", "")
+    val (consumedTomb, buildToken) =
+      graft.sources.Sources.readBasisReclaim(spark, basisTable)
+    if (!resume)
+      graft.sources.Sources.readBuildBasis(spark, basisTable)
+        .foreach { case (basis, _, _) =>
+          val delta = graft.sources.Sources.tableDataFiles(spark, table)
+            .filterNot(f => basis.contains((0, f)))
+          if (delta.nonEmpty) {
+            val buckets = readMergeableStats(spark, table)._2
+            spark.read.parquet(delta: _*)
+              .write.mode("append").format("parquet")
+              .bucketBy(buckets, "word").sortBy("word").saveAsTable(next)
+            graft.sources.Sources.writeBuildBasis(spark, basisTable,
+              (basis ++ delta.map(0 -> _)).toSeq, "", "",
+              tombFiles = consumedTomb, token = buildToken)
+          }
         }
+    // RECLAIM, step 1 — subtract the consumed tombstones' (n, Σlen)
+    // from the live stats, guarded by the build token so a promote
+    // retry can never subtract twice (the one in-place mutation of this
+    // promote; everything else swaps). The serve windows between here
+    // and step 3 are the standard between-promotes class: constants
+    // momentarily doubly-corrected while consumed entries still sit in
+    // the tombstone sibling — rows stay correct throughout (masked
+    // before the swap, physically absent after) and one rerun heals.
+    if (consumedTomb.nonEmpty) {
+      val (n, buckets, total, folded, token) = readMergeableStats(spark, table)
+      if (token != buildToken) {
+        val tombDf = spark.read.parquet(consumedTomb: _*)
+        val agg = tombDf.dropDuplicates(tombDf.columns.head)
+          .agg(count(lit(1)), coalesce(sum(col("doclen")), lit(0L))).head()
+        val (n2, total2) = (n - agg.getLong(0), total - agg.getLong(1))
+        writeStats(spark, table, n2,
+          if (n2 == 0) 0.0 else total2.toDouble / n2, buckets, total2,
+          foldedBatches = folded, reclaimToken = buildToken)
       }
-    graft.sources.Sources.promoteTable(spark, next, table)
-    graft.sources.Sources.replaceTable(spark, s"${next}_basis")
+    }
+    // step 2 — the metadata-only generation swap
+    if (!resume) graft.sources.Sources.promoteTable(spark, next, table)
+    // step 3 — retire the consumed tombstones; mid-build deletes stay
+    // residual (still masked at serve, reclaimed next cadence)
+    if (consumedTomb.nonEmpty) {
+      graft.operators.Tombstones.retireConsumed(spark, table, consumedTomb)
+      statsFor(spark).remove(tombKey(table))
+    }
+    graft.sources.Sources.replaceTable(spark, basisTable)
   }
 
   /** Load the BM25 index over base table ∪ streaming-admitted segments
@@ -407,8 +468,14 @@ object Search {
       // deletes must not serve those postings twice
       val segs = all.filterNot(d => folded.contains(d.getName))
       if (segs.isEmpty) return base
-      val postings = spark.read
-        .parquet(segs.map(d => s"$d/postings"): _*)
+      // tombstones mask segment postings too (a takedown can target a
+      // document whose fold hasn't run yet — rows must disappear
+      // immediately); the base constants already carry the correction
+      // via loadBm25Index. Stats exactness for a segment-resident
+      // delete arrives with the fold (its doclen was captured as 0) —
+      // the documented fold-first contract on deleteBm25Docs.
+      val postings = graft.operators.Tombstones.mask(spark, table,
+        spark.read.parquet(segs.map(d => s"$d/postings"): _*))
       // coalesce: a committed-but-empty stats file must merge as zero,
       // not NPE the serve (the marker check only proves the file exists)
       val st = spark.read.parquet(segs.map(d => s"$d/stats"): _*)
@@ -479,7 +546,7 @@ object Search {
       table: String, segDir: String): Unit = {
     val present = completeBm25SegmentDirs(spark, segDir)
     if (present.nonEmpty) {
-      val (n, buckets, total, ledger) = readMergeableStats(spark, table)
+      val (n, buckets, total, ledger, token) = readMergeableStats(spark, table)
       val todo = present.filterNot(d => ledger.contains(d.getName))
       if (todo.nonEmpty) {
         spark.read.parquet(todo.map(d => s"$d/postings"): _*)
@@ -493,7 +560,7 @@ object Search {
         // every dir about to be deleted — the idempotence point
         writeStats(spark, table, n2,
           if (n2 == 0) 0.0 else total2.toDouble / n2, buckets, total2,
-          foldedBatches = present.map(_.getName))
+          foldedBatches = present.map(_.getName), reclaimToken = token)
       }
       val fs = new org.apache.hadoop.fs.Path(segDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -520,6 +587,64 @@ object Search {
       c
     }
 
+  /** DELETE documents from a persisted BM25 artifact — the takedown
+    * path ([[graft.operators.Tombstones]]): O(corpus-scan of two
+    * columns) to capture, O(1 small commit) to land, zero base-file
+    * rewrites. `ids` is a one-column frame named with the artifact's id
+    * column. Each new id's doclen is captured from the live postings
+    * (any one posting row carries it) so the corpus constants
+    * (n_docs/avg_len — and through them idf) correct EXACTLY at serve:
+    * the masked index is content-identical to one built without those
+    * documents. An id with no postings (a zero-token document) tombstones
+    * with doclen 0 — deleting it still decrements n_docs. Callers own
+    * membership the way upserts own id-disjointness: ids must name
+    * base-admitted documents (fold streaming segments first); deleting
+    * a non-member skews n_docs by one. Re-deleting an already-tombstoned
+    * id is a no-op (anti-joined at capture; consumers dedup besides).
+    * Physical erasure rides [[compactBm25Index]]'s next cadence. */
+  def deleteBm25Docs(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame): Unit = {
+    val idCol = ids.columns.head
+    val fresh = graft.operators.Tombstones.read(spark, table)
+      .map(t => ids.select(col(idCol)).dropDuplicates(idCol)
+        .join(broadcast(t.select(col(idCol)).dropDuplicates(idCol)),
+          Seq(idCol), "left_anti"))
+      .getOrElse(ids.select(col(idCol)).dropDuplicates(idCol))
+    // doclen from the live postings: a broadcast SEMI join prunes the
+    // scan to the requested ids map-side BEFORE any aggregate (never
+    // aggregate the whole corpus to look up a handful of ids), then a
+    // per-id max collapses the id's identical per-word copies; ids
+    // absent from the postings (zero-token documents) keep doclen 0
+    val found = spark.table(table)
+      .join(broadcast(fresh), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(max(col("doclen")).as("doclen"))
+    val captured = fresh.join(found, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("doclen"), lit(0L)).as("doclen"))
+    graft.operators.Tombstones.append(spark, table, captured)
+    statsFor(spark).remove(table)
+    statsFor(spark).remove(tombKey(table))
+  }
+
+  // tombstone aggregates are cached beside the corpus constants (same
+  // per-session weak map); the sentinel key can't collide with a real
+  // table name
+  private def tombKey(table: String): String = table + " tomb"
+
+  /** The artifact's tombstone correction — (deleted n, deleted Σlen)
+    * over the deduplicated tombstone set; (0, 0) when none exist. */
+  private def tombstoneAgg(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Long, Long) = {
+    val (n, _, len) = statsFor(spark).getOrElseUpdate(tombKey(table), {
+      graft.operators.Tombstones.read(spark, table).map { t =>
+        val idCol = t.columns.head
+        val r = t.dropDuplicates(idCol)
+          .agg(count(lit(1)), coalesce(sum(col("doclen")), lit(0L))).head()
+        (r.getLong(0), 0.0, r.getLong(1))
+      }.getOrElse((0L, 0.0, 0L))
+    })
+    (n, len)
+  }
+
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, table: String): Bm25Index = {
     val (n, avg, total) = statsFor(spark).getOrElseUpdate(table, {
       val stats = spark.table(s"${table}_stats")
@@ -531,7 +656,18 @@ object Search {
       else math.round(st.getDouble(1) * st.getLong(0))
       (st.getLong(0), st.getDouble(1), t)
     })
-    Bm25Index(spark.table(table), n, avg, total)
+    // takedown masking: tombstoned documents anti-join out of the
+    // postings (broadcast, map-side) and their (count, Σlen) subtract
+    // from the corpus constants — the served index is content-identical
+    // to one built without them, so idf/avg_len stay exact
+    val (nDel, lenDel) = tombstoneAgg(spark, table)
+    val postings =
+      graft.operators.Tombstones.mask(spark, table, spark.table(table))
+    val (nLive, totalLive) = (n - nDel, total - lenDel)
+    Bm25Index(postings, nLive,
+      if (nDel == 0) avg
+      else if (nLive == 0) 0.0 else totalLive.toDouble / nLive,
+      totalLive)
   }
 
   /** Load the persisted index, building and persisting it first if this

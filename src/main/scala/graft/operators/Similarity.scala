@@ -218,6 +218,32 @@ object Similarity {
       (m.getInt(0), m.getInt(1), m.getInt(2))
     })
 
+  /** DELETE vectors from a persisted ANN serving artifact (IVF, PQ, or
+    * LSH — the tombstone sibling keys on the artifact prefix, so one
+    * call covers an LSH layout's every projection) — the takedown path
+    * ([[graft.operators.Tombstones]]): `ids` is a one-column frame
+    * named with the artifact's id column; the ids append into
+    * `<table>_deleted` in one small commit and every serve path (base,
+    * upserted deltas, streaming segments) masks them with a broadcast
+    * anti-join from that moment. No base file is rewritten and nothing
+    * retrains — unlike the append side there is no drift to manage:
+    * masked rows simply stop being candidates. Physical erasure and
+    * geometry forgetting (centroids/codebooks retrained WITHOUT the
+    * deleted vectors) ride the family's next compaction cadence.
+    * Re-deleting an id is a no-op; deleting an unknown id is a harmless
+    * permanent tombstone (reclaimed at compaction). */
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame): Unit = {
+    val idCol = ids.columns.head
+    val dedup = ids.select(col(idCol)).dropDuplicates(idCol)
+    val fresh = graft.operators.Tombstones.read(spark, table)
+      .map(t => dedup.join(
+        broadcast(t.select(col(idCol)).dropDuplicates(idCol)),
+        Seq(idCol), "left_anti"))
+      .getOrElse(dedup)
+    graft.operators.Tombstones.append(spark, table, fresh)
+  }
+
   /** FILE-COMPACTION for the LSH layout — the [[graft.operators.Search
     * .compactBm25Index]] analogue: each [[upsertLshIndex]] adds a file
     * per touched bucket partition per hash table; this rewrites every
@@ -248,6 +274,10 @@ object Similarity {
       table: String): Unit = {
     val (_, tables, _) = lshMetaFor(spark, table)
     val basis = Seq.newBuilder[(Int, String)]
+    // RECLAIM: one tombstone snapshot covers every projection's rewrite
+    // (the sibling keys on the artifact prefix) — the promoted layout's
+    // files no longer contain the deleted ids in ANY projection
+    val tombFiles = graft.operators.Tombstones.snapshotFiles(spark, table)
     try {
       for (t <- 0 until tables) {
         val live = s"${table}_t$t"
@@ -261,13 +291,15 @@ object Similarity {
           else graft.sources.Sources.conformTo(
             spark.read.option("basePath", loc).parquet(files: _*),
             spark.table(live).schema)
-        input.repartition(col("bucket"))
+        graft.operators.Tombstones.maskByFiles(spark, input, tombFiles)
+          .repartition(col("bucket"))
           .write.format("parquet")
           .options(graft.sources.Sources.stagedWriteOptions(spark, next))
           .partitionBy("bucket").saveAsTable(next)
       }
       graft.sources.Sources.writeBuildBasis(spark,
-        s"${table}__next_basis", basis.result(), "", "")
+        s"${table}__next_basis", basis.result(), "", "",
+        tombFiles = tombFiles)
     } catch {
       case e: Throwable =>
         for (t <- 0 until tables)
@@ -315,13 +347,22 @@ object Similarity {
           }
         }
         val c = consumed.result()
-        if (c.nonEmpty)
+        if (c.nonEmpty) {
+          // preserve the build's reclaim half across the rewrite
+          val (tombFiles, token) =
+            graft.sources.Sources.readBasisReclaim(spark, basisTable)
           graft.sources.Sources.writeBuildBasis(spark, basisTable,
-            (basis ++ c).toSeq, "", "")
+            (basis ++ c).toSeq, "", "", tombFiles = tombFiles,
+            token = token)
+        }
     }
+    val (consumedTomb, _) =
+      graft.sources.Sources.readBasisReclaim(spark, basisTable)
     for (t <- 0 until tables)
       graft.sources.Sources.promoteTable(spark, s"${table}_t${t}__next",
         s"${table}_t$t")
+    // retire consumed tombstones (promoteIvfGeneration's discipline)
+    graft.operators.Tombstones.retireConsumed(spark, table, consumedTomb)
     graft.sources.Sources.replaceTable(spark, basisTable)
   }
 
@@ -361,6 +402,9 @@ object Similarity {
         .filter(col("bucket").isin(probes: _*))
         .select(col(idCol), col(vecCol))
     }.reduce(_ unionByName _).dropDuplicates(idCol)
+      // takedown masking once, after the cross-projection dedup — one
+      // broadcast anti-join instead of one per projection
+      .transform(graft.operators.Tombstones.mask(spark, table, _))
   }
 
   // ------------------------------------------------------------------
@@ -467,7 +511,10 @@ object Similarity {
     val centroids = cachesFor(spark).centroids.getOrElseUpdate(table,
       spark.table(s"${table}_centroids").orderBy(col("cluster")).collect()
         .map(_.getSeq[Double](1).toArray))
-    IvfIndex(spark.table(table), centroids)
+    // takedown masking: tombstoned ids anti-join out map-side; identity
+    // when no tombstones exist (the cluster-pruned plan is unchanged)
+    IvfIndex(graft.operators.Tombstones.mask(spark, table,
+      spark.table(table)), centroids)
   }
 
   /** INCREMENTAL upsert into a persisted IVF serving artifact: assign
@@ -561,13 +608,21 @@ object Similarity {
       val input =
         if (basisFiles.isEmpty) spark.table(table)
         else spark.read.option("basePath", loc).parquet(basisFiles: _*)
-      val idx = ivfIndex(input.drop("cluster"), idCol, vecCol,
+      // RECLAIM: tombstoned ids present at entry are excluded from the
+      // retrain — the new generation's files no longer contain them
+      // (physical erasure) AND its geometry forgets them (centroids
+      // trained without the deleted vectors); the consumed snapshot
+      // rides in the basis so the promote retires exactly those entries
+      val tombFiles = graft.operators.Tombstones.snapshotFiles(spark, table)
+      val idx = ivfIndex(
+        graft.operators.Tombstones.maskByFiles(spark,
+          input.drop("cluster"), tombFiles), idCol, vecCol,
         nCentroids, iters)
       saveIvfIndex(idx, next)
       // basis LAST: a torn build leaves no basis, so it can never
       // mis-drive a catch-up (and the promote falls back to plain swap)
       graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
-        basisFiles.map(0 -> _), idCol, vecCol)
+        basisFiles.map(0 -> _), idCol, vecCol, tombFiles = tombFiles)
     } catch {
       case e: Throwable =>
         graft.sources.Sources.replaceTable(spark, next)
@@ -616,9 +671,17 @@ object Similarity {
           .write.mode("append").format("parquet")
           .partitionBy("cluster").saveAsTable(next)
       })
+    val (consumedTomb, _) =
+      graft.sources.Sources.readBasisReclaim(spark, s"${next}_basis")
     graft.sources.Sources.promoteTable(spark, s"${next}_centroids",
       s"${table}_centroids")
     graft.sources.Sources.promoteTable(spark, next, table)
+    // retire the tombstones the staged retrain consumed (their rows are
+    // physically absent from the promoted generation); mid-build deletes
+    // stay residual — still masked at serve, reclaimed next cadence. A
+    // crash before this leaves consumed entries masking already-absent
+    // ids: a serve no-op, healed by the next compaction.
+    graft.operators.Tombstones.retireConsumed(spark, table, consumedTomb)
     graft.sources.Sources.replaceTable(spark, s"${next}_basis")
     cachesFor(spark).centroids.remove(table)
     cachesFor(spark).centroids.remove(next)
@@ -678,8 +741,14 @@ object Similarity {
             writeFoldLedger(spark, table,
               (present.map(_.getName).filter(ledger.contains) ++
                 segs.map(_.getName)).distinct)
+          // the rewrite preserves the build's reclaim half (consumed
+          // tombstone snapshot + token) — a catch-up must not make the
+          // promote forget which tombstones the staged rewrite consumed
+          val (tombFiles, token) =
+            graft.sources.Sources.readBasisReclaim(spark, basisTable)
           graft.sources.Sources.writeBuildBasis(spark, basisTable,
-            (basis ++ delta.map(0 -> _)).toSeq, idCol, vecCol)
+            (basis ++ delta.map(0 -> _)).toSeq, idCol, vecCol,
+            tombFiles = tombFiles, token = token)
         }
     }
   }
@@ -716,9 +785,12 @@ object Similarity {
     val segs = completeSegmentDirs(spark, segDir)
       .filterNot(d => folded.contains(d.getName))
     if (segs.isEmpty) base
+    // segments mask too (base.assigned already does, via loadIvfIndex):
+    // a takedown must hide a vector even while it is segment-resident
     else IvfIndex(base.assigned.unionByName(
-      spark.read.option("basePath", segDir)
-        .parquet(segs.map(_.toString): _*).drop("batch")), base.centroids)
+      graft.operators.Tombstones.mask(spark, table,
+        spark.read.option("basePath", segDir)
+          .parquet(segs.map(_.toString): _*).drop("batch"))), base.centroids)
   }
 
   /** An artifact's FOLD LEDGER — the `batch=<id>` segment dirs a fold
@@ -836,6 +908,8 @@ object Similarity {
             .select(col(idCol), col(vecCol)))
       }
     }.reduce(_ unionByName _).dropDuplicates(idCol)
+      // takedown masking once over base ∪ segments, after the dedup
+      .transform(graft.operators.Tombstones.mask(spark, table, _))
   }
 
   /** Top-k over base ∪ admitted LSH segments — [[lshTopKServed]]'s
@@ -1013,7 +1087,9 @@ object Similarity {
       rows.groupBy(_._1).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_._2).map(_._3)).toArray
     })
-    PqIndex(spark.table(table), codebooks)
+    // takedown masking, as in loadIvfIndex
+    PqIndex(graft.operators.Tombstones.mask(spark, table,
+      spark.table(table)), codebooks)
   }
 
   /** INCREMENTAL upsert into a persisted PQ serving artifact: encode
@@ -1049,9 +1125,11 @@ object Similarity {
     val segs = completePlainSegmentDirs(spark, segDir)
       .filterNot(d => folded.contains(d.getName))
     if (segs.isEmpty) base
+    // segments mask too, as in loadIvfIndexWithSegments
     else PqIndex(base.encoded.unionByName(
-      spark.read.option("basePath", segDir)
-        .parquet(segs.map(_.toString): _*).drop("batch")), base.codebooks)
+      graft.operators.Tombstones.mask(spark, table,
+        spark.read.option("basePath", segDir)
+          .parquet(segs.map(_.toString): _*).drop("batch"))), base.codebooks)
   }
 
   /** The COMPLETE `batch=<id>` dirs of a PLAIN (unpartitioned) segment
@@ -1141,11 +1219,16 @@ object Similarity {
       val input =
         if (basisFiles.isEmpty) spark.table(table)
         else spark.read.parquet(basisFiles: _*)
-      val idx = pqIndex(input.drop("pq_code"), idCol, vecCol,
+      // RECLAIM, as in buildNextIvfGeneration: the retrain excludes
+      // tombstoned ids — codebooks forget them, files no longer carry them
+      val tombFiles = graft.operators.Tombstones.snapshotFiles(spark, table)
+      val idx = pqIndex(
+        graft.operators.Tombstones.maskByFiles(spark,
+          input.drop("pq_code"), tombFiles), idCol, vecCol,
         dims = m * subDim, m, nCodes, iters, sampleN)
       savePqIndex(idx, next)
       graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
-        basisFiles.map(0 -> _), idCol, vecCol)
+        basisFiles.map(0 -> _), idCol, vecCol, tombFiles = tombFiles)
     } catch {
       case e: Throwable =>
         graft.sources.Sources.replaceTable(spark, next)
@@ -1189,9 +1272,13 @@ object Similarity {
             pq_encode(vec_l2_normalize(col(vecCol)), books))
           .write.mode("append").format("parquet").saveAsTable(next)
       })
+    val (consumedTomb, _) =
+      graft.sources.Sources.readBasisReclaim(spark, s"${next}_basis")
     graft.sources.Sources.promoteTable(spark, s"${next}_codebooks",
       s"${table}_codebooks")
     graft.sources.Sources.promoteTable(spark, next, table)
+    // retire consumed tombstones (promoteIvfGeneration's discipline)
+    graft.operators.Tombstones.retireConsumed(spark, table, consumedTomb)
     graft.sources.Sources.replaceTable(spark, s"${next}_basis")
     cachesFor(spark).codebooks.remove(table)
     cachesFor(spark).codebooks.remove(next)

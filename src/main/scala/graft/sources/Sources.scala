@@ -585,13 +585,25 @@ object Sources {
     * torn build has no basis and its promote falls back to the plain
     * swap. The catch-up rewrites it (basis ∪ consumed delta) in the
     * same one-commit idiom as the fold ledger, making a crashed
-    * catch-up retry skip what already landed. */
+    * catch-up retry skip what already landed.
+    *
+    * RECLAIM extension: `proj = -2` rows record the tombstone files the
+    * staged rewrite CONSUMED (it filtered their ids out of the new
+    * generation's content), so the promote can subtract exactly those
+    * from the live tombstone sibling — deletes issued mid-build stay in
+    * the residual set, still masked at serve. The `-1` meta row's
+    * `file` field carries the build's unique token, the idempotence
+    * guard for the one promote step that mutates live state in place
+    * (BM25's stats subtraction). Catch-up basis rewrites preserve
+    * both. */
   private[graft] def writeBuildBasis(spark: SparkSession,
       basisTable: String, files: Seq[(Int, String)], idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, tombFiles: Seq[String] = Nil,
+      token: String = ""): Unit = {
     import spark.implicits._
     replaceTable(spark, basisTable)
-    ((-1, "") +: files).map { case (t, f) => (t, f, idCol, vecCol) }
+    ((-1, token) +: (tombFiles.map(-2 -> _) ++ files))
+      .map { case (t, f) => (t, f, idCol, vecCol) }
       .toDF("proj", "file", "id_col", "vec_col")
       .write.mode("overwrite").format("parquet")
       .options(stagedWriteOptions(spark, basisTable))
@@ -623,6 +635,18 @@ object Sources {
           .map(r => (r.getInt(0), r.getString(1))).toSet,
           meta.getString(2), meta.getString(3))
       }
+    }
+
+  /** The basis's RECLAIM half — (consumed tombstone files, build
+    * token); empty/"" for a basis written by a build that saw no
+    * tombstones (or predates the reclaim schema). */
+  private[graft] def readBasisReclaim(spark: SparkSession,
+      basisTable: String): (Seq[String], String) =
+    if (!spark.catalog.tableExists(basisTable)) (Nil, "")
+    else {
+      val rows = spark.table(basisTable).collect()
+      (rows.filter(_.getInt(0) == -2).map(_.getString(1)).toSeq,
+        rows.find(_.getInt(0) == -1).map(_.getString(1)).getOrElse(""))
     }
 
   /** Path schemes where a directory rename is a COPY of every object —

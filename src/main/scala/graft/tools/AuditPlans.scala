@@ -160,6 +160,12 @@ object AuditPlans {
     "q_sample_stratified" -> 2, "q_search_bm25" -> 6,
     "q_search_bm25_serve" -> 2, "q_search_bm25_upsert" -> 2,
     "q_search_bm25_compact" -> 2, "q_search_bm25_catchup" -> 2,
+    // delete: serve shape + the tombstone-set dedup aggregate feeding
+    // the broadcast anti-join (tiny: the takedown set, never the corpus)
+    "q_search_bm25_delete" -> 3,
+    // reclaim: tombstones consumed at compaction — the serve plan is
+    // mask-free again, back to the base serve shape
+    "q_search_bm25_reclaim" -> 2,
     "q_stream_bm25_ingest" -> 3, "q_search_minscore" -> 4,
     "q_search_scored" -> 4, "q_select_computed" -> 1,
     "q_session_window" -> 2, "q_shuffle" -> 1, "q_sim_ivf" -> 0, "q_sim_ivf_serve" -> 0,
@@ -189,6 +195,12 @@ object AuditPlans {
     // across the three unioned table probes
     "q_sim_ivf_upsert" -> 0, "q_sim_ivf_compact" -> 0,
     "q_sim_ivf_catchup" -> 0,
+    // ANN takedown gates: the k-row ANN side is localCheckpoint'd (the
+    // leak gate aggregates it twice), so the audited plan is the exact
+    // side + two tiny joins — the serve shapes are audited by the base
+    // gates (q_sim_ivf/lsh/pq and their _serve variants)
+    "q_sim_ivf_delete" -> 0, "q_sim_ivf_reclaim" -> 0,
+    "q_sim_lsh_delete" -> 0, "q_sim_pq_delete" -> 0,
     "q_sim_lsh_upsert" -> 1, "q_sim_lsh_compact" -> 1,
     "q_sim_lsh_catchup" -> 1,
     "q_sim_pq_upsert" -> 0, "q_sim_pq_compact" -> 0,
@@ -218,7 +230,15 @@ object AuditPlans {
     "q_quantile_band" ->
       "quantile thresholds: build side is exactly ONE broadcast row (the [lo,hi] aggregate), so the 'nested loop' is a map over the stream side",
     "q_cms_counts" ->
-      "CMS serve join: build side is exactly ONE broadcast row (the sketch aggregate), probed by a bounded candidate list")
+      "CMS serve join: build side is exactly ONE broadcast row (the sketch aggregate), probed by a bounded candidate list",
+    "q_sim_ivf_delete" ->
+      "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
+    "q_sim_ivf_reclaim" ->
+      "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
+    "q_sim_lsh_delete" ->
+      "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
+    "q_sim_pq_delete" ->
+      "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)")
 
   /** Unpartitioned windows that are part of the design, with why their
     * single partition is bounded (never the corpus). */
@@ -234,6 +254,10 @@ object AuditPlans {
     "q_search_bm25_catchup" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_stream_bm25_ingest" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_search_bm25_delete" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_search_bm25_reclaim" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_weighted_sample" ->
       "sample_rank runs AFTER .limit(k): the window's one partition holds exactly k rows")

@@ -131,7 +131,7 @@ object ScaleSmoke {
     onlyOps.foreach { names =>
       val known = ops.map(_._1).toSet +
         "neardedup" + "join3" + "join_skew" + "ivf_upsert" +
-        "bm25_upsert" + "compact_outage" + "fold_wall"
+        "bm25_upsert" + "compact_outage" + "fold_wall" + "takedown"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -447,6 +447,78 @@ object ScaleSmoke {
         foldRuns.map { case (k, (bm, iv)) =>
           f"""\"bm25_fold_t$k\":$bm%.3f,\"ivf_fold_t$k\":$iv%.3f""" }
           .mkString(",") + "}")
+    }
+
+    // ---------------------------------------------------------------
+    // Takedown tier (round 13): the deletion story's three costs,
+    // measured on the BM25 family (the one with a capture scan and
+    // corpus constants — the ANN deletes are a pure small-table commit):
+    //  - delete_wall: deleteBm25Docs on a ~6% takedown set — the
+    //    broadcast-semi-pruned (id, doclen) capture over the postings +
+    //    the tombstone commit. Grows with corpus bytes (it is one
+    //    two-column scan) but runs on the REQUEST cadence, not ingest.
+    //  - serve overhead: the same top-25 query against the masked vs
+    //    unmasked artifact — the broadcast anti-join's price, the cost
+    //    every query pays between a delete and its reclaim.
+    //  - reclaim_wall: the compaction cadence with tombstones to
+    //    consume (staged filtered rewrite + token-guarded stats fix +
+    //    promote) vs the SAME rewrite with nothing to reclaim — the
+    //    erasure increment over the hygiene compaction already paid.
+    // ---------------------------------------------------------------
+    if (opSelected("takedown")) {
+      def takedownOnce(k: Int, timed: Boolean)
+          : (Double, Double, Double, Double, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val full = frames(k)
+        val tbl = s"scale_takedown_$k"
+        Seq(tbl, s"${tbl}_stats", s"${tbl}_deleted", s"${tbl}__next",
+          s"${tbl}__next_basis").foreach(
+          graft.sources.Sources.replaceTable(spark, _))
+        Search.saveBm25Index(
+          Search.buildBm25Index(full, "doc_id", "text"), tbl) // untimed
+        def serve(): Double = {
+          val t = System.nanoTime()
+          Search.searchBm25(full.select("doc_id"),
+            Search.loadBm25Index(spark, tbl), "doc_id",
+            "hash join filter", k = 25).collect()
+          (System.nanoTime() - t) / 1e9
+        }
+        val tServe0 = serve()
+        // baseline compaction wall: hygiene rewrite, nothing to reclaim
+        val tc0 = System.nanoTime()
+        Search.compactBm25Index(spark, tbl)
+        val tCompact0 = (System.nanoTime() - tc0) / 1e9
+        val dead = full.filter(col("doc_id") % 16 === 0).select(col("doc_id"))
+        val t1 = System.nanoTime()
+        Search.deleteBm25Docs(spark, tbl, dead)
+        val tDelete = (System.nanoTime() - t1) / 1e9
+        val tServeMasked = serve()
+        val t2 = System.nanoTime()
+        Search.compactBm25Index(spark, tbl)
+        val tReclaim = (System.nanoTime() - t2) / 1e9
+        // row accounting: the reclaimed files carry none of the dead ids
+        require(spark.read.parquet(graft.sources.Sources
+            .tableDataFiles(spark, tbl): _*)
+          .filter(col("doc_id") % 16 === 0).isEmpty,
+          s"takedown reclaim left deleted rows at $k×")
+        require(!spark.catalog.tableExists(s"${tbl}_deleted"),
+          s"takedown reclaim left tombstones at $k×")
+        Seq(tbl, s"${tbl}_stats").foreach(
+          graft.sources.Sources.replaceTable(spark, _))
+        if (timed) println(f"takedown $k%3d×: delete $tDelete%.2fs  " +
+          f"serve $tServe0%.2fs→masked $tServeMasked%.2fs  " +
+          f"compact $tCompact0%.2fs→reclaim $tReclaim%.2fs (~6%% deleted)")
+        (tDelete, tServe0, tServeMasked, tCompact0, tReclaim)
+      }
+      takedownOnce(ks.head, timed = false) // warmup (codegen/JIT)
+      val tdRuns = ks.map(k => k -> takedownOnce(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      println("{\"probe\":\"takedown\",\"sf\":\"" + sfDir + "\"," +
+        tdRuns.map { case (k, (d, s0, sm, c0, rc)) =>
+          f"""\"delete_t$k\":$d%.3f,\"serve_t$k\":$s0%.3f,""" +
+          f"""\"serve_masked_t$k\":$sm%.3f,\"compact_t$k\":$c0%.3f,""" +
+          f"""\"reclaim_t$k\":$rc%.3f""" }.mkString(",") + "}")
     }
 
     // ---------------------------------------------------------------

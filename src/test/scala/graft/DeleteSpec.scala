@@ -1,0 +1,310 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Search, Similarity, Tombstones}
+import graft.sources.Sources
+
+/** The TAKEDOWN tier ([[graft.operators.Tombstones]]): tombstone-masked
+  * deletion from every serving-artifact family, exact BM25 constant
+  * correction, and PHYSICAL erasure at the compaction cadence — pinned
+  * by reading the raw parquet files back, not just the serve path. */
+class DeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val deadDocs = docs.filter(col("doc_id") % 7 === 3)
+  private lazy val liveDocs = docs.filter(col("doc_id") % 7 =!= 3)
+  private lazy val deadVecs = emb.filter(col("vec_id") % 7 === 3)
+  private lazy val liveVecs = emb.filter(col("vec_id") % 7 =!= 3)
+
+  private def resetBm25(table: String): Unit =
+    Seq(table, s"${table}_stats", s"${table}_deleted", s"${table}__next",
+      s"${table}__next_basis").foreach(Sources.replaceTable(spark, _))
+
+  /** Raw file-level read of a table's current data files — what a
+    * regulator sees, bypassing every catalog-level mask. */
+  private def rawRows(table: String) =
+    spark.read.parquet(Sources.tableDataFiles(spark, table): _*)
+
+  test("BM25: masked serve is content-identical to an index built " +
+      "without the deleted documents — postings AND corpus constants") {
+    val table = "del_bm25_mask"
+    resetBm25(table)
+    Search.saveBm25Index(Search.buildBm25Index(docs, "doc_id", "text"),
+      table, buckets = 4)
+    Search.deleteBm25Docs(spark, table, deadDocs.select(col("doc_id")))
+    val served = Search.loadBm25Index(spark, table)
+    val direct = Search.buildBm25Index(liveDocs, "doc_id", "text")
+    assert(served.nDocs == direct.nDocs,
+      s"n_docs: served ${served.nDocs} vs direct ${direct.nDocs}")
+    assert(served.totalLen == direct.totalLen,
+      s"total_len: served ${served.totalLen} vs direct ${direct.totalLen}")
+    assert(served.avgLen == direct.avgLen, "avg_len must re-derive exactly")
+    assert(served.postings.exceptAll(direct.postings).isEmpty &&
+      direct.postings.exceptAll(served.postings).isEmpty,
+      "masked postings differ from a build without the deleted docs")
+  }
+
+  test("BM25: deleting a zero-token document still decrements n_docs " +
+      "(doclen captured as 0), and re-deleting is a no-op") {
+    val table = "del_bm25_zero"
+    resetBm25(table)
+    val tiny = Seq((1L, "alpha beta"), (2L, ""), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    Search.saveBm25Index(Search.buildBm25Index(tiny, "doc_id", "text"),
+      table, buckets = 2)
+    val dead = Seq(1L, 2L).toDF("doc_id")
+    Search.deleteBm25Docs(spark, table, dead)
+    val once = Search.loadBm25Index(spark, table)
+    assert(once.nDocs == 1 && once.totalLen == 1,
+      s"expected (1 doc, 1 token) live, got (${once.nDocs}, ${once.totalLen})")
+    // re-delete: tombstone set and constants unchanged
+    Search.deleteBm25Docs(spark, table, dead)
+    val twice = Search.loadBm25Index(spark, table)
+    assert(twice.nDocs == 1 && twice.totalLen == 1,
+      "re-deleting the same ids skewed the constants")
+    assert(spark.table(s"${table}_deleted").count() == 2,
+      "re-delete appended duplicate tombstone rows")
+  }
+
+  test("BM25 reclaim: compaction physically erases the deleted docs, " +
+      "corrects stats exactly once, and retires the tombstones") {
+    val table = "del_bm25_reclaim"
+    resetBm25(table)
+    Search.saveBm25Index(Search.buildBm25Index(docs, "doc_id", "text"),
+      table, buckets = 4)
+    Search.deleteBm25Docs(spark, table, deadDocs.select(col("doc_id")))
+    Search.compactBm25Index(spark, table)
+    // physical: the raw files carry none of the deleted ids
+    assert(rawRows(table)
+      .join(broadcast(deadDocs.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi").isEmpty,
+      "deleted ids still present in the compacted generation's files")
+    // tombstones consumed; serve path is mask-free
+    assert(!spark.catalog.tableExists(s"${table}_deleted"),
+      "consumed tombstones were not retired at the promote")
+    // stats corrected exactly once
+    val served = Search.loadBm25Index(spark, table)
+    val direct = Search.buildBm25Index(liveDocs, "doc_id", "text")
+    assert(served.nDocs == direct.nDocs && served.totalLen == direct.totalLen,
+      s"stats after reclaim: (${served.nDocs}, ${served.totalLen}) vs " +
+        s"direct (${direct.nDocs}, ${direct.totalLen})")
+  }
+
+  test("BM25 reclaim: a promote that crashed after its swap resumes — " +
+      "token guard blocks a second stats subtraction, tombstones retire") {
+    val table = "del_bm25_resume"
+    resetBm25(table)
+    Search.saveBm25Index(Search.buildBm25Index(docs, "doc_id", "text"),
+      table, buckets = 4)
+    Search.deleteBm25Docs(spark, table, deadDocs.select(col("doc_id")))
+    Search.buildNextBm25Layout(spark, table)
+    // snapshot the basis rows and the tombstone FILES (exact paths and
+    // bytes — the resume's retire diffs the basis's consumed paths
+    // against the sibling's current files, so the recreated crash state
+    // must carry the ORIGINAL paths), run the promote to completion,
+    // then recreate the crashed-after-swap state: stats subtracted +
+    // postings swapped, but basis and tombstones linger
+    val basisRows = spark.table(s"${table}__next_basis").collect().toSeq
+    val basisSchema = spark.table(s"${table}__next_basis").schema
+    val fs = new org.apache.hadoop.fs.Path("/tmp/graft-warehouse")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_deleted"))
+        .location)
+    val tombFiles = Sources.tableDataFiles(spark, s"${table}_deleted")
+      .map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val in = fs.open(p)
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, true)
+        (p, bytes.toByteArray)
+      }
+    Search.promoteBm25Layout(spark, table)
+    val healthy = Search.loadBm25Index(spark, table)
+    // restore the tombstone dir byte-for-byte at the original paths and
+    // re-register the table there (the crash left both intact)
+    tombFiles.foreach { case (p, bytes) =>
+      val out = fs.create(p, true)
+      out.write(bytes); out.close()
+    }
+    spark.sql(s"CREATE TABLE ${table}_deleted (doc_id BIGINT, " +
+      s"doclen BIGINT) USING parquet LOCATION '$tombLoc'")
+    spark.createDataFrame(basisRows.asJava, basisSchema)
+      .write.format("parquet")
+      .options(Sources.stagedWriteOptions(spark, s"${table}__next_basis"))
+      .saveAsTable(s"${table}__next_basis")
+    // the resume: staged table gone, basis present
+    Search.promoteBm25Layout(spark, table)
+    val resumed = Search.loadBm25Index(spark, table)
+    assert(resumed.nDocs == healthy.nDocs &&
+      resumed.totalLen == healthy.totalLen,
+      "promote resume re-subtracted the consumed tombstones' stats")
+    assert(!spark.catalog.tableExists(s"${table}_deleted"),
+      "promote resume did not retire the lingering tombstones")
+    assert(!spark.catalog.tableExists(s"${table}__next_basis"),
+      "promote resume did not drop the basis")
+  }
+
+  private def resetIvf(table: String): Unit =
+    Seq(table, s"${table}_centroids", s"${table}_folded",
+      s"${table}_deleted", s"${table}__next", s"${table}__next_centroids",
+      s"${table}__next_basis").foreach(Sources.replaceTable(spark, _))
+
+  test("IVF reclaim: the retrain equals a direct build over the " +
+      "remaining corpus (geometry forgets), files are erased, " +
+      "tombstones retire") {
+    val table = "del_ivf_reclaim"
+    resetIvf(table)
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, iters = 2), table)
+    Similarity.deleteVectors(spark, table, deadVecs.select(col("vec_id")))
+    // masked serve first: deleted ids invisible pre-compaction
+    assert(Similarity.loadIvfIndex(spark, table).assigned
+      .filter(col("vec_id") % 7 === 3).isEmpty,
+      "tombstoned ids still served before compaction")
+    Similarity.compactIvfIndex(spark, table, "vec_id", "embedding",
+      iters = 2)
+    assert(rawRows(table).filter(col("vec_id") % 7 === 3).isEmpty,
+      "deleted ids still present in the compacted generation's files")
+    assert(!spark.catalog.tableExists(s"${table}_deleted"),
+      "consumed tombstones were not retired at the promote")
+    // deterministic k-means: retrained centroids == a direct build over
+    // exactly the remaining vectors
+    val direct = Similarity.ivfIndex(liveVecs, "vec_id", "embedding",
+      nCentroids = 16, iters = 2)
+    val promoted = Similarity.loadIvfIndex(spark, table)
+    assert(promoted.centroids.map(_.toSeq).toSeq ==
+      direct.centroids.map(_.toSeq).toSeq,
+      "retrained centroids differ from a direct build without the deleted")
+    assert(promoted.assigned.count() ==
+      liveVecs.filter(col("embedding").isNotNull).count())
+  }
+
+  test("IVF: a delete issued mid-build stays residual through the " +
+      "promote — still masked, reclaimed next cadence") {
+    val table = "del_ivf_midbuild"
+    resetIvf(table)
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, iters = 2), table)
+    Similarity.buildNextIvfGeneration(spark, table, "vec_id", "embedding",
+      iters = 2)
+    // the takedown lands AFTER the staged build snapshot its tombstones
+    Similarity.deleteVectors(spark, table, deadVecs.select(col("vec_id")))
+    Similarity.promoteIvfGeneration(spark, table)
+    // the promoted files still CONTAIN the ids (snapshot missed them)...
+    assert(!rawRows(table).filter(col("vec_id") % 7 === 3).isEmpty,
+      "premise: mid-build deletes are not in the promoted rewrite")
+    // ...but the residual tombstones keep masking them at serve
+    assert(spark.catalog.tableExists(s"${table}_deleted"),
+      "mid-build tombstones were wrongly consumed by the promote")
+    assert(Similarity.loadIvfIndex(spark, table).assigned
+      .filter(col("vec_id") % 7 === 3).isEmpty,
+      "mid-build deletes leaked into the promoted serve")
+    // the NEXT cadence reclaims them
+    Similarity.compactIvfIndex(spark, table, "vec_id", "embedding",
+      iters = 2)
+    assert(rawRows(table).filter(col("vec_id") % 7 === 3).isEmpty,
+      "second cadence failed to reclaim the residual tombstones")
+    assert(!spark.catalog.tableExists(s"${table}_deleted"))
+  }
+
+  test("IVF: a tombstoned id resident only in a streaming segment is " +
+      "masked by the segment-aware serve") {
+    val table = "del_ivf_seg"
+    resetIvf(table)
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(liveVecs, "vec_id", "embedding",
+        nCentroids = 16, iters = 2), table)
+    val segDir = java.nio.file.Files
+      .createTempDirectory("del_ivf_seg").toString
+    deadVecs.filter(col("embedding").isNotNull)
+      .withColumn("cluster", lit(0))
+      .write.partitionBy("cluster").parquet(s"$segDir/batch=7")
+    val beforeDelete =
+      Similarity.loadIvfIndexWithSegments(spark, table, segDir)
+    assert(!beforeDelete.assigned.filter(col("vec_id") % 7 === 3).isEmpty,
+      "premise: segment rows serve before the delete")
+    Similarity.deleteVectors(spark, table, deadVecs.select(col("vec_id")))
+    val afterDelete =
+      Similarity.loadIvfIndexWithSegments(spark, table, segDir)
+    assert(afterDelete.assigned.filter(col("vec_id") % 7 === 3).isEmpty,
+      "segment-resident rows leaked past the tombstone mask")
+  }
+
+  test("LSH: delete masks every projection's candidates; compaction " +
+      "rewrites each projection equal to a direct build over the rest") {
+    val table = "del_lsh"
+    (Seq(s"${table}_meta", s"${table}_folded", s"${table}_deleted",
+      s"${table}__next_basis") ++
+      (0 until 2).flatMap(t => Seq(s"${table}_t$t", s"${table}_t${t}__next")))
+      .foreach(Sources.replaceTable(spark, _))
+    Similarity.saveLshIndex(emb, "embedding", dims = 64, table,
+      bits = 6, tables = 2)
+    Similarity.deleteVectors(spark, table, deadVecs.select(col("vec_id")))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    assert(Similarity.lshServedCandidates(spark, table, "vec_id",
+      "embedding", qvec, probeDist = 6)
+      .filter(col("vec_id") % 7 === 3).isEmpty,
+      "tombstoned ids survived the candidate mask")
+    Similarity.compactLshIndex(spark, table)
+    assert(!spark.catalog.tableExists(s"${table}_deleted"))
+    val rebuilt = "del_lsh_rebuild"
+    (Seq(s"${rebuilt}_meta") ++ (0 until 2).map(t => s"${rebuilt}_t$t"))
+      .foreach(Sources.replaceTable(spark, _))
+    Similarity.saveLshIndex(liveVecs, "embedding", dims = 64, rebuilt,
+      bits = 6, tables = 2)
+    for (t <- 0 until 2) {
+      val got = spark.table(s"${table}_t$t").select("vec_id", "bucket")
+      val want = spark.table(s"${rebuilt}_t$t").select("vec_id", "bucket")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"projection t$t after reclaim differs from a direct build")
+    }
+  }
+
+  test("PQ reclaim: codebooks retrain without the deleted vectors and " +
+      "every stored code matches a new-codebook recompute; files erased") {
+    val table = "del_pq"
+    Seq(table, s"${table}_codebooks", s"${table}_folded",
+      s"${table}_deleted", s"${table}__next", s"${table}__next_codebooks",
+      s"${table}__next_basis").foreach(Sources.replaceTable(spark, _))
+    Similarity.savePqIndex(
+      Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+        m = 8, nCodes = 16, iters = 2, sampleN = 256), table)
+    Similarity.deleteVectors(spark, table, deadVecs.select(col("vec_id")))
+    assert(Similarity.loadPqIndex(spark, table).encoded
+      .filter(col("vec_id") % 7 === 3).isEmpty,
+      "tombstoned ids still served before compaction")
+    Similarity.compactPqIndex(spark, table, "vec_id", "embedding",
+      iters = 2, sampleN = 256)
+    assert(rawRows(table).filter(col("vec_id") % 7 === 3).isEmpty,
+      "deleted ids still present in the compacted generation's files")
+    assert(!spark.catalog.tableExists(s"${table}_deleted"))
+    val direct = Similarity.pqIndex(liveVecs, "vec_id", "embedding",
+      dims = 64, m = 8, nCodes = 16, iters = 2, sampleN = 256)
+    val promoted = Similarity.loadPqIndex(spark, table)
+    assert(promoted.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      direct.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "retrained codebooks differ from a direct build without the deleted")
+    import graft.functions.VectorExpressions.{vec_l2_normalize, pq_encode}
+    assert(promoted.encoded.filter(col("pq_code") =!=
+      pq_encode(vec_l2_normalize(col("embedding")), promoted.codebooks))
+      .isEmpty,
+      "stored codes do not match the retrained codebooks")
+  }
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+}
