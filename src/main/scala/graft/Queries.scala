@@ -3361,6 +3361,38 @@ object Queries {
       idx, "doc_id", "text", out, n = 3, minJaccard = 0.5))
   }
 
+  /** Streaming near-dup TAKEDOWN gate — the fifth serving family's
+    * delete tier on the oracle path: the corpus shingle index is built,
+    * then every corpus doc with doc_id % 7 == 3 is deleted
+    * ([[graft.operators.Contamination.deleteDocs]] — one tombstone
+    * commit, bucketed index files untouched), and the stream runs
+    * against the MASKED index. Survivors must equal the DuckDB
+    * anti-join against the corpus WITHOUT the deleted documents: a
+    * stream doc whose only near-neighbor was a deleted corpus doc must
+    * now be ADMITTED — a revoked document stops shaping admission
+    * decisions the moment its delete commits (the near-dup analogue of
+    * the ANN "geometry forgets" contract; physical erasure rides
+    * [[graft.streaming.Streaming.compactNearDedupIndex]], pinned in
+    * DeleteSpec). */
+  val q_stream_neardedup_delete: Q = (s, dir) => {
+    import graft.operators.Contamination
+    val docs = t(s, dir, "documents").df
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val table = artifactTable(s, "shingle_del", dir, "documents")
+    // build-if-missing (the returned frame is re-loaded after the delete)
+    Contamination.shingleIndexFor(corpus, "doc_id", "text", table, n = 3)
+    Contamination.deleteDocs(s, table,
+      corpus.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    // re-load AFTER the delete: the mask resolves at load time
+    val masked = Contamination.shingleIndexFor(corpus, "doc_id", "text",
+      table, n = 3)
+    val stream = Streaming.documentsStream(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+    val out = s"${ioDir(dir)}/stream_neardedup_delete"
+    runNearDedupGate(s, dir, out)(Streaming.nearDedupAgainstIndexSink(stream,
+      masked, "doc_id", "text", out, n = 3, minJaccard = 0.5))
+  }
+
   /** Stream-stream interval join (click→purchase attribution): each
     * click pairs with the same user's purchases within 10 minutes after
     * it; both sides are watermarked streams, matches emit in append
@@ -3619,6 +3651,7 @@ object Queries {
     "q_stream_ingest_e2e" -> q_stream_ingest_e2e,
     "q_stream_neardedup" -> q_stream_neardedup,
     "q_stream_neardedup_serve" -> q_stream_neardedup_serve,
+    "q_stream_neardedup_delete" -> q_stream_neardedup_delete,
     "q_parse_timedelta" -> q_parse_timedelta,
     "q_shuffle" -> q_shuffle,
     "q_multimodal_meta" -> q_multimodal_meta,
@@ -3759,6 +3792,34 @@ object Queries {
       |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT sid FROM flagged)
       |ORDER BY doc_id""".stripMargin
 
+  /** q_stream_neardedup_delete's oracle: the same anti-join with the
+    * corpus side REDUCED to the undeleted documents (doc_id % 7 <> 3) —
+    * a stream doc whose only neighbor was deleted must now survive. */
+  private val streamNearDedupDeleteSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      |  FROM docs
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT s.doc_id AS sid, c.doc_id AS cid, count(*) AS i
+      |  FROM sh s JOIN sh c ON s.shingle = c.shingle
+      |  WHERE s.doc_id % 3 = 0 AND c.doc_id % 3 <> 0 AND c.doc_id % 7 <> 3
+      |  GROUP BY 1, 2
+      |), flagged AS (
+      |  SELECT DISTINCT sid FROM inter
+      |  JOIN sizes ss ON ss.doc_id = sid
+      |  JOIN sizes sc ON sc.doc_id = cid
+      |  WHERE CAST(i AS DOUBLE) / CAST(ss.n_sh + sc.n_sh - i AS DOUBLE) >= 0.5
+      |)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT sid FROM flagged)
+      |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3818,6 +3879,7 @@ object Queries {
     // identical semantics — the serve gate only changes WHERE the corpus
     // shingle index comes from (persisted bucketed table vs in-plan)
     "q_stream_neardedup_serve" -> streamNearDedupSql,
+    "q_stream_neardedup_delete" -> streamNearDedupDeleteSql,
 
     "q_parse_timedelta" ->
       """SELECT strftime(ts, '%H:%M:%S') AS s,

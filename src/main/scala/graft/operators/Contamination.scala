@@ -211,6 +211,9 @@ object Contamination {
         graft.sources.Sources.readFingerprint(spark, table)
           .contains(fingerprint))
     if (!matches) {
+      // a rebuilt artifact is a fresh identity: stale tombstones from a
+      // previous corpus generation would mask valid ids of the new one
+      graft.sources.Sources.replaceTable(spark, s"${table}_deleted")
       graft.sources.Sources.writeBucketed(
         graft.core.GTable(shingleIndexFrame(docs, idCol, textCol, n)),
         table, Seq("shk"), buckets)
@@ -224,7 +227,36 @@ object Contamination {
       if (fingerprint.nonEmpty)
         graft.sources.Sources.writeFingerprint(spark, table, fingerprint)
     }
-    spark.table(table)
+    // takedown masking ([[graft.operators.Tombstones]]): every serve of
+    // the index — and through it every FromIndex Jaccard check and the
+    // streaming near-dedup sinks — stops suppressing near-dups of a
+    // deleted corpus document the moment its delete commits. Identity
+    // when no tombstones exist.
+    graft.operators.Tombstones.mask(spark, table, spark.table(table))
+  }
+
+  /** DELETE corpus documents from a persisted shingle index — the
+    * takedown path for the near-dup serving family
+    * ([[graft.operators.Tombstones]]): `ids` is a one-column frame of
+    * the corpus ids to forget (any column name; stored as the index's
+    * `id`). One small tombstone commit; the bucketed index files are
+    * untouched. From the next [[shingleIndexFor]] load, near-dups of
+    * the deleted documents are ADMITTED rather than suppressed — a
+    * revoked/erased corpus document must stop shaping admission
+    * decisions, the same "geometry forgets" semantic as the ANN
+    * retrains. Physical erasure rides
+    * [[graft.streaming.Streaming.compactNearDedupIndex]]'s cadence.
+    * Re-deletes are no-ops. */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame): Unit = {
+    val renamed = ids.select(col(ids.columns.head).as("id"))
+      .dropDuplicates("id")
+    val fresh = graft.operators.Tombstones.read(spark, table)
+      .map(t => renamed.join(
+        broadcast(t.select(col("id")).dropDuplicates("id")),
+        Seq("id"), "left_anti"))
+      .getOrElse(renamed)
+    graft.operators.Tombstones.append(spark, table, fresh)
   }
 
   // ------------------------------------------------------------------

@@ -203,6 +203,11 @@ object Search {
     * build once, serve many. */
   def saveBm25Index(index: Bm25Index, table: String, buckets: Int = 32): Unit = {
     val spark = index.postings.sparkSession
+    // a rebuilt artifact is a fresh identity: stale tombstones from a
+    // previous generation would mask (and stats-correct against) ids
+    // the new corpus legitimately carries
+    graft.sources.Sources.replaceTable(spark, s"${table}_deleted")
+    statsFor(spark).remove(tombKey(table))
     graft.sources.Sources.writeBucketed(
       graft.core.GTable(index.postings), table, Seq("word"), buckets)
     writeStats(spark, table, index.nDocs, index.avgLen, buckets, index.totalLen)

@@ -127,8 +127,10 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     // a rebuilt artifact is a fresh identity: a stale fold ledger could
-    // mark a new checkpoint's batch ids as already folded
+    // mark a new checkpoint's batch ids as already folded, and stale
+    // tombstones would mask the new corpus's valid ids
     graft.sources.Sources.replaceTable(spark, s"${table}_folded")
+    graft.sources.Sources.replaceTable(spark, s"${table}_deleted")
     for (t <- 0 until tables) {
       graft.sources.Sources.replaceTable(spark, s"${table}_t$t")
       df.withColumn("bucket", codeColumn(col(vecCol), dims, bits, t))
@@ -490,8 +492,10 @@ object Similarity {
     import spark.implicits._
     // a rebuilt artifact is a fresh identity: a stale fold ledger from a
     // previous generation could mark a NEW checkpoint's batch ids as
-    // already folded (batch numbering restarts) — silent segment loss
+    // already folded (batch numbering restarts) — silent segment loss —
+    // and stale tombstones would mask the new corpus's valid ids
     graft.sources.Sources.replaceTable(spark, s"${table}_folded")
+    graft.sources.Sources.replaceTable(spark, s"${table}_deleted")
     graft.sources.Sources.replaceTable(spark, table)
     index.assigned.write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, table))
@@ -1063,8 +1067,10 @@ object Similarity {
     val spark = index.encoded.sparkSession
     import spark.implicits._
     // a rebuilt artifact is a fresh identity: a stale fold ledger could
-    // mark a new checkpoint's batch ids as already folded
+    // mark a new checkpoint's batch ids as already folded, and stale
+    // tombstones would mask the new corpus's valid ids
     graft.sources.Sources.replaceTable(spark, s"${table}_folded")
+    graft.sources.Sources.replaceTable(spark, s"${table}_deleted")
     graft.sources.Sources.replaceTable(spark, table)
     index.encoded.write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, table))

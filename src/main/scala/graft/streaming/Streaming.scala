@@ -550,6 +550,19 @@ object Streaming {
           // admitted copies stay arbitrary, as before.
           .agg(min_by(col(textCol), col("__prio")).as(textCol))
       }
+    // RECLAIM ([[graft.operators.Tombstones]]): documents deleted from
+    // the serving index ([[graft.operators.Contamination.deleteDocs]])
+    // are excluded from the rebuild — the promoted generation's files no
+    // longer contain their shingles (physical erasure) — and the
+    // consumed snapshot retires after the swap; deletes issued
+    // mid-rebuild stay residual, still masked by shingleIndexFor's serve
+    val tombFiles = graft.operators.Tombstones.snapshotFiles(spark, table)
+    val reclaimed =
+      if (tombFiles.isEmpty) unioned
+      else unioned.join(
+        broadcast(spark.read.parquet(tombFiles: _*)
+          .select(col("id").as(idCol)).dropDuplicates(idCol)),
+        Seq(idCol), "left_anti")
     // next generation built beside the live index (the compactIvfIndex
     // discipline): the live table keeps serving through the whole
     // shingle rebuild, the promote is metadata-only, and a failed build
@@ -557,7 +570,7 @@ object Streaming {
     val next = s"${table}__next"
     graft.sources.Sources.replaceTable(spark, next)
     graft.sources.Sources.replaceTable(spark, s"${next}_meta")
-    try Contamination.shingleIndexFor(unioned, idCol, textCol, next, n, buckets)
+    try Contamination.shingleIndexFor(reclaimed, idCol, textCol, next, n, buckets)
     catch {
       case e: Throwable =>
         graft.sources.Sources.replaceTable(spark, next)
@@ -567,6 +580,7 @@ object Streaming {
     graft.sources.Sources.promoteTable(spark, s"${next}_meta",
       s"${table}_meta")
     graft.sources.Sources.promoteTable(spark, next, table)
+    graft.operators.Tombstones.retireConsumed(spark, table, tombFiles)
     spark.table(table)
   }
 

@@ -184,6 +184,10 @@ object AuditPlans {
     // streaming work runs before the audited plan): scan → select →
     // global orderBy = the one range exchange
     "q_stream_neardedup" -> 1, "q_stream_neardedup_serve" -> 1,
+    // the audited batch plan is the segment read-back + output ORDER BY
+    // (the masked-index join runs inside the streaming query, whose
+    // per-batch shape q_stream_neardedup_serve's pin already covers)
+    "q_stream_neardedup_delete" -> 1,
     // the returned frame is the segment read-back + survivor-invariant
     // projection + ORDER BY (1 range exchange); the streaming pipeline
     // itself ran to completion in its own query, audited by StreamingSpec

@@ -300,6 +300,46 @@ class DeleteSpec extends SparkSpec {
       "stored codes do not match the retrained codebooks")
   }
 
+  test("near-dup index: a deleted corpus doc stops suppressing its " +
+      "near-dups at once; compaction erases its shingles and retires " +
+      "the tombstone") {
+    import graft.operators.Contamination
+    val table = "del_shingle"
+    Seq(table, s"${table}_meta", s"${table}_deleted", s"${table}__next",
+      s"${table}__next_meta").foreach(Sources.replaceTable(spark, _))
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (20L, "one two three four five six")).toDF("doc_id", "text")
+    // incoming doc near-dups corpus doc 10 (one token changed)
+    val incoming = Seq((99L, "alpha beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+    Contamination.shingleIndexFor(corpus, "doc_id", "text", table, n = 3,
+      buckets = 2)
+    def survivors(): Seq[Long] = {
+      val idx = Contamination.shingleIndexFor(corpus, "doc_id", "text",
+        table, n = 3, buckets = 2)
+      Contamination.decontaminateFuzzyFromIndex(incoming, "doc_id",
+        "text", idx, n = 3, minJaccard = 0.5)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    }
+    assert(survivors().isEmpty,
+      "premise: the incoming near-dup is suppressed pre-delete")
+    Contamination.deleteDocs(spark, table, Seq(10L).toDF("doc_id"))
+    assert(survivors() == Seq(99L),
+      "a deleted corpus doc kept suppressing its near-dups")
+    // reclaim: the rebuild excludes the deleted doc's shingles and
+    // retires the consumed tombstone
+    graft.streaming.Streaming.compactNearDedupIndex(corpus,
+      "/nonexistent_admitted_dir", "doc_id", "text", table, n = 3,
+      buckets = 2)
+    assert(rawRows(table).filter(col("id") === 10L).isEmpty,
+      "deleted doc's shingles still present after compaction")
+    assert(!spark.catalog.tableExists(s"${table}_deleted"),
+      "consumed tombstone was not retired after compaction")
+    assert(survivors() == Seq(99L),
+      "post-reclaim serve regressed the admission decision")
+  }
+
   private implicit class SeqAsJava[A](s: Seq[A]) {
     def asJava: java.util.List[A] = {
       val l = new java.util.ArrayList[A](s.size)
