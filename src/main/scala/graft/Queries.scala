@@ -2503,6 +2503,39 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** LSH RECLAIM gate — physical erasure for the deterministic family:
+    * after the takedown, [[graft.operators.Similarity.compactLshIndex]]
+    * rewrites every projection WITHOUT the tombstoned ids (nothing
+    * retrains — hyperplanes are deterministic, so the reclaimed layout
+    * is content-identical to a direct build over the survivors, pinned
+    * in DeleteSpec) and the consumed tombstones leave the sibling; the
+    * recall-plus-no-leak contract must hold with NO mask left in the
+    * plan. Same oracle as q_sim_lsh_delete. */
+  val q_sim_lsh_reclaim: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val remaining = emb.filter(col("vec_id") % 7 =!= 3)
+    val exact = Similarity.bruteForceTopK(remaining, "vec_id", "embedding",
+      qvec, 10)
+    val table = artifactTable(s, "lsh_rcl", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.saveLshIndex(emb, "embedding", dims = 64, table,
+        bits = 8, tables = 3)
+      Similarity.deleteVectors(s, table,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      Similarity.compactLshIndex(s, table)
+    }
+    val ann = Similarity.lshTopKServed(s, table, "vec_id", "embedding",
+      qvec, 20, probeDist = 4).select(col("vec_id")).localCheckpoint(true)
+    val leakFree = ann.agg(
+      (sum(when(col("vec_id") % 7 === 3, 1).otherwise(0)) === 0).as("__ok"))
+    exact.join(ann, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(leakFree)).filter(col("__ok"))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** PQ INCREMENTAL-UPSERT gate — the third artifact family's append
     * path: codebooks are trained over the BASE corpus only, the delta
     * (including the query vector) is encoded with those FROZEN codebooks
@@ -2769,6 +2802,44 @@ object Queries {
           m = 16, nCodes = 32, iters = 8, sampleN = 2048), table)
       Similarity.deleteVectors(s, table,
         emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    }
+    val idx = Similarity.loadPqIndex(s, table)
+    val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
+      candidates = 500).select(col("vec_id")).localCheckpoint(true)
+    val leakFree = ann.agg(
+      (sum(when(col("vec_id") % 7 === 3, 1).otherwise(0)) === 0).as("__ok"))
+    exact.join(ann, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(leakFree)).filter(col("__ok"))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** PQ RECLAIM gate — physical erasure AND codebook forgetting for the
+    * encoded family: after the takedown,
+    * [[graft.operators.Similarity.compactPqIndex]] retrains the
+    * per-subspace codebooks WITHOUT the tombstoned vectors and
+    * re-encodes only the survivors (deterministic k-means over the
+    * masked sample ⇒ the reclaimed artifact equals a direct build over
+    * the survivors, pinned in DeleteSpec); consumed tombstones leave
+    * the sibling, and the recall-plus-no-leak contract must hold
+    * against the retrained codes with no mask in the plan. Same oracle
+    * as q_sim_pq_delete. */
+  val q_sim_pq_reclaim: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val remaining = emb.filter(col("vec_id") % 7 =!= 3)
+    val exact = Similarity.bruteForceTopK(remaining, "vec_id", "embedding",
+      qvec, 10)
+    val table = artifactTable(s, "pq_rcl", dir, "embeddings")
+    onceUpserted(s, table) {
+      Similarity.savePqIndex(
+        Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+          m = 16, nCodes = 32, iters = 8, sampleN = 2048), table)
+      Similarity.deleteVectors(s, table,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      Similarity.compactPqIndex(s, table, "vec_id", "embedding",
+        iters = 8, sampleN = 2048)
     }
     val idx = Similarity.loadPqIndex(s, table)
     val ann = Similarity.pqTopK(idx, "vec_id", "embedding", qvec, 20,
@@ -3624,6 +3695,7 @@ object Queries {
     "q_sim_lsh_compact" -> q_sim_lsh_compact,
     "q_sim_lsh_catchup" -> q_sim_lsh_catchup,
     "q_sim_lsh_delete" -> q_sim_lsh_delete,
+    "q_sim_lsh_reclaim" -> q_sim_lsh_reclaim,
     "q_stream_lsh_ingest" -> q_stream_lsh_ingest,
     "q_stream_pq_ingest" -> q_stream_pq_ingest,
     "q_stream_ivf_ingest" -> q_stream_ivf_ingest,
@@ -3631,6 +3703,7 @@ object Queries {
     "q_sim_pq_compact" -> q_sim_pq_compact,
     "q_sim_pq_catchup" -> q_sim_pq_catchup,
     "q_sim_pq_delete" -> q_sim_pq_delete,
+    "q_sim_pq_reclaim" -> q_sim_pq_reclaim,
     "q_csv_roundtrip" -> q_csv_roundtrip,
     "q_excel_roundtrip" -> q_excel_roundtrip,
     "q_excel_dates" -> q_excel_dates,
@@ -5275,6 +5348,7 @@ object Queries {
     "q_sim_lsh_compact" -> annExactTop10Sql,
     "q_sim_lsh_catchup" -> annExactTop10Sql,
     "q_sim_lsh_delete" -> annExactTop10DeletedSql,
+    "q_sim_lsh_reclaim" -> annExactTop10DeletedSql,
     "q_stream_lsh_ingest" -> annExactTop10Sql,
     "q_stream_pq_ingest" -> annExactTop10Sql,
     "q_stream_ivf_ingest" -> annExactTop10Sql,
@@ -5282,6 +5356,7 @@ object Queries {
     "q_sim_pq_compact" -> annExactTop10Sql,
     "q_sim_pq_catchup" -> annExactTop10Sql,
     "q_sim_pq_delete" -> annExactTop10DeletedSql,
+    "q_sim_pq_reclaim" -> annExactTop10DeletedSql,
 
     "q_dedup_remove" ->
       """WITH docs AS (

@@ -205,6 +205,7 @@ object AuditPlans {
     // gates (q_sim_ivf/lsh/pq and their _serve variants)
     "q_sim_ivf_delete" -> 0, "q_sim_ivf_reclaim" -> 0,
     "q_sim_lsh_delete" -> 0, "q_sim_pq_delete" -> 0,
+    "q_sim_lsh_reclaim" -> 0, "q_sim_pq_reclaim" -> 0,
     "q_sim_lsh_upsert" -> 1, "q_sim_lsh_compact" -> 1,
     "q_sim_lsh_catchup" -> 1,
     "q_sim_pq_upsert" -> 0, "q_sim_pq_compact" -> 0,
@@ -242,6 +243,10 @@ object AuditPlans {
     "q_sim_lsh_delete" ->
       "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
     "q_sim_pq_delete" ->
+      "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
+    "q_sim_lsh_reclaim" ->
+      "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
+    "q_sim_pq_reclaim" ->
       "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)")
 
   /** Unpartitioned windows that are part of the design, with why their
