@@ -3364,6 +3364,62 @@ object Queries {
       .orderBy(col("fp"))
   }
 
+  /** Streaming ingest BLOCKLIST gate — the do-not-ingest closure of the
+    * takedown loop on the oracle path: after a takedown's physical
+    * erasure the corpus digest set no longer contains the document, so
+    * a RE-CRAWL of the same bytes would sail through
+    * [[graft.streaming.Streaming.dedupStreamAgainst]]'s corpus
+    * anti-join and re-admit exactly what was removed. The composed
+    * curation pipeline runs with a content-digest blocklist (the
+    * q_stream_ingest_e2e fixture, plus every src3 doc with
+    * doc_id % 9 == 0 blocklisted by raw-byte digest): survivors must
+    * equal the funnel's DuckDB oracle MINUS the blocklisted content —
+    * keyed on bytes, not ids, because a re-crawl arrives under a fresh
+    * id. The blocklist side is re-resolved per micro-batch, so digests
+    * appended mid-stream suppress from the next trigger. */
+  val q_stream_ingest_blocklist: Q = (s, dir) => {
+    import graft.operators.Layout
+    val docs = t(s, dir, "documents").df
+    val degenerate = Seq.fill(20)("zzzzzzzzzzzzzz").mkString(" ")
+    val fixed = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 13 === 0, lit(degenerate))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit("\u0007")))
+        .otherwise(col("text")).as("text"))
+    val t0 = to_timestamp(lit("2024-03-01 00:00:00"))
+    def at(minutes: org.apache.spark.sql.Column) =
+      t0 + make_dt_interval(lit(0), lit(0), minutes.cast("int"), lit(0.0))
+    val base = fixed.select(col("doc_id"), col("text"), col("source"),
+      at(col("doc_id")).as("ts"))
+    val reemit = fixed.filter(col("source") === "src3" && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        col("source"), at(col("doc_id") + 90).as("ts"))
+    val table = artifactTable(s, "ingest_feed", dir, "documents")
+    Layout.partitionedTableFor(base.unionByName(reemit), table, Seq("source"))
+    val corpus = docs.filter(col("doc_id") % 7 === 0)
+    // the takedown's retained digests: content identity, never the text
+    val blocklist = fixed
+      .filter(col("source") === "src3" && col("doc_id") % 9 === 0)
+      .select(graft.operators.Dedup.contentKey(col("text"),
+        normalize = false).as("fp")).distinct()
+    val out = s"${ioDir(dir)}/ingest_blocklist"
+    val hp = new org.apache.hadoop.fs.Path(out)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val stream = Streaming.partitionSubtreeStream(
+      s, Layout.tableLocation(s, table), "source=src3")
+    val q = Streaming.ingestCurationSink(stream, corpus, "text", "ts", out,
+      delay = "30 days", blocklist = Some(blocklist))
+    try q.processAllAvailable() finally q.stop()
+    val back =
+      if (fs.exists(hp)) s.read.parquet(out)
+      else docs.limit(0).select(col("text"), lit(0L).as("n_tokens"),
+        lit(0.0).as("quality"))
+    back.select(
+        graft.operators.Dedup.contentKey(col("text"), normalize = false).as("fp"),
+        col("n_tokens"), col("quality"))
+      .orderBy(col("fp"))
+  }
+
   /** Streaming NEAR-duplicate ingest dedup against a static corpus: the
     * documents "crawl" stream (doc_id % 3 == 0) is deduped per
     * micro-batch against the fixed corpus (doc_id % 3 != 0) at 3-gram
@@ -3722,6 +3778,7 @@ object Queries {
     "q_stream_dedup" -> q_stream_dedup,
     "q_stream_funnel" -> q_stream_funnel,
     "q_stream_ingest_e2e" -> q_stream_ingest_e2e,
+    "q_stream_ingest_blocklist" -> q_stream_ingest_blocklist,
     "q_stream_neardedup" -> q_stream_neardedup,
     "q_stream_neardedup_serve" -> q_stream_neardedup_serve,
     "q_stream_neardedup_delete" -> q_stream_neardedup_delete,
@@ -4877,6 +4934,59 @@ object Queries {
         |), fresh AS (
         |  SELECT d.fp, d.text FROM dedup d
         |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = d.fp)
+        |), q AS (
+        |  SELECT fp, text, string_split_regex(trim(text),'\\s+') AS ws,
+        |    length(text) AS n_chars_c
+        |  FROM fresh
+        |), r AS (
+        |  SELECT fp, text, n_chars_c, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(ws, x -> x='the')) + len(list_filter(ws, x -> x='a'))
+        |       + len(list_filter(ws, x -> x='of')) + len(list_filter(ws, x -> x='and'))
+        |       + len(list_filter(ws, x -> x='to')) AS DOUBLE)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS stopword_ratio,
+        |    CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS mean_word_len
+        |  FROM q
+        |), sc AS (
+        |  SELECT fp, text, n_tokens,
+        |    ((CASE WHEN n_chars_c BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.5 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0
+        |      AS quality
+        |  FROM r
+        |)
+        |SELECT fp, n_tokens, quality FROM sc
+        |WHERE quality > 0.5
+        |  AND len(regexp_extract_all(text, '${graft.operators.Scrub.mojibake}'))
+        |    + len(regexp_extract_all(text, '${graft.operators.Scrub.controlChars}'))
+        |    + len(regexp_extract_all(text, '${graft.operators.Scrub.specialTokens}')) = 0
+        |ORDER BY fp""".stripMargin,
+
+    // the e2e funnel with a content-digest blocklist: survivors
+    // additionally exclude any text whose digest matches a blocklisted
+    // src3 doc (doc_id % 9 = 0) — suppression keys on bytes, not ids
+    "q_stream_ingest_blocklist" ->
+      s"""WITH fixed AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN trim(repeat('zzzzzzzzzzzzzz ', 20))
+        |         WHEN doc_id % 11 = 0 THEN text || chr(7)
+        |         ELSE text END AS text
+        |  FROM documents
+        |), feed AS (
+        |  SELECT text FROM fixed WHERE source = 'src3'
+        |  UNION ALL
+        |  SELECT text FROM fixed WHERE source = 'src3' AND doc_id % 3 = 0
+        |), blocked AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM fixed
+        |  WHERE source = 'src3' AND doc_id % 9 = 0
+        |), dedup AS (
+        |  SELECT md5(text) AS fp, min(text) AS text FROM feed GROUP BY md5(text)
+        |), corpus AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 7 = 0
+        |), fresh AS (
+        |  SELECT d.fp, d.text FROM dedup d
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = d.fp)
+        |    AND NOT EXISTS (SELECT 1 FROM blocked b WHERE b.fp = d.fp)
         |), q AS (
         |  SELECT fp, text, string_split_regex(trim(text),'\\s+') AS ws,
         |    length(text) AS n_chars_c

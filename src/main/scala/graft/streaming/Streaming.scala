@@ -367,19 +367,35 @@ object Streaming {
     * re-resolved every micro-batch, so a corpus grown by a nightly
     * compaction is picked up for free — point it at the digest
     * projection, which collapses map-side to distinct fixed-width
-    * keys). */
+    * keys).
+    *
+    * Pass `blocklist` — a one-column frame of content digests (the
+    * SAME `contentKey` family, typically persisted at takedown time) —
+    * to additionally suppress DO-NOT-INGEST content: after a takedown's
+    * physical erasure the corpus no longer contains the document, so a
+    * re-crawl of the same bytes would sail through the corpus anti-join
+    * and re-admit exactly what was removed. The blocklist join is
+    * stream-static like the corpus side — re-resolved every
+    * micro-batch, so digests appended to the underlying table suppress
+    * from the next trigger — and keys on content, not ids, because a
+    * re-crawl arrives under a fresh id. */
   def dedupStreamAgainst(stream: DataFrame, corpus: DataFrame,
       textCol: String, tsCol: String, delay: String = "1 hour",
-      normalize: Boolean = true): DataFrame = {
+      normalize: Boolean = true,
+      blocklist: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Dedup
     val seen = corpus
       .select(Dedup.contentKey(col(textCol), normalize).as("__fp"))
       .distinct()
-    stream.withColumn("__fp", Dedup.contentKey(col(textCol), normalize))
+    val deduped = stream
+      .withColumn("__fp", Dedup.contentKey(col(textCol), normalize))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .join(seen, Seq("__fp"), "left_anti")
-      .drop("__fp")
+    blocklist.map { b =>
+      val blocked = b.select(col(b.columns.head).as("__fp")).distinct()
+      deduped.join(blocked, Seq("__fp"), "left_anti")
+    }.getOrElse(deduped).drop("__fp")
   }
 
   /** The COMPOSED streaming ingest pipeline in ONE query — the live
@@ -419,11 +435,12 @@ object Streaming {
       textCol: String, tsCol: String, outDir: String,
       delay: String = "1 hour", minQuality: Double = 0.5,
       checkpoint: Option[String] = None,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      blocklist: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextAnalysis
     val curated = dedupStreamAgainst(stream, corpus, textCol, tsCol,
-        delay, normalize = false)
+        delay, normalize = false, blocklist = blocklist)
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .filter(col("quality") > minQuality &&

@@ -191,7 +191,7 @@ object AuditPlans {
     // the returned frame is the segment read-back + survivor-invariant
     // projection + ORDER BY (1 range exchange); the streaming pipeline
     // itself ran to completion in its own query, audited by StreamingSpec
-    "q_stream_ingest_e2e" -> 1,
+    "q_stream_ingest_e2e" -> 1, "q_stream_ingest_blocklist" -> 1,
     // build+upsert run as side-effect jobs (k-means aggs, partitioned
     // writes); the returned frame is exact-top10 semi-join ann-candidates
     // with both sides broadcast-sized at sf0.001 → zero visible exchanges.

@@ -306,6 +306,54 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(2L, 5L), s"got $ids")
   }
 
+  test("dedupStreamAgainst blocklist: do-not-ingest digests suppress by " +
+      "CONTENT (any id), appended digests apply from the next batch, " +
+      "non-blocklisted docs are unaffected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq((100L, "an existing document")).toDF("doc_id", "text")
+    // the takedown's retained digest table — the stream-static side
+    // re-resolves it per micro-batch, so mid-stream appends apply to
+    // later triggers (the live-suppression contract)
+    val blTable = "bl_spec_digests"
+    graft.sources.Sources.replaceTable(spark, blTable)
+    Seq("revoked content here").toDF("text")
+      .select(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+      .write.format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark, blTable))
+      .saveAsTable(blTable)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = Streaming.dedupStreamAgainst(
+      in.toDF().toDF("doc_id", "text", "ts"), corpus, "text", "ts",
+      "30 minutes", normalize = false,
+      blocklist = Some(spark.table(blTable))).select("doc_id")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ingest_blocklist_out").start()
+    try {
+      in.addData(
+        (1L, "revoked content here", ts(0)),   // blocklisted -> drops
+        (2L, "a brand new doc", ts(1)),        // fresh -> passes
+        (3L, "soon to be revoked", ts(2)))     // not yet listed -> passes
+      q.processAllAvailable()
+      // a takedown lands mid-stream: append a NEW digest to the table —
+      // it must suppress content first seen in a LATER batch (the
+      // stream-static side re-resolves per trigger)
+      Seq("late revocation target").toDF("text")
+        .select(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+        .write.mode("append").format("parquet").saveAsTable(blTable)
+      in.addData(
+        (4L, "revoked content here", ts(5)),   // re-crawl, new id -> drops
+        (5L, "late revocation target", ts(6)), // appended digest -> drops
+        (6L, "genuinely novel text", ts(7)))   // fresh -> passes
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ingest_blocklist_out").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L, 6L), s"got $ids")
+  }
+
   test("heavyHittersStream: per-window Misra-Gries — dominant items " +
       "surface with underestimates in bound, windows stay separate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
