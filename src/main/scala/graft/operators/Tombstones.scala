@@ -45,23 +45,26 @@ private[graft] object Tombstones {
   /** The artifact's tombstone sibling table name. */
   def tableOf(artifact: String): String = s"${artifact}_deleted"
 
-  /** The deduplicated tombstone frame, or None when the artifact has
-    * no (or an empty) tombstone set — the fast path stays
-    * filter-free. */
+  /** The tombstone frame, or None when the artifact has no tombstone
+    * sibling — the fast path stays filter-free. Existence alone
+    * decides (a catalog lookup, never a Spark job on the serve path):
+    * [[append]] skips empty row sets and [[retainResidual]] drops the
+    * sibling when nothing remains, so an existing table means live
+    * tombstones. */
   def read(spark: SparkSession, artifact: String): Option[DataFrame] = {
     val t = tableOf(artifact)
-    if (!spark.catalog.tableExists(t)) None
-    else {
-      val df = spark.table(t)
-      if (df.isEmpty) None else Some(df)
-    }
+    if (!spark.catalog.tableExists(t)) None else Some(spark.table(t))
   }
 
   /** Append tombstone rows (first column = the artifact's id column,
-    * named accordingly). Creates the sibling on first delete. One
-    * table commit — the delete's atomicity point. */
+    * named accordingly). Creates the sibling on first delete; skips
+    * empty row sets (one tiny job at DELETE time — a re-delete or an
+    * empty request must not create/grow the sibling, whose existence
+    * puts the mask into every serve plan). One table commit — the
+    * delete's atomicity point. */
   def append(spark: SparkSession, artifact: String, rows: DataFrame): Unit = {
     val t = tableOf(artifact)
+    if (rows.isEmpty) return
     if (spark.catalog.tableExists(t))
       rows.write.mode("append").format("parquet").saveAsTable(t)
     else {
