@@ -150,6 +150,37 @@ class DeleteSpec extends SparkSpec {
       "promote resume did not drop the basis")
   }
 
+  test("BM25: reclaim and concurrent-upsert catch-up compose — a delta " +
+      "admitted mid-rebuild survives the same promote that erases the " +
+      "tombstoned docs, with stats exact for both") {
+    val table = "del_bm25_combo"
+    resetBm25(table)
+    Search.saveBm25Index(Search.buildBm25Index(docs, "doc_id", "text"),
+      table, buckets = 4)
+    Search.deleteBm25Docs(spark, table, deadDocs.select(col("doc_id")))
+    Search.buildNextBm25Layout(spark, table)  // snapshots the tombstones
+    // the lost-delta window: fresh docs admitted AFTER the snapshot
+    val fresh = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    Search.upsertBm25Index(fresh, "doc_id", "text", table)
+    Search.promoteBm25Layout(spark, table)
+    val served = Search.loadBm25Index(spark, table)
+    val direct = Search.buildBm25Index(liveDocs.unionByName(fresh),
+      "doc_id", "text")
+    assert(served.nDocs == direct.nDocs && served.totalLen == direct.totalLen,
+      s"combo stats: served (${served.nDocs}, ${served.totalLen}) vs " +
+        s"direct (${direct.nDocs}, ${direct.totalLen})")
+    assert(served.postings.exceptAll(direct.postings).isEmpty &&
+      direct.postings.exceptAll(served.postings).isEmpty,
+      "promoted content differs from a direct build over " +
+        "(corpus - deleted) + delta")
+    assert(rawRows(table)
+      .join(broadcast(deadDocs.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi").isEmpty,
+      "deleted ids survived the combined promote's files")
+    assert(!spark.catalog.tableExists(s"${table}_deleted"))
+  }
+
   private def resetIvf(table: String): Unit =
     Seq(table, s"${table}_centroids", s"${table}_folded",
       s"${table}_deleted", s"${table}__next", s"${table}__next_centroids",
