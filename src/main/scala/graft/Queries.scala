@@ -1102,6 +1102,55 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** HLL cube MAINTENANCE-LOOP gate — the sketch family joins the
+    * upsert/compact story, and mergeability IS the mechanism: the cube
+    * is built over 80% of the corpus, the remaining docs' finest-group
+    * sketch rows are APPENDED via [[graft.operators.Sketch
+    * .upsertDistinctSketches]] (one aggregate over the delta, no corpus
+    * access), then [[graft.operators.Sketch.compactDistinctCube]]
+    * re-merges the accumulated rows as a staged generation promoted by
+    * catalog rename. The served per-source report must STILL satisfy
+    * q_sketch_rollup's full contract against the FULL corpus — row
+    * conservation bit-exact (the appended delta covered exactly the
+    * missing rows; the compaction lost none) and both rollup paths
+    * within 15% of exact. Same oracle as q_sketch_rollup. */
+  val q_sketch_compact: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val docs = t(s, dir, "documents").df
+    val keys = Seq("source", "lang", "shard")
+    val table = artifactTable(s, "hll_cube_cpt", dir, "documents")
+    onceUpserted(s, table) {
+      graft.sources.Sources.replaceTable(s, table)
+      Sketch.buildDistinctSketches(
+          docs.filter(col("doc_id") % 5 =!= 0)
+            .withColumn("shard", col("doc_id") % 4),
+          keys, "n_chars")
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+      Sketch.upsertDistinctSketches(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("shard", col("doc_id") % 4),
+        keys, "n_chars", table)
+      Sketch.compactDistinctCube(s, table, keys)
+    }
+    val cube = s.table(table)
+    val oneHop = Sketch.rollupDistinct(cube, Seq("source"))
+    val twoHop = Sketch.rollupDistinct(
+        Sketch.rollupSketches(cube, Seq("source", "lang")), Seq("source"))
+      .select(col("source"), col("est_distinct").as("__est2"),
+        col("n_rows").as("__n2"))
+    val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(col("n_chars")).as("n_exact"),
+        count(lit(1)).as("__n_rows_corpus"))
+    def withinTol(est: Column) =
+      abs(est - col("n_exact")).cast("double") <= lit(0.15) * col("n_exact")
+    oneHop.join(twoHop, "source").join(exact, "source")
+      .filter(col("n_rows") === col("__n_rows_corpus") &&
+        col("__n2") === col("__n_rows_corpus") &&
+        withinTol(col("est_distinct")) && withinTol(col("__est2")))
+      .select(col("source"), col("n_exact"))
+      .orderBy(col("source"))
+  }
+
   /** KLL quantile-rollup gate — the QUANTILE face of the persisted
     * sketch cube: per-(source, lang, shard) KLL sketches of n_chars are
     * built once (mtime-keyed artifact, sharing `q_sketch_rollup`'s
@@ -3685,6 +3734,7 @@ object Queries {
     "q_stream_bm25_ingest" -> q_stream_bm25_ingest,
     "q_approx_distinct" -> q_approx_distinct,
     "q_sketch_rollup" -> q_sketch_rollup,
+    "q_sketch_compact" -> q_sketch_compact,
     "q_quantile_rollup" -> q_quantile_rollup,
     "q_cms_counts" -> q_cms_counts,
     "q_heavy_hitters" -> q_heavy_hitters,
@@ -4585,6 +4635,11 @@ object Queries {
     // BOTH rollup paths' estimates land within tolerance of the exact
     // count (bit-equality across paths is a documented non-guarantee)
     "q_sketch_rollup" ->
+      """SELECT source, count(DISTINCT n_chars) AS n_exact
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the upsert+compact loop serves the SAME full-corpus contract
+    "q_sketch_compact" ->
       """SELECT source, count(DISTINCT n_chars) AS n_exact
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 

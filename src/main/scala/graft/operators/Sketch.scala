@@ -76,6 +76,114 @@ object Sketch {
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
         count(lit(1)).as("n_rows"))
 
+  /** INCREMENTAL upsert into a persisted HLL sketch cube — the sketch
+    * family's maintenance loop, and the one where mergeability IS the
+    * upsert mechanism: the delta's finest-group sketch rows simply
+    * APPEND (one aggregate over the DELTA, no corpus access, no base
+    * file rewritten), because every serve-side rollup already groups by
+    * its keep-keys across ALL rows — a finest group that accumulated
+    * several rows (base + N deltas) merges at serve time for free,
+    * with row counts still exact and estimates inside the same error
+    * band (union of unions is a union). [[compactDistinctCube]] heals
+    * the per-group row accumulation on cadence.
+    *
+    * The deliberate NON-capability, stated here because every other
+    * serving family has one: sketches do not support TAKEDOWN — HLL
+    * registers and KLL compactors are not invertible, so deletion from
+    * a sketch cube is a REBUILD over the reduced corpus (cheap: one
+    * aggregate), never a tombstone mask. */
+  def upsertDistinctSketches(delta: DataFrame, keys: Seq[String],
+      valueCol: String, table: String, lgK: Int = 12): Unit =
+    buildDistinctSketches(delta, keys, valueCol, lgK)
+      .write.mode("append").format("parquet").saveAsTable(table)
+
+  /** [[upsertDistinctSketches]] for the KLL quantile cube. */
+  def upsertQuantileSketches(delta: DataFrame, keys: Seq[String],
+      valueCol: String, table: String, k: Int = 200): Unit =
+    buildQuantileSketches(delta, keys, valueCol, k)
+      .write.mode("append").format("parquet").saveAsTable(table)
+
+  /** COMPACTION for a persisted sketch cube: re-merge the accumulated
+    * rows down to one row per finest group — layout hygiene for the
+    * append-only upsert path; content is invariant (sketch union is
+    * associative) up to the documented estimator nudges inside the
+    * error band. Staged-generation discipline with the
+    * concurrent-maintenance catch-up: the rewrite is pinned to the file
+    * set listed at entry, a delta upserted mid-rewrite is COPIED
+    * verbatim into the staged cube at the promote (sketch rows are
+    * generation-independent — nothing re-derives), and the swap is
+    * metadata-only ([[graft.sources.Sources.promoteTable]]). */
+  def compactDistinctCube(spark: org.apache.spark.sql.SparkSession,
+      table: String, keys: Seq[String]): Unit = {
+    buildNextSketchCube(spark, table, rollupSketches(_, keys))
+    promoteSketchCube(spark, table)
+  }
+
+  /** [[compactDistinctCube]] for the KLL quantile cube (`k` must match
+    * the build-time k — see [[rollupQuantileSketches]]). */
+  def compactQuantileCube(spark: org.apache.spark.sql.SparkSession,
+      table: String, keys: Seq[String], k: Int = 200): Unit = {
+    buildNextSketchCube(spark, table, rollupQuantileSketches(_, keys, k))
+    promoteSketchCube(spark, table)
+  }
+
+  /** The long half of a cube compaction: basis-pinned re-merge into
+    * `<table>__next`, basis committed LAST (the
+    * [[graft.operators.Search.buildNextBm25Layout]] discipline). */
+  def buildNextSketchCube(spark: org.apache.spark.sql.SparkSession,
+      table: String, merge: DataFrame => DataFrame): Unit = {
+    val next = s"${table}__next"
+    val files = graft.sources.Sources.tableDataFiles(spark, table)
+    try {
+      val content =
+        if (files.isEmpty) spark.table(table)
+        else spark.read.parquet(files: _*)
+      graft.sources.Sources.replaceTable(spark, next)
+      merge(content).write.format("parquet")
+        .options(graft.sources.Sources.stagedWriteOptions(spark, next))
+        .saveAsTable(next)
+      graft.sources.Sources.writeBuildBasis(spark, s"${next}_basis",
+        files.map(0 -> _), "", "")
+    } catch {
+      case e: Throwable =>
+        graft.sources.Sources.replaceTable(spark, next)
+        graft.sources.Sources.replaceTable(spark, s"${next}_basis")
+        throw e
+    }
+  }
+
+  /** The short half: catch up any rows upserted since the build's basis
+    * snapshot (verbatim copy — sketch rows are generation-independent,
+    * and the serve-side rollup merges the copied rows exactly as it
+    * merged them against the old layout), then the metadata-only swap.
+    * Resumes after a crashed-post-swap promote (staged gone, basis
+    * present) by finishing the basis drop. */
+  def promoteSketchCube(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val next = s"${table}__next"
+    val basisTable = s"${next}_basis"
+    val resume = !spark.catalog.tableExists(next) &&
+      spark.catalog.tableExists(basisTable)
+    require(spark.catalog.tableExists(next) || resume,
+      s"no staged cube to promote for '$table' — run " +
+        "buildNextSketchCube (or compact*Cube) first")
+    if (!resume) {
+      graft.sources.Sources.readBuildBasis(spark, basisTable)
+        .foreach { case (basis, _, _) =>
+          val delta = graft.sources.Sources.tableDataFiles(spark, table)
+            .filterNot(f => basis.contains((0, f)))
+          if (delta.nonEmpty) {
+            spark.read.parquet(delta: _*)
+              .write.mode("append").format("parquet").saveAsTable(next)
+            graft.sources.Sources.writeBuildBasis(spark, basisTable,
+              (basis ++ delta.map(0 -> _)).toSeq, "", "")
+          }
+        }
+      graft.sources.Sources.promoteTable(spark, next, table)
+    }
+    graft.sources.Sources.replaceTable(spark, basisTable)
+  }
+
   /** Intermediate rollup that KEEPS sketches mergeable: union down to
     * `keepKeys`, preserving the `sketch` column for further rollups —
     * the multi-tier cube shape (hour → day → month) where each tier is

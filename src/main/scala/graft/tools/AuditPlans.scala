@@ -87,6 +87,8 @@ object AuditPlans {
     // final orderBy range exchange — the CORPUS is scanned once, for
     // the exact side only; the serve paths touch just the cube table
     "q_sketch_rollup" -> 6,
+    // same serve shape over the upserted-then-compacted cube
+    "q_sketch_compact" -> 6,
     // merge rollup over the cube (1) + the grouped rank check over the
     // broadcast-joined corpus (partial/final fold into one visible
     // exchange at audit scale) + the orderBy exchange

@@ -74,6 +74,93 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(directAll - exact).toDouble <= 0.10 * exact)
   }
 
+  test("cube upsert + compaction: appended delta rows merge at serve, " +
+      "the compaction collapses to one row per group with rows " +
+      "conserved, and a mid-compaction upsert survives the promote") {
+    import graft.sources.Sources
+    val table = "sketch_cube_maint"
+    Seq(table, s"${table}__next", s"${table}__next_basis")
+      .foreach(Sources.replaceTable(spark, _))
+    val rows = (1 to 3000)
+      .map(i => (s"g${i % 3}", s"v${i % 911}")).toDF("grp", "v")
+    val base = rows.filter(xxhash64(col("v")) % 5 =!= 0)
+    val delta = rows.filter(xxhash64(col("v")) % 5 === 0)
+    Sketch.buildDistinctSketches(base, Seq("grp"), "v")
+      .write.format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    Sketch.upsertDistinctSketches(delta, Seq("grp"), "v", table)
+    // appended, not merged in place: >1 row per group pre-compaction
+    assert(spark.table(table).groupBy("grp").count()
+      .filter(col("count") > 1).count() > 0,
+      "premise: the upsert appends finest-group rows")
+    val exact = rows.groupBy("grp")
+      .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def check(tag: String): Unit = {
+      val got = Sketch.rollupDistinct(spark.table(table), Seq("grp"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      exact.foreach { case (g, (nd, n)) =>
+        val (est, gotN) = got(g)
+        assert(gotN == n, s"$tag: rows not conserved for $g")
+        assert(math.abs(est - nd) <= 0.15 * nd,
+          s"$tag: estimate $est outside 15% of $nd for $g")
+      }
+    }
+    check("served over base+delta rows")
+    // compaction with a mid-rewrite upsert: the catch-up must copy it
+    Sketch.buildNextSketchCube(spark, table,
+      Sketch.rollupSketches(_, Seq("grp")))
+    val late = Seq(("g0", "late_v_1"), ("g1", "late_v_2")).toDF("grp", "v")
+    Sketch.upsertDistinctSketches(late, Seq("grp"), "v", table)
+    Sketch.promoteSketchCube(spark, table)
+    val n2 = Sketch.rollupDistinct(spark.table(table), Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(n2("g0") == exact("g0")._2 + 1 && n2("g1") == exact("g1")._2 + 1,
+      "mid-compaction upsert vanished at the promote")
+    assert(!spark.catalog.tableExists(s"${table}__next_basis"),
+      "basis debris after a clean promote")
+    // a second, quiet compaction collapses to one row per group
+    Sketch.compactDistinctCube(spark, table, Seq("grp"))
+    assert(spark.table(table).groupBy("grp").count()
+      .filter(col("count") > 1).isEmpty,
+      "compaction left multiple rows per finest group")
+    val n3 = Sketch.rollupDistinct(spark.table(table), Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(n3 == n2, "compaction changed the conserved row counts")
+  }
+
+  test("KLL cube upsert + compaction: rank guarantee survives the " +
+      "append-then-merge loop") {
+    import graft.sources.Sources
+    val table = "kll_cube_maint"
+    Seq(table, s"${table}__next", s"${table}__next_basis")
+      .foreach(Sources.replaceTable(spark, _))
+    val rows = (1 to 4000).map(i => (s"g${i % 2}", (i % 997).toLong))
+      .toDF("grp", "x")
+    val base = rows.filter(col("x") % 4 =!= 0)
+    val delta = rows.filter(col("x") % 4 === 0)
+    Sketch.buildQuantileSketches(base, Seq("grp"), "x")
+      .write.format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    Sketch.upsertQuantileSketches(delta, Seq("grp"), "x", table)
+    Sketch.compactQuantileCube(spark, table, Seq("grp"))
+    assert(spark.table(table).count() == 2,
+      "KLL compaction left multiple rows per group")
+    val served = Sketch.rollupQuantiles(spark.table(table), Seq("grp"),
+      Seq(0.5)).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy("grp").agg(count(lit(1)).as("n"),
+        expr("percentile(x, 0.5)").as("p50"))
+      .collect().foreach { r =>
+        val (g, n, p50) = (r.getString(0), r.getLong(1), r.getDouble(2))
+        val rank = rows.filter(col("grp") === g &&
+          col("x") <= served(g)).count()
+        assert(math.abs(rank - 0.5 * n) <= math.max(0.05 * n, 1.0),
+          s"KLL rank drifted after the maintenance loop for $g")
+      }
+  }
+
   test("KLL quantile rollup: rank guarantee on every path, rows conserve") {
     val docs = (1 to 4000).map { i =>
       (s"s${i % 4}", s"l${i % 3}", ((i * 7919) % 911).toLong)
