@@ -1151,6 +1151,53 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** STREAMING sketch-cube ingest gate — the sixth family's live
+    * admission on the oracle path: the cube is built over 80% of the
+    * corpus, the remaining docs STREAM through
+    * [[graft.streaming.Streaming.sketchCubeIngestSink]] (each
+    * micro-batch aggregates to its finest-group HLL rows and lands as
+    * an idempotent `batch=<id>` segment), and the served per-source
+    * report over base ∪ admitted segments must satisfy
+    * q_sketch_rollup's FULL-corpus contract — row conservation
+    * bit-exact (mergeability makes admission exact for counts) and the
+    * rollup estimate within 15% of exact. Same oracle as
+    * q_sketch_rollup. */
+  val q_stream_sketch_ingest: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val docs = t(s, dir, "documents").df
+    val keys = Seq("source", "lang", "shard")
+    val table = artifactTable(s, "hll_cube_ing", dir, "documents")
+    val segDir = s"${s.conf.get("spark.sql.warehouse.dir")}/${table}_segs"
+    onceUpserted(s, table) {
+      graft.sources.Sources.replaceTable(s, table)
+      graft.sources.Sources.replaceTable(s, s"${table}_folded")
+      Sketch.buildDistinctSketches(
+          docs.filter(col("doc_id") % 5 =!= 0)
+            .withColumn("shard", col("doc_id") % 4),
+          keys, "n_chars")
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+      val hp = new org.apache.hadoop.fs.Path(segDir)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val stream = graft.streaming.Streaming.fileStream(s, dir,
+          "documents.parquet").filter(col("doc_id") % 5 === 0)
+        .withColumn("shard", col("doc_id") % 4)
+      val q = graft.streaming.Streaming.sketchCubeIngestSink(stream, table,
+        keys, "n_chars", segDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val cube = Sketch.loadCubeWithSegments(s, table, segDir)
+    val served = Sketch.rollupDistinct(cube, Seq("source"))
+    val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(col("n_chars")).as("n_exact"),
+        count(lit(1)).as("__n_rows_corpus"))
+    served.join(exact, "source")
+      .filter(col("n_rows") === col("__n_rows_corpus") &&
+        abs(col("est_distinct") - col("n_exact")).cast("double") <=
+          lit(0.15) * col("n_exact"))
+      .select(col("source"), col("n_exact"))
+      .orderBy(col("source"))
+  }
+
   /** KLL quantile-rollup gate — the QUANTILE face of the persisted
     * sketch cube: per-(source, lang, shard) KLL sketches of n_chars are
     * built once (mtime-keyed artifact, sharing `q_sketch_rollup`'s
@@ -3735,6 +3782,7 @@ object Queries {
     "q_approx_distinct" -> q_approx_distinct,
     "q_sketch_rollup" -> q_sketch_rollup,
     "q_sketch_compact" -> q_sketch_compact,
+    "q_stream_sketch_ingest" -> q_stream_sketch_ingest,
     "q_quantile_rollup" -> q_quantile_rollup,
     "q_cms_counts" -> q_cms_counts,
     "q_heavy_hitters" -> q_heavy_hitters,
@@ -4640,6 +4688,11 @@ object Queries {
 
     // the upsert+compact loop serves the SAME full-corpus contract
     "q_sketch_compact" ->
+      """SELECT source, count(DISTINCT n_chars) AS n_exact
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // streaming admission serves the same full-corpus contract
+    "q_stream_sketch_ingest" ->
       """SELECT source, count(DISTINCT n_chars) AS n_exact
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 

@@ -805,7 +805,7 @@ object Similarity {
     * starts with a fresh identity). Missing table = empty ledger (the
     * pre-ledger and freshly-built shapes). Shared by the IVF, PQ, and
     * LSH fold paths; BM25's ledger rides in its stats table instead. */
-  private def foldLedger(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def foldLedger(spark: org.apache.spark.sql.SparkSession,
       table: String): Set[String] =
     if (!spark.catalog.tableExists(s"${table}_folded")) Set.empty
     else spark.table(s"${table}_folded").collect().map(_.getString(0)).toSet
@@ -813,7 +813,7 @@ object Similarity {
   /** Commit the fold ledger = exactly `present` (stale ids for already-
     * deleted dirs prune away). Written between the append and the dir
     * deletes — the idempotence point of every `fold*Segments`. */
-  private def writeFoldLedger(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeFoldLedger(spark: org.apache.spark.sql.SparkSession,
       table: String, present: Seq[String]): Unit = {
     import spark.implicits._
     graft.sources.Sources.replaceTable(spark, s"${table}_folded")
@@ -1141,7 +1141,7 @@ object Similarity {
   /** The COMPLETE `batch=<id>` dirs of a PLAIN (unpartitioned) segment
     * layout — ones carrying the parquet job-commit marker (`_SUCCESS`),
     * which a crashed write never leaves. */
-  private def completePlainSegmentDirs(
+  private[graft] def completePlainSegmentDirs(
       spark: org.apache.spark.sql.SparkSession,
       segDir: String): Seq[org.apache.hadoop.fs.Path] = {
     val hp = new org.apache.hadoop.fs.Path(segDir)

@@ -693,6 +693,44 @@ object Streaming {
     segmentSink(encoded, segDir, checkpoint, trigger = trigger)(identity)
   }
 
+  /** Streaming ingest for a persisted SKETCH CUBE
+    * ([[graft.operators.Sketch.buildDistinctSketches]]'s layout): each
+    * micro-batch AGGREGATES to its finest-group HLL sketch rows inside
+    * `foreachBatch` — per trigger the shuffle moves fixed-size sketch
+    * buffers for the batch's groups, never value sets — and lands as an
+    * idempotent plain `segDir/batch=<id>/` segment (`_SUCCESS` as the
+    * completeness marker). Serve with [[graft.operators.Sketch
+    * .loadCubeWithSegments]] (the rollup merges base ∪ segment rows —
+    * mergeability makes admission exact for row counts and in-band for
+    * estimates); fold on cadence with [[graft.operators.Sketch
+    * .foldSketchSegments]]; the row accumulation heals at
+    * [[graft.operators.Sketch.compactDistinctCube]]. Nothing is
+    * trained, so no drift cadence exists. Fails at sink construction if
+    * the aggregated shape doesn't match the serving cube (the
+    * pqIngestSink contract). */
+  def sketchCubeIngestSink(stream: DataFrame, table: String,
+      keys: Seq[String], valueCol: String, segDir: String, lgK: Int = 12,
+      checkpoint: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val resolver = spark.sessionState.analyzer.resolver
+    val want = spark.table(table).schema.fields
+    // schema only — the aggregate plan over the stream never executes
+    val got = graft.operators.Sketch
+      .buildDistinctSketches(stream, keys, valueCol, lgK)
+      .schema.fields
+    require(want.length == got.length && want.forall(w =>
+        got.exists(g => resolver(w.name, g.name) &&
+          w.dataType.catalogString == g.dataType.catalogString)),
+      s"sketchCubeIngestSink aggregated shape does not match serving " +
+        s"cube '$table' — admitted segments could be neither served " +
+        "(unionByName) nor folded (append)")
+    segmentSink(stream, segDir, checkpoint, trigger = trigger)(batch =>
+      graft.operators.Sketch.buildDistinctSketches(batch, keys, valueCol,
+        lgK))
+  }
+
   /** Streaming ANN ingest for the multi-projection LSH layout: each
     * micro-batch of NEW embeddings is hashed map-side with the
     * artifact's pinned (bits, tables, dims) — deterministic hyperplanes,

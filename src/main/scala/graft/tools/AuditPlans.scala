@@ -89,6 +89,9 @@ object AuditPlans {
     "q_sketch_rollup" -> 6,
     // same serve shape over the upserted-then-compacted cube
     "q_sketch_compact" -> 6,
+    // one-hop rollup over base ∪ segments (2) + corpus exact distinct
+    // (partial/final) — no two-hop leg in this gate
+    "q_stream_sketch_ingest" -> 4,
     // merge rollup over the cube (1) + the grouped rank check over the
     // broadcast-joined corpus (partial/final fold into one visible
     // exchange at audit scale) + the orderBy exchange

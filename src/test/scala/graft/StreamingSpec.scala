@@ -354,6 +354,57 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(2L, 3L, 6L), s"got $ids")
   }
 
+  test("sketchCubeIngestSink: multi-batch admission serves row counts " +
+      "exactly and estimates in band; fold preserves the serve and " +
+      "clears segments; shape guard fails at construction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Sketch
+    import graft.sources.Sources
+    val table = "sketch_ing_spec"
+    Seq(table, s"${table}_folded").foreach(Sources.replaceTable(spark, _))
+    val all = (1 to 2000).map(i => (s"g${i % 2}", s"v${i % 503}"))
+    val (baseRows, deltaRows) = all.partition(_._2.hashCode % 4 != 0)
+    Sketch.buildDistinctSketches(baseRows.toDF("grp", "v"), Seq("grp"), "v")
+      .write.format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    val segDir = java.nio.file.Files
+      .createTempDirectory("sketch_ing_spec").toString
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.Streaming.sketchCubeIngestSink(
+      in.toDF().toDF("grp", "v"), table, Seq("grp"), "v", segDir)
+    try {
+      val (d1, d2) = deltaRows.splitAt(deltaRows.size / 2)
+      in.addData(d1: _*); q.processAllAvailable()
+      in.addData(d2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val exact = all.groupBy(_._1).map { case (g, rs) =>
+      g -> (rs.map(_._2).distinct.size.toLong, rs.size.toLong) }
+    def check(tag: String): Unit = {
+      val got = Sketch.rollupDistinct(
+          Sketch.loadCubeWithSegments(spark, table, segDir), Seq("grp"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      exact.foreach { case (g, (nd, n)) =>
+        assert(got(g)._2 == n, s"$tag: rows not conserved for $g")
+        assert(math.abs(got(g)._1 - nd) <= 0.15 * nd,
+          s"$tag: estimate ${got(g)._1} outside 15% of $nd")
+      }
+    }
+    check("base + 2 admitted segments")
+    Sketch.foldSketchSegments(spark, table, segDir)
+    assert(new java.io.File(segDir).listFiles()
+      .count(_.getName.startsWith("batch=")) == 0,
+      "fold left segment dirs behind")
+    check("post-fold")
+    // shape guard: keys that don't match the serving cube fail at
+    // construction, not at the first admitted batch
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.sketchCubeIngestSink(
+        in.toDF().toDF("grp", "v"), table, Seq("grp", "v"), "v", segDir)
+    }
+  }
+
   test("heavyHittersStream: per-window Misra-Gries — dominant items " +
       "surface with underestimates in bound, windows stay separate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
