@@ -90,7 +90,7 @@ object StateProbe {
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4))
     val knownProbes = Set("dedup", "funnel", "join", "sketch", "expire",
       "restart", "restart_ingest", "restart_bm25", "restart_lsh",
-      "restart_pq")
+      "restart_pq", "restart_sketch")
     val probes = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownProbes)
@@ -595,6 +595,62 @@ object StateProbe {
       require(served.encoded.count() == expect,
         "post-restart served vectors != corpus — the replay " +
           "double-admitted or lost a segment")
+    }
+
+    if (probes("restart_sketch")) {
+      // the sketch-cube ingest: per-batch finest-group HLL rows as
+      // idempotent segments; after the kill-and-resume, served row
+      // counts must be EXACT against the corpus (mergeability makes
+      // admission exact for counts) and estimates in band.
+      import graft.operators.Sketch
+      val k = ks.max
+      val full = docScaled(k).withColumn("shard", col("doc_id") % 4)
+      val base = full.filter(col("doc_id") % 16 =!= 0)
+      val delta = full.filter(col("doc_id") % 16 === 0)
+      val keys = Seq("source", "shard")
+      val table = "state_probe_sketch"
+      Seq(table, s"${table}_folded").foreach(
+        graft.sources.Sources.replaceTable(spark, _))
+      Sketch.buildDistinctSketches(base, keys, "text")
+        .write.format("parquet")
+        .options(graft.sources.Sources.stagedWriteOptions(spark, table))
+        .saveAsTable(table)
+      val feed = s"$dir/restart_sketch/feed"
+      delta.repartition(8).write.mode("overwrite").parquet(feed)
+      val segDir = s"$dir/restart_sketch/seg"
+      val ckpt = s"$dir/restart_sketch/ckpt"
+      def start(throttled: Boolean): StreamingQuery = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        graft.streaming.Streaming.sketchCubeIngestSink(stream, table,
+          keys, "text", segDir, checkpoint = Some(ckpt),
+          trigger = pacing(throttled))
+      }
+      val (before, replay, total) = killAndRestart(8, start)
+      val segs = Option(new java.io.File(segDir).list()).toSeq.flatten
+        .count(_.startsWith("batch="))
+      val served = Sketch.rollupDistinct(
+          Sketch.loadCubeWithSegments(spark, table, segDir), Seq("source"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expect = full.groupBy("source")
+        .agg(countDistinct(col("text")).as("nd"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val rowsExact = expect.forall { case (s0, (_, n)) =>
+        served.get(s0).exists(_._2 == n) }
+      val inBand = expect.forall { case (s0, (nd, _)) =>
+        served.get(s0).exists(v => math.abs(v._1 - nd) <= 0.15 * nd) }
+      println(f"""{"probe":"restart_sketch","k":$k,""" +
+        f""""batches_before_kill":$before,""" +
+        f""""replay_first_batch_sec":$replay%.2f,""" +
+        f""""resume_total_sec":$total%.2f,"segments":$segs,""" +
+        f""""rows_exact":$rowsExact,"estimates_in_band":$inBand}""")
+      require(rowsExact,
+        "post-restart served row counts != corpus — the replay " +
+          "double-admitted or lost a segment")
+      require(inBand, "post-restart estimate left the error band")
     }
 
     spark.stop()
