@@ -1040,6 +1040,54 @@ object Queries {
       .orderBy(col("bm25_rank"))
   }
 
+  /** BM25 SEGMENT-RESIDENT takedown gate — the delete tier's exactness
+    * hole closed on the oracle path: the artifact is built over 80% of
+    * the corpus, the remaining docs STREAM in as un-folded
+    * `batch=<id>` segments ([[graft.streaming.Streaming
+    * .bm25IngestSink]]), and THEN every doc_id % 7 == 3 is deleted —
+    * BEFORE any fold, so part of the takedown set lives only in
+    * segments. [[graft.operators.Search.deleteBm25Docs]] is called
+    * with `segDir`, so the capture scans base ∪ complete segments and
+    * records each segment-resident target's EXACT doclen (a base-only
+    * capture records 0 and leaves total_len over-counted once the fold
+    * merges the segment's stats — the residual this gate exists to
+    * keep closed). The served top-25 over base ∪ segments must equal a
+    * DuckDB BM25 over the corpus WITHOUT the deleted docs — the same
+    * rank-sensitive constants contract as q_search_bm25_delete, now
+    * with the takedown racing the fold cadence instead of waiting for
+    * it. Build + ingest + delete run once per mtime-keyed generation. */
+  val q_search_bm25_delete_seg: Q = (s, dir) => {
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "bm25_dsg", dir, "documents")
+    val segDir = s"${s.conf.get("spark.sql.warehouse.dir")}/${table}_segs"
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text"), table)
+      // clear segments from a crashed prior attempt (the
+      // q_stream_bm25_ingest discipline)
+      val hp = new org.apache.hadoop.fs.Path(segDir)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val stream = graft.streaming.Streaming.documentsStream(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+      val q = graft.streaming.Streaming.bm25IngestSink(stream, table,
+        "doc_id", "text", segDir)
+      try q.processAllAvailable() finally q.stop()
+      // takedown BEFORE the fold: ids ≡ 0 (mod 5) ∧ ≡ 3 (mod 7) are
+      // segment-resident at this moment — segDir makes their doclen
+      // capture exact
+      Search.deleteBm25Docs(s, table,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        segDir = segDir)
+    }
+    val idx = Search.loadBm25IndexWithSegments(s, table, segDir)
+    Search.searchBm25(docs.filter(col("doc_id") % 7 =!= 3), idx,
+        "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
   /** HLL approximate-distinct accuracy gate: per source, the exact
     * distinct doc-length count next to a within-tolerance flag for the
     * HLL estimate (both aggregates share one shuffle). The oracle emits
@@ -1139,6 +1187,52 @@ object Queries {
       .select(col("source"), col("est_distinct").as("__est2"),
         col("n_rows").as("__n2"))
     val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(col("n_chars")).as("n_exact"),
+        count(lit(1)).as("__n_rows_corpus"))
+    def withinTol(est: Column) =
+      abs(est - col("n_exact")).cast("double") <= lit(0.15) * col("n_exact")
+    oneHop.join(twoHop, "source").join(exact, "source")
+      .filter(col("n_rows") === col("__n_rows_corpus") &&
+        col("__n2") === col("__n_rows_corpus") &&
+        withinTol(col("est_distinct")) && withinTol(col("__est2")))
+      .select(col("source"), col("n_exact"))
+      .orderBy(col("source"))
+  }
+
+  /** Sketch-cube TAKEDOWN gate — the sixth family's delete tier on the
+    * oracle path, via the family's documented (and deliberately
+    * different) mechanism: HLL registers are not invertible, so
+    * [[graft.operators.Sketch.rebuildDistinctExcluding]] REBUILDS the
+    * cube over corpus-minus-tombstones — one aggregate, staged beside
+    * the live cube and promoted by catalog rename; the promoted files
+    * never contained the deleted rows' contributions (physical erasure
+    * in one step, no residual tombstones). The served per-source report
+    * must satisfy q_sketch_rollup's full contract against the REDUCED
+    * corpus: row conservation bit-exact (rebuild covered exactly the
+    * surviving rows) and both rollup paths' estimates within 15% of the
+    * reduced corpus's exact distinct counts. Build + takedown run once
+    * per mtime-keyed generation. */
+  val q_sketch_delete: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val docs = t(s, dir, "documents").df
+    val keys = Seq("source", "lang", "shard")
+    val table = artifactTable(s, "hll_cube_del", dir, "documents")
+    val sharded = docs.withColumn("shard", col("doc_id") % 4)
+    onceUpserted(s, table) {
+      graft.sources.Sources.replaceTable(s, table)
+      Sketch.buildDistinctSketches(sharded, keys, "n_chars")
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+      Sketch.rebuildDistinctExcluding(sharded, keys, "n_chars",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), table)
+    }
+    val reduced = docs.filter(col("doc_id") % 7 =!= 3)
+    val cube = s.table(table)
+    val oneHop = Sketch.rollupDistinct(cube, Seq("source"))
+    val twoHop = Sketch.rollupDistinct(
+        Sketch.rollupSketches(cube, Seq("source", "lang")), Seq("source"))
+      .select(col("source"), col("est_distinct").as("__est2"),
+        col("n_rows").as("__n2"))
+    val exact = reduced.groupBy(col("source"))
       .agg(count_distinct(col("n_chars")).as("n_exact"),
         count(lit(1)).as("__n_rows_corpus"))
     def withinTol(est: Column) =
@@ -3516,6 +3610,94 @@ object Queries {
       .orderBy(col("fp"))
   }
 
+  /** TAKEDOWN lifecycle END-TO-END gate — the compliance composition a
+    * real operator audits, wired as ONE oracle-checked pipeline (the
+    * q_pipeline_e2e / q_stream_ingest_e2e argument: the pieces are
+    * individually gated; the composition is where sequencing bugs
+    * hide):
+    *  1. the BM25 serving artifact exists over the full corpus;
+    *  2. TAKEDOWN — every doc_id % 9 == 3 is tombstoned
+    *     ([[graft.operators.Search.deleteBm25Docs]]; masking is
+    *     immediate) and its content DIGEST goes on the do-not-ingest
+    *     blocklist (content identity, never ids — a re-crawl arrives
+    *     under a fresh id);
+    *  3. RE-CRAWL — the removed bytes return under fresh ids through
+    *     the streaming curation pipeline, beside a control slice of
+    *     genuinely-new bytes: the blocklist must suppress every removed
+    *     byte stream while the control slice is admitted (an in-plan
+    *     one-row gate — zero blocked digests among the admitted rows
+    *     AND a non-empty admitted set);
+    *  4. RECLAIM — the compaction cadence physically erases the
+    *     tombstoned rows: the served generation's raw parquet carries
+    *     ZERO deleted ids (in-plan gate over the actual files) and the
+    *     tombstone sibling is gone (the mask left the plan).
+    * The final frame is the served top-25 over the reduced corpus — the
+    * DuckDB BM25-without-them oracle, rank-sensitive to every constant
+    * correction — with the suppression/erasure gates folded in as
+    * row-dropping filters, so ANY violated step is a hash mismatch.
+    * Build/delete/reclaim run once per mtime-keyed generation; the
+    * re-crawl streams on every invocation (suppression must HOLD, not
+    * just have held once). */
+  val q_takedown_e2e: Q = (s, dir) => {
+    import graft.operators.{Dedup, Search}
+    val docs = t(s, dir, "documents").df
+    val dead = docs.filter(col("doc_id") % 9 === 3)
+    val live = docs.filter(col("doc_id") % 9 =!= 3)
+    val table = artifactTable(s, "takedown_e2e", dir, "documents")
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs, "doc_id", "text"), table)
+      Search.deleteBm25Docs(s, table, dead.select(col("doc_id")))
+      Search.compactBm25Index(s, table)
+    }
+    // the takedown's retained blocklist: digests of the removed bytes
+    val blockDigests = dead.select(Dedup.contentKey(col("text"),
+      normalize = false).as("fp")).distinct()
+    // the re-crawl: removed bytes under fresh ids (must be suppressed)
+    // + a control slice of new bytes (must be admitted — proves the
+    // pipeline isn't vacuously dropping everything)
+    val out = s"${ioDir(dir)}/takedown_e2e"
+    val hp = new org.apache.hadoop.fs.Path(out)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val recrawl = Streaming.documentsStream(s, dir)
+      .filter(col("doc_id") % 9 === 3 || col("doc_id") % 9 === 4)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        when(col("doc_id") % 9 === 4, concat(col("text"), lit(" recrawl")))
+          .otherwise(col("text")).as("text"),
+        to_timestamp(lit("2024-03-01 00:00:00")).as("ts"))
+    val q = Streaming.ingestCurationSink(recrawl, live, "text", "ts", out,
+      delay = "30 days", blocklist = Some(blockDigests))
+    try q.processAllAvailable() finally q.stop()
+    val admitted =
+      (if (fs.exists(hp)) s.read.parquet(out)
+       else docs.limit(0).select(col("text")))
+        .select(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+    // gate A: continued suppression — no admitted row carries a
+    // blocked digest — and non-vacuousness (the control slice landed)
+    val suppressed = admitted
+      .join(broadcast(blockDigests.withColumn("__b", lit(1))), Seq("fp"), "left")
+      .agg((sum(coalesce(col("__b"), lit(0))) === 0 &&
+        count(lit(1)) > 0).as("__ok"))
+    // gate B: physical erasure — the served generation's RAW files
+    // (not the masked view) carry zero deleted ids
+    val erased = s.read
+      .parquet(graft.sources.Sources.tableDataFiles(s, table): _*)
+      .agg((sum(when(col("doc_id") % 9 === 3, 1).otherwise(0)) === 0)
+        .as("__er"))
+    // gate C: the reclaim consumed every tombstone — the sibling is
+    // gone and the serve plan is mask-free again
+    val tombGone = !s.catalog.tableExists(s"${table}_deleted")
+    val idx = Search.loadBm25Index(s, table)
+    Search.searchBm25(live, idx, "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .crossJoin(broadcast(suppressed)).filter(col("__ok"))
+      .crossJoin(broadcast(erased)).filter(col("__er"))
+      .filter(lit(tombGone))
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
   /** Streaming NEAR-duplicate ingest dedup against a static corpus: the
     * documents "crawl" stream (doc_id % 3 == 0) is deduped per
     * micro-batch against the fixed corpus (doc_id % 3 != 0) at 3-gram
@@ -3777,11 +3959,13 @@ object Queries {
     "q_search_bm25_compact" -> q_search_bm25_compact,
     "q_search_bm25_catchup" -> q_search_bm25_catchup,
     "q_search_bm25_delete" -> q_search_bm25_delete,
+    "q_search_bm25_delete_seg" -> q_search_bm25_delete_seg,
     "q_search_bm25_reclaim" -> q_search_bm25_reclaim,
     "q_stream_bm25_ingest" -> q_stream_bm25_ingest,
     "q_approx_distinct" -> q_approx_distinct,
     "q_sketch_rollup" -> q_sketch_rollup,
     "q_sketch_compact" -> q_sketch_compact,
+    "q_sketch_delete" -> q_sketch_delete,
     "q_stream_sketch_ingest" -> q_stream_sketch_ingest,
     "q_quantile_rollup" -> q_quantile_rollup,
     "q_cms_counts" -> q_cms_counts,
@@ -3877,6 +4061,7 @@ object Queries {
     "q_stream_funnel" -> q_stream_funnel,
     "q_stream_ingest_e2e" -> q_stream_ingest_e2e,
     "q_stream_ingest_blocklist" -> q_stream_ingest_blocklist,
+    "q_takedown_e2e" -> q_takedown_e2e,
     "q_stream_neardedup" -> q_stream_neardedup,
     "q_stream_neardedup_serve" -> q_stream_neardedup_serve,
     "q_stream_neardedup_delete" -> q_stream_neardedup_delete,
@@ -3930,8 +4115,21 @@ object Queries {
     * masking path that forgot any constant correction ranks
     * differently and hash-mismatches. */
   private val bm25DeletedOracleSql: String =
+    bm25WithoutOracleSql("doc_id % 7 <> 3")
+
+  /** The BM25-over-a-reduced-corpus oracle, parameterized by the
+    * survivor predicate — shared by every takedown-tier gate (delete,
+    * reclaim, segment-resident delete, the e2e composition), each of
+    * which must serve EXACTLY this ranking from its masked/erased
+    * artifact. (Plain-template substitution, not s-interpolation: the
+    * SQL body carries regex escapes an interpolator would mangle.) */
+  private def bm25WithoutOracleSql(survivors: String): String =
+    bm25WithoutTemplate.replace("__SURVIVORS__", survivors)
+
+  // lazy: referenced by bm25DeletedOracleSql's initializer above it
+  private lazy val bm25WithoutTemplate: String =
     """WITH docs AS (
-      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+      |  SELECT doc_id, text FROM documents WHERE __SURVIVORS__
       |), toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
       |  FROM docs
@@ -4691,6 +4889,14 @@ object Queries {
       """SELECT source, count(DISTINCT n_chars) AS n_exact
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // the takedown rebuild serves the REDUCED-corpus contract: exact
+    // row conservation + both rollup paths in tolerance, minus the
+    // tombstoned docs' contributions
+    "q_sketch_delete" ->
+      """SELECT source, count(DISTINCT n_chars) AS n_exact
+        |FROM documents WHERE doc_id % 7 <> 3
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // streaming admission serves the same full-corpus contract
     "q_stream_sketch_ingest" ->
       """SELECT source, count(DISTINCT n_chars) AS n_exact
@@ -4760,7 +4966,13 @@ object Queries {
     "q_search_bm25_compact" -> bm25OracleSql,
     "q_search_bm25_catchup" -> bm25OracleSql,
     "q_search_bm25_delete" -> bm25DeletedOracleSql,
+    // the segment-resident takedown serves the SAME reduced-corpus
+    // ranking — exactness must not depend on whether the fold ran
+    "q_search_bm25_delete_seg" -> bm25DeletedOracleSql,
     "q_search_bm25_reclaim" -> bm25DeletedOracleSql,
+    // the e2e composition's survivors: the % 9 == 3 takedown set gone,
+    // constants corrected, erasure + suppression gates folded in-plan
+    "q_takedown_e2e" -> bm25WithoutOracleSql("doc_id % 9 <> 3"),
     "q_stream_bm25_ingest" -> bm25OracleSql,
 
     "q_cluster_best" ->

@@ -205,9 +205,11 @@ object Search {
     val spark = index.postings.sparkSession
     // a rebuilt artifact is a fresh identity: stale tombstones from a
     // previous generation would mask (and stats-correct against) ids
-    // the new corpus legitimately carries
+    // the new corpus legitimately carries (no cache invalidation needed
+    // anywhere in this file: the constants caches key on the sibling
+    // tables' generation stamps, which this drop and every write below
+    // change)
     graft.sources.Sources.replaceTable(spark, s"${table}_deleted")
-    statsFor(spark).remove(tombKey(table))
     graft.sources.Sources.writeBucketed(
       graft.core.GTable(index.postings), table, Seq("word"), buckets)
     writeStats(spark, table, index.nDocs, index.avgLen, buckets, index.totalLen)
@@ -238,7 +240,6 @@ object Search {
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_stats"))
       .saveAsTable(s"${table}_stats")
-    statsFor(spark).remove(table)
   }
 
   /** INCREMENTAL UPSERT for the persisted BM25 artifact — the search
@@ -440,10 +441,8 @@ object Search {
     if (!resume) graft.sources.Sources.promoteTable(spark, next, table)
     // step 3 — retire the consumed tombstones; mid-build deletes stay
     // residual (still masked at serve, reclaimed next cadence)
-    if (consumedTomb.nonEmpty) {
+    if (consumedTomb.nonEmpty)
       graft.operators.Tombstones.retireConsumed(spark, table, consumedTomb)
-      statsFor(spark).remove(tombKey(table))
-    }
     graft.sources.Sources.replaceTable(spark, basisTable)
   }
 
@@ -476,9 +475,13 @@ object Search {
       // tombstones mask segment postings too (a takedown can target a
       // document whose fold hasn't run yet — rows must disappear
       // immediately); the base constants already carry the correction
-      // via loadBm25Index. Stats exactness for a segment-resident
-      // delete arrives with the fold (its doclen was captured as 0) —
-      // the documented fold-first contract on deleteBm25Docs.
+      // via loadBm25Index, and a segment-resident delete issued with
+      // deleteBm25Docs(segDir=...) captured its exact doclen from the
+      // segment postings, so the served constants are exact here too:
+      // the segment stats add the dead doc's (1, len), the tombstone
+      // aggregate subtracts the same (1, len). Only a segment-resident
+      // delete issued WITHOUT segDir (captured as doclen 0) leaves the
+      // documented total_len residual until its reclaim.
       val postings = graft.operators.Tombstones.mask(spark, table,
         spark.read.parquet(segs.map(d => s"$d/postings"): _*))
       // coalesce: a committed-but-empty stats file must merge as zero,
@@ -573,20 +576,29 @@ object Search {
     }
   }
 
-  // corpus constants are constants: cache per (session, table) so the
-  // serving path doesn't pay a stats-read job per query. Keyed WEAKLY
-  // by session (the Similarity.SessionCaches idiom): a tuple-keyed
-  // strong map would pin every stopped session's object graph for the
-  // JVM's lifetime. The per-session value map holds only primitives, so
-  // it never keeps its own key reachable.
+  // corpus constants are constants OF A GENERATION: cached per
+  // (session, table) and keyed by the stats/tombstone sibling's
+  // generation stamp ([[graft.sources.Sources.tableStamp]] — the
+  // sibling's data-file set, one driver-side listing, no Spark job), so
+  // a mutation committed by ANY session — delete, upsert, fold, promote
+  // all rewrite the 1-row stats table or grow the tombstone sibling,
+  // i.e. change its file set — is picked up by every other live session
+  // on its next serve call, without restart or manual invalidation
+  // (even a manual tombstone write re-keys: the stamp is the files, not
+  // the commit path). Keyed WEAKLY by session (the
+  // Similarity.SessionCaches idiom): a tuple-keyed strong map would pin
+  // every stopped session's object graph for the JVM's lifetime. The
+  // per-session value map holds only primitives, so it never keeps its
+  // own key reachable.
   private val statsCache = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
-    scala.collection.concurrent.TrieMap[String, (Long, Double, Long)]]()
+    scala.collection.concurrent.TrieMap[String, (String, (Long, Double, Long))]]()
   private def statsFor(spark: org.apache.spark.sql.SparkSession) =
     statsCache.synchronized {
       var c = statsCache.get(spark)
       if (c == null) {
-        c = scala.collection.concurrent.TrieMap.empty[String, (Long, Double, Long)]
+        c = scala.collection.concurrent
+          .TrieMap.empty[String, (String, (Long, Double, Long))]
         statsCache.put(spark, c)
       }
       c
@@ -601,57 +613,96 @@ object Search {
     * (n_docs/avg_len — and through them idf) correct EXACTLY at serve:
     * the masked index is content-identical to one built without those
     * documents. An id with no postings (a zero-token document) tombstones
-    * with doclen 0 — deleting it still decrements n_docs. Callers own
-    * membership the way upserts own id-disjointness: ids must name
-    * base-admitted documents (fold streaming segments first); deleting
-    * a non-member skews n_docs by one. Re-deleting an already-tombstoned
-    * id is a no-op (anti-joined at capture; consumers dedup besides).
-    * Physical erasure rides [[compactBm25Index]]'s next cadence. */
+    * with doclen 0 — deleting it still decrements n_docs.
+    *
+    * Pass `segDir` (the artifact's streaming-ingest segment directory)
+    * when the target may still be SEGMENT-RESIDENT — admitted by
+    * [[graft.streaming.Streaming.bm25IngestSink]] but not yet folded:
+    * the capture then scans base ∪ complete un-folded segments, so a
+    * takedown issued BEFORE the fold cadence still records the exact
+    * doclen (the segment's stats — including the dead doc's length —
+    * merge into the base at the fold, and the tombstone's correction
+    * must subtract it; a 0-doclen capture would leave total_len
+    * over-counted until reclaim). Real takedowns don't wait for fold
+    * cadences — with `segDir` they don't have to.
+    *
+    * Callers own membership the way upserts own id-disjointness: ids
+    * must name admitted documents (base, or segments when `segDir` is
+    * given); deleting a non-member skews n_docs by one. Re-deleting an
+    * already-tombstoned id is a no-op (anti-joined at capture;
+    * consumers dedup besides). Physical erasure rides
+    * [[compactBm25Index]]'s next cadence. */
   def deleteBm25Docs(spark: org.apache.spark.sql.SparkSession,
-      table: String, ids: DataFrame): Unit = {
+      table: String, ids: DataFrame, segDir: String = ""): Unit = {
     val idCol = ids.columns.head
     val fresh = graft.operators.Tombstones.read(spark, table)
       .map(t => ids.select(col(idCol)).dropDuplicates(idCol)
         .join(broadcast(t.select(col(idCol)).dropDuplicates(idCol)),
           Seq(idCol), "left_anti"))
       .getOrElse(ids.select(col(idCol)).dropDuplicates(idCol))
-    // doclen from the live postings: a broadcast SEMI join prunes the
+    // the capture corpus: live base postings, plus the complete
+    // un-folded streaming segments when the caller passed segDir
+    // (ledgered segments' postings are already IN the base — scanning
+    // them twice is harmless under the per-id max, but skipping them
+    // keeps the scan minimal and mirrors the serve path's skip)
+    val baseScan = spark.table(table).select(col(idCol), col("doclen"))
+    val scan =
+      if (segDir.isEmpty) baseScan
+      else {
+        val folded = readMergeableStats(spark, table)._4
+        val segs = completeBm25SegmentDirs(spark, segDir)
+          .filterNot(d => folded.contains(d.getName))
+        if (segs.isEmpty) baseScan
+        else baseScan.unionByName(
+          spark.read.parquet(segs.map(d => s"$d/postings"): _*)
+            .select(col(idCol), col("doclen")))
+      }
+    // doclen from the capture corpus: a broadcast SEMI join prunes the
     // scan to the requested ids map-side BEFORE any aggregate (never
     // aggregate the whole corpus to look up a handful of ids), then a
     // per-id max collapses the id's identical per-word copies; ids
-    // absent from the postings (zero-token documents) keep doclen 0
-    val found = spark.table(table)
+    // absent from every posting (zero-token documents) keep doclen 0
+    val found = scan
       .join(broadcast(fresh), Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(max(col("doclen")).as("doclen"))
     val captured = fresh.join(found, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("doclen"), lit(0L)).as("doclen"))
     graft.operators.Tombstones.append(spark, table, captured)
-    statsFor(spark).remove(table)
-    statsFor(spark).remove(tombKey(table))
   }
 
   // tombstone aggregates are cached beside the corpus constants (same
-  // per-session weak map); the sentinel key can't collide with a real
-  // table name
+  // per-session weak map, same generation-stamp keying — here on the
+  // `_deleted` sibling's file set, so any tombstone write, including a
+  // manual one, re-keys the entry); the sentinel key can't collide with
+  // a real table name
   private def tombKey(table: String): String = table + " tomb"
 
   /** The artifact's tombstone correction — (deleted n, deleted Σlen)
     * over the deduplicated tombstone set; (0, 0) when none exist. */
   private def tombstoneAgg(spark: org.apache.spark.sql.SparkSession,
       table: String): (Long, Long) = {
-    val (n, _, len) = statsFor(spark).getOrElseUpdate(tombKey(table), {
+    val (n, _, len) = graft.sources.Sources.stamped(spark, statsFor(spark),
+      tombKey(table), graft.operators.Tombstones.tableOf(table)) {
       graft.operators.Tombstones.read(spark, table).map { t =>
         val idCol = t.columns.head
         val r = t.dropDuplicates(idCol)
           .agg(count(lit(1)), coalesce(sum(col("doclen")), lit(0L))).head()
         (r.getLong(0), 0.0, r.getLong(1))
       }.getOrElse((0L, 0.0, 0L))
-    })
+    }
     (n, len)
   }
 
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession, table: String): Bm25Index = {
-    val (n, avg, total) = statsFor(spark).getOrElseUpdate(table, {
+    // alsoRefresh = the postings table: a stats move means the artifact
+    // mutated (upsert/fold/reclaim), so this session's cached postings
+    // listing is stale too — appends would be silently missed, rewrites
+    // would FAILED_READ. (A pure hygiene compact moves no stats; a
+    // cross-session READER of one follows Spark's standard REFRESH
+    // TABLE contract, as for any external rewrite of a content-
+    // identical layout.)
+    val (n, avg, total) = graft.sources.Sources.stamped(spark,
+      statsFor(spark), table, s"${table}_stats", alsoRefresh = Seq(table)) {
       val stats = spark.table(s"${table}_stats")
       val st = stats.head()
       // pre-total_len generations load fine for serving; only upsert
@@ -660,7 +711,7 @@ object Search {
         st.getLong(stats.columns.indexOf("total_len"))
       else math.round(st.getDouble(1) * st.getLong(0))
       (st.getLong(0), st.getDouble(1), t)
-    })
+    }
     // takedown masking: tombstoned documents anti-join out of the
     // postings (broadcast, map-side) and their (count, Σlen) subtract
     // from the corpus constants — the served index is content-identical

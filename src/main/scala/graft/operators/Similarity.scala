@@ -143,7 +143,6 @@ object Similarity {
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_meta"))
       .saveAsTable(s"${table}_meta")
-    cachesFor(spark).lshMeta.remove(table)
   }
 
   /** Per-session driver-side caches of build-time constants (LSH meta,
@@ -151,11 +150,20 @@ object Similarity {
     * a closed/unreferenced SparkSession and its cached artifacts become
     * collectable instead of living for the JVM lifetime. Access is
     * synchronized on the map (WeakHashMap is not thread-safe); the
-    * per-session TrieMaps handle concurrent per-table access. */
+    * per-session TrieMaps handle concurrent per-table access. Entries
+    * are GENERATION-STAMP keyed ([[graft.sources.Sources.tableStamp]]
+    * of the constants' sibling table): a rebuild/retrain/promote
+    * committed by ANY session changes the sibling's file set, so every
+    * other live session re-collects the new constants on its next
+    * serve call — no stale-centroid probing against a re-encoded
+    * generation, no restart, no manual invalidation. */
   private final class SessionCaches {
-    val lshMeta = scala.collection.concurrent.TrieMap.empty[String, (Int, Int, Int)]
-    val centroids = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-    val codebooks = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+    val lshMeta = scala.collection.concurrent
+      .TrieMap.empty[String, (String, (Int, Int, Int))]
+    val centroids = scala.collection.concurrent
+      .TrieMap.empty[String, (String, Array[Array[Double]])]
+    val codebooks = scala.collection.concurrent
+      .TrieMap.empty[String, (String, Array[Array[Array[Double]]])]
   }
   private val sessionCaches =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, SessionCaches]()
@@ -215,10 +223,21 @@ object Similarity {
 
   private[graft] def lshMetaFor(spark: org.apache.spark.sql.SparkSession,
       table: String): (Int, Int, Int) =
-    cachesFor(spark).lshMeta.getOrElseUpdate(table, {
+    graft.sources.Sources.stamped(spark, cachesFor(spark).lshMeta, table,
+      s"${table}_meta") {
       val m = spark.table(s"${table}_meta").head()
+      // a meta move means a REBUILD: refresh every projection's cached
+      // listing too (their files were replaced under this session).
+      // Cross-session APPENDS (upserts) move no meta — a reader session
+      // serves the snapshot its relation cache listed until any
+      // generation change or REFRESH TABLE advances it, Spark's
+      // standard external-writer contract.
+      (0 until m.getInt(1)).foreach { t =>
+        if (spark.catalog.tableExists(s"${table}_t$t"))
+          spark.catalog.refreshTable(s"${table}_t$t")
+      }
       (m.getInt(0), m.getInt(1), m.getInt(2))
-    })
+    }
 
   /** DELETE vectors from a persisted ANN serving artifact (IVF, PQ, or
     * LSH — the tombstone sibling keys on the artifact prefix, so one
@@ -506,15 +525,21 @@ object Similarity {
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_centroids"))
       .saveAsTable(s"${table}_centroids")
-    cachesFor(spark).centroids.remove(table)
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
-    // centroids are build-time constants: cached per (session, table) so
-    // the serving path doesn't pay a collect job per query
-    val centroids = cachesFor(spark).centroids.getOrElseUpdate(table,
+    // centroids are constants OF A GENERATION: cached per (session,
+    // table) under the centroids sibling's stamp, so the serving path
+    // pays no collect job while the generation holds and re-collects
+    // after any session's retrain/promote
+    // alsoRefresh = the assigned table: a centroids move means a
+    // retrain/promote rewrote the encoded rows too
+    val centroids = graft.sources.Sources.stamped(spark,
+      cachesFor(spark).centroids, table, s"${table}_centroids",
+      alsoRefresh = Seq(table)) {
       spark.table(s"${table}_centroids").orderBy(col("cluster")).collect()
-        .map(_.getSeq[Double](1).toArray))
+        .map(_.getSeq[Double](1).toArray)
+    }
     // takedown masking: tombstoned ids anti-join out map-side; identity
     // when no tombstones exist (the cluster-pruned plan is unchanged)
     IvfIndex(graft.operators.Tombstones.mask(spark, table,
@@ -687,8 +712,6 @@ object Similarity {
     // ids: a serve no-op, healed by the next compaction.
     graft.operators.Tombstones.retireConsumed(spark, table, consumedTomb)
     graft.sources.Sources.replaceTable(spark, s"${next}_basis")
-    cachesFor(spark).centroids.remove(table)
-    cachesFor(spark).centroids.remove(next)
     segDir.foreach(d => deleteLedgeredSegmentDirs(spark, table, d,
       completeSegmentDirs(spark, _)))
     loadIvfIndex(spark, table)
@@ -1082,17 +1105,19 @@ object Similarity {
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_codebooks"))
       .saveAsTable(s"${table}_codebooks")
-    cachesFor(spark).codebooks.remove(table)
   }
 
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): PqIndex = {
-    val codebooks = cachesFor(spark).codebooks.getOrElseUpdate(table, {
+    // codebooks: generation-stamp keyed like loadIvfIndex's centroids
+    val codebooks = graft.sources.Sources.stamped(spark,
+      cachesFor(spark).codebooks, table, s"${table}_codebooks",
+      alsoRefresh = Seq(table)) {
       val rows = spark.table(s"${table}_codebooks")
         .orderBy(col("subspace"), col("code")).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       rows.groupBy(_._1).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_._2).map(_._3)).toArray
-    })
+    }
     // takedown masking, as in loadIvfIndex
     PqIndex(graft.operators.Tombstones.mask(spark, table,
       spark.table(table)), codebooks)
@@ -1286,8 +1311,6 @@ object Similarity {
     // retire consumed tombstones (promoteIvfGeneration's discipline)
     graft.operators.Tombstones.retireConsumed(spark, table, consumedTomb)
     graft.sources.Sources.replaceTable(spark, s"${next}_basis")
-    cachesFor(spark).codebooks.remove(table)
-    cachesFor(spark).codebooks.remove(next)
     segDir.foreach(d => deleteLedgeredSegmentDirs(spark, table, d,
       completePlainSegmentDirs(spark, _)))
     loadPqIndex(spark, table)

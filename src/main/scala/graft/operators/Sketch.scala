@@ -88,10 +88,12 @@ object Sketch {
     * the per-group row accumulation on cadence.
     *
     * The deliberate NON-capability, stated here because every other
-    * serving family has one: sketches do not support TAKEDOWN — HLL
-    * registers and KLL compactors are not invertible, so deletion from
-    * a sketch cube is a REBUILD over the reduced corpus (cheap: one
-    * aggregate), never a tombstone mask. */
+    * serving family has one: sketches do not support tombstone-mask
+    * TAKEDOWN — HLL registers and KLL compactors are not invertible,
+    * so deletion from a sketch cube is a REBUILD over the reduced
+    * corpus (cheap: one aggregate), never a mask. That rebuild is
+    * callable: [[rebuildDistinctExcluding]] /
+    * [[rebuildQuantileExcluding]]. */
   def upsertDistinctSketches(delta: DataFrame, keys: Seq[String],
       valueCol: String, table: String, lgK: Int = 12): Unit =
     buildDistinctSketches(delta, keys, valueCol, lgK)
@@ -124,6 +126,52 @@ object Sketch {
   def compactQuantileCube(spark: org.apache.spark.sql.SparkSession,
       table: String, keys: Seq[String], k: Int = 200): Unit = {
     buildNextSketchCube(spark, table, rollupQuantileSketches(_, keys, k))
+    promoteSketchCube(spark, table)
+  }
+
+  /** TAKEDOWN for a persisted HLL sketch cube — the family's
+    * non-invertibility answer made callable instead of hand-rolled:
+    * HLL registers cannot subtract, so deletion is a REBUILD of the
+    * cube over corpus-minus-tombstones — ONE aggregate over the
+    * reduced corpus (the corpus scan is the documented price of sketch
+    * takedown; there is no cheaper exact path), staged-promoted under
+    * the shared maintenance discipline: built beside the live cube
+    * (which keeps serving throughout), sketch rows upserted mid-rebuild
+    * copied verbatim into the staged cube at the promote (they are
+    * fresh admissions, not part of the takedown request — a delta that
+    * OVERLAPS the tombstoned ids is the caller's sequencing error,
+    * exactly as re-admitting a deleted doc is on the mask-based
+    * families), then the metadata-only swap. The promoted cube's files
+    * never contained the deleted rows' contributions — physical erasure
+    * in one step, no residual tombstones to reclaim.
+    *
+    * `tombstones` is a one-column frame named with the corpus column to
+    * exclude on (typically the doc id). */
+  def rebuildDistinctExcluding(corpus: DataFrame, keys: Seq[String],
+      valueCol: String, tombstones: DataFrame, table: String,
+      lgK: Int = 12): Unit =
+    rebuildExcluding(corpus, tombstones, table,
+      reduced => buildDistinctSketches(reduced, keys, valueCol, lgK))
+
+  /** [[rebuildDistinctExcluding]] for the KLL quantile cube (`k` must
+    * match the build-time k — see [[rollupQuantileSketches]]). */
+  def rebuildQuantileExcluding(corpus: DataFrame, keys: Seq[String],
+      valueCol: String, tombstones: DataFrame, table: String,
+      k: Int = 200): Unit =
+    rebuildExcluding(corpus, tombstones, table,
+      reduced => buildQuantileSketches(reduced, keys, valueCol, k))
+
+  private def rebuildExcluding(corpus: DataFrame, tombstones: DataFrame,
+      table: String, build: DataFrame => DataFrame): Unit = {
+    val spark = corpus.sparkSession
+    val idCol = tombstones.columns.head
+    // takedown sets are requests, not ingest: broadcast anti-join, the
+    // same mask shape every other family serves through — here applied
+    // once at rebuild time instead of on every query
+    val reduced = corpus.join(
+      broadcast(tombstones.select(col(idCol)).dropDuplicates(idCol)),
+      Seq(idCol), "left_anti")
+    buildNextSketchCube(spark, table, _ => build(reduced))
     promoteSketchCube(spark, table)
   }
 

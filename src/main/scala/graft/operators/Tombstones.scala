@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   * the caller deleted with, which must be the name the artifact stores
   * (`vec_id`, `doc_id`, ...) — the serve-side anti-join keys on it.
   * Callers own id semantics exactly as on upsert: ids should name
-  * base-admitted documents (fold streaming segments first if the
-  * target may still be segment-resident — masking works either way,
-  * but BM25's stats correction is derived from base postings).
+  * admitted documents. Segment-resident targets (admitted by a
+  * streaming sink, not yet folded) mask correctly everywhere; BM25's
+  * stats correction captures their exact doclen too when the delete is
+  * issued with `segDir` ([[graft.operators.Search.deleteBm25Docs]]).
   *
   * No reference analogue: littletable's `remove`/`remove_many`
   * (littletable.py:1215-1262) delete from an in-memory list; a
@@ -50,10 +51,39 @@ private[graft] object Tombstones {
     * decides (a catalog lookup, never a Spark job on the serve path):
     * [[append]] skips empty row sets and [[retainResidual]] drops the
     * sibling when nothing remains, so an existing table means live
-    * tombstones. */
+    * tombstones.
+    *
+    * CROSS-SESSION coherent: the sibling's generation stamp (its
+    * data-file path set — one driver-side listing of a tiny table) is
+    * tracked per session, and a moved stamp refreshes this session's
+    * cached relation before the read — a delete committed by ANOTHER
+    * session (an appended file the cached listing would silently miss)
+    * masks here from this session's next serve call, no restart. */
   def read(spark: SparkSession, artifact: String): Option[DataFrame] = {
     val t = tableOf(artifact)
-    if (!spark.catalog.tableExists(t)) None else Some(spark.table(t))
+    if (!spark.catalog.tableExists(t)) None
+    else {
+      val stamp = graft.sources.Sources.tableStamp(spark, t)
+      val seen = seenFor(spark)
+      if (!seen.get(t).contains(stamp)) {
+        spark.catalog.refreshTable(t)
+        seen.put(t, stamp)
+      }
+      Some(spark.table(t))
+    }
+  }
+
+  // per-session last-seen sibling stamps (weak session key — the
+  // Similarity.SessionCaches idiom; values are tiny strings)
+  private val seenStamps = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, String]]()
+  private def seenFor(spark: SparkSession) = seenStamps.synchronized {
+    var c = seenStamps.get(spark)
+    if (c == null) {
+      c = scala.collection.concurrent.TrieMap.empty[String, String]
+      seenStamps.put(spark, c)
+    }
+    c
   }
 
   /** Append tombstone rows (first column = the artifact's id column,
@@ -118,8 +148,9 @@ private[graft] object Tombstones {
   def retireConsumed(spark: SparkSession, artifact: String,
       consumed: Seq[String]): Unit =
     if (consumed.nonEmpty) {
+      val consumedSet = consumed.toSet
       val residual = snapshotFiles(spark, artifact)
-        .filterNot(consumed.contains)
+        .filterNot(consumedSet.contains)
       retainResidual(spark, artifact, residual)
     }
 

@@ -496,16 +496,63 @@ object Sources {
       parts.foldLeft(1125899906842597L)((h, s) => h * 31 + s.hashCode))
   }
 
-  // fingerprints are build-time constants: cached per (session, table)
-  // so a serving-path staleness check costs no Spark job after the
-  // first (the Search.statsFor idiom — weak session key, tiny values;
-  // cross-session writers are unseen by the same documented contract)
+  /** GENERATION STAMP for a catalog table: its current data-file path
+    * set (sorted, one listing, no Spark job), "" when the table doesn't
+    * exist. Every mutating commit in the library writes NEW uniquely-
+    * named files (appends add files, rewrites land at a fresh staged
+    * location, drops empty the set), so the stamp changes exactly when
+    * the table's content generation changes — which makes it the
+    * cross-session cache key for driver-side constants derived from
+    * tiny tables (corpus stats, tombstone aggregates, LSH meta, IVF
+    * centroids, PQ codebooks, fingerprints): a second long-lived
+    * session re-reads after ANY session's delete/upsert/fold/promote
+    * instead of serving pre-mutation constants until restart. The
+    * stamped tables are 1-row/KB-scale siblings, so the listing is
+    * metadata-only and cheap beside any query. */
+  private[graft] def tableStamp(spark: SparkSession, table: String): String =
+    if (!spark.catalog.tableExists(table)) ""
+    else tableDataFiles(spark, table).sorted.mkString("\n")
+
+  /** Look up `key` in a stamp-keyed cache: the cached value is served
+    * only while `stampTable`'s generation stamp still matches what the
+    * entry was computed under; otherwise the recompute runs against
+    * FRESH listings — `stampTable` and every `alsoRefresh` table are
+    * `refreshTable`d first, because the per-session relation cache
+    * would otherwise hand the recompute the PREVIOUS generation's file
+    * listing (a loud FAILED_READ after a cross-session rewrite, or a
+    * silent pre-append snapshot after a cross-session append). The
+    * shared coherence primitive behind every per-session constants
+    * cache: a mutation committed by ANY session re-keys AND re-lists in
+    * every other live session on its next serve call. */
+  private[graft] def stamped[T](spark: SparkSession,
+      cache: scala.collection.concurrent.TrieMap[String, (String, T)],
+      key: String, stampTable: String, alsoRefresh: Seq[String] = Nil)(
+      compute: => T): T = {
+    val stamp = tableStamp(spark, stampTable)
+    cache.get(key) match {
+      case Some((s, v)) if s == stamp => v
+      case _ =>
+        (stampTable +: alsoRefresh).foreach { t =>
+          if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+        }
+        val v = compute
+        cache.put(key, (stamp, v))
+        v
+    }
+  }
+
+  // fingerprints are constants OF A GENERATION: cached per (session,
+  // table) keyed by the `<table>_fp` sibling's generation stamp, so a
+  // serving-path staleness check costs no Spark job while the stamp
+  // holds and a rebuild committed by ANY session is seen by every other
+  // live session on its next check (weak session key, tiny values)
   private val fpCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, Option[String]]]()
+    scala.collection.concurrent.TrieMap[String, (String, Option[String])]]()
   private def fpFor(spark: SparkSession) = fpCache.synchronized {
     var c = fpCache.get(spark)
     if (c == null) {
-      c = scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+      c = scala.collection.concurrent
+        .TrieMap.empty[String, (String, Option[String])]
       fpCache.put(spark, c)
     }
     c
@@ -517,10 +564,11 @@ object Sources {
     * (a pre-fingerprint or fingerprint-less build). */
   private[graft] def readFingerprint(spark: SparkSession,
       table: String): Option[String] =
-    fpFor(spark).getOrElseUpdate(table,
+    stamped(spark, fpFor(spark), table, s"${table}_fp") {
       if (!spark.catalog.tableExists(s"${table}_fp")) None
       else spark.table(s"${table}_fp").limit(1).collect().headOption
-        .map(_.getString(0)))
+        .map(_.getString(0))
+    }
 
   /** Stamp the artifact's source fingerprint — written LAST, after a
     * successful build, so a torn build reads as a mismatch and rebuilds
@@ -533,7 +581,7 @@ object Sources {
       .write.mode("overwrite").format("parquet")
       .options(stagedWriteOptions(spark, s"${table}_fp"))
       .saveAsTable(s"${table}_fp")
-    fpFor(spark).put(table, Some(fp))
+    fpFor(spark).put(table, (tableStamp(spark, s"${table}_fp"), Some(fp)))
   }
 
   /** The registered location of a catalog table, as a URI string. */

@@ -89,6 +89,9 @@ object AuditPlans {
     "q_sketch_rollup" -> 6,
     // same serve shape over the upserted-then-compacted cube
     "q_sketch_compact" -> 6,
+    // same serve shape over the takedown-rebuilt cube (exact side scans
+    // the reduced corpus)
+    "q_sketch_delete" -> 6,
     // one-hop rollup over base ∪ segments (2) + corpus exact distinct
     // (partial/final) — no two-hop leg in this gate
     "q_stream_sketch_ingest" -> 4,
@@ -168,6 +171,13 @@ object AuditPlans {
     // delete: serve shape + the tombstone-set dedup aggregate feeding
     // the broadcast anti-join (tiny: the takedown set, never the corpus)
     "q_search_bm25_delete" -> 3,
+    // segment-resident delete: the masked-serve shape over base ∪
+    // segment postings + the segment-side union's extra aggregate leg
+    "q_search_bm25_delete_seg" -> 4,
+    // the e2e composition: the post-reclaim mask-free serve (2) + the
+    // admitted-segment suppression aggregate + the raw-file erasure
+    // aggregate + output ORDER BY; both gate joins are one-row broadcasts
+    "q_takedown_e2e" -> 5,
     // reclaim: tombstones consumed at compaction — the serve plan is
     // mask-free again, back to the base serve shape
     "q_search_bm25_reclaim" -> 2,
@@ -252,7 +262,9 @@ object AuditPlans {
     "q_sim_lsh_reclaim" ->
       "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
     "q_sim_pq_reclaim" ->
-      "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)")
+      "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
+    "q_takedown_e2e" ->
+      "suppression + erasure gates: each build side is exactly ONE broadcast row (the admitted-blocked count and the raw-file dead-id count)")
 
   /** Unpartitioned windows that are part of the design, with why their
     * single partition is bounded (never the corpus). */
@@ -272,6 +284,10 @@ object AuditPlans {
     "q_search_bm25_delete" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_search_bm25_reclaim" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_search_bm25_delete_seg" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_takedown_e2e" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_weighted_sample" ->
       "sample_rank runs AFTER .limit(k): the window's one partition holds exactly k rows")

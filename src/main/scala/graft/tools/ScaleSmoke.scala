@@ -131,7 +131,8 @@ object ScaleSmoke {
     onlyOps.foreach { names =>
       val known = ops.map(_._1).toSet +
         "neardedup" + "join3" + "join_skew" + "ivf_upsert" +
-        "bm25_upsert" + "compact_outage" + "fold_wall" + "takedown"
+        "bm25_upsert" + "compact_outage" + "fold_wall" + "takedown" +
+        "takedown_vec"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -519,6 +520,169 @@ object ScaleSmoke {
           f"""\"delete_t$k\":$d%.3f,\"serve_t$k\":$s0%.3f,""" +
           f"""\"serve_masked_t$k\":$sm%.3f,\"compact_t$k\":$c0%.3f,""" +
           f"""\"reclaim_t$k\":$rc%.3f""" }.mkString(",") + "}")
+    }
+
+    // ---------------------------------------------------------------
+    // Takedown tier, VECTOR + NEAR-DUP families (round 14): the same
+    // three costs the BM25 probe prices — delete wall, masked-serve
+    // overhead, reclaim-vs-hygiene-compact increment — measured for the
+    // families whose deletes are a pure small-table commit (no capture
+    // scan, no corpus constants):
+    //  - IVF / PQ: reclaim = the retrain cadence with tombstones to
+    //    consume (geometry forgets the deleted vectors) vs the SAME
+    //    retrain with nothing to reclaim — erasure rides a rewrite
+    //    already being paid.
+    //  - LSH: reclaim = the per-projection layout rewrite (nothing
+    //    trained) vs the hygiene rewrite.
+    //  - near-dup shingle index: reclaim = the corpus re-derive
+    //    compaction vs the same compaction pre-delete.
+    // Row accounting after each reclaim: raw files carry no dead ids
+    // and the tombstone sibling is retired.
+    // ---------------------------------------------------------------
+    if (opSelected("takedown_vec")) {
+      import graft.operators.{Contamination, Similarity}
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val maxVid = emb0.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val qvec = emb0.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      def embAt(k: Int): DataFrame = {
+        val p = s"$scaleDir/td_emb_k=$k"
+        if (!new java.io.File(p).exists())
+          (0 until k).map(i => emb0.select(
+              (col("vec_id") + lit(i.toLong * maxVid)).as("vec_id"),
+              col("embedding"))).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      def wall(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      final case class Td(delete: Double, serve0: Double, serveM: Double,
+        compact0: Double, reclaim: Double)
+      def assertErased(family: String, k: Int, tables: Seq[String],
+          prefix: String, rawDead: DataFrame => DataFrame): Unit = {
+        tables.foreach { t =>
+          require(rawDead(spark.read.parquet(
+              graft.sources.Sources.tableDataFiles(spark, t): _*)).isEmpty,
+            s"$family takedown reclaim left deleted rows in $t at $k×")
+        }
+        require(!spark.catalog.tableExists(s"${prefix}_deleted"),
+          s"$family takedown reclaim left tombstones at $k×")
+      }
+      // one family = build (untimed) → serve → hygiene compact → delete
+      // → masked serve → reclaim compact → erasure accounting
+      def familyOnce(
+          build: () => Unit, serve: () => Unit, compact: () => Unit,
+          delete: () => Unit, erased: () => Unit): Td = {
+        build()
+        val s0 = wall(serve())
+        val c0 = wall(compact())
+        val d = wall(delete())
+        val sm = wall(serve())
+        val rc = wall(compact())
+        erased()
+        Td(d, s0, sm, c0, rc)
+      }
+      def tdOnce(k: Int, timed: Boolean): Map[String, Td] = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val emb = embAt(k)
+        val deadVec = emb.filter(col("vec_id") % 16 === 0)
+          .select(col("vec_id"))
+        def rawDeadVec(df: DataFrame) = df.filter(col("vec_id") % 16 === 0)
+        val out = scala.collection.mutable.LinkedHashMap.empty[String, Td]
+
+        val ivfT = s"scale_td_ivf_$k"
+        Seq(ivfT, s"${ivfT}_centroids", s"${ivfT}_folded", s"${ivfT}_deleted",
+          s"${ivfT}__next", s"${ivfT}__next_centroids", s"${ivfT}__next_basis")
+          .foreach(graft.sources.Sources.replaceTable(spark, _))
+        out("ivf") = familyOnce(
+          build = () => Similarity.saveIvfIndex(Similarity.ivfIndex(emb,
+            "vec_id", "embedding", nCentroids = 16, iters = 3), ivfT),
+          serve = () => Similarity.ivfTopK(Similarity.loadIvfIndex(spark,
+            ivfT), "vec_id", "embedding", qvec, 10, nProbe = 4).collect(),
+          compact = () => Similarity.compactIvfIndex(spark, ivfT,
+            "vec_id", "embedding", iters = 3),
+          delete = () => Similarity.deleteVectors(spark, ivfT, deadVec),
+          erased = () => assertErased("ivf", k, Seq(ivfT), ivfT, rawDeadVec))
+
+        val pqT = s"scale_td_pq_$k"
+        Seq(pqT, s"${pqT}_codebooks", s"${pqT}_folded", s"${pqT}_deleted",
+          s"${pqT}__next", s"${pqT}__next_codebooks", s"${pqT}__next_basis")
+          .foreach(graft.sources.Sources.replaceTable(spark, _))
+        out("pq") = familyOnce(
+          build = () => Similarity.savePqIndex(Similarity.pqIndex(emb,
+            "vec_id", "embedding", dims = 64, m = 8, nCodes = 16,
+            iters = 3, sampleN = 512), pqT),
+          serve = () => Similarity.pqTopK(Similarity.loadPqIndex(spark,
+            pqT), "vec_id", "embedding", qvec, 10, candidates = 50)
+            .collect(),
+          compact = () => Similarity.compactPqIndex(spark, pqT,
+            "vec_id", "embedding", iters = 3, sampleN = 512),
+          delete = () => Similarity.deleteVectors(spark, pqT, deadVec),
+          erased = () => assertErased("pq", k, Seq(pqT), pqT, rawDeadVec))
+
+        val lshT = s"scale_td_lsh_$k"
+        (Seq(s"${lshT}_meta", s"${lshT}_folded", s"${lshT}_deleted",
+          s"${lshT}__next_basis") ++ (0 until 2).flatMap(t =>
+          Seq(s"${lshT}_t$t", s"${lshT}_t${t}__next")))
+          .foreach(graft.sources.Sources.replaceTable(spark, _))
+        out("lsh") = familyOnce(
+          build = () => Similarity.saveLshIndex(emb, "embedding",
+            dims = 64, lshT, bits = 6, tables = 2),
+          serve = () => Similarity.lshTopKServed(spark, lshT, "vec_id",
+            "embedding", qvec, 10, probeDist = 2).collect(),
+          compact = () => Similarity.compactLshIndex(spark, lshT),
+          delete = () => Similarity.deleteVectors(spark, lshT, deadVec),
+          erased = () => assertErased("lsh", k,
+            (0 until 2).map(t => s"${lshT}_t$t"), lshT, rawDeadVec))
+
+        val corpus = frames(k)
+        val batch = corpus.filter(col("doc_id") % 3 === 0).limit(2000)
+          .persist()
+        batch.count()
+        val deadDoc = corpus.filter(col("doc_id") % 16 === 0)
+          .select(col("doc_id"))
+        val ndT = s"scale_td_nd_$k"
+        Seq(ndT, s"${ndT}_meta", s"${ndT}_deleted", s"${ndT}__next",
+          s"${ndT}__next_meta")
+          .foreach(graft.sources.Sources.replaceTable(spark, _))
+        out("neardup") = familyOnce(
+          build = () => Contamination.shingleIndexFor(corpus, "doc_id",
+            "text", ndT, n = 3),
+          serve = () => forceAll(Contamination.decontaminateFuzzyFromIndex(
+            batch, "doc_id", "text",
+            Contamination.shingleIndexFor(corpus, "doc_id", "text", ndT,
+              n = 3), n = 3, minJaccard = 0.5)),
+          compact = () => graft.streaming.Streaming.compactNearDedupIndex(
+            corpus, s"$scaleDir/td_nd_nonexistent", "doc_id", "text", ndT,
+            n = 3),
+          delete = () => Contamination.deleteDocs(spark, ndT, deadDoc),
+          erased = () => assertErased("neardup", k, Seq(ndT), ndT,
+            df => df.filter(col("id") % 16 === 0)))
+        batch.unpersist()
+        if (timed) out.foreach { case (fam, t) =>
+          println(f"takedown_vec $fam%-7s $k%3d×: delete ${t.delete}%.2fs  " +
+            f"serve ${t.serve0}%.2fs→masked ${t.serveM}%.2fs  " +
+            f"compact ${t.compact0}%.2fs→reclaim ${t.reclaim}%.2fs " +
+            "(~6% deleted)")
+        }
+        out.toMap
+      }
+      tdOnce(ks.head, timed = false) // warmup (codegen/JIT)
+      val tdvRuns = ks.map(k => k -> tdOnce(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      Seq("ivf", "pq", "lsh", "neardup").foreach { fam =>
+        println("{\"probe\":\"takedown_vec\",\"family\":\"" + fam +
+          "\",\"sf\":\"" + sfDir + "\"," +
+          tdvRuns.map { case (k, m) =>
+            val t = m(fam)
+            f"""\"delete_t$k\":${t.delete}%.3f,\"serve_t$k\":${t.serve0}%.3f,""" +
+            f"""\"serve_masked_t$k\":${t.serveM}%.3f,""" +
+            f"""\"compact_t$k\":${t.compact0}%.3f,\"reclaim_t$k\":${t.reclaim}%.3f"""
+          }.mkString(",") + "}")
+      }
     }
 
     // ---------------------------------------------------------------

@@ -70,6 +70,110 @@ class DeleteSpec extends SparkSpec {
       "re-delete appended duplicate tombstone rows")
   }
 
+  /** Synthesize one complete streaming-admitted BM25 segment (the
+    * bm25IngestSink layout: postings/, then the 1-row stats/ marker). */
+  private def writeBm25Segment(segDir: String, batch: Int,
+      slice: org.apache.spark.sql.DataFrame): Unit = {
+    val d = Search.buildBm25Index(slice, "doc_id", "text")
+    d.postings.write.mode("overwrite").parquet(s"$segDir/batch=$batch/postings")
+    Seq((d.nDocs, d.totalLen)).toDF("n_docs", "total_len")
+      .write.mode("overwrite").parquet(s"$segDir/batch=$batch/stats")
+  }
+
+  test("BM25: a takedown of a SEGMENT-RESIDENT doc issued with segDir " +
+      "captures its exact doclen — served constants are bit-exact " +
+      "before any fold or reclaim; a base-only capture is not") {
+    val table = "del_bm25_seg"
+    resetBm25(table)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val streamed = docs.filter(col("doc_id") % 5 === 0)
+    Search.saveBm25Index(Search.buildBm25Index(base, "doc_id", "text"),
+      table, buckets = 4)
+    val segDir = java.nio.file.Files
+      .createTempDirectory("del_bm25_seg").toString
+    writeBm25Segment(segDir, 0, streamed)
+    // the takedown set straddles base and segment residency; segDir
+    // makes the capture scan base ∪ complete segments
+    Search.deleteBm25Docs(spark, table, deadDocs.select(col("doc_id")),
+      segDir = segDir)
+    val served = Search.loadBm25IndexWithSegments(spark, table, segDir)
+    val direct = Search.buildBm25Index(liveDocs, "doc_id", "text")
+    assert(served.nDocs == direct.nDocs,
+      s"n_docs: served ${served.nDocs} vs direct ${direct.nDocs}")
+    assert(served.totalLen == direct.totalLen,
+      s"total_len: served ${served.totalLen} vs direct ${direct.totalLen} " +
+        "— the segment-resident doclen capture missed")
+    assert(served.avgLen == direct.avgLen, "avg_len must re-derive exactly")
+    assert(served.postings.exceptAll(direct.postings).isEmpty &&
+      direct.postings.exceptAll(served.postings).isEmpty,
+      "masked base ∪ segment postings differ from a build without the dead")
+    // fold afterwards: the segment's stats (incl. the dead doc's len)
+    // merge into the base, the tombstone's exact correction still holds
+    Search.foldBm25Segments(spark, table, segDir)
+    val folded = Search.loadBm25Index(spark, table)
+    assert(folded.nDocs == direct.nDocs && folded.totalLen == direct.totalLen,
+      s"post-fold constants: (${folded.nDocs}, ${folded.totalLen}) vs " +
+        s"direct (${direct.nDocs}, ${direct.totalLen})")
+    // CONTRAST — the non-vacuousness pin: the same takedown issued
+    // WITHOUT segDir captures segment-resident docs at doclen 0, so
+    // n_docs corrects but total_len stays over-counted (the documented
+    // residual this parameter exists to close)
+    val table2 = "del_bm25_seg0"
+    resetBm25(table2)
+    Search.saveBm25Index(Search.buildBm25Index(base, "doc_id", "text"),
+      table2, buckets = 4)
+    val segDir2 = java.nio.file.Files
+      .createTempDirectory("del_bm25_seg0").toString
+    writeBm25Segment(segDir2, 0, streamed)
+    Search.deleteBm25Docs(spark, table2, deadDocs.select(col("doc_id")))
+    val residual = Search.loadBm25IndexWithSegments(spark, table2, segDir2)
+    val segDeadLen = streamed.filter(col("doc_id") % 7 === 3)
+      .select(graft.functions.TextAnalysis.words(col("text")).as("__ws"))
+      .select(size(filter(col("__ws"), w => w =!= lit(""))).cast("long").as("l"))
+      .agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
+    assert(segDeadLen > 0, "premise: segment-resident dead docs have tokens")
+    assert(residual.nDocs == direct.nDocs,
+      "n_docs corrects regardless of residency")
+    assert(residual.totalLen == direct.totalLen + segDeadLen,
+      s"expected the base-only capture to leave total_len over-counted " +
+        s"by exactly $segDeadLen (got ${residual.totalLen} vs exact " +
+        s"${direct.totalLen})")
+  }
+
+  test("cross-session coherence: a BM25 takedown committed in session " +
+      "A corrects the constants session B serves — without restart") {
+    val table = "del_bm25_xsession"
+    resetBm25(table)
+    Search.saveBm25Index(Search.buildBm25Index(docs, "doc_id", "text"),
+      table, buckets = 4)
+    val sessionB = spark.newSession()
+    // prime BOTH sessions' constants caches with pre-delete values
+    val beforeB = Search.loadBm25Index(sessionB, table)
+    Search.loadBm25Index(spark, table)
+    val direct = Search.buildBm25Index(liveDocs, "doc_id", "text")
+    assert(beforeB.nDocs != direct.nDocs,
+      "premise: pre-delete constants differ from the post-delete truth")
+    // the takedown commits in A...
+    Search.deleteBm25Docs(spark, table, deadDocs.select(col("doc_id")))
+    // ...and B's next serve call picks it up: the tombstone sibling's
+    // generation stamp changed, so B's cached aggregate re-keys
+    val afterB = Search.loadBm25Index(sessionB, table)
+    assert(afterB.nDocs == direct.nDocs && afterB.totalLen == direct.totalLen,
+      s"session B served stale constants after A's delete: " +
+        s"(${afterB.nDocs}, ${afterB.totalLen}) vs direct " +
+        s"(${direct.nDocs}, ${direct.totalLen})")
+    // and a mutation through the STATS table (upsert in A) re-keys too
+    val fresh = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    Search.upsertBm25Index(fresh, "doc_id", "text", table)
+    val direct2 = Search.buildBm25Index(liveDocs.unionByName(fresh),
+      "doc_id", "text")
+    val afterUpsertB = Search.loadBm25Index(sessionB, table)
+    assert(afterUpsertB.nDocs == direct2.nDocs &&
+      afterUpsertB.totalLen == direct2.totalLen,
+      "session B served stale constants after A's upsert")
+  }
+
   test("BM25 reclaim: compaction physically erases the deleted docs, " +
       "corrects stats exactly once, and retires the tombstones") {
     val table = "del_bm25_reclaim"
@@ -215,6 +319,46 @@ class DeleteSpec extends SparkSpec {
       "retrained centroids differ from a direct build without the deleted")
     assert(promoted.assigned.count() ==
       liveVecs.filter(col("embedding").isNotNull).count())
+  }
+
+  test("cross-session coherence: an IVF reclaim's retrain in session A " +
+      "re-keys session B's cached centroids — no stale-geometry probing") {
+    val table = "del_ivf_xsession"
+    resetIvf(table)
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2), table)
+    val sessionB = spark.newSession()
+    // prime B's centroid cache with the pre-reclaim geometry
+    val beforeB = Similarity.loadIvfIndex(sessionB, table)
+      .centroids.map(_.toSeq).toSeq
+    // takedown in A, in two commits: after the first, B serves through
+    // the sibling (and caches its listing); the second APPENDS a file —
+    // B must pick the appended ids up too (the stamp-tracked refresh in
+    // Tombstones.read), not serve the cached one-file listing
+    Similarity.deleteVectors(spark, table,
+      deadVecs.filter(col("vec_id") % 2 === 0).select(col("vec_id")))
+    assert(Similarity.loadIvfIndex(sessionB, table).assigned
+      .filter(col("vec_id") % 7 === 3 && col("vec_id") % 2 === 0).isEmpty,
+      "B missed A's first delete commit")
+    Similarity.deleteVectors(spark, table,
+      deadVecs.filter(col("vec_id") % 2 =!= 0).select(col("vec_id")))
+    assert(Similarity.loadIvfIndex(sessionB, table).assigned
+      .filter(col("vec_id") % 7 === 3).isEmpty,
+      "B's cached tombstone listing missed A's APPENDED delete commit")
+    // reclaim in A: the retrain forgets the deleted vectors
+    Similarity.compactIvfIndex(spark, table, "vec_id", "embedding",
+      iters = 2)
+    val direct = Similarity.ivfIndex(liveVecs, "vec_id", "embedding",
+      nCentroids = 8, iters = 2).centroids.map(_.toSeq).toSeq
+    assert(beforeB != direct,
+      "premise: the reclaim must actually move the geometry")
+    // B's next serve call re-collects: the centroids sibling's
+    // generation stamp changed at A's promote
+    val afterB = Similarity.loadIvfIndex(sessionB, table)
+      .centroids.map(_.toSeq).toSeq
+    assert(afterB == direct,
+      "session B probed with stale centroids after A's retrain+promote")
   }
 
   test("IVF: a delete issued mid-build stays residual through the " +

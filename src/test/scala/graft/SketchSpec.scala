@@ -131,6 +131,82 @@ class SketchSpec extends SparkSpec {
     assert(n3 == n2, "compaction changed the conserved row counts")
   }
 
+  test("cube takedown: rebuildExcluding rebuilds over corpus-minus-" +
+      "tombstones (rows conserve exactly, estimates in band), leaves no " +
+      "tombstone debris, and a mid-rebuild upsert survives the promote") {
+    import graft.sources.Sources
+    val table = "sketch_cube_del"
+    Seq(table, s"${table}__next", s"${table}__next_basis")
+      .foreach(Sources.replaceTable(spark, _))
+    val rows = (1 to 3000)
+      .map(i => (i.toLong, s"g${i % 3}", s"v${i % 911}"))
+      .toDF("doc_id", "grp", "v")
+    Sketch.buildDistinctSketches(rows, Seq("grp"), "v")
+      .write.format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    val dead = rows.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    val reduced = rows.filter(col("doc_id") % 7 =!= 3)
+    Sketch.rebuildDistinctExcluding(rows, Seq("grp"), "v", dead, table)
+    val exact = reduced.groupBy("grp")
+      .agg(countDistinct(col("v")).as("nd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = Sketch.rollupDistinct(spark.table(table), Seq("grp"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (g, (nd, n)) =>
+      val (est, gotN) = got(g)
+      assert(gotN == n,
+        s"rows not conserved over the REDUCED corpus for $g: $gotN vs $n")
+      assert(math.abs(est - nd) <= 0.15 * nd,
+        s"estimate $est outside 15% of the reduced corpus's $nd for $g")
+    }
+    // physical erasure in one step: no tombstone sibling, no basis debris
+    assert(!spark.catalog.tableExists(s"${table}_deleted"))
+    assert(!spark.catalog.tableExists(s"${table}__next_basis"))
+    // the staged discipline composes with a concurrent upsert, exactly
+    // as in compaction: a delta landing mid-rebuild is copied verbatim
+    val dead2 = rows.filter(col("doc_id") % 7 === 5).select(col("doc_id"))
+    Sketch.buildNextSketchCube(spark, table,
+      _ => Sketch.buildDistinctSketches(
+        rows.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5),
+        Seq("grp"), "v"))
+    val late = Seq(("g0", "late_v_1")).toDF("grp", "v")
+    Sketch.upsertDistinctSketches(late, Seq("grp"), "v", table)
+    Sketch.promoteSketchCube(spark, table)
+    val n2 = Sketch.rollupDistinct(spark.table(table), Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val reduced2n = rows.filter(col("doc_id") % 7 =!= 3 &&
+      col("doc_id") % 7 =!= 5).groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n2("g0") == reduced2n("g0") + 1,
+      "mid-rebuild upsert vanished at the takedown promote")
+    assert(n2("g1") == reduced2n("g1"), "second exclusion lost rows")
+
+    // the KLL twin: rank guarantee over the reduced corpus
+    val ktable = "kll_cube_del"
+    Seq(ktable, s"${ktable}__next", s"${ktable}__next_basis")
+      .foreach(Sources.replaceTable(spark, _))
+    val krows = (1 to 4000).map(i => (i.toLong, s"g${i % 2}", (i % 997).toLong))
+      .toDF("doc_id", "grp", "x")
+    Sketch.buildQuantileSketches(krows, Seq("grp"), "x")
+      .write.format("parquet")
+      .options(Sources.stagedWriteOptions(spark, ktable)).saveAsTable(ktable)
+    val kdead = krows.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val kreduced = krows.filter(col("doc_id") % 5 =!= 0)
+    Sketch.rebuildQuantileExcluding(krows, Seq("grp"), "x", kdead, ktable)
+    val served = Sketch.rollupQuantiles(spark.table(ktable), Seq("grp"),
+      Seq(0.5)).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kreduced.groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        val (g, n) = (r.getString(0), r.getLong(1))
+        val rank = kreduced.filter(col("grp") === g &&
+          col("x") <= served(g)).count()
+        assert(math.abs(rank - 0.5 * n) <= math.max(0.05 * n, 1.0),
+          s"KLL rank off target over the reduced corpus for $g")
+      }
+  }
+
   test("KLL cube upsert + compaction: rank guarantee survives the " +
       "append-then-merge loop") {
     import graft.sources.Sources
