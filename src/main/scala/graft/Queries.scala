@@ -3698,6 +3698,43 @@ object Queries {
       .orderBy(col("bm25_rank"))
   }
 
+  /** CORPUS-side takedown gate — the source-of-truth half of the
+    * compliance story ([[graft.operators.Layout.erasePartitionedRows]]):
+    * a serving artifact can mask and reclaim on its cadence, but the
+    * partitioned corpus table the pipeline re-derives everything from
+    * must ALSO stop containing the bytes, and at 100 TB the answer is
+    * "rewrite the 2 of 20 source partitions the request touches", never
+    * the corpus. Docs from src3/src7 with doc_id % 7 == 3 are erased;
+    * the served per-source report must equal DuckDB over the reduced
+    * corpus, with an in-plan one-row gate asserting the affected
+    * partitions' RAW files carry none of the doomed ids (physical
+    * erasure, not filtering). Untouched-partition file preservation —
+    * the partition-pruning claim — is pinned byte-level in LayoutSpec.
+    * Build + erase run once per mtime-keyed generation. */
+  val q_corpus_erase: Q = (s, dir) => {
+    import graft.operators.Layout
+    val docs = t(s, dir, "documents").df
+    val table = artifactTable(s, "corpus_erase", dir, "documents")
+    onceUpserted(s, table) {
+      Layout.partitionedTableFor(
+        docs.select(col("doc_id"), col("text"), col("lang"),
+          col("n_chars"), col("source")), table, "source")
+      Layout.erasePartitionedRows(s, table,
+        docs.filter(col("source").isin("src3", "src7") &&
+          col("doc_id") % 7 === 3).select(col("doc_id")))
+    }
+    val loc = Layout.tableLocation(s, table)
+    val erased = s.read
+      .parquet(s"$loc/source=src3", s"$loc/source=src7")
+      .agg((sum(when(col("doc_id") % 7 === 3, 1).otherwise(0)) === 0)
+        .as("__er"))
+    s.table(table).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .crossJoin(broadcast(erased)).filter(col("__er"))
+      .select(col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Streaming NEAR-duplicate ingest dedup against a static corpus: the
     * documents "crawl" stream (doc_id % 3 == 0) is deduped per
     * micro-batch against the fixed corpus (doc_id % 3 != 0) at 3-gram
@@ -4062,6 +4099,7 @@ object Queries {
     "q_stream_ingest_e2e" -> q_stream_ingest_e2e,
     "q_stream_ingest_blocklist" -> q_stream_ingest_blocklist,
     "q_takedown_e2e" -> q_takedown_e2e,
+    "q_corpus_erase" -> q_corpus_erase,
     "q_stream_neardedup" -> q_stream_neardedup,
     "q_stream_neardedup_serve" -> q_stream_neardedup_serve,
     "q_stream_neardedup_delete" -> q_stream_neardedup_delete,
@@ -4973,6 +5011,14 @@ object Queries {
     // the e2e composition's survivors: the % 9 == 3 takedown set gone,
     // constants corrected, erasure + suppression gates folded in-plan
     "q_takedown_e2e" -> bm25WithoutOracleSql("doc_id % 9 <> 3"),
+    // the corpus-side erasure: per-source report over the reduced
+    // corpus (CAST: DuckDB sum(INTEGER) is HUGEINT)
+    "q_corpus_erase" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE NOT (source IN ('src3','src7') AND doc_id % 7 = 3)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_stream_bm25_ingest" -> bm25OracleSql,
 
     "q_cluster_best" ->

@@ -275,6 +275,92 @@ object Layout {
     spark.table(table)
   }
 
+  /** CORPUS-side takedown: physically erase the rows whose id is in
+    * `ids` from a PARTITIONED corpus table, rewriting ONLY the
+    * partitions that contain them — the compliance path for the corpus
+    * itself, complementing the serving-artifact tier
+    * ([[graft.operators.Tombstones]]): a serving artifact can mask and
+    * reclaim on its cadence, but the source-of-truth table the
+    * pipeline re-derives everything from must ALSO stop containing the
+    * bytes, and at 100 TB "rewrite the corpus" is not an answer —
+    * "rewrite the 2 of 400 date×source partitions the request touches"
+    * is.
+    *
+    * Three steps, each partition-scoped:
+    *  1. DISCOVERY — which partitions contain doomed rows: one
+    *     column-pruned scan of (partition cols, id col) with the id set
+    *     broadcast-semi map-side; collected values are bounded by the
+    *     table's partition cardinality (low by [[partitionedTableFor]]
+    *     design).
+    *  2. REWRITE — survivors of exactly those partitions (the
+    *     partition-value filter is STATIC partition pruning — untouched
+    *     subtrees are never listed, read, or written) written back
+    *     under dynamic partition overwrite, so only the affected
+    *     directories swap; every other partition's files stay
+    *     byte-identical (pinned in LayoutSpec).
+    *  3. DROP — a partition whose every row was doomed emits no
+    *     survivor rows, which dynamic overwrite would silently leave
+    *     serving its old files; such partitions are dropped explicitly.
+    *
+    * The rewrite uses Spark's dynamic-overwrite commit protocol
+    * (staged per-partition directories swapped at commit), so a failed
+    * job leaves the live partitions serving. Erasure is immediate and
+    * physical — no tombstone phase: the corpus is the source of truth,
+    * and masking it would make every downstream re-derivation
+    * re-admit the bytes. Partition values must be non-null. `ids` is a
+    * one-column frame named with the table's id column. Returns the
+    * number of affected partitions (0 = no row matched, nothing
+    * touched). */
+  def erasePartitionedRows(spark: SparkSession, table: String,
+      ids: DataFrame): Int = {
+    val idCol = ids.columns.head
+    val pcols = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames
+    require(pcols.nonEmpty,
+      s"erasePartitionedRows: '$table' is unpartitioned — a corpus-wide " +
+        "rewrite is the unpartitioned path (filter + write), not this " +
+        "partition-scoped one")
+    val doomed = broadcast(ids.select(col(idCol)).dropDuplicates(idCol))
+    val full = spark.table(table)
+    // 1. discovery: column-pruned, broadcast-semi map-side
+    val affected = full.join(doomed, Seq(idCol), "left_semi")
+      .select(pcols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return 0
+    def partPred(r: org.apache.spark.sql.Row) =
+      pcols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    val affectedPred = affected.map(partPred).reduce(_ || _)
+    // 2. rewrite the affected partitions' survivors only
+    val survivors = full.filter(affectedPred)
+      .join(doomed, Seq(idCol), "left_anti")
+    // the survivor set determines which partitions re-emit; record the
+    // fully-doomed ones BEFORE the overwrite (after it, the doomed rows
+    // are gone and the question is unanswerable)
+    val surviving = survivors.select(pcols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    val prevMode = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      survivors.write.mode("overwrite").insertInto(table)
+    } finally prevMode match {
+      case Some(m) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // 3. drop partitions that emitted no survivors
+    affected.filterNot(r => surviving.contains(r.toSeq)).foreach { r =>
+      val spec = pcols.zipWithIndex.map { case (c, i) =>
+        s"`$c`='${r.get(i).toString.replace("'", "\\'")}'"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS PARTITION ($spec)")
+    }
+    spark.catalog.refreshTable(table)
+    affected.length
+  }
+
   /** Root URI of a catalog table's data — the directory whose
     * `col=value` subtrees a partition-pruned reader (batch or
     * [[graft.streaming.Streaming.partitionSubtreeStream]]) addresses.

@@ -178,6 +178,10 @@ object AuditPlans {
     // admitted-segment suppression aggregate + the raw-file erasure
     // aggregate + output ORDER BY; both gate joins are one-row broadcasts
     "q_takedown_e2e" -> 5,
+    // corpus erasure: per-source agg (partial/final) over the served
+    // table + the raw-file erasure aggregate's single-partition leg +
+    // output ORDER BY folded into the final exchange
+    "q_corpus_erase" -> 3,
     // reclaim: tombstones consumed at compaction — the serve plan is
     // mask-free again, back to the base serve shape
     "q_search_bm25_reclaim" -> 2,
@@ -264,7 +268,9 @@ object AuditPlans {
     "q_sim_pq_reclaim" ->
       "takedown leak gate: build side is exactly ONE broadcast row (the deleted-id count over the k-row ANN result)",
     "q_takedown_e2e" ->
-      "suppression + erasure gates: each build side is exactly ONE broadcast row (the admitted-blocked count and the raw-file dead-id count)")
+      "suppression + erasure gates: each build side is exactly ONE broadcast row (the admitted-blocked count and the raw-file dead-id count)",
+    "q_corpus_erase" ->
+      "erasure gate: build side is exactly ONE broadcast row (the affected partitions' raw-file doomed-id count)")
 
   /** Unpartitioned windows that are part of the design, with why their
     * single partition is bounded (never the corpus). */

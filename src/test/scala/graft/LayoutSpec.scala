@@ -244,4 +244,40 @@ class LayoutSpec extends SparkSpec {
     assert(z.length == 3)
     assert(z(1) == z.min) // the null row sorts with the minimum
   }
+
+  test("erasePartitionedRows: rewrites ONLY affected partitions (untouched " +
+      "files byte-identical), drops fully-doomed ones, erases physically") {
+    import graft.sources.Sources
+    val table = "layout_erase"
+    Sources.replaceTable(spark, table)
+    val rows = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "b", 40),
+      (5L, "c", 50), (6L, "c", 60)).toDF("id", "part", "v")
+    rows.write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    val before = Sources.tableDataFiles(spark, table)
+    // doom one row of 'b', ALL rows of 'c'; 'a' untouched
+    val n = Layout.erasePartitionedRows(spark, table,
+      Seq(3L, 5L, 6L).toDF("id"))
+    assert(n == 2, s"expected 2 affected partitions, got $n")
+    val after = Sources.tableDataFiles(spark, table)
+    assert(after.filter(_.contains("part=a")).toSet ==
+      before.filter(_.contains("part=a")).toSet,
+      "untouched partition's files changed — the rewrite was not " +
+        "partition-pruned")
+    assert(after.forall(!_.contains("part=c")),
+      "fully-doomed partition's files survived the drop")
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L),
+      "served content differs from the reduced corpus")
+    // physical: the rewritten partition's raw files carry no doomed id
+    assert(spark.read.parquet(after.filter(_.contains("part=b")): _*)
+      .filter(col("id") === 3L).isEmpty,
+      "doomed row still present in the rewritten partition's files")
+    // erasing ids that match nothing touches nothing
+    val before2 = Sources.tableDataFiles(spark, table)
+    assert(Layout.erasePartitionedRows(spark, table, Seq(99L).toDF("id")) == 0)
+    assert(Sources.tableDataFiles(spark, table).toSet == before2.toSet,
+      "a no-match erase rewrote files")
+  }
 }
