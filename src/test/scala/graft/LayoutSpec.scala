@@ -280,4 +280,31 @@ class LayoutSpec extends SparkSpec {
     assert(Sources.tableDataFiles(spark, table).toSet == before2.toSet,
       "a no-match erase rewrote files")
   }
+
+  test("erasePartitionedRows: multi-level partitioning — only the exact " +
+      "(outer, inner) leaves touch; a fully-doomed leaf drops while its " +
+      "siblings under the same outer value survive") {
+    import graft.sources.Sources
+    val table = "layout_erase_ml"
+    Sources.replaceTable(spark, table)
+    Seq(
+      (1L, "a", 1, 10), (2L, "a", 2, 20),
+      (3L, "b", 1, 30), (4L, "b", 1, 40), (5L, "b", 2, 50))
+      .toDF("id", "part", "day", "v")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part", "day").saveAsTable(table)
+    val before = Sources.tableDataFiles(spark, table)
+    // doom: ALL of (b, day=1); (a, *) and (b, day=2) untouched
+    val n = Layout.erasePartitionedRows(spark, table,
+      Seq(3L, 4L).toDF("id"))
+    assert(n == 1, s"expected 1 affected leaf, got $n")
+    val after = Sources.tableDataFiles(spark, table)
+    val untouched = (f: String) => !f.contains("part=b/day=1")
+    assert(after.filter(untouched).toSet == before.filter(untouched).toSet,
+      "sibling leaves' files changed — the rewrite was not leaf-pruned")
+    assert(after.forall(!_.contains("part=b/day=1")),
+      "fully-doomed leaf's files survived the drop")
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+  }
 }
