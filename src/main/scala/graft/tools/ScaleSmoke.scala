@@ -132,7 +132,7 @@ object ScaleSmoke {
       val known = ops.map(_._1).toSet +
         "neardedup" + "join3" + "join_skew" + "ivf_upsert" +
         "bm25_upsert" + "compact_outage" + "fold_wall" + "takedown" +
-        "takedown_vec"
+        "takedown_vec" + "takedown_corpus"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -683,6 +683,62 @@ object ScaleSmoke {
             f"""\"compact_t$k\":${t.compact0}%.3f,\"reclaim_t$k\":${t.reclaim}%.3f"""
           }.mkString(",") + "}")
       }
+    }
+
+    // ---------------------------------------------------------------
+    // Corpus-side takedown (round 14): erasePartitionedRows' two cost
+    // components, separated by a control call:
+    //  - discovery: a NO-MATCH erase — the column-pruned (partition
+    //    cols, id col) scan with the id set broadcast-semi, then
+    //    nothing to rewrite. Grows with corpus COLUMN bytes (two thin
+    //    columns), the floor any id-addressed corpus operation pays.
+    //  - erase: the real call — discovery + the statically
+    //    partition-pruned survivor rewrite of the 2 (of 20) affected
+    //    source partitions + commit. erase − discovery ≈ the rewrite,
+    //    which grows with AFFECTED-partition bytes only.
+    // Row accounting asserted in-probe: affected partitions' raw files
+    // carry no doomed ids post-erase.
+    // ---------------------------------------------------------------
+    if (opSelected("takedown_corpus")) {
+      import graft.operators.Layout
+      def onceAt(k: Int, timed: Boolean): (Double, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val corpus = frames(k)
+        val tbl = s"scale_td_corpus_$k"
+        graft.sources.Sources.replaceTable(spark, tbl)
+        corpus.write.mode("overwrite").format("parquet")
+          .partitionBy("source").saveAsTable(tbl) // untimed build
+        val t0 = System.nanoTime()
+        require(Layout.erasePartitionedRows(spark, tbl,
+          corpus.filter(col("doc_id") === -1L).select(col("doc_id"))) == 0,
+          s"no-match erase touched partitions at $k×")
+        val tDisc = (System.nanoTime() - t0) / 1e9
+        val doomed = corpus
+          .filter(col("source").isin("src3", "src7") &&
+            col("doc_id") % 7 === 3)
+          .select(col("doc_id"))
+        val t1 = System.nanoTime()
+        require(Layout.erasePartitionedRows(spark, tbl, doomed) == 2,
+          s"expected 2 affected partitions at $k×")
+        val tErase = (System.nanoTime() - t1) / 1e9
+        val loc = Layout.tableLocation(spark, tbl)
+        require(spark.read
+          .parquet(s"$loc/source=src3", s"$loc/source=src7")
+          .join(broadcast(doomed), Seq("doc_id"), "left_semi").isEmpty,
+          s"doomed ids survived in the affected partitions' files at $k×")
+        graft.sources.Sources.replaceTable(spark, tbl)
+        if (timed) println(f"takedown_corpus $k%3d×: discovery $tDisc%.2fs  " +
+          f"erase $tErase%.2fs  (2 of 20 partitions affected)")
+        (tDisc, tErase)
+      }
+      onceAt(ks.head, timed = false) // warmup (codegen/JIT)
+      val tcRuns = ks.map(k => k -> onceAt(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      println("{\"probe\":\"takedown_corpus\",\"sf\":\"" + sfDir + "\"," +
+        tcRuns.map { case (k, (d, e)) =>
+          f"""\"discovery_t$k\":$d%.3f,\"erase_t$k\":$e%.3f""" }
+          .mkString(",") + "}")
     }
 
     // ---------------------------------------------------------------
