@@ -361,6 +361,33 @@ object Layout {
     affected.length
   }
 
+  /** [[erasePartitionedRows]] for an UNPARTITIONED corpus table: with
+    * no partitions to scope the rewrite, erasure IS a full rewrite —
+    * survivors written as a staged generation beside the live table
+    * (which keeps serving throughout) and promoted by the metadata-only
+    * swap ([[graft.sources.Sources.promoteTable]]) — the
+    * compactBm25Index discipline; a failed rewrite never touched the
+    * live generation. At 100 TB this is the expensive path by design:
+    * partition the corpus ([[partitionedTableFor]]) and use the
+    * partition-scoped variant. No-op (and no rewrite) when no row
+    * matches. Returns the number of rows erased. */
+  def eraseRowsFullRewrite(spark: SparkSession, table: String,
+      ids: DataFrame): Long = {
+    val idCol = ids.columns.head
+    val doomed = broadcast(ids.select(col(idCol)).dropDuplicates(idCol))
+    val full = spark.table(table)
+    val nDoomed = full.join(doomed, Seq(idCol), "left_semi").count()
+    if (nDoomed == 0) return 0L
+    val next = s"${table}__next"
+    graft.sources.Sources.replaceTable(spark, next)
+    full.join(doomed, Seq(idCol), "left_anti")
+      .write.format("parquet")
+      .options(graft.sources.Sources.stagedWriteOptions(spark, next))
+      .saveAsTable(next)
+    graft.sources.Sources.promoteTable(spark, next, table)
+    nDoomed
+  }
+
   /** Root URI of a catalog table's data — the directory whose
     * `col=value` subtrees a partition-pruned reader (batch or
     * [[graft.streaming.Streaming.partitionSubtreeStream]]) addresses.

@@ -307,4 +307,28 @@ class LayoutSpec extends SparkSpec {
     assert(spark.table(table).select("id").orderBy("id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
   }
+
+  test("eraseRowsFullRewrite: staged survivor rewrite + metadata promote " +
+      "for an unpartitioned corpus; physical erasure; no-match no-op") {
+    import graft.sources.Sources
+    val table = "layout_erase_flat"
+    Seq(table, s"${table}__next").foreach(Sources.replaceTable(spark, _))
+    Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30))
+      .toDF("id", "t", "v")
+      .write.mode("overwrite").format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    val before = Sources.tableDataFiles(spark, table)
+    assert(Layout.eraseRowsFullRewrite(spark, table, Seq(99L).toDF("id")) == 0)
+    assert(Sources.tableDataFiles(spark, table).toSet == before.toSet,
+      "a no-match erase rewrote the table")
+    assert(Layout.eraseRowsFullRewrite(spark, table,
+      Seq(2L, 99L).toDF("id")) == 1)
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(spark.read.parquet(Sources.tableDataFiles(spark, table): _*)
+      .filter(col("id") === 2L).isEmpty,
+      "doomed row still present in the promoted generation's files")
+    assert(!spark.catalog.tableExists(s"${table}__next"),
+      "staged generation left behind after the promote")
+  }
 }
