@@ -3735,6 +3735,97 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** CORPUS-erase END-TO-END composition gate — the two compliance
+    * halves composed on the oracle path, closing the re-admission
+    * vector the erase scaladoc warns about: a rebuild FROM the corpus
+    * is exactly how erased bytes would come back if the corpus had
+    * been masked instead of physically rewritten. The takedown set is
+    * erased from the PARTITIONED source-of-truth corpus
+    * ([[graft.operators.Layout.erasePartitionedRows]]), then a serving
+    * artifact (BM25) is REBUILT FROM THE ERASED CORPUS — the
+    * derivation path every downstream artifact runs after an erase —
+    * and must serve the reduced-corpus oracle ranking exactly. In-plan
+    * row-dropping gates: (A) the affected partitions' raw corpus files
+    * carry zero doomed ids (erasure was physical, not a view filter);
+    * (B) the rebuilt index's raw postings files carry zero doomed ids
+    * (the rebuild cannot re-admit what the corpus no longer contains);
+    * (C) a blocklisted re-crawl of the removed bytes under fresh ids
+    * is suppressed while a control slice of new bytes admits (the
+    * retained-digest blocklist guards the FUTURE ingest edge,
+    * non-vacuously). Build + erase + rebuild run once per mtime-keyed
+    * generation. */
+  val q_corpus_erase_e2e: Q = (s, dir) => {
+    import graft.operators.{Dedup, Layout, Search}
+    val docs = t(s, dir, "documents").df
+    val doomedPred =
+      col("source").isin("src3", "src7") && col("doc_id") % 7 === 3
+    val corpus = artifactTable(s, "corpus_erase_e2e", dir, "documents")
+    val index = s"${corpus}_bm"
+    onceUpserted(s, corpus) {
+      Layout.partitionedTableFor(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        corpus, "source")
+      Layout.erasePartitionedRows(s, corpus,
+        docs.filter(doomedPred).select(col("doc_id")))
+      Search.saveBm25Index(
+        Search.buildBm25Index(s.table(corpus), "doc_id", "text"), index)
+    }
+    val doomedIds = docs.filter(doomedPred).select(col("doc_id"))
+    // gate A: physical erasure in the affected partitions' raw files
+    val loc = Layout.tableLocation(s, corpus)
+    val corpusErased = s.read
+      .parquet(s"$loc/source=src3", s"$loc/source=src7")
+      .join(broadcast(doomedIds), Seq("doc_id"), "left_semi")
+      .agg((count(lit(1)) === 0).as("__ca"))
+    // gate B: the artifact REBUILT from the erased corpus never
+    // contained the ids — its raw postings files are checked, not a view
+    val indexErased = s.read
+      .parquet(graft.sources.Sources.tableDataFiles(s, index): _*)
+      .join(broadcast(doomedIds), Seq("doc_id"), "left_semi")
+      .agg((count(lit(1)) === 0).as("__cb"))
+    // gate C: the retained blocklist suppresses a re-crawl of the
+    // removed bytes under fresh ids; a control slice of NEW bytes
+    // admits (proves the pipeline isn't vacuously dropping everything)
+    val blockDigests = docs.filter(doomedPred)
+      .select(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+      .distinct()
+    val out = s"${ioDir(dir)}/corpus_erase_e2e"
+    val hp = new org.apache.hadoop.fs.Path(out)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val live = docs.filter(!doomedPred)
+    val recrawl = Streaming.documentsStream(s, dir)
+      .filter(col("doc_id") % 7 === 3 &&
+        col("source").isin("src3", "src5", "src7"))
+      .select((col("doc_id") + 40000000L).as("doc_id"),
+        when(col("source") === "src5",
+          concat(col("text"), lit(" recrawl")))
+          .otherwise(col("text")).as("text"),
+        to_timestamp(lit("2024-03-01 00:00:00")).as("ts"))
+    val q = Streaming.ingestCurationSink(recrawl, live, "text", "ts", out,
+      delay = "30 days", blocklist = Some(blockDigests))
+    try q.processAllAvailable() finally q.stop()
+    val admitted =
+      (if (fs.exists(hp)) s.read.parquet(out)
+       else docs.limit(0).select(col("text")))
+        .select(Dedup.contentKey(col("text"), normalize = false).as("fp"))
+    val suppressed = admitted
+      .join(broadcast(blockDigests.withColumn("__b", lit(1))), Seq("fp"), "left")
+      .agg((sum(coalesce(col("__b"), lit(0))) === 0 &&
+        count(lit(1)) > 0).as("__cc"))
+    // the served ranking comes from the index DERIVED FROM the erased
+    // corpus — reduced-corpus exactness proves the whole composition
+    val idx = Search.loadBm25Index(s, index)
+    Search.searchBm25(s.table(corpus), idx, "doc_id", "hash join filter",
+        k = 25)
+      .select(col("doc_id"), col("bm25_rank"))
+      .crossJoin(broadcast(corpusErased)).filter(col("__ca"))
+      .crossJoin(broadcast(indexErased)).filter(col("__cb"))
+      .crossJoin(broadcast(suppressed)).filter(col("__cc"))
+      .select(col("doc_id"), col("bm25_rank"))
+      .orderBy(col("bm25_rank"))
+  }
+
   /** Streaming NEAR-duplicate ingest dedup against a static corpus: the
     * documents "crawl" stream (doc_id % 3 == 0) is deduped per
     * micro-batch against the fixed corpus (doc_id % 3 != 0) at 3-gram
@@ -4100,6 +4191,7 @@ object Queries {
     "q_stream_ingest_blocklist" -> q_stream_ingest_blocklist,
     "q_takedown_e2e" -> q_takedown_e2e,
     "q_corpus_erase" -> q_corpus_erase,
+    "q_corpus_erase_e2e" -> q_corpus_erase_e2e,
     "q_stream_neardedup" -> q_stream_neardedup,
     "q_stream_neardedup_serve" -> q_stream_neardedup_serve,
     "q_stream_neardedup_delete" -> q_stream_neardedup_delete,
@@ -5019,6 +5111,10 @@ object Queries {
         |FROM documents
         |WHERE NOT (source IN ('src3','src7') AND doc_id % 7 = 3)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // the e2e composition: the same reduced corpus, served through a
+    // BM25 index REBUILT from the erased partitioned table
+    "q_corpus_erase_e2e" -> bm25WithoutOracleSql(
+      "NOT (source IN ('src3','src7') AND doc_id % 7 = 3)"),
     "q_stream_bm25_ingest" -> bm25OracleSql,
 
     "q_cluster_best" ->

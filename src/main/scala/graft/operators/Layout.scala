@@ -286,78 +286,205 @@ object Layout {
     * "rewrite the 2 of 400 date×source partitions the request touches"
     * is.
     *
-    * Three steps, each partition-scoped:
-    *  1. DISCOVERY — which partitions contain doomed rows: one
-    *     column-pruned scan of (partition cols, id col) with the id set
-    *     broadcast-semi map-side; collected values are bounded by the
+    * Steps, each partition-scoped:
+    *  1. DISCOVERY — ONE column-pruned pass over (id col, partition
+    *     cols) with the id set broadcast map-side, aggregated to
+    *     per-partition (total, doomed) row counts: the same pass yields
+    *     both the affected-partition set AND which of them are FULLY
+    *     doomed, so nothing downstream re-executes a corpus-sized plan
+    *     to learn what re-emits. Collected values are bounded by the
     *     table's partition cardinality (low by [[partitionedTableFor]]
     *     design).
-    *  2. REWRITE — survivors of exactly those partitions (the
-    *     partition-value filter is STATIC partition pruning — untouched
-    *     subtrees are never listed, read, or written) written back
-    *     under dynamic partition overwrite, so only the affected
-    *     directories swap; every other partition's files stay
-    *     byte-identical (pinned in LayoutSpec).
-    *  3. DROP — a partition whose every row was doomed emits no
+    *  2. BASIS — the affected partitions' current data-file set is
+    *     pinned (metadata-only listings of exactly those directories,
+    *     resolved through the catalog's per-partition locations).
+    *  3. REWRITE — survivors are read from EXACTLY the basis files
+    *     (untouched subtrees are never listed, read, or written — the
+    *     pinned file list is stronger than a static partition filter)
+    *     and written back under dynamic partition overwrite as a
+    *     PER-WRITE option, so only the affected directories swap,
+    *     every other partition's files stay byte-identical (pinned in
+    *     LayoutSpec), and no session-level overwrite mode leaks to
+    *     concurrent same-session writes.
+    *  4. CATCH-UP — immediately before the commit, the affected
+    *     directories are re-listed and files admitted since the basis
+    *     (a live-ingest append landing mid-erase) are re-admitted into
+    *     the overwrite minus the doomed ids — the same basis/diff
+    *     discipline every staged artifact promote carries
+    *     ([[graft.sources.Sources.writeBuildBasis]]). The residual
+    *     window is the overwrite JOB itself: an append that commits
+    *     into an affected partition while the rewrite job is running is
+    *     replaced at its commit. Closing that needs a table format with
+    *     optimistic concurrency; under this library's single-
+    *     maintenance-writer-per-table discipline the window is idle.
+    *  5. DROP — a partition whose every row was doomed emits no
     *     survivor rows, which dynamic overwrite would silently leave
-    *     serving its old files; such partitions are dropped explicitly.
+    *     serving its old files; such partitions (unless the catch-up
+    *     re-admitted rows into them) are dropped explicitly, and their
+    *     leaf directories deleted — `DROP PARTITION` retains data
+    *     files for EXTERNAL tables (the object-store promote regime
+    *     makes tables external), so the delete is what makes the
+    *     erasure physical there.
     *
-    * The rewrite uses Spark's dynamic-overwrite commit protocol
-    * (staged per-partition directories swapped at commit), so a failed
-    * job leaves the live partitions serving. Erasure is immediate and
-    * physical — no tombstone phase: the corpus is the source of truth,
-    * and masking it would make every downstream re-derivation
-    * re-admit the bytes. Partition values must be non-null. `ids` is a
-    * one-column frame named with the table's id column. Returns the
-    * number of affected partitions (0 = no row matched, nothing
-    * touched). */
+    * CRASH SEMANTICS — re-run to heal: the rewrite uses Spark's
+    * dynamic-overwrite commit protocol (staged per-partition
+    * directories swapped at commit), so every intermediate state
+    * serves consistently and a re-run with the same ids converges:
+    *  - before the commit: nothing changed; re-run does the full erase.
+    *  - after the commit, before (or part-way through) the drop loop:
+    *    partially-doomed partitions already serve their survivors;
+    *    fully-doomed partitions still serve their old files — the
+    *    re-run's discovery finds those doomed rows again, the overwrite
+    *    emits nothing for them, and the drop loop removes them.
+    * A crashed erase is therefore incomplete, never torn — re-run it to
+    * completion before relying on the compliance guarantee (pinned by
+    * the kill-window LayoutSpec cases).
+    *
+    * Erasure is immediate and physical — no tombstone phase: the
+    * corpus is the source of truth, and masking it would make every
+    * downstream re-derivation re-admit the bytes. Partition values
+    * must be non-null (enforced). `ids` is a one-column frame named
+    * with the table's id column. Returns the number of affected
+    * partitions (0 = no row matched, nothing touched). */
   def erasePartitionedRows(spark: SparkSession, table: String,
-      ids: DataFrame): Int = {
+      ids: DataFrame): Int =
+    erasePartitionedRows(spark, table, ids, () => (), () => ())
+
+  /** [[erasePartitionedRows]] with kill-window hooks for the crash
+    * specs: `beforeCommit` runs after discovery/basis (before the
+    * catch-up diff and the overwrite — a concurrent-append test injects
+    * here), `afterCommit` between the overwrite commit and the drop
+    * loop (a crash test throws here). */
+  private[graft] def erasePartitionedRows(spark: SparkSession,
+      table: String, ids: DataFrame, beforeCommit: () => Unit,
+      afterCommit: () => Unit): Int = {
     val idCol = ids.columns.head
-    val pcols = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .partitionColumnNames
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val pcols = catalog.getTableMetadata(ident).partitionColumnNames
     require(pcols.nonEmpty,
       s"erasePartitionedRows: '$table' is unpartitioned — a corpus-wide " +
-        "rewrite is the unpartitioned path (filter + write), not this " +
-        "partition-scoped one")
-    val doomed = broadcast(ids.select(col(idCol)).dropDuplicates(idCol))
+        "rewrite is the unpartitioned path (eraseRowsFullRewrite), not " +
+        "this partition-scoped one")
+    val schema = spark.table(table).schema
+    val doomed = ids.select(col(idCol)).dropDuplicates(idCol)
     val full = spark.table(table)
-    // 1. discovery: column-pruned, broadcast-semi map-side
-    val affected = full.join(doomed, Seq(idCol), "left_semi")
-      .select(pcols.map(col): _*).distinct().collect()
-    if (affected.isEmpty) return 0
-    def partPred(r: org.apache.spark.sql.Row) =
-      pcols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
-        .reduce(_ && _)
-    val affectedPred = affected.map(partPred).reduce(_ || _)
-    // 2. rewrite the affected partitions' survivors only
-    val survivors = full.filter(affectedPred)
-      .join(doomed, Seq(idCol), "left_anti")
-    // the survivor set determines which partitions re-emit; record the
-    // fully-doomed ones BEFORE the overwrite (after it, the doomed rows
-    // are gone and the question is unanswerable)
-    val surviving = survivors.select(pcols.map(col): _*).distinct()
-      .collect().map(_.toSeq).toSet
-    val prevMode = spark.conf
-      .getOption("spark.sql.sources.partitionOverwriteMode")
+    // 1. discovery: ONE column-pruned pass -> per-partition
+    // (total, doomed) counts; broadcast keeps the join map-side
+    val counts = full.select((idCol +: pcols).map(col): _*)
+      .join(broadcast(doomed.withColumn("__doomed", lit(1))),
+        Seq(idCol), "left")
+      .groupBy(pcols.map(col): _*)
+      .agg(count(lit(1)).as("__total"), count(col("__doomed")).as("__nd"))
+      .filter(col("__nd") > 0)
+      .collect()
+    if (counts.isEmpty) return 0
+    require(counts.forall(r => (0 until pcols.length).forall(!r.isNullAt(_))),
+      s"erasePartitionedRows: an affected partition of '$table' has a " +
+        "NULL partition value — the Hive default partition is not " +
+        "addressable by this operator's value-keyed drop")
+    def pvals(r: org.apache.spark.sql.Row): Seq[String] =
+      (0 until pcols.length).map(i => r.get(i).toString)
+    val affected = counts.map(pvals).toSeq
+    val fullyDoomed: Set[Seq[String]] = counts
+      .filter(r => r.getLong(pcols.length) == r.getLong(pcols.length + 1))
+      .map(pvals).toSet
+    // 2. basis: pin the affected partitions' file set through their
+    // CATALOG locations (robust to relocated partitions; metadata-only)
+    val locByVals: Map[Seq[String], org.apache.hadoop.fs.Path] =
+      catalog.listPartitions(ident)
+        .map(p => pcols.map(p.spec(_)) -> new org.apache.hadoop.fs.Path(p.location))
+        .toMap
+    def dirOf(v: Seq[String]): org.apache.hadoop.fs.Path =
+      locByVals.getOrElse(v, throw new IllegalStateException(
+        s"erasePartitionedRows: no catalog partition for values $v of " +
+          s"'$table' — run `MSCK REPAIR TABLE`/RECOVER PARTITIONS first"))
+    val affectedDirs = affected.map(dirOf)
+    val loc = tableLocation(spark, table)
+    // the overwrite addresses the table LOCATION (see the write below),
+    // so a partition relocated out from under it (ALTER ... SET
+    // LOCATION) would keep serving its old files while the rewrite
+    // landed at the default layout — refuse instead of silently
+    // half-erasing
+    affectedDirs.foreach(d => require(
+      d.toString.stripSuffix("/").startsWith(loc.stripSuffix("/")),
+      s"erasePartitionedRows: partition directory $d of '$table' lives " +
+        s"outside the table location $loc (a relocated partition) — " +
+        "this operator requires the standard in-location layout"))
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listFiles(dir: org.apache.hadoop.fs.Path): Set[String] = {
+      val out = Set.newBuilder[String]
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (st.isDirectory) walk(st.getPath) else out += st.getPath.toString
+          }
+        }
+      if (fs.exists(dir)) walk(dir)
+      out.result()
+    }
+    val basisByDir: Map[org.apache.hadoop.fs.Path, Set[String]] =
+      affectedDirs.map(d => d -> listFiles(d)).toMap
+    val basis = basisByDir.values.flatten.toSet
+    // survivors of exactly a pinned file set; the EXPLICIT schema stops
+    // the basePath read from re-inferring partition-column types (a
+    // string partition value that parses numeric must stay verbatim)
+    def survivorsOf(files: Set[String]): DataFrame =
+      graft.sources.Sources.conformTo(
+        spark.read.schema(schema).option("basePath", loc)
+          .parquet(files.toSeq.sorted: _*), schema)
+        .join(broadcast(doomed), Seq(idCol), "left_anti")
+    beforeCommit()
+    // 4. catch-up: files admitted into affected partitions since the
+    // basis snapshot re-enter the overwrite, minus the doomed ids;
+    // delta is append-sized, so its extra scan is request-scale
+    val delta = affectedDirs.flatMap(d => listFiles(d) -- basisByDir(d)).toSet
+    val toWrite =
+      if (delta.isEmpty) survivorsOf(basis)
+      else survivorsOf(basis).unionByName(survivorsOf(delta))
+    // 3. the partition-scoped overwrite — dynamic mode as a PER-WRITE
+    // option, never a session-conf mutation. The write addresses the
+    // table's LOCATION (a path save honors the per-write option;
+    // insertInto consults only the session conf, which this operator
+    // must not mutate under concurrent same-session writers): affected
+    // partition directories swap at commit, untouched ones are never
+    // written, and no new partition value can appear (survivors came
+    // from the affected partitions), so catalog partition metadata
+    // stays exact.
+    toWrite.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(pcols: _*)
+      .parquet(loc)
+    // once the commit has landed, THIS session's relation cache points
+    // at replaced files — refresh even if the drop loop dies (a crashed
+    // in-session erase must leave the session able to read the table;
+    // other live sessions see standard external-rewrite semantics, a
+    // loud FAILED_READ healed by their own REFRESH TABLE)
     try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      survivors.write.mode("overwrite").insertInto(table)
-    } finally prevMode match {
-      case Some(m) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    // 3. drop partitions that emitted no survivors
-    affected.filterNot(r => surviving.contains(r.toSeq)).foreach { r =>
-      val spec = pcols.zipWithIndex.map { case (c, i) =>
-        s"`$c`='${r.get(i).toString.replace("'", "\\'")}'"
-      }.mkString(", ")
-      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS PARTITION ($spec)")
-    }
-    spark.catalog.refreshTable(table)
+      afterCommit()
+      // 5. drop the partitions that emitted no survivors. The gate is
+      // FILE-SET IDENTITY, not the discovery counts: a partition whose
+      // directory still holds exactly its basis files received nothing
+      // from the overwrite (fully doomed, no catch-up re-admission) and
+      // nothing concurrent — safe to drop. Any change means rows were
+      // re-admitted (by the overwrite's catch-up or a concurrent append
+      // racing the commit) and the partition must keep serving; a raced
+      // append that left doomed rows behind is the re-run-to-heal case.
+      // The explicit leaf delete after DROP is what makes the erasure
+      // physical on EXTERNAL tables (DROP PARTITION retains their files).
+      affected.filter(fullyDoomed.contains).foreach { v =>
+        val dir = dirOf(v)
+        if (listFiles(dir) == basisByDir(dir)) {
+          val spec = pcols.zip(v).map { case (c, raw) =>
+            s"`$c`='${raw.replace("\\", "\\\\").replace("'", "\\'")}'"
+          }.mkString(", ")
+          spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS PARTITION ($spec)")
+          if (fs.exists(dir)) fs.delete(dir, true)
+        }
+      }
+    } finally spark.catalog.refreshTable(table)
     affected.length
   }
 
@@ -376,16 +503,28 @@ object Layout {
     val idCol = ids.columns.head
     val doomed = broadcast(ids.select(col(idCol)).dropDuplicates(idCol))
     val full = spark.table(table)
-    val nDoomed = full.join(doomed, Seq(idCol), "left_semi").count()
-    if (nDoomed == 0) return 0L
+    // no-op gate: a LIMIT-1 semi probe, not a full semi-join count — it
+    // short-circuits on the first doomed row; only the no-match path
+    // (which rewrites nothing) pays a full pass, over the id column alone
+    if (full.join(doomed, Seq(idCol), "left_semi").isEmpty) return 0L
     val next = s"${table}__next"
     graft.sources.Sources.replaceTable(spark, next)
-    full.join(doomed, Seq(idCol), "left_anti")
+    // the erased-row count rides the rewrite itself as two mid-plan
+    // CollectMetrics observations (rows in, rows out — erased is the
+    // difference), so the corpus is DATA-scanned exactly once: by the
+    // survivor write
+    val liveObs = org.apache.spark.sql.Observation("graft_erase_live")
+    val stagedObs = org.apache.spark.sql.Observation("graft_erase_staged")
+    full.observe(liveObs, count(lit(1)).as("n"))
+      .join(doomed, Seq(idCol), "left_anti")
+      .observe(stagedObs, count(lit(1)).as("n"))
       .write.format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, next))
       .saveAsTable(next)
+    val erased = liveObs.get("n").asInstanceOf[Long] -
+      stagedObs.get("n").asInstanceOf[Long]
     graft.sources.Sources.promoteTable(spark, next, table)
-    nDoomed
+    erased
   }
 
   /** Root URI of a catalog table's data — the directory whose

@@ -592,13 +592,13 @@ object Search {
   // own key reachable.
   private val statsCache = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
-    scala.collection.concurrent.TrieMap[String, (String, (Long, Double, Long))]]()
+    scala.collection.concurrent.TrieMap[String, (String, Long, (Long, Double, Long))]]()
   private def statsFor(spark: org.apache.spark.sql.SparkSession) =
     statsCache.synchronized {
       var c = statsCache.get(spark)
       if (c == null) {
         c = scala.collection.concurrent
-          .TrieMap.empty[String, (String, (Long, Double, Long))]
+          .TrieMap.empty[String, (String, Long, (Long, Double, Long))]
         statsCache.put(spark, c)
       }
       c
@@ -675,7 +675,7 @@ object Search {
   // `_deleted` sibling's file set, so any tombstone write, including a
   // manual one, re-keys the entry); the sentinel key can't collide with
   // a real table name
-  private def tombKey(table: String): String = table + " tomb"
+  private def tombKey(table: String): String = table + "\u0000tomb"
 
   /** The artifact's tombstone correction — (deleted n, deleted Σlen)
     * over the deduplicated tombstone set; (0, 0) when none exist. */

@@ -159,11 +159,11 @@ object Similarity {
     * generation, no restart, no manual invalidation. */
   private final class SessionCaches {
     val lshMeta = scala.collection.concurrent
-      .TrieMap.empty[String, (String, (Int, Int, Int))]
+      .TrieMap.empty[String, (String, Long, (Int, Int, Int))]
     val centroids = scala.collection.concurrent
-      .TrieMap.empty[String, (String, Array[Array[Double]])]
+      .TrieMap.empty[String, (String, Long, Array[Array[Double]])]
     val codebooks = scala.collection.concurrent
-      .TrieMap.empty[String, (String, Array[Array[Array[Double]]])]
+      .TrieMap.empty[String, (String, Long, Array[Array[Array[Double]]])]
   }
   private val sessionCaches =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, SessionCaches]()

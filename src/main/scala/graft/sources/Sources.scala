@@ -509,9 +509,31 @@ object Sources {
     * instead of serving pre-mutation constants until restart. The
     * stamped tables are 1-row/KB-scale siblings, so the listing is
     * metadata-only and cheap beside any query. */
-  private[graft] def tableStamp(spark: SparkSession, table: String): String =
+  private[graft] def tableStamp(spark: SparkSession, table: String): String = {
+    stampListings.incrementAndGet()
     if (!spark.catalog.tableExists(table)) ""
     else tableDataFiles(spark, table).sorted.mkString("\n")
+  }
+
+  /** Count of generation-stamp listings taken — observability for the
+    * stamp-TTL contract (specs assert a TTL'd serve path stops paying
+    * per-call listings; a dashboard watches LIST pressure per query). */
+  private[graft] val stampListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Opt-in BOUNDED STALENESS for stamp checks:
+    * `spark.graft.stampCheckTtlMs` (default 0 = every lookup re-lists).
+    * A stamp check is one recursive file listing per stamped sibling
+    * per serve call — free on a local FS, but 1-3 object-store LIST
+    * round-trips added to every query's latency on s3a/gs/abfs. With a
+    * TTL of a few hundred ms, a hot serve path pays the listing once
+    * per window instead of once per call, and cross-session coherence
+    * degrades only from "next call" to "within the TTL" — a bounded
+    * window the compliance story absorbs (the mutation is already
+    * committed; remote sessions converge at most TTL later). 0 keeps
+    * the exact next-call contract every coherence spec pins. */
+  private def stampTtlNanos(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.stampCheckTtlMs")
+      .map(_.toLong).getOrElse(0L) * 1000000L
 
   /** Look up `key` in a stamp-keyed cache: the cached value is served
     * only while `stampTable`'s generation stamp still matches what the
@@ -523,21 +545,31 @@ object Sources {
     * silent pre-append snapshot after a cross-session append). The
     * shared coherence primitive behind every per-session constants
     * cache: a mutation committed by ANY session re-keys AND re-lists in
-    * every other live session on its next serve call. */
+    * every other live session on its next serve call — or within the
+    * configured TTL window (see [[stampTtlNanos]]), which skips the
+    * listing entirely while fresh. */
   private[graft] def stamped[T](spark: SparkSession,
-      cache: scala.collection.concurrent.TrieMap[String, (String, T)],
+      cache: scala.collection.concurrent.TrieMap[String, (String, Long, T)],
       key: String, stampTable: String, alsoRefresh: Seq[String] = Nil)(
       compute: => T): T = {
-    val stamp = tableStamp(spark, stampTable)
+    val now = System.nanoTime()
+    val ttl = stampTtlNanos(spark)
     cache.get(key) match {
-      case Some((s, v)) if s == stamp => v
-      case _ =>
-        (stampTable +: alsoRefresh).foreach { t =>
-          if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+      case Some((_, at, v)) if ttl > 0 && now - at < ttl => v
+      case cached =>
+        val stamp = tableStamp(spark, stampTable)
+        cached match {
+          case Some((s, _, v)) if s == stamp =>
+            cache.put(key, (s, now, v)) // stamp verified: renew the window
+            v
+          case _ =>
+            (stampTable +: alsoRefresh).foreach { t =>
+              if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+            }
+            val v = compute
+            cache.put(key, (stamp, now, v))
+            v
         }
-        val v = compute
-        cache.put(key, (stamp, v))
-        v
     }
   }
 
@@ -547,12 +579,12 @@ object Sources {
   // holds and a rebuild committed by ANY session is seen by every other
   // live session on its next check (weak session key, tiny values)
   private val fpCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, (String, Option[String])]]()
+    scala.collection.concurrent.TrieMap[String, (String, Long, Option[String])]]()
   private def fpFor(spark: SparkSession) = fpCache.synchronized {
     var c = fpCache.get(spark)
     if (c == null) {
       c = scala.collection.concurrent
-        .TrieMap.empty[String, (String, Option[String])]
+        .TrieMap.empty[String, (String, Long, Option[String])]
       fpCache.put(spark, c)
     }
     c
@@ -581,7 +613,8 @@ object Sources {
       .write.mode("overwrite").format("parquet")
       .options(stagedWriteOptions(spark, s"${table}_fp"))
       .saveAsTable(s"${table}_fp")
-    fpFor(spark).put(table, (tableStamp(spark, s"${table}_fp"), Some(fp)))
+    fpFor(spark).put(table,
+      (tableStamp(spark, s"${table}_fp"), System.nanoTime(), Some(fp)))
   }
 
   /** The registered location of a catalog table, as a URI string. */

@@ -182,6 +182,11 @@ object AuditPlans {
     // table + the raw-file erasure aggregate's single-partition leg +
     // output ORDER BY folded into the final exchange
     "q_corpus_erase" -> 3,
+    // the corpus-erase e2e composition: the rebuilt-index BM25 serve
+    // shape (2) + the three one-row gate aggregates' single-partition
+    // legs (corpus-file erasure, index-file erasure, suppression) +
+    // output ORDER BY
+    "q_corpus_erase_e2e" -> 6,
     // reclaim: tombstones consumed at compaction — the serve plan is
     // mask-free again, back to the base serve shape
     "q_search_bm25_reclaim" -> 2,
@@ -270,7 +275,9 @@ object AuditPlans {
     "q_takedown_e2e" ->
       "suppression + erasure gates: each build side is exactly ONE broadcast row (the admitted-blocked count and the raw-file dead-id count)",
     "q_corpus_erase" ->
-      "erasure gate: build side is exactly ONE broadcast row (the affected partitions' raw-file doomed-id count)")
+      "erasure gate: build side is exactly ONE broadcast row (the affected partitions' raw-file doomed-id count)",
+    "q_corpus_erase_e2e" ->
+      "erasure + suppression gates: each build side is exactly ONE broadcast row (corpus-file doomed-id count, index-file doomed-id count, admitted-blocked count)")
 
   /** Unpartitioned windows that are part of the design, with why their
     * single partition is bounded (never the corpus). */
@@ -294,6 +301,8 @@ object AuditPlans {
     "q_search_bm25_delete_seg" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_takedown_e2e" ->
+      "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_corpus_erase_e2e" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_weighted_sample" ->
       "sample_rank runs AFTER .limit(k): the window's one partition holds exactly k rows")

@@ -132,7 +132,7 @@ object ScaleSmoke {
       val known = ops.map(_._1).toSet +
         "neardedup" + "join3" + "join_skew" + "ivf_upsert" +
         "bm25_upsert" + "compact_outage" + "fold_wall" + "takedown" +
-        "takedown_vec" + "takedown_corpus"
+        "takedown_vec" + "takedown_corpus" + "takedown_sketch"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -738,6 +738,76 @@ object ScaleSmoke {
       println("{\"probe\":\"takedown_corpus\",\"sf\":\"" + sfDir + "\"," +
         tcRuns.map { case (k, (d, e)) =>
           f"""\"discovery_t$k\":$d%.3f,\"erase_t$k\":$e%.3f""" }
+          .mkString(",") + "}")
+    }
+
+    // ---------------------------------------------------------------
+    // Sketch-cube takedown (round 15): the sixth family's maintenance
+    // ladder, quantifying the "deletion = cheap rebuild" claim
+    // (Sketch.rebuildDistinctExcluding's scaladoc) beside the cube's
+    // other two maintenance verbs on the SAME cube:
+    //  - upsert: one aggregate over a ~6% delta + an append —
+    //    delta-sized, the family's ingest verb.
+    //  - takedown (rebuildDistinctExcluding): ONE aggregate over the
+    //    reduced corpus, staged + promoted. HLL registers don't
+    //    subtract, so this is corpus-scan-sized BY DESIGN — the claim
+    //    being quantified is "one linear aggregate", not "flat".
+    //  - compact: re-merge of the cube itself — GROUP-COUNT-sized
+    //    (320 finest groups at every k), the near-flat curve.
+    // Row conservation asserted in-probe after takedown + compact: the
+    // served rollup's n_rows total equals the survivor count exactly.
+    // ---------------------------------------------------------------
+    if (opSelected("takedown_sketch")) {
+      import graft.operators.Sketch
+      val keys = Seq("source", "shard")
+      def cubed(df: DataFrame): DataFrame = df
+        .withColumn("shard", col("doc_id") % 16)
+        .withColumn("n_chars", length(col("text")))
+      def onceAt(k: Int, timed: Boolean): (Double, Double, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val corpus = cubed(frames(k))
+        val tbl = s"scale_td_sketch_$k"
+        graft.sources.Sources.replaceTable(spark, tbl)
+        Sketch.buildDistinctSketches(corpus, keys, "n_chars")
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(tbl) // untimed build — the cube exists before the day starts
+        val maxId = frames(k).agg(max("doc_id")).head().getLong(0) + 1
+        val delta = corpus.filter(col("doc_id") % 16 === 1)
+          .withColumn("doc_id", col("doc_id") + maxId)
+        val t0 = System.nanoTime()
+        Sketch.upsertDistinctSketches(delta, keys, "n_chars", tbl)
+        val tUp = (System.nanoTime() - t0) / 1e9
+        val full = corpus.unionByName(delta)
+        val doomed = corpus.filter(col("doc_id") % 16 === 0)
+          .select(col("doc_id"))
+        val t1 = System.nanoTime()
+        Sketch.rebuildDistinctExcluding(full, keys, "n_chars", doomed, tbl)
+        val tTd = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        Sketch.compactDistinctCube(spark, tbl, keys)
+        val tC = (System.nanoTime() - t2) / 1e9
+        // row conservation: the promoted+compacted cube covers exactly
+        // the surviving rows (pins both verbs' content)
+        val served = Sketch.rollupDistinct(spark.table(tbl), Seq("source"))
+          .agg(sum(col("n_rows"))).head().getLong(0)
+        val want = full
+          .join(broadcast(doomed), Seq("doc_id"), "left_anti").count()
+        require(served == want,
+          s"sketch takedown broke row conservation at $k×: " +
+            s"served $served, want $want")
+        graft.sources.Sources.replaceTable(spark, tbl)
+        if (timed) println(f"takedown_sketch $k%3d×: upsert $tUp%.2fs  " +
+          f"rebuild_excl $tTd%.2fs  compact $tC%.2fs")
+        (tUp, tTd, tC)
+      }
+      onceAt(ks.head, timed = false) // warmup (codegen/JIT)
+      val tsRuns = ks.map(k => k -> onceAt(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      println("{\"probe\":\"takedown_sketch\",\"sf\":\"" + sfDir + "\"," +
+        tsRuns.map { case (k, (u, d, c)) =>
+          f"""\"upsert_t$k\":$u%.3f,\"rebuild_excl_t$k\":$d%.3f,""" +
+          f"""\"compact_t$k\":$c%.3f""" }
           .mkString(",") + "}")
     }
 

@@ -121,4 +121,37 @@ class FingerprintSpec extends SparkSpec {
       n = 3, fingerprint = "g2").count() > n1,
       "changed fingerprint must rebuild")
   }
+
+  test("stamp TTL: within the bounded-staleness window a stamped lookup " +
+      "serves without any listing; the default (0) re-checks every call") {
+    val table = "fp_ttl_spec"
+    Sources.replaceTable(spark, table)
+    Sources.replaceTable(spark, s"${table}_fp")
+    Sources.writeFingerprint(spark, table, "gen1")
+    // default TTL 0: every lookup pays exactly its stamp listing
+    val n0 = Sources.stampListings.get()
+    assert(Sources.readFingerprint(spark, table) == Some("gen1"))
+    assert(Sources.stampListings.get() > n0,
+      "a TTL-0 lookup skipped the stamp check")
+    spark.conf.set("spark.graft.stampCheckTtlMs", "60000")
+    try {
+      // prime the window (this call still verifies the stamp) ...
+      assert(Sources.readFingerprint(spark, table) == Some("gen1"))
+      val n1 = Sources.stampListings.get()
+      // ... then lookups inside the window take ZERO listings
+      assert(Sources.readFingerprint(spark, table) == Some("gen1"))
+      assert(Sources.readFingerprint(spark, table) == Some("gen1"))
+      assert(Sources.stampListings.get() == n1,
+        "a lookup inside the TTL window paid a stamp listing")
+      // bounded staleness is the documented trade: a rewrite committed
+      // inside the window is NOT seen until it expires
+      Sources.writeFingerprint(spark, table, "gen2")
+      assert(Sources.readFingerprint(spark, table) == Some("gen2"),
+        "writeFingerprint must re-prime its own session's entry")
+    } finally spark.conf.unset("spark.graft.stampCheckTtlMs")
+    // back at TTL 0: the next lookup re-lists (exact next-call coherence)
+    val n2 = Sources.stampListings.get()
+    assert(Sources.readFingerprint(spark, table) == Some("gen2"))
+    assert(Sources.stampListings.get() > n2)
+  }
 }

@@ -308,6 +308,111 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
   }
 
+  test("erasePartitionedRows catch-up: rows appended into affected " +
+      "partitions between discovery and commit survive the erase (minus " +
+      "doomed ids); a fully-doomed partition that a mid-erase append " +
+      "re-populates is NOT dropped") {
+    import graft.sources.Sources
+    val table = "layout_erase_catchup"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "a"), (2L, 20, "a"), (3L, 30, "b"), (4L, 40, "b"),
+      (5L, 50, "c"), (6L, 60, "c"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    // doom one row of 'b', ALL rows of 'c'; mid-erase, a live ingest
+    // appends: a survivor into 'b', a survivor into fully-doomed 'c',
+    // and a doomed id into 'b' (the catch-up must filter it)
+    val n = Layout.erasePartitionedRows(spark, table,
+      Seq(3L, 5L, 6L, 9L).toDF("id"),
+      beforeCommit = () =>
+        Seq((7L, 70, "b"), (8L, 80, "c"), (9L, 90, "b"))
+          .toDF("id", "v", "part")
+          .write.mode("append").insertInto(table),
+      afterCommit = () => ())
+    assert(n == 2, s"expected 2 affected partitions, got $n")
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 7L, 8L),
+      "mid-erase appends were lost (or a doomed append survived)")
+    // 'c' re-emitted via the catch-up: still a live partition
+    assert(Sources.tableDataFiles(spark, table)
+      .exists(_.contains("part=c")),
+      "fully-doomed partition re-populated by the catch-up was dropped")
+    // physical: no raw file carries a doomed id
+    assert(spark.read.parquet(Sources.tableDataFiles(spark, table): _*)
+      .filter(col("id").isin(3L, 5L, 6L, 9L)).isEmpty,
+      "doomed ids present in raw files after the catch-up erase")
+  }
+
+  test("erasePartitionedRows kill windows: a crash before the commit " +
+      "leaves the table byte-identical; a crash between commit and drop " +
+      "serves consistently and a re-run converges") {
+    import graft.sources.Sources
+    val table = "layout_erase_kill"
+    def build(): Unit = {
+      Sources.replaceTable(spark, table)
+      Seq((1L, 10, "a"), (2L, 20, "b"), (3L, 30, "b"), (4L, 40, "c"))
+        .toDF("id", "v", "part")
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("part").saveAsTable(table)
+    }
+    val doomed = Seq(3L, 4L).toDF("id") // partial 'b', all of 'c'
+    // window 1: crash BEFORE the overwrite commit — nothing changed
+    build()
+    val before = Sources.tableDataFiles(spark, table).toSet
+    intercept[RuntimeException] {
+      Layout.erasePartitionedRows(spark, table, doomed,
+        beforeCommit = () => throw new RuntimeException("kill"),
+        afterCommit = () => ())
+    }
+    assert(Sources.tableDataFiles(spark, table).toSet == before,
+      "a pre-commit crash mutated the table's files")
+    assert(spark.table(table).count() == 4, "pre-commit crash lost rows")
+    // window 2: crash AFTER the commit, BEFORE the drop loop — the
+    // partially-doomed partition already serves survivors, the
+    // fully-doomed one still serves its old (consistent) rows
+    intercept[RuntimeException] {
+      Layout.erasePartitionedRows(spark, table, doomed,
+        beforeCommit = () => (),
+        afterCommit = () => throw new RuntimeException("kill"))
+    }
+    val mid = spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(mid == Seq(1L, 2L, 4L),
+      s"post-commit window serves inconsistently: $mid")
+    // re-run with the same ids heals: discovery finds the fully-doomed
+    // partition's rows again and the drop completes
+    assert(Layout.erasePartitionedRows(spark, table, doomed) == 1)
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(Sources.tableDataFiles(spark, table).forall(!_.contains("part=c")),
+      "re-run did not drop the fully-doomed partition")
+  }
+
+  test("erasePartitionedRows: partition values carrying backslashes and " +
+      "quotes drop cleanly, and a dropped leaf directory is physically " +
+      "deleted from disk") {
+    import graft.sources.Sources
+    val table = "layout_erase_esc"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "plain"), (2L, 20, "tail\\"), (3L, 30, "it's"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    // both exotic partitions are FULLY doomed — the drop must build a
+    // valid partition spec for each (backslash first, then quote)
+    assert(Layout.erasePartitionedRows(spark, table,
+      Seq(2L, 3L).toDF("id")) == 2)
+    assert(spark.table(table).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val loc = new org.apache.hadoop.fs.Path(Layout.tableLocation(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(loc).map(_.getPath.getName)
+      .filter(_.startsWith("part=")).toSeq
+    assert(leaves == Seq("part=plain"),
+      s"dropped partitions' leaf directories survive on disk: $leaves")
+  }
+
   test("eraseRowsFullRewrite: staged survivor rewrite + metadata promote " +
       "for an unpartitioned corpus; physical erasure; no-match no-op") {
     import graft.sources.Sources
