@@ -686,16 +686,18 @@ object ScaleSmoke {
     }
 
     // ---------------------------------------------------------------
-    // Corpus-side takedown (round 14): erasePartitionedRows' two cost
-    // components, separated by a control call:
-    //  - discovery: a NO-MATCH erase — the column-pruned (partition
-    //    cols, id col) scan with the id set broadcast-semi, then
-    //    nothing to rewrite. Grows with corpus COLUMN bytes (two thin
-    //    columns), the floor any id-addressed corpus operation pays.
-    //  - erase: the real call — discovery + the statically
-    //    partition-pruned survivor rewrite of the 2 (of 20) affected
-    //    source partitions + commit. erase − discovery ≈ the rewrite,
-    //    which grows with AFFECTED-partition bytes only.
+    // Corpus-side takedown (rounds 14-15): erasePartitionedRows' two
+    // cost components, separated by a control call:
+    //  - discovery: a NO-MATCH erase — the column-pruned (id col,
+    //    partition cols) pass aggregated to per-partition (total,
+    //    doomed) counts (round-15 shape), then nothing to rewrite.
+    //    Grows with corpus COLUMN bytes (two thin columns), the floor
+    //    any id-addressed corpus operation pays.
+    //  - erase: the real call — discovery + basis listings + the
+    //    basis-pinned survivor rewrite of the 2 (of 20) affected
+    //    source partitions + catch-up diff + commit + drop.
+    //    erase − discovery ≈ the rewrite, which grows with
+    //    AFFECTED-partition bytes only.
     // Row accounting asserted in-probe: affected partitions' raw files
     // carry no doomed ids post-erase.
     // ---------------------------------------------------------------
