@@ -311,12 +311,17 @@ object Layout {
     *     (a live-ingest append landing mid-erase) are re-admitted into
     *     the overwrite minus the doomed ids — the same basis/diff
     *     discipline every staged artifact promote carries
-    *     ([[graft.sources.Sources.writeBuildBasis]]). The residual
-    *     window is the overwrite JOB itself: an append that commits
-    *     into an affected partition while the rewrite job is running is
-    *     replaced at its commit. Closing that needs a table format with
-    *     optimistic concurrency; under this library's single-
-    *     maintenance-writer-per-table discipline the window is idle.
+    *     ([[graft.sources.Sources.writeBuildBasis]]). The remaining
+    *     race — an append committing into an affected partition while
+    *     the overwrite JOB itself is running, which dynamic overwrite
+    *     would silently replace — is ENFORCED away for the library's
+    *     own writers by the `_erasing` in-flight marker (written before
+    *     the basis snapshot, retired on completion): the append verb
+    *     ([[appendPartitionedRows]]) and the streaming segment sinks
+    *     refuse loudly at commit time instead of racing. A foreign
+    *     writer that bypasses the marker is caught by the drop gate's
+    *     consumed-file containment and the post-drop residue check —
+    *     worst case a loud incomplete-erase error, never a silent one.
     *  5. DROP — a partition whose every row was doomed emits no
     *     survivor rows, which dynamic overwrite would silently leave
     *     serving its old files; such partitions (unless the catch-up
@@ -405,9 +410,13 @@ object Layout {
     // so a partition relocated out from under it (ALTER ... SET
     // LOCATION) would keep serving its old files while the rewrite
     // landed at the default layout — refuse instead of silently
-    // half-erasing
+    // half-erasing. PATH-COMPONENT ancestry, not a raw string prefix:
+    // a sibling directory sharing the location as a string prefix
+    // (/data/t vs /data/t_ext/...) is exactly a relocation and must
+    // refuse, which a plain startsWith would wave through.
     affectedDirs.foreach(d => require(
-      d.toString.stripSuffix("/").startsWith(loc.stripSuffix("/")),
+      (d.toString.stripSuffix("/") + "/")
+        .startsWith(loc.stripSuffix("/") + "/"),
       s"erasePartitionedRows: partition directory $d of '$table' lives " +
         s"outside the table location $loc (a relocated partition) — " +
         "this operator requires the standard in-location layout"))
@@ -425,6 +434,15 @@ object Layout {
       if (fs.exists(dir)) walk(dir)
       out.result()
     }
+    // in-flight advisory marker, written BEFORE the basis snapshot: the
+    // library's own append paths ([[appendPartitionedRows]], the
+    // streaming segment sinks) consult it at commit time and loudly
+    // refuse writes into partitions under erase — turning the
+    // single-maintenance-writer assumption the catch-up cannot close
+    // (an append landing DURING the overwrite job) into an enforced
+    // contract. Retired only on full completion; a crashed erase leaves
+    // it up, so appends stay refused until the re-run heals.
+    writeErasingMarker(fs, loc, affectedDirs)
     val basisByDir: Map[org.apache.hadoop.fs.Path, Set[String]] =
       affectedDirs.map(d => d -> listFiles(d)).toMap
     val basis = basisByDir.values.flatten.toSet
@@ -439,8 +457,12 @@ object Layout {
     beforeCommit()
     // 4. catch-up: files admitted into affected partitions since the
     // basis snapshot re-enter the overwrite, minus the doomed ids;
-    // delta is append-sized, so its extra scan is request-scale
-    val delta = affectedDirs.flatMap(d => listFiles(d) -- basisByDir(d)).toSet
+    // delta is append-sized, so its extra scan is request-scale. Kept
+    // PER-DIRECTORY: the drop gate below must know which files the
+    // rewrite consumed for each fully-doomed partition.
+    val deltaByDir: Map[org.apache.hadoop.fs.Path, Set[String]] =
+      affectedDirs.map(d => d -> (listFiles(d) -- basisByDir(d))).toMap
+    val delta = deltaByDir.values.flatten.toSet
     val toWrite =
       if (delta.isEmpty) survivorsOf(basis)
       else survivorsOf(basis).unionByName(survivorsOf(delta))
@@ -465,18 +487,28 @@ object Layout {
     try {
       afterCommit()
       // 5. drop the partitions that emitted no survivors. The gate is
-      // FILE-SET IDENTITY, not the discovery counts: a partition whose
-      // directory still holds exactly its basis files received nothing
-      // from the overwrite (fully doomed, no catch-up re-admission) and
-      // nothing concurrent — safe to drop. Any change means rows were
-      // re-admitted (by the overwrite's catch-up or a concurrent append
-      // racing the commit) and the partition must keep serving; a raced
-      // append that left doomed rows behind is the re-run-to-heal case.
-      // The explicit leaf delete after DROP is what makes the erasure
-      // physical on EXTERNAL tables (DROP PARTITION retains their files).
-      affected.filter(fullyDoomed.contains).foreach { v =>
+      // CONSUMED-FILE CONTAINMENT, not the discovery counts: a
+      // fully-doomed partition whose directory holds no file beyond
+      // the basis ∪ catch-up-delta set the rewrite READ received
+      // nothing from the overwrite (had any of those files carried a
+      // survivor, the dynamic overwrite would have replaced the
+      // directory's content) and nothing concurrent — every row it
+      // serves was consumed and doomed, so it drops even when a
+      // mid-erase append added more already-doomed rows (basis-identity
+      // alone would veto that drop and silently keep serving ALL the
+      // doomed rows). Files BEYOND the consumed set mean a concurrent
+      // writer raced the overwrite job itself: the partition keeps
+      // serving, and the residue check below decides loudly whether
+      // that race left doomed bytes behind. The explicit leaf delete
+      // after DROP is what makes the erasure physical on EXTERNAL
+      // tables (DROP PARTITION retains their files).
+      val unconsumedByVals = affected.filter(fullyDoomed.contains).map { v =>
         val dir = dirOf(v)
-        if (listFiles(dir) == basisByDir(dir)) {
+        v -> (listFiles(dir) -- basisByDir(dir) -- deltaByDir(dir))
+      }
+      unconsumedByVals.foreach { case (v, unconsumed) =>
+        if (unconsumed.isEmpty) {
+          val dir = dirOf(v)
           val spec = pcols.zip(v).map { case (c, raw) =>
             s"`$c`='${raw.replace("\\", "\\\\").replace("'", "\\'")}'"
           }.mkString(", ")
@@ -484,8 +516,195 @@ object Layout {
           if (fs.exists(dir)) fs.delete(dir, true)
         }
       }
+      // RESIDUE CHECK — never return success with doomed rows still
+      // served: a retained fully-doomed partition kept files the
+      // rewrite did not consume (a writer raced the overwrite job
+      // despite the marker). Read EXACTLY those files (append-sized)
+      // and fail loudly if any doomed id is among them — the erase is
+      // then incomplete-but-consistent and a re-run with the same ids
+      // heals (its discovery finds the residue again).
+      val unconsumed = unconsumedByVals.flatMap(_._2)
+      if (unconsumed.nonEmpty &&
+          !survivorless(spark, schema, loc, unconsumed, doomed, idCol))
+        throw new IllegalStateException(
+          s"erasePartitionedRows('$table'): a concurrent writer " +
+            s"committed doomed ids into a fully-doomed partition while " +
+            s"the rewrite job was running (${unconsumed.size} unconsumed " +
+            "files). The table serves consistently but the erase is " +
+            "INCOMPLETE — re-run it with the same ids to heal.")
     } finally spark.catalog.refreshTable(table)
+    clearErasingMarker(fs, loc)
     affected.length
+  }
+
+  /** True iff none of `files` (read under the table layout rooted at
+    * `loc`) contains an id from `doomed` — the erase's residue check,
+    * scoped to exactly the unconsumed file set. */
+  private def survivorless(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, loc: String,
+      files: Seq[String], doomed: DataFrame, idCol: String): Boolean =
+    spark.read.schema(schema).option("basePath", loc)
+      .parquet(files.sorted: _*)
+      .join(broadcast(doomed), Seq(idCol), "left_semi")
+      .isEmpty
+
+  // ------------------------------------------------------------------
+  // `_erasing` in-flight marker — enforcement of the erase's
+  // single-writer window
+  // ------------------------------------------------------------------
+
+  /** The `_erasing` marker: an advisory in-flight sibling at the table
+    * location (the `_basis`/fold-ledger idiom applied to the one race
+    * the erase's commit-time catch-up cannot close — an append
+    * committing into an affected partition while the overwrite JOB is
+    * running, which dynamic overwrite silently replaces at its commit;
+    * milliseconds at test scale, MINUTES on a 100 TB affected-partition
+    * rewrite). [[erasePartitionedRows]] writes it before the basis
+    * snapshot and retires it on completion; the library's own corpus
+    * writers ([[appendPartitionedRows]], the streaming segment sinks
+    * via [[requireNotUnderErase]]) consult it at commit time and
+    * LOUDLY REFUSE writes into partitions under erase — an append is
+    * retried after the erase, never silently dropped. The residual
+    * window is a writer that passed its check just before the marker
+    * appeared and commits much later; the erase's residue check turns
+    * even that into a loud incomplete-erase error, never silence.
+    * Underscore-prefixed, so Spark's file listings (and the erase's
+    * own basis/catch-up listings) never see it as data. Format: one
+    * header line, then one affected partition directory URI per line. */
+  private val ErasingMarkerName = "_erasing"
+  private val ErasingMarkerHeader = "graft-erasing-v1"
+
+  private def erasingMarkerPath(loc: String): org.apache.hadoop.fs.Path =
+    // Path(parent, child) (not string concat): survives the filesystem
+    // ROOT, which the ancestor walk of requireNotUnderErase reaches
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), ErasingMarkerName)
+
+  private def writeErasingMarker(fs: org.apache.hadoop.fs.FileSystem,
+      loc: String, affectedDirs: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val out = fs.create(erasingMarkerPath(loc), true)
+    try out.write((ErasingMarkerHeader +: affectedDirs.map(_.toString))
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def clearErasingMarker(fs: org.apache.hadoop.fs.FileSystem,
+      loc: String): Unit = {
+    val p = erasingMarkerPath(loc)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** The affected partition directory URIs of a live `_erasing` marker
+    * under `dir`, or None when no erase is in flight. Tolerates a
+    * foreign/garbled file of the same name (refusing writes on garbage
+    * would wedge ingest on a typo'd touch). */
+  private[graft] def readErasingMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Seq[String]] = {
+    val p = erasingMarkerPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+      val lines = new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      if (lines.headOption.contains(ErasingMarkerHeader)) Some(lines.tail)
+      else None
+    }
+  }
+
+  /** Whether an erase currently holds `table`'s in-flight marker —
+    * diagnostic surface for operators deciding whether to re-run a
+    * crashed erase (the marker is retired only on completion). */
+  def eraseInFlight(spark: SparkSession, table: String): Boolean = {
+    val loc = tableLocation(spark, table)
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readErasingMarker(fs, loc).isDefined
+  }
+
+  /** The library's APPEND verb for a partitioned corpus table — the
+    * ingest-side half of the erase's single-writer contract: target
+    * partition values are resolved from the append itself (one
+    * append-sized distinct), and if any of them is under a live
+    * [[erasePartitionedRows]] marker the append REFUSES LOUDLY instead
+    * of racing the rewrite (where a commit landing mid-job would be
+    * silently replaced at the overwrite's commit — data loss). Appends
+    * into partitions not under erase (and into new partition values)
+    * proceed normally; a refused append is safe to retry after the
+    * erase completes (or after re-running a crashed erase, which
+    * retires the marker). */
+  def appendPartitionedRows(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val pcols = catalog.getTableMetadata(ident).partitionColumnNames
+    require(pcols.nonEmpty,
+      s"appendPartitionedRows: '$table' is unpartitioned — use a plain " +
+        "append; the erase-marker contract guards partitioned corpora")
+    val loc = tableLocation(spark, table)
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readErasingMarker(fs, loc).foreach { affected =>
+      val affectedSet = affected.map(_.stripSuffix("/")).toSet
+      // append-sized distinct of the rows' target partitions, resolved
+      // to catalog locations exactly as the erase resolved its set — a
+      // target value with no catalog partition yet cannot be under
+      // erase (the erase only markers partitions that exist)
+      val locByVals = catalog.listPartitions(ident)
+        .map(p => pcols.map(p.spec(_)) ->
+          new org.apache.hadoop.fs.Path(p.location).toString.stripSuffix("/"))
+        .toMap
+      val targets = df.select(pcols.map(col): _*).distinct().collect()
+        .map(r => pcols.indices.map(i => String.valueOf(r.get(i))))
+      val hit = targets.filter(v =>
+        locByVals.get(v).exists(affectedSet.contains))
+      if (hit.nonEmpty) throw new IllegalStateException(
+        s"appendPartitionedRows('$table'): partitions " +
+          hit.map(_.mkString("/")).mkString("[", ", ", "]") +
+          " are under a live erase (_erasing marker present) — an " +
+          "append committing during the erase's overwrite job would be " +
+          "silently replaced. Retry after the erase completes; if it " +
+          "crashed, re-run it to heal (which retires the marker).")
+    }
+    // positional insertInto: select in table-schema order first
+    df.select(spark.table(table).columns.map(col): _*)
+      .write.mode("append").insertInto(table)
+  }
+
+  /** Commit-time guard for any library writer targeting `dir`: refuses
+    * (loudly) when `dir` lies inside a partition currently under erase
+    * — i.e. some ancestor directory holds a live `_erasing` marker
+    * whose affected-partition set covers `dir`. Walks the ancestor
+    * chain once (path-depth-bounded metadata probes, no data read);
+    * the streaming segment sinks call this per micro-batch. */
+  def requireNotUnderErase(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val target = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+    p = fs.makeQualified(p)
+    while (p != null) {
+      readErasingMarker(fs, p.toString).foreach { affected =>
+        val hit = affected.map(a => fs.makeQualified(
+          new org.apache.hadoop.fs.Path(a)).toString.stripSuffix("/") + "/")
+          .filter(a => target.startsWith(a) || a.startsWith(target))
+        if (hit.nonEmpty) throw new IllegalStateException(
+          s"write into $dir refused: it overlaps partitions under a " +
+            s"live erase (${hit.mkString(", ")}) — a commit landing " +
+            "during the erase's overwrite job would be silently " +
+            "replaced. Retry after the erase completes (a crashed " +
+            "erase is healed, and its marker retired, by re-running it).")
+      }
+      p = p.getParent
+    }
   }
 
   /** [[erasePartitionedRows]] for an UNPARTITIONED corpus table: with

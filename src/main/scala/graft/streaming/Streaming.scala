@@ -892,7 +892,14 @@ object Streaming {
     * writes to `outDir/batch=<id>` (overwrite — a replayed batch
     * rewrites its own segment, the lakehouse ingest contract shared with
     * [[zOrderedSink]]). The micro-batch is persisted across the sink's
-    * passes (emptiness probe + the survivors plan re-reads it). */
+    * passes (emptiness probe + the survivors plan re-reads it).
+    * ERASE-MARKER contract: every non-empty batch consults
+    * [[graft.operators.Layout.requireNotUnderErase]] at commit time —
+    * a segment landing inside a partition subtree under a live corpus
+    * erase fails the micro-batch LOUDLY (checkpoint replays it after
+    * the erase) instead of being silently replaced by the erase's
+    * overwrite commit. Path-depth-bounded metadata probes per batch,
+    * no data read. */
   private def segmentSink(stream: DataFrame, outDir: String,
       checkpoint: Option[String],
       write: (DataFrame, String) => Unit =
@@ -907,8 +914,11 @@ object Streaming {
         val pinned = batch.persist()
         try {
           // empty micro-batches (source ticks) write no segment
-          if (!pinned.isEmpty)
+          if (!pinned.isEmpty) {
+            graft.operators.Layout.requireNotUnderErase(
+              batch.sparkSession, outDir)
             write(transform(pinned), s"$outDir/batch=$id")
+          }
         } finally pinned.unpersist()
       }
     val w = trigger.fold(w0)(w0.trigger)

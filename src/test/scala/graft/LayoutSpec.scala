@@ -344,6 +344,175 @@ class LayoutSpec extends SparkSpec {
       "doomed ids present in raw files after the catch-up erase")
   }
 
+  test("erasePartitionedRows: a mid-erase append of ONLY already-doomed " +
+      "ids into a fully-doomed partition cannot veto the drop — the " +
+      "erase still completes physically (the silent-failure regression)") {
+    import graft.sources.Sources
+    val table = "layout_erase_doomed_delta"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "a"), (2L, 20, "a"), (3L, 30, "b"), (4L, 40, "b"),
+      (5L, 50, "c"), (6L, 60, "c"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    // doom one row of 'b' and ALL of 'c'; a raw (marker-bypassing)
+    // writer appends a row whose id is ITSELF doomed into 'c' mid-erase
+    // — the catch-up filters it to zero survivors, so the overwrite
+    // never touches 'c'; the consumed-file drop gate must still drop it
+    val n = Layout.erasePartitionedRows(spark, table,
+      Seq(3L, 5L, 6L, 9L).toDF("id"),
+      beforeCommit = () =>
+        Seq((9L, 90, "c")).toDF("id", "v", "part")
+          .write.mode("append").insertInto(table),
+      afterCommit = () => ())
+    assert(n == 2, s"expected 2 affected partitions, got $n")
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L),
+      "doomed rows still served after a doomed-only mid-erase append")
+    assert(Sources.tableDataFiles(spark, table).forall(!_.contains("part=c")),
+      "fully-doomed partition re-populated ONLY by doomed ids was not " +
+        "dropped — the erase silently failed")
+    assert(spark.read.parquet(Sources.tableDataFiles(spark, table): _*)
+      .filter(col("id").isin(3L, 5L, 6L, 9L)).isEmpty,
+      "doomed ids present in raw files")
+    assert(!Layout.eraseInFlight(spark, table),
+      "completed erase left its _erasing marker behind")
+  }
+
+  test("erasePartitionedRows residue check: a writer racing the " +
+      "overwrite JOB itself with doomed bytes makes the erase fail " +
+      "LOUDLY (never silent success); a re-run with the same ids heals") {
+    import graft.sources.Sources
+    val table = "layout_erase_residue"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "a"), (2L, 20, "a"), (3L, 30, "b"), (4L, 40, "b"),
+      (5L, 50, "c"), (6L, 60, "c"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    val doomed = Seq(3L, 5L, 6L, 9L).toDF("id")
+    // the afterCommit hook lands INSIDE the job window (after the
+    // catch-up listing consumed its delta): a marker-bypassing writer
+    // commits a doomed id into fully-doomed 'c' — unconsumed by the
+    // rewrite, so the drop is vetoed and the residue check must throw
+    val e = intercept[IllegalStateException] {
+      Layout.erasePartitionedRows(spark, table, doomed,
+        beforeCommit = () => (),
+        afterCommit = () =>
+          Seq((9L, 90, "c")).toDF("id", "v", "part")
+            .write.mode("append").insertInto(table))
+    }
+    assert(e.getMessage.contains("INCOMPLETE"),
+      s"wrong failure shape: ${e.getMessage}")
+    // consistent (never torn): survivors serve, the raced partition
+    // keeps serving everything it held
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 5L, 6L, 9L))
+    assert(Layout.eraseInFlight(spark, table),
+      "an incomplete erase must keep its marker so appends stay refused")
+    // re-run with the same ids converges and completes the erase
+    assert(Layout.erasePartitionedRows(spark, table, doomed) == 1)
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(Sources.tableDataFiles(spark, table).forall(!_.contains("part=c")))
+    assert(!Layout.eraseInFlight(spark, table))
+  }
+
+  test("_erasing marker contract: the library append verb refuses " +
+      "partitions under erase (loudly, retry-able), admits unaffected " +
+      "ones mid-erase, and resumes after the marker retires") {
+    import graft.sources.Sources
+    val table = "layout_erase_marker"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "a"), (2L, 20, "a"), (3L, 30, "b"), (4L, 40, "b"),
+      (5L, 50, "c"), (6L, 60, "c"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    var refusedMsg = ""
+    val n = Layout.erasePartitionedRows(spark, table,
+      Seq(3L, 5L, 6L).toDF("id"),
+      beforeCommit = () => {
+        assert(Layout.eraseInFlight(spark, table))
+        // an append into an affected partition is REFUSED, not raced
+        refusedMsg = intercept[IllegalStateException] {
+          Layout.appendPartitionedRows(spark, table,
+            Seq((7L, 70, "b")).toDF("id", "v", "part"))
+        }.getMessage
+        // a segment sink targeting the affected partition's subtree is
+        // refused by the same commit-time guard; elsewhere is fine
+        val bLoc = spark.sessionState.catalog
+          .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .find(_.spec("part") == "b").get.location.toString
+        intercept[IllegalStateException] {
+          Layout.requireNotUnderErase(spark, s"$bLoc/ingest_segments")
+        }
+        Layout.requireNotUnderErase(spark, "/tmp/graft-test/elsewhere")
+        // an append into an UNaffected partition proceeds mid-erase
+        Layout.appendPartitionedRows(spark, table,
+          Seq((8L, 80, "a")).toDF("id", "v", "part"))
+      },
+      afterCommit = () => ())
+    assert(n == 2)
+    assert(refusedMsg.contains("under a live erase"),
+      s"refusal must name the erase: $refusedMsg")
+    // marker retired on completion; the refused append now succeeds
+    assert(!Layout.eraseInFlight(spark, table))
+    Layout.appendPartitionedRows(spark, table,
+      Seq((7L, 70, "b")).toDF("id", "v", "part"))
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 7L, 8L),
+      "mid-erase unaffected append or post-erase retry lost")
+    // a CRASHED erase keeps refusing until the re-run heals
+    intercept[RuntimeException] {
+      Layout.erasePartitionedRows(spark, table, Seq(4L).toDF("id"),
+        beforeCommit = () => throw new RuntimeException("kill"),
+        afterCommit = () => ())
+    }
+    assert(Layout.eraseInFlight(spark, table),
+      "a crashed erase must leave the marker up")
+    intercept[IllegalStateException] {
+      Layout.appendPartitionedRows(spark, table,
+        Seq((10L, 100, "b")).toDF("id", "v", "part"))
+    }
+    assert(Layout.erasePartitionedRows(spark, table, Seq(4L).toDF("id")) == 1)
+    assert(!Layout.eraseInFlight(spark, table))
+    Layout.appendPartitionedRows(spark, table,
+      Seq((10L, 100, "b")).toDF("id", "v", "part"))
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 7L, 8L, 10L))
+  }
+
+  test("erasePartitionedRows: a partition relocated to a SIBLING " +
+      "directory sharing the location as a string prefix refuses (the " +
+      "path-component guard)") {
+    import graft.sources.Sources
+    val table = "layout_erase_reloc"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "a"), (2L, 20, "b"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    val loc = new org.apache.hadoop.fs.Path(Layout.tableLocation(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // relocate part=b to <loc>_ext/part=b — OUTSIDE the table location
+    // but sharing it as a raw string prefix (the guard's blind spot
+    // before the path-component fix)
+    val ext = new org.apache.hadoop.fs.Path(loc.toString + "_ext/part=b")
+    fs.mkdirs(ext.getParent)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(loc, "part=b"), ext))
+    spark.sql(s"ALTER TABLE `$table` PARTITION (part='b') " +
+      s"SET LOCATION '${ext.toString}'")
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() == 2, "relocated partition unreadable")
+    val e = intercept[IllegalArgumentException] {
+      Layout.erasePartitionedRows(spark, table, Seq(2L).toDF("id"))
+    }
+    assert(e.getMessage.contains("outside the table location"),
+      s"wrong refusal: ${e.getMessage}")
+    fs.delete(new org.apache.hadoop.fs.Path(loc.toString + "_ext"), true)
+  }
+
   test("erasePartitionedRows kill windows: a crash before the commit " +
       "leaves the table byte-identical; a crash between commit and drop " +
       "serves consistently and a re-run converges") {
