@@ -240,6 +240,11 @@ object Search {
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_stats"))
       .saveAsTable(s"${table}_stats")
+    // read-your-own-writes under a nonzero stamp TTL: every stats
+    // mutation funnels through here, so dropping this session's cached
+    // constants entry at commit keeps the mutating session exact while
+    // remote sessions converge within their TTL window
+    statsFor(spark).remove(table)
   }
 
   /** INCREMENTAL UPSERT for the persisted BM25 artifact — the search
@@ -668,6 +673,9 @@ object Search {
     val captured = fresh.join(found, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("doclen"), lit(0L)).as("doclen"))
     graft.operators.Tombstones.append(spark, table, captured)
+    // read-your-own-writes for the deleting session even if a
+    // deployment explicitly set the COMPLIANCE TTL dial nonzero
+    statsFor(spark).remove(tombKey(table))
   }
 
   // tombstone aggregates are cached beside the corpus constants (same
@@ -678,11 +686,16 @@ object Search {
   private def tombKey(table: String): String = table + "\u0000tomb"
 
   /** The artifact's tombstone correction — (deleted n, deleted Σlen)
-    * over the deduplicated tombstone set; (0, 0) when none exist. */
+    * over the deduplicated tombstone set; (0, 0) when none exist.
+    * Compliance-dialed: this cache is what makes a committed takedown
+    * VISIBLE to a serving session, so it ignores the general latency
+    * TTL and re-stamps every call unless the deployment explicitly
+    * sets `spark.graft.stampCheckTtlMs.compliance`. */
   private def tombstoneAgg(spark: org.apache.spark.sql.SparkSession,
       table: String): (Long, Long) = {
     val (n, _, len) = graft.sources.Sources.stamped(spark, statsFor(spark),
-      tombKey(table), graft.operators.Tombstones.tableOf(table)) {
+      tombKey(table), graft.operators.Tombstones.tableOf(table),
+      compliance = true) {
       graft.operators.Tombstones.read(spark, table).map { t =>
         val idCol = t.columns.head
         val r = t.dropDuplicates(idCol)

@@ -143,6 +143,9 @@ object Similarity {
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_meta"))
       .saveAsTable(s"${table}_meta")
+    // read-your-own-writes under a nonzero stamp TTL: the rebuilding
+    // session must serve its own new meta immediately
+    cachesFor(spark).lshMeta.remove(table)
   }
 
   /** Per-session driver-side caches of build-time constants (LSH meta,
@@ -525,6 +528,8 @@ object Similarity {
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_centroids"))
       .saveAsTable(s"${table}_centroids")
+    // read-your-own-writes under a nonzero stamp TTL
+    cachesFor(spark).centroids.remove(table)
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
@@ -705,6 +710,9 @@ object Similarity {
     graft.sources.Sources.promoteTable(spark, s"${next}_centroids",
       s"${table}_centroids")
     graft.sources.Sources.promoteTable(spark, next, table)
+    // read-your-own-writes under a nonzero stamp TTL: the promoting
+    // session must probe with the new generation's centroids now
+    cachesFor(spark).centroids.remove(table)
     // retire the tombstones the staged retrain consumed (their rows are
     // physically absent from the promoted generation); mid-build deletes
     // stay residual — still masked at serve, reclaimed next cadence. A
@@ -1105,6 +1113,8 @@ object Similarity {
       .write.mode("overwrite").format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, s"${table}_codebooks"))
       .saveAsTable(s"${table}_codebooks")
+    // read-your-own-writes under a nonzero stamp TTL
+    cachesFor(spark).codebooks.remove(table)
   }
 
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, table: String): PqIndex = {
@@ -1308,6 +1318,9 @@ object Similarity {
     graft.sources.Sources.promoteTable(spark, s"${next}_codebooks",
       s"${table}_codebooks")
     graft.sources.Sources.promoteTable(spark, next, table)
+    // read-your-own-writes under a nonzero stamp TTL: the promoting
+    // session must encode/probe with the new generation's codebooks now
+    cachesFor(spark).codebooks.remove(table)
     // retire consumed tombstones (promoteIvfGeneration's discipline)
     graft.operators.Tombstones.retireConsumed(spark, table, consumedTomb)
     graft.sources.Sources.replaceTable(spark, s"${next}_basis")

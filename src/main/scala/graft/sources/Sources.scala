@@ -510,15 +510,25 @@ object Sources {
     * stamped tables are 1-row/KB-scale siblings, so the listing is
     * metadata-only and cheap beside any query. */
   private[graft] def tableStamp(spark: SparkSession, table: String): String = {
-    stampListings.incrementAndGet()
+    val n = stampListings.incrementAndGet()
+    // the promised LIST-pressure consumer: one INFO line per 4096
+    // listings (never per-call — the log must stay cheaper than the
+    // listings it reports on)
+    if ((n & 0xfff) == 0L)
+      stampLog.info(s"generation-stamp listings: $n this JVM — on an " +
+        "object store each is 1-3 LIST round-trips; tune " +
+        "spark.graft.stampCheckTtlMs if this tracks query rate")
     if (!spark.catalog.tableExists(table)) ""
     else tableDataFiles(spark, table).sorted.mkString("\n")
   }
 
   /** Count of generation-stamp listings taken — observability for the
-    * stamp-TTL contract (specs assert a TTL'd serve path stops paying
-    * per-call listings; a dashboard watches LIST pressure per query). */
+    * stamp-TTL contract: specs assert a TTL'd serve path stops paying
+    * per-call listings, and [[tableStamp]] surfaces the running count
+    * on the `graft.stamps` logger every 4096 listings (the LIST-
+    * pressure signal a deployment watches when deciding the TTL). */
   private[graft] val stampListings = new java.util.concurrent.atomic.AtomicLong
+  private val stampLog = org.slf4j.LoggerFactory.getLogger("graft.stamps")
 
   /** Opt-in BOUNDED STALENESS for stamp checks:
     * `spark.graft.stampCheckTtlMs` (default 0 = every lookup re-lists).
@@ -527,13 +537,24 @@ object Sources {
     * round-trips added to every query's latency on s3a/gs/abfs. With a
     * TTL of a few hundred ms, a hot serve path pays the listing once
     * per window instead of once per call, and cross-session coherence
-    * degrades only from "next call" to "within the TTL" — a bounded
-    * window the compliance story absorbs (the mutation is already
-    * committed; remote sessions converge at most TTL later). 0 keeps
-    * the exact next-call contract every coherence spec pins. */
-  private def stampTtlNanos(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.stampCheckTtlMs")
-      .map(_.toLong).getOrElse(0L) * 1000000L
+    * degrades only from "next call" to "within the TTL". 0 keeps the
+    * exact next-call contract every coherence spec pins.
+    *
+    * COMPLIANCE CARVE-OUT: the general dial governs latency-tolerant
+    * constants only (corpus stats, LSH meta, IVF centroids, PQ
+    * codebooks). Caches on the compliance path — the tombstone-mask
+    * aggregates that make a takedown visible, and the build-once
+    * fingerprints that decide whether an artifact may be REUSED instead
+    * of rebuilt from a (possibly just-erased) source — read their own
+    * dial, `spark.graft.stampCheckTtlMs.compliance`, DEFAULT 0: setting
+    * the latency dial can never silently widen the takedown-visibility
+    * or stale-artifact-reuse window. A deployment that accepts a
+    * bounded compliance window sets the second dial explicitly. */
+  private def stampTtlNanos(spark: SparkSession, compliance: Boolean): Long = {
+    val key = if (compliance) "spark.graft.stampCheckTtlMs.compliance"
+      else "spark.graft.stampCheckTtlMs"
+    spark.conf.getOption(key).map(_.toLong).getOrElse(0L) * 1000000L
+  }
 
   /** Look up `key` in a stamp-keyed cache: the cached value is served
     * only while `stampTable`'s generation stamp still matches what the
@@ -547,13 +568,18 @@ object Sources {
     * cache: a mutation committed by ANY session re-keys AND re-lists in
     * every other live session on its next serve call — or within the
     * configured TTL window (see [[stampTtlNanos]]), which skips the
-    * listing entirely while fresh. */
+    * listing entirely while fresh. `compliance = true` routes the
+    * lookup to the compliance TTL dial (default 0 — exact next-call
+    * coherence regardless of the general latency dial); same-session
+    * mutators additionally drop their own entries at commit
+    * (read-your-own-writes holds under any TTL). */
   private[graft] def stamped[T](spark: SparkSession,
       cache: scala.collection.concurrent.TrieMap[String, (String, Long, T)],
-      key: String, stampTable: String, alsoRefresh: Seq[String] = Nil)(
+      key: String, stampTable: String, alsoRefresh: Seq[String] = Nil,
+      compliance: Boolean = false)(
       compute: => T): T = {
     val now = System.nanoTime()
-    val ttl = stampTtlNanos(spark)
+    val ttl = stampTtlNanos(spark, compliance)
     cache.get(key) match {
       case Some((_, at, v)) if ttl > 0 && now - at < ttl => v
       case cached =>
@@ -593,10 +619,14 @@ object Sources {
   /** The source fingerprint a build-once artifact was built from — the
     * 1-row `<table>_fp` sibling every `*IndexFor` helper writes after a
     * fingerprinted build and checks before reuse. None = never stamped
-    * (a pre-fingerprint or fingerprint-less build). */
+    * (a pre-fingerprint or fingerprint-less build). Compliance-dialed:
+    * a stale cached fingerprint is what would let a build-once helper
+    * REUSE an artifact derived from a source that has since been
+    * erased, so this cache ignores the general latency TTL
+    * ([[stampTtlNanos]]). */
   private[graft] def readFingerprint(spark: SparkSession,
       table: String): Option[String] =
-    stamped(spark, fpFor(spark), table, s"${table}_fp") {
+    stamped(spark, fpFor(spark), table, s"${table}_fp", compliance = true) {
       if (!spark.catalog.tableExists(s"${table}_fp")) None
       else spark.table(s"${table}_fp").limit(1).collect().headOption
         .map(_.getString(0))
@@ -634,8 +664,11 @@ object Sources {
     * pays on every table scan, so it holds at any scale a table scan
     * holds at. */
   private[graft] def tableDataFiles(spark: SparkSession,
-      table: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(tableLocationOf(spark, table))
+      table: String): Seq[String] =
+    dataFilesUnder(spark, tableLocationOf(spark, table))
+
+  private def dataFilesUnder(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
     else {
@@ -652,6 +685,20 @@ object Sources {
       out.result()
     }
   }
+
+  /** [[tableDataFiles]] scoped to the partitions whose spec satisfies
+    * `pred` — resolved through the CATALOG's per-partition locations
+    * (the same discipline `erasePartitionedRows` pins its basis with),
+    * never a constructed `loc/col=value` path, so a relocated or
+    * renamed partition reads correctly instead of silently reading
+    * nothing. Metadata-only listings over exactly those directories. */
+  private[graft] def partitionDataFiles(spark: SparkSession, table: String,
+      pred: Map[String, String] => Boolean): Seq[String] =
+    spark.sessionState.catalog
+      .listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .filter(p => pred(p.spec))
+      .flatMap(p => dataFilesUnder(spark,
+        new org.apache.hadoop.fs.Path(p.location).toString))
 
   /** BUILD BASIS of a staged generation: exactly the live-table files
     * its build consumed, committed as the one-table `<staged>_basis`

@@ -174,6 +174,65 @@ class DeleteSpec extends SparkSpec {
       "session B served stale constants after A's upsert")
   }
 
+  test("compliance TTL carve-out: a takedown committed in session A is " +
+      "masked on session B's NEXT serve even when the latency TTL is " +
+      "set — the general dial cannot widen takedown visibility") {
+    val table = "del_bm25_ttl"
+    resetBm25(table)
+    Search.saveBm25Index(Search.buildBm25Index(docs, "doc_id", "text"),
+      table, buckets = 4)
+    val sessionB = spark.newSession()
+    spark.conf.set("spark.graft.stampCheckTtlMs", "60000")
+    sessionB.conf.set("spark.graft.stampCheckTtlMs", "60000")
+    try {
+      // prime B's constants caches inside its TTL window
+      val beforeB = Search.loadBm25Index(sessionB, table)
+      val direct = Search.buildBm25Index(liveDocs, "doc_id", "text")
+      assert(beforeB.nDocs != direct.nDocs,
+        "premise: pre-delete constants differ from post-delete truth")
+      Search.deleteBm25Docs(spark, table, deadDocs.select(col("doc_id")))
+      // B's NEXT serve must be masked: the tombstone aggregate is a
+      // COMPLIANCE cache and ignores the general latency dial
+      val afterB = Search.loadBm25Index(sessionB, table)
+      assert(afterB.nDocs == direct.nDocs &&
+        afterB.totalLen == direct.totalLen,
+        s"session B served unmasked constants inside its latency TTL " +
+          s"window: (${afterB.nDocs}, ${afterB.totalLen}) vs direct " +
+          s"(${direct.nDocs}, ${direct.totalLen})")
+      assert(afterB.postings
+        .join(broadcast(deadDocs.select(col("doc_id"))), Seq("doc_id"),
+          "left_semi").isEmpty,
+        "deleted docs still served to session B inside its TTL window")
+    } finally {
+      spark.conf.unset("spark.graft.stampCheckTtlMs")
+      sessionB.conf.unset("spark.graft.stampCheckTtlMs")
+    }
+  }
+
+  test("read-your-own-writes under a nonzero latency TTL: a session's " +
+      "own upsert invalidates its cached constants at commit, so it " +
+      "serves the merged stats immediately") {
+    val table = "del_bm25_ryow"
+    resetBm25(table)
+    Search.saveBm25Index(Search.buildBm25Index(docs, "doc_id", "text"),
+      table, buckets = 4)
+    spark.conf.set("spark.graft.stampCheckTtlMs", "60000")
+    try {
+      val before = Search.loadBm25Index(spark, table) // primes the window
+      val fresh = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Search.upsertBm25Index(fresh, "doc_id", "text", table)
+      val direct = Search.buildBm25Index(docs.unionByName(
+        fresh.select(col("doc_id"), col("text"))), "doc_id", "text")
+      assert(before.nDocs != direct.nDocs, "premise: the upsert grows n_docs")
+      val after = Search.loadBm25Index(spark, table)
+      assert(after.nDocs == direct.nDocs && after.totalLen == direct.totalLen,
+        s"the upserting session served its own PRE-upsert constants " +
+          s"inside the TTL window: (${after.nDocs}, ${after.totalLen}) " +
+          s"vs direct (${direct.nDocs}, ${direct.totalLen})")
+    } finally spark.conf.unset("spark.graft.stampCheckTtlMs")
+  }
+
   test("BM25 reclaim: compaction physically erases the deleted docs, " +
       "corrects stats exactly once, and retires the tombstones") {
     val table = "del_bm25_reclaim"

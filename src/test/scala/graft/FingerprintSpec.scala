@@ -122,33 +122,57 @@ class FingerprintSpec extends SparkSpec {
       "changed fingerprint must rebuild")
   }
 
-  test("stamp TTL: within the bounded-staleness window a stamped lookup " +
-      "serves without any listing; the default (0) re-checks every call") {
+  test("stamp TTL dials: the general latency dial silences a latency-" +
+      "tolerant cache's listings; the COMPLIANCE caches (fingerprints) " +
+      "keep re-checking until their own dial is set explicitly") {
     val table = "fp_ttl_spec"
     Sources.replaceTable(spark, table)
     Sources.replaceTable(spark, s"${table}_fp")
     Sources.writeFingerprint(spark, table, "gen1")
-    // default TTL 0: every lookup pays exactly its stamp listing
+    // default (both dials 0): every lookup pays exactly its stamp listing
     val n0 = Sources.stampListings.get()
     assert(Sources.readFingerprint(spark, table) == Some("gen1"))
     assert(Sources.stampListings.get() > n0,
       "a TTL-0 lookup skipped the stamp check")
+    // the GENERAL latency dial silences a latency-tolerant stamped
+    // cache within its window ...
+    val general = scala.collection.concurrent
+      .TrieMap.empty[String, (String, Long, Int)]
+    def lookupGeneral(): Int =
+      Sources.stamped(spark, general, "k", s"${table}_fp")(42)
     spark.conf.set("spark.graft.stampCheckTtlMs", "60000")
     try {
-      // prime the window (this call still verifies the stamp) ...
+      assert(lookupGeneral() == 42) // primes the window
+      val g1 = Sources.stampListings.get()
+      assert(lookupGeneral() == 42 && lookupGeneral() == 42)
+      assert(Sources.stampListings.get() == g1,
+        "a general-dial lookup inside the TTL window paid a listing")
+      // ... but the COMPLIANCE fingerprint cache is carved out: setting
+      // the latency dial must NOT widen the stale-artifact-reuse
+      // window, so it still re-stamps every call
       assert(Sources.readFingerprint(spark, table) == Some("gen1"))
-      val n1 = Sources.stampListings.get()
-      // ... then lookups inside the window take ZERO listings
+      val c1 = Sources.stampListings.get()
+      assert(Sources.readFingerprint(spark, table) == Some("gen1"))
+      assert(Sources.stampListings.get() > c1,
+        "the general latency dial silenced a COMPLIANCE cache's " +
+          "stamp checks — the carve-out regressed")
+      // the compliance window is its OWN explicit opt-in
+      spark.conf.set("spark.graft.stampCheckTtlMs.compliance", "60000")
+      assert(Sources.readFingerprint(spark, table) == Some("gen1"))
+      val c2 = Sources.stampListings.get()
       assert(Sources.readFingerprint(spark, table) == Some("gen1"))
       assert(Sources.readFingerprint(spark, table) == Some("gen1"))
-      assert(Sources.stampListings.get() == n1,
-        "a lookup inside the TTL window paid a stamp listing")
-      // bounded staleness is the documented trade: a rewrite committed
-      // inside the window is NOT seen until it expires
+      assert(Sources.stampListings.get() == c2,
+        "a lookup inside the explicit compliance window paid a listing")
+      // read-your-own-writes holds inside any window: the writer
+      // re-primes its own session's entry
       Sources.writeFingerprint(spark, table, "gen2")
       assert(Sources.readFingerprint(spark, table) == Some("gen2"),
         "writeFingerprint must re-prime its own session's entry")
-    } finally spark.conf.unset("spark.graft.stampCheckTtlMs")
+    } finally {
+      spark.conf.unset("spark.graft.stampCheckTtlMs")
+      spark.conf.unset("spark.graft.stampCheckTtlMs.compliance")
+    }
     // back at TTL 0: the next lookup re-lists (exact next-call coherence)
     val n2 = Sources.stampListings.get()
     assert(Sources.readFingerprint(spark, table) == Some("gen2"))
