@@ -3723,10 +3723,16 @@ object Queries {
         docs.filter(col("source").isin("src3", "src7") &&
           col("doc_id") % 7 === 3).select(col("doc_id")))
     }
-    val loc = Layout.tableLocation(s, table)
+    // affected partitions' raw files resolved through the CATALOG (the
+    // erase's own basis discipline), never a constructed loc/source=v
+    // path that a relocated partition would silently turn into an
+    // empty (vacuously-passing) read
+    val affectedFiles = graft.sources.Sources.partitionDataFiles(s, table,
+      spec => spec.get("source").exists(Set("src3", "src7")))
     val erased = s.read
-      .parquet(s"$loc/source=src3", s"$loc/source=src7")
-      .agg((sum(when(col("doc_id") % 7 === 3, 1).otherwise(0)) === 0)
+      .parquet(affectedFiles: _*)
+      .agg((sum(when(col("doc_id") % 7 === 3, 1).otherwise(0)) === 0 &&
+        count(lit(1)) > 0)
         .as("__er"))
     s.table(table).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
@@ -3771,10 +3777,12 @@ object Queries {
         Search.buildBm25Index(s.table(corpus), "doc_id", "text"), index)
     }
     val doomedIds = docs.filter(doomedPred).select(col("doc_id"))
-    // gate A: physical erasure in the affected partitions' raw files
-    val loc = Layout.tableLocation(s, corpus)
+    // gate A: physical erasure in the affected partitions' raw files —
+    // resolved through the catalog's partition locations (gate B's
+    // discipline, and the erase's own), not constructed paths
     val corpusErased = s.read
-      .parquet(s"$loc/source=src3", s"$loc/source=src7")
+      .parquet(graft.sources.Sources.partitionDataFiles(s, corpus,
+        spec => spec.get("source").exists(Set("src3", "src7"))): _*)
       .join(broadcast(doomedIds), Seq("doc_id"), "left_semi")
       .agg((count(lit(1)) === 0).as("__ca"))
     // gate B: the artifact REBUILT from the erased corpus never

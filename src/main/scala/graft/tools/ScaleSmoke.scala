@@ -132,7 +132,8 @@ object ScaleSmoke {
       val known = ops.map(_._1).toSet +
         "neardedup" + "join3" + "join_skew" + "ivf_upsert" +
         "bm25_upsert" + "compact_outage" + "fold_wall" + "takedown" +
-        "takedown_vec" + "takedown_corpus" + "takedown_sketch"
+        "takedown_vec" + "takedown_corpus" + "takedown_sketch" +
+        "takedown_flat"
       val unknown = names -- known
       require(unknown.isEmpty, s"unknown ops: $unknown (known: $known)")
     }
@@ -740,6 +741,70 @@ object ScaleSmoke {
       println("{\"probe\":\"takedown_corpus\",\"sf\":\"" + sfDir + "\"," +
         tcRuns.map { case (k, (d, e)) =>
           f"""\"discovery_t$k\":$d%.3f,\"erase_t$k\":$e%.3f""" }
+          .mkString(",") + "}")
+    }
+
+    // ---------------------------------------------------------------
+    // UNPARTITIONED corpus erase ladder (round 16): eraseRowsFullRewrite
+    // is documented as "the expensive path by design" — this quantifies
+    // exactly how expensive, beside the partitioned erase's ladder,
+    // separating its two cost components:
+    //  - noop: a NO-MATCH erase — the LIMIT-1 semi probe's worst case
+    //    (nothing matches, so the short-circuit never fires and the
+    //    probe pays a full pass over the id column alone; nothing is
+    //    rewritten). The id-column-scan floor of the no-op gate.
+    //  - erase: the real call — the probe short-circuits on the first
+    //    doomed row, then the survivor FULL REWRITE runs as one staged
+    //    write (erased count riding it as two mid-plan observations)
+    //    plus the metadata-only promote. Grows with CORPUS bytes — the
+    //    linear wall that is the whole argument for partitioning the
+    //    corpus and using the partition-scoped variant.
+    // Row accounting asserted in-probe: erased count exact, survivor
+    // rows conserved, raw files clean of doomed ids.
+    // ---------------------------------------------------------------
+    if (opSelected("takedown_flat")) {
+      import graft.operators.Layout
+      def flatOnce(k: Int, timed: Boolean): (Double, Double) = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitionsFor(k).toString)
+        val corpus = frames(k)
+        val tbl = s"scale_td_flat_$k"
+        Seq(tbl, s"${tbl}__next").foreach(
+          graft.sources.Sources.replaceTable(spark, _))
+        corpus.write.mode("overwrite").format("parquet")
+          .options(graft.sources.Sources.stagedWriteOptions(spark, tbl))
+          .saveAsTable(tbl) // untimed build
+        val total = corpus.count()
+        val expectDoomed = corpus.filter(col("doc_id") % 7 === 3).count()
+        val t0 = System.nanoTime()
+        require(Layout.eraseRowsFullRewrite(spark, tbl,
+          corpus.select((col("doc_id") + 900000000L).as("doc_id"))) == 0L,
+          s"no-match erase rewrote rows at $k×")
+        val tNoop = (System.nanoTime() - t0) / 1e9
+        val doomed = corpus.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"))
+        val t1 = System.nanoTime()
+        val erased = Layout.eraseRowsFullRewrite(spark, tbl, doomed)
+        val tErase = (System.nanoTime() - t1) / 1e9
+        require(erased == expectDoomed,
+          s"erased $erased rows at $k×, expected $expectDoomed")
+        require(spark.table(tbl).count() == total - expectDoomed,
+          s"survivor count drifted at $k×")
+        require(spark.read
+          .parquet(graft.sources.Sources.tableDataFiles(spark, tbl): _*)
+          .join(broadcast(doomed), Seq("doc_id"), "left_semi").isEmpty,
+          s"doomed ids survived in the promoted generation's files at $k×")
+        graft.sources.Sources.replaceTable(spark, tbl)
+        if (timed) println(f"takedown_flat $k%3d×: noop $tNoop%.2fs  " +
+          f"erase $tErase%.2fs  ($expectDoomed of $total rows erased)")
+        (tNoop, tErase)
+      }
+      flatOnce(ks.head, timed = false) // warmup (codegen/JIT)
+      val tfRuns = ks.map(k => k -> flatOnce(k, timed = true))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      println("{\"probe\":\"takedown_flat\",\"sf\":\"" + sfDir + "\"," +
+        tfRuns.map { case (k, (n, e)) =>
+          f"""\"noop_t$k\":$n%.3f,\"erase_t$k\":$e%.3f""" }
           .mkString(",") + "}")
     }
 

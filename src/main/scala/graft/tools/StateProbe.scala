@@ -408,15 +408,34 @@ object StateProbe {
       val batch = spark.read.parquet(feed)
       val corpus = batch.filter(col("doc_id") % 7 === 0)
         .select("doc_id", "text")
+      // the BLOCKLIST path (round 16 — part of the sink since r14 but
+      // never under a kill/restart): retained takedown digests whose
+      // suppression must survive the replay exactly
+      val blockedDocs = batch.filter(col("doc_id") % 11 === 5)
+      val blocklist = blockedDocs
+        .select(graft.operators.Dedup.contentKey(col("text"),
+          normalize = false).as("fp"))
+        .distinct()
       // batch-funnel mirror: the sink dedups on raw-byte digests and
-      // anti-joins corpus digests — for the COUNT, plain text identity
-      // is the same partition (digests are collision-free here)
-      val expectedSurvivors = batch
-        .join(corpus.select("text").distinct(), Seq("text"), "left_anti")
-        .dropDuplicates("text")
-        .filter(TextAnalysis.qualityScore(col("text")) > 0.5 &&
-          graft.operators.Scrub.encodingClean(col("text")))
-        .count()
+      // anti-joins corpus + blocklist digests — for the COUNT, plain
+      // text identity is the same partition (digests collision-free)
+      def funnel(withBlocklist: Boolean): Long = {
+        val unblocked = batch
+          .join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+        val afterBlock =
+          if (withBlocklist) unblocked.join(
+            blockedDocs.select("text").distinct(), Seq("text"), "left_anti")
+          else unblocked
+        afterBlock.dropDuplicates("text")
+          .filter(TextAnalysis.qualityScore(col("text")) > 0.5 &&
+            graft.operators.Scrub.encodingClean(col("text")))
+          .count()
+      }
+      val expectedSurvivors = funnel(withBlocklist = true)
+      val suppressed = funnel(withBlocklist = false) - expectedSurvivors
+      require(suppressed > 0,
+        "probe premise broken: the blocklist suppresses nothing — the " +
+          "restart case would be vacuous")
       val out = s"$dir/restart_ingest/out"
       val ckpt = s"$dir/restart_ingest/ckpt"
       def start(throttled: Boolean): StreamingQuery = {
@@ -424,7 +443,7 @@ object StateProbe {
           s"$dir/restart_ingest/feed", "source=src0", maxFilesPerTrigger = 1)
         graft.streaming.Streaming.ingestCurationSink(stream, corpus,
           "text", "ts", out, delay = "30 days", checkpoint = Some(ckpt),
-          trigger = pacing(throttled))
+          trigger = pacing(throttled), blocklist = Some(blocklist))
       }
       val (before, replay, total) = killAndRestart(8, start)
       val segs = Option(new java.io.File(out).list()).toSeq.flatten
@@ -436,11 +455,19 @@ object StateProbe {
         f""""resume_total_sec":$total%.2f,"segments":$segs,""" +
         f""""survivor_rows":$survivors,""" +
         f""""expect_survivors":$expectedSurvivors,""" +
+        f""""blocklist_suppressed":$suppressed,""" +
         f""""checkpoint_state_bytes":${dirBytes(
           java.nio.file.Paths.get(ckpt).resolve("state"))}}""")
       require(survivors == expectedSurvivors,
         s"post-restart survivors $survivors != batch funnel " +
-          s"$expectedSurvivors — the resume double-admitted or lost rows")
+          s"$expectedSurvivors — the resume double-admitted, lost rows, " +
+          "or let a blocked digest through")
+      // the replayed output must carry NO blocked digest
+      require(spark.read.parquet(out)
+        .select(graft.operators.Dedup.contentKey(col("text"),
+          normalize = false).as("fp"))
+        .join(broadcast(blocklist), Seq("fp"), "left_semi").isEmpty,
+        "a blocklisted digest was admitted across the restart")
     }
 
     if (probes("restart_bm25")) {
