@@ -2281,6 +2281,52 @@ object Queries {
     Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 20)
   }
 
+  /** HYBRID RETRIEVAL, reciprocal-rank fusion: the lexical retriever's
+    * BM25 top-50 over documents.text and the vector retriever's exact
+    * cosine top-50 over the aligned embeddings table (vec_id ≡ doc_id in
+    * the fixture) fused with RRF (k0=60) into one top-25. Output is
+    * (doc_id, n_lists, rrf_rank) — n_lists pins which documents both
+    * retrievers agreed on; the fused double only orders, identically in
+    * both engines because RRF scores are exact functions of integer
+    * ranks. The oracle recomputes both rankings and the fusion in SQL. */
+  val q_hybrid_rrf: Q = (s, dir) => {
+    import graft.operators.{Fusion, Search}
+    val docs = t(s, dir, "documents").df
+    val emb = t(s, dir, "embeddings").df
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    val lex = Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 50)
+      .select(col("doc_id"), col("bm25_rank").as("rank"))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val vec = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 50)
+      .select(col("vec_id").as("doc_id"), row_number().over(w).as("rank"))
+    Fusion.rrf(Seq(lex, vec), "doc_id", "rank", topK = 25)
+      .orderBy(col("rrf_rank"))
+  }
+
+  /** HYBRID RETRIEVAL, weighted Borda fusion over the SAME two top-50
+    * rankings as [[q_hybrid_rrf]], lexical weighted 2× the vector side —
+    * the linear-decay, weight-taking alternative to RRF. Rank-exact
+    * doubles again, so the DuckDB re-derivation hash-matches. */
+  val q_hybrid_borda: Q = (s, dir) => {
+    import graft.operators.{Fusion, Search}
+    val docs = t(s, dir, "documents").df
+    val emb = t(s, dir, "embeddings").df
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    val lex = Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 50)
+      .select(col("doc_id"), col("bm25_rank").as("rank"))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val vec = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 50)
+      .select(col("vec_id").as("doc_id"), row_number().over(w).as("rank"))
+    Fusion.borda(Seq(lex -> 2.0, vec -> 1.0), "doc_id", "rank", topK = 25)
+      .orderBy(col("borda_rank"))
+  }
+
   /** LSH-ANN RECALL GATE (oracle-checked): the multi-table ANN top-20
     * (3 independent 8-bit tables, probe Hamming ≤ 4 each — per-table
     * miss probabilities multiply) must contain the entire exact cosine
@@ -4156,6 +4202,8 @@ object Queries {
     "q_partition_prune_multi" -> q_partition_prune_multi,
     "q_stream_partition_prune" -> q_stream_partition_prune,
     "q_sim_topk" -> q_sim_topk,
+    "q_hybrid_rrf" -> q_hybrid_rrf,
+    "q_hybrid_borda" -> q_hybrid_borda,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
     "q_sim_ivf" -> q_sim_ivf,
@@ -4263,6 +4311,76 @@ object Queries {
     * SQL body carries regex escapes an interpolator would mangle.) */
   private def bm25WithoutOracleSql(survivors: String): String =
     bm25WithoutTemplate.replace("__SURVIVORS__", survivors)
+
+  /** Shared by the two hybrid-retrieval gates: both retrievers' top-50
+    * rankings re-derived in SQL — the [[bm25OracleSql]] CTE chain for
+    * the lexical side, the q_sim_topk cosine ranking for the vector
+    * side — then fused per the parameterized per-list contribution.
+    * All contributions are exact functions of integer ranks (and the
+    * two list sizes), so the fused doubles are bit-identical to the
+    * Spark side's. */
+  private def hybridOracleSql(fusedCte: String, rankName: String): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      |  FROM documents
+      |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents) AS n,
+      |    (SELECT count(*) FROM tok2)::DOUBLE
+      |      / (SELECT count(*) FROM documents) AS avglen),
+      |terms(word) AS (VALUES ('hash'), ('join'), ('filter')),
+      |tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM tok2
+      |  WHERE word IN (SELECT word FROM terms) GROUP BY doc_id, word),
+      |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |bscored AS (
+      |  SELECT tf.doc_id,
+      |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+      |  FROM tf JOIN dfreq d USING (word)
+      |    JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN stats s
+      |  GROUP BY tf.doc_id),
+      |lex AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      |    FROM bscored)
+      |  WHERE r <= 50),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |vecr AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT vec_id AS doc_id, row_number() OVER (
+      |      ORDER BY list_dot_product(embedding::DOUBLE[], qv)
+      |        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |           * sqrt(list_dot_product(qv, qv))) DESC, vec_id) AS r
+      |    FROM embeddings, q)
+      |  WHERE r <= 50),
+      |fused AS (
+      |$fusedCte),
+      |agg AS (SELECT doc_id, sum(fs) AS score, count(*) AS n_lists
+      |  FROM fused GROUP BY doc_id)
+      |SELECT doc_id, n_lists, $rankName FROM (
+      |  SELECT doc_id, n_lists,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS $rankName
+      |  FROM agg)
+      |WHERE $rankName <= 25 ORDER BY $rankName""".stripMargin
+
+  private val hybridRrfOracleSql: String = hybridOracleSql(
+    """  SELECT doc_id, 1::DOUBLE / (60 + r) AS fs FROM lex
+      |  UNION ALL
+      |  SELECT doc_id, 1::DOUBLE / (60 + r) AS fs FROM vecr""".stripMargin,
+    "rrf_rank")
+
+  private val hybridBordaOracleSql: String = hybridOracleSql(
+    """  SELECT doc_id,
+      |    ((SELECT count(*) FROM lex) + 1 - r)::DOUBLE * 2::DOUBLE
+      |      / (SELECT count(*) FROM lex)::DOUBLE AS fs FROM lex
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    ((SELECT count(*) FROM vecr) + 1 - r)::DOUBLE * 1::DOUBLE
+      |      / (SELECT count(*) FROM vecr)::DOUBLE AS fs FROM vecr""".stripMargin,
+    "borda_rank")
 
   // lazy: referenced by bm25DeletedOracleSql's initializer above it
   private lazy val bm25WithoutTemplate: String =
@@ -6058,6 +6176,9 @@ object Queries {
         |      * sqrt(list_dot_product(qv, qv))) AS cosine
         |FROM embeddings, q
         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_hybrid_rrf" -> hybridRrfOracleSql,
+    "q_hybrid_borda" -> hybridBordaOracleSql,
 
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
