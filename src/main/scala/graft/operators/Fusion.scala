@@ -56,15 +56,18 @@ object Fusion {
     * last rank 1/N_i of it, absence zero. The classic positional voting
     * rule; unlike [[rrf]] it decays linearly (tail ranks keep real
     * weight) and it takes per-retriever weights. List sizes are taken
-    * from the frames themselves (one count each — the frames are top-N
-    * sized, so this is driver-cheap and keeps the signature honest
-    * rather than trusting a caller-passed N). */
+    * from the frames themselves (keeps the signature honest rather than
+    * trusting a caller-passed N); each list is pinned first — top-N
+    * sized, so the checkpoint is tiny — so the size count and the fused
+    * plan read the materialized list instead of re-running its
+    * retriever pipeline twice more. */
   def borda(rankings: Seq[(DataFrame, Double)], idCol: String,
       rankCol: String, topK: Int): DataFrame = {
     checkArgs(rankings.map(_._1), topK)
     rankings.foreach { case (_, w) =>
       require(w > 0, "borda weights must be positive") }
-    fuse(rankings.map { case (r, w) =>
+    fuse(rankings.map { case (r0, w) =>
+      val r = r0.localCheckpoint(true)
       val n = r.count()
       r.select(col(idCol),
         ((lit(n + 1) - col(rankCol)).cast("double") * lit(w) / lit(n.toDouble))
