@@ -383,7 +383,15 @@ object Layout {
       .agg(count(lit(1)).as("__total"), count(col("__doomed")).as("__nd"))
       .filter(col("__nd") > 0)
       .collect()
-    if (counts.isEmpty) return 0
+    if (counts.isEmpty) {
+      // no-match: a live marker here is debris of an erase that crashed
+      // between its last drop and the marker retire (its doomed rows
+      // are gone) — heal it so re-run-to-heal also re-opens ingest
+      val loc0 = tableLocation(spark, table)
+      clearErasingMarker(new org.apache.hadoop.fs.Path(loc0)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), loc0)
+      return 0
+    }
     require(counts.forall(r => (0 until pcols.length).forall(!r.isNullAt(_))),
       s"erasePartitionedRows: an affected partition of '$table' has a " +
         "NULL partition value — the Hive default partition is not " +
@@ -716,16 +724,61 @@ object Layout {
     * live generation. At 100 TB this is the expensive path by design:
     * partition the corpus ([[partitionedTableFor]]) and use the
     * partition-scoped variant. No-op (and no rewrite) when no row
-    * matches. Returns the number of rows erased. */
+    * matches. Returns the number of rows erased.
+    *
+    * Same concurrent-append contract as the partitioned path — a swap
+    * replaces the WHOLE table, so an append landing mid-build would
+    * otherwise vanish at the promote, silently: (a) the `_erasing`
+    * fence goes up first, covering the table location, so the
+    * library's own writers ([[requireNotUnderErase]]) refuse for the
+    * build's duration; (b) the survivor rewrite reads a pinned file
+    * BASIS, and a commit-time CATCH-UP appends (delta minus doomed)
+    * into the staged generation; (c) files that appear after even the
+    * catch-up (a fence-bypassing writer racing the swap itself) ABORT
+    * the promote loudly — live generation unchanged, re-run to heal —
+    * never a silent replace. Crash contract: a crashed erase leaves
+    * the fence up (appends stay refused) and the live generation
+    * untouched; re-running with the same ids heals and retires it. */
   def eraseRowsFullRewrite(spark: SparkSession, table: String,
-      ids: DataFrame): Long = {
+      ids: DataFrame): Long =
+    eraseRowsFullRewrite(spark, table, ids, () => (), () => ())
+
+  /** [[eraseRowsFullRewrite]] with kill-window hooks for the crash and
+    * race specs: `afterStagedWrite` runs between the basis rewrite and
+    * the catch-up listing (an append here must be re-admitted);
+    * `beforePromote` runs after the catch-up, before the swap (an
+    * append here must abort the promote, never vanish). */
+  private[graft] def eraseRowsFullRewrite(spark: SparkSession,
+      table: String, ids: DataFrame, afterStagedWrite: () => Unit,
+      beforePromote: () => Unit): Long = {
     val idCol = ids.columns.head
     val doomed = broadcast(ids.select(col(idCol)).dropDuplicates(idCol))
     val full = spark.table(table)
+    val loc = tableLocation(spark, table)
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // no-op gate: a LIMIT-1 semi probe, not a full semi-join count — it
     // short-circuits on the first doomed row; only the no-match path
-    // (which rewrites nothing) pays a full pass, over the id column alone
-    if (full.join(doomed, Seq(idCol), "left_semi").isEmpty) return 0L
+    // (which rewrites nothing) pays a full pass, over the id column
+    // alone. A live marker on the no-match path is debris of an erase
+    // that crashed between its promote and the marker retire (the
+    // doomed rows are gone) — heal it here so re-run-to-heal also
+    // re-opens ingest.
+    if (full.join(doomed, Seq(idCol), "left_semi").isEmpty) {
+      clearErasingMarker(fs, loc)
+      return 0L
+    }
+    // fence BEFORE the basis snapshot (the partitioned path's order):
+    // the whole table location is the affected set — there are no
+    // partitions to scope
+    writeErasingMarker(fs, loc,
+      Seq(fs.makeQualified(new org.apache.hadoop.fs.Path(loc))))
+    val schema = full.schema
+    def rowsOf(files: Set[String]): org.apache.spark.sql.DataFrame =
+      spark.read.schema(schema).parquet(files.toSeq.sorted: _*)
+    def liveFiles(): Set[String] =
+      graft.sources.Sources.tableDataFiles(spark, table).toSet
+    val basis = liveFiles()
     val next = s"${table}__next"
     graft.sources.Sources.replaceTable(spark, next)
     // the erased-row count rides the rewrite itself as two mid-plan
@@ -734,15 +787,45 @@ object Layout {
     // survivor write
     val liveObs = org.apache.spark.sql.Observation("graft_erase_live")
     val stagedObs = org.apache.spark.sql.Observation("graft_erase_staged")
-    full.observe(liveObs, count(lit(1)).as("n"))
+    rowsOf(basis).observe(liveObs, count(lit(1)).as("n"))
       .join(doomed, Seq(idCol), "left_anti")
       .observe(stagedObs, count(lit(1)).as("n"))
       .write.format("parquet")
       .options(graft.sources.Sources.stagedWriteOptions(spark, next))
       .saveAsTable(next)
-    val erased = liveObs.get("n").asInstanceOf[Long] -
+    var erased = liveObs.get("n").asInstanceOf[Long] -
       stagedObs.get("n").asInstanceOf[Long]
+    afterStagedWrite()
+    // commit-time catch-up: appends that committed between the basis
+    // snapshot and now (e.g. a writer that passed its fence check just
+    // before the marker appeared) re-enter the staged generation minus
+    // the doomed ids; the extra scan is append-sized
+    val delta = liveFiles() -- basis
+    if (delta.nonEmpty) {
+      val deltaInObs = org.apache.spark.sql.Observation("graft_erase_delta_in")
+      val deltaOutObs = org.apache.spark.sql.Observation("graft_erase_delta_out")
+      rowsOf(delta).observe(deltaInObs, count(lit(1)).as("n"))
+        .join(doomed, Seq(idCol), "left_anti")
+        .observe(deltaOutObs, count(lit(1)).as("n"))
+        .write.mode("append").insertInto(next)
+      erased += deltaInObs.get("n").asInstanceOf[Long] -
+        deltaOutObs.get("n").asInstanceOf[Long]
+    }
+    beforePromote()
+    // the swap retires the whole live directory — a file that appeared
+    // after even the catch-up means a fence-bypassing writer is racing
+    // the swap itself: abort LOUDLY (live generation unchanged, staged
+    // debris left for vacuum, fence stays up) instead of silently
+    // deleting the raced commit with the retired generation
+    val raced = liveFiles() -- basis -- delta
+    if (raced.nonEmpty) throw new IllegalStateException(
+      s"eraseRowsFullRewrite('$table'): a concurrent writer committed " +
+        s"${raced.size} file(s) during the staged rewrite — the erase " +
+        "ABORTED before the swap (live table unchanged, staged " +
+        "generation left for vacuumGenerations). Re-run it with the " +
+        "same ids to heal (which consumes the raced files in its basis).")
     graft.sources.Sources.promoteTable(spark, next, table)
+    clearErasingMarker(fs, loc)
     erased
   }
 

@@ -60,7 +60,14 @@ object AuditPlans {
     "q_excel_dates" -> 1, "q_excel_roundtrip" -> 1, "q_except" -> 2,
     "q_fingerprint" -> 1, "q_fixedwidth" -> 1, "q_format" -> 1,
     "q_frame_sample" -> 2, "q_gopher_rules" -> 1, "q_groupby_runs" -> 5,
-    "q_groupby_summaries" -> 2, "q_heavy_hitters" -> 3, "q_intersect" -> 2,
+    "q_groupby_summaries" -> 2, "q_heavy_hitters" -> 3,
+    // rrf: the BM25 side's 6 (the q_search_bm25 shape) + the fused
+    // id-keyed aggregate; every fused frame is top-N-bounded.
+    // borda: its input lists are eagerly localCheckpoint-pinned
+    // (top-N-sized), so the audited plan starts at the checkpoints —
+    // one exchange for the fused aggregate.
+    "q_hybrid_rrf" -> 7, "q_hybrid_borda" -> 1,
+    "q_intersect" -> 2,
     // prune gates: fact-side groupBy agg + final sort; the dim/threshold
     // sides are broadcast (dynamic) or literal (static)
     "q_partition_prune" -> 2, "q_partition_prune_dynamic" -> 2,
@@ -305,7 +312,11 @@ object AuditPlans {
     "q_corpus_erase_e2e" ->
       "bm25_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
     "q_weighted_sample" ->
-      "sample_rank runs AFTER .limit(k): the window's one partition holds exactly k rows")
+      "sample_rank runs AFTER .limit(k): the window's one partition holds exactly k rows",
+    "q_hybrid_rrf" ->
+      "all three windows rank top-N-bounded frames (bm25_rank and the cosine rank after .limit(50), rrf_rank after .limit(25)) — the searchBm25 k-row idiom",
+    "q_hybrid_borda" ->
+      "borda_rank runs AFTER .limit(k) over the fused top-25; the input lists are localCheckpoint-pinned top-50 frames")
 
   /** Count DISTINCT shuffle-exchange instances (by object identity),
     * descending into InMemoryRelation cached plans: a pinned subtree

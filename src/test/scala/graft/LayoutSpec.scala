@@ -605,4 +605,106 @@ class LayoutSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${table}__next"),
       "staged generation left behind after the promote")
   }
+
+  test("eraseRowsFullRewrite catch-up: an append committing between the " +
+      "basis rewrite and the promote is re-admitted (minus doomed ids), " +
+      "never replaced by the swap; the fence refuses library writes") {
+    import graft.sources.Sources
+    val table = "layout_erase_flat_catchup"
+    Seq(table, s"${table}__next").foreach(Sources.replaceTable(spark, _))
+    Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30))
+      .toDF("id", "t", "v")
+      .write.mode("overwrite").format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    val loc = graft.operators.Layout.tableLocation(spark, table)
+    var fenceMsg = ""
+    val n = Layout.eraseRowsFullRewrite(spark, table, Seq(2L).toDF("id"),
+      afterStagedWrite = () => {
+        // the fence is up: a library writer targeting the table refuses
+        fenceMsg = intercept[IllegalStateException] {
+          Layout.requireNotUnderErase(spark, s"$loc/somefile")
+        }.getMessage
+        // a raw (fence-bypassing) writer lands a survivor AND a doomed
+        // row — the catch-up must admit the first and erase the second
+        Seq((4L, "w", 40), (2L, "d", 25)).toDF("id", "t", "v")
+          .write.mode("append").insertInto(table)
+      },
+      beforePromote = () => ())
+    assert(n == 2, s"expected basis + delta doomed = 2 erased, got $n")
+    assert(fenceMsg.contains("under a live erase"),
+      s"fence refusal must name the erase: $fenceMsg")
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L),
+      "mid-erase append lost at the swap or doomed delta row admitted")
+    assert(spark.read.parquet(Sources.tableDataFiles(spark, table): _*)
+      .filter(col("id") === 2L).isEmpty,
+      "doomed id present in the promoted generation's files")
+    assert(!Layout.eraseInFlight(spark, table),
+      "completed erase left its _erasing marker behind")
+  }
+
+  test("eraseRowsFullRewrite race abort: a file appearing after even " +
+      "the catch-up aborts the promote LOUDLY (live unchanged, fence " +
+      "kept); re-running with the same ids heals") {
+    import graft.sources.Sources
+    val table = "layout_erase_flat_race"
+    Seq(table, s"${table}__next").foreach(Sources.replaceTable(spark, _))
+    Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30))
+      .toDF("id", "t", "v")
+      .write.mode("overwrite").format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    val e = intercept[IllegalStateException] {
+      Layout.eraseRowsFullRewrite(spark, table, Seq(2L).toDF("id"),
+        afterStagedWrite = () => (),
+        beforePromote = () =>
+          Seq((5L, "r", 50)).toDF("id", "t", "v")
+            .write.mode("append").insertInto(table))
+    }
+    assert(e.getMessage.contains("ABORTED"),
+      s"wrong failure shape: ${e.getMessage}")
+    // never torn: the live generation serves everything it held,
+    // including the raced commit
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    assert(Layout.eraseInFlight(spark, table),
+      "an aborted erase must keep its fence up")
+    // the healing re-run consumes the raced file in its basis
+    assert(Layout.eraseRowsFullRewrite(spark, table,
+      Seq(2L).toDF("id")) == 1)
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(!Layout.eraseInFlight(spark, table))
+  }
+
+  test("eraseRowsFullRewrite no-match heal: marker debris of an erase " +
+      "that crashed between its promote and the retire is cleared by " +
+      "the next no-match run, re-opening ingest") {
+    import graft.sources.Sources
+    val table = "layout_erase_flat_heal"
+    Sources.replaceTable(spark, table)
+    Seq((1L, "x", 10)).toDF("id", "t", "v")
+      .write.mode("overwrite").format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    val loc = graft.operators.Layout.tableLocation(spark, table)
+    // simulate the post-promote crash window: the marker file exists
+    // but its erase completed (no doomed rows remain)
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), "_erasing")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"graft-erasing-v1\n${fs.makeQualified(
+      new org.apache.hadoop.fs.Path(loc))}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(Layout.eraseInFlight(spark, table))
+    intercept[IllegalStateException] {
+      Layout.requireNotUnderErase(spark, s"$loc/somefile")
+    }
+    // the healing re-run (same ids, now gone) retires the debris
+    assert(Layout.eraseRowsFullRewrite(spark, table,
+      Seq(99L).toDF("id")) == 0)
+    assert(!Layout.eraseInFlight(spark, table),
+      "no-match erase must retire stale marker debris")
+    Layout.requireNotUnderErase(spark, s"$loc/somefile") // no throw
+  }
 }
