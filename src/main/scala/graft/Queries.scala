@@ -2327,6 +2327,41 @@ object Queries {
       .orderBy(col("borda_rank"))
   }
 
+  /** RETRIEVAL EVALUATION gate: the two retrievers' rankings and their
+    * RRF fusion each scored at k=25 against the same graded qrels
+    * (doc_id % 10 == 3, grade 1 + doc_id % 3) — recall@25, MRR@25,
+    * nDCG@25 per system, all three re-derived in SQL by the oracle.
+    * Metrics are aggregates, rounded to 4 (the house oracle rule). The
+    * retriever lists are pinned once (top-50-sized) so the three eval
+    * branches and the fusion read them without re-running retrieval. */
+  val q_rank_eval: Q = (s, dir) => {
+    import graft.operators.{Fusion, RankEval, Search}
+    val docs = t(s, dir, "documents").df
+    val emb = t(s, dir, "embeddings").df
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    val lex = Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 50)
+      .select(col("doc_id"), col("bm25_rank").as("rank"))
+      .localCheckpoint(true)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val vec = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qvec, 50)
+      .select(col("vec_id").as("doc_id"), row_number().over(w).as("rank"))
+      .localCheckpoint(true)
+    val rrf = Fusion.rrf(Seq(lex, vec), "doc_id", "rank", topK = 25)
+    val qrels = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"),
+        (lit(1) + col("doc_id") % 3).cast("double").as("grade"))
+    RankEval.evaluate(lex, qrels, "doc_id", "rank", 25,
+        Some("grade"), "bm25")
+      .unionByName(RankEval.evaluate(vec, qrels, "doc_id", "rank", 25,
+        Some("grade"), "cosine"))
+      .unionByName(RankEval.evaluate(rrf, qrels, "doc_id", "rrf_rank", 25,
+        Some("grade"), "hybrid_rrf"))
+      .orderBy(col("system"))
+  }
+
   /** LSH-ANN RECALL GATE (oracle-checked): the multi-table ANN top-20
     * (3 independent 8-bit tables, probe Hamming ≤ 4 each — per-table
     * miss probabilities multiply) must contain the entire exact cosine
@@ -4204,6 +4239,7 @@ object Queries {
     "q_sim_topk" -> q_sim_topk,
     "q_hybrid_rrf" -> q_hybrid_rrf,
     "q_hybrid_borda" -> q_hybrid_borda,
+    "q_rank_eval" -> q_rank_eval,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
     "q_sim_ivf" -> q_sim_ivf,
@@ -4319,9 +4355,12 @@ object Queries {
     * All contributions are exact functions of integer ranks (and the
     * two list sizes), so the fused doubles are bit-identical to the
     * Spark side's. */
-  private def hybridOracleSql(fusedCte: String, rankName: String): String =
-    s"""WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  /** The two retrievers' top-50 rankings as a reusable CTE chain
+    * (`lex(doc_id, r)` / `vecr(doc_id, r)`) — shared by the hybrid
+    * fusion oracles and the rank-eval oracle. */
+  private val hybridRankingsCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
       |  FROM documents
       |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
       |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
@@ -4355,7 +4394,10 @@ object Queries {
       |        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |           * sqrt(list_dot_product(qv, qv))) DESC, vec_id) AS r
       |    FROM embeddings, q)
-      |  WHERE r <= 50),
+      |  WHERE r <= 50)""".stripMargin
+
+  private def hybridOracleSql(fusedCte: String, rankName: String): String =
+    s"""WITH $hybridRankingsCtes,
       |fused AS (
       |$fusedCte),
       |agg AS (SELECT doc_id, sum(fs) AS score, count(*) AS n_lists
@@ -4381,6 +4423,52 @@ object Queries {
       |    ((SELECT count(*) FROM vecr) + 1 - r)::DOUBLE * 1::DOUBLE
       |      / (SELECT count(*) FROM vecr)::DOUBLE AS fs FROM vecr""".stripMargin,
     "borda_rank")
+
+  /** The rank-eval gate's oracle: the three rankings (lex / vecr / the
+    * RRF fusion) each evaluated at k=25 against the same graded qrels —
+    * recall@k, MRR@k, nDCG@k re-derived entirely in SQL. One eval CTE
+    * per system keeps the metric arithmetic identical across rows. */
+  private val rankEvalOracleSql: String = {
+    def evalCte(name: String, ranking: String): String =
+      s"""eval_$name AS (
+        |  SELECT '$name' AS system,
+        |    (SELECT count(*) FROM qrels)::BIGINT AS n_relevant,
+        |    round(count(g)::DOUBLE / (SELECT count(*) FROM qrels), 4)
+        |      AS recall_at_k,
+        |    round(coalesce(1::DOUBLE
+        |      / min(CASE WHEN g IS NOT NULL THEN r END), 0), 4) AS mrr_at_k,
+        |    round(coalesce(sum((pow(2, g) - 1) / log2(r + 1))
+        |      / (SELECT v FROM idcg), 0), 4) AS ndcg_at_k
+        |  FROM (SELECT rk.r AS r, q.g AS g FROM $ranking rk
+        |        LEFT JOIN qrels q ON rk.doc_id = q.doc_id
+        |        WHERE rk.r <= 25))""".stripMargin
+    s"""WITH $hybridRankingsCtes,
+      |fused AS (
+      |  SELECT doc_id, 1::DOUBLE / (60 + r) AS fs FROM lex
+      |  UNION ALL
+      |  SELECT doc_id, 1::DOUBLE / (60 + r) AS fs FROM vecr),
+      |agg AS (SELECT doc_id, sum(fs) AS score FROM fused GROUP BY doc_id),
+      |rrfr AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |    FROM agg)
+      |  WHERE r <= 25),
+      |qrels AS (
+      |  SELECT doc_id, (1 + doc_id % 3)::DOUBLE AS g FROM documents
+      |  WHERE doc_id % 10 = 3),
+      |idcg AS (
+      |  SELECT sum((pow(2, g) - 1) / log2(i + 1)) AS v FROM (
+      |    SELECT g, row_number() OVER (ORDER BY g DESC, doc_id) AS i
+      |    FROM qrels)
+      |  WHERE i <= 25),
+      |${evalCte("bm25", "lex")},
+      |${evalCte("cosine", "vecr")},
+      |${evalCte("hybrid_rrf", "rrfr")}
+      |SELECT * FROM eval_bm25
+      |UNION ALL SELECT * FROM eval_cosine
+      |UNION ALL SELECT * FROM eval_hybrid_rrf
+      |ORDER BY system""".stripMargin
+  }
 
   // lazy: referenced by bm25DeletedOracleSql's initializer above it
   private lazy val bm25WithoutTemplate: String =
@@ -6179,6 +6267,7 @@ object Queries {
 
     "q_hybrid_rrf" -> hybridRrfOracleSql,
     "q_hybrid_borda" -> hybridBordaOracleSql,
+    "q_rank_eval" -> rankEvalOracleSql,
 
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

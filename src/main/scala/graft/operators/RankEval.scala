@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality metrics — the measurement half of the retrieval
+  * stack: given a ranking (any retriever's or [[Fusion]]'s output) and a
+  * relevance set (qrels), compute the standard IR triple at cutoff k:
+  *
+  *   - recall@k  — fraction of the relevant set retrieved in the top-k;
+  *   - MRR@k     — reciprocal rank of the first relevant hit (0 if none);
+  *   - nDCG@k    — graded, position-discounted gain against the ideal
+  *                 ordering (Järvelin & Kekäläinen 2002):
+  *                 DCG = Σ (2^grade − 1) / log2(position + 1).
+  *
+  * Scale shape: the ranking is top-N-bounded by construction; the qrels
+  * join is id-keyed on that bounded frame, the ideal-DCG ordering is a
+  * TakeOrdered-k over qrels followed by a k-row window (the searchBm25
+  * idiom), and every total rides the plan as a broadcast one-row
+  * cross-join — no driver-side actions, one job per evaluate call.
+  * Metrics are rounded to 4 decimals (the aggregate-rounding oracle
+  * discipline); grades must be positive (the ideal DCG of a non-empty
+  * qrels set is then nonzero by construction).
+  */
+object RankEval {
+
+  /** Evaluate one ranking against one relevance set. `ranking` carries
+    * (idCol, rankCol) with rank 1-based; `qrels` carries idCol and, for
+    * graded nDCG, `gradeCol` (binary relevance = 1.0 when absent).
+    * Returns one row: (system, n_relevant, recall_at_k, mrr_at_k,
+    * ndcg_at_k). Qrels must be non-empty (metrics against nothing are
+    * meaningless — an empty set degenerates to NaN recall). */
+  def evaluate(ranking: DataFrame, qrels: DataFrame, idCol: String,
+      rankCol: String, k: Int, gradeCol: Option[String] = None,
+      system: String = "system"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val grade = gradeCol.map(col).getOrElse(lit(1.0))
+    val q = qrels.select(col(idCol), grade.cast("double").as("__g"))
+    val topk = ranking.filter(col(rankCol) <= k)
+      .select(col(idCol), col(rankCol).cast("double").as("__r"))
+    // hits: the ranking is top-N-bounded, so this join is bounded too
+    val hitAgg = topk.join(q, Seq(idCol))
+      .agg(
+        sum((pow(lit(2.0), col("__g")) - lit(1.0)) / log2(col("__r") + lit(1.0)))
+          .as("__dcg"),
+        count(lit(1)).as("__nhit"),
+        min(col("__r")).as("__minr"))
+    // ideal DCG: TakeOrdered-k over qrels, then a k-row window — the
+    // window's single partition holds exactly k rows, never the qrels
+    val idealW = Window.orderBy(col("__g").desc, col(idCol).asc)
+    val idealAgg = q.orderBy(col("__g").desc, col(idCol).asc).limit(k)
+      .withColumn("__i", row_number().over(idealW).cast("double"))
+      .agg(sum((pow(lit(2.0), col("__g")) - lit(1.0)) / log2(col("__i") + lit(1.0)))
+        .as("__idcg"))
+    val totals = q.agg(count(lit(1)).as("n_relevant"))
+    hitAgg.crossJoin(broadcast(idealAgg)).crossJoin(broadcast(totals))
+      .select(
+        lit(system).as("system"),
+        col("n_relevant"),
+        round(col("__nhit").cast("double") / col("n_relevant"), 4)
+          .as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__minr"), lit(0.0)), 4).as("mrr_at_k"),
+        round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 4)
+          .as("ndcg_at_k"))
+  }
+}

@@ -67,6 +67,10 @@ object AuditPlans {
     // (top-N-sized), so the audited plan starts at the checkpoints —
     // one exchange for the fused aggregate.
     "q_hybrid_rrf" -> 7, "q_hybrid_borda" -> 1,
+    // eval: retriever lists are checkpoint-pinned; the fused aggregate,
+    // three bounded qrels-hit aggregates, and the ideal-DCG TakeOrdered
+    // account for the budget
+    "q_rank_eval" -> 5,
     "q_intersect" -> 2,
     // prune gates: fact-side groupBy agg + final sort; the dim/threshold
     // sides are broadcast (dynamic) or literal (static)
@@ -253,6 +257,8 @@ object AuditPlans {
 
   /** BNLJs that are part of the design, with why they are scale-safe. */
   val expectedBnlj: Map[String, String] = Map(
+    "q_rank_eval" ->
+      "metric assembly joins: each build side is exactly ONE broadcast row (the ideal-DCG aggregate and the qrels total) crossed onto the one-row hit aggregate",
     "q_dedup_embedding" ->
       "verification-grade exact all-pairs; LSH banding is the scale path",
     "q_dedup_semantic" ->
@@ -316,7 +322,9 @@ object AuditPlans {
     "q_hybrid_rrf" ->
       "all three windows rank top-N-bounded frames (bm25_rank and the cosine rank after .limit(50), rrf_rank after .limit(25)) — the searchBm25 k-row idiom",
     "q_hybrid_borda" ->
-      "borda_rank runs AFTER .limit(k) over the fused top-25; the input lists are localCheckpoint-pinned top-50 frames")
+      "borda_rank runs AFTER .limit(k) over the fused top-25; the input lists are localCheckpoint-pinned top-50 frames",
+    "q_rank_eval" ->
+      "both windows rank bounded frames: the ideal-DCG window AFTER .limit(k) over qrels, rrf_rank after .limit(25); the retriever lists are localCheckpoint-pinned")
 
   /** Count DISTINCT shuffle-exchange instances (by object identity),
     * descending into InMemoryRelation cached plans: a pinned subtree

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.RankEval
+
+/** IR-metric goldens hand-computed on tiny fixtures (round-4 values):
+  * recall@k, MRR@k, graded nDCG@k (Järvelin-Kekäläinen 2^g−1 gain). */
+class RankEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qrelsGraded =
+    Seq((1L, 2.0), (2L, 1.0), (3L, 1.0)).toDF("id", "grade")
+
+  private def one(df: org.apache.spark.sql.DataFrame): Row = {
+    val rows = df.collect()
+    assert(rows.length == 1)
+    rows.head
+  }
+
+  test("graded metrics: hits at ranks 1 and 3 of k=3") {
+    // dcg = 3/log2(2) + 1/log2(4) = 3.5
+    // idcg = 3 + 1/log2(3) + 0.5 = 4.13093 -> ndcg 0.8473
+    val ranking = Seq((1L, 1), (5L, 2), (2L, 3)).toDF("id", "rank")
+    val r = one(RankEval.evaluate(ranking, qrelsGraded, "id", "rank", 3,
+      Some("grade"), "sysA"))
+    assert(r.getString(0) == "sysA")
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.6667) // recall 2/3
+    assert(r.getDouble(3) == 1.0)    // first hit at rank 1
+    assert(r.getDouble(4) == 0.8473)
+  }
+
+  test("no relevant retrieved: all three metrics zero, not null/NaN") {
+    val ranking = Seq((5L, 1), (6L, 2)).toDF("id", "rank")
+    val r = one(RankEval.evaluate(ranking, qrelsGraded, "id", "rank", 3))
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 &&
+      r.getDouble(4) == 0.0)
+  }
+
+  test("binary relevance default; ranks beyond k are ignored") {
+    val qrels = Seq(1L, 2L).toDF("id")
+    // rank 4 hit (id 1) lies beyond k=3: recall counts only id 2
+    val ranking = Seq((2L, 1), (7L, 2), (8L, 3), (1L, 4)).toDF("id", "rank")
+    val r = one(RankEval.evaluate(ranking, qrels, "id", "rank", 3))
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 1.0)
+    // dcg = 1/log2(2) = 1; idcg = 1 + 1/log2(3) = 1.63093 -> 0.6131
+    assert(r.getDouble(4) == 0.6131)
+  }
+
+  test("perfect ranking scores 1.0 across the board") {
+    // ideal order is grade desc then id: 1(g2), 2(g1), 3(g1)
+    val ranking = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val r = one(RankEval.evaluate(ranking, qrelsGraded, "id", "rank", 3,
+      Some("grade")))
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 1.0)
+  }
+
+  test("k must be positive") {
+    intercept[IllegalArgumentException](
+      RankEval.evaluate(qrelsGraded, qrelsGraded, "id", "grade", 0))
+  }
+}
