@@ -2327,6 +2327,21 @@ object Queries {
       .orderBy(col("borda_rank"))
   }
 
+  /** BATCH RETRIEVAL gate: three queries scored against the BM25 index
+    * in ONE distributed plan (corpus scanned once for the whole
+    * workload; ranking windowed PER QUERY, never a global sort) — the
+    * offline evaluation-sweep / hard-negative-mining shape. Top-10 per
+    * query; corpus-global df/idf identical to the single-query path. */
+  val q_search_bm25_batch: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Search
+    val docs = t(s, dir, "documents").df
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    val queries = Seq((1, "hash join filter"), (2, "sort merge batch"),
+      (3, "stream window agg")).toDF("qid", "qtext")
+    Search.searchBm25Batch(idx, queries, "qid", "qtext", "doc_id", k = 10)
+  }
+
   /** RETRIEVAL EVALUATION gate: the two retrievers' rankings and their
     * RRF fusion each scored at k=25 against the same graded qrels
     * (doc_id % 10 == 3, grade 1 + doc_id % 3) — recall@25, MRR@25,
@@ -4240,6 +4255,7 @@ object Queries {
     "q_hybrid_rrf" -> q_hybrid_rrf,
     "q_hybrid_borda" -> q_hybrid_borda,
     "q_rank_eval" -> q_rank_eval,
+    "q_search_bm25_batch" -> q_search_bm25_batch,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
     "q_sim_ivf" -> q_sim_ivf,
@@ -6268,6 +6284,41 @@ object Queries {
     "q_hybrid_rrf" -> hybridRrfOracleSql,
     "q_hybrid_borda" -> hybridBordaOracleSql,
     "q_rank_eval" -> rankEvalOracleSql,
+
+    "q_search_bm25_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |    (SELECT count(*) FROM tok2)::DOUBLE
+        |      / (SELECT count(*) FROM documents) AS avglen),
+        |qterms(qid, word) AS (VALUES
+        |  (1,'hash'),(1,'join'),(1,'filter'),
+        |  (2,'sort'),(2,'merge'),(2,'batch'),
+        |  (3,'stream'),(3,'window'),(3,'agg')),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok2
+        |  WHERE word IN (SELECT DISTINCT word FROM qterms)
+        |  GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+        |  FROM tf JOIN dfreq d USING (word)
+        |    JOIN lens l ON l.doc_id = tf.doc_id
+        |    JOIN qterms q ON q.word = tf.word
+        |    CROSS JOIN stats s
+        |  GROUP BY q.qid, tf.doc_id)
+        |SELECT qid, doc_id, bm25_rank FROM (
+        |  SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS bm25_rank
+        |  FROM scored)
+        |WHERE bm25_rank <= 10 ORDER BY qid, bm25_rank""".stripMargin,
 
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

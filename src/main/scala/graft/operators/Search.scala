@@ -816,4 +816,56 @@ object Search {
       .select((data.columns.map(col) :+ col("bm25_rank")): _*)
       .orderBy(col("bm25_rank"))
   }
+
+  /** BATCH retrieval: score MANY queries against the index in ONE
+    * distributed plan — the offline shape (ranking-evaluation sweeps,
+    * hard-negative mining for training pairs: batch top-k anti-joined
+    * against the positives) where per-query [[searchBm25]] jobs would
+    * cost a job launch per query. `queries` is the workload table
+    * `(queryIdCol, queryTextCol)`; its terms explode to a
+    * workload-sized `(query, word)` table broadcast against the
+    * postings, so the corpus is scanned ONCE for the whole batch.
+    * Per-word document frequencies and idf are corpus-global,
+    * bit-identical to the single-query path's; ranking is a window
+    * PARTITIONED BY query — per-query k-row heap state, never a global
+    * sort. Returns `(queryIdCol, idCol, bm25_rank)` rows with rank ≤ k,
+    * ordered by (query, rank); a query whose terms miss the corpus
+    * entirely yields no rows (the single-query empty contract).
+    * Trade vs [[searchBm25]]: the postings prune is a broadcast
+    * semi-join, not an IN literal list, so the word-bucketed serving
+    * table is not directory-pruned — at batch scale the union of query
+    * terms touches most buckets anyway, and the single scan amortizes
+    * across every query in the workload. */
+  def searchBm25Batch(index: Bm25Index, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, idCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries.select(col(queryIdCol),
+        explode(split(trim(col(queryTextCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val words = qterms.select(col("word")).distinct()
+    val filtered = index.postings
+      .join(broadcast(words), Seq("word"), "left_semi")
+    val termIdf = filtered.groupBy(col("word"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+      .withColumn("__idf",
+        log(lit(1.0) +
+          (lit(index.nDocs.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .select(col("word"), col("__idf"))
+    val scored = filtered.join(broadcast(termIdf), "word")
+      .withColumn("__contrib",
+        col("__idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("doclen") / lit(index.avgLen))))
+      .join(broadcast(qterms), Seq("word"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__contrib")).as("__bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("__bm25").desc, col(idCol).asc)
+    scored.withColumn("bm25_rank", row_number().over(w))
+      .filter(col("bm25_rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("bm25_rank"))
+      .orderBy(col(queryIdCol), col("bm25_rank"))
+  }
 }

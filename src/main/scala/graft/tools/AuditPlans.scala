@@ -71,6 +71,11 @@ object AuditPlans {
     // three bounded qrels-hit aggregates, and the ideal-DCG TakeOrdered
     // account for the budget
     "q_rank_eval" -> 5,
+    // batch retrieval: the single-query shape + the workload-sized
+    // qterms/words distincts and the (query, doc)-keyed score aggregate;
+    // the ranking window partitions BY QUERY (no global exchange beyond
+    // the k-row outputs)
+    "q_search_bm25_batch" -> 9,
     "q_intersect" -> 2,
     // prune gates: fact-side groupBy agg + final sort; the dim/threshold
     // sides are broadcast (dynamic) or literal (static)

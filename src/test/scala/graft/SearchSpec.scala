@@ -152,6 +152,29 @@ class SearchSpec extends SparkSpec {
     assert(got(5L) == 1 && got(1L) == 2 && !got.contains(4L))
   }
 
+  test("searchBm25Batch: one plan over many queries equals the " +
+      "single-query path per query (shared-term df unchanged; a " +
+      "no-hit query yields no rows)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    // q1/q2 SHARE the term 'join': df/idf must stay corpus-global
+    val workload = Seq((1, "hash join filter"), (2, "sort join"),
+      (3, "zzznothere")).toDF("qid", "qtext")
+    val batch = Search.searchBm25Batch(idx, workload, "qid", "qtext",
+        "doc_id", k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    for ((qid, qtext) <- Seq(1 -> "hash join filter", 2 -> "sort join")) {
+      val single = Search.searchBm25(docs, idx, "doc_id", qtext, k = 10)
+        .select("doc_id", "bm25_rank")
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1))).toSeq
+      assert(batch.filter(_._1 == qid).toSeq == single,
+        s"batch ranking diverged from the single-query path for q$qid")
+    }
+    assert(!batch.exists(_._1 == 3), "no-hit query produced rows")
+  }
+
   test("BM25 upsert: delta-appended artifact is content-identical to a " +
       "full rebuild — base files untouched, stats merged bit-exactly") {
     import spark.implicits._
