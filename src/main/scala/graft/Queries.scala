@@ -2342,6 +2342,28 @@ object Queries {
     Search.searchBm25Batch(idx, queries, "qid", "qtext", "doc_id", k = 10)
   }
 
+  /** BATCH EVALUATION gate — the full offline loop: the 3-query batch
+    * retrieval scored per query against per-query graded qrels
+    * (relevant = doc_id % 10 == qid, grade 1 + doc_id % 3) in one plan;
+    * every aggregate keys by query and the ideal-DCG window partitions
+    * by query — the shape that holds at a 10k-query workload. */
+  val q_rank_eval_batch: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{RankEval, Search}
+    val docs = t(s, dir, "documents").df
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    val queries = Seq((1, "hash join filter"), (2, "sort merge batch"),
+      (3, "stream window agg")).toDF("qid", "qtext")
+    val ranking = Search.searchBm25Batch(idx, queries, "qid", "qtext",
+      "doc_id", k = 10)
+    val qrels = docs.withColumn("qid", (col("doc_id") % 10).cast("int"))
+      .join(queries.select("qid"), Seq("qid"))
+      .select(col("qid"), col("doc_id"),
+        (lit(1) + col("doc_id") % 3).cast("double").as("grade"))
+    RankEval.evaluateByQuery(ranking, qrels, "qid", "doc_id", "bm25_rank",
+      10, Some("grade"))
+  }
+
   /** RETRIEVAL EVALUATION gate: the two retrievers' rankings and their
     * RRF fusion each scored at k=25 against the same graded qrels
     * (doc_id % 10 == 3, grade 1 + doc_id % 3) — recall@25, MRR@25,
@@ -4255,6 +4277,7 @@ object Queries {
     "q_hybrid_rrf" -> q_hybrid_rrf,
     "q_hybrid_borda" -> q_hybrid_borda,
     "q_rank_eval" -> q_rank_eval,
+    "q_rank_eval_batch" -> q_rank_eval_batch,
     "q_search_bm25_batch" -> q_search_bm25_batch,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
@@ -6319,6 +6342,64 @@ object Queries {
         |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS bm25_rank
         |  FROM scored)
         |WHERE bm25_rank <= 10 ORDER BY qid, bm25_rank""".stripMargin,
+
+    "q_rank_eval_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |    (SELECT count(*) FROM tok2)::DOUBLE
+        |      / (SELECT count(*) FROM documents) AS avglen),
+        |qterms(qid, word) AS (VALUES
+        |  (1,'hash'),(1,'join'),(1,'filter'),
+        |  (2,'sort'),(2,'merge'),(2,'batch'),
+        |  (3,'stream'),(3,'window'),(3,'agg')),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok2
+        |  WHERE word IN (SELECT DISTINCT word FROM qterms)
+        |  GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+        |  FROM tf JOIN dfreq d USING (word)
+        |    JOIN lens l ON l.doc_id = tf.doc_id
+        |    JOIN qterms q ON q.word = tf.word
+        |    CROSS JOIN stats s
+        |  GROUP BY q.qid, tf.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, r FROM (
+        |    SELECT qid, doc_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS r
+        |    FROM scored)
+        |  WHERE r <= 10),
+        |qrels AS (
+        |  SELECT q.qid, d.doc_id, (1 + d.doc_id % 3)::DOUBLE AS g
+        |  FROM (SELECT DISTINCT qid FROM qterms) q
+        |  JOIN documents d ON d.doc_id % 10 = q.qid),
+        |idcg AS (
+        |  SELECT qid, sum((pow(2, g) - 1) / log2(i + 1)) AS v FROM (
+        |    SELECT qid, g, row_number() OVER (
+        |      PARTITION BY qid ORDER BY g DESC, doc_id) AS i
+        |    FROM qrels)
+        |  WHERE i <= 10 GROUP BY qid),
+        |totals AS (SELECT qid, count(*) AS n_relevant FROM qrels GROUP BY qid),
+        |hits AS (
+        |  SELECT r.qid, sum((pow(2, q.g) - 1) / log2(r.r + 1)) AS dcg,
+        |    count(*) AS nhit, min(r.r) AS minr
+        |  FROM ranked r JOIN qrels q ON q.qid = r.qid AND q.doc_id = r.doc_id
+        |  GROUP BY r.qid)
+        |SELECT t.qid, t.n_relevant,
+        |  round(coalesce(h.nhit, 0)::DOUBLE / t.n_relevant, 4) AS recall_at_k,
+        |  round(coalesce(1::DOUBLE / h.minr, 0), 4) AS mrr_at_k,
+        |  round(coalesce(h.dcg / i.v, 0), 4) AS ndcg_at_k
+        |FROM totals t JOIN idcg i USING (qid) LEFT JOIN hits h USING (qid)
+        |ORDER BY t.qid""".stripMargin,
 
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

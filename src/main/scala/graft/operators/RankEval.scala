@@ -64,4 +64,52 @@ object RankEval {
         round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 4)
           .as("ndcg_at_k"))
   }
+
+  /** [[evaluate]] over a WORKLOAD: ranking and qrels both carry
+    * `queryCol`, and every metric computes per query in one plan —
+    * aggregates keyed by query, the ideal-DCG window PARTITIONED BY
+    * query (never global), per-query joins that AQE broadcasts when
+    * the workload is small. The batch-retrieval
+    * ([[Search.searchBm25Batch]]) companion: retrieve the workload in
+    * one job, score it in the next. Queries with relevant documents
+    * but no retrieved hits still emit a row (zero metrics) — driven
+    * from the qrels side, so an empty ranking cannot silently shrink
+    * the report. Returns one row per query:
+    * (queryCol, n_relevant, recall_at_k, mrr_at_k, ndcg_at_k). */
+  def evaluateByQuery(ranking: DataFrame, qrels: DataFrame,
+      queryCol: String, idCol: String, rankCol: String, k: Int,
+      gradeCol: Option[String] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    val grade = gradeCol.map(col).getOrElse(lit(1.0))
+    val q = qrels.select(col(queryCol), col(idCol),
+      grade.cast("double").as("__g"))
+    val topk = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(idCol), col(rankCol).cast("double").as("__r"))
+    val hitAgg = topk.join(q, Seq(queryCol, idCol))
+      .groupBy(col(queryCol))
+      .agg(
+        sum((pow(lit(2.0), col("__g")) - lit(1.0)) / log2(col("__r") + lit(1.0)))
+          .as("__dcg"),
+        count(lit(1)).as("__nhit"),
+        min(col("__r")).as("__minr"))
+    val idealW = Window.partitionBy(col(queryCol))
+      .orderBy(col("__g").desc, col(idCol).asc)
+    val idealAgg = q.withColumn("__i", row_number().over(idealW).cast("double"))
+      .filter(col("__i") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum((pow(lit(2.0), col("__g")) - lit(1.0)) / log2(col("__i") + lit(1.0)))
+        .as("__idcg"))
+    val totals = q.groupBy(col(queryCol)).agg(count(lit(1)).as("n_relevant"))
+    totals.join(idealAgg, Seq(queryCol))
+      .join(hitAgg, Seq(queryCol), "left")
+      .select(
+        col(queryCol),
+        col("n_relevant"),
+        round(coalesce(col("__nhit").cast("double"), lit(0.0))
+          / col("n_relevant"), 4).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__minr"), lit(0.0)), 4).as("mrr_at_k"),
+        round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 4)
+          .as("ndcg_at_k"))
+      .orderBy(col(queryCol))
+  }
 }

@@ -76,6 +76,9 @@ object AuditPlans {
     // the ranking window partitions BY QUERY (no global exchange beyond
     // the k-row outputs)
     "q_search_bm25_batch" -> 9,
+    // batch eval: the batch-retrieval shape + the query-keyed hit/ideal/
+    // total aggregates and their per-query joins (workload-sized)
+    "q_rank_eval_batch" -> 11,
     "q_intersect" -> 2,
     // prune gates: fact-side groupBy agg + final sort; the dim/threshold
     // sides are broadcast (dynamic) or literal (static)

@@ -63,4 +63,24 @@ class RankEvalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       RankEval.evaluate(qrelsGraded, qrelsGraded, "id", "grade", 0))
   }
+
+  test("evaluateByQuery: per-query metrics in one plan; a zero-hit " +
+      "query still emits its row (qrels-driven, zero metrics)") {
+    // q10 = the sysA golden above; q20 retrieves nothing relevant
+    val ranking = Seq((10, 1L, 1), (10, 5L, 2), (10, 2L, 3),
+      (20, 8L, 1), (20, 9L, 2)).toDF("qid", "id", "rank")
+    val qrels = Seq((10, 1L, 2.0), (10, 2L, 1.0), (10, 3L, 1.0),
+      (20, 4L, 1.0)).toDF("qid", "id", "grade")
+    val rows = RankEval.evaluateByQuery(ranking, qrels, "qid", "id",
+      "rank", 3, Some("grade")).collect()
+    assert(rows.length == 2)
+    val q10 = rows.find(_.getInt(0) == 10).get
+    assert(q10.getLong(1) == 3L && q10.getDouble(2) == 0.6667 &&
+      q10.getDouble(3) == 1.0 && q10.getDouble(4) == 0.8473,
+      s"q10 metrics drifted from the single-query golden: $q10")
+    val q20 = rows.find(_.getInt(0) == 20).get
+    assert(q20.getLong(1) == 1L && q20.getDouble(2) == 0.0 &&
+      q20.getDouble(3) == 0.0 && q20.getDouble(4) == 0.0,
+      s"zero-hit query must report zero metrics, not vanish: $q20")
+  }
 }
