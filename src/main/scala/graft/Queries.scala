@@ -2342,6 +2342,33 @@ object Queries {
     Search.searchBm25Batch(idx, queries, "qid", "qtext", "doc_id", k = 10)
   }
 
+  /** BATCH HYBRID RETRIEVAL gate: the 3-query lexical batch
+    * (searchBm25Batch) and the 3-query vector batch
+    * (bruteForceTopKBatch: one corpus scan scores the broadcast
+    * workload; query vectors = the vec_id 0-2 embeddings) fused PER
+    * QUERY with RRF — every stage windows/aggregates by query, the
+    * shape that holds at a 10k-query workload. Both batch rankings and
+    * the per-query fusion re-derived in SQL. */
+  val q_hybrid_rrf_batch: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{Fusion, Search}
+    val docs = t(s, dir, "documents").df
+    val emb = t(s, dir, "embeddings").df
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    val queries = Seq((1, "hash join filter"), (2, "sort merge batch"),
+      (3, "stream window agg")).toDF("qid", "qtext")
+    val lex = Search.searchBm25Batch(idx, queries, "qid", "qtext",
+        "doc_id", k = 50)
+      .select(col("qid"), col("doc_id"), col("bm25_rank").as("rank"))
+    val qvecs = emb.filter(col("vec_id") <= 2)
+      .select((col("vec_id") + 1).cast("int").as("qid"), col("embedding"))
+    val vec = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        qvecs, "qid", "embedding", k = 50)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("cos_rank").as("rank"))
+    Fusion.rrfByQuery(Seq(lex, vec), "qid", "doc_id", "rank", topK = 25)
+  }
+
   /** BATCH EVALUATION gate — the full offline loop: the 3-query batch
     * retrieval scored per query against per-query graded qrels
     * (relevant = doc_id % 10 == qid, grade 1 + doc_id % 3) in one plan;
@@ -4279,6 +4306,7 @@ object Queries {
     "q_rank_eval" -> q_rank_eval,
     "q_rank_eval_batch" -> q_rank_eval_batch,
     "q_search_bm25_batch" -> q_search_bm25_batch,
+    "q_hybrid_rrf_batch" -> q_hybrid_rrf_batch,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
     "q_sim_ivf" -> q_sim_ivf,
@@ -6342,6 +6370,67 @@ object Queries {
         |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS bm25_rank
         |  FROM scored)
         |WHERE bm25_rank <= 10 ORDER BY qid, bm25_rank""".stripMargin,
+
+    "q_hybrid_rrf_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |    (SELECT count(*) FROM tok2)::DOUBLE
+        |      / (SELECT count(*) FROM documents) AS avglen),
+        |qterms(qid, word) AS (VALUES
+        |  (1,'hash'),(1,'join'),(1,'filter'),
+        |  (2,'sort'),(2,'merge'),(2,'batch'),
+        |  (3,'stream'),(3,'window'),(3,'agg')),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok2
+        |  WHERE word IN (SELECT DISTINCT word FROM qterms)
+        |  GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+        |  FROM tf JOIN dfreq d USING (word)
+        |    JOIN lens l ON l.doc_id = tf.doc_id
+        |    JOIN qterms q ON q.word = tf.word
+        |    CROSS JOIN stats s
+        |  GROUP BY q.qid, tf.doc_id),
+        |lex AS (
+        |  SELECT qid, doc_id, r FROM (
+        |    SELECT qid, doc_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS r
+        |    FROM scored)
+        |  WHERE r <= 50),
+        |qv AS (
+        |  SELECT (vec_id + 1)::INT AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id <= 2),
+        |vecr AS (
+        |  SELECT qid, doc_id, r FROM (
+        |    SELECT q.qid, e.vec_id AS doc_id, row_number() OVER (
+        |      PARTITION BY q.qid
+        |      ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |        / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |                                 e.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+        |        e.vec_id) AS r
+        |    FROM embeddings e CROSS JOIN qv q)
+        |  WHERE r <= 50),
+        |fused AS (
+        |  SELECT qid, doc_id, 1::DOUBLE / (60 + r) AS fs FROM lex
+        |  UNION ALL
+        |  SELECT qid, doc_id, 1::DOUBLE / (60 + r) AS fs FROM vecr),
+        |agg AS (SELECT qid, doc_id, sum(fs) AS score, count(*) AS n_lists
+        |  FROM fused GROUP BY qid, doc_id)
+        |SELECT qid, doc_id, n_lists, rrf_rank FROM (
+        |  SELECT qid, doc_id, n_lists, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rrf_rank
+        |  FROM agg)
+        |WHERE rrf_rank <= 25 ORDER BY qid, rrf_rank""".stripMargin,
 
     "q_rank_eval_batch" ->
       """WITH toks AS (

@@ -51,6 +51,31 @@ object Fusion {
         .as("__fs"))), idCol, topK, "rrf_rank")
   }
 
+  /** [[rrf]] over a WORKLOAD: every input ranking carries `queryCol`,
+    * contributions aggregate per (query, id), and the fused rank is a
+    * window PARTITIONED BY query — per-query k-row state, never a
+    * global sort. The batch-retrieval companion: fuse
+    * `Search.searchBm25Batch` with `Similarity.bruteForceTopKBatch`
+    * per query in one plan. Returns (queryCol, idCol, n_lists,
+    * rrf_rank) with rank ≤ topK, ordered by (query, rank). */
+  def rrfByQuery(rankings: Seq[DataFrame], queryCol: String,
+      idCol: String, rankCol: String, topK: Int, k0: Int = 60): DataFrame = {
+    checkArgs(rankings, topK)
+    require(k0 >= 0, "k0 must be non-negative")
+    val agg = rankings.map(_.select(col(queryCol), col(idCol),
+        (lit(1).cast("double") / (lit(k0) + col(rankCol)).cast("double"))
+          .as("__fs")))
+      .reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum(col("__fs")).as("__fused"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("__fused").desc, col(idCol).asc)
+    agg.withColumn("rrf_rank", row_number().over(w))
+      .filter(col("rrf_rank") <= topK)
+      .select(col(queryCol), col(idCol), col("n_lists"), col("rrf_rank"))
+      .orderBy(col(queryCol), col("rrf_rank"))
+  }
+
   /** Weighted Borda-count fusion: list i of size N_i awards
     * w_i * (N_i + 1 - rank) / N_i — rank 1 earns the full weight, the
     * last rank 1/N_i of it, absence zero. The classic positional voting

@@ -38,6 +38,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH exact cosine top-k: a WORKLOAD of query vectors scored in
+    * one plan — the corpus is scanned ONCE and every (corpus row,
+    * query) pair scores map-side against the broadcast workload; the
+    * per-query top-k is a window PARTITIONED BY query (per-query k-row
+    * state, never a global sort). The [[graft.operators.Search
+    * .searchBm25Batch]] companion on the vector side — together they
+    * feed per-query fusion ([[Fusion.rrfByQuery]]) and batch
+    * evaluation. `queries` carries (queryIdCol, queryVecCol); returns
+    * (queryIdCol, idCol, cosine, cos_rank) with rank ≤ k. The
+    * broadcast cross product is the intended shape: workload-sized
+    * build side, one streamed corpus scan — the brute-force baseline
+    * the bucketed ANN families replace when selectivity matters. */
+  def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = queries.select(col(queryIdCol),
+      col(queryVecCol).cast("array<double>").as("__qv"))
+    val v = col(vecCol)
+    val scored = df.select(col(idCol), v.as("__v"))
+      .crossJoin(broadcast(q))
+      .select(col(queryIdCol), col(idCol),
+        (dot(col("__v"), col("__qv"))
+          / (vec_norm(col("__v")) * vec_norm(col("__qv")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("cos_rank", row_number().over(w))
+      .filter(col("cos_rank") <= k)
+      .orderBy(col(queryIdCol), col("cos_rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * splitmix64 → uniform in [-1, 1). No RNG state, reproducible anywhere. */
   private def planeComponent(plane: Int, dim: Int): Double = {

@@ -79,6 +79,10 @@ object AuditPlans {
     // batch eval: the batch-retrieval shape + the query-keyed hit/ideal/
     // total aggregates and their per-query joins (workload-sized)
     "q_rank_eval_batch" -> 11,
+    // batch hybrid: the lexical batch shape + the vector batch's
+    // broadcast workload x corpus scan and the per-query fused
+    // aggregate/ranking (all query-keyed)
+    "q_hybrid_rrf_batch" -> 14,
     "q_intersect" -> 2,
     // prune gates: fact-side groupBy agg + final sort; the dim/threshold
     // sides are broadcast (dynamic) or literal (static)
@@ -265,6 +269,8 @@ object AuditPlans {
 
   /** BNLJs that are part of the design, with why they are scale-safe. */
   val expectedBnlj: Map[String, String] = Map(
+    "q_hybrid_rrf_batch" ->
+      "batch ANN scoring: build side is the broadcast QUERY WORKLOAD (3 vectors; workload-sized by design), streamed side one corpus scan — every (row, query) pair scores map-side; the brute-force baseline the bucketed ANN families replace when selectivity matters",
     "q_rank_eval" ->
       "metric assembly joins: each build side is exactly ONE broadcast row (the ideal-DCG aggregate and the qrels total) crossed onto the one-row hit aggregate",
     "q_dedup_embedding" ->

@@ -82,6 +82,48 @@ class FusionSpec extends SparkSpec {
       == Seq(1, 2, 3))
   }
 
+  test("rrfByQuery: per-query fusion equals running rrf per query; " +
+      "queries never cross-contaminate") {
+    val a = Seq((10, 1L, 1), (10, 9L, 2), (20, 2L, 1), (20, 9L, 2))
+      .toDF("qid", "id", "rank")
+    val b = Seq((10, 9L, 1), (10, 3L, 2), (20, 4L, 1))
+      .toDF("qid", "id", "rank")
+    val batch = Fusion.rrfByQuery(Seq(a, b), "qid", "id", "rank", topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    for (qid <- Seq(10, 20)) {
+      val single = Fusion.rrf(
+        Seq(a.filter(col("qid") === qid).drop("qid"),
+          b.filter(col("qid") === qid).drop("qid")),
+        "id", "rank", topK = 10)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(batch.filter(_._1 == qid).toSeq == single.toSeq,
+        s"per-query fusion diverged for q$qid")
+    }
+    // doc 9 appears in both of q10's lists but only one of q20's
+    val nl = batch.collect { case (q, 9L, n, _) => q -> n }.toMap
+    assert(nl(10) == 2L && nl(20) == 1L, "agreement counts leaked across queries")
+  }
+
+  test("bruteForceTopKBatch: one corpus scan equals the single-query " +
+      "path per query (cosine and order)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qvecs = emb.filter(col("vec_id") <= 1)
+      .select((col("vec_id") + 1).cast("int").as("qid"), col("embedding"))
+    val batch = graft.operators.Similarity.bruteForceTopKBatch(
+        emb, "vec_id", "embedding", qvecs, "qid", "embedding", k = 10)
+      .select("qid", "vec_id", "cosine").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    for (vid <- Seq(0L, 1L)) {
+      val q = emb.filter(col("vec_id") === vid)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val single = graft.operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", q, 10)
+        .collect().map(r => ((vid + 1).toInt, r.getLong(0), r.getDouble(1)))
+      assert(batch.filter(_._1 == vid + 1).toSeq == single.toSeq,
+        s"batch ANN diverged from the single-query path for query $vid")
+    }
+  }
+
   test("argument validation fails loudly") {
     val a = ranking(1L -> 1)
     intercept[IllegalArgumentException](
