@@ -2394,7 +2394,8 @@ object Queries {
   /** RETRIEVAL EVALUATION gate: the two retrievers' rankings and their
     * RRF fusion each scored at k=25 against the same graded qrels
     * (doc_id % 10 == 3, grade 1 + doc_id % 3) — recall@25, MRR@25,
-    * nDCG@25 per system, all three re-derived in SQL by the oracle.
+    * nDCG@25, MAP@25 per system, all four re-derived in SQL by the
+    * oracle.
     * Metrics are aggregates, rounded to 4 (the house oracle rule). The
     * retriever lists are pinned once (top-50-sized) so the three eval
     * branches and the fusion read them without re-running retrieval. */
@@ -4505,8 +4506,14 @@ object Queries {
         |    round(coalesce(1::DOUBLE
         |      / min(CASE WHEN g IS NOT NULL THEN r END), 0), 4) AS mrr_at_k,
         |    round(coalesce(sum((pow(2, g) - 1) / log2(r + 1))
-        |      / (SELECT v FROM idcg), 0), 4) AS ndcg_at_k
-        |  FROM (SELECT rk.r AS r, q.g AS g FROM $ranking rk
+        |      / (SELECT v FROM idcg), 0), 4) AS ndcg_at_k,
+        |    round(coalesce(
+        |        sum(CASE WHEN g IS NOT NULL THEN hidx::DOUBLE / r END), 0)
+        |      / least(25, (SELECT count(*) FROM qrels)), 4) AS map_at_k
+        |  FROM (SELECT rk.r AS r, q.g AS g,
+        |          count(q.g) OVER (ORDER BY rk.r
+        |            ROWS UNBOUNDED PRECEDING) AS hidx
+        |        FROM $ranking rk
         |        LEFT JOIN qrels q ON rk.doc_id = q.doc_id
         |        WHERE rk.r <= 25))""".stripMargin
     s"""WITH $hybridRankingsCtes,
@@ -6479,14 +6486,20 @@ object Queries {
         |  WHERE i <= 10 GROUP BY qid),
         |totals AS (SELECT qid, count(*) AS n_relevant FROM qrels GROUP BY qid),
         |hits AS (
-        |  SELECT r.qid, sum((pow(2, q.g) - 1) / log2(r.r + 1)) AS dcg,
-        |    count(*) AS nhit, min(r.r) AS minr
-        |  FROM ranked r JOIN qrels q ON q.qid = r.qid AND q.doc_id = r.doc_id
-        |  GROUP BY r.qid)
+        |  SELECT qid, sum((pow(2, g) - 1) / log2(r + 1)) AS dcg,
+        |    count(*) AS nhit, min(r) AS minr,
+        |    sum(hidx::DOUBLE / r) AS apsum
+        |  FROM (
+        |    SELECT r.qid, r.r, q.g, row_number() OVER (
+        |      PARTITION BY r.qid ORDER BY r.r) AS hidx
+        |    FROM ranked r JOIN qrels q
+        |      ON q.qid = r.qid AND q.doc_id = r.doc_id)
+        |  GROUP BY qid)
         |SELECT t.qid, t.n_relevant,
         |  round(coalesce(h.nhit, 0)::DOUBLE / t.n_relevant, 4) AS recall_at_k,
         |  round(coalesce(1::DOUBLE / h.minr, 0), 4) AS mrr_at_k,
-        |  round(coalesce(h.dcg / i.v, 0), 4) AS ndcg_at_k
+        |  round(coalesce(h.dcg / i.v, 0), 4) AS ndcg_at_k,
+        |  round(coalesce(h.apsum, 0) / least(10, t.n_relevant), 4) AS map_at_k
         |FROM totals t JOIN idcg i USING (qid) LEFT JOIN hits h USING (qid)
         |ORDER BY t.qid""".stripMargin,
 

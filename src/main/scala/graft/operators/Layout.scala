@@ -319,9 +319,16 @@ object Layout {
     *     the basis snapshot, retired on completion): the append verb
     *     ([[appendPartitionedRows]]) and the streaming segment sinks
     *     refuse loudly at commit time instead of racing. A foreign
-    *     writer that bypasses the marker is caught by the drop gate's
-    *     consumed-file containment and the post-drop residue check —
-    *     worst case a loud incomplete-erase error, never a silent one.
+    *     writer that bypasses the marker is only PARTLY caught: in a
+    *     FULLY-DOOMED partition the drop gate's consumed-file
+    *     containment retains the partition and the post-drop residue
+    *     check turns left-behind doomed bytes into a loud
+    *     incomplete-erase error; in a partition that emits SURVIVORS,
+    *     a bypassing commit landing during the overwrite job is
+    *     silently replaced at the overwrite's commit — undetectable
+    *     after the fact. The in-contract answer is the marker itself:
+    *     every library writer consults it, and only a writer outside
+    *     this library can bypass it.
     *  5. DROP — a partition whose every row was doomed emits no
     *     survivor rows, which dynamic overwrite would silently leave
     *     serving its old files; such partitions (unless the catch-up

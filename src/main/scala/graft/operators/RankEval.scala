@@ -6,19 +6,25 @@ import org.apache.spark.sql.functions._
 
 /** Retrieval-quality metrics — the measurement half of the retrieval
   * stack: given a ranking (any retriever's or [[Fusion]]'s output) and a
-  * relevance set (qrels), compute the standard IR triple at cutoff k:
+  * relevance set (qrels), compute the standard IR metrics at cutoff k:
   *
   *   - recall@k  — fraction of the relevant set retrieved in the top-k;
   *   - MRR@k     — reciprocal rank of the first relevant hit (0 if none);
   *   - nDCG@k    — graded, position-discounted gain against the ideal
   *                 ordering (Järvelin & Kekäläinen 2002):
-  *                 DCG = Σ (2^grade − 1) / log2(position + 1).
+  *                 DCG = Σ (2^grade − 1) / log2(position + 1);
+  *   - MAP@k     — average precision at k, binary relevance (any qrels
+  *                 entry counts): Σ_hits precision@rank_of_hit, divided
+  *                 by min(k, |relevant|) — the TREC normalizer, so a
+  *                 perfect top-k scores 1.0 even when |relevant| > k.
   *
   * Scale shape: the ranking is top-N-bounded by construction; the qrels
-  * join is id-keyed on that bounded frame, the ideal-DCG ordering is a
+  * join is id-keyed on that bounded frame, the hit-index window for
+  * AP holds at most k rows (per query), the ideal-DCG ordering is a
   * TakeOrdered-k over qrels followed by a k-row window (the searchBm25
   * idiom), and every total rides the plan as a broadcast one-row
-  * cross-join — no driver-side actions, one job per evaluate call.
+  * cross-join — no driver-side pipeline actions, one job per evaluate
+  * call (plus [[evaluate]]'s bounded LIMIT-1 non-emptiness probe).
   * Metrics are rounded to 4 decimals (the aggregate-rounding oracle
   * discipline); grades must be positive (the ideal DCG of a non-empty
   * qrels set is then nonzero by construction).
@@ -29,23 +35,33 @@ object RankEval {
     * (idCol, rankCol) with rank 1-based; `qrels` carries idCol and, for
     * graded nDCG, `gradeCol` (binary relevance = 1.0 when absent).
     * Returns one row: (system, n_relevant, recall_at_k, mrr_at_k,
-    * ndcg_at_k). Qrels must be non-empty (metrics against nothing are
-    * meaningless — an empty set degenerates to NaN recall). */
+    * ndcg_at_k, map_at_k). Qrels must be non-empty — ENFORCED by a
+    * bounded LIMIT-1 probe, not just documented: metrics against
+    * nothing are meaningless (an empty set degenerates to NaN recall),
+    * so this throws the loud argument error instead of emitting a
+    * NaN/null row. */
   def evaluate(ranking: DataFrame, qrels: DataFrame, idCol: String,
       rankCol: String, k: Int, gradeCol: Option[String] = None,
       system: String = "system"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!qrels.isEmpty,
+      "qrels must be non-empty — retrieval metrics against an empty " +
+        "relevance set are meaningless (recall degenerates to 0/0)")
     val grade = gradeCol.map(col).getOrElse(lit(1.0))
     val q = qrels.select(col(idCol), grade.cast("double").as("__g"))
     val topk = ranking.filter(col(rankCol) <= k)
       .select(col(idCol), col(rankCol).cast("double").as("__r"))
-    // hits: the ranking is top-N-bounded, so this join is bounded too
+    // hits: the ranking is top-N-bounded, so this join is bounded too;
+    // the AP hit-index window's single partition holds at most k rows
+    val hitW = Window.orderBy(col("__r").asc)
     val hitAgg = topk.join(q, Seq(idCol))
+      .withColumn("__hidx", row_number().over(hitW).cast("double"))
       .agg(
         sum((pow(lit(2.0), col("__g")) - lit(1.0)) / log2(col("__r") + lit(1.0)))
           .as("__dcg"),
         count(lit(1)).as("__nhit"),
-        min(col("__r")).as("__minr"))
+        min(col("__r")).as("__minr"),
+        sum(col("__hidx") / col("__r")).as("__apsum"))
     // ideal DCG: TakeOrdered-k over qrels, then a k-row window — the
     // window's single partition holds exactly k rows, never the qrels
     val idealW = Window.orderBy(col("__g").desc, col(idCol).asc)
@@ -62,7 +78,10 @@ object RankEval {
           .as("recall_at_k"),
         round(coalesce(lit(1.0) / col("__minr"), lit(0.0)), 4).as("mrr_at_k"),
         round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 4)
-          .as("ndcg_at_k"))
+          .as("ndcg_at_k"),
+        round(coalesce(col("__apsum"), lit(0.0))
+          / least(lit(k.toDouble), col("n_relevant").cast("double")), 4)
+          .as("map_at_k"))
   }
 
   /** [[evaluate]] over a WORKLOAD: ranking and qrels both carry
@@ -74,8 +93,11 @@ object RankEval {
     * one job, score it in the next. Queries with relevant documents
     * but no retrieved hits still emit a row (zero metrics) — driven
     * from the qrels side, so an empty ranking cannot silently shrink
-    * the report. Returns one row per query:
-    * (queryCol, n_relevant, recall_at_k, mrr_at_k, ndcg_at_k). */
+    * the report (and a fully-empty qrels frame yields an honest empty
+    * report, never NaN rows — the per-query analogue of [[evaluate]]'s
+    * non-empty requirement). Returns one row per query:
+    * (queryCol, n_relevant, recall_at_k, mrr_at_k, ndcg_at_k,
+    * map_at_k). */
   def evaluateByQuery(ranking: DataFrame, qrels: DataFrame,
       queryCol: String, idCol: String, rankCol: String, k: Int,
       gradeCol: Option[String] = None): DataFrame = {
@@ -85,13 +107,16 @@ object RankEval {
       grade.cast("double").as("__g"))
     val topk = ranking.filter(col(rankCol) <= k)
       .select(col(queryCol), col(idCol), col(rankCol).cast("double").as("__r"))
+    val hitW = Window.partitionBy(col(queryCol)).orderBy(col("__r").asc)
     val hitAgg = topk.join(q, Seq(queryCol, idCol))
+      .withColumn("__hidx", row_number().over(hitW).cast("double"))
       .groupBy(col(queryCol))
       .agg(
         sum((pow(lit(2.0), col("__g")) - lit(1.0)) / log2(col("__r") + lit(1.0)))
           .as("__dcg"),
         count(lit(1)).as("__nhit"),
-        min(col("__r")).as("__minr"))
+        min(col("__r")).as("__minr"),
+        sum(col("__hidx") / col("__r")).as("__apsum"))
     val idealW = Window.partitionBy(col(queryCol))
       .orderBy(col("__g").desc, col(idCol).asc)
     val idealAgg = q.withColumn("__i", row_number().over(idealW).cast("double"))
@@ -109,7 +134,10 @@ object RankEval {
           / col("n_relevant"), 4).as("recall_at_k"),
         round(coalesce(lit(1.0) / col("__minr"), lit(0.0)), 4).as("mrr_at_k"),
         round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 4)
-          .as("ndcg_at_k"))
+          .as("ndcg_at_k"),
+        round(coalesce(col("__apsum"), lit(0.0))
+          / least(lit(k.toDouble), col("n_relevant").cast("double")), 4)
+          .as("map_at_k"))
       .orderBy(col(queryCol))
   }
 }

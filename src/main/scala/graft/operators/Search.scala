@@ -826,9 +826,15 @@ object Search {
     * workload-sized `(query, word)` table broadcast against the
     * postings, so the corpus is scanned ONCE for the whole batch.
     * Per-word document frequencies and idf are corpus-global,
-    * bit-identical to the single-query path's; ranking is a window
-    * PARTITIONED BY query — per-query k-row heap state, never a global
-    * sort. Returns `(queryIdCol, idCol, bm25_rank)` rows with rank ≤ k,
+    * bit-identical to the single-query path's; the summed per-doc
+    * score adds its per-term contributions in partition order, so for
+    * queries with 3+ matching terms it can differ from the
+    * single-query path (or an engine summing in another order) in the
+    * last ulp — ranks are stable unless two scores collide within
+    * that ulp (the same caveat [[graft.operators.Fusion]] carries, and
+    * why the driver gate compares rank and id, never the float).
+    * Ranking is a window PARTITIONED BY query — per-query k-row heap
+    * state, never a global sort. Returns `(queryIdCol, idCol, bm25_rank)` rows with rank ≤ k,
     * ordered by (query, rank); a query whose terms miss the corpus
     * entirely yields no rows (the single-query empty contract).
     * Trade vs [[searchBm25]]: the postings prune is a broadcast

@@ -28,6 +28,8 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.6667) // recall 2/3
     assert(r.getDouble(3) == 1.0)    // first hit at rank 1
     assert(r.getDouble(4) == 0.8473)
+    // AP = (1/1 + 2/3) / min(3, 3) = 5/9
+    assert(r.getDouble(5) == 0.5556)
   }
 
   test("no relevant retrieved: all three metrics zero, not null/NaN") {
@@ -35,7 +37,7 @@ class RankEvalSpec extends SparkSpec {
     val r = one(RankEval.evaluate(ranking, qrelsGraded, "id", "rank", 3))
     assert(r.getLong(1) == 3L)
     assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 &&
-      r.getDouble(4) == 0.0)
+      r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
   }
 
   test("binary relevance default; ranks beyond k are ignored") {
@@ -48,6 +50,8 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
     // dcg = 1/log2(2) = 1; idcg = 1 + 1/log2(3) = 1.63093 -> 0.6131
     assert(r.getDouble(4) == 0.6131)
+    // AP = (1/1) / min(3, 2) = 0.5 — the rank-4 hit is beyond k
+    assert(r.getDouble(5) == 0.5)
   }
 
   test("perfect ranking scores 1.0 across the board") {
@@ -56,12 +60,21 @@ class RankEvalSpec extends SparkSpec {
     val r = one(RankEval.evaluate(ranking, qrelsGraded, "id", "rank", 3,
       Some("grade")))
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
-      r.getDouble(4) == 1.0)
+      r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
   }
 
   test("k must be positive") {
     intercept[IllegalArgumentException](
       RankEval.evaluate(qrelsGraded, qrelsGraded, "id", "grade", 0))
+  }
+
+  test("empty qrels fails loudly (the documented contract), never a " +
+      "NaN/null metrics row") {
+    val ranking = Seq((1L, 1)).toDF("id", "rank")
+    val empty = qrelsGraded.filter("id < 0")
+    val e = intercept[IllegalArgumentException](
+      RankEval.evaluate(ranking, empty, "id", "rank", 3))
+    assert(e.getMessage.contains("non-empty"))
   }
 
   test("evaluateByQuery: per-query metrics in one plan; a zero-hit " +
@@ -76,11 +89,13 @@ class RankEvalSpec extends SparkSpec {
     assert(rows.length == 2)
     val q10 = rows.find(_.getInt(0) == 10).get
     assert(q10.getLong(1) == 3L && q10.getDouble(2) == 0.6667 &&
-      q10.getDouble(3) == 1.0 && q10.getDouble(4) == 0.8473,
+      q10.getDouble(3) == 1.0 && q10.getDouble(4) == 0.8473 &&
+      q10.getDouble(5) == 0.5556,
       s"q10 metrics drifted from the single-query golden: $q10")
     val q20 = rows.find(_.getInt(0) == 20).get
     assert(q20.getLong(1) == 1L && q20.getDouble(2) == 0.0 &&
-      q20.getDouble(3) == 0.0 && q20.getDouble(4) == 0.0,
+      q20.getDouble(3) == 0.0 && q20.getDouble(4) == 0.0 &&
+      q20.getDouble(5) == 0.0,
       s"zero-hit query must report zero metrics, not vanish: $q20")
   }
 }
