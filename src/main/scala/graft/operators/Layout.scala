@@ -380,6 +380,24 @@ object Layout {
         "this partition-scoped one")
     val schema = spark.table(table).schema
     val doomed = ids.select(col(idCol)).dropDuplicates(idCol)
+    val digest = idsDigest(doomed, idCol)
+    // fail fast on a foreign live fence BEFORE the discovery job burns
+    // a corpus pass (the authoritative, race-closed check is the
+    // atomic acquire below — this one only saves the wasted work)
+    locally {
+      val loc0 = tableLocation(spark, table)
+      val fs0 = new org.apache.hadoop.fs.Path(loc0)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      readEraseFence(fs0, loc0).foreach { f =>
+        if (f.ids.nonEmpty && f.ids != digest)
+          throw new IllegalStateException(
+            s"erase of '$table' refused: another erase holds the " +
+              s"table's _erasing fence (run ${f.nonce}, ids ${f.ids} " +
+              s"!= $digest). If it is live, wait for it; if it " +
+              "crashed, re-run it with ITS ids to heal, or " +
+              "healErase(table) after verifying no erase job is running.")
+      }
+    }
     val full = spark.table(table)
     // 1. discovery: ONE column-pruned pass -> per-partition
     // (total, doomed) counts; broadcast keeps the join map-side
@@ -391,12 +409,14 @@ object Layout {
       .filter(col("__nd") > 0)
       .collect()
     if (counts.isEmpty) {
-      // no-match: a live marker here is debris of an erase that crashed
-      // between its last drop and the marker retire (its doomed rows
-      // are gone) — heal it so re-run-to-heal also re-opens ingest
+      // no-match: a live marker carrying OUR id digest (or ownerless v1
+      // debris) is the crash window between an erase's last drop and
+      // its marker retire — heal it so re-run-to-heal also re-opens
+      // ingest. A FOREIGN digest is another erase's live fence (its
+      // doomed rows are simply not ours to see) and must stay up.
       val loc0 = tableLocation(spark, table)
-      clearErasingMarker(new org.apache.hadoop.fs.Path(loc0)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration), loc0)
+      clearErasingMarkerIfHealable(new org.apache.hadoop.fs.Path(loc0)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), loc0, digest)
       return 0
     }
     require(counts.forall(r => (0 until pcols.length).forall(!r.isNullAt(_))),
@@ -456,8 +476,10 @@ object Layout {
     // single-maintenance-writer assumption the catch-up cannot close
     // (an append landing DURING the overwrite job) into an enforced
     // contract. Retired only on full completion; a crashed erase leaves
-    // it up, so appends stay refused until the re-run heals.
-    writeErasingMarker(fs, loc, affectedDirs)
+    // it up, so appends stay refused until the re-run heals. The
+    // acquire is OWNED (run nonce + id digest): a concurrent erase with
+    // different ids refuses here instead of clobbering this run's fence.
+    val fenceNonce = acquireEraseFence(fs, loc, affectedDirs, digest, table)
     val basisByDir: Map[org.apache.hadoop.fs.Path, Set[String]] =
       affectedDirs.map(d => d -> listFiles(d)).toMap
     val basis = basisByDir.values.flatten.toSet
@@ -548,7 +570,7 @@ object Layout {
             "files). The table serves consistently but the erase is " +
             "INCOMPLETE — re-run it with the same ids to heal.")
     } finally spark.catalog.refreshTable(table)
-    clearErasingMarker(fs, loc)
+    clearErasingMarkerIfOwned(fs, loc, fenceNonce)
     affected.length
   }
 
@@ -584,10 +606,31 @@ object Layout {
     * appeared and commits much later; the erase's residue check turns
     * even that into a loud incomplete-erase error, never silence.
     * Underscore-prefixed, so Spark's file listings (and the erase's
-    * own basis/catch-up listings) never see it as data. Format: one
-    * header line, then one affected partition directory URI per line. */
+    * own basis/catch-up listings) never see it as data. The marker is
+    * OWNED: it records the writing run's nonce and its doomed-id
+    * digest, a different-ids erase refuses to start while it is live
+    * ([[acquireEraseFence]]), only a same-ids re-run (the crash-heal
+    * path) may take it over, and completion retires it only under the
+    * owning nonce. Format: one header line (`graft-erasing-v2`), a
+    * `nonce=` line, an `ids=` line, then one affected partition
+    * directory URI per line; pre-nonce v1 markers parse as ownerless
+    * debris (clearable by any heal, takeable by any erase). */
   private val ErasingMarkerName = "_erasing"
-  private val ErasingMarkerHeader = "graft-erasing-v1"
+  private val ErasingMarkerHeaderV1 = "graft-erasing-v1"
+  private val ErasingMarkerHeaderV2 = "graft-erasing-v2"
+
+  /** A parsed live `_erasing` marker. `nonce` identifies the RUN that
+    * wrote it and `ids` digests the run's doomed-id set (both empty for
+    * a pre-nonce v1 marker, which has no recorded owner); `affected`
+    * carries the partition directory URIs under erase. The nonce is
+    * what makes erase-vs-erase safe: only the run holding the current
+    * nonce may retire the fence on completion, a same-ids re-run (the
+    * documented crash-heal path) may take the fence over, and an erase
+    * with DIFFERENT ids refuses to start while a foreign fence is live
+    * — an orchestrator retry can no longer clobber a running erase's
+    * fence and re-open ingest mid-overwrite. */
+  private[graft] final case class EraseFence(nonce: String, ids: String,
+      affected: Seq[String])
 
   private def erasingMarkerPath(loc: String): org.apache.hadoop.fs.Path =
     // Path(parent, child) (not string concat): survives the filesystem
@@ -596,9 +639,11 @@ object Layout {
       new org.apache.hadoop.fs.Path(loc), ErasingMarkerName)
 
   private def writeErasingMarker(fs: org.apache.hadoop.fs.FileSystem,
-      loc: String, affectedDirs: Seq[org.apache.hadoop.fs.Path]): Unit = {
-    val out = fs.create(erasingMarkerPath(loc), true)
-    try out.write((ErasingMarkerHeader +: affectedDirs.map(_.toString))
+      loc: String, affectedDirs: Seq[org.apache.hadoop.fs.Path],
+      nonce: String, ids: String, overwrite: Boolean): Unit = {
+    val out = fs.create(erasingMarkerPath(loc), overwrite)
+    try out.write((Seq(ErasingMarkerHeaderV2, s"nonce=$nonce", s"ids=$ids")
+      ++ affectedDirs.map(_.toString))
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -609,13 +654,100 @@ object Layout {
     if (fs.exists(p)) fs.delete(p, false)
   }
 
-  /** The affected partition directory URIs of a live `_erasing` marker
-    * under `dir`, or None when no erase is in flight. Tolerates a
-    * foreign/garbled file of the same name (refusing writes on garbage
-    * would wedge ingest on a typo'd touch). */
-  private[graft] def readErasingMarker(
+  /** Retire the fence only if THIS run still owns it: a same-ids re-run
+    * that took the fence over mid-crash must not have its marker
+    * retired by the original (resumed or zombie) run completing later. */
+  private def clearErasingMarkerIfOwned(fs: org.apache.hadoop.fs.FileSystem,
+      loc: String, nonce: String): Unit =
+    readEraseFence(fs, loc).foreach { f =>
+      if (f.nonce == nonce || f.nonce.isEmpty) clearErasingMarker(fs, loc)
+    }
+
+  /** The no-match-heal gate: clear the fence only when this run can
+    * claim it — the marker's id digest matches OUR doomed set (the
+    * documented re-run-with-same-ids heal: the crashed erase's data
+    * work completed, only the retire is missing) or the marker is
+    * pre-nonce v1 debris with no recorded owner. A FOREIGN digest means
+    * another erase is live (or crashed with different ids): its fence
+    * stays up — retiring it here was exactly the no-match clobber that
+    * re-opened ingest under a running erase. Heal a foreign crashed
+    * fence by re-running ITS erase, or [[healErase]] after verifying no
+    * erase job is live. */
+  private def clearErasingMarkerIfHealable(
+      fs: org.apache.hadoop.fs.FileSystem, loc: String,
+      ids: String): Unit =
+    readEraseFence(fs, loc).foreach { f =>
+      if (f.ids.isEmpty || f.ids == ids) clearErasingMarker(fs, loc)
+    }
+
+  /** Acquire the erase fence for a run with doomed-id digest `ids`,
+    * returning the run nonce. No live marker → ATOMIC create (the
+    * create-if-absent primitive local/HDFS give us), so two erases
+    * starting simultaneously cannot both think they own the fence; one
+    * loses the create and re-enters the decision. Live marker with the
+    * SAME ids (or ownerless v1 debris) → takeover with a fresh nonce —
+    * the documented re-run-to-heal path. Live marker with FOREIGN ids →
+    * refuse loudly: a second erase while another runs (an orchestrator
+    * retry with a changed id set, two compliance jobs colliding) must
+    * never clobber the running erase's fence. */
+  private def acquireEraseFence(fs: org.apache.hadoop.fs.FileSystem,
+      loc: String, affectedDirs: Seq[org.apache.hadoop.fs.Path],
+      ids: String, table: String): String = {
+    val nonce = java.util.UUID.randomUUID().toString
+    def refuse(f: EraseFence): Nothing = throw new IllegalStateException(
+      s"erase of '$table' refused: another erase holds the table's " +
+        s"_erasing fence (run ${f.nonce}, ids ${f.ids} != $ids). " +
+        "If it is live, wait for it; if it crashed, re-run it with " +
+        "ITS ids to heal, or healErase(table) after verifying no " +
+        "erase job is running.")
+    readEraseFence(fs, loc) match {
+      case None =>
+        try writeErasingMarker(fs, loc, affectedDirs, nonce, ids,
+          overwrite = false)
+        catch {
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: java.io.IOException) =>
+            // lost the create race (a marker appeared between the read
+            // and the create) — one re-read decides: same-ids/ownerless
+            // → take over; foreign → refuse; still absent → a real
+            // filesystem failure, not a race
+            readEraseFence(fs, loc) match {
+              case Some(f) if f.ids.isEmpty || f.ids == ids =>
+                writeErasingMarker(fs, loc, affectedDirs, nonce, ids,
+                  overwrite = true)
+              case Some(f) => refuse(f)
+              case None => throw e
+            }
+        }
+      case Some(f) if f.ids.isEmpty || f.ids == ids =>
+        writeErasingMarker(fs, loc, affectedDirs, nonce, ids,
+          overwrite = true)
+      case Some(f) => refuse(f)
+    }
+    nonce
+  }
+
+  /** Order-independent digest of the doomed-id set — what ties a fence
+    * to "the same erase": a crashed run's re-run presents the same ids
+    * and may take the fence over; any other id set is a different erase
+    * and refuses. One doomed-set-sized aggregate (never corpus-scaled);
+    * XOR-of-hashes is commutative (partition order cannot change it)
+    * and never overflows under ANSI mode — sound here because the set
+    * is deduplicated first (no pair of equal hashes to cancel). */
+  private def idsDigest(doomed: DataFrame, idCol: String): String = {
+    val r = doomed.select(xxhash64(col(idCol).cast("string")).as("__h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("h")).head()
+    val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"n${r.getLong(0)}-h${java.lang.Long.toHexString(h)}"
+  }
+
+  /** Parse a live `_erasing` marker under `dir` (v2 with owner nonce +
+    * id digest, or pre-nonce v1 with neither). None when no erase is in
+    * flight; tolerates a foreign/garbled file of the same name
+    * (refusing writes on garbage would wedge ingest on a typo'd touch). */
+  private[graft] def readEraseFence(
       fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[Seq[String]] = {
+      dir: String): Option[EraseFence] = {
     val p = erasingMarkerPath(dir)
     if (!fs.exists(p)) None
     else {
@@ -630,9 +762,47 @@ object Layout {
       val lines = new String(bytes,
         java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
         .map(_.trim).filter(_.nonEmpty)
-      if (lines.headOption.contains(ErasingMarkerHeader)) Some(lines.tail)
-      else None
+      lines.headOption match {
+        case Some(ErasingMarkerHeaderV1) =>
+          Some(EraseFence("", "", lines.tail))
+        case Some(ErasingMarkerHeaderV2) =>
+          val nonce = lines.tail.find(_.startsWith("nonce="))
+            .map(_.stripPrefix("nonce=")).getOrElse("")
+          val ids = lines.tail.find(_.startsWith("ids="))
+            .map(_.stripPrefix("ids=")).getOrElse("")
+          Some(EraseFence(nonce, ids, lines.tail
+            .filterNot(l => l.startsWith("nonce=") || l.startsWith("ids="))))
+        case _ => None
+      }
     }
+  }
+
+  /** The affected partition directory URIs of a live `_erasing` marker
+    * under `dir`, or None when no erase is in flight — the view the
+    * write-side guards ([[appendPartitionedRows]],
+    * [[requireNotUnderErase]]) consume; ownership does not matter to
+    * them, only coverage. */
+  private[graft] def readErasingMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Seq[String]] =
+    readEraseFence(fs, dir).map(_.affected)
+
+  /** Force-retire `table`'s erase fence — the OPERATOR escape hatch for
+    * crash debris whose owning erase cannot be re-run (its id set is
+    * gone). Only safe after verifying no erase job is live: clearing a
+    * LIVE erase's fence re-opens ingest into partitions its overwrite
+    * is still rewriting, exactly the silent-replace race the fence
+    * enforces against — which is why the library's own paths never
+    * force-clear (the no-match heal requires a same-ids or ownerless
+    * marker) and this verb exists as the explicit, named alternative.
+    * Returns true iff a fence was present and cleared. */
+  def healErase(spark: SparkSession, table: String): Boolean = {
+    val loc = tableLocation(spark, table)
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val had = readEraseFence(fs, loc).isDefined
+    clearErasingMarker(fs, loc)
+    had
   }
 
   /** Whether an erase currently holds `table`'s in-flight marker —
@@ -742,8 +912,15 @@ object Layout {
     * BASIS, and a commit-time CATCH-UP appends (delta minus doomed)
     * into the staged generation; (c) files that appear after even the
     * catch-up (a fence-bypassing writer racing the swap itself) ABORT
-    * the promote loudly — live generation unchanged, re-run to heal —
-    * never a silent replace. Crash contract: a crashed erase leaves
+    * the promote loudly — live generation unchanged, re-run to heal;
+    * (d) the last window (c) cannot see — a commit landing between its
+    * final listing and the swap — is closed at RETIRE time: before the
+    * old generation's files are deleted, their set must equal exactly
+    * what the rewrite consumed, else the retire aborts with the raced
+    * files PRESERVED on disk, the fence re-armed at the new live
+    * location, and a loud incomplete-erase error naming the recovery
+    * (re-append the preserved files minus the doomed ids) — never a
+    * silent replace. Crash contract: a crashed erase leaves
     * the fence up (appends stay refused) and the live generation
     * untouched; re-running with the same ids heals and retires it. */
   def eraseRowsFullRewrite(spark: SparkSession, table: String,
@@ -753,33 +930,52 @@ object Layout {
   /** [[eraseRowsFullRewrite]] with kill-window hooks for the crash and
     * race specs: `afterStagedWrite` runs between the basis rewrite and
     * the catch-up listing (an append here must be re-admitted);
-    * `beforePromote` runs after the catch-up, before the swap (an
-    * append here must abort the promote, never vanish). */
+    * `beforePromote` runs after the catch-up, before the pre-swap raced
+    * listing (an append here must abort the promote, never vanish);
+    * `afterRacedCheck` runs between that final listing and the swap
+    * itself — the one window the abort cannot see, which the
+    * post-promote retire verification closes loudly. */
   private[graft] def eraseRowsFullRewrite(spark: SparkSession,
       table: String, ids: DataFrame, afterStagedWrite: () => Unit,
-      beforePromote: () => Unit): Long = {
+      beforePromote: () => Unit,
+      afterRacedCheck: () => Unit = () => ()): Long = {
     val idCol = ids.columns.head
     val doomed = broadcast(ids.select(col(idCol)).dropDuplicates(idCol))
+    val digest = idsDigest(doomed, idCol)
     val full = spark.table(table)
     val loc = tableLocation(spark, table)
     val fs = new org.apache.hadoop.fs.Path(loc)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fail fast on a foreign live fence BEFORE the no-op probe scans
+    // the corpus (the authoritative check is the atomic acquire below)
+    readEraseFence(fs, loc).foreach { f =>
+      if (f.ids.nonEmpty && f.ids != digest)
+        throw new IllegalStateException(
+          s"erase of '$table' refused: another erase holds the table's " +
+            s"_erasing fence (run ${f.nonce}, ids ${f.ids} != $digest). " +
+            "If it is live, wait for it; if it crashed, re-run it with " +
+            "ITS ids to heal, or healErase(table) after verifying no " +
+            "erase job is running.")
+    }
     // no-op gate: a LIMIT-1 semi probe, not a full semi-join count — it
     // short-circuits on the first doomed row; only the no-match path
     // (which rewrites nothing) pays a full pass, over the id column
-    // alone. A live marker on the no-match path is debris of an erase
-    // that crashed between its promote and the marker retire (the
-    // doomed rows are gone) — heal it here so re-run-to-heal also
-    // re-opens ingest.
+    // alone. A live marker carrying OUR digest (or ownerless v1 debris)
+    // on the no-match path is debris of an erase that crashed between
+    // its promote and the marker retire (the doomed rows are gone) —
+    // heal it here so re-run-to-heal also re-opens ingest; a foreign
+    // digest is another erase's live fence and stays up.
     if (full.join(doomed, Seq(idCol), "left_semi").isEmpty) {
-      clearErasingMarker(fs, loc)
+      clearErasingMarkerIfHealable(fs, loc, digest)
       return 0L
     }
     // fence BEFORE the basis snapshot (the partitioned path's order):
     // the whole table location is the affected set — there are no
-    // partitions to scope
-    writeErasingMarker(fs, loc,
-      Seq(fs.makeQualified(new org.apache.hadoop.fs.Path(loc))))
+    // partitions to scope. Owned acquire: a concurrent different-ids
+    // erase refuses instead of clobbering this run's fence.
+    val fenceNonce = acquireEraseFence(fs, loc,
+      Seq(fs.makeQualified(new org.apache.hadoop.fs.Path(loc))),
+      digest, table)
     val schema = full.schema
     def rowsOf(files: Set[String]): org.apache.spark.sql.DataFrame =
       spark.read.schema(schema).parquet(files.toSeq.sorted: _*)
@@ -831,8 +1027,52 @@ object Layout {
         "ABORTED before the swap (live table unchanged, staged " +
         "generation left for vacuumGenerations). Re-run it with the " +
         "same ids to heal (which consumes the raced files in its basis).")
-    graft.sources.Sources.promoteTable(spark, next, table)
-    clearErasingMarker(fs, loc)
+    afterRacedCheck()
+    // post-promote retire verification — closes the one window the
+    // abort above cannot see (a fence-bypassing commit landing between
+    // that final listing and the swap): before the RETIRED generation's
+    // files are deleted, their name set must equal exactly the files
+    // the rewrite consumed (basis ∪ delta). Anything beyond it is a
+    // raced commit whose rows the swap already dropped from the live
+    // view — fail LOUDLY with the bytes PRESERVED (the retire is
+    // aborted, the raced files stay on disk) instead of deleting them
+    // with the retired generation. Compared by file NAME, not path: the
+    // rename-regime promote moves the directory. The partitioned path's
+    // analogue is its post-drop residue check.
+    val consumedNames = (basis ++ delta)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName)
+    graft.sources.Sources.promoteTable(spark, next, table,
+      beforeRetire = retiredDir => {
+        val leftover = graft.sources.Sources
+          .dataFilesUnder(spark, retiredDir.toString)
+          .filterNot(f =>
+            consumedNames.contains(new org.apache.hadoop.fs.Path(f).getName))
+        if (leftover.nonEmpty) {
+          // the swap moved the live table off the marker's directory
+          // (rename regime: the marker traveled INTO the retired dir;
+          // swap regime: the table now points at the staged location)
+          // — re-arm the fence at the CURRENT live location so ingest
+          // stays closed until the operator recovers the raced bytes
+          val newLoc = tableLocation(spark, table)
+          writeErasingMarker(
+            new org.apache.hadoop.fs.Path(newLoc)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration),
+            newLoc,
+            Seq(fs.makeQualified(new org.apache.hadoop.fs.Path(newLoc))),
+            fenceNonce, digest, overwrite = true)
+          throw new IllegalStateException(
+            s"eraseRowsFullRewrite('$table'): a concurrent writer " +
+            s"committed ${leftover.size} file(s) between the erase's " +
+            "final pre-swap listing and the generation swap. The erase " +
+            "is INCOMPLETE-but-preserved: the live table serves the " +
+            "erased generation WITHOUT those rows, the raced files are " +
+            s"kept on disk under $retiredDir (${leftover.mkString(", ")}) " +
+            "and the fence stays up. Recover by re-appending the " +
+            "preserved files minus the doomed ids, then healErase; a " +
+            "plain re-run cannot see them (they left the live file set).")
+        }
+      })
+    clearErasingMarkerIfOwned(fs, loc, fenceNonce)
     erased
   }
 

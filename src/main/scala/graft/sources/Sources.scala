@@ -667,7 +667,7 @@ object Sources {
       table: String): Seq[String] =
     dataFilesUnder(spark, tableLocationOf(spark, table))
 
-  private def dataFilesUnder(spark: SparkSession, dir: String): Seq[String] = {
+  private[graft] def dataFilesUnder(spark: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
@@ -832,10 +832,11 @@ object Sources {
     * and partition layout, which every artifact family's rebuild does by
     * construction. */
   private[graft] def promoteTable(spark: SparkSession, staged: String,
-      live: String): Unit =
+      live: String,
+      beforeRetire: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit =
     if (renameIsCopy(warehouseScheme(spark)))
-      promoteTableByLocationSwap(spark, staged, live)
-    else promoteTableByRename(spark, staged, live)
+      promoteTableByLocationSwap(spark, staged, live, beforeRetire)
+    else promoteTableByRename(spark, staged, live, beforeRetire)
 
   /** Delete ORPHANED generation debris for `live` — warehouse
     * directories named `<live>__next*`, `<live>__retired*`, or their
@@ -895,8 +896,16 @@ object Sources {
     * rerun merely finishes the partition re-list and debris drop. The
     * old drop-then-rename ordering had a window with NO serving table
     * and nothing to recover without a full rebuild. */
+  /** `beforeRetire` (both regimes): invoked with the OLD generation's
+    * data directory after the new generation is serving but BEFORE the
+    * old one's files are deleted — the erase path's last-look
+    * verification window (a throw aborts the retire; the swap stands,
+    * the old files stay on disk as data-safe debris). Fresh-promote
+    * path only; the crash-resume branches retire debris of an earlier
+    * promote, whose verification already ran or was forfeited. */
   private[graft] def promoteTableByRename(spark: SparkSession,
-      staged: String, live: String): Unit = {
+      staged: String, live: String,
+      beforeRetire: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
     val catalog = spark.sessionState.catalog
     def exists(n: String) =
       catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(n))
@@ -934,6 +943,10 @@ object Sources {
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$live`")
     if (stagedPartitioned)
       spark.sql(s"ALTER TABLE `$live` RECOVER PARTITIONS")
+    if (catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(retired)))
+      beforeRetire(new org.apache.hadoop.fs.Path(catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(retired)).location))
     replaceTable(spark, retired)
   }
 
@@ -961,7 +974,8 @@ object Sources {
     * table). Object-store deletes are per-key metadata operations — no
     * data moves in any step. */
   private[graft] def promoteTableByLocationSwap(spark: SparkSession,
-      staged: String, live: String): Unit = {
+      staged: String, live: String,
+      beforeRetire: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
     val catalog = spark.sessionState.catalog
     def ident(n: String) = org.apache.spark.sql.catalyst.TableIdentifier(n)
     require(catalog.tableExists(ident(staged)),
@@ -974,7 +988,7 @@ object Sources {
       // bootstrap: no generation to retire — the plain rename promote
       // installs the staged table under the live name (a one-time copy
       // on an object store; steady-state promotes never copy)
-      promoteTableByRename(spark, staged, live)
+      promoteTableByRename(spark, staged, live, beforeRetire)
       return
     }
     val liveLoc = new org.apache.hadoop.fs.Path(
@@ -989,6 +1003,9 @@ object Sources {
     // table's adopted data; detach it so the drop below can never
     // delete those partition dirs (metadata-only)
     detachPartitions(spark, staged)
+    // last look at the old generation before ANY retire action touches
+    // its files (the managed-staged drop below deletes them too)
+    if (liveLoc != stagedLoc) beforeRetire(liveLoc)
     if (stagedMeta.tableType !=
         org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
       // managed: point the doomed entry at the old generation so its

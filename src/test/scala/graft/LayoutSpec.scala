@@ -676,6 +676,172 @@ class LayoutSpec extends SparkSpec {
     assert(!Layout.eraseInFlight(spark, table))
   }
 
+  test("erase-vs-erase: a second erase with DIFFERENT ids launched " +
+      "while the first runs is REFUSED (fence kept, first completes); " +
+      "a no-match erase under the foreign fence returns 0 WITHOUT " +
+      "retiring it") {
+    import graft.sources.Sources
+    val table = "layout_erase_vs_erase"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "a"), (2L, 20, "a"), (3L, 30, "b"), (4L, 40, "b"),
+      (5L, 50, "c"), (6L, 60, "c"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    var refusedMsg = ""
+    val n = Layout.erasePartitionedRows(spark, table,
+      Seq(3L, 5L, 6L).toDF("id"),
+      beforeCommit = () => {
+        // an orchestrator retry with a CHANGED id set must not clobber
+        // this run's fence (pre-nonce, writeErasingMarker overwrote it
+        // and whichever finished first retired the other's marker)
+        refusedMsg = intercept[IllegalStateException] {
+          Layout.erasePartitionedRows(spark, table, Seq(4L).toDF("id"))
+        }.getMessage
+        assert(Layout.eraseInFlight(spark, table),
+          "refused erase must leave the running erase's fence up")
+        // the ADVICE case: a no-match erase (ids hit nothing) while
+        // this erase is live must NOT retire the live fence — it
+        // refuses at entry like any foreign-ids erase (pre-nonce, its
+        // no-match heal silently dropped the live fence mid-rewrite)
+        intercept[IllegalStateException] {
+          Layout.erasePartitionedRows(spark, table, Seq(999L).toDF("id"))
+        }
+        assert(Layout.eraseInFlight(spark, table),
+          "no-match erase retired a FOREIGN live fence")
+      },
+      afterCommit = () => ())
+    assert(n == 2)
+    assert(refusedMsg.contains("another erase holds"),
+      s"refusal must name the live fence: $refusedMsg")
+    assert(!Layout.eraseInFlight(spark, table),
+      "the first erase must complete and retire its own fence")
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // with the fence retired, the previously-refused erase proceeds
+    assert(Layout.erasePartitionedRows(spark, table, Seq(4L).toDF("id")) == 1)
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("erase crash debris: a different-ids erase REFUSES on the dead " +
+      "run's fence; healErase retires it explicitly and the erase then " +
+      "proceeds (same-ids re-run heal still works)") {
+    import graft.sources.Sources
+    val table = "layout_erase_debris"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "a"), (2L, 20, "a"), (3L, 30, "b"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    // crash erase #1 (ids=[3]) inside its window — fence left up
+    intercept[RuntimeException] {
+      Layout.erasePartitionedRows(spark, table, Seq(3L).toDF("id"),
+        beforeCommit = () => throw new RuntimeException("kill"),
+        afterCommit = () => ())
+    }
+    assert(Layout.eraseInFlight(spark, table))
+    // a DIFFERENT erase cannot tell crash debris from a live run —
+    // it must refuse, not take over
+    val e = intercept[IllegalStateException] {
+      Layout.erasePartitionedRows(spark, table, Seq(1L).toDF("id"))
+    }
+    assert(e.getMessage.contains("healErase"),
+      s"refusal must name the explicit heal verb: ${e.getMessage}")
+    // the operator, having verified no erase job is live, force-heals
+    assert(Layout.healErase(spark, table))
+    assert(!Layout.eraseInFlight(spark, table))
+    assert(Layout.erasePartitionedRows(spark, table, Seq(1L).toDF("id")) == 1)
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // and the documented same-ids re-run heal still works end-to-end
+    intercept[RuntimeException] {
+      Layout.erasePartitionedRows(spark, table, Seq(3L).toDF("id"),
+        beforeCommit = () => throw new RuntimeException("kill"),
+        afterCommit = () => ())
+    }
+    assert(Layout.eraseInFlight(spark, table))
+    assert(Layout.erasePartitionedRows(spark, table, Seq(3L).toDF("id")) == 1)
+    assert(!Layout.eraseInFlight(spark, table))
+    assert(Layout.healErase(spark, table) == false,
+      "healErase on a clean table reports no fence")
+  }
+
+  test("eraseRowsFullRewrite erase-vs-erase: a different-ids erase " +
+      "refuses while the flat rewrite runs") {
+    import graft.sources.Sources
+    val table = "layout_erase_flat_vs"
+    Seq(table, s"${table}__next").foreach(Sources.replaceTable(spark, _))
+    Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30))
+      .toDF("id", "t", "v")
+      .write.mode("overwrite").format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    var refused = ""
+    assert(Layout.eraseRowsFullRewrite(spark, table, Seq(2L).toDF("id"),
+      afterStagedWrite = () => {
+        refused = intercept[IllegalStateException] {
+          Layout.eraseRowsFullRewrite(spark, table, Seq(3L).toDF("id"))
+        }.getMessage
+        assert(Layout.eraseInFlight(spark, table))
+      },
+      beforePromote = () => ()) == 1L)
+    assert(refused.contains("another erase holds"), refused)
+    assert(!Layout.eraseInFlight(spark, table))
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("eraseRowsFullRewrite retire verification: a commit landing " +
+      "between the final listing and the swap fails LOUDLY with the " +
+      "raced bytes PRESERVED (never deleted with the retired " +
+      "generation) and the fence re-armed on the new live location") {
+    import graft.sources.Sources
+    val table = "layout_erase_flat_retire"
+    Seq(table, s"${table}__next").foreach(Sources.replaceTable(spark, _))
+    Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30))
+      .toDF("id", "t", "v")
+      .write.mode("overwrite").format("parquet")
+      .options(Sources.stagedWriteOptions(spark, table)).saveAsTable(table)
+    val e = intercept[IllegalStateException] {
+      Layout.eraseRowsFullRewrite(spark, table, Seq(2L).toDF("id"),
+        afterStagedWrite = () => (),
+        beforePromote = () => (),
+        afterRacedCheck = () =>
+          // a fence-bypassing commit in the blind window between the
+          // raced listing and the swap — the pre-swap abort cannot see
+          // it; before this round it was silently deleted with the
+          // retired generation while the scaladoc claimed otherwise
+          Seq((7L, "r", 70)).toDF("id", "t", "v")
+            .write.mode("append").insertInto(table))
+    }
+    assert(e.getMessage.contains("INCOMPLETE"), e.getMessage)
+    // the swap stands: live serves the erased generation (no raced row)
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the raced bytes are preserved on disk, named by the error
+    val preserved = e.getMessage.split("\\(|\\)").toSeq
+      .filter(_.contains(".parquet")).flatMap(_.split(",\\s*"))
+    assert(preserved.nonEmpty, s"error must name the files: ${e.getMessage}")
+    val fs = new org.apache.hadoop.fs.Path(preserved.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    preserved.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(f)), s"raced file deleted: $f"))
+    // fence re-armed at the NEW live location: ingest stays closed
+    assert(Layout.eraseInFlight(spark, table),
+      "retire-abort must keep the fence up on the new live location")
+    // documented recovery: re-append the preserved files minus the
+    // doomed ids, then healErase
+    val recovered = spark.read
+      .schema(spark.table(table).schema)
+      .parquet(preserved: _*)
+      .join(Seq(2L).toDF("id"), Seq("id"), "left_anti")
+    recovered.select(spark.table(table).columns.map(col): _*)
+      .write.mode("append").insertInto(table)
+    assert(Layout.healErase(spark, table))
+    assert(spark.table(table).select("id").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 7L))
+  }
+
   test("eraseRowsFullRewrite no-match heal: marker debris of an erase " +
       "that crashed between its promote and the retire is cleared by " +
       "the next no-match run, re-opening ingest") {
