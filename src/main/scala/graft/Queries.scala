@@ -2427,6 +2427,51 @@ object Queries {
       .orderBy(col("system"))
   }
 
+  /** TAKEDOWN-VISIBLE-IN-THE-QUALITY-REPORT gate — retrieval-eval
+    * composed with the delete tier the way q_corpus_erase_e2e composed
+    * erase with rebuild: the BM25 artifact is built over the FULL
+    * corpus, every doc_id % 30 == 3 (a strict subset of the qrels) is
+    * taken down via the tombstone path, and BOTH rankings — the
+    * pre-takedown in-memory build and the post-takedown SERVED index
+    * (mask + corrected stats, q_search_bm25_delete's contract) — are
+    * evaluated against the SAME unchanged qrels (ground truth does not
+    * move when a document is taken down; the retriever just can't
+    * return it). The oracle re-derives both BM25 rankings (full corpus
+    * and survivors-with-corrected-stats) and all four metrics in SQL,
+    * so the metric MOVEMENT is exactly the reduced-corpus prediction —
+    * a takedown that silently failed (mask not applied, stats not
+    * corrected) would leave the post row equal to the pre row or move
+    * it off-oracle. */
+  val q_rank_eval_takedown: Q = (s, dir) => {
+    import graft.operators.{RankEval, Search}
+    val docs = t(s, dir, "documents").df
+    val pre = Search.searchBm25(docs,
+        Search.buildBm25Index(docs, "doc_id", "text"),
+        "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank").as("rank"))
+      .localCheckpoint(true)
+    val table = artifactTable(s, "bm25_ev_del", dir, "documents")
+    onceUpserted(s, table) {
+      Search.saveBm25Index(
+        Search.buildBm25Index(docs, "doc_id", "text"), table)
+      Search.deleteBm25Docs(s, table, docs.filter(col("doc_id") % 30 === 3)
+        .select(col("doc_id")))
+    }
+    val idx = Search.loadBm25Index(s, table)
+    val post = Search.searchBm25(docs.filter(col("doc_id") % 30 =!= 3), idx,
+        "doc_id", "hash join filter", k = 25)
+      .select(col("doc_id"), col("bm25_rank").as("rank"))
+      .localCheckpoint(true)
+    val qrels = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"),
+        (lit(1) + col("doc_id") % 3).cast("double").as("grade"))
+    RankEval.evaluate(pre, qrels, "doc_id", "rank", 25,
+        Some("grade"), "bm25_pre_takedown")
+      .unionByName(RankEval.evaluate(post, qrels, "doc_id", "rank", 25,
+        Some("grade"), "bm25_post_takedown"))
+      .orderBy(col("system"))
+  }
+
   /** LSH-ANN RECALL GATE (oracle-checked): the multi-table ANN top-20
     * (3 independent 8-bit tables, probe Hamming ≤ 4 each — per-table
     * miss probabilities multiply) must contain the entire exact cosine
@@ -2469,6 +2514,28 @@ object Queries {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** BATCH LSH recall gate: the 3-query workload served from the SAME
+    * persisted bucket-partitioned projections as q_sim_lsh_serve in
+    * ONE plan per hash table — each projection is scanned once with
+    * the UNION of every query's probe set pushed as its IN partition
+    * filter, candidates attach to probing queries via a broadcast
+    * equi-join on the bucket id, and ranking windows per query.
+    * Per-query probe sets are the single-query path's by construction
+    * (shared codesWithin/queryCode), extending q_sim_lsh_serve's
+    * recall contract to the whole workload: batch top-30 ⊇ each
+    * query's exact cosine top-10. */
+  val q_sim_lsh_batch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val (table, fp) = fingerprintedArtifact(s, "lsh_idx", dir, "embeddings")
+    Similarity.lshIndexFor(emb, "embedding", dims = 64, table,
+      bits = 8, tables = 3, fingerprint = fp)
+    val qvecs = emb.filter(col("vec_id") <= 2)
+      .select((col("vec_id") + 1).cast("int").as("qid"), col("embedding"))
+    val ann = Similarity.lshTopKServedBatch(s, table, "vec_id", "embedding",
+      qvecs, "qid", "embedding", k = 30, probeDist = 4)
+    annBatchContainment(emb, ann)
+  }
+
   /** IVF-ANN RECALL GATE (oracle-checked): spherical k-means index
     * (cosine assignment — L2 cells on unnormalized embeddings split
     * cosine-near vectors by magnitude), probe the 12 of 16
@@ -2505,6 +2572,55 @@ object Queries {
     val ann = Similarity.ivfTopK(idx, "vec_id", "embedding", qvec, 20, nProbe = 12)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
       .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** Shared shape of the three BATCH ANN recall gates: the per-query
+    * exact cosine top-10 (computed with the SAME hash-proven
+    * [[graft.operators.Similarity.bruteForceTopK]] formula the
+    * single-query gates anchor to DuckDB) semi-joined against the
+    * batch ANN candidates per (query, id) — the output equals the
+    * per-query exact top-10 iff batch recall@10 = 100% for EVERY query
+    * in the workload. Queries are the vec_id 0-2 embeddings, keyed
+    * qid = vec_id + 1 (the hybrid-batch convention). */
+  private def annBatchContainment(emb: DataFrame,
+      ann: DataFrame): DataFrame = {
+    val qrows = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Number](0).intValue + 1,
+        r.getSeq[Float](1).map(_.toDouble)))
+    val exact = qrows.map { case (qid, qv) =>
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+        .select(lit(qid).as("qid"), col("vec_id"), col("cosine"))
+    }.reduce(_ unionByName _)
+    exact.join(ann.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_semi")
+      .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** BATCH IVF recall gate: a 3-query workload served from the SAME
+    * persisted cluster-partitioned artifact as q_sim_ivf_serve in ONE
+    * plan — the scan reads the UNION of the workload's probed cells
+    * (an IN partition filter, directory-pruned at the source), each
+    * row scores only against the queries that probed its cell (a
+    * broadcast equi-join on cluster, never a cross product), ranking
+    * windows per query. Per-query probe sets are the single-query
+    * path's by construction (shared probeCells), so this gate extends
+    * the q_sim_ivf recall contract to every query in the workload:
+    * the batch top-30 must contain each query's exact cosine top-10.
+    * nProbe 15 of 16: queries 2-3 each keep one exact-top-10 neighbor
+    * in a far cell of this near-uniform synthetic corpus (q_sim_ivf's
+    * caveat, worse for arbitrary workload vectors than for vec_id 0) —
+    * the gate pins the batch recall contract, not the pruning ratio. */
+  val q_sim_ivf_batch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val (table, fp) = fingerprintedArtifact(s, "ivf_idx", dir, "embeddings")
+    val idx = Similarity.ivfIndexFor(emb, "vec_id", "embedding", table,
+      nCentroids = 16, iters = 3, fingerprint = fp)
+    val qvecs = emb.filter(col("vec_id") <= 2)
+      .select((col("vec_id") + 1).cast("int").as("qid"), col("embedding"))
+    val ann = Similarity.ivfTopKBatch(idx, "vec_id", "embedding",
+      qvecs, "qid", "embedding", k = 30, nProbe = 15)
+    annBatchContainment(emb, ann)
   }
 
   /** IVF INCREMENTAL-UPSERT gate: the serving artifact is built over the
@@ -3115,6 +3231,28 @@ object Queries {
       candidates = 500)
     exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
       .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** BATCH PQ recall gate: the 3-query workload scored against the
+    * encoded corpus in TWO scans total (vs one per query): scan one
+    * evaluates every query's ADC lookup table per code row inside one
+    * codegen'd expression (pq_adc_score_multi — the LUT stack is a
+    * KB-sized reference object) and window-ranks candidates per
+    * query; scan two fetches exactly the candidate vectors (broadcast
+    * request-sized candidate set) for the exact cosine rerank.
+    * Candidate selection order matches pqTopK's (__adc desc, id), so
+    * per-query candidate sets are the single-query path's by
+    * construction. Batch top-30 ⊇ each query's exact top-10, at
+    * q_sim_pq's own candidates=500. */
+  val q_sim_pq_batch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding", dims = 64,
+      m = 16, nCodes = 32, iters = 8, sampleN = 2048)
+    val qvecs = emb.filter(col("vec_id") <= 2)
+      .select((col("vec_id") + 1).cast("int").as("qid"), col("embedding"))
+    val ann = Similarity.pqTopKBatch(idx, "vec_id", "embedding",
+      qvecs, "qid", "embedding", k = 30, candidates = 500)
+    annBatchContainment(emb, ann)
   }
 
   /** PQ TAKEDOWN gate — the delete tier for the encoded family: codes
@@ -4306,8 +4444,12 @@ object Queries {
     "q_hybrid_borda" -> q_hybrid_borda,
     "q_rank_eval" -> q_rank_eval,
     "q_rank_eval_batch" -> q_rank_eval_batch,
+    "q_rank_eval_takedown" -> q_rank_eval_takedown,
     "q_search_bm25_batch" -> q_search_bm25_batch,
     "q_hybrid_rrf_batch" -> q_hybrid_rrf_batch,
+    "q_sim_ivf_batch" -> q_sim_ivf_batch,
+    "q_sim_lsh_batch" -> q_sim_lsh_batch,
+    "q_sim_pq_batch" -> q_sim_pq_batch,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
     "q_sim_ivf" -> q_sim_ivf,
@@ -4496,26 +4638,33 @@ object Queries {
     * RRF fusion) each evaluated at k=25 against the same graded qrels —
     * recall@k, MRR@k, nDCG@k re-derived entirely in SQL. One eval CTE
     * per system keeps the metric arithmetic identical across rows. */
+  /** One DuckDB eval CTE (recall/MRR/nDCG/MAP at 25 over a `(doc_id,
+    * r)` ranking CTE named `ranking`, against CTEs `qrels` and `idcg`)
+    * — shared by the q_rank_eval and q_rank_eval_takedown oracles so
+    * the metric re-derivation is literally the same SQL in both. */
+  private def rankEvalCte(name: String, ranking: String): String =
+    s"""eval_$name AS (
+      |  SELECT '$name' AS system,
+      |    (SELECT count(*) FROM qrels)::BIGINT AS n_relevant,
+      |    round(count(g)::DOUBLE / (SELECT count(*) FROM qrels), 4)
+      |      AS recall_at_k,
+      |    round(coalesce(1::DOUBLE
+      |      / min(CASE WHEN g IS NOT NULL THEN r END), 0), 4) AS mrr_at_k,
+      |    round(coalesce(sum((pow(2, g) - 1) / log2(r + 1))
+      |      / (SELECT v FROM idcg), 0), 4) AS ndcg_at_k,
+      |    round(coalesce(
+      |        sum(CASE WHEN g IS NOT NULL THEN hidx::DOUBLE / r END), 0)
+      |      / least(25, (SELECT count(*) FROM qrels)), 4) AS map_at_k
+      |  FROM (SELECT rk.r AS r, q.g AS g,
+      |          count(q.g) OVER (ORDER BY rk.r
+      |            ROWS UNBOUNDED PRECEDING) AS hidx
+      |        FROM $ranking rk
+      |        LEFT JOIN qrels q ON rk.doc_id = q.doc_id
+      |        WHERE rk.r <= 25))""".stripMargin
+
   private val rankEvalOracleSql: String = {
     def evalCte(name: String, ranking: String): String =
-      s"""eval_$name AS (
-        |  SELECT '$name' AS system,
-        |    (SELECT count(*) FROM qrels)::BIGINT AS n_relevant,
-        |    round(count(g)::DOUBLE / (SELECT count(*) FROM qrels), 4)
-        |      AS recall_at_k,
-        |    round(coalesce(1::DOUBLE
-        |      / min(CASE WHEN g IS NOT NULL THEN r END), 0), 4) AS mrr_at_k,
-        |    round(coalesce(sum((pow(2, g) - 1) / log2(r + 1))
-        |      / (SELECT v FROM idcg), 0), 4) AS ndcg_at_k,
-        |    round(coalesce(
-        |        sum(CASE WHEN g IS NOT NULL THEN hidx::DOUBLE / r END), 0)
-        |      / least(25, (SELECT count(*) FROM qrels)), 4) AS map_at_k
-        |  FROM (SELECT rk.r AS r, q.g AS g,
-        |          count(q.g) OVER (ORDER BY rk.r
-        |            ROWS UNBOUNDED PRECEDING) AS hidx
-        |        FROM $ranking rk
-        |        LEFT JOIN qrels q ON rk.doc_id = q.doc_id
-        |        WHERE rk.r <= 25))""".stripMargin
+      rankEvalCte(name, ranking)
     s"""WITH $hybridRankingsCtes,
       |fused AS (
       |  SELECT doc_id, 1::DOUBLE / (60 + r) AS fs FROM lex
@@ -4543,6 +4692,96 @@ object Queries {
       |UNION ALL SELECT * FROM eval_hybrid_rrf
       |ORDER BY system""".stripMargin
   }
+
+  /** Oracle for q_rank_eval_takedown: BOTH BM25 rankings re-derived
+    * from scratch — `pre` over the full corpus, `post` over the
+    * survivors with survivor-recomputed df/n/avglen (the
+    * q_search_bm25_delete stats contract) — then both evaluated with
+    * the SAME [[rankEvalCte]] metric SQL against the unchanged qrels. */
+  private val rankEvalTakedownOracleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      |  FROM documents
+      |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      |terms(word) AS (VALUES ('hash'), ('join'), ('filter')),
+      |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+      |stats AS (
+      |  SELECT (SELECT count(*) FROM documents) AS n,
+      |    (SELECT count(*) FROM tok2)::DOUBLE
+      |      / (SELECT count(*) FROM documents) AS avglen),
+      |tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM tok2
+      |  WHERE word IN (SELECT word FROM terms) GROUP BY doc_id, word),
+      |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+      |  FROM tf JOIN dfreq d USING (word)
+      |    JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN stats s
+      |  GROUP BY tf.doc_id),
+      |pre AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      |    FROM scored) WHERE r <= 25),
+      |stok2 AS (SELECT doc_id, word FROM tok2 WHERE doc_id % 30 <> 3),
+      |slens AS (SELECT doc_id, count(*) AS doclen FROM stok2 GROUP BY doc_id),
+      |sstats AS (
+      |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 30 <> 3) AS n,
+      |    (SELECT count(*) FROM stok2)::DOUBLE
+      |      / (SELECT count(*) FROM documents WHERE doc_id % 30 <> 3)
+      |      AS avglen),
+      |stf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM stok2
+      |  WHERE word IN (SELECT word FROM terms) GROUP BY doc_id, word),
+      |sdfreq AS (SELECT word, count(*) AS df FROM stf GROUP BY word),
+      |sscored AS (
+      |  SELECT stf.doc_id,
+      |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      |        * (stf.tf * 2.2)
+      |        / (stf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+      |  FROM stf JOIN sdfreq d USING (word)
+      |    JOIN slens l ON l.doc_id = stf.doc_id CROSS JOIN sstats s
+      |  GROUP BY stf.doc_id),
+      |post AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      |    FROM sscored) WHERE r <= 25),
+      |qrels AS (
+      |  SELECT doc_id, (1 + doc_id % 3)::DOUBLE AS g FROM documents
+      |  WHERE doc_id % 10 = 3),
+      |idcg AS (
+      |  SELECT sum((pow(2, g) - 1) / log2(i + 1)) AS v FROM (
+      |    SELECT g, row_number() OVER (ORDER BY g DESC, doc_id) AS i
+      |    FROM qrels)
+      |  WHERE i <= 25),
+      |${rankEvalCte("bm25_pre_takedown", "pre")},
+      |${rankEvalCte("bm25_post_takedown", "post")}
+      |SELECT * FROM eval_bm25_pre_takedown
+      |UNION ALL SELECT * FROM eval_bm25_post_takedown
+      |ORDER BY system""".stripMargin
+
+  /** Shared by the three BATCH ANN recall gates (q_sim_ivf_batch /
+    * q_sim_lsh_batch / q_sim_pq_batch): the per-query exact cosine
+    * top-10 for the 3-query workload — each gate's batch ANN top-30
+    * must contain it, per query. */
+  private val annBatchExactTop10Sql: String =
+    """WITH qv AS (
+      |  SELECT (vec_id + 1)::INT AS qid, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id <= 2
+      |), scored AS (
+      |  SELECT q.qid, e.vec_id,
+      |    list_dot_product(e.embedding::DOUBLE[], q.qv)
+      |     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |        * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      |  FROM embeddings e CROSS JOIN qv q
+      |), ranked AS (
+      |  SELECT qid, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS r
+      |  FROM scored)
+      |SELECT qid, vec_id, cosine FROM ranked
+      |WHERE r <= 10 ORDER BY qid, cosine DESC, vec_id""".stripMargin
 
   // lazy: referenced by bm25DeletedOracleSql's initializer above it
   private lazy val bm25WithoutTemplate: String =
@@ -6196,6 +6435,12 @@ object Queries {
     "q_sim_lsh" -> annExactTop10Sql,
     "q_sim_lsh_serve" -> annExactTop10Sql,
     "q_sim_ivf" -> annExactTop10Sql,
+    // the batch gates answer the same recall contract for a 3-query
+    // workload served in one plan
+    "q_sim_ivf_batch" -> annBatchExactTop10Sql,
+    "q_sim_lsh_batch" -> annBatchExactTop10Sql,
+    "q_sim_pq_batch" -> annBatchExactTop10Sql,
+    "q_rank_eval_takedown" -> rankEvalTakedownOracleSql,
     // the serving gates answer the same recall contract from the
     // persisted indexes
     "q_sim_ivf_serve" -> annExactTop10Sql,

@@ -322,6 +322,37 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   * is m array lookups and adds instead of a dims-length float loop. This
   * is the PQ payoff: approximate inner product against compressed codes
   * at ~m/dims of the flops, full scan stays map-side. */
+/** Batch companion of [[PqAdcScore]]: one code row → the ADC score per
+  * query in a LUT stack (reference object, KBs per query). Keeps the
+  * batch PQ serve inside whole-stage codegen — one encoded-corpus scan
+  * scores the entire workload. */
+case class PqAdcScoreMulti(child: Expression,
+    luts: Array[Array[Array[Double]]]) extends UnaryExpression {
+
+  override def prettyName: String = "pq_adc_score_multi"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<int> codes, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorUtil.pqAdcMulti(input.asInstanceOf[ArrayData], luts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("luts", luts, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.pqAdcMulti($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
     extends UnaryExpression {
 
@@ -385,6 +416,21 @@ object VectorUtil {
       out(s) = best
       off += subDim
       s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC scores of one PQ code row against a STACK of query
+    * LUTs (`luts(q)` = query q's [[pqAdc]] table) — the batch serve
+    * kernel: one pass over the encoded corpus scores every query in
+    * the workload. Returns `double[]`, index-aligned with `luts`. */
+  def pqAdcMulti(codes: ArrayData,
+      luts: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Double](luts.length)
+    var q = 0
+    while (q < luts.length) {
+      out(q) = pqAdc(codes, luts(q))
+      q += 1
     }
     new GenericArrayData(out)
   }
@@ -599,4 +645,10 @@ object VectorExpressions {
     * table `lut(s)(j) = dot(query_s, codeword_{s,j})` — see [[PqAdcScore]]. */
   def pq_adc_score(codes: Column, lut: Array[Array[Double]]): Column =
     ColumnInterop.column(PqAdcScore(ColumnInterop.expression(codes), lut))
+
+  /** Per-query ADC scores against a stack of query LUTs (`double[]`,
+    * index-aligned with `luts`) — see [[PqAdcScoreMulti]]. */
+  def pq_adc_score_multi(codes: Column,
+      luts: Array[Array[Array[Double]]]): Column =
+    ColumnInterop.column(PqAdcScoreMulti(ColumnInterop.expression(codes), luts))
 }

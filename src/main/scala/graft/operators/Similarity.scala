@@ -463,6 +463,124 @@ object Similarity {
       .transform(graft.operators.Tombstones.mask(spark, table, _))
   }
 
+  /** BATCH multi-table LSH top-k over [[lshBucketsMulti]] output: the
+    * corpus is scanned ONCE for the whole workload — each row tests its
+    * L bucket codes against every query's codes (an OR of per-table bit
+    * tests per (row, query) pair, evaluated against the broadcast
+    * workload), survivors score exact cosine, and ranking is a window
+    * PARTITIONED BY query. Candidate sets per query are identical to
+    * [[lshTopKMulti]]'s by construction (same [[queryCode]] hash, same
+    * Hamming test). Returns (queryIdCol, idCol, cosine, cos_rank) with
+    * rank ≤ k. The broadcast build side carries one row per query with
+    * its L codes — workload-sized, KBs. */
+  def lshTopKMultiBatch(bucketed: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, bits: Int = 8, probeDist: Int = 2, tables: Int = 2,
+      dims: Int = -1): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = bucketed.sparkSession
+    val qField = queries.schema(queryIdCol)
+    val qrows = queries
+      .select(col(queryIdCol), col(queryVecCol).cast("array<double>"))
+      .collect()
+    val codeRows: Seq[org.apache.spark.sql.Row] = qrows.toSeq.map { r =>
+      val qv = r.getSeq[Double](1)
+      val d = if (dims > 0) dims else qv.length
+      org.apache.spark.sql.Row.fromSeq(
+        r.get(0) +: qv +: (0 until tables).map(t =>
+          queryCode(qv, bits, t, dims = d)))
+    }
+    val codeSchema = org.apache.spark.sql.types.StructType(
+      qField.copy(name = queryIdCol) +:
+        org.apache.spark.sql.types.StructField("__qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)) +:
+        (0 until tables).map(t => org.apache.spark.sql.types.StructField(
+          s"__qcode_$t", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+    val codes = spark.createDataFrame(
+      spark.sparkContext.parallelize(codeRows, 1), codeSchema)
+    val cond = (0 until tables).map { t =>
+      bit_count(col(s"bucket_$t").bitwiseXOR(col(s"__qcode_$t"))) <= probeDist
+    }.reduce(_ || _)
+    val scored = bucketed
+      .select((idCol +: (0 until tables).map(t => s"bucket_$t")).map(col) :+
+        col(vecCol).as("__v"): _*)
+      .crossJoin(broadcast(codes))
+      .filter(cond)
+      .select(col(queryIdCol), col(idCol),
+        (dot(col("__v"), col("__qv"))
+          / (vec_norm(col("__v")) * vec_norm(col("__qv")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("cos_rank", row_number().over(w))
+      .filter(col("cos_rank") <= k)
+      .orderBy(col(queryIdCol), col("cos_rank"))
+  }
+
+  /** BATCH serve from the persisted LSH layout: per hash table, the
+    * UNION of every query's probe set is pushed as ONE `IN` partition
+    * filter (each projection is scanned once for the whole workload,
+    * reading only probed bucket directories), candidates attach to the
+    * queries that probed their bucket via a broadcast equi-join on the
+    * bucket id — never a cross product — then union across tables,
+    * dedup per (query, id), takedown-mask, exact-score, and rank per
+    * query. Per-query candidate sets are identical to
+    * [[lshTopKServed]]'s by construction (same [[codesWithin]]
+    * enumeration). Returns (queryIdCol, idCol, cosine, cos_rank),
+    * rank ≤ k. */
+  def lshTopKServedBatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, vecCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      probeDist: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (bits, tables, dims) = lshMetaFor(spark, table)
+    val qField = queries.schema(queryIdCol)
+    val qrows = queries
+      .select(col(queryIdCol), col(queryVecCol).cast("array<double>"))
+      .collect()
+    val qvSchema = org.apache.spark.sql.types.StructType(Seq(
+      qField.copy(name = queryIdCol),
+      org.apache.spark.sql.types.StructField("__qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val qvecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        qrows.toSeq.map(r => org.apache.spark.sql.Row(r.get(0), r.getSeq[Double](1))), 1),
+      qvSchema)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      qField.copy(name = queryIdCol),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val cands = (0 until tables).map { t =>
+      val pairRows: Seq[org.apache.spark.sql.Row] = qrows.toSeq.flatMap { r =>
+        codesWithin(queryCode(r.getSeq[Double](1), bits, t, dims), bits,
+          probeDist).map(b => org.apache.spark.sql.Row(r.get(0), b))
+      }
+      val pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(pairRows, 1), pairSchema)
+      val buckets = pairRows.map(_.getLong(1)).distinct
+      spark.table(s"${table}_t$t")
+        .filter(col("bucket").isin(buckets: _*))
+        .select(col(idCol), col("bucket").cast("long").as("bucket"),
+          col(vecCol))
+        .join(broadcast(pairs), Seq("bucket"))
+        .select(col(queryIdCol), col(idCol), col(vecCol))
+    }.reduce(_ unionByName _).dropDuplicates(queryIdCol, idCol)
+    val masked = graft.operators.Tombstones.mask(spark, table, cands)
+    val scored = masked.join(broadcast(qvecs), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        (dot(col(vecCol), col("__qv"))
+          / (vec_norm(col(vecCol)) * vec_norm(col("__qv")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("cos_rank", row_number().over(w))
+      .filter(col("cos_rank") <= k)
+      .orderBy(col(queryIdCol), col("cos_rank"))
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) index
   // ------------------------------------------------------------------
@@ -1437,34 +1555,100 @@ object Similarity {
     * only `candidates` rows ever touch their float vectors — at 100 TB
     * with the encoded table cached/columnar, the scan cost is the code
     * bytes, and recall is tuned by `candidates`, not by re-scanning. */
+  /** Query-side ADC lookup table for [[pqTopK]]/[[pqTopKBatch]]:
+    * `lut(s)(j) = dot(unit(query)_s, codeword_{s,j})` — shared so the
+    * single-query and batch candidate selections are identical by
+    * construction. */
+  private def adcLut(index: PqIndex, query: Seq[Double]): Array[Array[Double]] = {
+    val qn = unit(query.toArray)
+    val m = index.codebooks.length
+    Array.tabulate(m) { s =>
+      val codes = index.codebooks(s)
+      val subDim = if (codes.isEmpty) 0 else codes(0).length
+      val off = s * subDim
+      codes.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val qi = if (off + i < qn.length) qn(off + i) else 0.0
+          d += qi * c(i)
+          i += 1
+        }
+        d
+      }
+    }
+  }
+
   def pqTopK(index: PqIndex, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, candidates: Int = 100): DataFrame = {
     import graft.functions.VectorExpressions.pq_adc_score
-    val qn = unit(query.toArray)
-    val lut: Array[Array[Double]] = {
-      val m = index.codebooks.length
-      Array.tabulate(m) { s =>
-        val codes = index.codebooks(s)
-        val subDim = if (codes.isEmpty) 0 else codes(0).length
-        val off = s * subDim
-        codes.map { c =>
-          var d = 0.0
-          var i = 0
-          while (i < subDim) {
-            val qi = if (off + i < qn.length) qn(off + i) else 0.0
-            d += qi * c(i)
-            i += 1
-          }
-          d
-        }
-      }
-    }
+    val lut = adcLut(index, query)
     val cands = index.encoded
       .select(col("*"), pq_adc_score(col("pq_code"), lut).as("__adc"))
       .orderBy(col("__adc").desc, col(idCol).asc)
       .limit(math.max(candidates, k))
       .drop("__adc")
     bruteForceTopK(cands, idCol, vecCol, query, k)
+  }
+
+  /** BATCH PQ top-k: the encoded corpus is scanned ONCE for the whole
+    * workload — [[graft.functions.VectorExpressions.pq_adc_score_multi]]
+    * evaluates every query's ADC table per code row inside whole-stage
+    * codegen (the LUT stack rides along as a reference object, KBs per
+    * query), candidates rank per query by ADC (same (__adc desc, id)
+    * order as [[pqTopK]], so per-query candidate sets are identical by
+    * construction), and the exact cosine rerank fetches candidate
+    * vectors with one more corpus scan against the BROADCAST candidate
+    * set (workload × candidates rows — request-sized) instead of
+    * carrying vectors through the explode. Two corpus scans total for
+    * Q queries, vs Q scans for the per-query loop. Returns
+    * (queryIdCol, idCol, cosine, cos_rank) with rank ≤ k. */
+  def pqTopKBatch(index: PqIndex, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, candidates: Int = 100): DataFrame = {
+    import graft.functions.VectorExpressions.pq_adc_score_multi
+    require(k > 0, "k must be positive")
+    val spark = index.encoded.sparkSession
+    val qField = queries.schema(queryIdCol)
+    val qrows = queries
+      .select(col(queryIdCol), col(queryVecCol).cast("array<double>"))
+      .collect()
+    val luts: Array[Array[Array[Double]]] =
+      qrows.map(r => adcLut(index, r.getSeq[Double](1)))
+    val qmapSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__qidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      qField.copy(name = queryIdCol),
+      org.apache.spark.sql.types.StructField("__qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val qmap = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        qrows.toSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(0), r.getSeq[Double](1))
+        }, 1), qmapSchema)
+    val adc = index.encoded
+      .select(col(idCol),
+        pq_adc_score_multi(col("pq_code"), luts).as("__adcs"))
+      .select(col(idCol), posexplode(col("__adcs")).as(Seq("__qidx", "__adc")))
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qidx"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+    val candIds = adc.withColumn("__r", row_number().over(wCand))
+      .filter(col("__r") <= math.max(candidates, k))
+      .select(col("__qidx"), col(idCol))
+    val scored = index.encoded.select(col(idCol), col(vecCol).as("__v"))
+      .join(broadcast(candIds), Seq(idCol))
+      .join(broadcast(qmap), Seq("__qidx"))
+      .select(col(queryIdCol), col(idCol),
+        (dot(col("__v"), col("__qv"))
+          / (vec_norm(col("__v")) * vec_norm(col("__qv")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("cos_rank", row_number().over(w))
+      .filter(col("cos_rank") <= k)
+      .orderBy(col(queryIdCol), col("cos_rank"))
   }
 
   /** IVF-accelerated approximate top-k: rank centroids by cosine to the
@@ -1474,14 +1658,85 @@ object Similarity {
     * filter prunes at the source. */
   def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nProbe: Int = 8): DataFrame = {
+    val probes = probeCells(index.centroids, query, nProbe)
+    val cands = index.assigned.filter(col("cluster").isin(probes.toIndexedSeq: _*))
+    bruteForceTopK(cands, idCol, vecCol, query, k)
+  }
+
+  /** The `nProbe` cosine-nearest centroid ids for `query` — the probe
+    * set both the single-query and batch IVF paths share, so their
+    * candidate sets are identical by construction (ties broken by
+    * centroid id, deterministically). */
+  private def probeCells(centroids: Array[Array[Double]],
+      query: Seq[Double], nProbe: Int): Seq[Int] = {
     val qn = unit(query.toArray)
-    val probes = index.centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) =>
         // centroids are unit-norm: dot(qn, c) IS the cosine
         (-c.zip(qn).map { case (x, y) => x * y }.sum, i)
       }
-      .sortBy(identity).take(nProbe).map(_._2)
-    val cands = index.assigned.filter(col("cluster").isin(probes.toIndexedSeq: _*))
-    bruteForceTopK(cands, idCol, vecCol, query, k)
+      .sortBy(identity).take(nProbe).map(_._2).toSeq
+  }
+
+  /** BATCH IVF top-k: a WORKLOAD of queries served against the index in
+    * ONE plan — the [[graft.operators.Search.searchBm25Batch]] shape
+    * applied to the bucketed ANN family that actually serves at scale
+    * (the brute-force batch, [[bruteForceTopKBatch]], scans the whole
+    * corpus per batch; this scans only the UNION of the workload's
+    * probed cells). Per query the probe set is selected driver-side
+    * from the KB-sized centroid matrix — the same [[probeCells]] the
+    * single-query path uses, so batch and per-query candidates are
+    * identical by construction — and the workload (broadcast-sized BY
+    * DEFINITION: it is the build side the scoring join ships anyway)
+    * is collected once to do it. The scan reads `cluster IN (∪ probed
+    * cells)`: against a [[saveIvfIndex]]-partitioned artifact that
+    * prunes whole cell directories at the source, once, for the whole
+    * batch. Each corpus row then scores ONLY against the queries that
+    * probed its cell (a broadcast equi-join on `cluster`, never a
+    * cross product), and ranking is a window PARTITIONED BY query —
+    * per-query k-row heap state, never a global sort. Returns
+    * (queryIdCol, idCol, cosine, cos_rank) with rank ≤ k, ordered by
+    * (query, rank); a query whose probed cells are all empty yields no
+    * rows. */
+  def ivfTopKBatch(index: IvfIndex, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nProbe: Int = 8): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = index.assigned.sparkSession
+    val qField = queries.schema(queryIdCol)
+    val qrows = queries
+      .select(col(queryIdCol), col(queryVecCol).cast("array<double>"))
+      .collect()
+    val probeRows: Seq[org.apache.spark.sql.Row] = qrows.toSeq.flatMap { r =>
+      val qv = r.getSeq[Double](1)
+      probeCells(index.centroids, qv, nProbe)
+        .map(c => org.apache.spark.sql.Row(r.get(0), c, qv))
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      qField.copy(name = queryIdCol),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows, 1), probeSchema)
+    val cells = probeRows.map(_.getInt(1)).distinct
+    // one artifact scan over the union of probed cells — an IN literal
+    // list, so a cluster-partitioned serving layout directory-prunes it
+    val cands = index.assigned
+      .filter(col("cluster").isin(cells: _*))
+      .select(col(idCol), col("cluster").cast("int").as("cluster"),
+        col(vecCol).as("__v"))
+    val scored = cands.join(broadcast(probes), Seq("cluster"))
+      .select(col(queryIdCol), col(idCol),
+        (dot(col("__v"), col("__qv"))
+          / (vec_norm(col("__v")) * vec_norm(col("__qv")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("cos_rank", row_number().over(w))
+      .filter(col("cos_rank") <= k)
+      .orderBy(col(queryIdCol), col("cos_rank"))
   }
 }

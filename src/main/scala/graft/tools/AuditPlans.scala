@@ -83,6 +83,18 @@ object AuditPlans {
     // broadcast workload x corpus scan and the per-query fused
     // aggregate/ranking (all query-keyed)
     "q_hybrid_rrf_batch" -> 14,
+    // composed takedown eval: two checkpoint-pinned retriever lists +
+    // q_rank_eval's bounded hit/ideal metric aggregates, twice; the
+    // extra exchange over q_rank_eval's 5 is saved by having no fusion
+    "q_rank_eval_takedown" -> 3,
+    // batch ANN recall gates: the serve path's per-query ranking window
+    // (query-keyed, k-row state), the per-(query,id) dedup/semi-join of
+    // the containment check, and the 3-query exact side's TakeOrdered
+    // unions — all keyed or k-bounded, no corpus-global exchange; the
+    // LSH gate adds the cross-projection dedup, the PQ gate the
+    // candidate-window + rerank join
+    "q_sim_ivf_batch" -> 10, "q_sim_lsh_batch" -> 13,
+    "q_sim_pq_batch" -> 11,
     "q_intersect" -> 2,
     // prune gates: fact-side groupBy agg + final sort; the dim/threshold
     // sides are broadcast (dynamic) or literal (static)
@@ -273,6 +285,8 @@ object AuditPlans {
       "batch ANN scoring: build side is the broadcast QUERY WORKLOAD (3 vectors; workload-sized by design), streamed side one corpus scan — every (row, query) pair scores map-side; the brute-force baseline the bucketed ANN families replace when selectivity matters",
     "q_rank_eval" ->
       "metric assembly joins: each build side is exactly ONE broadcast row (the ideal-DCG aggregate and the qrels total) crossed onto the one-row hit aggregate",
+    "q_rank_eval_takedown" ->
+      "metric assembly joins (q_rank_eval's shape, twice): each build side is exactly ONE broadcast row (ideal-DCG aggregate, qrels total) crossed onto the one-row hit aggregate of the pre- and post-takedown evals",
     "q_dedup_embedding" ->
       "verification-grade exact all-pairs; LSH banding is the scale path",
     "q_dedup_semantic" ->
@@ -338,7 +352,9 @@ object AuditPlans {
     "q_hybrid_borda" ->
       "borda_rank runs AFTER .limit(k) over the fused top-25; the input lists are localCheckpoint-pinned top-50 frames",
     "q_rank_eval" ->
-      "both windows rank bounded frames: the ideal-DCG window AFTER .limit(k) over qrels, rrf_rank after .limit(25); the retriever lists are localCheckpoint-pinned")
+      "both windows rank bounded frames: the ideal-DCG window AFTER .limit(k) over qrels, rrf_rank after .limit(25); the retriever lists are localCheckpoint-pinned",
+    "q_rank_eval_takedown" ->
+      "every window ranks a bounded frame: the two evals' hit-index windows run over rank<=25-filtered rankings and their ideal-DCG windows AFTER .limit(25) over qrels; the pre/post retriever lists are localCheckpoint-pinned")
 
   /** Count DISTINCT shuffle-exchange instances (by object identity),
     * descending into InMemoryRelation cached plans: a pinned subtree
