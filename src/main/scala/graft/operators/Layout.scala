@@ -380,7 +380,10 @@ object Layout {
         "this partition-scoped one")
     val schema = spark.table(table).schema
     val doomed = ids.select(col(idCol)).dropDuplicates(idCol)
-    val digest = idsDigest(doomed, idCol)
+    // LAZY: the digest is one doomed-set-sized aggregate — needed only
+    // when a fence exists (ownership compare) or one is acquired (the
+    // real-erase path); the common no-match-no-fence call never pays it
+    lazy val digest = idsDigest(doomed, idCol)
     // fail fast on a foreign live fence BEFORE the discovery job burns
     // a corpus pass (the authoritative, race-closed check is the
     // atomic acquire below — this one only saves the wasted work)
@@ -675,7 +678,10 @@ object Layout {
     * erase job is live. */
   private def clearErasingMarkerIfHealable(
       fs: org.apache.hadoop.fs.FileSystem, loc: String,
-      ids: String): Unit =
+      ids: => String): Unit =
+    // `ids` BY NAME: the digest aggregate is forced only when a live
+    // fence actually needs the ownership compare — the common
+    // no-match-no-fence path stays one probe pass, no digest job
     readEraseFence(fs, loc).foreach { f =>
       if (f.ids.isEmpty || f.ids == ids) clearErasingMarker(fs, loc)
     }
@@ -825,7 +831,12 @@ object Layout {
     * into partitions not under erase (and into new partition values)
     * proceed normally; a refused append is safe to retry after the
     * erase completes (or after re-running a crashed erase, which
-    * retires the marker). */
+    * retires the marker). The check-then-write window is inherent: a
+    * marker written between this verb's fence read and its insert
+    * admits that one append into the overwrite window — in a
+    * fully-doomed partition the erase's residue check turns it loud,
+    * in a survivor partition it is the marker doc's documented
+    * residual case (Layout's `_erasing` scaladoc). */
   def appendPartitionedRows(spark: SparkSession, table: String,
       df: DataFrame): Unit = {
     val catalog = spark.sessionState.catalog
@@ -941,7 +952,10 @@ object Layout {
       afterRacedCheck: () => Unit = () => ()): Long = {
     val idCol = ids.columns.head
     val doomed = broadcast(ids.select(col(idCol)).dropDuplicates(idCol))
-    val digest = idsDigest(doomed, idCol)
+    // lazy for the same reason as the partitioned path: the no-match
+    // no-fence call (the noop floor the scale ladder prices) must not
+    // pay the doomed-set digest aggregate
+    lazy val digest = idsDigest(doomed, idCol)
     val full = spark.table(table)
     val loc = tableLocation(spark, table)
     val fs = new org.apache.hadoop.fs.Path(loc)

@@ -767,6 +767,32 @@ class LayoutSpec extends SparkSpec {
       "healErase on a clean table reports no fence")
   }
 
+  test("fence identity is the ID SET, not the frame: a crashed erase " +
+      "heals under a re-run presenting the same ids reordered and " +
+      "duplicated (digest is dedup + order-independent)") {
+    import graft.sources.Sources
+    val table = "layout_erase_digest_set"
+    Sources.replaceTable(spark, table)
+    Seq((1L, 10, "a"), (3L, 30, "b"), (5L, 50, "c"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("part").saveAsTable(table)
+    intercept[RuntimeException] {
+      Layout.erasePartitionedRows(spark, table, Seq(3L, 5L).toDF("id"),
+        beforeCommit = () => throw new RuntimeException("kill"),
+        afterCommit = () => ())
+    }
+    assert(Layout.eraseInFlight(spark, table))
+    // same SET of ids, different order and with duplicates — the
+    // documented same-ids heal must accept it (an orchestrator retry
+    // rarely replays the exact frame)
+    assert(Layout.erasePartitionedRows(spark, table,
+      Seq(5L, 3L, 3L, 5L).toDF("id")) == 2)
+    assert(!Layout.eraseInFlight(spark, table))
+    assert(spark.table(table).select("id").collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+  }
+
   test("eraseRowsFullRewrite erase-vs-erase: a different-ids erase " +
       "refuses while the flat rewrite runs") {
     import graft.sources.Sources
