@@ -2369,6 +2369,30 @@ object Queries {
     Fusion.rrfByQuery(Seq(lex, vec), "qid", "doc_id", "rank", topK = 25)
   }
 
+  /** HARD-NEGATIVE MINING gate — the training-pair assembly batch
+    * retrieval exists for: the 3-query BM25 batch top-50, anti-joined
+    * per (query, id) against each query's positives (doc_id % 10 ==
+    * qid), re-ranked per query — the 10 documents per query the
+    * retriever itself confuses with the positives. Every stage is
+    * query-keyed on top-k-bounded frames (the batch shape that holds at
+    * a 10k-query workload); ranking, anti-join, and re-rank are all
+    * re-derived in SQL by the oracle. */
+  val q_hard_negatives: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{RankEval, Search}
+    val docs = t(s, dir, "documents").df
+    val idx = Search.buildBm25Index(docs, "doc_id", "text")
+    val queries = Seq((1, "hash join filter"), (2, "sort merge batch"),
+      (3, "stream window agg")).toDF("qid", "qtext")
+    val ranking = Search.searchBm25Batch(idx, queries, "qid", "qtext",
+      "doc_id", k = 50)
+    val positives = docs.withColumn("qid", (col("doc_id") % 10).cast("int"))
+      .join(queries.select("qid"), Seq("qid"))
+      .select(col("qid"), col("doc_id"))
+    RankEval.hardNegatives(ranking, positives, "qid", "doc_id",
+      "bm25_rank", n = 10)
+  }
+
   /** BATCH EVALUATION gate — the full offline loop: the 3-query batch
     * retrieval scored per query against per-query graded qrels
     * (relevant = doc_id % 10 == qid, grade 1 + doc_id % 3) in one plan;
@@ -4445,6 +4469,7 @@ object Queries {
     "q_rank_eval" -> q_rank_eval,
     "q_rank_eval_batch" -> q_rank_eval_batch,
     "q_rank_eval_takedown" -> q_rank_eval_takedown,
+    "q_hard_negatives" -> q_hard_negatives,
     "q_search_bm25_batch" -> q_search_bm25_batch,
     "q_hybrid_rrf_batch" -> q_hybrid_rrf_batch,
     "q_sim_ivf_batch" -> q_sim_ivf_batch,
@@ -6622,6 +6647,51 @@ object Queries {
         |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS bm25_rank
         |  FROM scored)
         |WHERE bm25_rank <= 10 ORDER BY qid, bm25_rank""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        |lens AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |    (SELECT count(*) FROM tok2)::DOUBLE
+        |      / (SELECT count(*) FROM documents) AS avglen),
+        |qterms(qid, word) AS (VALUES
+        |  (1,'hash'),(1,'join'),(1,'filter'),
+        |  (2,'sort'),(2,'merge'),(2,'batch'),
+        |  (3,'stream'),(3,'window'),(3,'agg')),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM tok2
+        |  WHERE word IN (SELECT DISTINCT word FROM qterms)
+        |  GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avglen))) AS bm25
+        |  FROM tf JOIN dfreq d USING (word)
+        |    JOIN lens l ON l.doc_id = tf.doc_id
+        |    JOIN qterms q ON q.word = tf.word
+        |    CROSS JOIN stats s
+        |  GROUP BY q.qid, tf.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, r FROM (
+        |    SELECT qid, doc_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS r
+        |    FROM scored)
+        |  WHERE r <= 50),
+        |negs AS (
+        |  SELECT qid, doc_id, r FROM ranked rk
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |    WHERE d.doc_id = rk.doc_id AND d.doc_id % 10 = rk.qid))
+        |SELECT qid, doc_id, neg_rank FROM (
+        |  SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY r) AS neg_rank
+        |  FROM negs)
+        |WHERE neg_rank <= 10 ORDER BY qid, neg_rank""".stripMargin,
 
     "q_hybrid_rrf_batch" ->
       """WITH toks AS (

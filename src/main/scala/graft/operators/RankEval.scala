@@ -140,4 +140,36 @@ object RankEval {
           .as("map_at_k"))
       .orderBy(col(queryCol))
   }
+
+  /** HARD-NEGATIVE MINING over a batch ranking — the training-pair
+    * assembly step batch retrieval exists for ([[graft.operators
+    * .Search.searchBm25Batch]]'s scaladoc use case): per query, the `n`
+    * highest-ranked documents NOT in that query's positives. These are
+    * the hardest negatives by construction — documents the retriever
+    * itself confuses with the positives — the standard pair source for
+    * training embedding/reranker models (dense-retrieval practice,
+    * e.g. Karpukhin et al. 2020's BM25 negatives).
+    *
+    * `ranking` carries (queryCol, idCol, rankCol) with rank 1-based and
+    * top-k-bounded by construction; `positives` carries (queryCol,
+    * idCol) — qrels, or the mined-against positive pairs. The anti-join
+    * is keyed per (query, id) on the bounded frame and the re-rank
+    * window partitions BY QUERY over ≤ k surviving rows — request-scale
+    * end to end, whatever the corpus size behind the ranking. Returns
+    * (queryCol, idCol, neg_rank) with neg_rank ≤ n, ordered by
+    * (query, neg_rank); a query whose entire top-k is positive yields
+    * fewer (or no) rows rather than reaching past the ranking. */
+  def hardNegatives(ranking: DataFrame, positives: DataFrame,
+      queryCol: String, idCol: String, rankCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol).asc)
+    ranking
+      .join(positives.select(col(queryCol), col(idCol)),
+        Seq(queryCol, idCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= n)
+      .select(col(queryCol), col(idCol), col("neg_rank"))
+      .orderBy(col(queryCol), col("neg_rank"))
+  }
 }

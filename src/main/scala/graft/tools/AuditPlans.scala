@@ -79,6 +79,10 @@ object AuditPlans {
     // batch eval: the batch-retrieval shape + the query-keyed hit/ideal/
     // total aggregates and their per-query joins (workload-sized)
     "q_rank_eval_batch" -> 11,
+    // hard-negative mining: the batch-retrieval shape + the per-(query,
+    // id) positives anti-join and the per-query re-rank window, both on
+    // the top-50-bounded frame
+    "q_hard_negatives" -> 11,
     // batch hybrid: the lexical batch shape + the vector batch's
     // broadcast workload x corpus scan and the per-query fused
     // aggregate/ranking (all query-keyed)

@@ -80,6 +80,27 @@ class BatchAnnSpec extends SparkSpec {
     assert(batch.nonEmpty && batch == loop)
   }
 
+  test("served IVF batch prunes at the source: the union-of-probed-cells " +
+      "IN filter reaches the cluster-partitioned scan as a partition " +
+      "filter, and the served batch equals the in-memory batch") {
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 2)
+    val table = "batch_ann_ivf_served"
+    Similarity.saveIvfIndex(idx, table)
+    val loaded = Similarity.loadIvfIndex(spark, table)
+    val batchServed = Similarity.ivfTopKBatch(loaded, "vec_id", "embedding",
+      queries, "qid", "embedding", k = 10, nProbe = 4)
+    // the scan must carry partition filters (directory pruning), not
+    // read all cells and filter in the executor
+    val plan = batchServed.queryExecution.executedPlan.toString
+    assert(!plan.contains("PartitionFilters: []"),
+      s"expected cluster partition filters on the served batch scan:\n$plan")
+    assert(tuples(batchServed) ==
+      tuples(Similarity.ivfTopKBatch(idx, "vec_id", "embedding",
+        queries, "qid", "embedding", k = 10, nProbe = 4)),
+      "served batch must equal the in-memory batch (deterministic build)")
+  }
+
   test("batch candidate scoping: an IVF batch row only scores against " +
       "queries that probed its cell (no cross product), and every " +
       "query's own vector ranks first") {

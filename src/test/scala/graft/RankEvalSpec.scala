@@ -98,4 +98,23 @@ class RankEvalSpec extends SparkSpec {
       q20.getDouble(5) == 0.0,
       s"zero-hit query must report zero metrics, not vanish: $q20")
   }
+
+  test("hardNegatives: positives drop per (query, id), survivors " +
+      "re-rank densely per query, all-positive top-k yields no rows") {
+    // q1: ranks 1,3 positive -> negatives are ranks 2,4 re-ranked 1,2
+    // q2: everything positive -> no negative rows
+    val ranking = Seq((1, 10L, 1), (1, 11L, 2), (1, 12L, 3), (1, 13L, 4),
+      (2, 20L, 1), (2, 21L, 2)).toDF("qid", "id", "rank")
+    val positives = Seq((1, 10L), (1, 12L), (2, 20L), (2, 21L),
+      (9, 11L)) // a FOREIGN query's positive must not mask q1's id 11
+      .toDF("qid", "id")
+    val rows = RankEval.hardNegatives(ranking, positives, "qid", "id",
+      "rank", n = 10).collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getInt(2))).toSeq
+    assert(rows == Seq((1, 11L, 1), (1, 13L, 2)))
+    // n truncates below the surviving count
+    val one = RankEval.hardNegatives(ranking, positives, "qid", "id",
+      "rank", n = 1).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(one.toSeq == Seq((1, 11L)))
+  }
 }
