@@ -3279,6 +3279,105 @@ object Queries {
     annBatchContainment(emb, ann)
   }
 
+  /** FILTERED exact vector search: cosine top-10 among rows passing a
+    * metadata predicate (label < 5, ~half the corpus) — the
+    * "nearest English docs" shape. Pre-filtering: the predicate rides
+    * the scan (PushedFilters at the parquet source, pinned in
+    * PushdownSpec), so exactness within the filtered corpus holds by
+    * construction. Oracle is the same ranking with a WHERE clause. */
+  val q_sim_filtered: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    Similarity.bruteForceTopKFiltered(emb, "vec_id", "embedding",
+      col("label") < 5, qvec, 10)
+  }
+
+  /** FILTERED IVF recall gate: the bucketed serve path with the same
+    * label < 5 predicate composed INSIDE the probed-cell scan (cluster
+    * IN prunes partition directories, the predicate prunes row groups
+    * within them) — served from the SAME persisted artifact as
+    * q_sim_ivf_serve, whose assigned frame carries the label column
+    * precisely so filtered serves cost no join. The filtered top-30 at
+    * nProbe 14/16 must contain the exact FILTERED top-10: a filter
+    * thins every cell, so the filtered top-k reaches deeper into the
+    * corpus than the unfiltered one — the wider probe is the
+    * documented filtered-ANN trade, and the gate pins that the recall
+    * contract survives it. Oracle: exact filtered top-10. */
+  val q_sim_ivf_filtered: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val pred = col("label") < 5
+    val exact = Similarity.bruteForceTopKFiltered(emb, "vec_id",
+      "embedding", pred, qvec, 10)
+    val (table, fp) = fingerprintedArtifact(s, "ivf_idx", dir, "embeddings")
+    val idx = Similarity.ivfIndexFor(emb, "vec_id", "embedding", table,
+      nCentroids = 16, iters = 3, fingerprint = fp)
+    val ann = Similarity.ivfTopKFiltered(idx, "vec_id", "embedding", pred,
+      qvec, 30, nProbe = 14)
+    exact.join(ann.select("vec_id"), Seq("vec_id"), "left_semi")
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  /** LATE-INTERACTION retrieval (MaxSim, ColBERT scoring): documents
+    * and the query are bags of 4 token vectors (the deterministic
+    * sliceTokens adapter over the 64-dim fixture embeddings — 16 dims
+    * per token), score = Σ per-query-token max-cosine over doc tokens.
+    * One token-table scan, literal query tokens (no join), per-doc
+    * hash-aggregate of order-insensitive maxes, fixed-order Σ — the
+    * oracle recomputes the full scoring surface with list_slice +
+    * conditional-max pivots and must match the double bit-for-bit. */
+  val q_sim_maxsim: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val sub = qvec.length / 4
+    val qtoks = (0 until 4).map(i => qvec.slice(i * sub, (i + 1) * sub))
+    val docTokens = Similarity.sliceTokens(emb, "vec_id", "embedding",
+      qvec.length, 4)
+    Similarity.maxSimTopK(docTokens, "vec_id", "tok_vec", qtoks, 10)
+  }
+
+  /** BATCH MaxSim: the 3-query workload (qid = vec_id + 1) served in
+    * ONE token-table scan — query vectors sliced in-plan and broadcast,
+    * per-(query, doc) maxes in one hash-aggregate, ranking windowed per
+    * query. The late-interaction member of the batch family
+    * (q_search_bm25_batch / q_sim_ivf_batch / q_hybrid_rrf_batch);
+    * unlike the recall-containment ANN gates this one is EXACT, so the
+    * oracle pins ids, ranks, and the maxsim double itself per query. */
+  val q_sim_maxsim_batch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").df
+    val docTokens = Similarity.sliceTokens(emb, "vec_id", "embedding", 64, 4)
+    val qvecs = emb.filter(col("vec_id") <= 2)
+      .select((col("vec_id") + 1).cast("int").as("qid"), col("embedding"))
+    Similarity.maxSimTopKBatch(docTokens, "vec_id", "tok_vec",
+      qvecs, "qid", "embedding", dim = 64, tokens = 4, k = 10)
+  }
+
+  /** MMR DIVERSIFICATION gate: each query's exact cosine top-30 (the
+    * batch brute-force retriever) greedily re-ranked to a top-10 that
+    * balances relevance against redundancy (λ = 0.5) — the diversify
+    * stage of the retrieval stack, run per query on the top-N-bounded
+    * candidate frame (request-scale; the corpus-scale work happened in
+    * the retriever). The oracle replays the ENTIRE greedy trajectory in
+    * SQL — 10 chained argmax CTEs per query, penalty as a correlated
+    * max-cosine over the picked set — so a single divergent pick at any
+    * step fails the gate; both engines compute every cosine with the
+    * same sequential-dot arithmetic, and ties break (score desc, rel
+    * desc, id asc) identically by construction. */
+  val q_mmr_rerank: Q = (s, dir) => {
+    import graft.operators.Diversify
+    val emb = t(s, dir, "embeddings").df
+    val qvecs = emb.filter(col("vec_id") <= 2)
+      .select((col("vec_id") + 1).cast("int").as("qid"), col("embedding"))
+    val cands = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        qvecs, "qid", "embedding", 30)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    Diversify.mmrRerank(cands, "qid", "vec_id", "cosine", "embedding",
+      k = 10, lambda = 0.5)
+  }
+
   /** PQ TAKEDOWN gate — the delete tier for the encoded family: codes
     * are trained and stored over the FULL corpus, vec_id % 7 == 3
     * deleted via the one-commit tombstone path (no re-encode — codes of
@@ -4475,6 +4574,11 @@ object Queries {
     "q_sim_ivf_batch" -> q_sim_ivf_batch,
     "q_sim_lsh_batch" -> q_sim_lsh_batch,
     "q_sim_pq_batch" -> q_sim_pq_batch,
+    "q_sim_filtered" -> q_sim_filtered,
+    "q_sim_ivf_filtered" -> q_sim_ivf_filtered,
+    "q_sim_maxsim" -> q_sim_maxsim,
+    "q_sim_maxsim_batch" -> q_sim_maxsim_batch,
+    "q_mmr_rerank" -> q_mmr_rerank,
     "q_sim_lsh" -> q_sim_lsh,
     "q_sim_lsh_serve" -> q_sim_lsh_serve,
     "q_sim_ivf" -> q_sim_ivf,
@@ -4871,6 +4975,146 @@ object Queries {
       |FROM embeddings, q
       |WHERE vec_id % 7 <> 3
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Shared by q_sim_filtered and the q_sim_ivf_filtered recall gate:
+    * the exact cosine top-10 over the label < 5 survivors. */
+  private val annExactTop10FilteredSql: String =
+    """WITH q AS (
+      |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+      |)
+      |SELECT vec_id,
+      |  list_dot_product(embedding::DOUBLE[], qv)
+      |   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |      * sqrt(list_dot_product(qv, qv))) AS cosine
+      |FROM embeddings, q
+      |WHERE label < 5
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** MaxSim oracle: recompute the late-interaction scoring surface —
+    * 4 query-token × 4 doc-token slices (16 dims each via list_slice),
+    * per-(doc, query-token) max cosine, then the SAME fixed-order
+    * m1+m2+m3+m4 sum the Spark plan computes (conditional-max pivot:
+    * SQL sum() over rows would add in engine order and could differ in
+    * the last ulp). */
+  private val maxSimOracleSql: String =
+    """WITH q AS (
+      |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+      |),
+      |toks AS (SELECT unnest(generate_series(1, 4)) AS tok),
+      |dt AS (
+      |  SELECT vec_id, t.tok,
+      |    list_slice(embedding::DOUBLE[], (t.tok-1)*16+1, t.tok*16) AS dv
+      |  FROM embeddings, toks t
+      |),
+      |qt AS (
+      |  SELECT t.tok AS qtok, list_slice(qv, (t.tok-1)*16+1, t.tok*16) AS qvs
+      |  FROM q, toks t
+      |),
+      |pm AS (
+      |  SELECT dt.vec_id, qt.qtok,
+      |    max(list_dot_product(dt.dv, qt.qvs)
+      |      / (sqrt(list_dot_product(dt.dv, dt.dv))
+      |         * sqrt(list_dot_product(qt.qvs, qt.qvs)))) AS m
+      |  FROM dt, qt GROUP BY 1, 2
+      |)
+      |SELECT vec_id,
+      |  max(CASE WHEN qtok = 1 THEN m END) + max(CASE WHEN qtok = 2 THEN m END)
+      |  + max(CASE WHEN qtok = 3 THEN m END) + max(CASE WHEN qtok = 4 THEN m END)
+      |  AS maxsim
+      |FROM pm GROUP BY vec_id
+      |ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Batch MaxSim oracle: the 3-query workload version — same slicing
+    * and fixed-order sum, ranking windowed per query. */
+  private val maxSimBatchOracleSql: String =
+    """WITH toks AS (SELECT unnest(generate_series(1, 4)) AS tok),
+      |qs AS (
+      |  SELECT CAST(vec_id + 1 AS INT) AS qid, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id <= 2
+      |),
+      |qt AS (
+      |  SELECT qs.qid, t.tok AS qtok,
+      |    list_slice(qs.qv, (t.tok-1)*16+1, t.tok*16) AS qvs
+      |  FROM qs, toks t
+      |),
+      |dt AS (
+      |  SELECT vec_id, t.tok,
+      |    list_slice(embedding::DOUBLE[], (t.tok-1)*16+1, t.tok*16) AS dv
+      |  FROM embeddings, toks t
+      |),
+      |pm AS (
+      |  SELECT qt.qid, dt.vec_id, qt.qtok,
+      |    max(list_dot_product(dt.dv, qt.qvs)
+      |      / (sqrt(list_dot_product(dt.dv, dt.dv))
+      |         * sqrt(list_dot_product(qt.qvs, qt.qvs)))) AS m
+      |  FROM dt, qt GROUP BY 1, 2, 3
+      |),
+      |sc AS (
+      |  SELECT qid, vec_id,
+      |    max(CASE WHEN qtok = 1 THEN m END) + max(CASE WHEN qtok = 2 THEN m END)
+      |    + max(CASE WHEN qtok = 3 THEN m END) + max(CASE WHEN qtok = 4 THEN m END)
+      |    AS maxsim
+      |  FROM pm GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT qid, vec_id, maxsim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, vec_id)
+      |      AS maxsim_rank
+      |  FROM sc
+      |)
+      |SELECT qid, vec_id, maxsim, maxsim_rank FROM rk
+      |WHERE maxsim_rank <= 10
+      |ORDER BY qid, maxsim_rank""".stripMargin
+
+  /** MMR oracle: replay the greedy trajectory in SQL — per query, 10
+    * chained argmax steps over the exact cosine top-30 candidates. Step
+    * 1 is pure relevance; step i orders by 0.5·rel − 0.5·(correlated
+    * max cosine to the picked set), tie-broken (rel desc, vec_id asc)
+    * exactly like the Spark greedy loop's keep-first-strict-max scan
+    * over its (rel desc, id asc)-sorted group. Generated, not
+    * hand-written: k×|queries| CTEs of three mechanical shapes. */
+  private def mmrOracleSql(queryVecIds: Seq[Int], k: Int): String = {
+    val perQuery = queryVecIds.map { qv =>
+      val base =
+        s"""cand_$qv AS MATERIALIZED (
+           |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+           |    list_dot_product(e.embedding::DOUBLE[], q.qv)
+           |     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           |        * sqrt(list_dot_product(q.qv, q.qv))) AS rel
+           |  FROM embeddings e,
+           |    (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qv) q
+           |  ORDER BY rel DESC, e.vec_id LIMIT 30
+           |),
+           |s_${qv}_1 AS MATERIALIZED (
+           |  SELECT vec_id, v, rel, 1 AS mmr_rank FROM cand_$qv
+           |  ORDER BY rel DESC, vec_id LIMIT 1
+           |),
+           |sel_${qv}_1 AS MATERIALIZED (SELECT * FROM s_${qv}_1)""".stripMargin
+      val steps = (2 to k).map { i =>
+        s"""s_${qv}_$i AS MATERIALIZED (
+           |  SELECT c.vec_id, c.v, c.rel, $i AS mmr_rank
+           |  FROM cand_$qv c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel_${qv}_${i - 1})
+           |  ORDER BY 0.5 * c.rel - 0.5 * (
+           |      SELECT max(list_dot_product(c.v, s.v)
+           |        / (sqrt(list_dot_product(c.v, c.v))
+           |           * sqrt(list_dot_product(s.v, s.v))))
+           |      FROM sel_${qv}_${i - 1} s) DESC,
+           |    c.rel DESC, c.vec_id ASC
+           |  LIMIT 1
+           |),
+           |sel_${qv}_$i AS MATERIALIZED (
+           |  SELECT * FROM sel_${qv}_${i - 1} UNION ALL SELECT * FROM s_${qv}_$i
+           |)""".stripMargin
+      }
+      (base +: steps).mkString(",\n")
+    }
+    val finals = queryVecIds.map(qv =>
+      s"SELECT CAST($qv + 1 AS INT) AS qid, vec_id, mmr_rank FROM sel_${qv}_$k")
+    s"""WITH ${perQuery.mkString(",\n")}
+       |${finals.mkString("\nUNION ALL\n")}
+       |ORDER BY qid, mmr_rank""".stripMargin
+  }
 
   /** Shared by q_stream_neardedup and q_stream_neardedup_serve: the
     * batch anti-join formulation of "stream docs (doc_id%3==0) with no
@@ -6460,6 +6704,11 @@ object Queries {
     "q_sim_lsh" -> annExactTop10Sql,
     "q_sim_lsh_serve" -> annExactTop10Sql,
     "q_sim_ivf" -> annExactTop10Sql,
+    "q_sim_filtered" -> annExactTop10FilteredSql,
+    "q_sim_ivf_filtered" -> annExactTop10FilteredSql,
+    "q_sim_maxsim" -> maxSimOracleSql,
+    "q_sim_maxsim_batch" -> maxSimBatchOracleSql,
+    "q_mmr_rerank" -> mmrOracleSql(Seq(0, 1, 2), 10),
     // the batch gates answer the same recall contract for a 3-query
     // workload served in one plan
     "q_sim_ivf_batch" -> annBatchExactTop10Sql,

@@ -38,6 +38,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** FILTERED exact cosine top-k: [[bruteForceTopK]] with a metadata
+    * predicate composed BEFORE the ranking — the filtered-search shape
+    * every production vector workload needs ("nearest English docs",
+    * "nearest rows of label L"). The predicate is a plain Catalyst
+    * `Column`, so it rides the scan: against parquet it reaches
+    * `PushedFilters` (row-group stats prune bytes before the dot
+    * product runs), and against a partitioned serving layout a
+    * partition-column predicate prunes whole directories. Top-k is
+    * computed over the SURVIVORS — exact within the filtered corpus by
+    * construction, no post-filter recall loss (the pre- vs
+    * post-filtering distinction the ANN literature draws: this is
+    * pre-filtering, the exact baseline [[ivfTopKFiltered]] trades
+    * against). */
+  def bruteForceTopKFiltered(df: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, query: Seq[Double], k: Int): DataFrame =
+    bruteForceTopK(df.filter(predicate), idCol, vecCol, query, k)
+
   /** BATCH exact cosine top-k: a WORKLOAD of query vectors scored in
     * one plan — the corpus is scanned ONCE and every (corpus row,
     * query) pair scores map-side against the broadcast workload; the
@@ -1663,6 +1680,31 @@ object Similarity {
     bruteForceTopK(cands, idCol, vecCol, query, k)
   }
 
+  /** FILTERED IVF top-k: the bucketed serve path with a metadata
+    * predicate composed INSIDE the probed-cell scan — `cluster IN
+    * (probes)` prunes partition directories, the predicate prunes row
+    * groups within them, and the dot product runs only over rows that
+    * survive BOTH (one scan, filters stacked at the source; the
+    * predicate must reference columns the index's assigned frame
+    * carries — [[ivfIndex]] keeps every input column precisely so
+    * metadata rides the artifact instead of costing a join at serve
+    * time). Recall caveat, sharper than [[ivfTopK]]'s: a filter thins
+    * every probed cell, so the filtered top-k reaches DEEPER into the
+    * corpus (lower cosine → farther cells) than the unfiltered top-k
+    * does — widen `nProbe` as predicate selectivity drops (the
+    * standard filtered-ANN trade; at extreme selectivity, prefer
+    * [[bruteForceTopKFiltered]], whose predicate pushdown often reads
+    * fewer bytes than a wide probe). */
+  def ivfTopKFiltered(index: IvfIndex, idCol: String, vecCol: String,
+      predicate: Column, query: Seq[Double], k: Int,
+      nProbe: Int = 8): DataFrame = {
+    val probes = probeCells(index.centroids, query, nProbe)
+    val cands = index.assigned
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .filter(predicate)
+    bruteForceTopK(cands, idCol, vecCol, query, k)
+  }
+
   /** The `nProbe` cosine-nearest centroid ids for `query` — the probe
     * set both the single-query and batch IVF paths share, so their
     * candidate sets are identical by construction (ties broken by
@@ -1738,5 +1780,108 @@ object Similarity {
     scored.withColumn("cos_rank", row_number().over(w))
       .filter(col("cos_rank") <= k)
       .orderBy(col(queryIdCol), col("cos_rank"))
+  }
+
+  // --------------------------------------------------------------------
+  // Late-interaction (multi-vector) retrieval — MaxSim (Khattab &
+  // Zaharia, ColBERT, SIGIR 2020): a document is a BAG of token
+  // vectors, a query is a bag of token vectors, and
+  //   score(d) = Σ_{q∈Q} max_{t∈d} cos(q, t)
+  // — each query token matches its best document token independently,
+  // which is what single-vector cosine cannot express (it averages the
+  // interactions away). The third retrieval scoring family next to
+  // BM25 (lexical) and single-vector cosine (dense), and a Fusion /
+  // RankEval-compatible producer like both of them.
+
+  /** Adapt a single-vector table to the multi-vector contract: slice
+    * each `dim`-wide vector into `tokens` contiguous sub-vectors — one
+    * row per (id, tok, tok_vec), tok 1-based. The deterministic
+    * fixture adapter for [[maxSimTopK]] (real deployments bring ColBERT
+    * token embeddings; the engine only needs the (id, token-vector)
+    * shape, which this derives from any embedding column). The explode
+    * multiplies rows by `tokens`, never bytes by more than the slice
+    * overhead — each output vector is `dim/tokens` wide. */
+  def sliceTokens(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, tokens: Int): DataFrame = {
+    require(tokens > 0 && dim % tokens == 0,
+      s"tokens ($tokens) must divide dim ($dim)")
+    val sub = dim / tokens
+    val slices = array((0 until tokens).map(i =>
+      slice(col(vecCol).cast("array<double>"), i * sub + 1, sub)): _*)
+    df.select(col(idCol), posexplode(slices))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("tok"),
+        col("col").as("tok_vec"))
+  }
+
+  /** MaxSim top-k against a literal query-token bag: ONE scan of the
+    * token table. Each token row scores against every query token in
+    * whole-stage codegen (query tokens are literal arrays — no join,
+    * no broadcast), the per-document max-per-query-token is one
+    * hash-aggregate (map-side partial maxes — the max is
+    * order-insensitive, so partition order cannot perturb it), and the
+    * final Σ of maxes is a FIXED left-to-right column sum, bit-stable
+    * across engines (the [[graft.operators.Fusion]] float discipline).
+    * Returns (idCol, maxsim) rows, top-k by (maxsim desc, id) via
+    * TakeOrdered — never a global sort. Cost: |tokens(d)| × |Q| dots
+    * per document, each dim/tokens wide — the same flops per doc as
+    * |Q| full-width dots; the win is the scoring model, not the
+    * arithmetic. */
+  def maxSimTopK(docTokens: DataFrame, idCol: String, vecCol: String,
+      queryTokens: Seq[Seq[Double]], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(queryTokens.nonEmpty, "queryTokens must be non-empty")
+    val v = col(vecCol)
+    val maxes = queryTokens.zipWithIndex.map { case (qt, i) =>
+      val q = array(qt.map(lit): _*)
+      val qn = math.sqrt(qt.map(x => x * x).sum)
+      max(dot(v, q) / (vec_norm(v) * lit(qn))).as(s"__m$i")
+    }
+    val score = queryTokens.indices.map(i => col(s"__m$i")).reduce(_ + _)
+    docTokens.groupBy(col(idCol)).agg(maxes.head, maxes.tail: _*)
+      .select(col(idCol), score.as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** BATCH MaxSim: a WORKLOAD of single-vector queries served in ONE
+    * token-table scan — the [[bruteForceTopKBatch]] shape for the
+    * late-interaction family. Query vectors are sliced into `tokens`
+    * sub-vectors IN-PLAN (the [[sliceTokens]] adapter applied to the
+    * workload side) and broadcast; each token row scores against every
+    * query's every token map-side, the (query, doc) hash-aggregate
+    * takes the per-query-token maxes (order-insensitive), the Σ is the
+    * same fixed-order column sum as [[maxSimTopK]], and ranking is a
+    * window PARTITIONED BY query — per-query k-row heap state, never a
+    * global sort. Returns (queryIdCol, idCol, maxsim, maxsim_rank)
+    * with rank ≤ k, ordered by (query, rank). The broadcast cross
+    * product is the intended shape: workload-sized build side, one
+    * streamed scan (the brute-force late-interaction baseline; a
+    * production deployment puts an [[ivfTopKBatch]]-style candidate
+    * prune in front and MaxSim-rescores the survivors). */
+  def maxSimTopKBatch(docTokens: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, tokens: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(tokens > 0 && dim % tokens == 0,
+      s"tokens ($tokens) must divide dim ($dim)")
+    val sub = dim / tokens
+    val qcols = (0 until tokens).map(i =>
+      slice(col(queryVecCol).cast("array<double>"), i * sub + 1, sub)
+        .as(s"__q$i"))
+    val q = queries.select(col(queryIdCol) +: qcols: _*)
+    val scored = docTokens.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(q))
+    val maxes = (0 until tokens).map(i =>
+      max(dot(col("__v"), col(s"__q$i"))
+        / (vec_norm(col("__v")) * vec_norm(col(s"__q$i")))).as(s"__m$i"))
+    val score = (0 until tokens).map(i => col(s"__m$i")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("maxsim").desc, col(idCol).asc)
+    scored.groupBy(col(queryIdCol), col(idCol)).agg(maxes.head, maxes.tail: _*)
+      .select(col(queryIdCol), col(idCol), score.as("maxsim"))
+      .withColumn("maxsim_rank", row_number().over(w))
+      .filter(col("maxsim_rank") <= k)
+      .orderBy(col(queryIdCol), col("maxsim_rank"))
   }
 }

@@ -99,6 +99,19 @@ object AuditPlans {
     // candidate-window + rerank join
     "q_sim_ivf_batch" -> 10, "q_sim_lsh_batch" -> 13,
     "q_sim_pq_batch" -> 11,
+    // filtered search: predicate + ranking ride the scan (TakeOrdered /
+    // broadcast semi-join; no exchange at audit scale)
+    "q_sim_filtered" -> 0, "q_sim_ivf_filtered" -> 0,
+    // maxsim: one token-scan + per-doc hash-aggregate (partial/final =
+    // 1 visible exchange); the batch adds the (query,doc)-keyed agg,
+    // the per-query ranking window, and the output ORDER BY
+    "q_sim_maxsim" -> 1, "q_sim_maxsim_batch" -> 3,
+    // mmr: the audited plan starts at the greedy loop's RDD boundary
+    // (createDataFrame severs lineage — the Ordinals caveat above), so
+    // the visible 1 is the output ORDER BY; the retriever's exchanges
+    // are q_sim_topk-batch-shaped and the repartition-by-query is
+    // workload-keyed on the top-N-bounded candidate frame
+    "q_mmr_rerank" -> 1,
     "q_intersect" -> 2,
     // prune gates: fact-side groupBy agg + final sort; the dim/threshold
     // sides are broadcast (dynamic) or literal (static)
@@ -291,6 +304,8 @@ object AuditPlans {
       "metric assembly joins: each build side is exactly ONE broadcast row (the ideal-DCG aggregate and the qrels total) crossed onto the one-row hit aggregate",
     "q_rank_eval_takedown" ->
       "metric assembly joins (q_rank_eval's shape, twice): each build side is exactly ONE broadcast row (ideal-DCG aggregate, qrels total) crossed onto the one-row hit aggregate of the pre- and post-takedown evals",
+    "q_sim_maxsim_batch" ->
+      "batch MaxSim scoring: build side is the broadcast QUERY WORKLOAD (3 sliced query-token bags; workload-sized by design), streamed side one token-table scan — every (token row, query) pair scores map-side; the late-interaction member of the batch family",
     "q_dedup_embedding" ->
       "verification-grade exact all-pairs; LSH banding is the scale path",
     "q_dedup_semantic" ->
