@@ -250,6 +250,118 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Start a sink query under the same stateful-stage economics
+    * [[runToBatch]] documents (shared by every synchronous sink gate):
+    *
+    *   - shuffle partitions — captured by the query (cloned session) at
+    *     start and pinning state-store count for the life of the
+    *     checkpoint — are capped at `graft.stream.partitions`
+    *     (default 8): each stateful-stage partition opens, commits and
+    *     changelog-uploads its OWN RocksDB instance per micro-batch, a
+    *     per-instance cost that dwarfs the per-row work for
+    *     harness-sized batches (measured: the ingest-curation dedup
+    *     stage at 32 partitions bills ~25 task-seconds against ~0.2 MB
+    *     of state). A deployment sets -Dgraft.stream.partitions to its
+    *     state-sizing choice (state bytes / target bytes per store) —
+    *     the knob is the same one runToBatch has always honored.
+    *   - no-data micro-batches are disabled: every sink family emits
+    *     its surviving rows in the data batch itself
+    *     (dropDuplicatesWithinWatermark filters on arrival; the
+    *     stateless segment sinks have no watermark at all), so the
+    *     extra watermark-advancement batch would only re-open and
+    *     re-commit every state store to emit nothing. Long-lived
+    *     append-mode WINDOW aggregates (which do need the flush) run
+    *     through [[runToBatch]] with `watermarkFlush = true`, not
+    *     through the sinks.
+    *
+    * Both confs are restored immediately after start — the streaming
+    * query runs on a session CLONED at start time (its foreachBatch
+    * batch plans included), so the caller's session sees no change. */
+  private def startPinned(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevParts = spark.conf.get(partsKey)
+    val prevNoData = spark.conf.get(noDataKey)
+    try {
+      spark.conf.set(partsKey, math.min(prevParts.toInt,
+        sys.props.getOrElse("graft.stream.partitions", "8").toInt))
+      spark.conf.set(noDataKey, "false")
+      start
+    } finally {
+      spark.conf.set(partsKey, prevParts)
+      spark.conf.set(noDataKey, prevNoData)
+    }
+  }
+
+  /** Ephemeral checkpoint placement for a sink started WITHOUT a caller
+    * checkpoint (the synchronous to-completion gates): the same tmpfs
+    * choice [[runToBatch]] documents — the checkpoint's offset/commit
+    * logs and the RocksDB changelog are the only fsync'd writes these
+    * one-batch runs perform, and billing disk syncs to an ephemeral
+    * run's metadata is pure noise. Falls back to Spark's own temp
+    * checkpoint (None) when /dev/shm is not writable. The dir is
+    * deleted when the caller stops the query ([[withCleanup]]); a
+    * durable deployment passes its own `checkpoint` and is untouched. */
+  private def ephemeralCkpt(name: String): Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      Some(java.nio.file.Files.createTempDirectory(shm, s"graft-ckpt-$name-"))
+    else None
+  }
+
+  /** Delegating wrapper that deletes the ephemeral checkpoint when the
+    * caller stops the query (every sink gate stops in a finally). */
+  private def withCleanup(q: org.apache.spark.sql.streaming.StreamingQuery,
+      dir: java.nio.file.Path): org.apache.spark.sql.streaming.StreamingQuery =
+    new org.apache.spark.sql.streaming.StreamingQuery {
+      private def cleanup(): Unit = {
+        import scala.jdk.CollectionConverters._
+        try scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+          _.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p)))
+        catch { case _: java.io.IOException => () }
+      }
+      override def name: String = q.name
+      override def id: java.util.UUID = q.id
+      override def runId: java.util.UUID = q.runId
+      override def sparkSession: SparkSession = q.sparkSession
+      override def isActive: Boolean = q.isActive
+      override def exception
+          : Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+        q.exception
+      override def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
+        q.status
+      override def recentProgress
+          : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+        q.recentProgress
+      override def lastProgress
+          : org.apache.spark.sql.streaming.StreamingQueryProgress =
+        q.lastProgress
+      override def awaitTermination(): Unit = q.awaitTermination()
+      override def awaitTermination(timeoutMs: Long): Boolean =
+        q.awaitTermination(timeoutMs)
+      override def processAllAvailable(): Unit = q.processAllAvailable()
+      override def stop(): Unit = { try q.stop() finally cleanup() }
+      override def explain(): Unit = q.explain()
+      override def explain(extended: Boolean): Unit = q.explain(extended)
+    }
+
+  /** Start with an ephemeral tmpfs checkpoint (deleted on stop) when the
+    * caller provided none; durable checkpoints pass through verbatim. */
+  private def startWithCkpt(checkpoint: Option[String], name: String)(
+      start: Option[String] => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    checkpoint match {
+      case some @ Some(_) => start(some)
+      case None =>
+        ephemeralCkpt(name) match {
+          case Some(dir) => withCleanup(start(Some(dir.toString)), dir)
+          case None => start(None)
+        }
+    }
+
   /** Sliding-window aggregate with a watermark: per (window, event_type)
     * counts and value sums; each event lands in size/slide windows. */
   def slidingCounts(events: DataFrame, size: String = "2 hours",
@@ -445,7 +557,12 @@ object Streaming {
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .filter(col("quality") > minQuality &&
         graft.operators.Scrub.encodingClean(col(textCol)))
-    segmentSink(curated, outDir, checkpoint, trigger = trigger)(identity)
+    // the one sink family whose STREAM plan is stateful (the watermark
+    // dedup) — start under the runToBatch harness economics (capped
+    // state-store parallelism, no no-data flush batch); the stateless
+    // sinks keep the session's width for their foreachBatch joins
+    startPinned(stream.sparkSession)(
+      segmentSink(curated, outDir, checkpoint, trigger = trigger)(identity))
   }
 
   /** Streaming NEAR-duplicate ingest dedup against a static corpus — the
@@ -797,7 +914,8 @@ object Streaming {
         } finally pinned.unpersist()
       }
     val wt = trigger.fold(w)(w.trigger)
-    checkpoint.fold(wt)(c => wt.option("checkpointLocation", c)).start()
+    startWithCkpt(checkpoint, "ing")(c =>
+      c.fold(wt)(d => wt.option("checkpointLocation", d)).start())
   }
 
   /** Streaming SEARCH ingest — the BM25 artifact's live admission path,
@@ -885,7 +1003,8 @@ object Streaming {
         } finally pinned.unpersist()
       }
     val wt = trigger.fold(w)(w.trigger)
-    checkpoint.fold(wt)(c => wt.option("checkpointLocation", c)).start()
+    startWithCkpt(checkpoint, "ing")(c =>
+      c.fold(wt)(d => wt.option("checkpointLocation", d)).start())
   }
 
   /** Shared idempotent-segment `foreachBatch` sink: `survivors(batch)`
@@ -922,7 +1041,8 @@ object Streaming {
         } finally pinned.unpersist()
       }
     val w = trigger.fold(w0)(w0.trigger)
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    startWithCkpt(checkpoint, "seg")(c =>
+      c.fold(w)(d => w.option("checkpointLocation", d)).start())
   }
 
   /** Streaming APPROXIMATE DISTINCT per event-time window: per-window
