@@ -2191,8 +2191,20 @@ object Queries {
     * (1−0.8⁴)¹⁶ ≈ 2×10⁻⁴, deterministic hashes — verified at gate SF). */
   val q_dedup_minhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents").df
+    // The gate output is exact ∩ candidates, and banding membership is a
+    // PER-PAIR property (signatures are per-doc, a pair collides iff one
+    // of ITS bands hashes equal), so the candidate join runs over only
+    // the docs that participate in an exact pair — a semi-join
+    // pre-filter (guide §3.2) that shrinks the bucket self-join
+    // quadratically with zero change to which pairs it emits. The exact
+    // side is materialized once (it feeds both the filter and the
+    // output), the q_dedup_semantic idiom.
     val exact = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = 0.8)
-    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val pairIds = exact.select(col("id_a").as("doc_id"))
+      .unionByName(exact.select(col("id_b").as("doc_id"))).distinct()
+    val cands = Dedup.minhashCandidates(
+      docs.join(pairIds, Seq("doc_id"), "left_semi"), "doc_id", "text")
     exact.join(cands, Seq("id_a", "id_b"), "left_semi")
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -2207,8 +2219,21 @@ object Queries {
     * corpus; detecting those is MinHash's regime, gated above.) */
   val q_dedup_simhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents").df
+    // exact ∩ candidates with chunk-banding membership a PER-PAIR
+    // property (codes are per-doc; a pair is a candidate iff ITS two
+    // codes share a chunk and sit within the distance) — so the
+    // 8-band×8-bit candidate join, whose 2^8-sized band value space is
+    // the documented volume trade, runs over only the docs that
+    // participate in an exact pair: the q_dedup_minhash semi-join
+    // pre-filter (guide §3.2), output-identical by the per-pair
+    // argument.
     val exact = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, minJaccard = 0.98)
-    val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7, chunkBits = 8)
+      .localCheckpoint(true)
+    val pairIds = exact.select(col("id_a").as("doc_id"))
+      .unionByName(exact.select(col("id_b").as("doc_id"))).distinct()
+    val cands = Dedup.simhashPairs(
+        docs.join(pairIds, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", maxDist = 7, chunkBits = 8)
       .select("id_a", "id_b")
     exact.join(cands, Seq("id_a", "id_b"), "left_semi")
       .orderBy(col("id_a"), col("id_b"))
