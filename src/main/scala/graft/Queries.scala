@@ -1676,7 +1676,14 @@ object Queries {
         s"$vocabCap — the capped engine would diverge from the uncapped " +
         "DuckDB oracle; raise the cap (and keep the oracle uncapped) or " +
         "lower the widening")
-    val wide = docs
+    // Parallelize BEFORE the 48× widening: the raw corpus scan is one
+    // unsplittable partition, so without this the explode + per-copy
+    // regexp ran on ONE core and the round-robin repartition inside the
+    // trainer then shuffled the widened bytes (measured: a 2.7 s
+    // single-task stage writing 47.7 MB). Repartitioning the raw docs
+    // first moves 0.6 MB and spreads the widening across the cluster —
+    // shuffle the proxy, not the payload (guide §2.3/§3.3).
+    val wide = graft.core.Partitions.ensureParallelism(docs)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), lit(copies - 1))).as("k"))
       .select((col("doc_id") * copies + col("k")).as("doc_id"),

@@ -650,7 +650,12 @@ object Dedup {
     require(probes >= 1 && probes <= nCentroids, "need 1 <= probes <= nCentroids")
     val df = df0.filter(col(vecCol).isNotNull)
     val centroids = Similarity.ivfIndex(df, idCol, vecCol, nCentroids, iters).centroids
-    val cells = df
+    // ensureParallelism on the ASSIGNMENT pass only (k-means above keeps
+    // its measured single-split economics): top-k-centroid scoring is
+    // probes×centroids dot products per row, and an unsplittable
+    // one-partition scan serializes it on one core — measured as a
+    // 0.86 s single-task stage at the bench SF, twice (both join sides).
+    val cells = graft.core.Partitions.ensureParallelism(df)
       .select(col(idCol), col(vecCol), vec_norm(col(vecCol)).as("__n"),
         explode(top_centroids_cos(col(vecCol), centroids, probes)).as("__cell"))
     val a = cells.select(col("__cell"), col(idCol).as("id_a"),
