@@ -177,7 +177,10 @@ object Search {
   def buildBm25Index(data: DataFrame, idCol: String, attr: String): Bm25Index = {
     import graft.functions.TextAnalysis
     val words = TextAnalysis.words(coalesce(col(attr), lit("")))
-    val lenStats = data
+    // the eager stats pass tokenizes the corpus too — parallelize it
+    // like the postings pass below, or an unsplittable one-partition
+    // scan serializes a full-corpus tokenization on one core per build
+    val lenStats = graft.core.Partitions.ensureParallelism(data)
       .select(size(filter(words, w => w =!= lit(""))).cast("long").as("__l"))
       .agg(count(lit(1)).as("n"), sum(col("__l")).as("total")).head()
     val nDocs = lenStats.getLong(0)

@@ -222,15 +222,19 @@ object Streaming {
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         def lastBatch: Long =
           Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        // short poll interval: processAllAvailable blocks on real work,
+        // so the sleep only bounds how fast we NOTICE the flush batch —
+        // 100/200 ms polls were billing up to half a second of pure
+        // sleep to every flush gate
         while (lastBatch < 1 && System.nanoTime() < deadline) {
-          Thread.sleep(100)
+          Thread.sleep(15)
           q.processAllAvailable()
         }
         // then settle: contents must survive one more cycle unchanged
         var prev = -1L
         var cur = spark.table(name).count()
         while (prev != cur && System.nanoTime() < deadline) {
-          Thread.sleep(200)
+          Thread.sleep(30)
           q.processAllAvailable()
           prev = cur
           cur = spark.table(name).count()
