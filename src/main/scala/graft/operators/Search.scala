@@ -168,24 +168,60 @@ object Search {
     * than the scored-search normalizer so the ranking math is
     * engine-reproducible; BM25's idf discounts stopword-grade terms on
     * its own. */
-  final case class Bm25Index(postings: DataFrame, nDocs: Long, avgLen: Double,
-      totalLen: Long)
+  /** `stats` is a LAZY one-row frame `(n_docs: long, total_len: long,
+    * avg_len: double)`: the serve paths fold it into the query plan (a
+    * one-row broadcast into the tiny per-term idf frame), so building
+    * and searching an in-memory index runs NO separate eager stats job.
+    * Paths that need concrete constants (save/fold/upsert merges, the
+    * streaming sink's per-batch stats write) force [[nDocs]]/[[avgLen]]/
+    * [[totalLen]], which run the aggregate once and memoize. Loaded and
+    * merged indexes carry a LOCAL one-row relation
+    * ([[Bm25Index.withStats]]) — forcing those costs no job, exactly
+    * the pre-lazy behavior. */
+  final class Bm25Index(val postings: DataFrame, val stats: DataFrame,
+      /** (nDocs as double, avgLen) when already materialized — serve
+        * paths then plan plain literals, exactly the pre-lazy shape. */
+      private[operators] val knownConsts: Option[(Double, Double)] = None) {
+    private lazy val statsRow = stats.head()
+    lazy val nDocs: Long = statsRow.getLong(0)
+    lazy val totalLen: Long = statsRow.getLong(1)
+    lazy val avgLen: Double = statsRow.getDouble(2)
+  }
+  object Bm25Index {
+    /** Index whose corpus constants are already known longs (loaded from
+      * a stats table or merged in long arithmetic): the stats frame is a
+      * local relation, no job on any path. `avg` overrides the `total/n`
+      * recompute where a stored avg_len must be served verbatim (the
+      * legacy pre-total_len reconstruction, and the tombstone-corrected
+      * load that keeps the stored value when nothing was deleted). */
+    def withStats(postings: DataFrame, n: Long, total: Long,
+        avg: Option[Double] = None): Bm25Index = {
+      val spark = postings.sparkSession
+      import spark.implicits._
+      val avgV = avg.getOrElse(if (n == 0) 0.0 else total.toDouble / n)
+      new Bm25Index(postings,
+        Seq((n, total, avgV)).toDF("n_docs", "total_len", "avg_len"),
+        knownConsts = Some((n.toDouble, avgV)))
+    }
+  }
 
   /** Build the BM25 index. Scale shape: one explode + one hash aggregate
     * keyed by (id, word) — doclen rides along as a function of id, so no
-    * extra join; shuffle volume is doc×distinct-term, not corpus bytes. */
+    * extra join; shuffle volume is doc×distinct-term, not corpus bytes.
+    * The corpus stats are a lazy in-plan aggregate (see [[Bm25Index]]):
+    * nothing executes here. */
   def buildBm25Index(data: DataFrame, idCol: String, attr: String): Bm25Index = {
     import graft.functions.TextAnalysis
     val words = TextAnalysis.words(coalesce(col(attr), lit("")))
-    // the eager stats pass tokenizes the corpus too — parallelize it
-    // like the postings pass below, or an unsplittable one-partition
-    // scan serializes a full-corpus tokenization on one core per build
-    val lenStats = graft.core.Partitions.ensureParallelism(data)
+    // the stats pass tokenizes the corpus too — parallelized like the
+    // postings pass below, or an unsplittable one-partition scan would
+    // serialize a full-corpus tokenization on one core
+    val stats = graft.core.Partitions.ensureParallelism(data)
       .select(size(filter(words, w => w =!= lit(""))).cast("long").as("__l"))
-      .agg(count(lit(1)).as("n"), sum(col("__l")).as("total")).head()
-    val nDocs = lenStats.getLong(0)
-    val totalLen = if (lenStats.isNullAt(1)) 0L else lenStats.getLong(1)
-    val avgLen = if (nDocs == 0) 0.0 else totalLen.toDouble / nDocs
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__l")), lit(0L)).as("total_len"))
+      .withColumn("avg_len", when(col("n_docs") === 0, lit(0.0))
+        .otherwise(col("total_len").cast("double") / col("n_docs").cast("double")))
     val postings = graft.core.Partitions.ensureParallelism(data)
       .select(col(idCol), words.as("__ws"))
       .select(col(idCol),
@@ -194,7 +230,7 @@ object Search {
       .filter(col("word") =!= "")
       .groupBy(col(idCol), col("doclen"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    Bm25Index(postings, nDocs, avgLen, totalLen)
+    new Bm25Index(postings, stats)
   }
 
   /** Persist a built BM25 index as a serving artifact: postings become a
@@ -499,8 +535,7 @@ object Search {
           coalesce(sum(col("total_len")), lit(0L))).head()
       val (n2, total2) = (base.nDocs + st.getLong(0),
         base.totalLen + st.getLong(1))
-      Bm25Index(base.postings.unionByName(postings), n2,
-        if (n2 == 0) 0.0 else total2.toDouble / n2, total2)
+      Bm25Index.withStats(base.postings.unionByName(postings), n2, total2)
     }
   }
 
@@ -736,10 +771,9 @@ object Search {
     val postings =
       graft.operators.Tombstones.mask(spark, table, spark.table(table))
     val (nLive, totalLive) = (n - nDel, total - lenDel)
-    Bm25Index(postings, nLive,
-      if (nDel == 0) avg
-      else if (nLive == 0) 0.0 else totalLive.toDouble / nLive,
-      totalLive)
+    Bm25Index.withStats(postings, nLive, totalLive,
+      avg = Some(if (nDel == 0) avg
+        else if (nLive == 0) 0.0 else totalLive.toDouble / nLive))
   }
 
   /** Load the persisted index, building and persisting it first if this
@@ -786,6 +820,23 @@ object Search {
     * `topTermsPerDoc`, ranks of 1-ulp-close scores assume consistent
     * libm log across engines — the driver gate compares rank and id,
     * never the float.) */
+  /** Attach the corpus constants (`__nd` = nDocs as double, `__avg` =
+    * avg doc length) to the tiny per-term idf frame: plain literals when
+    * the index already materialized them (loaded/merged indexes — the
+    * pre-lazy plan shape, no extra join node), otherwise a one-row
+    * broadcast cross join of the lazy stats aggregate, so an in-memory
+    * build+search runs as ONE job with no eager stats pass. Values and
+    * ops are IEEE-identical on both paths — scores bit-match. */
+  private def withBm25Consts(index: Bm25Index, df: DataFrame): DataFrame =
+    index.knownConsts match {
+      case Some((nd, av)) =>
+        df.withColumn("__nd", lit(nd)).withColumn("__avg", lit(av))
+      case None =>
+        df.crossJoin(broadcast(index.stats.select(
+          col("n_docs").cast("double").as("__nd"),
+          col("avg_len").as("__avg"))))
+    }
+
   def searchBm25(data: DataFrame, index: Bm25Index, idCol: String,
       query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
@@ -799,15 +850,20 @@ object Search {
     // corpus has no postings rows, so its idf value is irrelevant) — the
     // whole serving query is one Spark job, no driver-side df collect.
     val filtered = index.postings.filter(col("word").isin(terms: _*))
-    val termIdf = filtered.groupBy(col("word"))
-      .agg(count(lit(1)).cast("double").as("__df"))
+    // corpus constants ride the plan as a one-row cross join into the
+    // (tiny, per-term) idf frame — same IEEE values and ops as the old
+    // lit()s, so scores are bit-identical; an in-memory build+search is
+    // now one job with no eager stats pass (see Bm25Index)
+    val termIdf = withBm25Consts(index,
+        filtered.groupBy(col("word"))
+          .agg(count(lit(1)).cast("double").as("__df")))
       .withColumn("__idf",
-        log(lit(1.0) + (lit(index.nDocs.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5)))
-      .select(col("word"), col("__idf"))
+        log(lit(1.0) + (col("__nd") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .select(col("word"), col("__idf"), col("__avg"))
     val scored = filtered.join(broadcast(termIdf), "word")
       .withColumn("__contrib",
         col("__idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / lit(index.avgLen))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doclen") / col("__avg"))))
       .groupBy(col(idCol)).agg(sum(col("__contrib")).as("__bm25"))
     val top = scored.orderBy(col("__bm25").desc, col(idCol).asc).limit(k)
     // rank the k survivors (tiny frame — the window's single partition
@@ -855,17 +911,20 @@ object Search {
     val words = qterms.select(col("word")).distinct()
     val filtered = index.postings
       .join(broadcast(words), Seq("word"), "left_semi")
-    val termIdf = filtered.groupBy(col("word"))
-      .agg(count(lit(1)).cast("double").as("__df"))
+    // one-row corpus constants into the per-term idf frame — the
+    // single-query path's idiom, bit-identical values (see searchBm25)
+    val termIdf = withBm25Consts(index,
+        filtered.groupBy(col("word"))
+          .agg(count(lit(1)).cast("double").as("__df")))
       .withColumn("__idf",
         log(lit(1.0) +
-          (lit(index.nDocs.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5)))
-      .select(col("word"), col("__idf"))
+          (col("__nd") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .select(col("word"), col("__idf"), col("__avg"))
     val scored = filtered.join(broadcast(termIdf), "word")
       .withColumn("__contrib",
         col("__idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("doclen") / lit(index.avgLen))))
+            (lit(1.0 - b) + lit(b) * col("doclen") / col("__avg"))))
       .join(broadcast(qterms), Seq("word"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__contrib")).as("__bm25"))

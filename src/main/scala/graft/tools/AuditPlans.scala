@@ -53,9 +53,9 @@ object AuditPlans {
     "q_csv_roundtrip" -> 1, "q_csv_string" -> 1, "q_cube" -> 2,
     "q_curation_funnel" -> 1, "q_decontam_bloom" -> 3,
     "q_decontam_fuzzy" -> 4, "q_dedup_cluster" -> 2,
-    "q_dedup_embedding" -> 2, "q_dedup_exact" -> 2, "q_dedup_minhash" -> 9,
-    "q_dedup_semantic" -> 5, "q_zorder_layout" -> 3,
-    "q_dedup_ngram" -> 3, "q_dedup_remove" -> 2, "q_dedup_simhash" -> 10,
+    "q_dedup_embedding" -> 2, "q_dedup_exact" -> 2, "q_dedup_minhash" -> 5,
+    "q_dedup_semantic" -> 6, "q_zorder_layout" -> 3,
+    "q_dedup_ngram" -> 3, "q_dedup_remove" -> 2, "q_dedup_simhash" -> 5,
     "q_delete" -> 2, "q_embed_normalize" -> 1, "q_embed_quantize" -> 1,
     "q_excel_dates" -> 1, "q_excel_roundtrip" -> 1, "q_except" -> 2,
     "q_fingerprint" -> 1, "q_fixedwidth" -> 1, "q_format" -> 1,
@@ -66,7 +66,7 @@ object AuditPlans {
     // borda: its input lists are eagerly localCheckpoint-pinned
     // (top-N-sized), so the audited plan starts at the checkpoints —
     // one exchange for the fused aggregate.
-    "q_hybrid_rrf" -> 7, "q_hybrid_borda" -> 1,
+    "q_hybrid_rrf" -> 9, "q_hybrid_borda" -> 1,
     // eval: retriever lists are checkpoint-pinned; the fused aggregate,
     // three bounded qrels-hit aggregates, and the ideal-DCG TakeOrdered
     // account for the budget
@@ -75,18 +75,18 @@ object AuditPlans {
     // qterms/words distincts and the (query, doc)-keyed score aggregate;
     // the ranking window partitions BY QUERY (no global exchange beyond
     // the k-row outputs)
-    "q_search_bm25_batch" -> 9,
+    "q_search_bm25_batch" -> 11,
     // batch eval: the batch-retrieval shape + the query-keyed hit/ideal/
     // total aggregates and their per-query joins (workload-sized)
-    "q_rank_eval_batch" -> 11,
+    "q_rank_eval_batch" -> 13,
     // hard-negative mining: the batch-retrieval shape + the per-(query,
     // id) positives anti-join and the per-query re-rank window, both on
     // the top-50-bounded frame
-    "q_hard_negatives" -> 11,
+    "q_hard_negatives" -> 13,
     // batch hybrid: the lexical batch shape + the vector batch's
     // broadcast workload x corpus scan and the per-query fused
     // aggregate/ranking (all query-keyed)
-    "q_hybrid_rrf_batch" -> 14,
+    "q_hybrid_rrf_batch" -> 16,
     // composed takedown eval: two checkpoint-pinned retriever lists +
     // q_rank_eval's bounded hit/ideal metric aggregates, twice; the
     // extra exchange over q_rank_eval's 5 is saved by having no fusion
@@ -217,7 +217,7 @@ object AuditPlans {
     "q_pivot_counts" -> 3, "q_pivot_sum" -> 3, "q_pivot_totals" -> 2,
     "q_profile" -> 2, "q_quality_score" -> 1, "q_quantile_band" -> 2,
     "q_rank" -> 1, "q_repetition" -> 1, "q_rollup" -> 2,
-    "q_sample_stratified" -> 2, "q_search_bm25" -> 6,
+    "q_sample_stratified" -> 2, "q_search_bm25" -> 8,
     "q_search_bm25_serve" -> 2, "q_search_bm25_upsert" -> 2,
     "q_search_bm25_compact" -> 2, "q_search_bm25_catchup" -> 2,
     // delete: serve shape + the tombstone-set dedup aggregate feeding
@@ -298,6 +298,16 @@ object AuditPlans {
 
   /** BNLJs that are part of the design, with why they are scale-safe. */
   val expectedBnlj: Map[String, String] = Map(
+    "q_search_bm25" ->
+      "corpus-constants join: build side is exactly ONE broadcast row (the in-memory index's lazy stats aggregate) crossed onto the per-term idf frame, which is bounded by the query's terms",
+    "q_hybrid_rrf" ->
+      "corpus-constants join (q_search_bm25's shape, on the lexical retriever): ONE broadcast stats row onto the term-bounded idf frame",
+    "q_search_bm25_batch" ->
+      "corpus-constants join: build side is exactly ONE broadcast row (the in-memory index's lazy stats aggregate) crossed onto the per-term idf frame, which is bounded by the query workload's distinct terms",
+    "q_rank_eval_batch" ->
+      "corpus-constants join (q_search_bm25_batch's shape): ONE broadcast stats row onto the term-bounded idf frame",
+    "q_hard_negatives" ->
+      "corpus-constants join (q_search_bm25_batch's shape): ONE broadcast stats row onto the term-bounded idf frame",
     "q_hybrid_rrf_batch" ->
       "batch ANN scoring: build side is the broadcast QUERY WORKLOAD (3 vectors; workload-sized by design), streamed side one corpus scan — every (row, query) pair scores map-side; the brute-force baseline the bucketed ANN families replace when selectivity matters",
     "q_rank_eval" ->

@@ -25,6 +25,8 @@ object ProfStages {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println("conf openCostInBytes=" +
+      spark.sessionState.conf.filesOpenCostInBytes)
 
     final case class St(var name: String = "", var sub: Long = 0L,
       var done: Long = 0L, var taskMs: Long = 0L, var tasks: Int = 0,

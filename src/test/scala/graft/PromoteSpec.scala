@@ -216,8 +216,8 @@ class PromoteSpec extends SparkSpec {
             r.getLong(3))).toSet
       assert(rows(spark.table(live)) == rows(full.postings),
         "swapped generation's postings diverge from the staged build")
-      val served = Search.Bm25Index(spark.table(live), full.nDocs,
-        full.avgLen, full.totalLen)
+      val served = Search.Bm25Index.withStats(spark.table(live),
+        full.nDocs, full.totalLen, avg = Some(full.avgLen))
       def top(idx: Search.Bm25Index) =
         Search.searchBm25(docs, idx, "doc_id", "hash join filter", k = 10)
           .select(col("doc_id"), col("bm25_rank"))
