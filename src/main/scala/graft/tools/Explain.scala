@@ -16,11 +16,13 @@ object Explain {
         "q_orderby_limit", "q_dedup_embedding", "q_search_scored",
         "q_join_asof", "q_join_range", "q_join_salted", "q_sim_ivf",
         "q_pivot_3level", "q_dedup_minhash", "q_sim_lsh")
-    val spark = SparkSession.builder()
+    // the shipped harness session (state backend + join preferences), so
+    // dumped plans match what Bench/Verify actually plan
+    val spark = graft.GraftSession.rocksDbState(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
