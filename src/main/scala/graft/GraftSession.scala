@@ -38,6 +38,13 @@ object GraftSession {
     // regression. (The optimization guide's §9 baseline carries the
     // same setting.) Here rather than in [[configure]] so every harness
     // session — Bench, Verify, specs — plans the same joins.
+    // Deployment trade-off: SHJ's build-side hash map does NOT spill —
+    // a stats misestimate (post-filter/explode frames) that passes the
+    // planner's build-side size check can OOM at scale where sort-merge
+    // would have spilled gracefully. Deployments with badly estimated
+    // build sides should opt out (set preferSortMergeJoin=true on their
+    // session) or fix the estimates; AQE skew splitting still applies
+    // either way.
     .config("spark.sql.join.preferSortMergeJoin", "false")
 
   /** Apply the recommended configs to a builder. */

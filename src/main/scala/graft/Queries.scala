@@ -2640,14 +2640,20 @@ object Queries {
     * qid = vec_id + 1 (the hybrid-batch convention). */
   private def annBatchContainment(emb: DataFrame,
       ann: DataFrame): DataFrame = {
-    val qrows = emb.filter(col("vec_id") <= 2)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getAs[Number](0).intValue + 1,
-        r.getSeq[Float](1).map(_.toDouble)))
-    val exact = qrows.map { case (qid, qv) =>
-      Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
-        .select(lit(qid).as("qid"), col("vec_id"), col("cosine"))
-    }.reduce(_ unionByName _)
+    // the exact side is ONE batch plan (corpus scanned once for the
+    // whole workload, per-query top-10 windows by qid) instead of a
+    // per-query bruteForceTopK union — 3 corpus scans and a driver-side
+    // query-vector collect job collapse into the single scan the ANN
+    // side already uses (guide §1.2). bruteForceTopKBatch computes the
+    // SAME sequential-double cosine (vec_dot / vec_norm·vec_norm, the
+    // query norm now in-plan over the identical float→double values),
+    // so the selected rows and their cosines bit-match the per-query
+    // path the single-query gates anchor to DuckDB.
+    val qvecs = emb.filter(col("vec_id") <= 2)
+      .select((col("vec_id") + 1).cast("int").as("qid"), col("embedding"))
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        qvecs, "qid", "embedding", k = 10)
+      .select(col("qid"), col("vec_id"), col("cosine"))
     exact.join(ann.select(col("qid"), col("vec_id")),
         Seq("qid", "vec_id"), "left_semi")
       .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
@@ -3506,10 +3512,16 @@ object Queries {
     val out = s"${ioDir(dir)}/lineitem_zorder"
     Layout.writeZOrdered(li, out, Seq("l_orderkey", "l_partkey"), nFiles = 32)
     val back = s.read.parquet(out)
-    // band cutoffs from one tiny agg over the rewritten data (content ==
-    // original, so the oracle derives the same cutoffs from lineitem)
-    val r = back.agg(min(col("l_orderkey")), max(col("l_orderkey")),
-      min(col("l_partkey")), max(col("l_partkey"))).head()
+    // ONE verification scan of the rewritten data: the per-file min/max
+    // stats frame (32 rows) is pinned once and serves BOTH the band
+    // cutoffs (global min/max = min-of-file-mins / max-of-file-maxes,
+    // exactly the former whole-table agg's longs) and the in-plan skip
+    // gate — previously the cutoff agg and the gate's fileRangeStats
+    // each re-scanned the full rewrite (guide §1.2: fewer passes).
+    val stats = Layout.fileRangeStats(s, out, Seq("l_orderkey", "l_partkey"))
+      .localCheckpoint(true)
+    val r = stats.agg(min(col("l_orderkey_min")), max(col("l_orderkey_max")),
+      min(col("l_partkey_min")), max(col("l_partkey_max"))).head()
     def band(mn: Long, mx: Long): (Long, Long) =
       (mn + math.floor((mx - mn) * 0.45).toLong, mn + math.floor((mx - mn) * 0.50).toLong)
     val (okLo, okHi) = band(r.getLong(0), r.getLong(1))
@@ -3519,7 +3531,7 @@ object Queries {
     // re-validates the layout, and the audited plan shows the gate
     def overlaps(c: String, lo: Long, hi: Long) =
       col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
-    val gate = Layout.fileRangeStats(s, out, Seq("l_orderkey", "l_partkey"))
+    val gate = stats
       .agg(
         ((sum(when(overlaps("l_orderkey", okLo, okHi), 1L).otherwise(0L))
           <= count(lit(1)) * 0.6) &&

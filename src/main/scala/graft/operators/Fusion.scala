@@ -82,21 +82,25 @@ object Fusion {
     * rule; unlike [[rrf]] it decays linearly (tail ranks keep real
     * weight) and it takes per-retriever weights. List sizes are taken
     * from the frames themselves (keeps the signature honest rather than
-    * trusting a caller-passed N); each list is pinned first — top-N
-    * sized, so the checkpoint is tiny — so the size count and the fused
-    * plan read the materialized list instead of re-running its
-    * retriever pipeline twice more. */
+    * trusting a caller-passed N), computed IN-PLAN as a window count
+    * over each list — a single-partition window whose partition holds
+    * exactly the top-N rows, never the corpus — so the whole fusion is
+    * ONE job like [[rrf]], instead of an eager checkpoint + count pair
+    * of driver actions per input list. The count long and the
+    * (N+1−rank)·w/N arithmetic are the same ops on the same values as
+    * the former driver-side literals, so fused scores bit-match. */
   def borda(rankings: Seq[(DataFrame, Double)], idCol: String,
       rankCol: String, topK: Int): DataFrame = {
     checkArgs(rankings.map(_._1), topK)
     rankings.foreach { case (_, w) =>
       require(w > 0, "borda weights must be positive") }
-    fuse(rankings.map { case (r0, w) =>
-      val r = r0.localCheckpoint(true)
-      val n = r.count()
-      r.select(col(idCol),
-        ((lit(n + 1) - col(rankCol)).cast("double") * lit(w) / lit(n.toDouble))
-          .as("__fs"))
+    val wAll = Window.partitionBy()
+    fuse(rankings.map { case (r, w) =>
+      r.select(col(idCol), col(rankCol),
+          count(lit(1)).over(wAll).as("__n"))
+        .select(col(idCol),
+          ((col("__n") + 1 - col(rankCol)).cast("double") * lit(w)
+            / col("__n").cast("double")).as("__fs"))
     }, idCol, topK, "borda_rank")
   }
 

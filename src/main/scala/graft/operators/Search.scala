@@ -182,7 +182,21 @@ object Search {
       /** (nDocs as double, avgLen) when already materialized — serve
         * paths then plan plain literals, exactly the pre-lazy shape. */
       private[operators] val knownConsts: Option[(Double, Double)] = None) {
-    private lazy val statsRow = stats.head()
+    /** Promoted constants: starts as [[knownConsts]]; once ANY path
+      * forces the stats row (save/fold/merge, or a caller reading
+      * [[nDocs]]), the materialized values take over, so a
+      * build-once/search-many reuse of an in-memory index stops
+      * re-running the full-corpus stats aggregate inside every search
+      * job. Same longs, same count→double cast, same division as the
+      * in-plan aggregate — scores bit-match either way. */
+    @volatile private[operators] var promotedConsts: Option[(Double, Double)] =
+      knownConsts
+    private lazy val statsRow = {
+      val r = stats.head()
+      if (promotedConsts.isEmpty)
+        promotedConsts = Some((r.getLong(0).toDouble, r.getDouble(2)))
+      r
+    }
     lazy val nDocs: Long = statsRow.getLong(0)
     lazy val totalLen: Long = statsRow.getLong(1)
     lazy val avgLen: Double = statsRow.getDouble(2)
@@ -828,7 +842,7 @@ object Search {
     * build+search runs as ONE job with no eager stats pass. Values and
     * ops are IEEE-identical on both paths — scores bit-match. */
   private def withBm25Consts(index: Bm25Index, df: DataFrame): DataFrame =
-    index.knownConsts match {
+    index.promotedConsts match {
       case Some((nd, av)) =>
         df.withColumn("__nd", lit(nd)).withColumn("__avg", lit(av))
       case None =>

@@ -315,18 +315,41 @@ object Streaming {
     else None
   }
 
+  /** Best-effort recursive delete of an ephemeral checkpoint dir —
+    * idempotent (deleteIfExists), safe to race between the stop() path
+    * and the termination listener. */
+  private def deleteCkptTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+      _.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p)))
+    catch { case _: java.io.IOException => () }
+  }
+
   /** Delegating wrapper that deletes the ephemeral checkpoint when the
-    * caller stops the query (every sink gate stops in a finally). */
+    * caller stops the query (every sink gate stops in a finally). A
+    * termination listener (matched by runId) covers the paths the
+    * wrapper can't see — a query dying on an exception, or stopped
+    * through spark.streams.get/active — so failure paths release the
+    * RAM-backed tmpfs dir instead of leaking it until reboot. */
   private def withCleanup(q: org.apache.spark.sql.streaming.StreamingQuery,
-      dir: java.nio.file.Path): org.apache.spark.sql.streaming.StreamingQuery =
+      dir: java.nio.file.Path): org.apache.spark.sql.streaming.StreamingQuery = {
+    val streams = q.sparkSession.streams
+    val qRunId = q.runId
+    streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.runId == qRunId) {
+          deleteCkptTree(dir)
+          streams.removeListener(this)
+        }
+    })
     new org.apache.spark.sql.streaming.StreamingQuery {
-      private def cleanup(): Unit = {
-        import scala.jdk.CollectionConverters._
-        try scala.util.Using.resource(java.nio.file.Files.walk(dir))(
-          _.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p)))
-        catch { case _: java.io.IOException => () }
-      }
+      private def cleanup(): Unit = deleteCkptTree(dir)
       override def name: String = q.name
       override def id: java.util.UUID = q.id
       override def runId: java.util.UUID = q.runId
@@ -351,6 +374,7 @@ object Streaming {
       override def explain(): Unit = q.explain()
       override def explain(extended: Boolean): Unit = q.explain(extended)
     }
+  }
 
   /** Start with an ephemeral tmpfs checkpoint (deleted on stop) when the
     * caller provided none; durable checkpoints pass through verbatim. */
@@ -562,11 +586,20 @@ object Streaming {
       .filter(col("quality") > minQuality &&
         graft.operators.Scrub.encodingClean(col(textCol)))
     // the one sink family whose STREAM plan is stateful (the watermark
-    // dedup) — start under the runToBatch harness economics (capped
-    // state-store parallelism, no no-data flush batch); the stateless
-    // sinks keep the session's width for their foreachBatch joins
-    startPinned(stream.sparkSession)(
-      segmentSink(curated, outDir, checkpoint, trigger = trigger)(identity))
+    // dedup) — an EPHEMERAL start (no caller checkpoint: the synchronous
+    // to-completion gates) runs under the runToBatch harness economics
+    // (capped state-store parallelism, no no-data flush batch); the
+    // stateless sinks keep the session's width for their foreachBatch
+    // joins. A DURABLE deployment passing its own checkpoint keeps the
+    // session's shuffle width too: the capped width would otherwise be
+    // silently pinned into the checkpoint for its lifetime — state-store
+    // parallelism there is the deployment's state-sizing choice
+    // (spark.sql.shuffle.partitions at first start), not a harness knob.
+    if (checkpoint.isEmpty)
+      startPinned(stream.sparkSession)(
+        segmentSink(curated, outDir, checkpoint, trigger = trigger)(identity))
+    else
+      segmentSink(curated, outDir, checkpoint, trigger = trigger)(identity)
   }
 
   /** Streaming NEAR-duplicate ingest dedup against a static corpus — the
@@ -909,11 +942,26 @@ object Streaming {
             val fs = marker.getFileSystem(
               spark.sparkContext.hadoopConfiguration)
             if (fs.exists(marker)) fs.delete(marker, true)
-            for (t <- 0 until tables)
+            def writeTable(t: Int): Unit =
               pinned.withColumn("bucket", graft.operators.Similarity
                   .codeColumn(col(vecCol), dims, bits, t))
                 .write.mode("overwrite").partitionBy("bucket")
                 .parquet(s"$segDir/batch=$id/t$t")
+            // the per-table projections are INDEPENDENT jobs over the
+            // same pinned batch writing disjoint subtrees — submit them
+            // concurrently so each job's task tail back-fills the others
+            // (guide §2.6), EXCEPT the last projection: it is the
+            // segment-completeness marker and must land only after every
+            // other subtree is fully written
+            if (tables > 1) {
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              Await.result(
+                Future.sequence((0 until tables - 1).map(t =>
+                  Future(writeTable(t)))),
+                scala.concurrent.duration.Duration.Inf)
+            }
+            writeTable(tables - 1)
           }
         } finally pinned.unpersist()
       }
